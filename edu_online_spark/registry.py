@@ -1,0 +1,46 @@
+"""Central query registry: merges each operator module's QUERIES/ORACLE.
+
+The driver contract (__spark_entry__.py) and the local parity tests both
+read from here, so "implemented" has exactly one definition.
+
+Queries present in QUERIES but absent from ORACLE are deliberately
+rows-only (non-SQL-expressible ops: LSH candidate generation, iterative
+algorithms, stateful streaming).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import archival, page, quiz, register
+
+_MODULES = [register, quiz, page, archival]
+
+
+def _extended_modules():
+    """Extension operator modules are appended as they land; import errors
+    must never take down the core registry, so they're isolated here."""
+    mods = []
+    from .operators import tpch, dedup, similarity, textops, multimodal  # noqa
+
+    mods += [tpch, dedup, similarity, textops, multimodal]
+    return mods
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable] = {}
+    for m in _MODULES + _extended_modules():
+        for name, fn in m.QUERIES.items():
+            if name in out:
+                raise ValueError(f"duplicate query name {name!r}")
+            out[name] = fn
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _MODULES + _extended_modules():
+        out.update(getattr(m, "ORACLE", {}))
+    return out

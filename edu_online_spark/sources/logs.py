@@ -1,0 +1,85 @@
+"""Log-line decoders: raw text → typed DataFrames.
+
+Re-expresses the reference's closure-based decoders (SURVEY §2.3 P1-P6)
+as pure column expressions so they stay inside whole-stage codegen — no
+Python executes per row:
+
+- register TSV:  RegisterStreaming.scala:75-87 (arity filter + split + decode)
+- quiz TSV:      QzPointStreaming.scala:66-77
+- page JSON:     PageStreaming.scala:67-88 + JsonParseUtil.scala:15-22
+
+Each decoder takes a DataFrame with a string ``value`` column (what a
+Kafka source or text scan yields) and returns typed columns, dropping
+malformed rows exactly like the reference (arity != n, unparseable JSON).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import schemas
+
+
+def platform_name(code: Column) -> Column:
+    """Dictionary decode "1"→PC, "2"→APP, else→Other
+    (RegisterStreaming.scala:80-84, SURVEY §2.3 P4)."""
+    return (
+        F.when(code == "1", "PC").when(code == "2", "APP").otherwise("Other")
+    )
+
+
+def decode_register_log(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """TSV → (user_id, platform_code, platform, create_time).
+
+    Arity filter (exactly 3 fields) per RegisterStreaming.scala:75; the
+    filter+split+project pipeline fuses into one codegen stage.
+    """
+    parts = F.split(F.col(value_col), "\t")
+    return (
+        raw.select(parts.alias("p"))
+        .filter(F.size("p") == 3)
+        .select(
+            F.col("p")[0].alias("user_id"),
+            F.col("p")[1].alias("platform_code"),
+            platform_name(F.col("p")[1]).alias("platform"),
+            F.col("p")[2].cast("string").alias("create_time"),
+        )
+    )
+
+
+def decode_qz_log(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """TSV → 6 typed quiz columns (QzPointStreaming.scala:66-77).
+
+    uid/courseid/pointid promoted to int (the reference defers .toInt to
+    QzPointStreaming.scala:128-130; we type at the edge)."""
+    parts = F.split(F.col(value_col), "\t")
+    return (
+        raw.select(parts.alias("p"))
+        .filter(F.size("p") == 6)
+        .select(
+            F.col("p")[0].cast("int").alias("uid"),
+            F.col("p")[1].cast("int").alias("courseid"),
+            F.col("p")[2].cast("int").alias("pointid"),
+            F.col("p")[3].alias("questionid"),
+            F.col("p")[4].alias("istrue"),
+            F.col("p")[5].alias("createtime"),
+        )
+    )
+
+
+def decode_page_log(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """JSON line → 7 string fields, missing keys default to "" and
+    unparseable lines are dropped (PageStreaming.scala:68-85).
+
+    `from_json` returns null for malformed input — same drop semantics as
+    the reference's try/catch (JsonParseUtil.scala:15-22) without a UDF.
+    """
+    parsed = F.from_json(F.col(value_col), schemas.PAGE_LOG)
+    df = raw.select(parsed.alias("j")).filter(F.col("j").isNotNull())
+    return df.select(
+        *[
+            F.coalesce(F.col(f"j.{f.name}"), F.lit("")).alias(f.name)
+            for f in schemas.PAGE_LOG.fields
+        ]
+    )

@@ -1,0 +1,38 @@
+"""Batch table loaders for the driver testdata (TESTDATA.md).
+
+Parquet scans are the 100 TB entry point: column pruning and predicate
+pushdown happen here or nowhere. Loaders never .cache() by default —
+callers decide, because at scale an unwanted cache is a regression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import ALL_TABLES
+
+# events.ts is physically TIMESTAMP(NANOS); Spark reads it as int64
+# (spark.sql.legacy.parquet.nanosAsLong) and we convert to TIMESTAMP_NTZ
+# here. Integer `div` keeps full precision (ns-since-epoch overflows the
+# 53-bit double mantissa); truncation to micros matches DuckDB's
+# ns→us cast of the same column.
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table. Schema comes from parquet footers (already
+    typed); filters/projections applied by callers push down into this scan."""
+    if name not in ALL_TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {ALL_TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANOS_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"{c} div 1000")).cast("timestamp_ntz")
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or ALL_TABLES)}
