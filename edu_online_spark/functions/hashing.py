@@ -28,11 +28,14 @@ def minhash_signature(shingle_col: Column, num_hashes: int = DEFAULT_NUM_HASHES)
     don't — so callers must filter size(shingles)>0 first; we also
     guard here with nulls).
     """
+    def hash_fn(seed: int):
+        # NB: the lambda must be unary — PySpark passes (element, index)
+        # to binary lambdas, which would shadow the seed.
+        return lambda s: F.xxhash64(F.lit(seed), s)
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(shingle_col, lambda s, i=i: F.xxhash64(F.lit(i), s))
-            )
+            F.array_min(F.transform(shingle_col, hash_fn(i)))
             for i in range(num_hashes)
         ]
     )
@@ -56,30 +59,33 @@ def band_hashes(sig_col: Column, bands: int = DEFAULT_BANDS,
     )
 
 
+# Bit masks for the 64 simhash positions as signed-long literals
+# (bit 63 is the two's-complement sign bit).
+_BIT_MASKS = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+
+
 def simhash64(token_col: Column) -> Column:
     """64-bit SimHash over a token array.
 
     For each bit b: sum +1/-1 votes of xxhash64(token) bit b over all
     tokens; bit set iff the vote is positive. Pure nested higher-order
-    functions — one fused JVM loop per row.
+    functions — one fused JVM loop per row, no UDF.
     """
+    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
     bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda b: F.aggregate(
+        masks,
+        lambda m: F.aggregate(
             token_col,
             F.lit(0),
             lambda acc, t: acc
-            + F.when(F.xxhash64(t).bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b.cast("int"))) != 0, 1).otherwise(-1),
+            + F.when(F.xxhash64(t).bitwiseAND(m) != 0, 1).otherwise(-1),
         ),
     )
-    # Fold votes into a single long. shiftleft(1, i) marks bit i.
     return F.aggregate(
         F.zip_with(
             bit_votes,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda vote, idx: F.when(
-                vote > 0, F.shiftleft(F.lit(1).cast("long"), idx.cast("int"))
-            ).otherwise(F.lit(0).cast("long")),
+            masks,
+            lambda vote, m: F.when(vote > 0, m).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
         lambda acc, v: acc.bitwiseOR(v),

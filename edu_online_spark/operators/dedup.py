@@ -1,2 +1,263 @@
-QUERIES: dict = {}
-ORACLE: dict = {}
+"""Deduplication operators over the `documents` table (extension surface).
+
+Five strategies, each a different point on the exactness/scale curve:
+
+  exact        sha2(content) groupBy — one shuffle on the hash key.
+  ngram        exact Jaccard over word 3-shingles, all-pairs — the
+               small-data oracle/baseline (O(n²), correctness anchor).
+  minhash-lsh  MinHash signatures + banded LSH — the 100 TB path:
+               candidates come from an equi-join on (band, band_hash),
+               never a cross join; cost ~ O(n · sig) + join on collisions.
+  simhash      64-bit SimHash + pigeonhole chunk join for hamming ≤ 3.
+  embedding    cosine near-dup pairs over the embeddings table.
+
+All pair outputs are (doc_a < doc_b) with the similarity value, so the
+different strategies are directly comparable (and the LSH variants are
+verified against the exact ones in tests/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hashing
+from ..functions.text import shingles, tokens
+from ..functions.vectors import cosine_similarity
+from ..sources import load_table
+
+JACCARD_THRESHOLD = 0.5
+HAMMING_MAX = 3
+COSINE_THRESHOLD = 0.4
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact content dedup: keep the min doc_id per identical text.
+
+    Hashing first (sha2-256) means the shuffle key is 32 bytes instead
+    of the full document — at 100 TB that's the difference between
+    shuffling hashes and shuffling the corpus.
+    """
+    return (
+        documents.select(F.sha2("text", 256).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("dup_cnt"))
+        .select("doc_id", "dup_cnt")
+    )
+
+
+def _shingled(documents: DataFrame, n: int = 3) -> DataFrame:
+    return documents.select(
+        "doc_id", shingles("text", n).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ threshold.
+
+    Correctness baseline: O(n²) compare, only usable at small corpus
+    sizes — minhash_lsh_pairs is the same semantics at scale.
+    """
+    a, b = _shingled(documents, n).alias("a"), _shingled(documents, n).alias("b")
+    j = hashing.jaccard(F.col("a.sh"), F.col("b.sh"))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            j.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = JACCARD_THRESHOLD,
+    num_hashes: int = hashing.DEFAULT_NUM_HASHES,
+    bands: int = hashing.DEFAULT_BANDS,
+) -> DataFrame:
+    """Near-dup pairs via MinHash + banded LSH, then exact verification.
+
+    Plan: signatures in the scan stage (no shuffle) → explode band
+    hashes → self-equi-join on (band, band_hash) → distinct candidate
+    pairs → exact Jaccard filter. The only all-to-all communication is
+    the band join, whose fan-out is bounded by collision rate — this is
+    the operator that survives 100 TB (16 bands × 4 rows ⇒ P[candidate]
+    ≈ 1-(1-j⁴)¹⁶, steep around j≈0.5).
+    """
+    rows = num_hashes // bands
+    sig = documents.select(
+        "doc_id",
+        hashing.minhash_signature(shingles("text", n), num_hashes).alias("sig"),
+        shingles("text", n).alias("sh"),
+    ).filter(F.col("sig").isNotNull())
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(hashing.band_hashes(F.col("sig"), bands, num_hashes)).alias(
+            "band", "bh"
+        ),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = sig.select("doc_id", "sh")
+    j = hashing.jaccard(F.col("sa.sh"), F.col("sb.sh"))
+    return (
+        cand.join(sh.alias("sa"), cand.doc_a == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), cand.doc_b == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_pairs(documents: DataFrame, max_hamming: int = HAMMING_MAX) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ max_hamming.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into
+    max_hamming+1 chunks — any pair within the distance budget agrees
+    on ≥1 whole chunk, so candidates come from an equi-join on
+    (chunk_idx, chunk_value). Same no-cross-join property as LSH.
+    """
+    chunks = max_hamming + 1
+    bits = 64 // chunks
+    sig = documents.select(
+        "doc_id", hashing.simhash64(tokens("text")).alias("sim")
+    )
+    chunked = sig.select(
+        "doc_id",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sim"), i * bits).bitwiseAND(
+                        F.lit((1 << bits) - 1).cast("long")
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("chunk", "cv"),
+    )
+    return (
+        chunked.alias("a")
+        .join(
+            chunked.alias("b"),
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hashing.hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame, threshold: float = COSINE_THRESHOLD
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ threshold (all-pairs form).
+
+    The all-pairs join is the correctness anchor; the scale path for
+    the same predicate is similarity.ann_lsh's hyperplane buckets.
+    """
+    e = embeddings.select("vec_id", "embedding")
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked query registry
+# ---------------------------------------------------------------------------
+
+def _q(fn, table):
+    def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(load_table(spark, sf_dir, table))
+
+    return runner
+
+
+QUERIES = {
+    "dedup_exact": _q(exact_dedup, "documents"),
+    "dedup_ngram_jaccard": _q(ngram_jaccard_pairs, "documents"),
+    "dedup_minhash_lsh": _q(minhash_lsh_pairs, "documents"),
+    "dedup_simhash": _q(simhash_pairs, "documents"),  # rows-only (hash-defined)
+    "dedup_embedding_cosine": _q(embedding_neardup_pairs, "embeddings"),
+}
+
+# Exact Jaccard in DuckDB: build distinct 3-shingle lists with a list
+# comprehension over the token array, then set arithmetic per pair.
+_SHINGLES_CTE = """
+    sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(w[i:i+2], ' ')
+                              for i in range(1, len(w) - 1)]) AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w
+              FROM documents)
+        WHERE len(w) >= 3
+    )
+"""
+
+_JACCARD_PAIRS_SQL = f"""
+    WITH {_SHINGLES_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
+"""
+
+ORACLE = {
+    "dedup_exact": """
+        SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
+        FROM documents GROUP BY text
+    """,
+    "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
+    # LSH recall at j≈0.99 (the planted near-dups) is ~1.0, and exact
+    # verification removes false positives, so the LSH output equals the
+    # exact all-pairs result on this corpus (tests/ verify recall).
+    "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
+    "dedup_embedding_cosine": f"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                         for i in range(1, len(a.embedding) + 1)])
+               / (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+                                 for i in range(1, len(a.embedding) + 1)]))
+                  * sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                                   for i in range(1, len(b.embedding) + 1)]))) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                        for i in range(1, len(a.embedding) + 1)])
+              / (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+                                for i in range(1, len(a.embedding) + 1)]))
+                 * sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                                  for i in range(1, len(b.embedding) + 1)]))) >= {COSINE_THRESHOLD}
+    """,
+}
