@@ -1,2 +1,278 @@
-QUERIES: dict = {}
-ORACLE: dict = {}
+"""Similarity search over the `embeddings` table (extension surface).
+
+Three strategies:
+
+  brute-force   exact cosine top-k: broadcast the (small) query set
+                against the corpus — ONE pass over the corpus, no
+                corpus self-shuffle. The correctness anchor, with a
+                DuckDB oracle.
+  lsh (SRP)     banded signed-random-projection buckets: a query
+                compares only against corpus vectors sharing at least
+                one band's sign pattern. Approximate; recall measured
+                in tests against brute force.
+  ivf           inverted-file index: k-means coarse centroids, vectors
+                assigned to their nearest centroid (vectorized Pandas
+                UDF — the one genuinely non-expression step), queries
+                probe the n_probe nearest lists. The classic
+                billion-vector layout; scanned fraction ≈ n_probe/k.
+
+At 100 TB the brute-force path remains right when the query set is
+small (broadcast join + bounded per-group top-k); LSH/IVF trade recall
+to cut the scanned fraction when the query side is itself huge.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
+
+from ..functions.vectors import cosine_similarity, dot
+from ..sources import load_table
+
+TOP_K = 10
+N_QUERIES = 5  # vec_id < 5 are the demo query vectors
+LSH_BANDS = 4
+LSH_PLANES_PER_BAND = 4
+IVF_CLUSTERS = 16
+IVF_PROBES = 4
+_SEED = 42
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def knn_bruteforce(
+    embeddings: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Broadcast the query side: the corpus streams through one stage
+    computing cosines (sequential-fold dot products — bit-exact vs the
+    oracle), then a per-query window takes k.
+    """
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("nv")
+    )
+    cos = cosine_similarity(F.col("qv"), F.col("nv"))
+    scored = c.join(F.broadcast(q), F.col("qid") != F.col("nid")).select(
+        "qid", "nid", cos.alias("cosine")
+    )
+    return _topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n: int) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes — identical on every executor
+    and every run (seeded)."""
+    rng = np.random.default_rng(_SEED)
+    return rng.standard_normal((n, dim)).tolist()
+
+
+def srp_band_buckets(
+    emb_col, dim: int = 64, bands: int = LSH_BANDS, planes_per_band: int = LSH_PLANES_PER_BAND
+):
+    """array of per-band bucket ids (one sign bit per hyperplane).
+
+    Matching ANY band makes a candidate — the OR-construction that keeps
+    recall high while each band stays selective."""
+    hp = _hyperplanes(dim, bands * planes_per_band)
+    out = []
+    for b in range(bands):
+        bits = []
+        for i in range(planes_per_band):
+            plane = F.array(*[F.lit(float(x)) for x in hp[b * planes_per_band + i]])
+            bits.append(
+                F.when(dot(emb_col, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            )
+        out.append(reduce(lambda a, x: a.bitwiseOR(x), bits).cast("int"))
+    return F.array(*out)
+
+
+def knn_lsh(
+    embeddings: DataFrame,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    bands: int = LSH_BANDS,
+    planes_per_band: int = LSH_PLANES_PER_BAND,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k via banded SRP buckets.
+
+    Bucketing is pure expressions in the scan stage; candidates come
+    from an equi-join on (band, bucket) followed by pair dedup — the
+    corpus never self-crosses. E[scanned fraction] ≈
+    bands · 2^-planes_per_band for random vectors.
+    """
+    tagged = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(
+            srp_band_buckets(F.col("embedding"), dim, bands, planes_per_band)
+        ).alias("band", "bucket"),
+    )
+    q = tagged.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "band", "bucket"
+    )
+    c = tagged.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"), "band", "bucket"
+    )
+    cand = (
+        c.join(
+            F.broadcast(q),
+            (q.band == c.band) & (q.bucket == c.bucket) & (F.col("qid") != F.col("nid")),
+        )
+        .select("qid", "qv", "nid", "nv")
+        .dropDuplicates(["qid", "nid"])
+    )
+    cos = cosine_similarity(F.col("qv"), F.col("nv"))
+    return _topk(cand.select("qid", "nid", cos.alias("cosine")), k)
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+def _nearest_cids_udf(centroids: np.ndarray, n_probe: int):
+    """Vectorized assignment: argsort of squared L2 to each centroid.
+    NumPy matmul over Arrow batches — the scale path for quantization
+    (literal-expression folds explode in plan size past ~8 centroids).
+    """
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def assign(embs: pd.Series) -> pd.Series:
+        m = np.stack(embs.to_numpy()).astype(np.float64)  # batch × dim
+        d = (
+            (m * m).sum(axis=1, keepdims=True)
+            - 2.0 * (m @ centroids.T)
+            + (centroids * centroids).sum(axis=1)
+        )
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return assign
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame, clusters: int = IVF_CLUSTERS, iters: int = 5
+) -> np.ndarray:
+    """Distributed k-means coarse quantizer.
+
+    Deterministic init (first `clusters` vec_ids), then assign
+    (vectorized UDF) + recompute (posexplode → per-(cid, dim) partial
+    sums — one shuffle of clusters × dim rows per round). Centroids are
+    tiny at any corpus size, so collecting them is driver-safe.
+    """
+    cents = np.array(
+        [r["embedding"] for r in embeddings.orderBy("vec_id").limit(clusters).collect()],
+        dtype=np.float64,
+    )
+    for _ in range(iters):
+        assign = _nearest_cids_udf(cents, 1)
+        assigned = embeddings.select(
+            assign(F.col("embedding"))[0].alias("cid"),
+            F.posexplode("embedding").alias("pos", "v"),
+        )
+        rows = (
+            assigned.groupBy("cid", "pos")
+            .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = cents.copy()
+        by_cid: dict[int, list] = {}
+        for r in rows:
+            by_cid.setdefault(r["cid"], []).append(r)
+        for cid, rs in by_cid.items():
+            for r in rs:
+                new[cid][r["pos"]] = r["s"] / r["n"]
+        cents = new
+    return cents
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    clusters: int = IVF_CLUSTERS,
+    n_probe: int = IVF_PROBES,
+) -> DataFrame:
+    """IVF approximate top-k: probe the n_probe nearest inverted lists."""
+    cents = train_ivf_centroids(embeddings, clusters)
+    corpus = embeddings.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("nv"),
+        _nearest_cids_udf(cents, 1)(F.col("embedding"))[0].alias("cid"),
+    )
+    qx = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.explode(_nearest_cids_udf(cents, n_probe)(F.col("embedding"))).alias(
+                "cid"
+            ),
+        )
+    )
+    cos = cosine_similarity(F.col("qv"), F.col("nv"))
+    scored = corpus.join(
+        F.broadcast(qx), (qx.cid == corpus.cid) & (F.col("qid") != F.col("nid"))
+    ).select("qid", "nid", cos.alias("cosine"))
+    return _topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked query registry
+# ---------------------------------------------------------------------------
+
+def _q(fn):
+    def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(load_table(spark, sf_dir, "embeddings"))
+
+    return runner
+
+
+QUERIES = {
+    "sim_knn_bruteforce": _q(knn_bruteforce),
+    "sim_knn_lsh": _q(knn_lsh),  # rows-only: approximate by design
+    "sim_knn_ivf": _q(knn_ivf),  # rows-only: iterative k-means training
+}
+
+_COS = """
+    list_sum([a.qv[i]::DOUBLE * b.nv[i]::DOUBLE for i in range(1, len(a.qv) + 1)])
+    / (sqrt(list_sum([a.qv[i]::DOUBLE * a.qv[i]::DOUBLE for i in range(1, len(a.qv) + 1)]))
+       * sqrt(list_sum([b.nv[i]::DOUBLE * b.nv[i]::DOUBLE for i in range(1, len(b.nv) + 1)])))
+"""
+
+ORACLE = {
+    "sim_knn_bruteforce": f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                   WHERE vec_id < {N_QUERIES}),
+        c AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+        scored AS (
+            SELECT a.qid, b.nid, {_COS} AS cosine
+            FROM q a JOIN c b ON a.qid <> b.nid
+        ),
+        ranked AS (
+            SELECT qid, nid, cosine,
+                   CAST(row_number() OVER (PARTITION BY qid
+                                           ORDER BY cosine DESC, nid ASC) AS INTEGER)
+                       AS rank
+            FROM scored
+        )
+        SELECT * FROM ranked WHERE rank <= {TOP_K}
+    """,
+}
