@@ -1,2 +1,155 @@
-QUERIES: dict = {}
-ORACLE: dict = {}
+"""Multimodal column handling (extension surface).
+
+Pattern for 100 TB media pipelines: media lives as opaque `binary`
+columns (or object-store URIs) beside typed metadata; decode /
+feature-extract / resize / frame-sample run as Arrow-batched pandas
+functions over `mapInPandas`, so each task holds only its batch of
+payloads and the pipeline shape (schema in → schema out) is explicit.
+
+No media libraries ship in this container, so the actual pixel/sample
+decode is STUBBED — `decode_stub_batch` derives deterministic fake
+metadata from the payload bytes (and `decode_real` raises
+NotImplementedError where Pillow/ffmpeg would plug in). Everything
+around the stub — binary column synthesis, schema, batching,
+partitioning, the mapInPandas contract — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sources import load_table
+
+# Output schema of the decode stage — what a real image/audio decoder
+# would emit (dims, duration, frame count) plus lineage columns.
+DECODED_META = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+
+def synth_assets(documents: DataFrame) -> DataFrame:
+    """Synthesize a media-asset table: document text bytes stand in for
+    encoded payloads. Shape matches schemas.MEDIA_ASSETS."""
+    return documents.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod("doc_id", F.lit(3)) + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.length(F.encode("text", "UTF-8")).cast("long").alias("byte_len"),
+        F.to_json(F.struct(F.col("lang"), F.col("source"))).alias("meta"),
+    )
+
+
+def decode_real(payload: bytes, media_type: str):
+    """Where Pillow / soundfile / pyav would decode the payload.
+
+    Kept as an explicit extension point: the container ships no media
+    libraries, so calling this raises."""
+    raise NotImplementedError(
+        "media decode requires Pillow/ffmpeg — not available in this "
+        "environment; decode_stub_batch provides the deterministic stand-in"
+    )
+
+
+def decode_stub_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas decode stage (STUB decode, real plumbing).
+
+    Deterministic fake dimensions derived from payload size — replace
+    the three arithmetic lines with decode_real() when media libs exist.
+    Operates on whole Arrow batches; never materializes more than one
+    batch per task.
+    """
+    for pdf in batches:
+        n = pdf["payload"].map(len).astype("int64")
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "media_type": pdf["media_type"],
+                "byte_len": n,
+                "width": (n % 640).astype("int32"),
+                "height": ((n * 7) % 480).astype("int32"),
+                "n_frames": ((n % 30) + 1).astype("int32"),
+            }
+        )
+
+
+def decode_assets(assets: DataFrame) -> DataFrame:
+    """Run the decode stage over the asset table.
+
+    `repartition` by asset_id first on real data so payload bytes spread
+    evenly across tasks (skipped here: testdata payloads are tiny)."""
+    return assets.mapInPandas(decode_stub_batch, DECODED_META)
+
+
+def media_summary(decoded: DataFrame) -> DataFrame:
+    """Post-decode roll-up: asset volume and dimensions per media type."""
+    return decoded.groupBy("media_type").agg(
+        F.count("*").alias("n_assets"),
+        F.sum("byte_len").alias("total_bytes"),
+        F.avg(F.col("width").cast("double")).alias("avg_width"),
+        F.max("n_frames").alias("max_frames"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked query registry
+# ---------------------------------------------------------------------------
+
+def q_decoded_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_assets(synth_assets(load_table(spark, sf_dir, "documents")))
+
+
+def q_media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_summary(
+        decode_assets(synth_assets(load_table(spark, sf_dir, "documents")))
+    )
+
+
+QUERIES = {
+    "multimodal_decoded_meta": q_decoded_meta,
+    "multimodal_media_summary": q_media_summary,
+}
+
+# The stub decode is pure arithmetic on byte length, so the oracle can
+# reproduce it: strlen() in DuckDB is byte length.
+_DECODED_SQL = """
+    SELECT doc_id AS asset_id,
+           ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type,
+           CAST(strlen(text) AS BIGINT) AS byte_len,
+           CAST(strlen(text) % 640 AS INTEGER) AS width,
+           CAST((strlen(text) * 7) % 480 AS INTEGER) AS height,
+           CAST((strlen(text) % 30) + 1 AS INTEGER) AS n_frames
+    FROM documents
+"""
+
+ORACLE = {
+    "multimodal_decoded_meta": _DECODED_SQL,
+    "multimodal_media_summary": f"""
+        WITH decoded AS ({_DECODED_SQL})
+        SELECT media_type, count(*) AS n_assets,
+               CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+               avg(width::DOUBLE) AS avg_width,
+               CAST(max(n_frames) AS INTEGER) AS max_frames
+        FROM decoded GROUP BY media_type
+    """,
+}
