@@ -72,11 +72,21 @@ def decode_page_log(raw: DataFrame, value_col: str = "value") -> DataFrame:
     """JSON line → 7 string fields, missing keys default to "" and
     unparseable lines are dropped (PageStreaming.scala:68-85).
 
-    `from_json` returns null for malformed input — same drop semantics as
-    the reference's try/catch (JsonParseUtil.scala:15-22) without a UDF.
+    Malformed lines surface in a corrupt-record column (PERMISSIVE mode)
+    and are filtered — same drop semantics as the reference's try/catch
+    (JsonParseUtil.scala:15-22) without a UDF. An empty-but-valid object
+    `{}` is kept with all-default fields, matching fastjson behavior.
     """
-    parsed = F.from_json(F.col(value_col), schemas.PAGE_LOG)
-    df = raw.select(parsed.alias("j")).filter(F.col("j").isNotNull())
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    # fresh StructType — .add() would mutate the shared module constant
+    schema = StructType(
+        list(schemas.PAGE_LOG.fields) + [StructField("_corrupt", StringType())]
+    )
+    parsed = F.from_json(
+        F.col(value_col), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    df = raw.select(parsed.alias("j")).filter(F.col("j._corrupt").isNull())
     return df.select(
         *[
             F.coalesce(F.col(f"j.{f.name}"), F.lit("")).alias(f.name)

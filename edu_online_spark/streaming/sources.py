@@ -1,0 +1,66 @@
+"""Streaming source adapters (SURVEY §2.1 S1-S3).
+
+The reference's MyKafkaUtil.scala:32-53 (direct stream ± stored
+offsets) maps to `readStream.format("kafka")`; its MySQL offset
+recovery loops (RegisterStreaming.scala:44-64 etc.) disappear into the
+checkpoint. File/rate sources cover the replay producers
+(RegisterProducer.scala etc.) and tests — same `value: string` contract
+as Kafka, so every job runs unchanged against any of them.
+
+Kafka integration needs the spark-sql-kafka package on the classpath;
+this container doesn't ship it, so kafka_stream() constructs the reader
+but is exercised only in environments that have the connector.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def kafka_stream(
+    spark: SparkSession,
+    topics: str,
+    brokers: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """S1/S2: Kafka direct stream. Resume-from-offset (the reference's
+    offset_manager table) is the checkpoint's job, so `startingOffsets`
+    only matters on first start. maxOffsetsPerTrigger replaces the
+    reference's maxRatePerPartition ingest caps (BASELINE.md)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return reader.load().selectExpr(
+        "CAST(key AS STRING) AS key",
+        "CAST(value AS STRING) AS value",
+        "topic",
+        "partition",
+        "offset",
+        "timestamp",
+    )
+
+
+def file_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """S3 / test source: line-per-record text files dropped into a dir.
+    Emits the same `value: string` column as the Kafka adapter."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path).withColumnRenamed("value", "value")
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Synthetic load source for soak tests."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )

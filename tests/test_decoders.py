@@ -1,0 +1,72 @@
+"""Decode edge cases — the reference's malformed-row semantics
+(SURVEY §2.3 P1-P6): wrong arity dropped, unparseable JSON dropped,
+missing JSON keys default to ''."""
+
+from __future__ import annotations
+
+from edu_online_spark.sources.logs import (
+    decode_page_log,
+    decode_qz_log,
+    decode_register_log,
+)
+
+
+def _raw(spark, lines):
+    return spark.createDataFrame([(l,) for l in lines], ["value"])
+
+
+def test_register_decode_arity_and_platform(spark):
+    rows = decode_register_log(
+        _raw(
+            spark,
+            [
+                "8001\t1\t2026-08-13 10:00:03",
+                "8002\t2\t2026-08-13 10:00:04",
+                "8003\t9\t2026-08-13 10:00:05",
+                "bad-row",  # arity 1 → dropped (RegisterStreaming.scala:75)
+                "a\tb",  # arity 2 → dropped
+                "x\t1\ty\tz",  # arity 4 → dropped
+            ],
+        )
+    ).collect()
+    assert len(rows) == 3
+    by_user = {r["user_id"]: r for r in rows}
+    assert by_user["8001"]["platform"] == "PC"
+    assert by_user["8002"]["platform"] == "APP"
+    assert by_user["8003"]["platform"] == "Other"
+
+
+def test_qz_decode_types(spark):
+    rows = decode_qz_log(
+        _raw(
+            spark,
+            [
+                "1001\t504\t7\tq-17\t1\t2026-08-13 10:00:05",
+                "only\ttwo\tfields\tnot\tsix",  # arity 5 → dropped
+            ],
+        )
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["uid"], r["courseid"], r["pointid"]) == (1001, 504, 7)
+    assert r["istrue"] == "1" and r["questionid"] == "q-17"
+
+
+def test_page_decode_defaults_and_malformed(spark):
+    rows = decode_page_log(
+        _raw(
+            spark,
+            [
+                '{"uid":"1001","page_id":"2","next_page_id":"3"}',
+                "not json at all {{{",
+                '{"app_id":"7"}',
+            ],
+        )
+    ).collect()
+    assert len(rows) == 2
+    full = next(r for r in rows if r["uid"] == "1001")
+    # missing keys default to '' (PageStreaming.scala:78-84)
+    assert full["app_id"] == "" and full["last_page_id"] == ""
+    assert full["page_id"] == "2" and full["next_page_id"] == "3"
+    sparse = next(r for r in rows if r["uid"] == "")
+    assert sparse["app_id"] == "7"

@@ -1,0 +1,80 @@
+"""Dedup operators on planted duplicates: exact recall for the planted
+pairs, LSH candidates ⊇ true near-dups, SimHash catches token-identical
+variants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from edu_online_spark.operators.dedup import (
+    exact_dedup,
+    embedding_neardup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+BASE = (
+    "spark shuffles data between stages when aggregation keys change "
+    "and broadcast joins avoid moving the large fact table at all"
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("large", "huge")),  # near dup of 0
+        (3, "completely different words about cooking pasta tonight ok"),
+        (4, "the quick brown fox jumps over the lazy dog again today"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = {r["doc_id"]: r["dup_cnt"] for r in exact_dedup(_docs(spark)).collect()}
+    assert out[0] == 2  # docs 0+1 collapse, min id kept
+    assert 1 not in out
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_ngram_and_minhash_agree_on_planted_pairs(spark):
+    docs = _docs(spark)
+    exact = {
+        (r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 1) in exact and (0, 2) in exact and (1, 2) in exact
+    assert lsh == exact  # high-similarity pairs: LSH recall 1, verify kills FPs
+
+
+def test_minhash_recall_on_corpus(spark, sf_dir):
+    """The sf corpus plants near-dups at j≈0.9+; banded LSH must find
+    every pair the exact operator finds."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(docs).collect()}
+    lsh = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    assert lsh == exact
+
+
+def test_simhash_finds_near_identical(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(_docs(spark)).collect()
+    }
+    assert pairs[(0, 1)] == 0  # identical text → identical fingerprint
+    assert (0, 2) in pairs  # one-word swap stays within hamming 3
+
+
+def test_embedding_neardup_threshold(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0]),  # near 0
+        (2, [0.0, 1.0, 0.0]),  # orthogonal
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {(r["vec_a"], r["vec_b"]) for r in embedding_neardup_pairs(df, 0.9).collect()}
+    assert out == {(0, 1)}

@@ -1,0 +1,39 @@
+"""ANN quality: LSH and IVF recall@10 against exact brute force."""
+
+from __future__ import annotations
+
+from edu_online_spark.operators.similarity import (
+    TOP_K,
+    knn_bruteforce,
+    knn_ivf,
+    knn_lsh,
+)
+
+
+def _result_sets(df):
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r["qid"], set()).add(r["nid"])
+    return out
+
+
+def _recall(approx: dict[int, set[int]], exact: dict[int, set[int]]) -> float:
+    hits = sum(len(approx.get(q, set()) & nn) for q, nn in exact.items())
+    total = sum(len(nn) for nn in exact.values())
+    return hits / total
+
+
+def test_lsh_and_ivf_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = _result_sets(knn_bruteforce(emb))
+    assert all(len(v) == TOP_K for v in exact.values())
+
+    lsh = _result_sets(knn_lsh(emb))
+    ivf = _result_sets(knn_ivf(emb))
+    # Random 64-dim embeddings are a worst case for ANN; the floor
+    # asserts the index is functioning, not vector-db marketing numbers.
+    assert _recall(lsh, exact) >= 0.3, "SRP-LSH recall collapsed"
+    assert _recall(ivf, exact) >= 0.3, "IVF recall collapsed"
+    # every returned neighbor must be a real corpus vector, never self
+    for q, nn in {**lsh, **ivf}.items():
+        assert q not in nn

@@ -1,0 +1,127 @@
+"""Streaming jobs end-to-end with file sources + availableNow triggers:
+windowed counts, running totals, stateful mastery across triggers, the
+T7 replay-idempotency regression, and archival layout."""
+
+from __future__ import annotations
+
+import os
+
+from edu_online_spark.streaming import jobs
+from edu_online_spark.streaming.sources import file_stream
+
+REG_LINES_1 = [
+    "u1\t1\t2026-08-13 10:00:01",
+    "u2\t1\t2026-08-13 10:00:02",
+    "u3\t2\t2026-08-13 10:00:03",
+]
+REG_LINES_2 = [
+    "u4\t1\t2026-08-13 10:01:01",
+    "u5\t9\t2026-08-13 10:01:02",
+]
+
+
+def _write_lines(d: str, name: str, lines: list[str]) -> None:
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, name), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def _run(job_fn, spark, src_dir, out, ckpt, **kw):
+    q = job_fn(file_stream(spark, src_dir), out, ckpt, available_now=True, **kw)
+    q.awaitTermination(120)
+
+
+def test_register_totals_accumulate_across_triggers(spark, tmp_path):
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(src, "b1.txt", REG_LINES_1)
+    _run(jobs.register_totals_job, spark, src, out, ckpt)
+    t1 = {r["platform"]: r["total"] for r in spark.read.parquet(out).collect()}
+    assert t1 == {"PC": 2, "APP": 1}
+
+    # second batch arrives; state store carries the running totals (A2)
+    _write_lines(src, "b2.txt", REG_LINES_2)
+    _run(jobs.register_totals_job, spark, src, out, ckpt)
+    t2 = {r["platform"]: r["total"] for r in spark.read.parquet(out).collect()}
+    assert t2 == {"PC": 3, "APP": 1, "Other": 1}
+
+
+def test_register_replay_is_idempotent(spark, tmp_path):
+    """T7 regression: re-running with the same checkpoint and no new data
+    must not change the sink (the reference's read-merge-write doubled)."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(src, "b1.txt", REG_LINES_1)
+    _run(jobs.register_totals_job, spark, src, out, ckpt)
+    before = {r["platform"]: r["total"] for r in spark.read.parquet(out).collect()}
+    _run(jobs.register_totals_job, spark, src, out, ckpt)  # replay, no new files
+    after = {r["platform"]: r["total"] for r in spark.read.parquet(out).collect()}
+    assert after == before == {"PC": 2, "APP": 1}
+
+
+def test_register_windowed_job(spark, tmp_path):
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(src, "b1.txt", REG_LINES_1 + REG_LINES_2)
+    _run(jobs.register_windowed_job, spark, src, out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    # 3 PC events at 10:00:0x share 10 sliding windows; the window
+    # containing all of minute 10:00 must count 2 PCs
+    pc = [r for r in rows if r["platform"] == "PC"]
+    assert any(r["cnt"] == 2 for r in pc)
+    assert all(r["cnt"] <= 2 for r in pc)
+
+
+QZ_B1 = [
+    "1\t5\t7\tq1\t1\t2026-08-13 10:00:01",
+    "1\t5\t7\tq2\t0\t2026-08-13 10:00:02",
+]
+QZ_B2 = [
+    "1\t5\t7\tq2\t1\t2026-08-13 11:00:00",  # retry q2, now correct
+    "1\t5\t7\tq3\t1\t2026-08-13 11:00:01",
+]
+
+
+def test_quiz_mastery_state_across_triggers(spark, tmp_path):
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(src, "b1.txt", QZ_B1)
+    _run(jobs.quiz_mastery_job, spark, src, out, ckpt)
+    r1 = spark.read.parquet(out).collect()[0]
+    assert r1["qz_sum"] == 2 and r1["qz_istrue"] == 1 and r1["qz_count"] == 2
+
+    _write_lines(src, "b2.txt", QZ_B2)
+    _run(jobs.quiz_mastery_job, spark, src, out, ckpt)
+    r2 = spark.read.parquet(out).collect()[0]
+    # state store accumulated: 4 attempts, 3 correct, 3 distinct questions
+    assert r2["qz_sum"] == 4 and r2["qz_istrue"] == 3 and r2["qz_count"] == 3
+    assert r2["questionids"] == "q1,q2,q3"
+    assert r2["createtime"] == "2026-08-13 10:00:01"
+    assert abs(r2["mastery_rate"] - (3 / 30.0) * 0.75) < 1e-12
+
+
+def test_page_flow_job(spark, tmp_path):
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(
+        src,
+        "b1.txt",
+        [
+            '{"uid":"1","last_page_id":"1","page_id":"2"}',
+            '{"uid":"2","last_page_id":"1","page_id":"2"}',
+            '{"uid":"3","last_page_id":"2","page_id":"3"}',
+            "garbage not json",
+        ],
+    )
+    _run(jobs.page_flow_job, spark, src, out, ckpt)
+    flows = {
+        (r["last_page_id"], r["page_id"]): r["cnt"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert flows[("1", "2")] == 2 and flows[("2", "3")] == 1
+
+
+def test_rawlog_archive_partitions(spark, tmp_path):
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(src, "b1.txt", ["line-a", "line-b"])
+    _run(jobs.rawlog_archive_job, spark, src, out, ckpt)
+    df = spark.read.parquet(out)
+    assert df.count() == 2
+    assert "day" in df.columns  # day-partitioned layout (K4)
+    days = os.listdir(out)
+    assert any(d.startswith("day=") for d in days)
