@@ -1,0 +1,78 @@
+"""Benchmark harness — the driver runs this per-round at sf0.1.
+
+Runs the headline queries on local[$SPARK_GRAFT_CPUS] against
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headline set = the scale-relevant shapes: full-scan agg, multi-join,
+window top-k, stateful-analytics batch forms, MinHash-LSH dedup (the
+O(n·sig) path, NOT the O(n²) exact variant), SRP-LSH ANN, text
+pipeline. Each query is forced with a count()-style action; inputs are
+re-read per query (no caching) so numbers reflect scan→result cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from edu_online_spark import registry
+from edu_online_spark.session import get_spark
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_top_orders",
+    "tpch_q5_region_revenue",
+    "part_topk_per_brand",
+    "register_sliding_counts",
+    "quiz_mastery",
+    "page_flow",
+    "archival_daily_counts",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_knn_bruteforce",
+    "sim_knn_lsh",
+    "text_quality",
+    "text_fingerprints",
+    "multimodal_decoded_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark()
+    qs = registry.queries()
+    timings: dict[str, float] = {}
+    # warm the JVM/codegen once on a trivial action so q1 isn't charged
+    # session-startup cost
+    spark.range(1).count()
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -89,12 +89,9 @@ def minhash_lsh_pairs(
     the operator that survives 100 TB (16 bands × 4 rows ⇒ P[candidate]
     ≈ 1-(1-j⁴)¹⁶, steep around j≈0.5).
     """
-    rows = num_hashes // bands
-    sig = documents.select(
-        "doc_id",
-        hashing.minhash_signature(shingles("text", n), num_hashes).alias("sig"),
-        shingles("text", n).alias("sh"),
-    ).filter(F.col("sig").isNotNull())
+    sig = hashing.minhash_signatures_df(
+        _shingled(documents, n), "doc_id", F.col("sh"), num_hashes
+    )
     banded = sig.select(
         "doc_id",
         F.posexplode(hashing.band_hashes(F.col("sig"), bands, num_hashes)).alias(
@@ -114,7 +111,7 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sh = sig.select("doc_id", "sh")
+    sh = _shingled(documents, n)
     j = hashing.jaccard(F.col("sa.sh"), F.col("sb.sh"))
     return (
         cand.join(sh.alias("sa"), cand.doc_a == F.col("sa.doc_id"))
@@ -134,8 +131,8 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = HAMMING_MAX) -> DataF
     """
     chunks = max_hamming + 1
     bits = 64 // chunks
-    sig = documents.select(
-        "doc_id", hashing.simhash64(tokens("text")).alias("sim")
+    sig = hashing.simhash_df(
+        documents.select("doc_id", tokens("text").alias("tk")), "doc_id", F.col("tk")
     )
     chunked = sig.select(
         "doc_id",
