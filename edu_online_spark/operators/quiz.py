@@ -37,14 +37,17 @@ def mastery_agg(qz: DataFrame, questions_per_point: int = DEFAULT.questions_per_
     return (
         qz.groupBy("uid", "courseid", "pointid")
         .agg(
-            F.array_join(F.array_sort(F.collect_set("questionid")), ",").alias(
-                "questionids"
-            ),
-            F.count_distinct("questionid").alias("qz_count"),
+            # one set aggregate feeds both the CSV and the distinct count:
+            # count_distinct alongside other aggs would trigger Spark's
+            # two-exchange distinct-expand plan (verified in test_plans)
+            F.array_sort(F.collect_set("questionid")).alias("qset"),
             F.count("*").alias("qz_sum"),
             F.sum(F.when(F.col("istrue") == "1", 1).otherwise(0)).alias("qz_istrue"),
             F.min("createtime").alias("createtime"),
         )
+        .withColumn("questionids", F.array_join("qset", ","))
+        .withColumn("qz_count", F.size("qset").cast("long"))
+        .drop("qset")
         .withColumn("correct_rate", F.col("qz_istrue") / F.col("qz_sum"))
         .withColumn(
             "mastery_rate",
