@@ -23,9 +23,16 @@ def _extended_modules():
     """Extension operator modules are appended as they land; import errors
     must never take down the core registry, so they're isolated here."""
     mods = []
-    from .operators import tpch, dedup, similarity, textops, multimodal  # noqa
+    from .operators import (  # noqa
+        dedup,
+        multimodal,
+        sessions,
+        similarity,
+        textops,
+        tpch,
+    )
 
-    mods += [tpch, dedup, similarity, textops, multimodal]
+    mods += [tpch, sessions, dedup, similarity, textops, multimodal]
     return mods
 
 
