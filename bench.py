@@ -32,6 +32,8 @@ HEADLINE = [
     "register_sliding_counts",
     "quiz_mastery",
     "page_flow",
+    "events_sessionize",
+    "events_region_enrich",
     "archival_daily_counts",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -141,6 +141,41 @@ def quiz_mastery_job(
     )
 
 
+def user_session_job(
+    raw: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    gap: str = "30 minutes",
+    watermark: str = "30 seconds",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming sessionization with Spark's native session_window —
+    the streaming twin of operators/sessions.sessionize (same 30-min-gap
+    semantics). State: one open window per active user, closed and
+    emitted once the watermark passes the gap."""
+    reg = decode_register_log(raw).withColumn(
+        "event_ts", F.to_timestamp("create_time")
+    )
+    sessions = (
+        reg.withWatermark("event_ts", watermark)
+        .groupBy(F.session_window("event_ts", gap), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    return (
+        sessions.writeStream.outputMode("append")
+        .foreachBatch(sinks.parquet_append(out_path))
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )
+
+
 def page_flow_job(
     raw: DataFrame, out_path: str, checkpoint: str, available_now: bool = False
 ) -> StreamingQuery:

@@ -116,6 +116,25 @@ def test_page_flow_job(spark, tmp_path):
     assert flows[("1", "2")] == 2 and flows[("2", "3")] == 1
 
 
+def test_user_session_job(spark, tmp_path):
+    """Two bursts 40 min apart → two sessions for u1 once the watermark
+    (advanced by a later event) closes them."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(
+        src,
+        "b1.txt",
+        [
+            "u1\t1\t2026-08-13 10:00:00",
+            "u1\t1\t2026-08-13 10:05:00",
+            "u1\t1\t2026-08-13 10:45:00",  # 40 min gap → new session
+            "u9\t1\t2026-08-13 23:00:00",  # watermark pusher
+        ],
+    )
+    _run(jobs.user_session_job, spark, src, out, ckpt)
+    rows = [r for r in spark.read.parquet(out).collect() if r["user_id"] == "u1"]
+    assert sorted(r["n_events"] for r in rows) == [1, 2]
+
+
 def test_rawlog_archive_partitions(spark, tmp_path):
     src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
     _write_lines(src, "b1.txt", ["line-a", "line-b"])
