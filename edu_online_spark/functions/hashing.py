@@ -47,20 +47,22 @@ def _cw_params(num_hashes: int) -> tuple[list[int], list[int]]:
 
 
 def minhash_signatures_df(
-    df: DataFrame,
+    rows: DataFrame,
     id_col: str,
-    shingle_col: Column,
+    value_col: Column,
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> DataFrame:
-    """(id, array<string> shingles) → (id, sig: array<long>).
+    """(id, shingle)-row input → (id, sig: array<long>).
 
-    Explode → one xxhash64 per shingle → num_hashes linear
-    min-aggregates. Docs with empty shingle sets drop out (explode
-    yields no rows) — nothing to compare, nothing to index.
+    One xxhash64 per row → num_hashes linear min-aggregates (map-side
+    partial agg). Duplicate shingles are harmless (min is
+    multiset-insensitive); ids with no rows drop out — nothing to
+    compare, nothing to index.
     """
     a, b = _cw_params(num_hashes)
-    exploded = df.select(F.col(id_col), F.explode(shingle_col).alias("_sh")).select(
-        id_col, F.pmod(F.xxhash64(F.col("_sh")), F.lit(_MERSENNE31)).alias("_x")
+    hashed = rows.select(
+        F.col(id_col),
+        F.pmod(F.xxhash64(value_col), F.lit(_MERSENNE31)).alias("_x"),
     )
     mins = [
         F.min(
@@ -68,7 +70,7 @@ def minhash_signatures_df(
         ).alias(f"_m{i}")
         for i in range(num_hashes)
     ]
-    agg = exploded.groupBy(id_col).agg(*mins)
+    agg = hashed.groupBy(id_col).agg(*mins)
     return agg.select(
         id_col, F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig")
     )
