@@ -1,0 +1,137 @@
+"""General analytic shapes rounding out the engine surface: rollup,
+anti-join, pivot, exact + sketch distinct counts, percentiles.
+
+None of these exist in the reference (it has no joins or analytics at
+all, SURVEY §2.5-2.6) but any engine replacing it needs them; each is
+the canonical Spark plan for its shape.
+
+Scale notes: ROLLUP expands each input row once per grouping set inside
+the partial aggregate (no extra pass over storage); anti-join broadcasts
+the smaller (orders-keys) side after pre-aggregation; pivot with an
+explicit value list is a single conditional aggregation (never the
+two-pass value-discovery variant); approx_count_distinct is constant
+memory per group where exact distinct shuffles every distinct pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def orders_rollup(orders: DataFrame) -> DataFrame:
+    """ROLLUP (status, priority): order counts + value at every level."""
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Anti-join: customers that never ordered. The orders side reduces
+    to distinct keys before the broadcast — at 100 TB the key set is
+    what travels, not the orders table."""
+    keys = orders.select("o_custkey").distinct()
+    return customer.join(
+        keys, customer.c_custkey == keys.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def daily_event_pivot(events: DataFrame) -> DataFrame:
+    """Counts per day pivoted by event type (explicit value list → one
+    conditional aggregation, no discovery pass)."""
+    return (
+        events.groupBy(F.date_format("ts", "yyyyMMdd").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+def distinct_users_by_type(events: DataFrame) -> DataFrame:
+    """Exact distinct users per event type."""
+    return events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+
+
+def distinct_users_by_type_approx(events: DataFrame) -> DataFrame:
+    """HLL++ sketch variant: constant memory per group, one regular
+    shuffle — the 100 TB form of the query above (±2% default rsd)."""
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("n_users_approx")
+    )
+
+
+def price_quantiles(lineitem: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles per return flag (Spark percentile
+    ≡ DuckDB quantile_cont, verified bit-exact)."""
+    q = F.expr(
+        "percentile(l_extendedprice, array(0.25, 0.5, 0.9, 0.99))"
+    )
+    return lineitem.groupBy("l_returnflag").agg(
+        q[0].alias("p25"), q[1].alias("p50"), q[2].alias("p90"), q[3].alias("p99")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked query registry
+# ---------------------------------------------------------------------------
+
+def _q(fn, *tables):
+    def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(*[load_table(spark, sf_dir, t) for t in tables])
+
+    return runner
+
+
+QUERIES = {
+    "orders_rollup": _q(orders_rollup, "orders"),
+    "customers_without_orders": _q(customers_without_orders, "customer", "orders"),
+    "daily_event_pivot": _q(daily_event_pivot, "events"),
+    "events_distinct_users": _q(distinct_users_by_type, "events"),
+    "events_distinct_users_approx": _q(
+        distinct_users_by_type_approx, "events"
+    ),  # rows-only: sketch estimate is engine-specific
+    "lineitem_price_quantiles": _q(price_quantiles, "lineitem"),
+}
+
+ORACLE = {
+    "orders_rollup": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS total_value
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "daily_event_pivot": """
+        SELECT strftime(ts, '%Y%m%d') AS day,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        FROM events GROUP BY 1
+    """,
+    "events_distinct_users": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """,
+    "lineitem_price_quantiles": """
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.25) AS p25,
+               quantile_cont(l_extendedprice, 0.5)  AS p50,
+               quantile_cont(l_extendedprice, 0.9)  AS p90,
+               quantile_cont(l_extendedprice, 0.99) AS p99
+        FROM lineitem GROUP BY l_returnflag
+    """,
+}

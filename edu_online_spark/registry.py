@@ -24,6 +24,7 @@ def _extended_modules():
     must never take down the core registry, so they're isolated here."""
     mods = []
     from .operators import (  # noqa
+        analytics,
         dedup,
         multimodal,
         sessions,
@@ -32,7 +33,7 @@ def _extended_modules():
         tpch,
     )
 
-    mods += [tpch, sessions, dedup, similarity, textops, multimodal]
+    mods += [tpch, analytics, sessions, dedup, similarity, textops, multimodal]
     return mods
 
 
