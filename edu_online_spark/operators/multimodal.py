@@ -101,6 +101,46 @@ def decode_assets(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(decode_stub_batch, DECODED_META)
 
 
+def frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas 1→N stage: emit one row per sampled frame (every 5th
+    of n_frames). With a real decoder each row would carry the frame
+    bytes; the stub carries the frame index + deterministic pseudo-size.
+    The expansion happens inside the Arrow batch — no driver fan-out.
+    """
+    for pdf in batches:
+        n = pdf["payload"].map(len).astype("int64")
+        n_frames = (n % 30) + 1
+        rows = {"asset_id": [], "frame_idx": [], "frame_bytes": []}
+        for aid, nf, ln in zip(pdf["asset_id"], n_frames, n):
+            for fi in range(0, int(nf), 5):
+                rows["asset_id"].append(aid)
+                rows["frame_idx"].append(fi)
+                rows["frame_bytes"].append((int(ln) * (fi + 1)) % 10_000)
+        yield pd.DataFrame(
+            {
+                "asset_id": pd.Series(rows["asset_id"], dtype="int64"),
+                "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                "frame_bytes": pd.Series(rows["frame_bytes"], dtype="int64"),
+            }
+        )
+
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", LongType()),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame) -> DataFrame:
+    """Frame sampling over video assets only — the filter prunes before
+    the Python stage so non-video payloads never cross the Arrow boundary."""
+    videos = assets.filter(F.col("media_type") == "video")
+    return videos.mapInPandas(frame_sample_batch, FRAME_SAMPLE_SCHEMA)
+
+
 def media_summary(decoded: DataFrame) -> DataFrame:
     """Post-decode roll-up: asset volume and dimensions per media type."""
     return decoded.groupBy("media_type").agg(
@@ -125,9 +165,14 @@ def q_media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(synth_assets(load_table(spark, sf_dir, "documents")))
+
+
 QUERIES = {
     "multimodal_decoded_meta": q_decoded_meta,
     "multimodal_media_summary": q_media_summary,
+    "multimodal_frame_sample": q_frame_sample,
 }
 
 # The stub decode is pure arithmetic on byte length, so the oracle can
@@ -144,6 +189,17 @@ _DECODED_SQL = """
 
 ORACLE = {
     "multimodal_decoded_meta": _DECODED_SQL,
+    # videos are doc_id % 3 == 2 (list index 3); every 5th frame of
+    # (strlen % 30) + 1 frames, stub frame size (strlen·(fi+1)) % 10000
+    "multimodal_frame_sample": """
+        SELECT asset_id, CAST(fi AS INTEGER) AS frame_idx,
+               CAST((ln * (fi + 1)) % 10000 AS BIGINT) AS frame_bytes
+        FROM (
+            SELECT doc_id AS asset_id, strlen(text) AS ln,
+                   unnest(range(0, (strlen(text) % 30) + 1, 5)) AS fi
+            FROM documents WHERE doc_id % 3 = 2
+        )
+    """,
     "multimodal_media_summary": f"""
         WITH decoded AS ({_DECODED_SQL})
         SELECT media_type, count(*) AS n_assets,

@@ -136,7 +136,18 @@ def q_quiz_mastery(spark, sf_dir):
     return mastery_agg(quiz_view(load_table(spark, sf_dir, "events")))
 
 
-QUERIES = {"quiz_mastery": q_quiz_mastery}
+def q_quiz_mastery_approx(spark, sf_dir):
+    from ..sources import load_table
+
+    return mastery_agg_approx(quiz_view(load_table(spark, sf_dir, "events")))
+
+
+QUERIES = {
+    "quiz_mastery": q_quiz_mastery,
+    # rows-only: HLL++ estimates are engine-specific; the sketch form is
+    # the unbounded-question-domain variant of quiz_mastery
+    "quiz_mastery_approx": q_quiz_mastery_approx,
+}
 
 ORACLE = {
     "quiz_mastery": f"""

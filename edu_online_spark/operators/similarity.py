@@ -238,6 +238,15 @@ def knn_ivf(
 # Oracle-checked query registry
 # ---------------------------------------------------------------------------
 
+def embedding_norms(embeddings: DataFrame) -> DataFrame:
+    """L2 norms per vector — the precompute step a production ANN store
+    materializes once so cosine reduces to a dot product at query time.
+    Sequential-fold arithmetic → bit-exact vs the oracle."""
+    from ..functions.vectors import l2_norm
+
+    return embeddings.select("vec_id", l2_norm(F.col("embedding")).alias("norm"))
+
+
 def _q(fn):
     def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(load_table(spark, sf_dir, "embeddings"))
@@ -249,6 +258,7 @@ QUERIES = {
     "sim_knn_bruteforce": _q(knn_bruteforce),
     "sim_knn_lsh": _q(knn_lsh),  # rows-only: approximate by design
     "sim_knn_ivf": _q(knn_ivf),  # rows-only: iterative k-means training
+    "sim_embedding_norms": _q(embedding_norms),
 }
 
 _COS = """
@@ -258,6 +268,12 @@ _COS = """
 """
 
 ORACLE = {
+    "sim_embedding_norms": """
+        SELECT vec_id,
+               sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+                              for i in range(1, len(embedding) + 1)])) AS norm
+        FROM embeddings
+    """,
     "sim_knn_bruteforce": f"""
         WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
                    WHERE vec_id < {N_QUERIES}),
