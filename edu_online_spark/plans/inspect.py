@@ -48,7 +48,9 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def wholestage_codegen_ids(df: DataFrame) -> int:
-    """Number of WholeStageCodegen spans (wider fused spans, fewer ids)."""
-    txt = explain_str(df, "simple")
-    ids = set(re.findall(r"\*\((\d+)\)", txt))
+    """Number of WholeStageCodegen spans (wider fused spans, fewer ids).
+    Uses formatted mode: AQE's pre-execution simple plan omits the
+    *(n) markers."""
+    txt = explain_str(df)
+    ids = set(re.findall(r"codegen id : (\d+)", txt))
     return len(ids)

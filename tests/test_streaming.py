@@ -96,6 +96,22 @@ def test_quiz_mastery_state_across_triggers(spark, tmp_path):
     assert abs(r2["mastery_rate"] - (3 / 30.0) * 0.75) < 1e-12
 
 
+def test_quiz_replay_is_idempotent(spark, tmp_path):
+    """T7 for the mastery job: the reference's read-merge-write doubled
+    counts on replay (QzPointStreaming.scala:142-163); checkpoint +
+    keyed upsert must not."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(src, "b1.txt", QZ_B1)
+    _run(jobs.quiz_mastery_job, spark, src, out, ckpt)
+    before = spark.read.parquet(out).collect()[0]
+    _run(jobs.quiz_mastery_job, spark, src, out, ckpt)  # no new data
+    after = spark.read.parquet(out).collect()[0]
+    assert (after["qz_sum"], after["qz_istrue"]) == (
+        before["qz_sum"],
+        before["qz_istrue"],
+    ) == (2, 1)
+
+
 def test_page_flow_job(spark, tmp_path):
     src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
     _write_lines(
