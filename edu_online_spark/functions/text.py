@@ -40,6 +40,29 @@ def tokens(col: Column | str) -> Column:
     return F.split(F.trim(_c(col)), " +")
 
 
+def shingle_rows(df, id_col: str, text_col: str = "text", n: int = 3):
+    """(id, shingle)-row form of word n-gram shingling: posexplode +
+    lead() window — every expression whole-stage-codegen'd, no
+    higher-order functions. Prefer this over shingles() for anything
+    corpus-sized: HOFs don't codegen, and after a join Catalyst can
+    inline the tokenizing split() into the lambda, making it
+    O(tokens²) per doc. One shuffle on the id column."""
+    from pyspark.sql import Window
+
+    tok = df.select(id_col, F.posexplode(tokens(text_col)).alias("pos", "t"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grams = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, n)]
+    return (
+        tok.select(
+            id_col,
+            F.concat_ws(" ", *grams).alias("shingle"),
+            grams[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+
+
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles. Documents shorter than n words
     yield an empty set (guard keeps `sequence` bounds valid)."""

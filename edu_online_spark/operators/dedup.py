@@ -82,22 +82,11 @@ def ngram_jaccard_pairs(
 
 
 def _shingle_rows(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) rows via posexplode + lead() — every expression
-    whole-stage-codegen'd, no higher-order functions, no array copies.
-    ~3× faster than building per-doc shingle arrays and the natural
-    input shape for the signature aggregation (duplicates are fine:
-    min() is multiset-insensitive). One shuffle on doc_id.
-    """
-    from pyspark.sql import Window
+    """(doc_id, shingle) rows — see functions.text.shingle_rows for why
+    the row form beats per-doc shingle arrays at corpus size."""
+    from ..functions.text import shingle_rows
 
-    tok = documents.select(
-        "doc_id", F.posexplode(tokens("text")).alias("pos", "t")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, n)]
-    return tok.select(
-        "doc_id", F.concat_ws(" ", *grams).alias("shingle"), grams[-1].alias("_last")
-    ).filter(F.col("_last").isNotNull()).drop("_last")
+    return shingle_rows(documents, "doc_id", "text", n)
 
 
 def minhash_lsh_pairs(
@@ -207,6 +196,64 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = HAMMING_MAX) -> DataF
     )
 
 
+def near_dup_clusters(pairs: DataFrame) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_rep).
+
+    The curation deliverable: every doc in a duplicate cluster mapped to
+    the cluster's minimum doc_id (the canonical survivor). Iterative
+    min-label propagation — each round one join + one min-aggregate,
+    converging in O(log(component diameter)) rounds; near-dup clusters
+    are tiny, so a handful of rounds suffice (bounded + early-stop).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_rep", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(10):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_rep").alias("nbr_rep"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_rep"), F.coalesce(F.col("nbr_rep"), F.col("cluster_rep"))
+                ).alias("cluster_rep"),
+            )
+            .persist()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.cluster_rep") != F.col("l.cluster_rep"))
+            .count()
+        )
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def minhash_near_dup_clusters(
+    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """End-to-end: MinHash-LSH pairs → connected components."""
+    return near_dup_clusters(minhash_lsh_pairs(documents, threshold=threshold))
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame, threshold: float = COSINE_THRESHOLD
 ) -> DataFrame:
@@ -246,6 +293,7 @@ QUERIES = {
     "dedup_minhash_lsh": _q(minhash_lsh_pairs, "documents"),
     "dedup_simhash": _q(simhash_pairs, "documents"),  # rows-only (hash-defined)
     "dedup_embedding_cosine": _q(embedding_neardup_pairs, "embeddings"),
+    "dedup_near_dup_clusters": _q(minhash_near_dup_clusters, "documents"),
 }
 
 # Exact Jaccard in DuckDB: build distinct 3-shingle lists with a list
@@ -277,6 +325,23 @@ ORACLE = {
         FROM documents GROUP BY text
     """,
     "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
+    # connected components as a recursive transitive closure over the
+    # exact near-dup pairs (LSH+verify output ≡ exact pairs here), then
+    # min reachable id per node — tiny clusters keep the closure small
+    "dedup_near_dup_clusters": f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT src, src FROM edges
+            UNION SELECT src, dst FROM edges
+            UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS doc_id, min(dst) AS cluster_rep
+        FROM reach GROUP BY src
+    """,
     # LSH recall at j≈0.99 (the planted near-dups) is ~1.0, and exact
     # verification removes false positives, so the LSH output equals the
     # exact all-pairs result on this corpus (tests/ verify recall).

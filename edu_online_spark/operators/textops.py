@@ -55,6 +55,24 @@ def doc_fingerprints(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", T.fingerprint("text").alias("fp"))
 
 
+def top_bigrams(documents: DataFrame, k: int = 20) -> DataFrame:
+    """Corpus-wide top-k word bigrams.
+
+    shingle_rows (codegen, one shuffle) → count → bounded top-k with a
+    deterministic (cnt desc, bigram asc) tie-break. The count shuffle
+    carries (bigram, partial_count) thanks to map-side combine — at
+    100 TB the heavy hitters aggregate locally before moving.
+    """
+    from ..functions.text import shingle_rows
+
+    counts = (
+        shingle_rows(documents, "doc_id", "text", 2)
+        .groupBy(F.col("shingle").alias("bigram"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    return counts.orderBy(F.desc("cnt"), F.asc("bigram")).limit(k)
+
+
 def token_stats_by_source(documents: DataFrame) -> DataFrame:
     """Corpus curation roll-up: token volume and doc sizes per source."""
     per_doc = documents.select(
@@ -89,6 +107,7 @@ QUERIES = {
     "text_lang_confusion": _q(lang_confusion),
     "text_fingerprints": _q(doc_fingerprints),
     "text_token_stats": _q(token_stats_by_source),
+    "text_top_bigrams": _q(top_bigrams),
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), ' +')"
@@ -147,6 +166,16 @@ ORACLE = {
                    (a, b) -> (a * {T.FINGERPRINT_BASE} + b) % {T.FINGERPRINT_MOD}
                ) END AS BIGINT) AS fp
         FROM documents
+    """,
+    "text_top_bigrams": f"""
+        WITH bg AS (
+            SELECT unnest([array_to_string(w[i:i+1], ' ')
+                           for i in range(1, len(w))]) AS bigram
+            FROM (SELECT {_TOKENS} AS w FROM documents)
+            WHERE len(w) >= 2
+        )
+        SELECT bigram, count(*) AS cnt FROM bg
+        GROUP BY 1 ORDER BY cnt DESC, bigram ASC LIMIT 20
     """,
     "text_token_stats": f"""
         WITH per_doc AS (
