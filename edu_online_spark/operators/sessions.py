@@ -93,6 +93,39 @@ def region_enrichment(events: DataFrame, region: DataFrame) -> DataFrame:
     )
 
 
+def purchase_attribution(events: DataFrame) -> DataFrame:
+    """As-of join within the event stream: each purchase attributed to
+    the user's most recent prior view.
+
+    Spark has no ASOF JOIN; the scalable rendering is a conditional
+    running max over the user's ordered event stream — one shuffle on
+    user_id, no self-join, no range explosion. (DuckDB's native ASOF
+    JOIN is the oracle's shorthand for the same semantics.)
+    """
+    # frame ends one row before current: a purchase can't attribute to
+    # a view at the same instant (same row)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_view = events.withColumn(
+        "last_view_ts",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    purchases = with_view.filter(F.col("event_type") == "purchase")
+    return purchases.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "last_view_ts",
+        (
+            F.col("ts").cast("timestamp").cast("double")
+            - F.col("last_view_ts").cast("timestamp").cast("double")
+        ).alias("gap_sec"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked query registry
 # ---------------------------------------------------------------------------
@@ -111,10 +144,15 @@ def q_region_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return purchase_attribution(load_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "events_sessionize": q_sessionize,
     "events_session_stats": q_session_stats,
     "events_region_enrich": q_region_enrichment,
+    "purchase_attribution": q_purchase_attribution,
 }
 
 _SESSIONS_SQL = f"""
@@ -155,5 +193,18 @@ ORACLE = {
         FROM (SELECT CAST(user_id % 5 AS INTEGER) AS k, event_type FROM events) e
         JOIN region ON e.k = r_regionkey
         GROUP BY 1, 2
+    """,
+    "purchase_attribution": """
+        WITH w AS (
+            SELECT event_id, user_id, ts, event_type,
+                   max(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS last_view_ts
+            FROM events
+        )
+        SELECT event_id, user_id, ts AS purchase_ts, last_view_ts,
+               epoch(ts) - epoch(last_view_ts) AS gap_sec
+        FROM w WHERE event_type = 'purchase'
     """,
 }
