@@ -19,12 +19,35 @@ from ..schemas import ALL_TABLES
 # ns→us cast of the same column.
 _NANOS_TS_COLS = {"events": ("ts",)}
 
+# Runtime confs every scan depends on. The session factory sets them,
+# but queries may run under an externally created SparkSession (e.g.
+# the verification driver's); these are all runtime-settable SQL confs,
+# so the loader pins them defensively.
+_REQUIRED_CONFS = {
+    # deterministic wall-clock semantics (NTZ casts, date_format)
+    "spark.sql.session.timeZone": "UTC",
+    # events.ts is TIMESTAMP(NANOS): read raw int64, convert below
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # ms/us parquet timestamps with isAdjustedToUTC=false → NTZ
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+}
+
+
+def _ensure_confs(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # non-modifiable in this deployment; session.py set it
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Schema comes from parquet footers (already
     typed); filters/projections applied by callers push down into this scan."""
     if name not in ALL_TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {ALL_TABLES}")
+    _ensure_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(c) == "bigint":
