@@ -1,0 +1,59 @@
+"""Two-stage salted aggregation — explicit skew mitigation.
+
+The reference sketched this by hand and left it commented out
+(RegisterStreaming.scala:105-118: random prefix → reduceByKey → strip →
+reduceByKey). Under Catalyst it's usually unnecessary — partial
+aggregation already collapses per-task duplicates and AQE splits skewed
+joins — but two cases still want explicit salt at 100 TB:
+
+  * high-cardinality aggregation states (collect_set/collect_list)
+    where one hot key's state exceeds a task's memory;
+  * skewed shuffle keys feeding non-AQE-splittable operators.
+
+`salted_agg` spreads each key over `salt` sub-keys, runs the cheap
+first-stage aggregate, then merges — both stages get map-side combine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    first_stage: dict[str, Column],
+    second_stage: Callable[[str], Column],
+    salt: int = 16,
+) -> DataFrame:
+    """Generic two-stage aggregation.
+
+    first_stage: output_name → aggregate Column for stage 1 (per
+    (keys, salt) group). second_stage: output_name → merge aggregate
+    built from the stage-1 column of that name (e.g. sum of partial
+    counts). The salt column is deterministic per row (hash, not rand)
+    so retries/replays keep results stable.
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(salt))
+    )
+    stage1 = salted.groupBy(*keys, "_salt").agg(
+        *[c.alias(n) for n, c in first_stage.items()]
+    )
+    return stage1.groupBy(*keys).agg(
+        *[second_stage(n).alias(n) for n in first_stage]
+    )
+
+
+def salted_count(df: DataFrame, keys: list[str], salt: int = 16) -> DataFrame:
+    """Salted count per key — the reference's exact example (A10)."""
+    return salted_agg(
+        df,
+        keys,
+        {"cnt": F.count("*")},
+        lambda n: F.sum(n).cast("long"),
+        salt,
+    )
