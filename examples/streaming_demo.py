@@ -1,0 +1,95 @@
+"""End-to-end streaming demo: the reference's full topology on
+Structured Streaming, runnable locally with no Kafka.
+
+Reference shape (SURVEY §0): producers replay log files into topics
+(RegisterProducer/QzLogProducer/PageLogProducer), four streaming jobs
+consume them. Here the "topics" are drop directories (the file source
+shares the `value: string` contract with the Kafka adapter, so swapping
+in real Kafka is a one-line source change), and all four jobs run
+against them with availableNow triggers.
+
+    python examples/streaming_demo.py [workdir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from edu_online_spark.config import EngineConfig
+from edu_online_spark.session import get_spark
+from edu_online_spark.streaming import jobs
+from edu_online_spark.streaming.sources import file_stream
+
+
+def produce(topic_dir: str, batch: str, lines: list[str]) -> None:
+    """Stand-in for the reference's Kafka replay producers."""
+    os.makedirs(topic_dir, exist_ok=True)
+    with open(os.path.join(topic_dir, batch), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def main() -> None:
+    work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/edu-online-demo"
+    shutil.rmtree(work, ignore_errors=True)
+    topics = {t: f"{work}/topics/{t}" for t in ("register", "qz", "page", "raw")}
+
+    produce(topics["register"], "b1.log", [
+        "8001\t1\t2026-08-13 10:00:01",
+        "8002\t2\t2026-08-13 10:00:02",
+        "8003\t3\t2026-08-13 10:00:03",
+        "8004\t1\t2026-08-13 10:01:07",
+    ])
+    produce(topics["qz"], "b1.log", [
+        "1001\t504\t7\tq1\t1\t2026-08-13 10:00:05",
+        "1001\t504\t7\tq2\t0\t2026-08-13 10:00:09",
+        "1002\t504\t7\tq1\t1\t2026-08-13 10:00:11",
+    ])
+    produce(topics["page"], "b1.log", [
+        '{"uid":"1001","last_page_id":"1","page_id":"2","next_page_id":"3"}',
+        '{"uid":"1002","last_page_id":"1","page_id":"2"}',
+        "corrupt line — dropped",
+    ])
+    produce(topics["raw"], "b1.log", ["raw-payload-1", "raw-payload-2"])
+
+    spark = get_spark(EngineConfig(cpus=8, shuffle_partitions=8))
+    out = {k: f"{work}/out/{k}" for k in ("windows", "totals", "mastery", "flows", "archive")}
+    ck = lambda name: f"{work}/ck/{name}"
+
+    queries = [
+        jobs.register_windowed_job(file_stream(spark, topics["register"]),
+                                   out["windows"], ck("win"), available_now=True),
+        jobs.register_totals_job(file_stream(spark, topics["register"]),
+                                 out["totals"], ck("tot"), available_now=True),
+        jobs.quiz_mastery_job(file_stream(spark, topics["qz"]),
+                              out["mastery"], ck("qz"), available_now=True),
+        jobs.page_flow_job(file_stream(spark, topics["page"]),
+                           out["flows"], ck("page"), available_now=True),
+        jobs.rawlog_archive_job(file_stream(spark, topics["raw"]),
+                                out["archive"], ck("raw"), available_now=True),
+    ]
+    for q in queries:
+        q.awaitTermination(120)
+
+    # second wave: state accumulates across triggers via checkpoints
+    produce(topics["register"], "b2.log", ["8005\t1\t2026-08-13 10:02:01"])
+    produce(topics["qz"], "b2.log", ["1001\t504\t7\tq3\t1\t2026-08-13 11:00:01"])
+    jobs.register_totals_job(file_stream(spark, topics["register"]),
+                             out["totals"], ck("tot"), available_now=True).awaitTermination(120)
+    jobs.quiz_mastery_job(file_stream(spark, topics["qz"]),
+                          out["mastery"], ck("qz"), available_now=True).awaitTermination(120)
+
+    for name, path in out.items():
+        df = spark.read.parquet(path)
+        rows = [r.asDict() for r in df.collect()]
+        print(f"--- {name} ({len(rows)} rows)")
+        for r in rows[:6]:
+            print("   ", json.dumps(r, default=str))
+
+
+if __name__ == "__main__":
+    main()
