@@ -69,6 +69,20 @@ def distinct_users_by_type_approx(events: DataFrame) -> DataFrame:
     )
 
 
+def deterministic_sample(events: DataFrame, pct: int = 10) -> DataFrame:
+    """Reproducible ~pct% sample via multiplicative hashing of the row
+    key — no rand() (nondeterministic under retries/replays at scale),
+    no sort. The same rows are sampled on every run, every engine, any
+    partitioning; Knuth's 2^32 golden-ratio multiplier scrambles the
+    sequential key space. Counts per type make the output order-free."""
+    bucket = F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(100))
+    return (
+        events.filter(bucket < pct)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+
+
 def price_quantiles(lineitem: DataFrame) -> DataFrame:
     """Exact interpolated percentiles per return flag (Spark percentile
     ≡ DuckDB quantile_cont, verified bit-exact)."""
@@ -100,6 +114,7 @@ QUERIES = {
         distinct_users_by_type_approx, "events"
     ),  # rows-only: sketch estimate is engine-specific
     "lineitem_price_quantiles": _q(price_quantiles, "lineitem"),
+    "events_deterministic_sample": _q(deterministic_sample, "events"),
 }
 
 ORACLE = {
@@ -133,5 +148,11 @@ ORACLE = {
                quantile_cont(l_extendedprice, 0.9)  AS p90,
                quantile_cont(l_extendedprice, 0.99) AS p99
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "events_deterministic_sample": """
+        SELECT event_type, count(*) AS n_sampled
+        FROM events
+        WHERE (event_id * 2654435761) % 100 < 10
+        GROUP BY event_type
     """,
 }

@@ -91,6 +91,44 @@ def token_stats_by_source(documents: DataFrame) -> DataFrame:
     )
 
 
+def curate_documents(
+    documents: DataFrame,
+    min_tokens: int = 20,
+    max_punct_ratio: float = 0.1,
+    langs: tuple[str, ...] = ("en", "es", "de", "fr"),
+) -> DataFrame:
+    """The composed curation pipeline: language allowlist + length floor
+    + punctuation-soup ceiling + exact dedup (keep min doc_id per text).
+    Output: surviving doc ids with the metrics that admitted them —
+    the shape of a pre-training data filter stage.
+
+    All filters are scan-stage expressions (pushdown-friendly); dedup is
+    the only shuffle.
+    """
+    scored = documents.select(
+        "doc_id",
+        "text",
+        "lang",
+        T.token_count("text").alias("n_tokens"),
+        (T.punct_count("text") / F.length("text")).alias("punct_ratio"),
+    ).filter(
+        F.col("lang").isin(*langs)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+    )
+    return (
+        scored.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            # min, not first(): identical texts could carry different
+            # lang labels and first() is partition-order-dependent
+            F.min("lang").alias("lang"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked query registry
 # ---------------------------------------------------------------------------
@@ -108,6 +146,7 @@ QUERIES = {
     "text_fingerprints": _q(doc_fingerprints),
     "text_token_stats": _q(token_stats_by_source),
     "text_top_bigrams": _q(top_bigrams),
+    "documents_curated": _q(curate_documents),
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), ' +')"
@@ -176,6 +215,21 @@ ORACLE = {
         )
         SELECT bigram, count(*) AS cnt FROM bg
         GROUP BY 1 ORDER BY cnt DESC, bigram ASC LIMIT 20
+    """,
+    "documents_curated": f"""
+        WITH scored AS (
+            SELECT doc_id, text, lang,
+                   len({_TOKENS}) AS n_tokens,
+                   len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE / length(text)
+                       AS punct_ratio
+            FROM documents
+        )
+        SELECT min(doc_id) AS doc_id, min(lang) AS lang,
+               CAST(min(n_tokens) AS INTEGER) AS n_tokens
+        FROM scored
+        WHERE lang IN ('en', 'es', 'de', 'fr')
+          AND n_tokens >= 20 AND punct_ratio <= 0.1
+        GROUP BY text
     """,
     "text_token_stats": f"""
         WITH per_doc AS (
