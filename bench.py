@@ -21,6 +21,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from edu_online_spark import registry
 from edu_online_spark.session import get_spark
 
@@ -52,9 +54,10 @@ def main() -> None:
     spark = get_spark()
     qs = registry.queries()
     timings: dict[str, float] = {}
-    # warm the JVM/codegen once on a trivial action so q1 isn't charged
-    # session-startup cost
-    spark.range(1).count()
+    # warm the JVM: codegen, parquet reader, shuffle, decimal agg — so
+    # the first timed query isn't charged one-time session setup
+    warm = spark.read.parquet(f"{sf_dir}/region.parquet")
+    warm.groupBy("r_name").agg(F.sum(warm.r_regionkey.cast("decimal(10,2)"))).collect()
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.perf_counter()

@@ -23,15 +23,13 @@ to cut the scanned fraction when the query side is itself huge.
 
 from __future__ import annotations
 
-from functools import reduce
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 
-from ..functions.vectors import cosine_similarity, dot
+from ..functions.vectors import cosine_similarity
 from ..sources import load_table
 
 TOP_K = 10
@@ -83,24 +81,29 @@ def _hyperplanes(dim: int, n: int) -> list[list[float]]:
     return rng.standard_normal((n, dim)).tolist()
 
 
-def srp_band_buckets(
-    emb_col, dim: int = 64, bands: int = LSH_BANDS, planes_per_band: int = LSH_PLANES_PER_BAND
+def srp_band_buckets_udf(
+    dim: int = 64, bands: int = LSH_BANDS, planes_per_band: int = LSH_PLANES_PER_BAND
 ):
-    """array of per-band bucket ids (one sign bit per hyperplane).
+    """Vectorized per-band bucket ids (one sign bit per hyperplane).
 
     Matching ANY band makes a candidate — the OR-construction that keeps
-    recall high while each band stays selective."""
-    hp = _hyperplanes(dim, bands * planes_per_band)
-    out = []
-    for b in range(bands):
-        bits = []
-        for i in range(planes_per_band):
-            plane = F.array(*[F.lit(float(x)) for x in hp[b * planes_per_band + i]])
-            bits.append(
-                F.when(dot(emb_col, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-            )
-        out.append(reduce(lambda a, x: a.bitwiseOR(x), bits).cast("int"))
-    return F.array(*out)
+    recall high while each band stays selective. One numpy matmul per
+    Arrow batch: (batch × dim) @ (dim × planes) — expression-based
+    per-plane dot folds are higher-order functions, which don't codegen
+    and cost ~16 interpreted array walks per row.
+    """
+    hp = np.array(_hyperplanes(dim, bands * planes_per_band))  # planes × dim
+    weights = (1 << np.arange(planes_per_band)).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def bucketize(embs: pd.Series) -> pd.Series:
+        m = np.stack(embs.to_numpy()).astype(np.float64)
+        bits = (m @ hp.T) >= 0  # batch × planes
+        per_band = bits.reshape(len(m), bands, planes_per_band)
+        buckets = (per_band * weights).sum(axis=2).astype("int32")
+        return pd.Series([row.tolist() for row in buckets])
+
+    return bucketize
 
 
 def knn_lsh(
@@ -118,12 +121,11 @@ def knn_lsh(
     corpus never self-crosses. E[scanned fraction] ≈
     bands · 2^-planes_per_band for random vectors.
     """
+    bucketize = srp_band_buckets_udf(dim, bands, planes_per_band)
     tagged = embeddings.select(
         "vec_id",
         "embedding",
-        F.posexplode(
-            srp_band_buckets(F.col("embedding"), dim, bands, planes_per_band)
-        ).alias("band", "bucket"),
+        F.posexplode(bucketize(F.col("embedding"))).alias("band", "bucket"),
     )
     q = tagged.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "band", "bucket"
