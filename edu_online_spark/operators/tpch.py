@@ -138,6 +138,22 @@ def q5_region_revenue(
     )
 
 
+def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6: pure filter→sum — the pushdown showcase. All three
+    predicates reach the parquet scan; the aggregate is a single
+    partial+final sum of exact decimals."""
+    rev = _dec("l_extendedprice") * _dec("l_discount", _DEC_RATE)
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
 def top_parts_per_brand(part: DataFrame, k: int = 3) -> DataFrame:
     """Windowed top-k per group: k priciest parts per brand.
 
@@ -186,6 +202,7 @@ QUERIES = {
     "tpch_q5_region_revenue": _q(
         q5_region_revenue, "region", "nation", "customer", "supplier", "orders", "lineitem"
     ),
+    "tpch_q6_forecast_revenue": _q(q6_forecast_revenue, "lineitem"),
     "part_topk_per_brand": _q(top_parts_per_brand, "part"),
     "users_purchase_no_error": _q(users_purchase_no_error, "events"),
     "users_view_and_purchase": _q(users_view_and_purchase, "events"),
@@ -241,6 +258,15 @@ ORACLE = {
           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
         GROUP BY n_name
+    """,
+    "tpch_q6_forecast_revenue": """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
     """,
     "part_topk_per_brand": """
         WITH ranked AS (

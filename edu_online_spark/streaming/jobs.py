@@ -88,6 +88,43 @@ def register_totals_job(
     )
 
 
+def register_totals_state_job(
+    raw: DataFrame, out_path: str, checkpoint: str, available_now: bool = False
+) -> StreamingQuery:
+    """A2 via applyInPandasWithState — the literal updateStateByKey
+    translation (RegisterStreaming.scala:95-101: `values.sum +
+    state.getOrElse(0)`), for stateful logic SQL aggregates can't
+    express. State: one long per platform, checkpointed; each trigger
+    emits only platforms seen in the batch, exactly like the reference's
+    update function. Prefer register_totals_job (declarative) when the
+    logic IS expressible — this path exists for custom operators.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_totals(key, pdfs, state: GroupState):
+        batch_count = sum(len(p) for p in pdfs)
+        total = (state.get[0] if state.exists else 0) + batch_count
+        state.update((total,))
+        yield pd.DataFrame({"platform": [key[0]], "total": [total]})
+
+    reg = decode_register_log(raw)
+    totals = reg.groupBy("platform").applyInPandasWithState(
+        update_totals,
+        outputStructType="platform string, total long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        totals.writeStream.outputMode("update")
+        .foreachBatch(sinks.parquet_upsert(out_path, ["platform"]))
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )
+
+
 def quiz_mastery_job(
     raw: DataFrame,
     out_path: str,

@@ -45,6 +45,20 @@ def test_register_totals_accumulate_across_triggers(spark, tmp_path):
     assert t2 == {"PC": 3, "APP": 1, "Other": 1}
 
 
+def test_register_totals_state_job(spark, tmp_path):
+    """applyInPandasWithState variant accumulates across triggers exactly
+    like the declarative update-mode aggregation (A2/T3)."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(src, "b1.txt", REG_LINES_1)
+    _run(jobs.register_totals_state_job, spark, src, out, ckpt)
+    t1 = {r["platform"]: r["total"] for r in spark.read.parquet(out).collect()}
+    assert t1 == {"PC": 2, "APP": 1}
+    _write_lines(src, "b2.txt", REG_LINES_2)
+    _run(jobs.register_totals_state_job, spark, src, out, ckpt)
+    t2 = {r["platform"]: r["total"] for r in spark.read.parquet(out).collect()}
+    assert t2 == {"PC": 3, "APP": 1, "Other": 1}
+
+
 def test_register_replay_is_idempotent(spark, tmp_path):
     """T7 regression: re-running with the same checkpoint and no new data
     must not change the sink (the reference's read-merge-write doubled)."""
