@@ -30,6 +30,7 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_top_orders",
     "tpch_q5_region_revenue",
+    "tpch_q6_forecast_revenue",
     "part_topk_per_brand",
     "register_sliding_counts",
     "quiz_mastery",
