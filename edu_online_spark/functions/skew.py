@@ -28,17 +28,29 @@ def salted_agg(
     first_stage: dict[str, Column],
     second_stage: Callable[[str], Column],
     salt: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Generic two-stage aggregation.
 
     first_stage: output_name → aggregate Column for stage 1 (per
     (keys, salt) group). second_stage: output_name → merge aggregate
     built from the stage-1 column of that name (e.g. sum of partial
-    counts). The salt column is deterministic per row (hash, not rand)
-    so retries/replays keep results stable.
+    counts).
+
+    The salt is derived from deterministic row CONTENT only —
+    xxhash64 over `salt_cols` (default: every non-key column). A salt
+    built from rand() or monotonically_increasing_id() is a
+    nondeterministic shuffle key: on a stage retry after a fetch
+    failure, recomputed map output can land rows in different sub-keys
+    and duplicate/lose them — exactly the hazard this helper exists to
+    avoid. The cost of determinism: rows identical in all salt_cols
+    share a sub-key, so pass a unique id column as salt_cols when the
+    hot key's rows are content-identical.
     """
+    if salt_cols is None:
+        salt_cols = [c for c in df.columns if c not in keys] or list(df.columns)
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(salt))
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt))
     )
     stage1 = salted.groupBy(*keys, "_salt").agg(
         *[c.alias(n) for n, c in first_stage.items()]

@@ -122,12 +122,24 @@ def predict_lang(col_name: str) -> Column:
     return best_lang
 
 
+def fingerprint_fast(col: Column | str) -> Column:
+    """Default content fingerprint: xxhash64 — a single codegen'd JVM
+    expression that runs inside the scan stage. This is the 100 TB
+    form; the polynomial fold below is an interpreted per-character
+    higher-order function (~100× slower on long documents) kept only
+    for cross-engine oracle parity."""
+    return F.xxhash64(_c(col))
+
+
 def fingerprint(col: Column | str) -> Column:
-    """Polynomial rolling hash over characters, mod 1e9+7.
+    """Polynomial rolling hash over characters, mod 1e9+7 — the
+    ORACLE-PARITY variant (use fingerprint_fast as the default).
 
     Sequential fold (acc*31 + ascii(char)) % p — identical order and
     arithmetic to the DuckDB oracle's list_reduce, so values match
-    bit-for-bit. Empty-string guard: fingerprint('') = 0.
+    bit-for-bit. Empty-string guard: fingerprint('') = 0. Being an
+    F.aggregate HOF it does NOT codegen; on long documents it is the
+    scan-stage bottleneck, which is why it is not the default.
     """
     chars = F.filter(F.split(_c(col), ""), lambda ch: ch != "")
     return F.aggregate(

@@ -74,8 +74,14 @@ def deterministic_sample(events: DataFrame, pct: int = 10) -> DataFrame:
     key — no rand() (nondeterministic under retries/replays at scale),
     no sort. The same rows are sampled on every run, every engine, any
     partitioning; Knuth's 2^32 golden-ratio multiplier scrambles the
-    sequential key space. Counts per type make the output order-free."""
-    bucket = F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(100))
+    sequential key space. Counts per type make the output order-free.
+
+    The key is reduced mod 2^31-1 BEFORE the multiply so the product
+    is bounded by (2^31-2)·2654435761 < 2^63 — a raw event_id product
+    overflows long for ids ≳ 3.47e9 (plausible at 100 TB), which would
+    throw under ANSI mode and silently wrap otherwise."""
+    reduced = F.pmod(F.col("event_id"), F.lit(2147483647))
+    bucket = F.pmod(reduced * F.lit(2654435761), F.lit(100))
     return (
         events.filter(bucket < pct)
         .groupBy("event_type")
@@ -152,7 +158,7 @@ ORACLE = {
     "events_deterministic_sample": """
         SELECT event_type, count(*) AS n_sampled
         FROM events
-        WHERE (event_id * 2654435761) % 100 < 10
+        WHERE ((event_id % 2147483647) * 2654435761) % 100 < 10
         GROUP BY event_type
     """,
 }

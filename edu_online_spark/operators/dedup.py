@@ -30,6 +30,27 @@ JACCARD_THRESHOLD = 0.5
 HAMMING_MAX = 3
 COSINE_THRESHOLD = 0.4
 
+# Hard cap for the O(n²) all-pairs baselines. They exist as correctness
+# anchors for the LSH paths; above this size the quadratic join is a
+# cluster-killer, so the guard fails fast and points at the scale path.
+ALL_PAIRS_MAX_ROWS = 50_000
+
+
+def _guard_all_pairs(df: DataFrame, op: str, scale_alt: str) -> None:
+    """Refuse to run an all-pairs baseline on a corpus-sized input.
+
+    The count is one cheap column-pruned pass; the O(n²) join it blocks
+    would be ~n²/2 comparisons. Callers that really want the quadratic
+    form on a bigger frame must sample/filter it below the cap first.
+    """
+    n = df.count()
+    if n > ALL_PAIRS_MAX_ROWS:
+        raise ValueError(
+            f"{op} is an O(n²) all-pairs baseline capped at "
+            f"{ALL_PAIRS_MAX_ROWS} rows (got {n}). Use {scale_alt} — "
+            "same semantics, equi-join plan — or pre-filter the input."
+        )
+
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Exact content dedup: keep the min doc_id per identical text.
@@ -66,8 +87,10 @@ def ngram_jaccard_pairs(
     """Exact all-pairs n-gram Jaccard ≥ threshold.
 
     Correctness baseline: O(n²) compare, only usable at small corpus
-    sizes — minhash_lsh_pairs is the same semantics at scale.
+    sizes — minhash_lsh_pairs is the same semantics at scale. Guarded:
+    raises above ALL_PAIRS_MAX_ROWS instead of melting the cluster.
     """
+    _guard_all_pairs(documents, "ngram_jaccard_pairs", "minhash_lsh_pairs")
     a, b = _shingled(documents, n).alias("a"), _shingled(documents, n).alias("b")
     j = hashing.jaccard(F.col("a.sh"), F.col("b.sh"))
     return (
@@ -132,10 +155,18 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # The candidate set feeds two downstream branches (the pair join and
-    # the semi-join reducer); without a persist each branch re-executes
-    # the whole signature+banding DAG. Candidates are tiny (bounded by
-    # collision rate), so this cache is a few KB at any corpus size.
-    cand = cand.persist()
+    # the semi-join reducer); Spark has no cross-branch CSE, so without
+    # materialization each branch re-executes the whole signature+banding
+    # DAG. An EAGER localCheckpoint runs that DAG exactly once, stores
+    # the (tiny, collision-bounded) candidate partitions, and truncates
+    # lineage — which lets us unpersist `banded` immediately instead of
+    # leaking cached blocks in long-lived sessions (bench loops, parity
+    # sweeps). Checkpoint blocks are reclaimed by the ContextCleaner
+    # when the plan is GC'd. (Caveat for real clusters: localCheckpoint
+    # blocks die with their executor; under dynamic allocation use
+    # reliable checkpointing or accept recompute.)
+    cand = cand.localCheckpoint(eager=True)
+    banded.unpersist()
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b")))
@@ -202,22 +233,27 @@ def near_dup_clusters(pairs: DataFrame) -> DataFrame:
     The curation deliverable: every doc in a duplicate cluster mapped to
     the cluster's minimum doc_id (the canonical survivor). Iterative
     min-label propagation — each round one join + one min-aggregate,
-    converging in O(log(component diameter)) rounds; near-dup clusters
-    are tiny, so a handful of rounds suffice (bounded + early-stop).
+    converging in O(component diameter) rounds; the loop runs UNTIL
+    convergence (changed == 0), with a generous safety cap that raises
+    rather than silently returning an unconverged closure. Each round's
+    labels are eagerly local-checkpointed, which (a) truncates the
+    otherwise exponentially-growing lineage — the canonical iterative-
+    algorithm pattern — and (b) leaves no persisted blocks behind.
     """
+    max_rounds = 64  # diameter cap; real near-dup components are tiny
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_rep", F.col("doc_id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    for _ in range(10):
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
@@ -231,7 +267,7 @@ def near_dup_clusters(pairs: DataFrame) -> DataFrame:
                     F.col("cluster_rep"), F.coalesce(F.col("nbr_rep"), F.col("cluster_rep"))
                 ).alias("cluster_rep"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             updated.alias("u")
@@ -239,12 +275,13 @@ def near_dup_clusters(pairs: DataFrame) -> DataFrame:
             .filter(F.col("u.cluster_rep") != F.col("l.cluster_rep"))
             .count()
         )
-        labels.unpersist()
         labels = updated
         if changed == 0:
-            break
-    edges.unpersist()
-    return labels
+            return labels
+    raise RuntimeError(
+        f"near_dup_clusters did not converge in {max_rounds} rounds — "
+        "component diameter exceeds the cap; raise max_rounds"
+    )
 
 
 def minhash_near_dup_clusters(
@@ -261,7 +298,9 @@ def embedding_neardup_pairs(
 
     The all-pairs join is the correctness anchor; the scale path for
     the same predicate is similarity.ann_lsh's hyperplane buckets.
+    Guarded: raises above ALL_PAIRS_MAX_ROWS.
     """
+    _guard_all_pairs(embeddings, "embedding_neardup_pairs", "similarity.ann_lsh")
     e = embeddings.select("vec_id", "embedding")
     a, b = e.alias("a"), e.alias("b")
     cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))

@@ -50,9 +50,16 @@ def lang_confusion(documents: DataFrame) -> DataFrame:
     )
 
 
-def doc_fingerprints(documents: DataFrame) -> DataFrame:
-    """Deterministic rolling-hash content fingerprint per document."""
-    return documents.select("doc_id", T.fingerprint("text").alias("fp"))
+def doc_fingerprints(documents: DataFrame, variant: str = "fast") -> DataFrame:
+    """Deterministic content fingerprint per document.
+
+    variant='fast' (default): xxhash64 — codegen, scan-stage, the form
+    to run at corpus scale. variant='poly': the character-fold rolling
+    hash whose arithmetic the DuckDB oracle reproduces bit-for-bit
+    (registered separately so the hash-match gate still exercises it).
+    """
+    fp = T.fingerprint_fast if variant == "fast" else T.fingerprint
+    return documents.select("doc_id", fp("text").alias("fp"))
 
 
 def top_bigrams(documents: DataFrame, k: int = 20) -> DataFrame:
@@ -143,7 +150,11 @@ def _q(fn):
 QUERIES = {
     "text_quality": _q(text_quality),
     "text_lang_confusion": _q(lang_confusion),
-    "text_fingerprints": _q(doc_fingerprints),
+    # hash-matched against the DuckDB polynomial-fold oracle
+    "text_fingerprints": _q(lambda d: doc_fingerprints(d, variant="poly")),
+    # the scale default (xxhash64 is Spark-specific → rows-only check;
+    # determinism is pinned by tests/test_decoders.py instead)
+    "text_fingerprints_fast": _q(doc_fingerprints),
     "text_token_stats": _q(token_stats_by_source),
     "text_top_bigrams": _q(top_bigrams),
     "documents_curated": _q(curate_documents),

@@ -19,21 +19,34 @@ from .operators import archival, page, quiz, register
 _MODULES = [register, quiz, page, archival]
 
 
+_EXTENSION_NAMES = [
+    "tpch",
+    "analytics",
+    "sessions",
+    "dedup",
+    "similarity",
+    "textops",
+    "multimodal",
+]
+
+
 def _extended_modules():
     """Extension operator modules are appended as they land; import errors
-    must never take down the core registry, so they're isolated here."""
-    mods = []
-    from .operators import (  # noqa
-        analytics,
-        dedup,
-        multimodal,
-        sessions,
-        similarity,
-        textops,
-        tpch,
-    )
+    must never take down the core registry, so each import is isolated —
+    a broken extension is skipped (with a stderr note) and the core
+    register/quiz/page/archival queries keep working."""
+    import importlib
+    import sys
 
-    mods += [tpch, analytics, sessions, dedup, similarity, textops, multimodal]
+    mods = []
+    for name in _EXTENSION_NAMES:
+        try:
+            mods.append(importlib.import_module(f".operators.{name}", __package__))
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            print(
+                f"edu_online_spark: skipping extension module {name!r}: {exc}",
+                file=sys.stderr,
+            )
     return mods
 
 

@@ -78,3 +78,20 @@ def test_embedding_neardup_threshold(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     out = {(r["vec_a"], r["vec_b"]) for r in embedding_neardup_pairs(df, 0.9).collect()}
     assert out == {(0, 1)}
+
+
+def test_all_pairs_guard_raises_on_big_corpus(spark):
+    """The O(n²) baselines must refuse corpus-sized inputs."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from edu_online_spark.operators.dedup import (
+        ALL_PAIRS_MAX_ROWS,
+        embedding_neardup_pairs,
+    )
+
+    big = spark.range(ALL_PAIRS_MAX_ROWS + 1).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0)).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="all-pairs baseline"):
+        embedding_neardup_pairs(big)

@@ -18,3 +18,41 @@ def test_salted_count_matches_plain(spark, sf_dir):
         for r in salted_count(events, ["event_type"]).collect()
     }
     assert salted == plain
+
+
+def test_salt_assignment_is_partitioning_invariant(spark, sf_dir):
+    """The salt must be a pure function of row content: the stage-1
+    (key, salt) groups have to come out identical no matter how the
+    input is partitioned, or a stage retry could re-bucket rows."""
+    from edu_online_spark.functions.skew import salted_agg
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type"
+    )
+
+    def stage1_groups(df):
+        out = salted_agg(
+            df,
+            ["event_type"],
+            {"cnt": F.count("*")},
+            lambda n: F.sum(n).cast("long"),
+            salt=8,
+            salt_cols=["event_id"],
+        )
+        # peek at stage-1 by rebuilding it the same way the helper does
+        s = df.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("event_id")), F.lit(8))
+        )
+        groups = {
+            (r["event_type"], r["_salt"]): r["cnt"]
+            for r in s.groupBy("event_type", "_salt")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        totals = {r["event_type"]: r["cnt"] for r in out.collect()}
+        return groups, totals
+
+    g1, t1 = stage1_groups(events.repartition(4))
+    g2, t2 = stage1_groups(events.repartition(17, "event_type"))
+    assert g1 == g2  # identical sub-key assignment under both layouts
+    assert t1 == t2

@@ -58,3 +58,22 @@ def test_fingerprint_deterministic_and_sensitive(spark):
     for ch in "hello world":
         acc = (acc * 31 + ord(ch)) % 1_000_000_007
     assert fp[1] == acc
+
+
+def test_fingerprint_fast_deterministic_and_sensitive(spark):
+    """xxhash64 default: stable across runs/partitionings, distinct for
+    distinct text, equal for equal text."""
+    rows = [(0, "the quick brown fox"), (1, "the quick brown fox"), (2, "other")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", T.fingerprint_fast("text").alias("fp")).collect()
+    }
+    again = {
+        r["doc_id"]: r["fp"]
+        for r in df.repartition(7)
+        .select("doc_id", T.fingerprint_fast("text").alias("fp"))
+        .collect()
+    }
+    assert got == again
+    assert got[0] == got[1] != got[2]
