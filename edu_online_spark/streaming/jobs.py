@@ -69,19 +69,27 @@ def register_windowed_job(
 
 
 def register_totals_job(
-    raw: DataFrame, out_path: str, checkpoint: str, available_now: bool = False
+    raw: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+    sink=None,
 ) -> StreamingQuery:
     """A2: all-time running registrations per platform.
 
     updateStateByKey (RegisterStreaming.scala:95-101) becomes a plain
     update-mode count — the state store holds one long per platform
     (bounded, checkpointed); no complete-mode materialization.
+
+    `sink` swaps the foreachBatch body (same keyed-upsert contract):
+    default bucketed parquet; pass sinks.dbapi_upsert(...) for the
+    reference's MySQL rendering.
     """
     reg = decode_register_log(raw)
     totals = reg.groupBy("platform").agg(F.count("*").alias("total"))
     return (
         totals.writeStream.outputMode("update")
-        .foreachBatch(sinks.parquet_upsert(out_path, ["platform"]))
+        .foreachBatch(sink or sinks.parquet_upsert(out_path, ["platform"]))
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()
@@ -131,6 +139,7 @@ def quiz_mastery_job(
     checkpoint: str,
     questions_per_point: int = 30,
     available_now: bool = False,
+    sink=None,
 ) -> StreamingQuery:
     """Stateful quiz mastery (QzPointStreaming.scala:124-184).
 
@@ -171,7 +180,9 @@ def quiz_mastery_job(
     )
     return (
         mastered.writeStream.outputMode("update")
-        .foreachBatch(sinks.parquet_upsert(out_path, ["uid", "courseid", "pointid"]))
+        .foreachBatch(
+            sink or sinks.parquet_upsert(out_path, ["uid", "courseid", "pointid"])
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()
@@ -244,24 +255,34 @@ def rawlog_archive_job(
     raw: DataFrame, out_path: str, checkpoint: str, available_now: bool = False
 ) -> StreamingQuery:
     """K4 archival (RawLogSparkStreaming.scala:83-102): raw values into
-    day-partitioned snappy parquet. The reference's custom appendable
-    OutputFormat (AppendTextOutputFormat.scala:12-71) is unnecessary —
-    the file sink is append-only and partition dirs replace path math.
+    (topic,) day-partitioned snappy parquet. The reference's custom
+    appendable OutputFormat (AppendTextOutputFormat.scala:12-71) is
+    unnecessary — the file sink is append-only and partition dirs
+    replace path math.
+
+    Layout parity: the reference writes `base/topic/yyyyMMdd`
+    (RawLogSparkStreaming.scala:83-89). When the source carries a
+    `topic` column (the Kafka adapter always does), the sink partitions
+    by (topic, day) so multi-topic archives never interleave; file
+    sources without a topic fall back to day-only.
 
     Event time comes from the source's timestamp column when present
     (Kafka provides one); else ingestion time.
     """
     cols = set(raw.columns)
     ts = F.col("timestamp") if "timestamp" in cols else F.current_timestamp()
-    archived = raw.select(
-        F.col("value").cast("string").alias("value"), day_bucket(ts).alias("day")
-    )
+    selected = [F.col("value").cast("string").alias("value"), day_bucket(ts).alias("day")]
+    partitions = ["day"]
+    if "topic" in cols:
+        selected.insert(1, F.col("topic"))
+        partitions = ["topic", "day"]
+    archived = raw.select(*selected)
     return (
         archived.writeStream.outputMode("append")
         .format("parquet")
         .option("path", out_path)
         .option("compression", "snappy")
-        .partitionBy("day")
+        .partitionBy(*partitions)
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()

@@ -8,47 +8,144 @@ offsets live in the checkpoint and sinks are idempotent-by-key
 the end-to-end effect is exactly-once (fixing the replay-doubling bug,
 SURVEY §2.8 T7).
 
-`parquet_upsert` is the local-filesystem rendering (read, anti-join,
-swap). On a cluster the same foreachBatch body becomes a Delta MERGE or
-JDBC `INSERT ... ON CONFLICT` — the contract (keyed overwrite) is
-identical, which is why the jobs take the sink as a parameter.
+Two renderings of the same keyed-upsert contract:
+
+  parquet_upsert   partition-PRUNED merge into a hash-bucketed parquet
+                   layout — a trigger reads and rewrites only the
+                   buckets its keys hash into, so per-trigger cost is
+                   O(batch + touched buckets), not O(sink size).
+  dbapi_upsert     the reference's actual mechanism (SqlProxy.scala:
+                   27-41): executor-side batched `INSERT ... ON
+                   CONFLICT/ON DUPLICATE KEY UPDATE` over any DB-API
+                   connection — MySQL in production, sqlite in tests.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_UPSERT_BUCKETS = 64
 
 
-def parquet_upsert(path: str, key_cols: list[str]):
-    """foreachBatch function: keyed upsert into a parquet directory.
+def parquet_upsert(path: str, key_cols: list[str], num_buckets: int = DEFAULT_UPSERT_BUCKETS):
+    """foreachBatch function: keyed upsert into bucketed parquet.
 
-    Merge = existing rows whose key is absent from the batch + the
-    batch (new values win). The staging-dir swap keeps readers from
-    seeing partial writes on the local FS; production storage with
-    atomic MERGE (Delta/Iceberg/JDBC) replaces this mechanism, not the
-    semantics.
+    Layout: parquet partitioned by `_bucket = pmod(xxhash64(keys), N)`
+    — a pure function of the key, so a key lives in exactly one
+    partition directory forever. Merge per trigger:
+
+      1. hash the batch keys → the set of AFFECTED buckets (collected
+         to the driver: ≤ N ints);
+      2. read ONLY those partition dirs (partition pruning on the
+         `_bucket` filter — untouched buckets are never opened);
+      3. anti-join old rows on the keys, union the batch (new wins);
+      4. dynamic partition overwrite (`partitionOverwriteMode=dynamic`)
+         rewrites ONLY the partitions present in the merged frame.
+
+    Replayed batches hit the same buckets with the same keys —
+    idempotent. The previous implementation read and rewrote the whole
+    sink every trigger (O(sink size) per batch); this one is
+    O(batch + touched buckets), which is what survives a sink that has
+    accumulated months of keys. Production storage with a native MERGE
+    (Delta/Iceberg/JDBC) replaces the mechanism, not the semantics.
     """
 
     def write(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
-        batch = batch.dropDuplicates(key_cols)
+        keyed = batch.dropDuplicates(key_cols).withColumn(
+            "_bucket",
+            F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(num_buckets)).cast(
+                "int"
+            ),
+        )
         if os.path.exists(path):
-            old = spark.read.parquet(path)
-            merged = old.join(batch.select(*key_cols), key_cols, "left_anti").unionByName(
-                batch
-            )
+            buckets = [r[0] for r in keyed.select("_bucket").distinct().collect()]
+            old = spark.read.parquet(path).filter(F.col("_bucket").isin(buckets))
+            merged = old.join(
+                keyed.select(*key_cols), key_cols, "left_anti"
+            ).unionByName(keyed)
         else:
-            merged = batch
-        staging = f"{path}.staging"
-        merged.write.mode("overwrite").parquet(staging)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.rename(staging, path)
+            merged = keyed
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bucket")
+            .parquet(path)
+        )
+
+    return write
+
+
+def dbapi_upsert(
+    table: str,
+    key_cols: list[str],
+    value_cols: list[str],
+    connection_factory,
+    dialect: str = "mysql",
+    parallelism: int | None = None,
+):
+    """foreachBatch function: executor-side batched keyed upsert into a
+    relational store over DB-API 2.0.
+
+    The real-cluster rendering of the reference's MySQL sink
+    (SqlProxy.scala:27-41, upsert SQL QzPointStreaming.scala:179-182):
+    each partition opens ONE connection, executemany()s the whole
+    partition, commits, closes — no driver round-trip, no per-row
+    connection churn. `connection_factory` must be picklable and return
+    a fresh connection ON THE EXECUTOR (e.g. a module-level function
+    closing over host/credentials).
+
+    dialect: 'mysql'  → INSERT ... ON DUPLICATE KEY UPDATE (%s params)
+             'sqlite' → INSERT ... ON CONFLICT(keys) DO UPDATE (? params)
+             'postgres' → INSERT ... ON CONFLICT DO UPDATE (%s params)
+    parallelism: cap concurrent writers (repartition before the write);
+    use 1 for stores without concurrent-writer support (sqlite tests).
+    """
+    cols = list(key_cols) + list(value_cols)
+    ph = "?" if dialect == "sqlite" else "%s"
+    placeholders = ", ".join([ph] * len(cols))
+    col_list = ", ".join(cols)
+    if dialect == "mysql":
+        updates = ", ".join(f"{c}=VALUES({c})" for c in value_cols)
+        sql = (
+            f"INSERT INTO {table} ({col_list}) VALUES ({placeholders}) "
+            f"ON DUPLICATE KEY UPDATE {updates}"
+        )
+    elif dialect in ("sqlite", "postgres"):
+        updates = ", ".join(f"{c}=excluded.{c}" for c in value_cols)
+        keys = ", ".join(key_cols)
+        sql = (
+            f"INSERT INTO {table} ({col_list}) VALUES ({placeholders}) "
+            f"ON CONFLICT({keys}) DO UPDATE SET {updates}"
+        )
+    else:
+        raise ValueError(f"unknown dialect {dialect!r}")
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        rows_df = batch.dropDuplicates(key_cols).select(*cols)
+        if parallelism:
+            rows_df = rows_df.repartition(parallelism)
+
+        def handle_partition(rows) -> None:
+            data = [tuple(r) for r in rows]
+            if not data:
+                return
+            conn = connection_factory()
+            try:
+                cur = conn.cursor()
+                cur.executemany(sql, data)
+                conn.commit()
+            finally:
+                conn.close()
+
+        rows_df.foreachPartition(handle_partition)
 
     return write
 

@@ -16,6 +16,37 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Normalized projection over Kafka's wire schema (key/value arrive as
+# binary). Every downstream job consumes exactly these columns, which is
+# the contract the file/rate adapters also satisfy.
+KAFKA_PROJECTION = [
+    "CAST(key AS STRING) AS key",
+    "CAST(value AS STRING) AS value",
+    "topic",
+    "partition",
+    "offset",
+    "timestamp",
+]
+
+
+def kafka_reader_options(
+    topics: str,
+    brokers: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """The option map for the Kafka reader, exposed as a pure function
+    so the plumbing is unit-testable without the spark-sql-kafka
+    connector on the classpath (tests/test_sources.py)."""
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topics,
+        "startingOffsets": starting_offsets,
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
 
 def kafka_stream(
     spark: SparkSession,
@@ -28,22 +59,12 @@ def kafka_stream(
     offset_manager table) is the checkpoint's job, so `startingOffsets`
     only matters on first start. maxOffsetsPerTrigger replaces the
     reference's maxRatePerPartition ingest caps (BASELINE.md)."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topics)
-        .option("startingOffsets", starting_offsets)
-    )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    return reader.load().selectExpr(
-        "CAST(key AS STRING) AS key",
-        "CAST(value AS STRING) AS value",
-        "topic",
-        "partition",
-        "offset",
-        "timestamp",
-    )
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(
+        topics, brokers, starting_offsets, max_offsets_per_trigger
+    ).items():
+        reader = reader.option(k, v)
+    return reader.load().selectExpr(*KAFKA_PROJECTION)
 
 
 def file_stream(

@@ -1,0 +1,140 @@
+"""Sink contracts: partition-pruned parquet upsert and the DB-API
+(MySQL-shaped) executor-side upsert, sqlite-backed for tests."""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+
+from edu_online_spark.streaming import jobs, sinks
+from edu_online_spark.streaming.sources import file_stream
+
+
+def _bucket_files(path: str) -> dict[str, frozenset[tuple[str, float]]]:
+    """partition dir → {(file, mtime)} — the fingerprint of what a
+    trigger physically touched."""
+    out = {}
+    for d in os.listdir(path):
+        if not d.startswith("_bucket="):
+            continue
+        full = os.path.join(path, d)
+        out[d] = frozenset(
+            (f, os.path.getmtime(os.path.join(full, f)))
+            for f in os.listdir(full)
+            if not f.startswith(".")
+        )
+    return out
+
+
+def test_parquet_upsert_touches_only_affected_buckets(spark, tmp_path):
+    """The merge must be partition-pruned: a trigger whose keys hash
+    into bucket B rewrites B and ONLY B — untouched buckets keep their
+    exact files (names + mtimes)."""
+    out = str(tmp_path / "sink")
+    # few buckets so two keys land apart with near-certainty checked below
+    sink = sinks.parquet_upsert(out, ["k"], num_buckets=8)
+
+    b1 = spark.createDataFrame([(f"key{i}", i) for i in range(16)], ["k", "v"])
+    sink(b1, 0)
+    before = _bucket_files(out)
+    assert len(before) > 1  # keys spread over multiple buckets
+
+    # update exactly one existing key
+    sink(spark.createDataFrame([("key3", 999)], ["k", "v"]), 1)
+    after = _bucket_files(out)
+
+    changed = [d for d in before if after[d] != before[d]]
+    assert len(changed) == 1  # only key3's bucket was rewritten
+    # value actually updated, nothing lost
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
+    assert rows["key3"] == 999 and len(rows) == 16
+
+
+def test_parquet_upsert_replay_idempotent(spark, tmp_path):
+    out = str(tmp_path / "sink")
+    sink = sinks.parquet_upsert(out, ["k"], num_buckets=4)
+    b = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"])
+    sink(b, 0)
+    sink(b, 0)  # replayed batch: same keys, same values
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
+    assert rows == {"a": 1, "b": 2}
+
+
+def test_dbapi_upsert_sqlite_batches(spark, tmp_path):
+    """INSERT ... ON CONFLICT DO UPDATE from the executors: second batch
+    overwrites colliding keys, leaves the rest."""
+    db = str(tmp_path / "sink.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE totals (platform TEXT PRIMARY KEY, total INTEGER)")
+    con.commit()
+    con.close()
+
+    sink = sinks.dbapi_upsert(
+        "totals",
+        ["platform"],
+        ["total"],
+        lambda: sqlite3.connect(db),
+        dialect="sqlite",
+        parallelism=1,  # sqlite: single writer
+    )
+    sink(spark.createDataFrame([("PC", 2), ("APP", 1)], ["platform", "total"]), 0)
+    sink(spark.createDataFrame([("PC", 5), ("Other", 1)], ["platform", "total"]), 1)
+
+    rows = dict(sqlite3.connect(db).execute("SELECT platform, total FROM totals"))
+    assert rows == {"PC": 5, "APP": 1, "Other": 1}
+
+
+def test_register_totals_job_into_dbapi_sink(spark, tmp_path):
+    """End-to-end: the A2 running-totals stream lands in a relational
+    store via the upsert sink; a second wave overwrites the same keys
+    with the accumulated totals (exactly-once effect)."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
+    db = str(tmp_path / "sink.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE totals (platform TEXT PRIMARY KEY, total INTEGER)")
+    con.commit()
+    con.close()
+    sink = sinks.dbapi_upsert(
+        "totals",
+        ["platform"],
+        ["total"],
+        lambda: sqlite3.connect(db),
+        dialect="sqlite",
+        parallelism=1,
+    )
+
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "b1.txt"), "w") as f:
+        f.write("u1\t1\t2026-08-13 10:00:01\nu2\t1\t2026-08-13 10:00:02\n")
+    q = jobs.register_totals_job(
+        file_stream(spark, src), "", ckpt, available_now=True, sink=sink
+    )
+    q.awaitTermination(120)
+    with open(os.path.join(src, "b2.txt"), "w") as f:
+        f.write("u3\t1\t2026-08-13 10:01:01\nu4\t2\t2026-08-13 10:01:02\n")
+    q = jobs.register_totals_job(
+        file_stream(spark, src), "", ckpt, available_now=True, sink=sink
+    )
+    q.awaitTermination(120)
+
+    rows = dict(sqlite3.connect(db).execute("SELECT platform, total FROM totals"))
+    assert rows == {"PC": 3, "APP": 1}
+
+
+def test_dbapi_upsert_mysql_sql_shape():
+    """The MySQL dialect emits the reference's upsert statement shape
+    (QzPointStreaming.scala:179-182) — checked textually since no MySQL
+    server exists in the container."""
+    import re
+
+    sink = sinks.dbapi_upsert(
+        "qz_point", ["uid", "pointid"], ["qz_sum"], lambda: None, "mysql"
+    )
+    # reach the SQL through the closure rather than a live Spark write
+    sql = [c for c in sink.__closure__ if isinstance(c.cell_contents, str)]
+    stmts = [c.cell_contents for c in sql if "INSERT INTO" in str(c.cell_contents)]
+    assert stmts, "upsert SQL not found in sink closure"
+    stmt = stmts[0]
+    assert re.search(r"INSERT INTO qz_point \(uid, pointid, qz_sum\)", stmt)
+    assert "ON DUPLICATE KEY UPDATE qz_sum=VALUES(qz_sum)" in stmt
+    assert "%s, %s, %s" in stmt

@@ -1,0 +1,86 @@
+"""Source-adapter plumbing: Kafka option map + wire-schema projection
+(unit-level — the container has no spark-sql-kafka connector), and the
+topic-partitioned archive layout."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from edu_online_spark.streaming import jobs
+from edu_online_spark.streaming.sources import (
+    KAFKA_PROJECTION,
+    file_stream,
+    kafka_reader_options,
+)
+
+
+def test_kafka_reader_options_plumbing():
+    opts = kafka_reader_options(
+        "register_topic,qz_log", "b-1:9092,b-2:9092",
+        starting_offsets="latest", max_offsets_per_trigger=10000,
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "b-1:9092,b-2:9092",
+        "subscribe": "register_topic,qz_log",
+        "startingOffsets": "latest",
+        "maxOffsetsPerTrigger": "10000",
+    }
+    # rate cap omitted unless requested (reference default: uncapped)
+    assert "maxOffsetsPerTrigger" not in kafka_reader_options("t", "b")
+
+
+def test_kafka_projection_normalizes_wire_schema(spark):
+    """The projection must turn Kafka's binary key/value into the
+    `value: string` contract every job consumes, preserving the
+    metadata columns."""
+    import datetime
+
+    rows = [
+        (
+            b"k1",
+            b"u1\t1\t2026-08-13 10:00:01",
+            "register_topic",
+            0,
+            42,
+            datetime.datetime(2026, 8, 13, 10, 0, 1),
+        )
+    ]
+    wire = spark.createDataFrame(
+        rows,
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp",
+    )
+    out = wire.selectExpr(*KAFKA_PROJECTION)
+    assert [f.name for f in out.schema.fields] == [
+        "key", "value", "topic", "partition", "offset", "timestamp",
+    ]
+    r = out.collect()[0]
+    assert r["key"] == "k1" and r["value"].startswith("u1\t")
+    assert r["topic"] == "register_topic" and r["offset"] == 42
+
+
+def test_rawlog_archive_partitions_by_topic_and_day(spark, tmp_path):
+    """Two topics in one stream must land in disjoint topic=/day= dirs
+    (RawLogSparkStreaming.scala:83-89 layout parity)."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "b1.txt"), "w") as f:
+        f.write("reg-payload-1\nqz-payload-1\nreg-payload-2\n")
+
+    raw = file_stream(spark, src).withColumn(
+        "topic",
+        F.when(F.col("value").startswith("reg"), "register_topic").otherwise("qz_log"),
+    )
+    q = jobs.rawlog_archive_job(raw, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    topics = sorted(d for d in os.listdir(out) if d.startswith("topic="))
+    assert topics == ["topic=qz_log", "topic=register_topic"]
+    for t in topics:
+        days = os.listdir(os.path.join(out, t))
+        assert any(d.startswith("day=") for d in days)
+    df = spark.read.parquet(out)
+    assert df.filter(F.col("topic") == "register_topic").count() == 2
+    assert df.filter(F.col("topic") == "qz_log").count() == 1
