@@ -31,6 +31,8 @@ HEADLINE = [
     "tpch_q3_top_orders",
     "tpch_q5_region_revenue",
     "tpch_q6_forecast_revenue",
+    "tpch_q4_priority_waiting",
+    "tpch_q21_waiting_suppliers",
     "part_topk_per_brand",
     "register_sliding_counts",
     "quiz_mastery",

@@ -71,11 +71,14 @@ def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
 def q3_top_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """TPC-H Q3: BUILDING-segment revenue top 10.
 
-    customer (segment-filtered) and orders (date-filtered) both broadcast
-    at small SF; at 100 TB orders exceeds the threshold and AQE picks a
-    shuffle join on o_orderkey — lineitem is already the probe side
-    either way, never re-partitioned twice. Top-10 compiles to
-    TakeOrderedAndProject: per-partition bounded heaps, no global sort.
+    No broadcast HINTS on orders/customer: they are fact-sized tables,
+    and an explicit hint would override autoBroadcastJoinThreshold and
+    AQE — at 100 TB that's a driver OOM, not a slow plan. At small SF
+    the size-based threshold still picks broadcast joins by itself; at
+    scale AQE degrades to shuffle joins on o_orderkey — lineitem is the
+    probe side either way, never re-partitioned twice. Top-10 compiles
+    to TakeOrderedAndProject: per-partition bounded heaps, no global
+    sort.
     """
     cutoff = F.lit("1998-06-01").cast("timestamp_ntz")
     revenue = _dec("l_extendedprice") * _one_minus("l_discount")
@@ -87,8 +90,8 @@ def q3_top_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame) -
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     return (
-        li.join(F.broadcast(ords), li.l_orderkey == ords.o_orderkey)
-        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(cust, ords.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -106,10 +109,13 @@ def q5_region_revenue(
 ) -> DataFrame:
     """TPC-H Q5: ASIA revenue per nation, local supplier = local customer.
 
-    Snowflake join order keeps lineitem as the single streaming fact:
-    region⋈nation (25 rows) and supplier broadcast; orders⋈customer
-    carries the customer's nation; the final equi-condition
-    c_nationkey = s_nationkey filters to intra-nation commerce.
+    Snowflake join order keeps lineitem as the single streaming fact.
+    Only the CONSTANT-size side gets a broadcast hint (region⋈nation:
+    ≤25 rows at any SF); customer/orders/supplier grow with SF, so
+    their join strategy is left to the size threshold + AQE — an
+    explicit hint there would force a 100 TB broadcast. The final
+    equi-condition c_nationkey = s_nationkey filters to intra-nation
+    commerce.
     """
     cutoff_lo = F.lit("1996-01-01").cast("timestamp_ntz")
     cutoff_hi = F.lit("1998-01-01").cast("timestamp_ntz")
@@ -129,9 +135,9 @@ def q5_region_revenue(
     sup = supplier.select("s_suppkey", "s_nationkey")
     return (
         lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-        .join(F.broadcast(ords), F.col("l_orderkey") == ords.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .join(ords, F.col("l_orderkey") == ords.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(sup, F.col("l_suppkey") == sup.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
@@ -151,6 +157,117 @@ def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q4_priority_waiting(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS → left-semi join.
+
+    Orders in a 3-month window having at least one lineitem shipped
+    more than 60 days after the order date (the synthetic tables carry
+    no commit/receipt dates, so the 'late' predicate is adapted; the
+    SHAPE — EXISTS with a mixed equi + non-equi correlated condition —
+    is the point). Catalyst compiles the semi-join with the non-equi
+    conjunct as a join residual: one shuffle (or broadcast at small
+    SF), no subquery re-execution per row, and the probe side stops at
+    the first match — exactly what EXISTS means.
+    """
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1996-04-01").cast("timestamp_ntz")
+    ords = orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        ords.join(
+            li,
+            (ords.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q17_small_qty_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average).
+
+    Yearly revenue lost if small-quantity orders (below 20% of the
+    part's average quantity) went unfilled, for one brand. The
+    correlated `(SELECT 0.2*avg(l_quantity) WHERE l2.l_partkey =
+    l_partkey)` becomes a per-part aggregate joined back to lineitem —
+    the aggregate is computed ONCE per part (map-side combined), not
+    once per probe row.
+
+    Cross-engine exactness: the threshold compare is reformulated
+    division-free as `5 · qty · count < sum` over exact decimals —
+    avg() on doubles is summation-order-dependent and would flip
+    boundary rows between engines.
+    """
+    li = lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty_sum"),
+        F.count("*").alias("qty_cnt"),
+    )
+    parts = part.filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 15)
+    ).select("p_partkey")
+    small = (
+        li.join(parts, li.l_partkey == parts.p_partkey)
+        .join(per_part, "l_partkey")
+        .filter(
+            F.lit(5) * F.col("l_quantity").cast("decimal(12,2)") * F.col("qty_cnt")
+            < F.col("qty_sum")
+        )
+    )
+    return small.agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+            "avg_yearly"
+        )
+    )
+
+
+def q21_waiting_suppliers(
+    supplier: DataFrame, lineitem: DataFrame, orders: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS against the same fact.
+
+    Suppliers in one nation who were the ONLY late shipper on a
+    multi-supplier finished order ('late' adapted to shipdate >
+    orderdate + 60 days; see q4). The two correlated subqueries
+    (EXISTS other-supplier lineitem, NOT EXISTS other-supplier LATE
+    lineitem) collapse into one per-order aggregate:
+
+        n_supp      = count_distinct(supplier)        per order
+        n_late_supp = count_distinct(late supplier)   per order
+
+    A late l1 row qualifies iff n_supp > 1 (someone else supplied) and
+    n_late_supp == 1 (the only late one is l1 itself). One extra
+    aggregate over a join already shuffled on l_orderkey — Catalyst
+    reuses the exchange — instead of two correlated sub-plans per row.
+    """
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderstatus"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    nat = nation.filter(F.col("n_name") == "NATION_3").select("n_nationkey")
+    sup = supplier.join(
+        F.broadcast(nat), supplier.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey", "s_name")
+    l1 = li.filter(late & (F.col("o_orderstatus") == "F")).join(
+        sup, F.col("l_suppkey") == sup.s_suppkey
+    )
+    return (
+        l1.join(per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+                "l_orderkey")
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
     )
 
 
@@ -203,6 +320,11 @@ QUERIES = {
         q5_region_revenue, "region", "nation", "customer", "supplier", "orders", "lineitem"
     ),
     "tpch_q6_forecast_revenue": _q(q6_forecast_revenue, "lineitem"),
+    "tpch_q4_priority_waiting": _q(q4_priority_waiting, "orders", "lineitem"),
+    "tpch_q17_small_qty_revenue": _q(q17_small_qty_revenue, "lineitem", "part"),
+    "tpch_q21_waiting_suppliers": _q(
+        q21_waiting_suppliers, "supplier", "lineitem", "orders", "nation"
+    ),
     "part_topk_per_brand": _q(top_parts_per_brand, "part"),
     "users_purchase_no_error": _q(users_purchase_no_error, "events"),
     "users_view_and_purchase": _q(users_view_and_purchase, "events"),
@@ -258,6 +380,54 @@ ORACLE = {
           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
         GROUP BY n_name
+    """,
+    "tpch_q4_priority_waiting": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+    """,
+    "tpch_q17_small_qty_revenue": """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+                   AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23' AND p_size < 15
+          AND 5 * CAST(l_quantity AS DECIMAL(12,2))
+                * (SELECT count(*) FROM lineitem l2
+                   WHERE l2.l_partkey = lineitem.l_partkey)
+              < (SELECT SUM(CAST(l_quantity AS DECIMAL(12,2))) FROM lineitem l2
+                 WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+    "tpch_q21_waiting_suppliers": """
+        SELECT s_name, count(*) AS numwait
+        FROM lineitem l1
+        JOIN orders   o ON o.o_orderkey = l1.l_orderkey
+        JOIN supplier s ON s.s_suppkey  = l1.l_suppkey
+        JOIN nation   n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_3'
+          AND o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 100
     """,
     "tpch_q6_forecast_revenue": """
         SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
