@@ -105,22 +105,29 @@ def frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     """mapInPandas 1→N stage: emit one row per sampled frame (every 5th
     of n_frames). With a real decoder each row would carry the frame
     bytes; the stub carries the frame index + deterministic pseudo-size.
-    The expansion happens inside the Arrow batch — no driver fan-out.
+    The expansion happens inside the Arrow batch — no driver fan-out —
+    and is fully vectorized: np.repeat builds the per-asset row fan-out
+    and a cumulative-offset trick produces each asset's 0,5,10,…
+    frame-index sequence without a Python-level loop over rows.
     """
+    import numpy as np
+
     for pdf in batches:
-        n = pdf["payload"].map(len).astype("int64")
+        n = pdf["payload"].map(len).to_numpy(dtype="int64")
         n_frames = (n % 30) + 1
-        rows = {"asset_id": [], "frame_idx": [], "frame_bytes": []}
-        for aid, nf, ln in zip(pdf["asset_id"], n_frames, n):
-            for fi in range(0, int(nf), 5):
-                rows["asset_id"].append(aid)
-                rows["frame_idx"].append(fi)
-                rows["frame_bytes"].append((int(ln) * (fi + 1)) % 10_000)
+        k = (n_frames + 4) // 5  # sampled frames per asset (step 5)
+        asset_ids = np.repeat(pdf["asset_id"].to_numpy(dtype="int64"), k)
+        lens = np.repeat(n, k)
+        # global arange minus each asset's starting offset → per-asset
+        # 0..k_i-1 counters, scaled by the stride
+        starts = np.repeat(np.cumsum(k) - k, k)
+        frame_idx = ((np.arange(k.sum()) - starts) * 5).astype("int32")
+        frame_bytes = (lens * (frame_idx + 1)) % 10_000
         yield pd.DataFrame(
             {
-                "asset_id": pd.Series(rows["asset_id"], dtype="int64"),
-                "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
-                "frame_bytes": pd.Series(rows["frame_bytes"], dtype="int64"),
+                "asset_id": pd.Series(asset_ids, dtype="int64"),
+                "frame_idx": pd.Series(frame_idx, dtype="int32"),
+                "frame_bytes": pd.Series(frame_bytes, dtype="int64"),
             }
         )
 

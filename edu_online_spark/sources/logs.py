@@ -68,6 +68,33 @@ def decode_qz_log(raw: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+def decode_page_log_ts(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """decode_page_log + an `event_ts` timestamp column for event-time
+    operators (stream-stream joins need watermarks on both sides).
+
+    Event time comes from an optional `ts` field in the JSON payload;
+    rows without one fall back to processing time — same contract as
+    Kafka's ingestion timestamp.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        list(schemas.PAGE_LOG.fields)
+        + [StructField("ts", StringType()), StructField("_corrupt", StringType())]
+    )
+    parsed = F.from_json(
+        F.col(value_col), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    df = raw.select(parsed.alias("j")).filter(F.col("j._corrupt").isNull())
+    return df.select(
+        *[
+            F.coalesce(F.col(f"j.{f.name}"), F.lit("")).alias(f.name)
+            for f in schemas.PAGE_LOG.fields
+        ],
+        F.coalesce(F.to_timestamp("j.ts"), F.current_timestamp()).alias("event_ts"),
+    )
+
+
 def decode_page_log(raw: DataFrame, value_col: str = "value") -> DataFrame:
     """JSON line → 7 string fields, missing keys default to "" and
     unparseable lines are dropped (PageStreaming.scala:68-85).

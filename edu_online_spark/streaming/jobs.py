@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..functions.core import day_bucket
-from ..sources.logs import decode_page_log, decode_qz_log, decode_register_log
+from ..sources.logs import (
+    decode_page_log,
+    decode_page_log_ts,
+    decode_qz_log,
+    decode_register_log,
+)
 from . import sinks
 
 
@@ -245,6 +250,78 @@ def page_flow_job(
     return (
         pages.writeStream.outputMode("append")
         .foreachBatch(per_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )
+
+
+def page_transition_join_job(
+    raw: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    max_gap: str = "10 minutes",
+    watermark: str = "30 seconds",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Stream-stream SELF-JOIN: page visits joined to their follow-up
+    visit — the conversion-funnel analysis PageStreaming.scala:82-84
+    hints at, done with the one Structured Streaming join shape the
+    other jobs don't exercise.
+
+    prev side: each visit keyed by (uid, page_id);
+    next side: each visit keyed by (uid, last_page_id);
+    match     = same user, page linkage, and the follow-up lands within
+                `max_gap` AFTER the first visit (the time-range conjunct
+                is what lets Spark BOUND the join state: rows are
+                dropped once the watermark passes from_ts + max_gap —
+                without it state grows forever).
+
+    Both sides carry a watermark, so late events beyond it are dropped
+    rather than joined (asserted in tests). Output is append-mode: a
+    transition is emitted once, when matched.
+    """
+    pages = decode_page_log_ts(raw).select("uid", "last_page_id", "page_id", "event_ts")
+    prev = (
+        pages.select(
+            F.col("uid"),
+            F.col("page_id").alias("from_page"),
+            F.col("event_ts").alias("from_ts"),
+        )
+        .withWatermark("from_ts", watermark)
+    )
+    nxt = (
+        pages.select(
+            F.col("uid").alias("uid2"),
+            F.col("last_page_id"),
+            F.col("page_id").alias("to_page"),
+            F.col("event_ts").alias("to_ts"),
+        )
+        .withWatermark("to_ts", watermark)
+    )
+    transitions = (
+        prev.join(
+            nxt,
+            (prev.uid == nxt.uid2)
+            & (F.col("from_page") == F.col("last_page_id"))
+            & (F.col("to_ts") > F.col("from_ts"))
+            & (F.col("to_ts") <= F.col("from_ts") + F.expr(f"INTERVAL {max_gap}")),
+            "inner",
+        )
+        .select(
+            "uid",
+            "from_page",
+            "to_page",
+            "from_ts",
+            "to_ts",
+            (F.unix_timestamp("to_ts") - F.unix_timestamp("from_ts")).alias(
+                "dwell_sec"
+            ),
+        )
+    )
+    return (
+        transitions.writeStream.outputMode("append")
+        .foreachBatch(sinks.parquet_append(out_path))
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()

@@ -174,3 +174,47 @@ def test_rawlog_archive_partitions(spark, tmp_path):
     assert "day" in df.columns  # day-partitioned layout (K4)
     days = os.listdir(out)
     assert any(d.startswith("day=") for d in days)
+
+
+def test_page_transition_stream_stream_join(spark, tmp_path):
+    """Watermarked stream-stream self-join: visits pair with their
+    follow-up within the gap; a late event beyond the watermark is
+    dropped, an in-window event still joins (T4 + the join shape)."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(
+        src,
+        "b1.txt",
+        [
+            '{"uid":"u1","last_page_id":"0","page_id":"1","ts":"2026-08-13 10:00:00"}',
+            '{"uid":"u1","last_page_id":"1","page_id":"2","ts":"2026-08-13 10:02:00"}',
+            '{"uid":"u1","last_page_id":"2","page_id":"3","ts":"2026-08-13 10:05:00"}',
+            '{"uid":"u2","last_page_id":"1","page_id":"2","ts":"2026-08-13 10:03:00"}',
+        ],
+    )
+    _run(jobs.page_transition_join_job, spark, src, out, ckpt)
+    pairs = {
+        (r["uid"], r["from_page"], r["to_page"], r["dwell_sec"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # u1: 1→2 (120s) and 2→3 (180s); u2's visit has no prior page-1 visit
+    assert pairs == {("u1", "1", "2", 120), ("u1", "2", "3", 180)}
+
+    _write_lines(
+        src,
+        "b2.txt",
+        [
+            # LATE: hours before the watermark (≈10:05 - 30s) → dropped
+            '{"uid":"u1","last_page_id":"0","page_id":"1","ts":"2026-08-13 07:00:00"}',
+            '{"uid":"u1","last_page_id":"7","page_id":"8","ts":"2026-08-13 07:00:10"}',
+            # in-window follow-up of the wave-1 page-3 visit → joins
+            '{"uid":"u1","last_page_id":"3","page_id":"4","ts":"2026-08-13 10:06:00"}',
+        ],
+    )
+    _run(jobs.page_transition_join_job, spark, src, out, ckpt)
+    pairs2 = {
+        (r["uid"], r["from_page"], r["to_page"], r["dwell_sec"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert ("u1", "3", "4", 60) in pairs2  # on-time event joined
+    assert ("u1", "7", "8", 10) not in pairs2  # late pair dropped
+    assert len(pairs2) == 3
