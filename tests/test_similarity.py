@@ -30,10 +30,20 @@ def test_lsh_and_ivf_recall(spark, sf_dir):
 
     lsh = _result_sets(knn_lsh(emb))
     ivf = _result_sets(knn_ivf(emb))
-    # Random 64-dim embeddings are a worst case for ANN; the floor
-    # asserts the index is functioning, not vector-db marketing numbers.
-    assert _recall(lsh, exact) >= 0.3, "SRP-LSH recall collapsed"
-    assert _recall(ivf, exact) >= 0.3, "IVF recall collapsed"
+    # measured floors (defaults, random 64-dim corpus — ANN's worst
+    # case): a parameter or hashing regression shows up as a collapse
+    assert _recall(lsh, exact) >= 0.5, "SRP-LSH recall collapsed"
+    assert _recall(ivf, exact) >= 0.5, "IVF recall collapsed"
     # every returned neighbor must be a real corpus vector, never self
     for q, nn in {**lsh, **ivf}.items():
         assert q not in nn
+
+
+def test_recall_gates_at_bench_scale(spark):
+    """Pinned ANN quality at the bench scale factor (sf0.1, the corpus
+    the driver benches): measured 0.96 (LSH) / 0.94 (IVF); gates at
+    0.9 leave noise headroom while catching any real regression."""
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    exact = _result_sets(knn_bruteforce(emb))
+    assert _recall(_result_sets(knn_lsh(emb)), exact) >= 0.9
+    assert _recall(_result_sets(knn_ivf(emb)), exact) >= 0.9
