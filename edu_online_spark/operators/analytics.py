@@ -33,6 +33,26 @@ def orders_rollup(orders: DataFrame) -> DataFrame:
     )
 
 
+def orders_cube(orders: DataFrame) -> DataFrame:
+    """CUBE (status, priority): all 4 grouping combinations in one pass.
+    Like ROLLUP, the expansion happens inside the partial aggregate —
+    each input row contributes to 2^n grouping sets locally before the
+    single shuffle."""
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+def orders_grouping_sets(orders: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS ((status), (priority)) — the two
+    single-dimension marginals WITHOUT the grand total or cross product
+    a cube would add; the operator unions nothing, it's still one
+    aggregate with a grouping-set expansion."""
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"]], "o_orderstatus", "o_orderpriority"
+    ).agg(F.count("*").alias("n_orders"))
+
+
 def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """Anti-join: customers that never ordered. The orders side reduces
     to distinct keys before the broadcast — at 100 TB the key set is
@@ -113,6 +133,8 @@ def _q(fn, *tables):
 
 QUERIES = {
     "orders_rollup": _q(orders_rollup, "orders"),
+    "orders_cube": _q(orders_cube, "orders"),
+    "orders_grouping_sets": _q(orders_grouping_sets, "orders"),
     "customers_without_orders": _q(customers_without_orders, "customer", "orders"),
     "daily_event_pivot": _q(daily_event_pivot, "events"),
     "events_distinct_users": _q(distinct_users_by_type, "events"),
@@ -129,6 +151,14 @@ ORACLE = {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
                    AS total_value
         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "orders_cube": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "orders_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
     """,
     "customers_without_orders": """
         SELECT c_custkey, c_name, c_mktsegment FROM customer

@@ -271,6 +271,132 @@ def q21_waiting_suppliers(
     )
 
 
+def priciest_order_per_priority(orders: DataFrame) -> DataFrame:
+    """TPC-H Q2 shape: correlated MAX scalar subquery (`WHERE
+    o_totalprice = (SELECT max(...) ... same priority)`) as a per-group
+    max joined back — the aggregate runs once per group, the join
+    broadcasts 5 rows, ties surface in both engines identically.
+    """
+    per_pri = orders.groupBy("o_orderpriority").agg(
+        F.max("o_totalprice").alias("max_price")
+    )
+    return (
+        orders.join(F.broadcast(per_pri), "o_orderpriority")
+        .filter(F.col("o_totalprice") == F.col("max_price"))
+        .select("o_orderpriority", "o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q13_customer_order_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13: customer count by number of (non-finished) orders.
+
+    LEFT OUTER join so zero-order customers land in the c_count=0
+    bucket, then a second aggregation over the first — the outer join
+    preserves the entire customer side, and count(o_orderkey) (not
+    count(*)) is what makes the no-match rows count as 0.
+    """
+    co = (
+        customer.select("c_custkey")
+        .join(
+            orders.filter(F.col("o_orderstatus") != "F").select(
+                "o_custkey", "o_orderkey"
+            ),
+            customer.c_custkey == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q16_dormant_customers_per_segment(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN (uncorrelated subquery) → left-anti join.
+
+    Customers with no order in the dataset's final two months, counted
+    per market segment. The NOT IN list reduces to DISTINCT keys before
+    the anti join — at 100 TB the key set travels, not the orders.
+    (o_custkey is non-null, so NOT IN ≡ anti join; a nullable probe
+    would need Spark's null-aware anti-join special case.)
+    """
+    recent = (
+        orders.filter(
+            F.col("o_orderdate") >= F.lit("2001-06-01").cast("timestamp_ntz")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        customer.join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_dormant"))
+    )
+
+
+def q18_large_volume_orders(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, threshold: int = 200
+) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity clears a HAVING threshold,
+    re-joined to customer detail, top 100 by price.
+
+    The HAVING aggregate runs on lineitem alone (partial-combined, one
+    shuffle on l_orderkey); only qualifying keys join back — a
+    semi-join-shaped reduction before touching customer.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("total_qty"))
+        .filter(F.col("total_qty") >= threshold)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q20_heavy_small_part_suppliers(
+    supplier: DataFrame, lineitem: DataFrame, part: DataFrame, nation: DataFrame,
+    qty_threshold: int = 60,
+) -> DataFrame:
+    """TPC-H Q20 shape: nested IN chains → stacked semi joins.
+
+    Suppliers in one nation who moved more than `qty_threshold` units
+    of any 'small …' part: part-name IN-list → semi join onto lineitem,
+    group by (supp, part) HAVING sum(qty) > t → distinct supplier keys
+    → semi join onto supplier. Every IN becomes a key-set reduction;
+    nothing fact-sized is ever on a build side.
+    """
+    small_parts = part.filter(F.col("p_name").startswith("small")).select("p_partkey")
+    heavy = (
+        lineitem.join(
+            small_parts, lineitem.l_partkey == small_parts.p_partkey, "left_semi"
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty"))
+        .filter(F.col("qty") > qty_threshold)
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = nation.filter(F.col("n_name") == "NATION_5").select("n_nationkey")
+    return (
+        supplier.join(heavy, supplier.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(nat), supplier.s_nationkey == nat.n_nationkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
 def top_parts_per_brand(part: DataFrame, k: int = 3) -> DataFrame:
     """Windowed top-k per group: k priciest parts per brand.
 
@@ -326,6 +452,19 @@ QUERIES = {
         q21_waiting_suppliers, "supplier", "lineitem", "orders", "nation"
     ),
     "part_topk_per_brand": _q(top_parts_per_brand, "part"),
+    "orders_priciest_per_priority": _q(priciest_order_per_priority, "orders"),
+    "tpch_q13_order_distribution": _q(
+        q13_customer_order_distribution, "customer", "orders"
+    ),
+    "tpch_q16_dormant_customers": _q(
+        q16_dormant_customers_per_segment, "customer", "orders"
+    ),
+    "tpch_q18_large_orders": _q(
+        q18_large_volume_orders, "customer", "orders", "lineitem"
+    ),
+    "tpch_q20_heavy_suppliers": _q(
+        q20_heavy_small_part_suppliers, "supplier", "lineitem", "part", "nation"
+    ),
     "users_purchase_no_error": _q(users_purchase_no_error, "events"),
     "users_view_and_purchase": _q(users_view_and_purchase, "events"),
 }
@@ -437,6 +576,57 @@ ORACLE = {
           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
           AND l_discount BETWEEN 0.03 AND 0.07
           AND l_quantity < 24
+    """,
+    "orders_priciest_per_priority": """
+        SELECT o_orderpriority, o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice = (SELECT max(o_totalprice) FROM orders o2
+                              WHERE o2.o_orderpriority = o.o_orderpriority)
+    """,
+    "tpch_q13_order_distribution": """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+    """,
+    "tpch_q16_dormant_customers": """
+        SELECT c_mktsegment, count(*) AS n_dormant
+        FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00'
+        )
+        GROUP BY c_mktsegment
+    """,
+    "tpch_q18_large_orders": """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(total_qty AS DOUBLE) AS total_qty
+        FROM (
+            SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) >= 200
+        ) big
+        JOIN orders   ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 100
+    """,
+    "tpch_q20_heavy_suppliers": """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE 'small%')
+            GROUP BY l_suppkey, l_partkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 60
+        )
+        AND s_nationkey IN (SELECT n_nationkey FROM nation
+                            WHERE n_name = 'NATION_5')
     """,
     "part_topk_per_brand": """
         WITH ranked AS (
