@@ -60,6 +60,39 @@ def salted_agg(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt: int = 16,
+    salt_cols: list[str] | None = None,
+) -> DataFrame:
+    """Skew-mitigated inner equi-join: the big side gets a
+    content-derived salt, the small side is replicated `salt`× (explode
+    of a literal range), and the join key becomes (keys..., salt) — a
+    hot key's rows now spread over `salt` reducers instead of one.
+
+    Cost model: the small side's shuffle volume multiplies by `salt`
+    (why this exists for dimension-sized, not fact-sized, build sides);
+    the big side's volume is unchanged. Inner-join semantics are
+    preserved exactly: each big-side row matches precisely the one
+    replica carrying its salt value. Salt is deterministic row content
+    (same rationale as salted_agg). AQE's skew-join splitting makes
+    this unnecessary for sort-merge joins it can see; this helper is
+    for the cases it can't (e.g. a skewed key feeding a downstream
+    stateful op where you want the spread to persist).
+    """
+    if salt_cols is None:
+        salt_cols = [c for c in big.columns if c not in on] or list(big.columns)
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt))
+    )
+    replicated = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return salted_big.join(replicated, [*on, "_salt"]).drop("_salt")
+
+
 def salted_count(df: DataFrame, keys: list[str], salt: int = 16) -> DataFrame:
     """Salted count per key — the reference's exact example (A10)."""
     return salted_agg(

@@ -126,6 +126,96 @@ def purchase_attribution(events: DataFrame) -> DataFrame:
     )
 
 
+def purchase_view_window_counts(events: DataFrame, window_sec: int = 3600) -> DataFrame:
+    """Range join, scale-shaped: views within the hour before each
+    purchase, counted per purchase.
+
+    A naive time-range join (`v.ts BETWEEN p.ts - 1h AND p.ts` with only
+    the user as equi-key) degenerates into a per-user cross join. The
+    100 TB rendering BINS time: every view carries its hour bucket, each
+    purchase probes exactly two buckets (its own + the previous — a
+    1-hour window can only span two), so the join is pure equi on
+    (user_id, bin) with the precise range as a residual filter. Join
+    fan-out is bounded by events-per-user-per-hour, not events-per-user.
+    Purchases with no prior views are kept via the final left join
+    (count 0).
+    """
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        epoch.alias("v_epoch"),
+        F.floor(epoch / window_sec).alias("bin"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts"), epoch.alias("p_epoch")
+    )
+    probes = purchases.withColumn(
+        "bin",
+        F.explode(
+            F.array(
+                F.floor(F.col("p_epoch") / window_sec) - 1,
+                F.floor(F.col("p_epoch") / window_sec),
+            )
+        ),
+    )
+    matched = probes.join(
+        views,
+        (probes.user_id == views.v_user)
+        & (probes.bin == views.bin)
+        & (views.v_epoch >= probes.p_epoch - window_sec)
+        & (views.v_epoch < probes.p_epoch),
+    )
+    counts = matched.groupBy("event_id").agg(F.count("*").alias("n_views_1h"))
+    return (
+        purchases.join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "purchase_ts",
+            F.coalesce(F.col("n_views_1h"), F.lit(0)).alias("n_views_1h"),
+        )
+    )
+
+
+def purchases_minutely_gapfill(events: DataFrame) -> DataFrame:
+    """Time-series resample + gap-fill + LOCF over the purchase stream.
+
+    A dense minute spine (sequence/explode of the observed min..max —
+    the spine is arithmetic, it never touches storage) left-joined to
+    per-minute purchase counts; missing minutes become cnt 0, and a
+    last-observation-carried-forward column (window `last(ignorenulls)`)
+    shows the canonical imputation shape. One shuffle for the counts,
+    one window pass for LOCF. The unpartitioned LOCF window is safe at
+    any data scale because it runs over the SPINE, whose row count is
+    calendar-bounded (~526k minutes/year) regardless of corpus size —
+    only the per-minute aggregate sees the raw events.
+    """
+    minute = F.date_trunc("minute", F.col("ts"))
+    purchases = events.filter(F.col("event_type") == "purchase")
+    per_min = purchases.groupBy(minute.alias("minute")).agg(
+        F.count("*").alias("observed")
+    )
+    spine = (
+        purchases.agg(
+            F.min(minute).alias("lo"), F.max(minute).alias("hi")
+        )
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 MINUTE"))
+            ).alias("minute")
+        )
+    )
+    w = Window.orderBy("minute").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(per_min, "minute", "left")
+        .select(
+            "minute",
+            F.coalesce(F.col("observed"), F.lit(0)).alias("n_purchases"),
+            F.last("observed", ignorenulls=True).over(w).alias("locf_purchases"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked query registry
 # ---------------------------------------------------------------------------
@@ -148,11 +238,21 @@ def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchase_attribution(load_table(spark, sf_dir, "events"))
 
 
+def q_purchase_view_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return purchase_view_window_counts(load_table(spark, sf_dir, "events"))
+
+
+def q_purchases_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return purchases_minutely_gapfill(load_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "events_sessionize": q_sessionize,
     "events_session_stats": q_session_stats,
     "events_region_enrich": q_region_enrichment,
     "purchase_attribution": q_purchase_attribution,
+    "purchase_view_window_counts": q_purchase_view_window,
+    "purchases_minutely_gapfill": q_purchases_gapfill,
 }
 
 _SESSIONS_SQL = f"""
@@ -193,6 +293,33 @@ ORACLE = {
         FROM (SELECT CAST(user_id % 5 AS INTEGER) AS k, event_type FROM events) e
         JOIN region ON e.k = r_regionkey
         GROUP BY 1, 2
+    """,
+    "purchase_view_window_counts": """
+        SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+               (SELECT count(*) FROM events v
+                WHERE v.event_type = 'view' AND v.user_id = p.user_id
+                  AND epoch(v.ts) >= epoch(p.ts) - 3600
+                  AND epoch(v.ts) <  epoch(p.ts)) AS n_views_1h
+        FROM events p WHERE p.event_type = 'purchase'
+    """,
+    "purchases_minutely_gapfill": """
+        WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        per_min AS (
+            SELECT date_trunc('minute', ts) AS minute, count(*) AS observed
+            FROM p GROUP BY 1
+        ),
+        spine AS (
+            SELECT unnest(generate_series(min(date_trunc('minute', ts)),
+                                          max(date_trunc('minute', ts)),
+                                          INTERVAL 1 MINUTE)) AS minute
+            FROM p
+        )
+        SELECT s.minute,
+               coalesce(m.observed, 0) AS n_purchases,
+               last_value(m.observed IGNORE NULLS)
+                   OVER (ORDER BY s.minute ROWS UNBOUNDED PRECEDING)
+                   AS locf_purchases
+        FROM spine s LEFT JOIN per_min m ON s.minute = m.minute
     """,
     "purchase_attribution": """
         WITH w AS (

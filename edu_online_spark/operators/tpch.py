@@ -414,6 +414,24 @@ def top_parts_per_brand(part: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def part_price_rank_family(part: DataFrame) -> DataFrame:
+    """The full ranking-function family in one windowed pass per brand:
+    dense_rank, percent_rank, cume_dist, ntile(4) — one shuffle on
+    p_brand, every function computed from the same sort order
+    (price desc, partkey asc for a total, engine-independent order).
+    """
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return part.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.dense_rank().over(w).alias("drank"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 def users_purchase_no_error(events: DataFrame) -> DataFrame:
     """Set op EXCEPT: users who purchased and never hit an error."""
     purchasers = events.filter(F.col("event_type") == "purchase").select("user_id")
@@ -465,6 +483,7 @@ QUERIES = {
     "tpch_q20_heavy_suppliers": _q(
         q20_heavy_small_part_suppliers, "supplier", "lineitem", "part", "nation"
     ),
+    "part_price_rank_family": _q(part_price_rank_family, "part"),
     "users_purchase_no_error": _q(users_purchase_no_error, "events"),
     "users_view_and_purchase": _q(users_view_and_purchase, "events"),
 }
@@ -637,6 +656,16 @@ ORACLE = {
         )
         SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS INTEGER) AS rn
         FROM ranked WHERE rn <= 3
+    """,
+    "part_price_rank_family": """
+        SELECT p_brand, p_partkey, p_retailprice,
+               CAST(dense_rank()   OVER w AS INTEGER) AS drank,
+               percent_rank() OVER w AS prank,
+               cume_dist()    OVER w AS cdist,
+               CAST(ntile(4)  OVER w AS INTEGER) AS quartile
+        FROM part
+        WINDOW w AS (PARTITION BY p_brand
+                     ORDER BY p_retailprice DESC, p_partkey ASC)
     """,
     "users_purchase_no_error": """
         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'

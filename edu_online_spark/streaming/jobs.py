@@ -256,6 +256,38 @@ def page_flow_job(
     )
 
 
+def register_dedup_job(
+    raw: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    watermark: str = "10 minutes",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming exact dedup: at-least-once sources (the reference's
+    Kafka replays, SURVEY §2.8 T7) deliver duplicate records; this job
+    emits each (user_id, create_time) registration exactly once.
+
+    dropDuplicatesWithinWatermark keeps the seen-key set in the state
+    store only until the watermark passes — BOUNDED state, unlike a
+    plain dropDuplicates whose key set grows forever. The streaming
+    twin of operators/dedup.exact_dedup.
+    """
+    reg = decode_register_log(raw).withColumn(
+        "event_ts", F.to_timestamp("create_time")
+    )
+    deduped = reg.withWatermark("event_ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "create_time"]
+    )
+    return (
+        deduped.select("user_id", "platform", "create_time")
+        .writeStream.outputMode("append")
+        .foreachBatch(sinks.parquet_append(out_path))
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )
+
+
 def page_transition_join_job(
     raw: DataFrame,
     out_path: str,

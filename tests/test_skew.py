@@ -56,3 +56,27 @@ def test_salt_assignment_is_partitioning_invariant(spark, sf_dir):
     g2, t2 = stage1_groups(events.repartition(17, "event_type"))
     assert g1 == g2  # identical sub-key assignment under both layouts
     assert t1 == t2
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """salted_join ≡ plain inner join, any input partitioning."""
+    from edu_online_spark.functions.skew import salted_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "user_id"
+    )
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 3), ("error", 4), ("signup", 5)],
+        ["event_type", "weight"],
+    )
+    plain = {
+        (r["event_id"], r["weight"])
+        for r in events.join(dim, ["event_type"]).collect()
+    }
+    salted = {
+        (r["event_id"], r["weight"])
+        for r in salted_join(
+            events.repartition(7), dim, ["event_type"], salt=8
+        ).collect()
+    }
+    assert salted == plain and len(plain) > 0

@@ -218,3 +218,37 @@ def test_page_transition_stream_stream_join(spark, tmp_path):
     assert ("u1", "3", "4", 60) in pairs2  # on-time event joined
     assert ("u1", "7", "8", 10) not in pairs2  # late pair dropped
     assert len(pairs2) == 3
+
+
+def test_register_dedup_job_drops_replayed_records(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside a batch and
+    across batches (within the watermark) are emitted once."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(
+        src,
+        "b1.txt",
+        [
+            "u1\t1\t2026-08-13 10:00:01",
+            "u1\t1\t2026-08-13 10:00:01",  # in-batch duplicate
+            "u2\t1\t2026-08-13 10:00:02",
+        ],
+    )
+    _run(jobs.register_dedup_job, spark, src, out, ckpt)
+    _write_lines(
+        src,
+        "b2.txt",
+        [
+            "u1\t1\t2026-08-13 10:00:01",  # cross-batch duplicate
+            "u3\t2\t2026-08-13 10:00:03",  # new
+        ],
+    )
+    _run(jobs.register_dedup_job, spark, src, out, ckpt)
+    rows = sorted(
+        (r["user_id"], r["create_time"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [
+        ("u1", "2026-08-13 10:00:01"),
+        ("u2", "2026-08-13 10:00:02"),
+        ("u3", "2026-08-13 10:00:03"),
+    ]
