@@ -136,6 +136,88 @@ def curate_documents(
     )
 
 
+BENCH_SOURCE = "src0"  # stand-in benchmark/eval corpus
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 56  # 8-token overlap between consecutive chunks
+
+
+def benchmark_contamination(
+    documents: DataFrame, bench_source: str = BENCH_SOURCE, n: int = 3
+) -> DataFrame:
+    """Benchmark-contamination scan: for every training document, the
+    fraction of its word 3-shingles that also appear in the benchmark
+    corpus (here: the docs of one source). The decontamination step
+    every serious pre-training pipeline runs before training.
+
+    Plan: shingle rows for both sides (codegen explode+window form),
+    the benchmark side reduced to DISTINCT shingles, one equi join on
+    the shingle string + per-doc aggregate. The join key is the
+    shingle, so heavy-hitter shingles (stopword runs) fan out — at
+    100 TB you'd pre-hash shingles (32-byte keys) and optionally drop
+    the top-0.1% document-frequency shingles, which are useless for
+    contamination evidence anyway.
+    """
+    from ..functions.text import shingle_rows
+
+    sh = shingle_rows(documents, "doc_id", "text", n)
+    bench_ids = documents.filter(F.col("source") == bench_source).select("doc_id")
+    bench_sh = (
+        sh.join(bench_ids, "doc_id", "left_semi").select("shingle").distinct()
+    )
+    train_sh = sh.join(bench_ids, "doc_id", "left_anti")
+    hits = train_sh.join(
+        bench_sh.withColumn("_hit", F.lit(1)), "shingle", "left"
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_rate", F.col("n_contaminated") / F.col("n_shingles")
+        )
+    )
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Fixed-size token chunking with overlap — the doc→training-sample
+    fan-out stage of an LLM data pipeline.
+
+    1→N row expansion stays inside the scan stage: chunk start offsets
+    are a `sequence(...)` literal range (no data motion), `slice` +
+    `array_join` cut each chunk — all JVM expressions, no Python, no
+    shuffle at all. Chunks inherit doc_id + chunk_idx so downstream
+    dedup/shuffling can trace provenance.
+    """
+    toks = F.split(F.trim(F.col("text")), " +")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    return (
+        documents.select(
+            "doc_id",
+            "source",
+            toks.alias("w"),
+            F.posexplode(starts).alias("chunk_idx", "start"),
+        )
+        .filter(F.col("start") < F.size("w"))
+        .select(
+            "doc_id",
+            "source",
+            "chunk_idx",
+            F.array_join(
+                F.slice("w", F.col("start") + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(F.size("w") - F.col("start"), F.lit(chunk_tokens)).alias(
+                "n_chunk_tokens"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked query registry
 # ---------------------------------------------------------------------------
@@ -158,6 +240,8 @@ QUERIES = {
     "text_token_stats": _q(token_stats_by_source),
     "text_top_bigrams": _q(top_bigrams),
     "documents_curated": _q(curate_documents),
+    "benchmark_contamination": _q(benchmark_contamination),
+    "documents_chunked": _q(chunk_documents),
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), ' +')"
@@ -241,6 +325,50 @@ ORACLE = {
         WHERE lang IN ('en', 'es', 'de', 'fr')
           AND n_tokens >= 20 AND punct_ratio <= 0.1
         GROUP BY text
+    """,
+    "benchmark_contamination": f"""
+        WITH sh AS (
+            SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ')
+                                   for i in range(1, len(w) - 1)]) AS shingle
+            FROM (SELECT doc_id, {_TOKENS} AS w FROM documents)
+            WHERE len(w) >= 3
+        ),
+        bench AS (
+            SELECT DISTINCT shingle FROM sh
+            WHERE doc_id IN (SELECT doc_id FROM documents
+                             WHERE source = '{BENCH_SOURCE}')
+        ),
+        train AS (
+            SELECT * FROM sh
+            WHERE doc_id NOT IN (SELECT doc_id FROM documents
+                                 WHERE source = '{BENCH_SOURCE}')
+        )
+        SELECT t.doc_id,
+               count(*) AS n_shingles,
+               CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contaminated,
+               CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) AS contamination_rate
+        FROM train t LEFT JOIN bench b ON t.shingle = b.shingle
+        GROUP BY t.doc_id
+    """,
+    "documents_chunked": f"""
+        WITH toks AS (SELECT doc_id, source, {_TOKENS} AS w FROM documents),
+        chunks AS (
+            SELECT doc_id, source, w,
+                   unnest(range(0, CAST(ceil(greatest(len(w), 1)
+                                             / {CHUNK_STRIDE}.0) AS BIGINT)))
+                       AS chunk_idx
+            FROM toks
+        )
+        SELECT doc_id, source, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+               array_to_string(w[chunk_idx * {CHUNK_STRIDE} + 1
+                                 : chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+                               ' ') AS chunk_text,
+               CAST(least(len(w) - chunk_idx * {CHUNK_STRIDE}, {CHUNK_TOKENS})
+                    AS INTEGER) AS n_chunk_tokens
+        FROM chunks
+        WHERE chunk_idx * {CHUNK_STRIDE} < len(w)
     """,
     "text_token_stats": f"""
         WITH per_doc AS (

@@ -23,6 +23,7 @@ _EXTENSION_NAMES = [
     "tpch",
     "analytics",
     "sessions",
+    "iplookup",
     "dedup",
     "similarity",
     "textops",
