@@ -1,0 +1,59 @@
+"""PID rate estimator: convergence, overload shedding, backlog drain."""
+
+from __future__ import annotations
+
+from edu_online_spark.streaming.backpressure import (
+    BatchStats,
+    PIDRateEstimator,
+    stats_from_progress,
+)
+
+
+def test_converges_to_processing_rate():
+    """Steady pipeline processing 1000 rows/s → estimate settles there."""
+    est = PIDRateEstimator(batch_interval_sec=3.0)
+    rate = None
+    for i in range(1, 20):
+        # each batch: 3000 rows in 3s → 1000 rows/s, no backlog
+        rate = est.update(BatchStats(i * 3.0, 3000, 3.0))
+    assert rate is not None and abs(rate - 1000.0) < 1.0
+    assert est.suggested_max_per_trigger() == int(rate * 3.0)
+
+
+def test_overload_cuts_rate():
+    """Batches taking 2x the interval → the estimator cuts the ingest
+    rate toward what the pipeline actually sustains."""
+    est = PIDRateEstimator(batch_interval_sec=3.0)
+    est.update(BatchStats(3.0, 6000, 3.0))  # bootstrap at 2000/s
+    rate = est.update(BatchStats(9.0, 6000, 6.0))  # same rows, 2x time
+    assert rate is not None and rate < 2000.0
+    assert rate >= 1000.0 - 1e-9  # no overshoot past measured capacity
+
+
+def test_backlog_pushes_below_processing_rate():
+    """With scheduling delay (queued batches), the integral term drives
+    the rate BELOW the processing rate to drain the backlog."""
+    est = PIDRateEstimator(batch_interval_sec=3.0)
+    est.update(BatchStats(3.0, 3000, 3.0))
+    no_backlog = est.update(BatchStats(6.0, 3000, 3.0, scheduling_delay_sec=0.0))
+    est2 = PIDRateEstimator(batch_interval_sec=3.0)
+    est2.update(BatchStats(3.0, 3000, 3.0))
+    backlog = est2.update(BatchStats(6.0, 3000, 3.0, scheduling_delay_sec=6.0))
+    assert backlog is not None and no_backlog is not None
+    assert backlog < no_backlog
+
+
+def test_min_rate_floor():
+    est = PIDRateEstimator(batch_interval_sec=1.0, min_rate=100.0)
+    est.update(BatchStats(1.0, 1000, 1.0))
+    # catastrophic slowdown cannot drive the rate to zero
+    rate = est.update(BatchStats(2.0, 10, 100.0, scheduling_delay_sec=500.0))
+    assert rate == 100.0
+
+
+def test_stats_from_progress_adapter():
+    p = {"durationMs": {"triggerExecution": 1500}, "numInputRows": 4500}
+    s = stats_from_progress(p, time_sec=42.0)
+    assert s is not None
+    assert s.num_elements == 4500 and s.processing_delay_sec == 1.5
+    assert stats_from_progress({}, 0.0) is None
