@@ -109,6 +109,31 @@ def deterministic_sample(events: DataFrame, pct: int = 10) -> DataFrame:
     )
 
 
+STRATA_PCT = {"view": 5, "click": 10, "signup": 50, "purchase": 100, "error": 100}
+
+
+def stratified_sample(events: DataFrame, pct: dict[str, int] | None = None) -> DataFrame:
+    """Deterministic stratified sampling: a different keep-fraction per
+    stratum (downsample the floods, keep every rare event) — the class
+    rebalancing step of a training-data pipeline.
+
+    Same multiplicative-hash bucketing as deterministic_sample (stable
+    under retries, engines, partitionings — rand()/sampleBy are not),
+    with the threshold looked up per event_type. Rows whose type is
+    outside the map are dropped. Output is the surviving row ids, so
+    the oracle checks the exact membership, not just counts.
+    """
+    pct = STRATA_PCT if pct is None else pct
+    reduced = F.pmod(F.col("event_id"), F.lit(2147483647))
+    bucket = F.pmod(reduced * F.lit(2654435761), F.lit(100))
+    threshold = F.lit(None).cast("int")
+    for etype, p in sorted(pct.items()):
+        threshold = F.when(F.col("event_type") == etype, F.lit(p)).otherwise(threshold)
+    return events.select(
+        "event_id", "event_type", bucket.alias("bucket"), threshold.alias("thr")
+    ).filter(F.col("bucket") < F.col("thr")).select("event_id", "event_type")
+
+
 def price_quantiles(lineitem: DataFrame) -> DataFrame:
     """Exact interpolated percentiles per return flag (Spark percentile
     ≡ DuckDB quantile_cont, verified bit-exact)."""
@@ -143,7 +168,12 @@ QUERIES = {
     ),  # rows-only: sketch estimate is engine-specific
     "lineitem_price_quantiles": _q(price_quantiles, "lineitem"),
     "events_deterministic_sample": _q(deterministic_sample, "events"),
+    "events_stratified_sample": _q(stratified_sample, "events"),
 }
+
+_STRATA_CASE = " ".join(
+    f"WHEN event_type = '{t}' THEN {p}" for t, p in sorted(STRATA_PCT.items())
+)
 
 ORACLE = {
     "orders_rollup": """
@@ -190,5 +220,10 @@ ORACLE = {
         FROM events
         WHERE ((event_id % 2147483647) * 2654435761) % 100 < 10
         GROUP BY event_type
+    """,
+    "events_stratified_sample": f"""
+        SELECT event_id, event_type FROM events
+        WHERE ((event_id % 2147483647) * 2654435761) % 100
+              < (CASE {_STRATA_CASE} END)
     """,
 }

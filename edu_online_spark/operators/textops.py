@@ -136,6 +136,48 @@ def curate_documents(
     )
 
 
+def char_diversity_scores(documents: DataFrame) -> DataFrame:
+    """Character-distribution quality metrics per document — the cheap
+    perplexity-proxy filter (gibberish and template spam sit at the
+    distribution extremes; natural text clusters in a band).
+
+      gini_diversity = 1 − Σcᵢ²/n²   (0 = one repeated char, →1 = flat)
+      top_char_ratio = max cᵢ / n    (repetitiveness spike detector)
+
+    Deliberately RATIONAL metrics, not Shannon entropy: ln() is a libm
+    call whose low bits differ between the JVM and C implementations
+    (measured 2-ULP divergence vs DuckDB), so an entropy column can
+    never bit-match a cross-engine oracle. Σcᵢ² is integer-exact and
+    the single final division is deterministic. Two shuffles:
+    (doc, char) counts, then the per-doc aggregate.
+    """
+    counts = (
+        documents.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.count("*").alias("n_distinct_chars"),
+            F.sum(F.col("c") * F.col("c")).alias("ss"),
+            F.max(F.struct("c", "ch")).alias("top"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_chars"),
+            "n_distinct_chars",
+            (F.lit(1.0) - F.col("ss") / (F.col("n") * F.col("n"))).alias(
+                "gini_diversity"
+            ),
+            F.col("top.ch").alias("top_char"),
+            (F.col("top.c") / F.col("n")).alias("top_char_ratio"),
+        )
+    )
+
+
 BENCH_SOURCE = "src0"  # stand-in benchmark/eval corpus
 CHUNK_TOKENS = 64
 CHUNK_STRIDE = 56  # 8-token overlap between consecutive chunks
@@ -242,6 +284,7 @@ QUERIES = {
     "documents_curated": _q(curate_documents),
     "benchmark_contamination": _q(benchmark_contamination),
     "documents_chunked": _q(chunk_documents),
+    "text_char_diversity": _q(char_diversity_scores),
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), ' +')"
@@ -325,6 +368,24 @@ ORACLE = {
         WHERE lang IN ('en', 'es', 'de', 'fr')
           AND n_tokens >= 20 AND punct_ratio <= 0.1
         GROUP BY text
+    """,
+    "text_char_diversity": """
+        WITH counts AS (
+            SELECT doc_id, ch, count(*) AS c
+            FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                  FROM documents)
+            WHERE ch <> ''
+            GROUP BY doc_id, ch
+        )
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_chars,
+               count(*) AS n_distinct_chars,
+               1.0 - CAST(sum(c * c) AS DOUBLE)
+                     / (CAST(sum(c) AS DOUBLE) * sum(c)) AS gini_diversity,
+               max({'c': c, 'ch': ch}).ch AS top_char,
+               CAST(max({'c': c, 'ch': ch}).c AS DOUBLE) / sum(c)
+                   AS top_char_ratio
+        FROM counts GROUP BY doc_id
     """,
     "benchmark_contamination": f"""
         WITH sh AS (

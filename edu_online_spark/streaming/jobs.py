@@ -256,6 +256,40 @@ def page_flow_job(
     )
 
 
+def register_region_enrich_job(
+    raw: DataFrame,
+    region: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """STREAM-STATIC join: the streaming registrations enriched against
+    a batch dimension table — the Structured Streaming rendering of the
+    reference's per-record MySQL point lookups (S4,
+    QzPointStreaming.scala:142-148): instead of one SELECT per record,
+    the dimension broadcasts once and every micro-batch joins against
+    it JVM-side, no state store involved.
+
+    The static side is re-resolved per micro-batch for file sources, so
+    a refreshed dimension snapshot is picked up without restarting.
+    The region key is synthesized from the user id (testdata carries no
+    IP; operators/iplookup.py shows the real interval-lookup shape).
+    """
+    reg = decode_register_log(raw)
+    keyed = reg.withColumn(
+        "r_regionkey", F.pmod(F.xxhash64("user_id"), F.lit(5)).cast("int")
+    )
+    enriched = keyed.join(F.broadcast(region.select("r_regionkey", "r_name")), "r_regionkey")
+    return (
+        enriched.select("user_id", "platform", "create_time", "r_name")
+        .writeStream.outputMode("append")
+        .foreachBatch(sinks.parquet_append(out_path))
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )
+
+
 def register_dedup_job(
     raw: DataFrame,
     out_path: str,

@@ -252,3 +252,22 @@ def test_register_dedup_job_drops_replayed_records(spark, tmp_path):
         ("u2", "2026-08-13 10:00:02"),
         ("u3", "2026-08-13 10:00:03"),
     ]
+
+
+def test_register_region_enrich_stream_static_join(spark, tmp_path):
+    """Stream-static join: every streamed registration picks up its
+    dimension row; row count preserved, names resolved."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(src, "b1.txt", REG_LINES_1 + REG_LINES_2)
+    region = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    from edu_online_spark.streaming.sources import file_stream
+
+    q = jobs.register_region_enrich_job(
+        file_stream(spark, src), region, out, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 5
+    valid = {r["r_name"] for r in region.collect()}
+    names = {r["r_name"] for r in rows}
+    assert names and names <= valid
