@@ -39,6 +39,9 @@ HEADLINE = [
     "page_flow",
     "events_sessionize",
     "events_region_enrich",
+    "ip_region_counts",
+    "purchase_view_window_counts",
+    "purchases_minutely_gapfill",
     "archival_daily_counts",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -47,6 +50,8 @@ HEADLINE = [
     "sim_knn_lsh",
     "text_quality",
     "text_fingerprints",
+    "benchmark_contamination",
+    "documents_chunked",
     "multimodal_decoded_meta",
 ]
 

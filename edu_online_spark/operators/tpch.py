@@ -241,29 +241,38 @@ def q21_waiting_suppliers(
         n_late_supp = count_distinct(late supplier)   per order
 
     A late l1 row qualifies iff n_supp > 1 (someone else supplied) and
-    n_late_supp == 1 (the only late one is l1 itself). One extra
-    aggregate over a join already shuffled on l_orderkey — Catalyst
-    reuses the exchange — instead of two correlated sub-plans per row.
+    n_late_supp == 1 (the only late one is l1 itself). Both distinct
+    counts come from partition-wide window collect_sets over ONE
+    lineitem⋈orders join — a groupBy-and-join-back formulation would
+    execute that fact-fact join twice (Catalyst only reuses identical
+    subplans); the window form is a single shuffle on l_orderkey.
+    collect_set state is bounded by suppliers-per-order (single
+    digits), so the window is skew-safe.
     """
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate").join(
         orders.select("o_orderkey", "o_orderdate", "o_orderstatus"),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+    w = Window.partitionBy("l_orderkey")
+    flagged = li.withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_late_supp",
+        F.size(F.collect_set(F.when(late, F.col("l_suppkey"))).over(w)),
     )
     nat = nation.filter(F.col("n_name") == "NATION_3").select("n_nationkey")
     sup = supplier.join(
         F.broadcast(nat), supplier.s_nationkey == nat.n_nationkey
     ).select("s_suppkey", "s_name")
-    l1 = li.filter(late & (F.col("o_orderstatus") == "F")).join(
-        sup, F.col("l_suppkey") == sup.s_suppkey
-    )
     return (
-        l1.join(per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
-                "l_orderkey")
+        flagged.filter(
+            late
+            & (F.col("o_orderstatus") == "F")
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
+        .join(sup, F.col("l_suppkey") == sup.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
