@@ -22,6 +22,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -148,6 +151,102 @@ def sample_frames(assets: DataFrame) -> DataFrame:
     return videos.mapInPandas(frame_sample_batch, FRAME_SAMPLE_SCHEMA)
 
 
+RESIZE_W, RESIZE_H = 64, 48
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("thumb", BinaryType()),
+        StructField("thumb_len", LongType()),
+    ]
+)
+
+
+def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas resize stage (STUB resample, real plumbing).
+
+    A real implementation decodes pixels and resamples to RESIZE_W ×
+    RESIZE_H; the stand-in produces a deterministic fixed-size
+    pseudo-thumbnail by striding the payload bytes to exactly W·H bytes
+    (cycling when the payload is shorter) — same output schema, same
+    batch discipline, binary-in → binary-out proven through Arrow both
+    directions.
+    """
+    import numpy as np
+
+    size = RESIZE_W * RESIZE_H
+    for pdf in batches:
+        thumbs = []
+        for payload in pdf["payload"]:
+            buf = np.frombuffer(payload, dtype=np.uint8)
+            if len(buf) == 0:
+                buf = np.zeros(1, dtype=np.uint8)
+            idx = (np.arange(size) * max(len(buf) // size, 1)) % len(buf)
+            thumbs.append(buf[idx].tobytes())
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "width": pd.Series([RESIZE_W] * len(pdf), dtype="int32"),
+                "height": pd.Series([RESIZE_H] * len(pdf), dtype="int32"),
+                "thumb": thumbs,
+                "thumb_len": pd.Series([size] * len(pdf), dtype="int64"),
+            }
+        )
+
+
+def resize_images(assets: DataFrame) -> DataFrame:
+    """Thumbnail stage over image assets only (filter prunes before the
+    Arrow boundary, like sample_frames)."""
+    images = assets.filter(F.col("media_type") == "image")
+    return images.mapInPandas(resize_batch, RESIZED_SCHEMA)
+
+
+AUDIO_FEAT_DIM = 8
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+        StructField("n_windows", IntegerType()),
+    ]
+)
+
+
+def audio_features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas feature-extraction stage (STUB features, real
+    plumbing): per asset, window the payload bytes into AUDIO_FEAT_DIM
+    equal spans and emit the mean byte value per span — a deterministic
+    stand-in with the exact shape of an MFCC/embedding extractor
+    (binary → fixed-length float vector), vectorized per batch.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        feats, n_windows = [], []
+        for payload in pdf["payload"]:
+            buf = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+            if len(buf) == 0:
+                buf = np.zeros(1)
+            spans = np.array_split(buf, AUDIO_FEAT_DIM)
+            feats.append([float(s.mean()) if len(s) else 0.0 for s in spans])
+            n_windows.append(len(buf))
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "features": feats,
+                "n_windows": pd.Series(n_windows, dtype="int32"),
+            }
+        )
+
+
+def audio_feature_vectors(assets: DataFrame) -> DataFrame:
+    """Feature extraction over audio assets only."""
+    audio = assets.filter(F.col("media_type") == "audio")
+    return audio.mapInPandas(audio_features_batch, AUDIO_FEATURES_SCHEMA)
+
+
 def media_summary(decoded: DataFrame) -> DataFrame:
     """Post-decode roll-up: asset volume and dimensions per media type."""
     return decoded.groupBy("media_type").agg(
@@ -176,10 +275,29 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(synth_assets(load_table(spark, sf_dir, "documents")))
 
 
+def q_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # registry projection drops the binary thumb: metadata is oracle-
+    # checkable cross-engine, the byte content is pinned by
+    # tests/test_multimodal.py (DuckDB can't index blob bytes to
+    # reproduce the striding arithmetic)
+    return resize_images(synth_assets(load_table(spark, sf_dir, "documents"))).select(
+        "asset_id", "width", "height", "thumb_len"
+    )
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_feature_vectors(synth_assets(load_table(spark, sf_dir, "documents")))
+
+
 QUERIES = {
     "multimodal_decoded_meta": q_decoded_meta,
     "multimodal_media_summary": q_media_summary,
     "multimodal_frame_sample": q_frame_sample,
+    "multimodal_resized": q_resized,
+    # rows-only: features are means over UTF-8 BYTE spans; DuckDB string
+    # ops are codepoint-based, so the arithmetic isn't reproducible in
+    # SQL — pinned by tests/test_multimodal.py instead
+    "multimodal_audio_features": q_audio_features,
 }
 
 # The stub decode is pure arithmetic on byte length, so the oracle can
@@ -196,6 +314,15 @@ _DECODED_SQL = """
 
 ORACLE = {
     "multimodal_decoded_meta": _DECODED_SQL,
+    # images are doc_id % 3 == 0 (list index 1); thumbnail metadata is
+    # constant by construction
+    "multimodal_resized": f"""
+        SELECT doc_id AS asset_id,
+               CAST({RESIZE_W} AS INTEGER) AS width,
+               CAST({RESIZE_H} AS INTEGER) AS height,
+               CAST({RESIZE_W * RESIZE_H} AS BIGINT) AS thumb_len
+        FROM documents WHERE doc_id % 3 = 0
+    """,
     # videos are doc_id % 3 == 2 (list index 3); every 5th frame of
     # (strlen % 30) + 1 frames, stub frame size (strlen·(fi+1)) % 10000
     "multimodal_frame_sample": """
