@@ -83,6 +83,35 @@ def main() -> None:
     jobs.quiz_mastery_job(file_stream(spark, topics["qz"]),
                           out["mastery"], ck("qz"), available_now=True).awaitTermination(120)
 
+    # round-2 jobs: stream-stream transition join, streaming dedup,
+    # stream-static enrichment — driven off the same drop directories
+    produce(topics["page"], "b3.log", [
+        '{"uid":"1001","last_page_id":"2","page_id":"3","ts":"2026-08-13 10:03:00"}',
+        '{"uid":"1001","last_page_id":"3","page_id":"4","ts":"2026-08-13 10:05:00"}',
+    ])
+    produce(topics["register"], "b3.log", [
+        "8005\t1\t2026-08-13 10:02:01",  # replayed duplicate of b2
+        "8006\t2\t2026-08-13 10:02:05",
+    ])
+    out["transitions"] = f"{work}/out/transitions"
+    out["dedup"] = f"{work}/out/dedup"
+    out["enriched"] = f"{work}/out/enriched"
+    region = spark.createDataFrame(
+        [(i, f"REGION_{i}") for i in range(5)], ["r_regionkey", "r_name"]
+    )
+    extra = [
+        jobs.page_transition_join_job(file_stream(spark, topics["page"]),
+                                      out["transitions"], ck("trans"),
+                                      available_now=True),
+        jobs.register_dedup_job(file_stream(spark, topics["register"]),
+                                out["dedup"], ck("dedup"), available_now=True),
+        jobs.register_region_enrich_job(file_stream(spark, topics["register"]),
+                                        region, out["enriched"], ck("enrich"),
+                                        available_now=True),
+    ]
+    for q in extra:
+        q.awaitTermination(120)
+
     for name, path in out.items():
         df = spark.read.parquet(path)
         rows = [r.asDict() for r in df.collect()]
