@@ -423,6 +423,124 @@ def top_parts_per_brand(part: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def q12_priority_by_returnflag(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional CASE aggregation — per line
+    category, how many high- vs low-priority orders it carried (the
+    synthetic schema has no shipmode, so l_returnflag is the category).
+    The CASE folds into the partial aggregate: one shuffle of
+    (flag, 2 longs).
+    """
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.select("l_orderkey", "l_returnflag")
+        .join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q14_promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14: promo revenue share — ratio of two conditional decimal
+    sums over one month of shipments. Both sums come out of the same
+    aggregate (no second pass); the single double division at the end
+    is deterministic because the operands are exact decimals.
+    """
+    rev = _dec("l_extendedprice") * _one_minus("l_discount")
+    promo = F.col("p_type") == "PROMO"
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    joined = li.join(part.select("p_partkey", "p_type"), li.l_partkey == F.col("p_partkey"))
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(promo, rev).otherwise(F.lit(0).cast("decimal(12,2)")))
+            .cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three brand/size/quantity
+    conjunction clauses. Catalyst extracts the common `p_partkey =
+    l_partkey` equi-key from the disjunction, so this plans as a hash
+    join with the OR as a post-join filter — NOT a nested-loop join;
+    the common quantity/size bounds also push to the scans.
+    """
+    rev = _dec("l_extendedprice") * _one_minus("l_discount")
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 5))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return (
+        lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(
+            part.select("p_partkey", "p_brand", "p_size"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter(clause)
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q22_rich_punctual_orders(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q22 shape: scalar AVG subquery + correlated NOT EXISTS.
+
+    Above-average-value orders with no very-late (>120 days) shipment:
+    the global average is a 1-row aggregate broadcast as a cross join
+    (every engine's plan for an uncorrelated scalar subquery); the
+    NOT EXISTS — correlated on the key AND a cross-table date condition
+    — is a left-anti join with the non-equi conjunct as the join
+    residual. Exactness: the average is exact-decimal sum / count,
+    divided once in double.
+    """
+    avg_price = orders.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_price")
+    )
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        orders.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .join(
+            li,
+            (F.col("o_orderkey") == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 120 DAYS")),
+            "left_anti",
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
 def part_price_rank_family(part: DataFrame) -> DataFrame:
     """The full ranking-function family in one windowed pass per brand:
     dense_rank, percent_rank, cume_dist, ntile(4) — one shuffle on
@@ -493,6 +611,10 @@ QUERIES = {
         q20_heavy_small_part_suppliers, "supplier", "lineitem", "part", "nation"
     ),
     "part_price_rank_family": _q(part_price_rank_family, "part"),
+    "tpch_q12_priority_by_flag": _q(q12_priority_by_returnflag, "orders", "lineitem"),
+    "tpch_q14_promo_share": _q(q14_promo_revenue_share, "lineitem", "part"),
+    "tpch_q19_disjunctive_revenue": _q(q19_disjunctive_revenue, "lineitem", "part"),
+    "tpch_q22_rich_punctual_orders": _q(q22_rich_punctual_orders, "orders", "lineitem"),
     "users_purchase_no_error": _q(users_purchase_no_error, "events"),
     "users_view_and_purchase": _q(users_view_and_purchase, "events"),
 }
@@ -665,6 +787,49 @@ ORACLE = {
         )
         SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS INTEGER) AS rn
         FROM ranked WHERE rn <= 3
+    """,
+    "tpch_q12_priority_by_flag": """
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_returnflag
+    """,
+    "tpch_q14_promo_share": f"""
+        SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                THEN {_REV} ELSE CAST(0 AS DECIMAL(12,2)) END)
+                            AS DOUBLE)
+               / CAST(SUM({_REV}) AS DOUBLE) AS promo_revenue_pct
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    "tpch_q19_disjunctive_revenue": f"""
+        SELECT CAST(SUM({_REV}) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "tpch_q22_rich_punctual_orders": """
+        SELECT o_orderpriority, count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS total_value
+        FROM orders
+        WHERE o_totalprice > (
+                SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                       / count(*)
+                FROM orders)
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 120 DAY)
+        GROUP BY o_orderpriority
     """,
     "part_price_rank_family": """
         SELECT p_brand, p_partkey, p_retailprice,
