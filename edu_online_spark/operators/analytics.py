@@ -63,6 +63,24 @@ def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFram
     ).select("c_custkey", "c_name", "c_mktsegment")
 
 
+def nation_participation(customer: DataFrame, supplier: DataFrame) -> DataFrame:
+    """FULL OUTER join: per-nation customer and supplier counts, keeping
+    nations present on only one side (count 0 on the other). Both
+    inputs pre-aggregate to nation grain before the join, so the outer
+    join moves ≤ |nations| rows regardless of table size."""
+    c = customer.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_customers")
+    )
+    s = supplier.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_suppliers")
+    )
+    return c.join(s, "nationkey", "full_outer").select(
+        "nationkey",
+        F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+    )
+
+
 def daily_event_pivot(events: DataFrame) -> DataFrame:
     """Counts per day pivoted by event type (explicit value list → one
     conditional aggregation, no discovery pass)."""
@@ -162,6 +180,7 @@ QUERIES = {
     "orders_grouping_sets": _q(orders_grouping_sets, "orders"),
     "customers_without_orders": _q(customers_without_orders, "customer", "orders"),
     "daily_event_pivot": _q(daily_event_pivot, "events"),
+    "nation_participation": _q(nation_participation, "customer", "supplier"),
     "events_distinct_users": _q(distinct_users_by_type, "events"),
     "events_distinct_users_approx": _q(
         distinct_users_by_type_approx, "events"
@@ -193,6 +212,17 @@ ORACLE = {
     "customers_without_orders": """
         SELECT c_custkey, c_name, c_mktsegment FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "nation_participation": """
+        SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+               coalesce(n_customers, 0) AS n_customers,
+               coalesce(n_suppliers, 0) AS n_suppliers
+        FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+              FROM customer GROUP BY 1) c
+        FULL OUTER JOIN
+             (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+              FROM supplier GROUP BY 1) s
+        USING (nationkey)
     """,
     "daily_event_pivot": """
         SELECT strftime(ts, '%Y%m%d') AS day,
