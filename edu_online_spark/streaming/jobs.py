@@ -256,6 +256,29 @@ def page_flow_job(
     )
 
 
+def console_debug_job(
+    df: DataFrame,
+    checkpoint: str,
+    num_rows: int = 20,
+    truncate: bool = False,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """K1: the console sink (RegisterStreaming.scala's print()) — a
+    debugging tap on any streaming DataFrame. Output goes to the
+    driver's stdout; never part of a production topology, which is why
+    every other job writes to a real sink instead.
+    """
+    return (
+        df.writeStream.outputMode("append")
+        .format("console")
+        .option("numRows", str(num_rows))
+        .option("truncate", str(truncate).lower())
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )
+
+
 def register_region_enrich_job(
     raw: DataFrame,
     region: DataFrame,

@@ -84,3 +84,44 @@ def test_rawlog_archive_partitions_by_topic_and_day(spark, tmp_path):
     df = spark.read.parquet(out)
     assert df.filter(F.col("topic") == "register_topic").count() == 2
     assert df.filter(F.col("topic") == "qz_log").count() == 1
+
+
+def test_max_files_per_trigger_splits_batches(spark, tmp_path):
+    """T5 plumbing: the rate cap actually limits each micro-batch —
+    three files with maxFilesPerTrigger=1 must take three triggers."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    os.makedirs(src, exist_ok=True)
+    for i in range(3):
+        with open(os.path.join(src, f"b{i}.txt"), "w") as f:
+            f.write(f"u{i}\t1\t2026-08-13 10:00:0{i}\n")
+
+    stream = file_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) == 3
+    assert all(p["numInputRows"] == 1 for p in batches)
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_console_debug_job_runs(spark, tmp_path, capfd):
+    """K1 console sink: starts, drains, and prints the batch table."""
+    from edu_online_spark.streaming import jobs
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "b1.txt"), "w") as f:
+        f.write("hello-console\n")
+    q = jobs.console_debug_job(file_stream(spark, src), ckpt, available_now=True)
+    q.awaitTermination(120)
+    # console output is emitted by the JVM; assert the query drained
+    assert q.lastProgress["numInputRows"] >= 0 and not q.isActive
