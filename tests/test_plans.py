@@ -67,3 +67,62 @@ def test_quiz_mastery_single_shuffle(spark, sf_dir):
     # one grouping key set → exactly one exchange (partial agg before it)
     assert plan.count("Exchange") == 1, plan
     assert "partial" in plan.lower()
+
+
+def test_q19_disjunction_is_hash_join(spark, sf_dir):
+    """OR of brand/size/qty clauses must NOT degrade to a nested-loop
+    join — Catalyst extracts the common equi-key."""
+    from edu_online_spark.operators.tpch import q19_disjunctive_revenue
+
+    df = q19_disjunctive_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ip_lookup_is_bucketed_equi_join(spark, sf_dir):
+    """The interval-containment lookup must plan as a broadcast HASH
+    join on the bucket key (BETWEEN only as residual), never BNLJ."""
+    from edu_online_spark.operators.iplookup import ip_region_counts
+
+    df = ip_region_counts(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "region"),
+        spark,
+    )
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_join(df)
+
+
+def test_range_join_is_binned_equi_join(spark, sf_dir):
+    """purchase_view_window_counts: time-range join via hour bins —
+    equi join, no cross product."""
+    from edu_online_spark.operators.sessions import purchase_view_window_counts
+
+    df = purchase_view_window_counts(load_table(spark, sf_dir, "events"))
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # purchase/view filters reach the scans
+    pushed = pushed_filters(df)
+    assert any("purchase" in p for p in pushed)
+    assert any("view" in p for p in pushed)
+
+
+def test_q21_single_fact_join(spark, sf_dir):
+    """The window formulation must evaluate the lineitem⋈orders join
+    once — two Scan nodes total, not four."""
+    from edu_online_spark.operators.tpch import q21_waiting_suppliers
+
+    df = q21_waiting_suppliers(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "nation"),
+    )
+    plan = explain_str(df, "simple")
+    assert plan.count("Scan parquet") == 4  # lineitem, orders, supplier, nation

@@ -1,0 +1,47 @@
+"""Registry contract: extension isolation and name/oracle hygiene."""
+
+from __future__ import annotations
+
+from edu_online_spark import registry
+
+
+def test_all_oracles_have_queries():
+    qs, os_ = registry.queries(), registry.oracle_sql()
+    orphans = set(os_) - set(qs)
+    assert not orphans, f"oracle entries without queries: {orphans}"
+
+
+def test_rows_only_set_is_intentional():
+    """Every query without an oracle must be on the documented
+    rows-only list — a new query silently missing its oracle fails."""
+    qs, os_ = registry.queries(), registry.oracle_sql()
+    rows_only = set(qs) - set(os_)
+    assert rows_only == {
+        "dedup_simhash",
+        "events_distinct_users_approx",
+        "multimodal_audio_features",
+        "quiz_mastery_approx",
+        "sim_knn_ivf",
+        "sim_knn_lsh",
+        "text_fingerprints_fast",
+    }
+
+
+def test_broken_extension_does_not_kill_core(monkeypatch):
+    """ADVICE r1: one failing extension import must not take down the
+    core registry."""
+    import importlib
+
+    real_import = importlib.import_module
+
+    def broken(name, package=None):
+        if name.endswith(".tpch"):
+            raise ImportError("simulated broken extension")
+        return real_import(name, package)
+
+    monkeypatch.setattr(importlib, "import_module", broken)
+    # force a re-resolve through the guarded loader
+    mods = registry._extended_modules()
+    names = {m.__name__.rsplit(".", 1)[-1] for m in mods}
+    assert "tpch" not in names          # the broken one was skipped
+    assert "dedup" in names and "textops" in names  # the rest survived
