@@ -208,7 +208,11 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = HAMMING_MAX) -> DataF
                 ]
             )
         ).alias("chunk", "cv"),
-    )
+    # both sides of the self-join read this; materialize the (tiny:
+    # chunks rows × 24 bytes per doc) relation once instead of running
+    # the 64-vote signature aggregation twice (same rationale and
+    # mechanism as minhash_lsh_pairs' banded relation)
+    ).localCheckpoint(eager=True)
     return (
         chunked.alias("a")
         .join(
