@@ -152,6 +152,38 @@ def stratified_sample(events: DataFrame, pct: dict[str, int] | None = None) -> D
     ).filter(F.col("bucket") < F.col("thr")).select("event_id", "event_type")
 
 
+def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Data-quality profile: one row per column with null count, exact
+    distinct count, and min/max (stringified for a uniform schema).
+
+    ALL columns profile in a single aggregate pass — one scan, one
+    1-row shuffle — then unpivot to long form with `stack` (a pure
+    projection). The per-column distincts make the single aggregate
+    expand internally (Spark plans one expand + aggregate), still one
+    scan; for 100 TB profiles swap count_distinct for
+    approx_count_distinct per column.
+    """
+    cols = cols or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )
+
+
 def price_quantiles(lineitem: DataFrame) -> DataFrame:
     """Exact interpolated percentiles per return flag (Spark percentile
     ≡ DuckDB quantile_cont, verified bit-exact)."""
@@ -188,7 +220,10 @@ QUERIES = {
     "lineitem_price_quantiles": _q(price_quantiles, "lineitem"),
     "events_deterministic_sample": _q(deterministic_sample, "events"),
     "events_stratified_sample": _q(stratified_sample, "events"),
+    "events_profile": _q(profile_columns, "events"),
 }
+
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
 
 _STRATA_CASE = " ".join(
     f"WHEN event_type = '{t}' THEN {p}" for t, p in sorted(STRATA_PCT.items())
@@ -256,4 +291,15 @@ ORACLE = {
         WHERE ((event_id % 2147483647) * 2654435761) % 100
               < (CASE {_STRATA_CASE} END)
     """,
+    "events_profile": " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_value,
+               CAST(max({c}) AS VARCHAR) AS max_value
+        FROM events
+        """
+        for c in _PROFILE_COLS
+    ),
 }
