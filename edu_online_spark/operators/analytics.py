@@ -152,6 +152,26 @@ def stratified_sample(events: DataFrame, pct: dict[str, int] | None = None) -> D
     ).filter(F.col("bucket") < F.col("thr")).select("event_id", "event_type")
 
 
+def props_k_stats(events: DataFrame) -> DataFrame:
+    """JSON-path extraction over a real column (events.props is a JSON
+    string): get_json_object pulls $.k in the scan stage (JVM Jackson,
+    no Python), then a plain aggregate per event type. The F5/F6 shape
+    (JSON parse + typed extraction) applied to the fact table rather
+    than the page log."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
 def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Data-quality profile: one row per column with null count, exact
     distinct count, and min/max (stringified for a uniform schema).
@@ -221,6 +241,7 @@ QUERIES = {
     "events_deterministic_sample": _q(deterministic_sample, "events"),
     "events_stratified_sample": _q(stratified_sample, "events"),
     "events_profile": _q(profile_columns, "events"),
+    "events_props_k_stats": _q(props_k_stats, "events"),
 }
 
 _PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -290,6 +311,17 @@ ORACLE = {
         SELECT event_id, event_type FROM events
         WHERE ((event_id % 2147483647) * 2654435761) % 100
               < (CASE {_STRATA_CASE} END)
+    """,
+    "events_props_k_stats": """
+        SELECT event_type, count(*) AS n,
+               CAST(sum(k) AS BIGINT) AS k_sum,
+               CAST(min(k) AS INTEGER) AS k_min,
+               CAST(max(k) AS INTEGER) AS k_max
+        FROM (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+              FROM events)
+        WHERE k IS NOT NULL
+        GROUP BY event_type
     """,
     "events_profile": " UNION ALL ".join(
         f"""

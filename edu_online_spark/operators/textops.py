@@ -233,6 +233,11 @@ def chunk_documents(
     `array_join` cut each chunk — all JVM expressions, no Python, no
     shuffle at all. Chunks inherit doc_id + chunk_idx so downstream
     dedup/shuffling can trace provenance.
+
+    A chunk is emitted only if the PREVIOUS chunk didn't already reach
+    the document's end — otherwise a doc of exactly chunk_tokens words
+    would emit a redundant tail chunk fully contained in chunk 0
+    (a duplicate training sample; caught by tests/test_textops.py).
     """
     toks = F.split(F.trim(F.col("text")), " +")
     starts = F.sequence(
@@ -245,7 +250,13 @@ def chunk_documents(
             toks.alias("w"),
             F.posexplode(starts).alias("chunk_idx", "start"),
         )
-        .filter(F.col("start") < F.size("w"))
+        .filter(
+            (F.col("start") < F.size("w"))
+            & (
+                (F.col("start") == 0)
+                | (F.col("start") - stride + chunk_tokens < F.size("w"))
+            )
+        )
         .select(
             "doc_id",
             "source",
@@ -430,6 +441,8 @@ ORACLE = {
                     AS INTEGER) AS n_chunk_tokens
         FROM chunks
         WHERE chunk_idx * {CHUNK_STRIDE} < len(w)
+          AND (chunk_idx = 0
+               OR (chunk_idx - 1) * {CHUNK_STRIDE} + {CHUNK_TOKENS} < len(w))
     """,
     "text_token_stats": f"""
         WITH per_doc AS (
