@@ -152,6 +152,32 @@ def stratified_sample(events: DataFrame, pct: dict[str, int] | None = None) -> D
     ).filter(F.col("bucket") < F.col("thr")).select("event_id", "event_type")
 
 
+def daily_revenue_ma7(events: DataFrame) -> DataFrame:
+    """Daily purchase revenue with a 7-day trailing moving average —
+    the rolling-window frame shape (ROWS BETWEEN 6 PRECEDING).
+
+    Daily sums are exact decimals (order-free); the moving average
+    divides a 7-term window sum by the window count, both evaluated
+    over the ordered frame identically in any engine. Unpartitioned
+    window is calendar-bounded (one row per day), same argument as the
+    gap-fill spine."""
+    from pyspark.sql import Window
+
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_format("ts", "yyyyMMdd").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("revenue_dec"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.col("revenue_dec").cast("double").alias("revenue"),
+        (F.sum("revenue_dec").over(w).cast("double") / F.count("*").over(w)).alias(
+            "revenue_ma7"
+        ),
+    )
+
+
 def props_k_stats(events: DataFrame) -> DataFrame:
     """JSON-path extraction over a real column (events.props is a JSON
     string): get_json_object pulls $.k in the scan stage (JVM Jackson,
@@ -242,6 +268,7 @@ QUERIES = {
     "events_stratified_sample": _q(stratified_sample, "events"),
     "events_profile": _q(profile_columns, "events"),
     "events_props_k_stats": _q(props_k_stats, "events"),
+    "daily_revenue_ma7": _q(daily_revenue_ma7, "events"),
 }
 
 _PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -311,6 +338,19 @@ ORACLE = {
         SELECT event_id, event_type FROM events
         WHERE ((event_id % 2147483647) * 2654435761) % 100
               < (CASE {_STRATA_CASE} END)
+    """,
+    "daily_revenue_ma7": """
+        WITH daily AS (
+            SELECT strftime(ts, '%Y%m%d') AS day,
+                   SUM(CAST(value AS DECIMAL(18,6))) AS revenue_dec
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        )
+        SELECT day,
+               CAST(revenue_dec AS DOUBLE) AS revenue,
+               CAST(SUM(revenue_dec) OVER w AS DOUBLE)
+                   / COUNT(*) OVER w AS revenue_ma7
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
     "events_props_k_stats": """
         SELECT event_type, count(*) AS n,

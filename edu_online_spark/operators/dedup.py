@@ -295,6 +295,22 @@ def minhash_near_dup_clusters(
     return near_dup_clusters(minhash_lsh_pairs(documents, threshold=threshold))
 
 
+def neardup_curated(documents: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """The curation deliverable composed end-to-end: the corpus with
+    near-duplicate clusters collapsed to their canonical survivor
+    (minimum doc_id), singletons untouched.
+
+    LSH pairs → connected components → anti-join the non-survivors
+    out. The anti-join probe side is only the duplicate cluster
+    members (tiny), so the corpus pass is one scan + one broadcast
+    anti join."""
+    clusters = near_dup_clusters(minhash_lsh_pairs(documents, threshold=threshold))
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select("doc_id")
+    return documents.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "source", "lang"
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame, threshold: float = COSINE_THRESHOLD
 ) -> DataFrame:
@@ -337,6 +353,7 @@ QUERIES = {
     "dedup_simhash": _q(simhash_pairs, "documents"),  # rows-only (hash-defined)
     "dedup_embedding_cosine": _q(embedding_neardup_pairs, "embeddings"),
     "dedup_near_dup_clusters": _q(minhash_near_dup_clusters, "documents"),
+    "dedup_neardup_curated": _q(neardup_curated, "documents"),
 }
 
 # Exact Jaccard in DuckDB: build distinct 3-shingle lists with a list
@@ -389,6 +406,27 @@ ORACLE = {
     # verification removes false positives, so the LSH output equals the
     # exact all-pairs result on this corpus (tests/ verify recall).
     "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
+    # corpus minus non-survivor cluster members (survivor = min doc_id
+    # reachable in the closure)
+    "dedup_neardup_curated": f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT src, src FROM edges
+            UNION SELECT src, dst FROM edges
+            UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        labels AS (
+            SELECT src AS doc_id, min(dst) AS cluster_rep
+            FROM reach GROUP BY src
+        )
+        SELECT doc_id, source, lang FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM labels
+                             WHERE doc_id <> cluster_rep)
+    """,
     "dedup_embedding_cosine": f"""
         WITH e AS (SELECT vec_id, embedding FROM embeddings)
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
