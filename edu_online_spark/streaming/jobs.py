@@ -417,6 +417,40 @@ def page_transition_join_job(
     )
 
 
+def page_toppages_job(
+    raw: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    k: int = 3,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """COMPLETE-mode streaming top-k: the k most-visited pages over the
+    whole stream, re-emitted in full every trigger.
+
+    Complete mode is the one output mode the other jobs don't use — it
+    is only sane when the full result is SMALL (here: k rows), because
+    every trigger rewrites everything; the per-page counts live in the
+    state store, the top-k sort runs on the (tiny) aggregate. The sink
+    overwrite per batch is the matching idempotent write.
+    """
+    pages = decode_page_log(raw)
+    counts = pages.groupBy("page_id").agg(F.count("*").alias("visits"))
+
+    def overwrite(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        top = batch.orderBy(F.desc("visits"), F.asc("page_id")).limit(k)
+        top.write.mode("overwrite").parquet(out_path)
+
+    return (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(overwrite)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )
+
+
 def rawlog_archive_job(
     raw: DataFrame, out_path: str, checkpoint: str, available_now: bool = False
 ) -> StreamingQuery:

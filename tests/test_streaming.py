@@ -271,3 +271,32 @@ def test_register_region_enrich_stream_static_join(spark, tmp_path):
     valid = {r["r_name"] for r in region.collect()}
     names = {r["r_name"] for r in rows}
     assert names and names <= valid
+
+
+def test_page_toppages_complete_mode(spark, tmp_path):
+    """Complete mode re-emits the full (tiny) top-k each trigger and
+    accumulates counts across waves via the state store."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(
+        src,
+        "b1.txt",
+        [
+            '{"uid":"1","last_page_id":"0","page_id":"A"}',
+            '{"uid":"2","last_page_id":"0","page_id":"A"}',
+            '{"uid":"3","last_page_id":"0","page_id":"B"}',
+            '{"uid":"4","last_page_id":"0","page_id":"C"}',
+            '{"uid":"5","last_page_id":"0","page_id":"D"}',
+        ],
+    )
+    _run(jobs.page_toppages_job, spark, src, out, ckpt, k=2)
+    top1 = [(r["page_id"], r["visits"]) for r in
+            spark.read.parquet(out).orderBy("page_id").collect()]
+    assert top1 == [("A", 2), ("B", 1)]  # deterministic tie-break on id
+
+    # second wave flips the ranking; complete mode rewrites the sink
+    _write_lines(src, "b2.txt", ['{"uid":"6","last_page_id":"0","page_id":"D"}',
+                                 '{"uid":"7","last_page_id":"0","page_id":"D"}'])
+    _run(jobs.page_toppages_job, spark, src, out, ckpt, k=2)
+    top2 = [(r["page_id"], r["visits"]) for r in
+            spark.read.parquet(out).orderBy("page_id").collect()]
+    assert top2 == [("A", 2), ("D", 3)]
