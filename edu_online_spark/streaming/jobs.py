@@ -256,6 +256,60 @@ def page_flow_job(
     )
 
 
+def user_idle_timeout_job(
+    raw: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    idle_ms: int = 2000,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Custom stateful operator WITH STATE TIMEOUT: per-user activity
+    tracking that emits an 'open' record on activity and a final
+    'closed' record once the user has been idle for `idle_ms` of
+    processing time — the reference's updateStateByKey had no way to
+    EXPIRE state (it leaked keys forever); GroupStateTimeout is the
+    Structured Streaming answer.
+
+    hasTimedOut fires for a key when a later batch arrives after its
+    deadline — even with no new data for that key — at which point the
+    state is removed (bounded state, unlike the reference).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            (n,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "status": ["closed"]}
+            )
+        else:
+            rows = sum(len(p) for p in pdfs)
+            n = (state.get[0] if state.exists else 0) + rows
+            state.update((n,))
+            state.setTimeoutDuration(idle_ms)
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "status": ["open"]}
+            )
+
+    reg = decode_register_log(raw)
+    tracked = reg.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id string, n_events long, status string",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+    return (
+        tracked.writeStream.outputMode("update")
+        .foreachBatch(sinks.parquet_append(out_path))
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )
+
+
 def console_debug_job(
     df: DataFrame,
     checkpoint: str,

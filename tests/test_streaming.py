@@ -300,3 +300,39 @@ def test_page_toppages_complete_mode(spark, tmp_path):
     top2 = [(r["page_id"], r["visits"]) for r in
             spark.read.parquet(out).orderBy("page_id").collect()]
     assert top2 == [("A", 2), ("D", 3)]
+
+
+def test_user_idle_timeout_closes_state(spark, tmp_path):
+    """ProcessingTimeTimeout: users idle past the deadline get a final
+    'closed' record (emitted by a later batch with no data for them)
+    and their state is removed."""
+    import time
+
+    def _run_idle(src, out, ckpt):
+        # availableNow does NOT self-terminate while processing-time
+        # timeouts are pending — drain the data batches, then stop
+        q = jobs.user_idle_timeout_job(
+            file_stream(spark, src), out, ckpt, idle_ms=1500, available_now=True
+        )
+        q.awaitTermination(25)  # data batches drain in seconds; the
+        if q.isActive:          # query itself lingers on pending timeouts
+            q.stop()
+            q.awaitTermination(30)
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(src, "b1.txt", ["u1\t1\t2026-08-13 10:00:01",
+                                 "u1\t1\t2026-08-13 10:00:02",
+                                 "u2\t2\t2026-08-13 10:00:03"])
+    _run_idle(src, out, ckpt)
+    opened = {(r["user_id"], r["status"], r["n_events"])
+              for r in spark.read.parquet(out).collect()}
+    assert ("u1", "open", 2) in opened and ("u2", "open", 1) in opened
+
+    time.sleep(3)  # let both deadlines pass
+    _write_lines(src, "b2.txt", ["u3\t1\t2026-08-13 10:01:01"])
+    _run_idle(src, out, ckpt)
+    rows = {(r["user_id"], r["status"]): r["n_events"]
+            for r in spark.read.parquet(out).collect()}
+    assert rows.get(("u1", "closed")) == 2
+    assert rows.get(("u2", "closed")) == 1
+    assert rows.get(("u3", "open")) == 1
