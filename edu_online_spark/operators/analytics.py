@@ -152,6 +152,26 @@ def stratified_sample(events: DataFrame, pct: dict[str, int] | None = None) -> D
     ).filter(F.col("bucket") < F.col("thr")).select("event_id", "event_type")
 
 
+def orders_date_features(orders: DataFrame) -> DataFrame:
+    """Calendar feature extraction — the date-function breadth check:
+    year/quarter/month/day-of-week, month truncation, and age-in-days
+    against a fixed anchor, all scan-stage expressions. Day-of-week is
+    normalized to ISO (1=Monday) because engines disagree on the raw
+    convention (Spark dayofweek: 1=Sunday; DuckDB dow: 0=Sunday)."""
+    anchor = F.lit("2002-01-01").cast("timestamp_ntz")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofweek("o_orderdate").alias("dow_sun1"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(anchor, F.col("o_orderdate")).alias("age_days"),
+    )
+
+
 def daily_revenue_ma7(events: DataFrame) -> DataFrame:
     """Daily purchase revenue with a 7-day trailing moving average —
     the rolling-window frame shape (ROWS BETWEEN 6 PRECEDING).
@@ -269,6 +289,7 @@ QUERIES = {
     "events_profile": _q(profile_columns, "events"),
     "events_props_k_stats": _q(props_k_stats, "events"),
     "daily_revenue_ma7": _q(daily_revenue_ma7, "events"),
+    "orders_date_features": _q(orders_date_features, "orders"),
 }
 
 _PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -338,6 +359,19 @@ ORACLE = {
         SELECT event_id, event_type FROM events
         WHERE ((event_id % 2147483647) * 2654435761) % 100
               < (CASE {_STRATA_CASE} END)
+    """,
+    "orders_date_features": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS y,
+               CAST(quarter(o_orderdate) AS INTEGER) AS q,
+               CAST(month(o_orderdate) AS INTEGER) AS m,
+               CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow_sun1,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+                   AS month_start,
+               CAST(date_diff('day', o_orderdate,
+                              TIMESTAMP '2002-01-01 00:00:00') AS INTEGER)
+                   AS age_days
+        FROM orders
     """,
     "daily_revenue_ma7": """
         WITH daily AS (

@@ -15,6 +15,7 @@ but is exercised only in environments that have the connector.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # Normalized projection over Kafka's wire schema (key/value arrive as
 # binary). Every downstream job consumes exactly these columns, which is
@@ -65,6 +66,34 @@ def kafka_stream(
     ).items():
         reader = reader.option(k, v)
     return reader.load().selectExpr(*KAFKA_PROJECTION)
+
+
+def kafka_writer_options(topic: str, brokers: str) -> dict[str, str]:
+    """K5 (RegisterProducer.scala:30-43): the option map for writing a
+    stream/batch back to Kafka. Pure function for connector-free unit
+    testing; the frame must carry a `value` (and optionally `key`)
+    column, which `to_kafka_payload` prepares."""
+    return {"kafka.bootstrap.servers": brokers, "topic": topic}
+
+
+def to_kafka_payload(df: DataFrame, value_col: str, key_col: str | None = None) -> DataFrame:
+    """Project a DataFrame to Kafka's writer contract: CAST value (and
+    key) to STRING under the canonical column names."""
+    cols = [F.col(value_col).cast("string").alias("value")]
+    if key_col is not None:
+        cols.insert(0, F.col(key_col).cast("string").alias("key"))
+    return df.select(*cols)
+
+
+def write_kafka_stream(df: DataFrame, topic: str, brokers: str, checkpoint: str):
+    """K5 writer, assembled but not started — returns the
+    DataStreamWriter so environments with the connector call .start().
+    (This container ships no spark-sql-kafka; the option plumbing and
+    payload projection are unit-tested without it.)"""
+    writer = df.writeStream.format("kafka").option("checkpointLocation", checkpoint)
+    for k, v in kafka_writer_options(topic, brokers).items():
+        writer = writer.option(k, v)
+    return writer
 
 
 def file_stream(

@@ -125,3 +125,22 @@ def test_console_debug_job_runs(spark, tmp_path, capfd):
     q.awaitTermination(120)
     # console output is emitted by the JVM; assert the query drained
     assert q.lastProgress["numInputRows"] >= 0 and not q.isActive
+
+
+def test_kafka_writer_plumbing(spark):
+    """K5: payload projection meets the Kafka writer contract and the
+    option map carries topic + brokers (connector-free)."""
+    from edu_online_spark.streaming.sources import (
+        kafka_writer_options,
+        to_kafka_payload,
+    )
+
+    assert kafka_writer_options("register_topic", "b:9092") == {
+        "kafka.bootstrap.servers": "b:9092",
+        "topic": "register_topic",
+    }
+    df = spark.createDataFrame([(1, "payload")], ["id", "line"])
+    out = to_kafka_payload(df, "line", key_col="id")
+    assert [f.name for f in out.schema.fields] == ["key", "value"]
+    r = out.collect()[0]
+    assert r["key"] == "1" and r["value"] == "payload"
