@@ -26,6 +26,21 @@ def fmt_ts(col: Column | str) -> Column:
     return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
 
 
+def hash_bucket(col: Column | str, modulus: int) -> Column:
+    """Deterministic bucket in [0, modulus) via multiplicative hashing:
+    Knuth's 2^32 golden-ratio multiplier over the key, domain-reduced
+    mod 2^31-1 BEFORE the multiply so the product is bounded by
+    (2^31-2)·2654435761 < 2^63 — a raw BIGINT product overflows long
+    for keys ≳ 3.47e9 (plausible at 100 TB), throwing under ANSI mode
+    and silently wrapping otherwise. No rand(): the same row lands in
+    the same bucket on every run, engine, and partitioning, which is
+    what makes sampling/bucketing retry- and replay-stable. Mirrors as
+    `(key % 2147483647) * 2654435761 % modulus` in oracle SQL."""
+    c = F.col(col) if isinstance(col, str) else col
+    reduced = F.pmod(c, F.lit(2147483647))
+    return F.pmod(reduced * F.lit(2654435761), F.lit(modulus))
+
+
 def day_bucket(col: Column | str) -> Column:
     """Timestamp → 'yyyyMMdd' daily partition key
     (RawLogSparkStreaming.scala:83-89, F7)."""

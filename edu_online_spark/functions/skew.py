@@ -46,9 +46,22 @@ def salted_agg(
     avoid. The cost of determinism: rows identical in all salt_cols
     share a sub-key, so pass a unique id column as salt_cols when the
     hot key's rows are content-identical.
+
+    A frame with ONLY the key columns has no content to salt from —
+    every row of a hot key would hash to the same sub-key and the
+    helper would silently do nothing — so that case raises instead of
+    degrading; keep a unique id or payload column through the select,
+    or pass salt_cols explicitly.
     """
     if salt_cols is None:
-        salt_cols = [c for c in df.columns if c not in keys] or list(df.columns)
+        salt_cols = [c for c in df.columns if c not in keys]
+        if not salt_cols:
+            raise ValueError(
+                "salted_agg: no non-key columns to derive a deterministic "
+                "salt from — a salt hashed from the key alone is constant "
+                "per key (zero spreading). Keep a unique id or payload "
+                "column through the select, or pass salt_cols explicitly."
+            )
     salted = df.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt))
     )
@@ -83,7 +96,15 @@ def salted_join(
     stateful op where you want the spread to persist).
     """
     if salt_cols is None:
-        salt_cols = [c for c in big.columns if c not in on] or list(big.columns)
+        salt_cols = [c for c in big.columns if c not in on]
+        if not salt_cols:
+            raise ValueError(
+                "salted_join: the big side has no non-join columns to derive "
+                "a deterministic salt from — a salt hashed from the join key "
+                "alone is constant per key, so the hot key still lands on "
+                "one reducer while the small side is replicated salt× for "
+                "nothing. Keep a payload column or pass salt_cols explicitly."
+            )
     salted_big = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt))
     )

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.core import hash_bucket
 from ..sources import load_table
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -114,12 +115,9 @@ def deterministic_sample(events: DataFrame, pct: int = 10) -> DataFrame:
     partitioning; Knuth's 2^32 golden-ratio multiplier scrambles the
     sequential key space. Counts per type make the output order-free.
 
-    The key is reduced mod 2^31-1 BEFORE the multiply so the product
-    is bounded by (2^31-2)·2654435761 < 2^63 — a raw event_id product
-    overflows long for ids ≳ 3.47e9 (plausible at 100 TB), which would
-    throw under ANSI mode and silently wrap otherwise."""
-    reduced = F.pmod(F.col("event_id"), F.lit(2147483647))
-    bucket = F.pmod(reduced * F.lit(2654435761), F.lit(100))
+    Overflow-safety of the recipe lives in functions.core.hash_bucket
+    (the single home of the 2^63-bound reasoning)."""
+    bucket = hash_bucket("event_id", 100)
     return (
         events.filter(bucket < pct)
         .groupBy("event_type")
@@ -142,8 +140,7 @@ def stratified_sample(events: DataFrame, pct: dict[str, int] | None = None) -> D
     the oracle checks the exact membership, not just counts.
     """
     pct = STRATA_PCT if pct is None else pct
-    reduced = F.pmod(F.col("event_id"), F.lit(2147483647))
-    bucket = F.pmod(reduced * F.lit(2654435761), F.lit(100))
+    bucket = hash_bucket("event_id", 100)
     threshold = F.lit(None).cast("int")
     for etype, p in sorted(pct.items()):
         threshold = F.when(F.col("event_type") == etype, F.lit(p)).otherwise(threshold)
@@ -155,9 +152,11 @@ def stratified_sample(events: DataFrame, pct: dict[str, int] | None = None) -> D
 def orders_date_features(orders: DataFrame) -> DataFrame:
     """Calendar feature extraction — the date-function breadth check:
     year/quarter/month/day-of-week, month truncation, and age-in-days
-    against a fixed anchor, all scan-stage expressions. Day-of-week is
-    normalized to ISO (1=Monday) because engines disagree on the raw
-    convention (Spark dayofweek: 1=Sunday; DuckDB dow: 0=Sunday)."""
+    against a fixed anchor, all scan-stage expressions. Day-of-week
+    keeps Spark's raw convention (1=Sunday) and the column name says so
+    (`dow_sun1`); engines disagree on the raw convention, so the oracle
+    converts DuckDB's dow (0=Sunday) to match rather than both sides
+    pretending to be ISO."""
     anchor = F.lit("2002-01-01").cast("timestamp_ntz")
     return orders.select(
         "o_orderkey",

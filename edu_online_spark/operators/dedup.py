@@ -14,6 +14,16 @@ Five strategies, each a different point on the exactness/scale curve:
 All pair outputs are (doc_a < doc_b) with the similarity value, so the
 different strategies are directly comparable (and the LSH variants are
 verified against the exact ones in tests/).
+
+CONSTRUCTION IS NOT FREE here, unlike the rest of the engine's lazy
+builders: the all-pairs baselines run a count() at build time (the
+fail-fast size guard — its whole point is to fire BEFORE the quadratic
+join is submitted), and the LSH/SimHash builders run their signature+
+banding stage eagerly (localCheckpoint — Spark has no cross-branch CSE,
+so the multi-branch plans downstream would otherwise recompute it per
+branch; measured 354 s → 5 s at sf0.1). Build these frames when you
+intend to run them; an explain()-only inspection pays the signature
+stage. The rest of the registry stays construction-lazy.
 """
 
 from __future__ import annotations

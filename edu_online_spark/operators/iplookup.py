@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.core import hash_bucket
 from ..sources import load_table
 
 N_RANGES = 1024
@@ -32,11 +33,9 @@ N_REGIONS = 5
 
 
 def synth_ip(user_col: str = "user_id") -> F.Column:
-    """Deterministic pseudo-IPv4 (uint32) per user. Domain-reduced
-    before the golden-ratio multiply so the product stays < 2^63 in
-    every engine (same recipe as analytics.deterministic_sample)."""
-    reduced = F.pmod(F.col(user_col), F.lit(2147483647))
-    return F.pmod(reduced * F.lit(2654435761), F.lit(4294967296))
+    """Deterministic pseudo-IPv4 (uint32) per user — hash_bucket over
+    the full 32-bit space (overflow-bound reasoning lives there)."""
+    return hash_bucket(user_col, 4294967296)
 
 
 def ip_ranges(spark: SparkSession) -> DataFrame:

@@ -209,7 +209,7 @@ AUDIO_FEATURES_SCHEMA = StructType(
     [
         StructField("asset_id", LongType()),
         StructField("features", ArrayType(DoubleType())),
-        StructField("n_windows", IntegerType()),
+        StructField("n_bytes", IntegerType()),
     ]
 )
 
@@ -217,26 +217,27 @@ AUDIO_FEATURES_SCHEMA = StructType(
 def audio_features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas feature-extraction stage (STUB features, real
     plumbing): per asset, window the payload bytes into AUDIO_FEAT_DIM
-    equal spans and emit the mean byte value per span — a deterministic
+    equal spans and emit the mean byte value per span (plus the raw
+    payload byte count as `n_bytes`) — a deterministic
     stand-in with the exact shape of an MFCC/embedding extractor
     (binary → fixed-length float vector), vectorized per batch.
     """
     import numpy as np
 
     for pdf in batches:
-        feats, n_windows = [], []
+        feats, n_bytes = [], []
         for payload in pdf["payload"]:
             buf = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
             if len(buf) == 0:
                 buf = np.zeros(1)
             spans = np.array_split(buf, AUDIO_FEAT_DIM)
             feats.append([float(s.mean()) if len(s) else 0.0 for s in spans])
-            n_windows.append(len(buf))
+            n_bytes.append(len(buf))
         yield pd.DataFrame(
             {
                 "asset_id": pdf["asset_id"],
                 "features": feats,
-                "n_windows": pd.Series(n_windows, dtype="int32"),
+                "n_bytes": pd.Series(n_bytes, dtype="int32"),
             }
         )
 

@@ -72,9 +72,15 @@ def decode_page_log_ts(raw: DataFrame, value_col: str = "value") -> DataFrame:
     """decode_page_log + an `event_ts` timestamp column for event-time
     operators (stream-stream joins need watermarks on both sides).
 
-    Event time comes from an optional `ts` field in the JSON payload;
-    rows without one fall back to processing time — same contract as
-    Kafka's ingestion timestamp.
+    Event time comes from the `ts` field in the JSON payload; rows
+    without a parseable one are DROPPED, not defaulted. A wall-clock
+    fallback (current_timestamp) would poison the watermark during
+    replay/backfill: one ts-less record stamps 'now', the watermark
+    jumps to now-delay, and every subsequent correctly-timestamped
+    historical event becomes 'late' and is silently discarded — the
+    join goes quiet with no error. Dropping the malformed row keeps the
+    failure local and visible (same quarantine posture as the corrupt-
+    record filter above it).
     """
     from pyspark.sql.types import StringType, StructField, StructType
 
@@ -91,8 +97,8 @@ def decode_page_log_ts(raw: DataFrame, value_col: str = "value") -> DataFrame:
             F.coalesce(F.col(f"j.{f.name}"), F.lit("")).alias(f.name)
             for f in schemas.PAGE_LOG.fields
         ],
-        F.coalesce(F.to_timestamp("j.ts"), F.current_timestamp()).alias("event_ts"),
-    )
+        F.to_timestamp("j.ts").alias("event_ts"),
+    ).filter(F.col("event_ts").isNotNull())
 
 
 def decode_page_log(raw: DataFrame, value_col: str = "value") -> DataFrame:

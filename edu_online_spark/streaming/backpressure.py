@@ -111,14 +111,19 @@ class PIDRateEstimator:
         return max(int(self._latest_rate * self.batch_interval_sec), 1)
 
 
-def stats_from_progress(progress: dict, time_sec: float) -> BatchStats | None:
+def stats_from_progress(
+    progress: dict, time_sec: float, trigger_interval_sec: float | None = None
+) -> BatchStats | None:
     """Adapt a StreamingQuery.lastProgress dict to BatchStats.
 
     processing delay  := durationMs.triggerExecution
     scheduling delay  := max(0, trigger interval overrun) — SS has no
     explicit queueing metric; a batch that starts late shows up as the
     previous batch overrunning the interval, which is the same backlog
-    signal the PID integral term wants.
+    signal the PID integral term wants. Pass the query's trigger
+    interval to enable it; without one the overrun is unknowable and
+    the integral (backlog-shedding) term stays off — the controller
+    then only converges TO the processing rate, never below it.
     """
     if not progress:
         return None
@@ -127,9 +132,15 @@ def stats_from_progress(progress: dict, time_sec: float) -> BatchStats | None:
     rows = progress.get("numInputRows", 0)
     if exec_ms is None:
         return None
+    exec_sec = exec_ms / 1000.0
+    overrun = (
+        max(0.0, exec_sec - trigger_interval_sec)
+        if trigger_interval_sec is not None
+        else 0.0
+    )
     return BatchStats(
         time_sec=time_sec,
         num_elements=int(rows),
-        processing_delay_sec=exec_ms / 1000.0,
-        scheduling_delay_sec=0.0,
+        processing_delay_sec=exec_sec,
+        scheduling_delay_sec=overrun,
     )

@@ -273,6 +273,13 @@ def user_idle_timeout_job(
     hasTimedOut fires for a key when a later batch arrives after its
     deadline — even with no new data for that key — at which point the
     state is removed (bounded state, unlike the reference).
+
+    CAVEAT (unlike every sibling job): with available_now=True this
+    query does NOT self-terminate — after the data batches drain it
+    stays active waiting on pending ProcessingTimeTimeout deadlines, so
+    a bare awaitTermination() hangs. Use `drain(q, seconds)` below,
+    which waits for the data batches (and any timeouts that fire in the
+    window) and then stops the query cleanly.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -308,6 +315,21 @@ def user_idle_timeout_job(
         .trigger(**_trigger({}, available_now))
         .start()
     )
+
+
+def drain(q: StreamingQuery, timeout_sec: float = 60.0) -> None:
+    """Drain-and-stop for queries that never self-terminate under
+    availableNow: a query holding pending processing-time timeout state
+    (user_idle_timeout_job) stays active after its data batches finish,
+    waiting on wall-clock deadlines — the awaitTermination() pattern
+    every other job in this module supports would block forever. This
+    waits up to timeout_sec for the data batches (plus any timeouts
+    that fire in the window), then stops the query and waits for a
+    clean shutdown."""
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+        q.awaitTermination(timeout_sec)
 
 
 def console_debug_job(

@@ -23,6 +23,7 @@ Two renderings of the same keyed-upsert contract:
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -42,15 +43,27 @@ def parquet_upsert(path: str, key_cols: list[str], num_buckets: int = DEFAULT_UP
       2. read ONLY those partition dirs (partition pruning on the
          `_bucket` filter — untouched buckets are never opened);
       3. anti-join old rows on the keys, union the batch (new wins);
-      4. dynamic partition overwrite (`partitionOverwriteMode=dynamic`)
-         rewrites ONLY the partitions present in the merged frame.
+      4. write the merged buckets to a STAGING dir, hard-link every
+         untouched bucket dir in beside them (metadata-only, O(#files)
+         not O(bytes)), then swap staging into place with two renames.
 
     Replayed batches hit the same buckets with the same keys —
     idempotent. The previous implementation read and rewrote the whole
     sink every trigger (O(sink size) per batch); this one is
     O(batch + touched buckets), which is what survives a sink that has
-    accumulated months of keys. Production storage with a native MERGE
-    (Delta/Iceberg/JDBC) replaces the mechanism, not the semantics.
+    accumulated months of keys.
+
+    Why the staged swap instead of dynamic partition overwrite:
+    overwrite deletes and rewrites live bucket dirs in place, so a
+    concurrent reader (dashboard, another session) that lists the sink
+    mid-commit can hit a vanished file or see a bucket with old rows
+    gone and new rows not yet visible — for the full duration of the
+    write. With the swap, readers see the complete old state until two
+    back-to-back metadata renames publish the complete new state;
+    already-open files keep serving (POSIX) even after the old tree is
+    removed. Local-FS rendering only — production storage with a
+    native MERGE + snapshot isolation (Delta/Iceberg/JDBC) replaces
+    the mechanism, not the semantics.
     """
 
     def write(batch: DataFrame, batch_id: int) -> None:
@@ -63,22 +76,49 @@ def parquet_upsert(path: str, key_cols: list[str], num_buckets: int = DEFAULT_UP
                 "int"
             ),
         )
+        staging = path + ".__staging__"
+        retired = path + ".__retired__"
+        for leftover in (staging, retired):  # crashed prior commit
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
         if os.path.exists(path):
             buckets = [r[0] for r in keyed.select("_bucket").distinct().collect()]
             old = spark.read.parquet(path).filter(F.col("_bucket").isin(buckets))
             merged = old.join(
                 keyed.select(*key_cols), key_cols, "left_anti"
             ).unionByName(keyed)
+            # reads the live dir, writes the staging dir — no overlap
+            merged.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
+            touched = {f"_bucket={b}" for b in buckets}
+            for entry in os.listdir(path):
+                src = os.path.join(path, entry)
+                if (
+                    entry.startswith("_bucket=")
+                    and entry not in touched
+                    and os.path.isdir(src)
+                ):
+                    _link_tree(src, os.path.join(staging, entry))
+            os.rename(path, retired)
+            os.rename(staging, path)
+            shutil.rmtree(retired)
         else:
-            merged = keyed
-        (
-            merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_bucket")
-            .parquet(path)
-        )
+            keyed.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
+            os.rename(staging, path)
 
     return write
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Mirror a directory with hard links — the carry-forward for
+    untouched bucket dirs costs one inode link per file, never a data
+    copy, so the swap stays O(touched bytes + total file count)."""
+    os.makedirs(dst, exist_ok=True)
+    for name in os.listdir(src):
+        s, d = os.path.join(src, name), os.path.join(dst, name)
+        if os.path.isdir(s):
+            _link_tree(s, d)
+        else:
+            os.link(s, d)
 
 
 def dbapi_upsert(

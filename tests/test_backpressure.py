@@ -57,3 +57,18 @@ def test_stats_from_progress_adapter():
     assert s is not None
     assert s.num_elements == 4500 and s.processing_delay_sec == 1.5
     assert stats_from_progress({}, 0.0) is None
+
+
+def test_stats_from_progress_derives_overrun_as_scheduling_delay():
+    """With the trigger interval supplied, a batch that overruns it
+    reports the overrun as scheduling delay — the backlog signal the
+    PID integral term needs to push the rate BELOW the processing rate.
+    Without the interval the term is (documented) off."""
+    p = {"durationMs": {"triggerExecution": 5000}, "numInputRows": 100}
+    s = stats_from_progress(p, time_sec=1.0, trigger_interval_sec=3.0)
+    assert s.scheduling_delay_sec == 2.0
+    fast = {"durationMs": {"triggerExecution": 1000}, "numInputRows": 100}
+    s2 = stats_from_progress(fast, time_sec=2.0, trigger_interval_sec=3.0)
+    assert s2.scheduling_delay_sec == 0.0
+    s3 = stats_from_progress(p, time_sec=3.0)
+    assert s3.scheduling_delay_sec == 0.0

@@ -70,3 +70,25 @@ def test_page_decode_defaults_and_malformed(spark):
     assert full["page_id"] == "2" and full["next_page_id"] == "3"
     sparse = next(r for r in rows if r["uid"] == "")
     assert sparse["app_id"] == "7"
+
+
+def test_page_decode_ts_quarantines_tsless_rows(spark):
+    """Rows without a parseable event time are DROPPED, never defaulted
+    to wall-clock: a current_timestamp fallback would advance the
+    watermark to 'now' during a replay/backfill and silently expire
+    every older correctly-timestamped event on both sides of a
+    stream-stream join."""
+    from edu_online_spark.sources.logs import decode_page_log_ts
+
+    rows = decode_page_log_ts(
+        _raw(
+            spark,
+            [
+                '{"uid":"1","page_id":"2","ts":"2026-08-13 10:00:01"}',
+                '{"uid":"2","page_id":"3"}',              # no ts → dropped
+                '{"uid":"3","page_id":"4","ts":"garbage"}',  # bad ts → dropped
+            ],
+        )
+    ).collect()
+    assert [r["uid"] for r in rows] == ["1"]
+    assert rows[0]["event_ts"] is not None

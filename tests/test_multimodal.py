@@ -56,5 +56,5 @@ def test_audio_features_are_span_means(spark):
         buf = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.float64)
         expected = [float(s.mean()) for s in np.array_split(buf, AUDIO_FEAT_DIM)]
         got = out[doc_id]
-        assert got["n_windows"] == len(buf)
+        assert got["n_bytes"] == len(buf)
         assert list(got["features"]) == expected

@@ -138,3 +138,20 @@ def test_dbapi_upsert_mysql_sql_shape():
     assert re.search(r"INSERT INTO qz_point \(uid, pointid, qz_sum\)", stmt)
     assert "ON DUPLICATE KEY UPDATE qz_sum=VALUES(qz_sum)" in stmt
     assert "%s, %s, %s" in stmt
+
+
+def test_parquet_upsert_commit_leaves_no_staging_debris(spark, tmp_path):
+    """The staged-swap commit must leave only the live sink dir: no
+    .__staging__/.__retired__ leftovers, and a leftover from a crashed
+    prior commit is cleared on the next trigger instead of poisoning
+    it."""
+    out = str(tmp_path / "sink")
+    sink = sinks.parquet_upsert(out, ["k"], num_buckets=4)
+    sink(spark.createDataFrame([("a", 1)], ["k", "v"]), 0)
+    # simulate a crash that left a stale staging dir behind
+    os.makedirs(out + ".__staging__/_bucket=0", exist_ok=True)
+    sink(spark.createDataFrame([("b", 2), ("a", 10)], ["k", "v"]), 1)
+    siblings = set(os.listdir(tmp_path))
+    assert siblings == {"sink"}
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
+    assert rows == {"a": 10, "b": 2}

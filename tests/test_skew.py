@@ -80,3 +80,24 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         ).collect()
     }
     assert salted == plain and len(plain) > 0
+
+
+def test_salted_agg_refuses_degenerate_salt(spark):
+    """A frame with only the key columns has no content to salt from —
+    the old fallback hashed the key itself, a constant per key (zero
+    spreading). That degenerate case must raise, not silently no-op."""
+    import pytest
+
+    from edu_online_spark.functions.skew import salted_agg, salted_join
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], ["k"])
+    with pytest.raises(ValueError, match="non-key"):
+        salted_agg(df, ["k"], {"cnt": F.count("*")}, lambda n: F.sum(n))
+    small = spark.createDataFrame([("a", 1)], ["k", "dim"])
+    with pytest.raises(ValueError, match="non-join"):
+        salted_join(df, small, ["k"])
+    # explicit salt_cols is the caller's informed override — allowed
+    out = salted_agg(
+        df, ["k"], {"cnt": F.count("*")}, lambda n: F.sum(n), salt_cols=["k"]
+    )
+    assert {(r["k"], r["cnt"]) for r in out.collect()} == {("a", 2), ("b", 1)}

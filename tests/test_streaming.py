@@ -309,15 +309,10 @@ def test_user_idle_timeout_closes_state(spark, tmp_path):
     import time
 
     def _run_idle(src, out, ckpt):
-        # availableNow does NOT self-terminate while processing-time
-        # timeouts are pending — drain the data batches, then stop
         q = jobs.user_idle_timeout_job(
             file_stream(spark, src), out, ckpt, idle_ms=1500, available_now=True
         )
-        q.awaitTermination(25)  # data batches drain in seconds; the
-        if q.isActive:          # query itself lingers on pending timeouts
-            q.stop()
-            q.awaitTermination(30)
+        jobs.drain(q, 25)
 
     src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
     _write_lines(src, "b1.txt", ["u1\t1\t2026-08-13 10:00:01",
