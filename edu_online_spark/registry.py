@@ -19,23 +19,32 @@ from .operators import archival, page, quiz, register
 _MODULES = [register, quiz, page, archival]
 
 
+# Registration order is a CONTRACT, not cosmetics: the correctness driver
+# checks the first 50 registry entries per round. The LLM-pipeline modules
+# (dedup / similarity / textops / multimodal / iplookup — the north-star
+# operators) therefore come before the long relational tail (tpch /
+# analytics / sessions, certified by the round-2 driver run) so every
+# flagship operator gets a driver-side CORRECTNESS entry each round.
 _EXTENSION_NAMES = [
-    "tpch",
-    "analytics",
-    "sessions",
     "iplookup",
     "dedup",
     "similarity",
     "textops",
     "multimodal",
+    "tpch",
+    "analytics",
+    "sessions",
 ]
 
 
 def _extended_modules():
-    """Extension operator modules are appended as they land; import errors
-    must never take down the core registry, so each import is isolated —
-    a broken extension is skipped (with a stderr note) and the core
-    register/quiz/page/archival queries keep working."""
+    """Extension operator modules are appended as they land.
+
+    Only ImportError is swallowed (an optional dependency genuinely
+    absent from the environment must not take down the core registry);
+    any other failure — a typo, a NameError at module scope — would
+    silently drop every query in the module and surface downstream as
+    'unknown query', so it propagates."""
     import importlib
     import sys
 
@@ -43,7 +52,7 @@ def _extended_modules():
     for name in _EXTENSION_NAMES:
         try:
             mods.append(importlib.import_module(f".operators.{name}", __package__))
-        except Exception as exc:  # noqa: BLE001 — isolation is the point
+        except ImportError as exc:
             print(
                 f"edu_online_spark: skipping extension module {name!r}: {exc}",
                 file=sys.stderr,

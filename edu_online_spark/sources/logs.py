@@ -48,22 +48,49 @@ def decode_register_log(raw: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+def decode_register_log_ts(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """decode_register_log + a typed `event_ts` column for event-time
+    operators (windows, watermarks, session windows, streaming dedup).
+
+    ``try_to_timestamp`` + drop-on-null, same quarantine posture as
+    decode_page_log_ts: one malformed create_time must not crash-loop a
+    streaming query under ANSI mode, and a wall-clock fallback would
+    poison the watermark on replay.
+    """
+    return (
+        decode_register_log(raw, value_col)
+        .withColumn("event_ts", F.try_to_timestamp(F.col("create_time")))
+        .filter(F.col("event_ts").isNotNull())
+    )
+
+
 def decode_qz_log(raw: DataFrame, value_col: str = "value") -> DataFrame:
     """TSV → 6 typed quiz columns (QzPointStreaming.scala:66-77).
 
     uid/courseid/pointid promoted to int (the reference defers .toInt to
-    QzPointStreaming.scala:128-130; we type at the edge)."""
+    QzPointStreaming.scala:128-130; we type at the edge). ``try_cast``
+    (not ``cast``) because the input is untrusted: under ANSI mode a
+    6-field row with a non-numeric id would otherwise throw
+    CAST_INVALID_INPUT and kill the whole job — one poison-pill record
+    must quarantine the row, not halt a 100 TB stream. Rows whose ids
+    fail the cast are dropped, extending the reference's drop-malformed
+    posture (QzPointStreaming.scala:66) from arity to field types."""
     parts = F.split(F.col(value_col), "\t")
     return (
         raw.select(parts.alias("p"))
         .filter(F.size("p") == 6)
         .select(
-            F.col("p")[0].cast("int").alias("uid"),
-            F.col("p")[1].cast("int").alias("courseid"),
-            F.col("p")[2].cast("int").alias("pointid"),
+            F.col("p")[0].try_cast("int").alias("uid"),
+            F.col("p")[1].try_cast("int").alias("courseid"),
+            F.col("p")[2].try_cast("int").alias("pointid"),
             F.col("p")[3].alias("questionid"),
             F.col("p")[4].alias("istrue"),
             F.col("p")[5].alias("createtime"),
+        )
+        .filter(
+            F.col("uid").isNotNull()
+            & F.col("courseid").isNotNull()
+            & F.col("pointid").isNotNull()
         )
     )
 
@@ -97,7 +124,11 @@ def decode_page_log_ts(raw: DataFrame, value_col: str = "value") -> DataFrame:
             F.coalesce(F.col(f"j.{f.name}"), F.lit("")).alias(f.name)
             for f in schemas.PAGE_LOG.fields
         ],
-        F.to_timestamp("j.ts").alias("event_ts"),
+        # try_to_timestamp, not to_timestamp: under ANSI mode (the default,
+        # and the driver's bare session) a malformed ts would throw
+        # CAST_INVALID_INPUT before the isNotNull filter below could drop
+        # the row — a poison-pill crash loop in a streaming job.
+        F.try_to_timestamp(F.col("j.ts")).alias("event_ts"),
     ).filter(F.col("event_ts").isNotNull())
 
 

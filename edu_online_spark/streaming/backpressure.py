@@ -112,18 +112,24 @@ class PIDRateEstimator:
 
 
 def stats_from_progress(
-    progress: dict, time_sec: float, trigger_interval_sec: float | None = None
+    progress: dict,
+    time_sec: float,
+    trigger_interval_sec: float | None = None,
+    prev_overrun_sec: float = 0.0,
 ) -> BatchStats | None:
     """Adapt a StreamingQuery.lastProgress dict to BatchStats.
 
     processing delay  := durationMs.triggerExecution
-    scheduling delay  := max(0, trigger interval overrun) — SS has no
-    explicit queueing metric; a batch that starts late shows up as the
-    previous batch overrunning the interval, which is the same backlog
-    signal the PID integral term wants. Pass the query's trigger
-    interval to enable it; without one the overrun is unknowable and
-    the integral (backlog-shedding) term stays off — the controller
-    then only converges TO the processing rate, never below it.
+    scheduling delay  := the PRIOR batch's interval overrun
+    (prev_overrun_sec) — the wait THIS batch suffered is caused by the
+    batches before it, not by its own runtime; a batch that queued but
+    ran fast must still report the backlog, and a slow batch must not
+    self-report one it didn't experience. SS has no explicit queueing
+    metric, so callers thread the overrun between calls (or use
+    ProgressStatsAdapter, which does it for them). Without a trigger
+    interval the overrun is unknowable and the integral
+    (backlog-shedding) term stays off — the controller then only
+    converges TO the processing rate, never below it.
     """
     if not progress:
         return None
@@ -133,14 +139,33 @@ def stats_from_progress(
     if exec_ms is None:
         return None
     exec_sec = exec_ms / 1000.0
-    overrun = (
-        max(0.0, exec_sec - trigger_interval_sec)
-        if trigger_interval_sec is not None
-        else 0.0
-    )
     return BatchStats(
         time_sec=time_sec,
         num_elements=int(rows),
         processing_delay_sec=exec_sec,
-        scheduling_delay_sec=overrun,
+        scheduling_delay_sec=prev_overrun_sec if trigger_interval_sec else 0.0,
     )
+
+
+class ProgressStatsAdapter:
+    """Stateful lastProgress → BatchStats adapter: carries each batch's
+    interval overrun forward so the NEXT observation reports it as its
+    scheduling delay (mirroring the DStream estimator, whose
+    schedulingDelay is the wait caused by prior batches)."""
+
+    def __init__(self, trigger_interval_sec: float | None = None) -> None:
+        self.trigger_interval_sec = trigger_interval_sec
+        self._pending_overrun = 0.0
+
+    def __call__(self, progress: dict, time_sec: float) -> BatchStats | None:
+        stats = stats_from_progress(
+            progress,
+            time_sec,
+            trigger_interval_sec=self.trigger_interval_sec,
+            prev_overrun_sec=self._pending_overrun,
+        )
+        if stats is not None and self.trigger_interval_sec is not None:
+            self._pending_overrun = max(
+                0.0, stats.processing_delay_sec - self.trigger_interval_sec
+            )
+        return stats

@@ -33,6 +33,7 @@ from ..sources.logs import (
     decode_page_log_ts,
     decode_qz_log,
     decode_register_log,
+    decode_register_log_ts,
 )
 from . import sinks
 
@@ -55,9 +56,7 @@ def register_windowed_job(
     only changed windows each trigger; the keyed upsert makes replays
     idempotent.
     """
-    reg = decode_register_log(raw).withColumn(
-        "event_ts", F.to_timestamp("create_time")
-    )
+    reg = decode_register_log_ts(raw)
     counts = (
         reg.withWatermark("event_ts", watermark)
         .groupBy(F.window("event_ts", "60 seconds", "6 seconds"), F.col("platform"))
@@ -206,9 +205,7 @@ def user_session_job(
     the streaming twin of operators/sessions.sessionize (same 30-min-gap
     semantics). State: one open window per active user, closed and
     emitted once the watermark passes the gap."""
-    reg = decode_register_log(raw).withColumn(
-        "event_ts", F.to_timestamp("create_time")
-    )
+    reg = decode_register_log_ts(raw)
     sessions = (
         reg.withWatermark("event_ts", watermark)
         .groupBy(F.session_window("event_ts", gap), F.col("user_id"))
@@ -405,9 +402,7 @@ def register_dedup_job(
     plain dropDuplicates whose key set grows forever. The streaming
     twin of operators/dedup.exact_dedup.
     """
-    reg = decode_register_log(raw).withColumn(
-        "event_ts", F.to_timestamp("create_time")
-    )
+    reg = decode_register_log_ts(raw)
     deduped = reg.withWatermark("event_ts", watermark).dropDuplicatesWithinWatermark(
         ["user_id", "create_time"]
     )
@@ -507,16 +502,18 @@ def page_toppages_job(
     is only sane when the full result is SMALL (here: k rows), because
     every trigger rewrites everything; the per-page counts live in the
     state store, the top-k sort runs on the (tiny) aggregate. The sink
-    overwrite per batch is the matching idempotent write.
+    overwrite per batch is the matching idempotent write — published
+    via the staged atomic swap (sinks.parquet_overwrite_atomic), never
+    a delete-then-rewrite of the live dir.
     """
     pages = decode_page_log(raw)
     counts = pages.groupBy("page_id").agg(F.count("*").alias("visits"))
+    publish = sinks.parquet_overwrite_atomic(out_path)
 
     def overwrite(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        top = batch.orderBy(F.desc("visits"), F.asc("page_id")).limit(k)
-        top.write.mode("overwrite").parquet(out_path)
+        publish(batch.orderBy(F.desc("visits"), F.asc("page_id")).limit(k), batch_id)
 
     return (
         counts.writeStream.outputMode("complete")

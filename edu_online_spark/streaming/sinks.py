@@ -23,6 +23,7 @@ Two renderings of the same keyed-upsert contract:
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame
@@ -78,9 +79,7 @@ def parquet_upsert(path: str, key_cols: list[str], num_buckets: int = DEFAULT_UP
         )
         staging = path + ".__staging__"
         retired = path + ".__retired__"
-        for leftover in (staging, retired):  # crashed prior commit
-            if os.path.exists(leftover):
-                shutil.rmtree(leftover)
+        _recover_half_commit(path, staging, retired)
         if os.path.exists(path):
             buckets = [r[0] for r in keyed.select("_bucket").distinct().collect()]
             old = spark.read.parquet(path).filter(F.col("_bucket").isin(buckets))
@@ -98,11 +97,63 @@ def parquet_upsert(path: str, key_cols: list[str], num_buckets: int = DEFAULT_UP
                     and os.path.isdir(src)
                 ):
                     _link_tree(src, os.path.join(staging, entry))
-            os.rename(path, retired)
-            os.rename(staging, path)
-            shutil.rmtree(retired)
+            _swap_into_place(path, staging, retired)
         else:
             keyed.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
+            os.rename(staging, path)
+
+    return write
+
+
+def _recover_half_commit(path: str, staging: str, retired: str) -> None:
+    """Crash recovery BEFORE any leftover cleanup. The swap renames
+    path→retired then staging→path; a crash between the renames leaves
+    the live dir missing while staging (complete new state — parquet's
+    _SUCCESS marker proves the write finished, and any hard-links are
+    added before the renames) and/or retired (complete old state) hold
+    the only copies. Blindly rmtree-ing them would silently destroy the
+    accumulated sink and rebuild it from the current batch alone.
+    Promote staging if complete, else restore retired; only then is
+    whatever remains truly garbage."""
+    if not os.path.exists(path):
+        if os.path.exists(os.path.join(staging, "_SUCCESS")):
+            os.rename(staging, path)
+        elif os.path.exists(retired):
+            os.rename(retired, path)
+    for leftover in (staging, retired):  # now provably leftovers
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+
+
+def _swap_into_place(path: str, staging: str, retired: str) -> None:
+    """Publish a complete staging tree with two metadata renames;
+    readers see the full old state until the instant the full new state
+    is visible (already-open files keep serving, POSIX)."""
+    os.rename(path, retired)
+    os.rename(staging, path)
+    shutil.rmtree(retired)
+
+
+def parquet_overwrite_atomic(path: str):
+    """foreachBatch function: full overwrite published atomically.
+
+    For complete-mode queries whose whole result is small (top-k,
+    global aggregates). A plain mode('overwrite').parquet(path) deletes
+    the live dir before rewriting it — a concurrent reader can hit
+    vanished files, and a crash mid-write loses the previous result.
+    Stage + swap instead, with the same half-commit recovery as
+    parquet_upsert."""
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        staging = path + ".__staging__"
+        retired = path + ".__retired__"
+        _recover_half_commit(path, staging, retired)
+        batch.write.mode("overwrite").parquet(staging)
+        if os.path.exists(path):
+            _swap_into_place(path, staging, retired)
+        else:
             os.rename(staging, path)
 
     return write
@@ -147,6 +198,12 @@ def dbapi_upsert(
     use 1 for stores without concurrent-writer support (sqlite tests).
     """
     cols = list(key_cols) + list(value_cols)
+    # Identifiers are interpolated into the statement (placeholders only
+    # cover values) — validate them so a table/column name arriving from
+    # config can never smuggle SQL.
+    for ident in [table, *cols]:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", ident):
+            raise ValueError(f"invalid SQL identifier {ident!r}")
     ph = "?" if dialect == "sqlite" else "%s"
     placeholders = ", ".join([ph] * len(cols))
     col_list = ", ".join(cols)

@@ -59,16 +59,23 @@ def test_stats_from_progress_adapter():
     assert stats_from_progress({}, 0.0) is None
 
 
-def test_stats_from_progress_derives_overrun_as_scheduling_delay():
-    """With the trigger interval supplied, a batch that overruns it
-    reports the overrun as scheduling delay — the backlog signal the
-    PID integral term needs to push the rate BELOW the processing rate.
-    Without the interval the term is (documented) off."""
-    p = {"durationMs": {"triggerExecution": 5000}, "numInputRows": 100}
-    s = stats_from_progress(p, time_sec=1.0, trigger_interval_sec=3.0)
-    assert s.scheduling_delay_sec == 2.0
+def test_progress_adapter_lags_overrun_one_batch():
+    """Scheduling delay is the wait caused by PRIOR batches: a slow
+    batch must not self-report its own overrun, and the fast batch that
+    queued behind it must report the backlog it actually suffered."""
+    from edu_online_spark.streaming.backpressure import ProgressStatsAdapter
+
+    adapter = ProgressStatsAdapter(trigger_interval_sec=3.0)
+    slow = {"durationMs": {"triggerExecution": 5000}, "numInputRows": 100}
     fast = {"durationMs": {"triggerExecution": 1000}, "numInputRows": 100}
-    s2 = stats_from_progress(fast, time_sec=2.0, trigger_interval_sec=3.0)
-    assert s2.scheduling_delay_sec == 0.0
-    s3 = stats_from_progress(p, time_sec=3.0)
-    assert s3.scheduling_delay_sec == 0.0
+
+    s1 = adapter(slow, time_sec=1.0)
+    assert s1.scheduling_delay_sec == 0.0  # no prior batch → no backlog
+    s2 = adapter(fast, time_sec=2.0)
+    assert s2.scheduling_delay_sec == 2.0  # queued behind the 2s overrun
+    s3 = adapter(fast, time_sec=3.0)
+    assert s3.scheduling_delay_sec == 0.0  # fast batch left no backlog
+
+    # without a trigger interval the backlog term is (documented) off
+    off = ProgressStatsAdapter()
+    assert off(slow, time_sec=4.0).scheduling_delay_sec == 0.0

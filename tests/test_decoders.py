@@ -72,6 +72,73 @@ def test_page_decode_defaults_and_malformed(spark):
     assert sparse["app_id"] == "7"
 
 
+def test_qz_decode_garbage_int_fields_dropped(spark):
+    """A 6-field row with a non-numeric id must be QUARANTINED, not
+    throw: under ANSI mode a plain cast() raises CAST_INVALID_INPUT and
+    one poison-pill record would kill the whole streaming query
+    (the reference drops malformed rows — QzPointStreaming.scala:66)."""
+    rows = decode_qz_log(
+        _raw(
+            spark,
+            [
+                "1001\t504\t7\tq-17\t1\t2026-08-13 10:00:05",
+                "not-a-uid\t504\t7\tq-17\t1\t2026-08-13 10:00:06",  # bad uid
+                "1002\tNaNcourse\t7\tq-17\t0\t2026-08-13 10:00:07",  # bad courseid
+                "1003\t504\t9.5e\tq-17\t1\t2026-08-13 10:00:08",  # bad pointid
+            ],
+        )
+    ).collect()
+    assert [r["uid"] for r in rows] == [1001]
+
+
+def test_register_decode_ts_garbage_dropped(spark):
+    from edu_online_spark.sources.logs import decode_register_log_ts
+
+    rows = decode_register_log_ts(
+        _raw(
+            spark,
+            [
+                "8001\t1\t2026-08-13 10:00:03",
+                "8002\t2\tnot-a-timestamp",  # bad ts → dropped, not thrown
+            ],
+        )
+    ).collect()
+    assert [r["user_id"] for r in rows] == ["8001"]
+    assert rows[0]["event_ts"] is not None
+
+
+def test_decoders_under_bare_ansi_session(spark):
+    """The driver runs queries under a BARE SparkSession (no engine
+    confs); round 2's red test only fired because the engine session's
+    defaults drifted from the driver's. Pin the poison-pill semantics
+    under an explicit ANSI-on session so conf drift can't hide them."""
+    from edu_online_spark.sources.logs import (
+        decode_page_log_ts,
+        decode_register_log_ts,
+    )
+
+    bare = spark.newSession()
+    bare.conf.set("spark.sql.ansi.enabled", "true")
+
+    def raw(lines):
+        return bare.createDataFrame([(l,) for l in lines], ["value"])
+
+    qz = decode_qz_log(
+        raw(["1\t2\t3\tq\t1\t2026-01-01 00:00:00", "x\t2\t3\tq\t1\tt"])
+    ).collect()
+    assert [r["uid"] for r in qz] == [1]
+
+    reg = decode_register_log_ts(
+        raw(["1\t1\t2026-01-01 00:00:00", "2\t2\tgarbage"])
+    ).collect()
+    assert [r["user_id"] for r in reg] == ["1"]
+
+    page = decode_page_log_ts(
+        raw(['{"uid":"1","ts":"2026-01-01 00:00:00"}', '{"uid":"2","ts":"garbage"}'])
+    ).collect()
+    assert [r["uid"] for r in page] == ["1"]
+
+
 def test_page_decode_ts_quarantines_tsless_rows(spark):
     """Rows without a parseable event time are DROPPED, never defaulted
     to wall-clock: a current_timestamp fallback would advance the

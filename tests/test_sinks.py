@@ -155,3 +155,68 @@ def test_parquet_upsert_commit_leaves_no_staging_debris(spark, tmp_path):
     assert siblings == {"sink"}
     rows = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
     assert rows == {"a": 10, "b": 2}
+
+
+def test_parquet_upsert_recovers_half_committed_swap(spark, tmp_path):
+    """Crash BETWEEN the two swap renames (live dir gone, staging holds
+    the complete new state): the next trigger must PROMOTE staging —
+    not rmtree it and rebuild the sink from the current batch alone
+    (ADVICE r2, medium)."""
+    out = str(tmp_path / "sink")
+    sink = sinks.parquet_upsert(out, ["k"], num_buckets=4)
+    sink(spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"]), 0)
+    sink(spark.createDataFrame([("c", 3)], ["k", "v"]), 1)
+
+    # simulate the crash: path→retired happened, staging→path did not
+    os.rename(out, out + ".__retired__")
+    os.rename(out + ".__retired__", out + ".__staging__")  # staging = full state
+    assert not os.path.exists(out)
+
+    sink(spark.createDataFrame([("d", 4)], ["k", "v"]), 2)
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
+    assert rows == {"a": 1, "b": 2, "c": 3, "d": 4}  # nothing lost
+    assert set(os.listdir(tmp_path)) == {"sink"}
+
+
+def test_parquet_upsert_restores_retired_when_staging_incomplete(spark, tmp_path):
+    """Crash after path→retired with an INCOMPLETE staging (no _SUCCESS):
+    restore the retired old state rather than promoting garbage."""
+    out = str(tmp_path / "sink")
+    sink = sinks.parquet_upsert(out, ["k"], num_buckets=4)
+    sink(spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"]), 0)
+
+    os.rename(out, out + ".__retired__")
+    os.makedirs(out + ".__staging__/_bucket=0")  # partial write, no _SUCCESS
+
+    sink(spark.createDataFrame([("c", 3)], ["k", "v"]), 1)
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
+    assert rows == {"a": 1, "b": 2, "c": 3}
+    assert set(os.listdir(tmp_path)) == {"sink"}
+
+
+def test_parquet_overwrite_atomic_swaps_and_recovers(spark, tmp_path):
+    """Complete-mode publish: old result readable until the new one is
+    fully staged; a half-committed swap is promoted on the next call."""
+    out = str(tmp_path / "top")
+    publish = sinks.parquet_overwrite_atomic(out)
+    publish(spark.createDataFrame([("p1", 10)], ["page_id", "visits"]), 0)
+    publish(spark.createDataFrame([("p2", 20)], ["page_id", "visits"]), 1)
+    rows = spark.read.parquet(out).collect()
+    assert [(r["page_id"], r["visits"]) for r in rows] == [("p2", 20)]
+
+    os.rename(out, out + ".__staging__")  # crash between the two renames
+    publish(spark.createDataFrame([("p3", 30)], ["page_id", "visits"]), 2)
+    rows = spark.read.parquet(out).collect()
+    assert [(r["page_id"], r["visits"]) for r in rows] == [("p3", 30)]
+    assert set(os.listdir(tmp_path)) == {"top"}
+
+
+def test_dbapi_upsert_rejects_injectable_identifiers():
+    import pytest
+
+    with pytest.raises(ValueError, match="invalid SQL identifier"):
+        sinks.dbapi_upsert(
+            "t; DROP TABLE x--", ["k"], ["v"], lambda: None, "sqlite"
+        )
+    with pytest.raises(ValueError, match="invalid SQL identifier"):
+        sinks.dbapi_upsert("t", ["k"], ['v"'], lambda: None, "postgres")

@@ -331,3 +331,45 @@ def test_user_idle_timeout_closes_state(spark, tmp_path):
     assert rows.get(("u1", "closed")) == 2
     assert rows.get(("u2", "closed")) == 1
     assert rows.get(("u3", "open")) == 1
+
+
+def test_quiz_job_survives_poison_pill_record(spark, tmp_path):
+    """One record with a non-numeric uid must be quarantined by the
+    decoder, not abort the micro-batch: under ANSI mode a plain cast
+    would throw CAST_INVALID_INPUT and crash-loop the query (VERDICT r2
+    item 4 — a poison-pill regression test through the full job)."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(
+        src,
+        "b1.txt",
+        [
+            "1\t5\t7\tq1\t1\t2026-08-13 10:00:01",
+            "poison\t5\t7\tq1\t1\t2026-08-13 10:00:02",  # bad uid → dropped
+            "1\t5\t7\tq2\t0\t2026-08-13 10:00:03",
+        ],
+    )
+    _run(jobs.quiz_mastery_job, spark, src, out, ckpt)  # must not raise
+    r = spark.read.parquet(out).collect()[0]
+    assert r["qz_sum"] == 2 and r["qz_istrue"] == 1  # poison row excluded
+
+
+def test_page_transition_job_survives_malformed_ts(spark, tmp_path):
+    """A malformed `ts` in the page stream must be dropped by
+    decode_page_log_ts, not kill the stream-stream join (the r2 red
+    test's blast radius, end-to-end)."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(
+        src,
+        "b1.txt",
+        [
+            '{"uid":"u1","last_page_id":"0","page_id":"1","ts":"2026-08-13 10:00:00"}',
+            '{"uid":"u1","last_page_id":"1","page_id":"2","ts":"garbage"}',  # dropped
+            '{"uid":"u1","last_page_id":"1","page_id":"2","ts":"2026-08-13 10:02:00"}',
+        ],
+    )
+    _run(jobs.page_transition_join_job, spark, src, out, ckpt)  # must not raise
+    pairs = {
+        (r["uid"], r["from_page"], r["to_page"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert pairs == {("u1", "1", "2")}
