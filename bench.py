@@ -53,6 +53,8 @@ HEADLINE = [
     "benchmark_contamination",
     "documents_chunked",
     "multimodal_decoded_meta",
+    "corpus_vocabulary_topk",
+    "text_tfidf_top_terms",
 ]
 
 

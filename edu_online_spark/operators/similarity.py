@@ -152,6 +152,79 @@ def knn_lsh(
     return _topk(cand.select("qid", "nid", cos.alias("cosine")), k)
 
 
+def ann_all_pairs_topk(
+    embeddings: DataFrame,
+    k: int = TOP_K,
+    bands: int = LSH_BANDS,
+    planes_per_band: int = LSH_PLANES_PER_BAND,
+    dim: int = 64,
+) -> DataFrame:
+    """Corpus×corpus approximate top-k — every vector gets its k nearest
+    neighbors, the retrieval shape dedup-adjacent training pipelines
+    need (knn_* broadcast a small query side; here the query side IS
+    the corpus, so nothing is broadcast).
+
+    Scale shape: SRP band buckets once per vector (one Arrow-batched
+    matmul), then a bucket-LOCAL shuffle equi-join on (band, bucket) —
+    candidates never leave their bucket, the corpus never self-crosses.
+    Pair dedup across bands is one shuffle on (qid, nid); the final
+    per-vector top-k is a window over qid. Buckets are balanced for
+    SRP (signs of random projections split ~evenly), so no salting is
+    needed; a pathological bucket would be handled by AQE skew-join.
+    E[candidate fraction] for a random pair ≈ 1-(1-2^-p)^b — tune
+    bands/planes per corpus; the defaults favor recall on the
+    uniform-random test embeddings (ANN's worst case, see LSH_BANDS
+    note above).
+    """
+    bucketize = srp_band_buckets_udf(dim, bands, planes_per_band)
+    # Candidate generation carries IDS ONLY — vectors would bloat the
+    # band shuffle and the pair-dedup shuffle by ~2×dim×8 bytes/row;
+    # they re-join for verification below (same candidates-then-verify
+    # split as the MinHash path). Materialized once: both join sides
+    # derive from it and DAG branches recompute (no cross-branch CSE).
+    tagged = embeddings.select(
+        "vec_id",
+        F.posexplode(bucketize(F.col("embedding"))).alias("band", "bucket"),
+    ).localCheckpoint(eager=True)
+    left = tagged.select(F.col("vec_id").alias("qid"), "band", "bucket")
+    right = tagged.select(F.col("vec_id").alias("nid"), "band", "bucket")
+    # qid < nid halves the candidate relation through the dedup shuffle;
+    # the mirrored copy is re-added after dedup so every vector still
+    # gets its own top-k.
+    half = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("qid") < F.col("nid"))
+        .select("qid", "nid")
+        .dropDuplicates(["qid", "nid"])
+    )
+    pairs = half.unionByName(
+        half.select(F.col("nid").alias("qid"), F.col("qid").alias("nid"))
+    )
+    # Verification: join the vectors back (two vec_id equi-joins) and
+    # score with ONE vectorized numpy pass per Arrow batch — the
+    # expression-level fold (cosine_similarity) is a higher-order
+    # function, interpreted row-at-a-time, ~20× slower at corpus×corpus
+    # candidate volume. Rows-only semantics (approximate op), so the
+    # fold-vs-matmul float association difference is immaterial.
+    qv_side = embeddings.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    nv_side = embeddings.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
+    scored = pairs.join(qv_side, "qid").join(nv_side, "nid")
+
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def cos_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        num = (ma * mb).sum(axis=1)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        return pd.Series(num / den)
+
+    return _topk(
+        scored.select("qid", "nid", cos_batch("qv", "nv").alias("cosine")), k
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF
 # ---------------------------------------------------------------------------
@@ -267,6 +340,7 @@ QUERIES = {
     "sim_knn_bruteforce": _q(knn_bruteforce),
     "sim_knn_lsh": _q(knn_lsh),  # rows-only: approximate by design
     "sim_knn_ivf": _q(knn_ivf),  # rows-only: iterative k-means training
+    "ann_all_pairs_topk": _q(ann_all_pairs_topk),  # rows-only: approximate
     "sim_embedding_norms": _q(embedding_norms),
 }
 

@@ -282,6 +282,126 @@ def _q(fn):
     return runner
 
 
+def _token_rows(documents: DataFrame) -> DataFrame:
+    """(doc_id, token) row form — explode + empty-token guard, all
+    codegen. The base relation for every frequency operator below."""
+    return documents.select(
+        "doc_id", F.explode(T.tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+
+
+def vocabulary_topk(documents: DataFrame, k: int = 50) -> DataFrame:
+    """Global top-k vocabulary with counts — the corpus-statistics pass
+    every tokenizer-training / vocab-pruning pipeline starts with.
+
+    Classic wordcount shape: the per-partition partial aggregation
+    (map-side combine) collapses each partition to its distinct tokens
+    before the single shuffle on `token`; the top-k is
+    TakeOrderedAndProject, never a full sort. Deterministic tie-break
+    (count desc, token asc) so results are replay-stable."""
+    return (
+        _token_rows(documents)
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def repetition_scores(documents: DataFrame) -> DataFrame:
+    """Per-document repetition metrics — the Gopher/C4-style quality
+    heuristic that drops boilerplate and degenerate pages: the share of
+    the single most-frequent token, and the type/token ratio.
+
+    Two aggregations: (doc_id, token) term frequencies, then a per-doc
+    rollup. The second shuffle moves one row per (doc, distinct token)
+    — already combiner-reduced. Ratios are rational (exact-int divides
+    in double), never ln() — bit-stable across engines."""
+    tf = (
+        _token_rows(documents)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.max("tf").alias("top_tf"),
+            F.count("*").alias("n_types"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "top_tf",
+            "n_types",
+            (F.col("top_tf").cast("double") / F.col("n_tokens")).alias(
+                "top_token_share"
+            ),
+            (F.col("n_types").cast("double") / F.col("n_tokens")).alias(
+                "type_token_ratio"
+            ),
+        )
+    )
+
+
+def token_doc_frequency(documents: DataFrame) -> DataFrame:
+    """Document frequency per token plus the rational inverse ratio
+    n_docs/df. ln() is deliberately absent: libm low bits differ across
+    engines (a log-based IDF can never hash-match an oracle), and the
+    monotone ratio ranks terms identically.
+
+    distinct(doc_id, token) → one shuffle on token; the corpus-size
+    scalar joins in as a broadcast of a 1-row aggregate."""
+    df_tbl = (
+        _token_rows(documents)
+        .dropDuplicates(["doc_id", "token"])
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    total = documents.agg(F.count("*").alias("n_docs"))
+    return df_tbl.crossJoin(F.broadcast(total)).select(
+        "token",
+        "df",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("df")).alias("idf_ratio"),
+    )
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by tf × (n_docs/df) —
+    the keyword-extraction / dedup-feature pass, with the rational IDF
+    above. Score = (tf·n_docs)/df computed as exact-int product over
+    exact-int divisor in double — bit-stable.
+
+    The tf↔df join shuffles on `token`. The df side is vocabulary-sized
+    — orders smaller than the token stream but not provably
+    broadcast-small at 100 TB, so no broadcast hint: AQE picks
+    broadcast when the built vocabulary actually fits."""
+    tf = (
+        _token_rows(documents)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = tf.join(token_doc_frequency(documents), "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        (
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df").cast("double")
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "tfidf", "rank")
+    )
+
+
 QUERIES = {
     "text_quality": _q(text_quality),
     "text_lang_confusion": _q(lang_confusion),
@@ -296,6 +416,10 @@ QUERIES = {
     "benchmark_contamination": _q(benchmark_contamination),
     "documents_chunked": _q(chunk_documents),
     "text_char_diversity": _q(char_diversity_scores),
+    "corpus_vocabulary_topk": _q(vocabulary_topk),
+    "text_repetition_scores": _q(repetition_scores),
+    "corpus_token_df": _q(token_doc_frequency),
+    "text_tfidf_top_terms": _q(tfidf_top_terms),
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), ' +')"
@@ -454,5 +578,75 @@ ORACLE = {
                CAST(sum(n_chars) AS BIGINT) AS total_chars,
                CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens_per_doc
         FROM per_doc GROUP BY source
+    """,
+    "corpus_vocabulary_topk": f"""
+        WITH tok AS (
+            SELECT unnest({_TOKENS}) AS token FROM documents
+        )
+        SELECT token, count(*) AS cnt
+        FROM tok WHERE token <> ''
+        GROUP BY token
+        ORDER BY cnt DESC, token ASC
+        LIMIT 50
+    """,
+    "text_repetition_scores": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKENS}) AS token FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM tok WHERE token <> ''
+            GROUP BY doc_id, token
+        )
+        SELECT doc_id,
+               CAST(sum(tf) AS BIGINT) AS n_tokens,
+               max(tf) AS top_tf,
+               count(*) AS n_types,
+               CAST(max(tf) AS DOUBLE) / CAST(sum(tf) AS BIGINT)
+                   AS top_token_share,
+               CAST(count(*) AS DOUBLE) / CAST(sum(tf) AS BIGINT)
+                   AS type_token_ratio
+        FROM tf GROUP BY doc_id
+    """,
+    "corpus_token_df": f"""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, unnest({_TOKENS}) AS token FROM documents
+        ),
+        dfreq AS (
+            SELECT token, count(*) AS df
+            FROM tok WHERE token <> ''
+            GROUP BY token
+        )
+        SELECT token, df,
+               (SELECT count(*) FROM documents) AS n_docs,
+               CAST((SELECT count(*) FROM documents) AS DOUBLE) / df AS idf_ratio
+        FROM dfreq
+    """,
+    "text_tfidf_top_terms": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKENS}) AS token FROM documents
+        ),
+        clean AS (SELECT * FROM tok WHERE token <> ''),
+        tf AS (
+            SELECT doc_id, token, count(*) AS tf FROM clean GROUP BY doc_id, token
+        ),
+        dfreq AS (
+            SELECT token, count(*) AS df
+            FROM (SELECT DISTINCT doc_id, token FROM clean) GROUP BY token
+        ),
+        scored AS (
+            SELECT tf.doc_id, tf.token, tf.tf,
+                   CAST(tf.tf * (SELECT count(*) FROM documents) AS DOUBLE)
+                       / CAST(dfreq.df AS DOUBLE) AS tfidf
+            FROM tf JOIN dfreq USING (token)
+        ),
+        ranked AS (
+            SELECT doc_id, token, tf, tfidf,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY tfidf DESC, token ASC)
+                        AS INTEGER) AS rank
+            FROM scored
+        )
+        SELECT * FROM ranked WHERE rank <= 3
     """,
 }

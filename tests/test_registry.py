@@ -17,6 +17,7 @@ def test_rows_only_set_is_intentional():
     qs, os_ = registry.queries(), registry.oracle_sql()
     rows_only = set(qs) - set(os_)
     assert rows_only == {
+        "ann_all_pairs_topk",
         "dedup_simhash",
         "events_distinct_users_approx",
         "multimodal_audio_features",

@@ -47,3 +47,20 @@ def test_recall_gates_at_bench_scale(spark):
     exact = _result_sets(knn_bruteforce(emb))
     assert _recall(_result_sets(knn_lsh(emb)), exact) >= 0.9
     assert _recall(_result_sets(knn_ivf(emb)), exact) >= 0.9
+
+
+def test_all_pairs_topk_recall(spark, sf_dir):
+    """Corpus-scale retrieval: every vector's top-k from the banded
+    self-join must hit >=0.9 recall vs exact all-pairs brute force at
+    sf0.01 (VERDICT r2 item 6), and never pair a vector with itself."""
+    from edu_online_spark.operators.similarity import ann_all_pairs_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = emb.count()
+    exact = _result_sets(knn_bruteforce(emb, n_queries=n))
+    assert len(exact) == n  # every corpus vector is a query
+
+    approx = _result_sets(ann_all_pairs_topk(emb))
+    assert _recall(approx, exact) >= 0.9
+    for q, nn in approx.items():
+        assert q not in nn and len(nn) <= TOP_K
