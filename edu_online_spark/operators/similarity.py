@@ -329,9 +329,57 @@ def embedding_norms(embeddings: DataFrame) -> DataFrame:
     return embeddings.select("vec_id", l2_norm(F.col("embedding")).alias("norm"))
 
 
+def label_lang_crosstab(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Cross-modal join: document language × embedding cluster label —
+    the text↔vector consistency check a curation pipeline runs before
+    trusting either signal. doc_id ≡ vec_id (1:1); same-key equi join,
+    then a tiny (label, lang) count grid."""
+    return (
+        documents.select("doc_id", "lang")
+        .join(
+            embeddings.select(F.col("vec_id").alias("doc_id"), "label"),
+            "doc_id",
+        )
+        .groupBy("label", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def norm_extremes_by_label(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Per-cluster embedding-norm spread joined with document counts per
+    source. min/max over bit-exact per-row norms (sequential fold) stay
+    bit-exact — deliberately NOT avg: a sum of doubles is
+    association-order-dependent and can never hash-match an oracle."""
+    from ..functions.vectors import l2_norm
+
+    normed = embeddings.select(
+        F.col("vec_id").alias("doc_id"), l2_norm(F.col("embedding")).alias("norm")
+    )
+    return (
+        documents.select("doc_id", "source")
+        .join(normed, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("norm").alias("min_norm"),
+            F.max("norm").alias("max_norm"),
+        )
+    )
+
+
 def _q(fn):
     def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(load_table(spark, sf_dir, "embeddings"))
+
+    return runner
+
+
+def _q2(fn):
+    def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(
+            load_table(spark, sf_dir, "documents"),
+            load_table(spark, sf_dir, "embeddings"),
+        )
 
     return runner
 
@@ -342,6 +390,8 @@ QUERIES = {
     "sim_knn_ivf": _q(knn_ivf),  # rows-only: iterative k-means training
     "ann_all_pairs_topk": _q(ann_all_pairs_topk),  # rows-only: approximate
     "sim_embedding_norms": _q(embedding_norms),
+    "xmodal_label_lang_crosstab": _q2(label_lang_crosstab),
+    "xmodal_norm_extremes": _q2(norm_extremes_by_label),
 }
 
 _COS = """
@@ -356,6 +406,23 @@ ORACLE = {
                sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
                               for i in range(1, len(embedding) + 1)])) AS norm
         FROM embeddings
+    """,
+    "xmodal_label_lang_crosstab": """
+        SELECT label, lang, count(*) AS n_docs
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        GROUP BY label, lang
+    """,
+    "xmodal_norm_extremes": """
+        WITH normed AS (
+            SELECT vec_id AS doc_id,
+                   sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+                                  for i in range(1, len(embedding) + 1)])) AS norm
+            FROM embeddings
+        )
+        SELECT source, count(*) AS n_docs,
+               min(norm) AS min_norm, max(norm) AS max_norm
+        FROM documents d JOIN normed n ON d.doc_id = n.doc_id
+        GROUP BY source
     """,
     "sim_knn_bruteforce": f"""
         WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings

@@ -541,6 +541,159 @@ def q22_rich_punctual_orders(orders: DataFrame, lineitem: DataFrame) -> DataFram
     )
 
 
+def q7_volume_shipping(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume per (supplier nation,
+    customer nation, ship year) for one nation pair.
+
+    Two roles of the same `nation` table join in as two broadcast
+    aliases (dimension-sized; the hint is safe — 25 rows at any SF).
+    The nation-pair filter lands on both dims BEFORE the fact joins, so
+    the lineitem⋈orders⋈customer chain is pruned at the scan. One
+    shuffle per fact join key plus the final (n1, n2, year) agg.
+    """
+    rev = _dec("l_extendedprice") * _one_minus("l_discount")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q8_market_share(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H Q8 shape: NATION_1's share of AMERICA's ECONOMY-part
+    revenue per order year.
+
+    The share is a conditional-sum ratio inside one aggregation — no
+    self-join: sum(when(supp_nation = target, rev)) / sum(rev), both
+    exact decimal sums divided once in double (bit-stable). Dimension
+    chain (part filter, region→nation→customer) prunes the fact scan;
+    nation appears twice (customer side for the region gate, supplier
+    side for the share flag), both broadcast.
+    """
+    rev = _dec("l_extendedprice") * _one_minus("l_discount")
+    target = "NATION_1"
+    amer_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("c_nkey"))
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    eco_parts = part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    joined = (
+        lineitem.join(F.broadcast(eco_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(amer_nations), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(supplier.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nkey"))
+    )
+    zero = F.lit(0).cast("decimal(12,2)") * F.lit(0).cast("decimal(3,2)")
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == target, rev).otherwise(zero))
+                .cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q10_returned_items(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns in one
+    quarter. Fact joins shuffle on their keys; nation broadcast; the
+    top-20 is TakeOrderedAndProject over the (customer-cardinality)
+    aggregate — never a global sort.
+    """
+    rev = _dec("l_extendedprice") * _one_minus("l_discount")
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q15_top_supplier(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with maximum quarterly revenue.
+
+    The reference Q15 uses a view + scalar MAX subquery; here the
+    per-supplier aggregate computes once, its 1-row MAX broadcasts back
+    as a cross join, and the equality filter keeps all ties (exact
+    decimal comparison BEFORE the double cast — a double-rounded
+    equality could drop or add a tie).
+    """
+    rev = _dec("l_extendedprice") * _one_minus("l_discount")
+    by_supp = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).alias("total_rev_dec"))
+    )
+    max_rev = by_supp.agg(F.max("total_rev_dec").alias("max_rev_dec"))
+    return (
+        by_supp.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_rev_dec") == F.col("max_rev_dec"))
+        .join(supplier.select("s_suppkey", "s_name"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
 def part_price_rank_family(part: DataFrame) -> DataFrame:
     """The full ranking-function family in one windowed pass per brand:
     dense_rank, percent_rank, cume_dist, ntile(4) — one shuffle on
@@ -615,6 +768,17 @@ QUERIES = {
     "tpch_q14_promo_share": _q(q14_promo_revenue_share, "lineitem", "part"),
     "tpch_q19_disjunctive_revenue": _q(q19_disjunctive_revenue, "lineitem", "part"),
     "tpch_q22_rich_punctual_orders": _q(q22_rich_punctual_orders, "orders", "lineitem"),
+    "tpch_q7_volume_shipping": _q(
+        q7_volume_shipping, "supplier", "lineitem", "orders", "customer", "nation"
+    ),
+    "tpch_q8_market_share": _q(
+        q8_market_share,
+        "part", "supplier", "lineitem", "orders", "customer", "nation", "region",
+    ),
+    "tpch_q10_returned_items": _q(
+        q10_returned_items, "customer", "orders", "lineitem", "nation"
+    ),
+    "tpch_q15_top_supplier": _q(q15_top_supplier, "supplier", "lineitem"),
     "users_purchase_no_error": _q(users_purchase_no_error, "events"),
     "users_view_and_purchase": _q(users_view_and_purchase, "events"),
 }
@@ -850,5 +1014,73 @@ ORACLE = {
         SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
         INTERSECT
         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "tpch_q7_volume_shipping": f"""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM({_REV}) AS DOUBLE) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   l_extendedprice, l_discount
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+              AND n2.n_name IN ('NATION_1', 'NATION_2')
+              AND n1.n_name <> n2.n_name
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "tpch_q8_market_share": f"""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN {_REV}
+                             ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+               / CAST(SUM({_REV}) AS DOUBLE) AS mkt_share
+        FROM (
+            SELECT sn.n_name AS supp_nation, o_orderdate,
+                   l_extendedprice, l_discount
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region   ON cn.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+        )
+        GROUP BY o_year
+    """,
+    "tpch_q10_returned_items": f"""
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(SUM({_REV}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "tpch_q15_top_supplier": f"""
+        WITH by_supp AS (
+            SELECT l_suppkey, SUM({_REV}) AS total_rev_dec
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               CAST(total_rev_dec AS DOUBLE) AS total_revenue
+        FROM by_supp JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_rev_dec = (SELECT MAX(total_rev_dec) FROM by_supp)
     """,
 }

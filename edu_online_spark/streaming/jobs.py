@@ -560,3 +560,77 @@ def rawlog_archive_job(
         .trigger(**_trigger({}, available_now))
         .start()
     )
+
+
+def document_ingest_job(
+    raw: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    min_tokens: int = 5,
+    watermark: str = "30 seconds",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming training-data ingest — the streaming twin of the batch
+    curation pipeline (operators/textops + operators/dedup), in one
+    query: decode → quality gate → exact content dedup → partitioned
+    archive.
+
+      decode   JSON {doc_id, text, lang, source, ts}; corrupt records
+               and malformed timestamps QUARANTINED (try_to_timestamp +
+               drop), never thrown — one poison document must not halt
+               the ingest stream.
+      quality  token-count floor (pure column expression — runs in the
+               scan stage; the heavier repetition/diversity scores stay
+               batch-side where they are oracle-checked).
+      dedup    dropDuplicatesWithinWatermark on the xxhash64 content
+               fingerprint — same-content documents arriving within the
+               watermark are dropped regardless of doc_id; state is
+               BOUNDED by the watermark (a plain dropDuplicates key set
+               grows forever).
+      archive  append-only snappy parquet partitioned by (lang, day) —
+               the layout a downstream tokenizer job prunes by.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ..functions import text as T
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("ts", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    parsed = F.from_json(
+        F.col("value"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    docs = (
+        raw.select(parsed.alias("j"))
+        .filter(F.col("j._corrupt").isNull())
+        .select(
+            F.col("j.doc_id").alias("doc_id"),
+            F.col("j.text").alias("text"),
+            F.coalesce(F.col("j.lang"), F.lit("und")).alias("lang"),
+            F.coalesce(F.col("j.source"), F.lit("unknown")).alias("source"),
+            F.try_to_timestamp(F.col("j.ts")).alias("event_ts"),
+        )
+        .filter(F.col("event_ts").isNotNull() & F.col("text").isNotNull())
+        .filter(T.token_count("text") >= min_tokens)
+        .withColumn("fingerprint", T.fingerprint_fast("text"))
+    )
+    deduped = docs.withWatermark(
+        "event_ts", watermark
+    ).dropDuplicatesWithinWatermark(["fingerprint"])
+    archived = deduped.select(
+        "doc_id", "text", "lang", "source", "event_ts", day_bucket("event_ts").alias("day")
+    )
+    return (
+        archived.writeStream.outputMode("append")
+        .foreachBatch(sinks.parquet_append(out_path, ["lang", "day"]))
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )

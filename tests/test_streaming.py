@@ -373,3 +373,35 @@ def test_page_transition_job_survives_malformed_ts(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert pairs == {("u1", "1", "2")}
+
+
+def test_document_ingest_pipeline(spark, tmp_path):
+    """Streaming training-data ingest end-to-end: malformed JSON and
+    bad timestamps quarantined, short docs quality-filtered, duplicate
+    CONTENT (different doc_id) dropped within the watermark, survivors
+    archived under (lang, day) partitions."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    good = "alpha beta gamma delta epsilon zeta"
+    _write_lines(
+        src,
+        "b1.txt",
+        [
+            f'{{"doc_id":"d1","text":"{good}","lang":"en","source":"s1","ts":"2026-08-13 10:00:00"}}',
+            '{"doc_id":"d2","text":"too short","lang":"en","source":"s1","ts":"2026-08-13 10:00:01"}',
+            f'{{"doc_id":"d3","text":"{good} extra","lang":"zh","source":"s2","ts":"2026-08-13 10:00:02"}}',
+            "NOT JSON {{{",
+            f'{{"doc_id":"d4","text":"{good} other","lang":"en","source":"s1","ts":"garbage"}}',
+            # same content as d1, different doc_id → content-dedup drops it
+            f'{{"doc_id":"d5","text":"{good}","lang":"en","source":"s3","ts":"2026-08-13 10:00:03"}}',
+        ],
+    )
+    _run(jobs.document_ingest_job, spark, src, out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert set(by_doc) == {"d1", "d3"}  # d2 short, d4 bad ts, d5 duplicate
+    assert by_doc["d3"]["lang"] == "zh"
+    assert by_doc["d1"]["day"] == 20260813
+    # partition layout is (lang, day) — prunable by a downstream job
+    assert os.path.isdir(os.path.join(out, "lang=en")) and os.path.isdir(
+        os.path.join(out, "lang=zh")
+    )
