@@ -15,7 +15,7 @@ memory per group where exact distinct shuffles every distinct pair.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.core import hash_bucket
@@ -260,6 +260,73 @@ def price_quantiles(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def events_funnel(events: DataFrame) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: users counted
+    at a stage only if it happened AFTER their previous stage (a click
+    before the first view doesn't convert).
+
+    Staged semi-joins on user_id, each stage's relation strictly
+    shrinking — the surviving user set re-partitions once and every
+    later stage joins against an ever-smaller side (AQE broadcasts the
+    tail stages at scale). min-ts comparisons only; no window needed.
+    """
+    first_view = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    first_click = (
+        events.filter(F.col("event_type") == "click")
+        .join(first_view, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    first_purchase = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    stages = [
+        ("1_view", first_view),
+        ("2_view_click", first_click),
+        ("3_view_click_purchase", first_purchase),
+    ]
+    out = None
+    for name, df in stages:
+        row = df.agg(F.count("*").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def daily_anomaly_flags(events: DataFrame, factor: float = 1.5) -> DataFrame:
+    """Volume-anomaly screen: flag days whose event count exceeds
+    `factor` × the trailing-7-day average — the data-quality tripwire a
+    pipeline runs before trusting a day's partition.
+
+    One shuffle to daily counts (tiny), then a single ordered window.
+    The trailing average divides exact integer sums — bit-stable; days
+    with no 7-day history report NULL and never flag."""
+    daily = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    trailing = F.avg("cnt").over(w)
+    return daily.select(
+        "day",
+        "cnt",
+        trailing.alias("trailing_avg"),
+        F.when(trailing.isNull(), F.lit(False))
+        .otherwise(F.col("cnt") > F.lit(factor) * trailing)
+        .alias("is_anomaly"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked query registry
 # ---------------------------------------------------------------------------
@@ -288,6 +355,8 @@ QUERIES = {
     "events_profile": _q(profile_columns, "events"),
     "events_props_k_stats": _q(props_k_stats, "events"),
     "daily_revenue_ma7": _q(daily_revenue_ma7, "events"),
+    "events_funnel": _q(events_funnel, "events"),
+    "events_daily_anomalies": _q(daily_anomaly_flags, "events"),
     "orders_date_features": _q(orders_date_features, "orders"),
 }
 
@@ -407,4 +476,43 @@ ORACLE = {
         """
         for c in _PROFILE_COLS
     ),
+    "events_funnel": """
+        WITH first_view AS (
+            SELECT user_id, min(ts) AS first_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        first_click AS (
+            SELECT e.user_id, min(e.ts) AS first_click
+            FROM events e JOIN first_view v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.first_view
+            GROUP BY e.user_id
+        ),
+        first_purchase AS (
+            SELECT e.user_id, min(e.ts) AS first_purchase
+            FROM events e JOIN first_click c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+            GROUP BY e.user_id
+        )
+        SELECT '1_view' AS stage, count(*) AS n_users FROM first_view
+        UNION ALL
+        SELECT '2_view_click', count(*) FROM first_click
+        UNION ALL
+        SELECT '3_view_click_purchase', count(*) FROM first_purchase
+    """,
+    "events_daily_anomalies": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+            FROM events GROUP BY 1
+        )
+        SELECT day, cnt,
+               avg(cnt) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                   AS trailing_avg,
+               CASE WHEN avg(cnt) OVER (ORDER BY day
+                                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                        IS NULL THEN FALSE
+                    ELSE cnt > 1.5 * avg(cnt) OVER (ORDER BY day
+                                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+               END AS is_anomaly
+        FROM daily
+    """,
 }

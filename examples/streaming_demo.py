@@ -36,7 +36,7 @@ def produce(topic_dir: str, batch: str, lines: list[str]) -> None:
 def main() -> None:
     work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/edu-online-demo"
     shutil.rmtree(work, ignore_errors=True)
-    topics = {t: f"{work}/topics/{t}" for t in ("register", "qz", "page", "raw")}
+    topics = {t: f"{work}/topics/{t}" for t in ("register", "qz", "page", "raw", "docs")}
 
     produce(topics["register"], "b1.log", [
         "8001\t1\t2026-08-13 10:00:01",
@@ -111,6 +111,21 @@ def main() -> None:
     ]
     for q in extra:
         q.awaitTermination(120)
+
+    # round-3 job: streaming training-data ingest (decode -> quality
+    # gate -> content dedup within watermark -> (lang, day) archive)
+    produce(topics["docs"], "b1.log", [
+        '{"doc_id":"d1","text":"alpha beta gamma delta epsilon","lang":"en","source":"s1","ts":"2026-08-13 10:00:00"}',
+        '{"doc_id":"d2","text":"short","lang":"en","source":"s1","ts":"2026-08-13 10:00:01"}',
+        'not json at all',
+        '{"doc_id":"d3","text":"alpha beta gamma delta epsilon","lang":"en","source":"s2","ts":"2026-08-13 10:00:02"}',
+        '{"doc_id":"d4","text":"uno dos tres cuatro cinco seis","lang":"es","source":"s2","ts":"2026-08-13 10:00:03"}',
+    ])
+    out["ingested_docs"] = f"{work}/out/ingested_docs"
+    jobs.document_ingest_job(
+        file_stream(spark, topics["docs"]), out["ingested_docs"], ck("docs"),
+        available_now=True,
+    ).awaitTermination(120)
 
     for name, path in out.items():
         df = spark.read.parquet(path)

@@ -126,3 +126,67 @@ def test_q21_single_fact_join(spark, sf_dir):
     )
     plan = explain_str(df, "simple")
     assert plan.count("Scan parquet") == 4  # lineitem, orders, supplier, nation
+
+
+def test_q7_q8_q10_dims_broadcast_facts_pruned(spark, sf_dir):
+    """The round-3 TPC-H additions keep the scale shape: date/flag/type
+    filters pushed to the fact scan, dimension sides broadcast, no
+    cartesian fallback anywhere."""
+    from edu_online_spark.operators.tpch import (
+        q7_volume_shipping,
+        q8_market_share,
+        q10_returned_items,
+        q15_top_supplier,
+    )
+
+    t = {
+        n: load_table(spark, sf_dir, n)
+        for n in ("region", "nation", "customer", "supplier", "orders", "lineitem", "part")
+    }
+    q7 = q7_volume_shipping(t["supplier"], t["lineitem"], t["orders"], t["customer"], t["nation"])
+    p7 = explain_str(q7)
+    assert any("l_shipdate" in p for p in pushed_filters(q7))
+    assert has_broadcast_join(q7)
+    assert "CartesianProduct" not in p7 and "BroadcastNestedLoopJoin" not in p7
+
+    q8 = q8_market_share(
+        t["part"], t["supplier"], t["lineitem"], t["orders"], t["customer"], t["nation"], t["region"]
+    )
+    p8 = explain_str(q8)
+    assert any("p_type" in p for p in pushed_filters(q8))
+    assert has_broadcast_join(q8)
+    assert "CartesianProduct" not in p8 and "BroadcastNestedLoopJoin" not in p8
+
+    q10 = q10_returned_items(t["customer"], t["orders"], t["lineitem"], t["nation"])
+    p10 = explain_str(q10)
+    assert any("l_returnflag" in p for p in pushed_filters(q10))
+    assert any("o_orderdate" in p for p in pushed_filters(q10))
+    assert "TakeOrderedAndProject" in explain_str(q10, "simple")
+
+    q15 = q15_top_supplier(t["supplier"], t["lineitem"])
+    p15 = explain_str(q15)
+    # scalar max joins back via broadcast, and the lineitem scan is pruned
+    assert has_broadcast_join(q15)
+    assert any("l_shipdate" in p for p in pushed_filters(q15))
+
+
+def test_vocabulary_and_tfidf_plan_shapes(spark, sf_dir):
+    """Wordcount must partial-aggregate before its single shuffle and
+    take top-k without a global sort; TF-IDF must stay equi-join only."""
+    from edu_online_spark.operators.textops import tfidf_top_terms, vocabulary_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = vocabulary_topk(docs)
+    plan = explain_str(vocab, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial" in explain_str(vocab).lower()  # map-side combine
+
+    tfidf = tfidf_top_terms(docs)
+    p = explain_str(tfidf, "simple")  # one line per node (formatted mode
+    # repeats each node in the detail section, breaking counts)
+    assert "CartesianProduct" not in p
+    # exactly ONE nested-loop join is allowed: the broadcast of the
+    # 1-row n_docs aggregate (every engine's scalar-subquery plan);
+    # a second one would mean a real join degenerated
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+    assert has_broadcast_join(tfidf)  # tf⋈df resolved as a hash join
