@@ -402,6 +402,72 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+BOILERPLATE_N = 5
+BOILERPLATE_MIN_DOCS = 3
+
+
+def boilerplate_ngrams(
+    documents: DataFrame, n: int = BOILERPLATE_N, min_docs: int = BOILERPLATE_MIN_DOCS
+) -> DataFrame:
+    """Cross-document repeated n-grams — C4-style boilerplate/template
+    detection: a shingle appearing verbatim in ≥ min_docs documents is
+    navigation chrome, a license header, a scraped template.
+
+    shingle_rows (posexplode + lead, all codegen) → distinct per doc →
+    one shuffle on the shingle. The distinct BEFORE the count makes the
+    metric docs-containing, not occurrences — a single spammy doc can't
+    promote its own refrain to 'boilerplate'."""
+    sh = T.shingle_rows(documents, "doc_id", "text", n).dropDuplicates(
+        ["doc_id", "shingle"]
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def doc_boilerplate_fraction(
+    documents: DataFrame, n: int = BOILERPLATE_N, min_docs: int = BOILERPLATE_MIN_DOCS
+) -> DataFrame:
+    """Per-document boilerplate share: the fraction of a doc's distinct
+    n-gram shingles that are corpus-level boilerplate — the score the
+    curation filter thresholds on.
+
+    The shingle relation feeds two branches (corpus counts + per-doc
+    join-back), so it localCheckpoints once (DAG branches recompute
+    otherwise); the boilerplate set is vocabulary-small after the
+    min_docs filter and broadcasts into the join-back."""
+    sh = (
+        T.shingle_rows(documents, "doc_id", "text", n)
+        .dropDuplicates(["doc_id", "shingle"])
+        .localCheckpoint(eager=True)
+    )
+    common = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("shingle")
+    )
+    flagged = sh.join(F.broadcast(common), "shingle", "left_semi")
+    per_doc = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    per_doc_common = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_boilerplate")
+    )
+    return (
+        per_doc.join(per_doc_common, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_boilerplate"), F.lit(0)).alias("n_boilerplate"),
+            (
+                F.coalesce(F.col("n_boilerplate"), F.lit(0)).cast("double")
+                / F.col("n_shingles")
+            ).alias("boilerplate_frac"),
+        )
+    )
+
+
 QUERIES = {
     "text_quality": _q(text_quality),
     "text_lang_confusion": _q(lang_confusion),
@@ -420,6 +486,8 @@ QUERIES = {
     "text_repetition_scores": _q(repetition_scores),
     "corpus_token_df": _q(token_doc_frequency),
     "text_tfidf_top_terms": _q(tfidf_top_terms),
+    "corpus_boilerplate_ngrams": _q(boilerplate_ngrams),
+    "text_boilerplate_fraction": _q(doc_boilerplate_fraction),
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), ' +')"
@@ -648,5 +716,45 @@ ORACLE = {
             FROM scored
         )
         SELECT * FROM ranked WHERE rank <= 3
+    """,
+    "corpus_boilerplate_ngrams": f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS w FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(w[i : i + {BOILERPLATE_N - 1}], ' ') AS shingle
+            FROM (SELECT doc_id, w,
+                         unnest(range(1, len(w) - {BOILERPLATE_N} + 2)) AS i
+                  FROM toks)
+        )
+        SELECT shingle, count(*) AS n_docs
+        FROM sh GROUP BY shingle
+        HAVING count(*) >= {BOILERPLATE_MIN_DOCS}
+    """,
+    "text_boilerplate_fraction": f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS w FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(w[i : i + {BOILERPLATE_N - 1}], ' ') AS shingle
+            FROM (SELECT doc_id, w,
+                         unnest(range(1, len(w) - {BOILERPLATE_N} + 2)) AS i
+                  FROM toks)
+        ),
+        common AS (
+            SELECT shingle FROM sh GROUP BY shingle
+            HAVING count(*) >= {BOILERPLATE_MIN_DOCS}
+        ),
+        per_doc AS (
+            SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+        ),
+        per_doc_common AS (
+            SELECT doc_id, count(*) AS n_boilerplate
+            FROM sh WHERE shingle IN (SELECT shingle FROM common)
+            GROUP BY doc_id
+        )
+        SELECT p.doc_id, p.n_shingles,
+               COALESCE(c.n_boilerplate, 0) AS n_boilerplate,
+               CAST(COALESCE(c.n_boilerplate, 0) AS DOUBLE) / p.n_shingles
+                   AS boilerplate_frac
+        FROM per_doc p LEFT JOIN per_doc_common c ON p.doc_id = c.doc_id
     """,
 }
