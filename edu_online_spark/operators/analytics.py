@@ -327,6 +327,54 @@ def daily_anomaly_flags(events: DataFrame, factor: float = 1.5) -> DataFrame:
     )
 
 
+def cohort_retention(events: DataFrame, max_offset: int = 14) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, then
+    distinct active users per (cohort_day, day_offset) — the
+    product-analytics staple.
+
+    Two shuffles: per-user min(ts) for the cohort assignment (user
+    grain), then the (cohort, offset) distinct-user count. The cohort
+    relation is user-grain — it re-joins the event stream on user_id,
+    pre-projected to two columns, so the join moves keys + one date.
+    Offsets capped at max_offset to bound the output grid."""
+    cohorts = events.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day")
+    )
+    active = events.select("user_id", F.to_date("ts").alias("day")).dropDuplicates(
+        ["user_id", "day"]
+    )
+    return (
+        active.join(cohorts, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day"))
+        .filter(F.col("day_offset") <= max_offset)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def basket_part_pairs(lineitem: DataFrame, k: int = 25) -> DataFrame:
+    """Market-basket co-occurrence: the k part pairs most often bought
+    in the same order. Self-join on l_orderkey with p1 < p2 (each
+    unordered pair counted once), distinct per order first so duplicate
+    lines can't inflate a pair.
+
+    Scale note: pairs-per-order grows quadratically with basket size —
+    the distinct projection bounds it at C(items,2) per order and the
+    join is a co-partitioned equi self-join on the order key (one
+    shuffle, reused by both sides). Top-k is TakeOrderedAndProject."""
+    items = lineitem.select("l_orderkey", "l_partkey").dropDuplicates()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("p1"), F.asc("p2"))
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked query registry
 # ---------------------------------------------------------------------------
@@ -357,6 +405,8 @@ QUERIES = {
     "daily_revenue_ma7": _q(daily_revenue_ma7, "events"),
     "events_funnel": _q(events_funnel, "events"),
     "events_daily_anomalies": _q(daily_anomaly_flags, "events"),
+    "events_cohort_retention": _q(cohort_retention, "events"),
+    "basket_part_pairs": _q(basket_part_pairs, "lineitem"),
     "orders_date_features": _q(orders_date_features, "orders"),
 }
 
@@ -498,6 +548,32 @@ ORACLE = {
         SELECT '2_view_click', count(*) FROM first_click
         UNION ALL
         SELECT '3_view_click_purchase', count(*) FROM first_purchase
+    """,
+    "events_cohort_retention": """
+        WITH cohorts AS (
+            SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+            FROM events GROUP BY user_id
+        ),
+        active AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        )
+        SELECT c.cohort_day,
+               CAST(a.day - c.cohort_day AS INTEGER) AS day_offset,
+               count(*) AS n_users
+        FROM active a JOIN cohorts c ON a.user_id = c.user_id
+        WHERE a.day - c.cohort_day <= 14
+        GROUP BY 1, 2
+    """,
+    "basket_part_pairs": """
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        )
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+        FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, p1 ASC, p2 ASC
+        LIMIT 25
     """,
     "events_daily_anomalies": """
         WITH daily AS (

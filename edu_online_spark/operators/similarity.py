@@ -129,11 +129,15 @@ def knn_lsh(
     bands · 2^-planes_per_band for random vectors.
     """
     bucketize = srp_band_buckets_udf(dim, bands, planes_per_band)
+    # materialized once: the query and corpus branches both derive from
+    # this relation and DAG branches recompute (no cross-branch CSE) —
+    # without the eager localCheckpoint the bucketize UDF runs twice
+    # over the corpus.
     tagged = embeddings.select(
         "vec_id",
         "embedding",
         F.posexplode(bucketize(F.col("embedding"))).alias("band", "bucket"),
-    )
+    ).localCheckpoint(eager=True)
     q = tagged.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "band", "bucket"
     )
