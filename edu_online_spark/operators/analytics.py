@@ -375,6 +375,39 @@ def basket_part_pairs(lineitem: DataFrame, k: int = 25) -> DataFrame:
     )
 
 
+def customer_rfm(orders: DataFrame, anchor: str = "2002-01-01") -> DataFrame:
+    """RFM segmentation: recency / frequency / monetary quartiles per
+    customer, the classic CRM feature triple.
+
+    One shuffle to customer grain, then three ntile(4) windows over the
+    SAME relation (tiny: one row per customer). Each window orders with
+    an o_custkey tiebreak so the quartile assignment is a total order —
+    identical across engines and runs. ntile needs a global sort; at
+    100 TB the scale path swaps it for approx-quantile threshold
+    bucketing (documented, not needed at customer cardinality)."""
+    base = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(anchor).cast("timestamp_ntz"), F.max("o_orderdate")
+        ).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    w_r = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    w_m = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(w_r).alias("r_quartile"),
+        F.ntile(4).over(w_f).alias("f_quartile"),
+        F.ntile(4).over(w_m).alias("m_quartile"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked query registry
 # ---------------------------------------------------------------------------
@@ -407,6 +440,7 @@ QUERIES = {
     "events_daily_anomalies": _q(daily_anomaly_flags, "events"),
     "events_cohort_retention": _q(cohort_retention, "events"),
     "basket_part_pairs": _q(basket_part_pairs, "lineitem"),
+    "customer_rfm": _q(customer_rfm, "orders"),
     "orders_date_features": _q(orders_date_features, "orders"),
 }
 
@@ -548,6 +582,25 @@ ORACLE = {
         SELECT '2_view_click', count(*) FROM first_click
         UNION ALL
         SELECT '3_view_click_purchase', count(*) FROM first_purchase
+    """,
+    "customer_rfm": """
+        WITH base AS (
+            SELECT o_custkey,
+                   CAST(DATE '2002-01-01' - CAST(max(o_orderdate) AS DATE)
+                        AS INTEGER) AS recency_days,
+                   count(*) AS frequency,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                       AS monetary
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey, recency_days, frequency, monetary,
+               CAST(ntile(4) OVER (ORDER BY recency_days ASC, o_custkey ASC)
+                    AS INTEGER) AS r_quartile,
+               CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC)
+                    AS INTEGER) AS f_quartile,
+               CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC)
+                    AS INTEGER) AS m_quartile
+        FROM base
     """,
     "events_cohort_retention": """
         WITH cohorts AS (

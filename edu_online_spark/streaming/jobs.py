@@ -634,3 +634,32 @@ def document_ingest_job(
         .trigger(**_trigger({}, available_now))
         .start()
     )
+
+
+def vocabulary_stream_job(
+    raw: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming wordcount — the streaming twin of
+    textops.vocabulary_topk: global token counts maintained
+    incrementally in the state store (update mode emits only tokens
+    seen this trigger; the keyed upsert folds them into the sink).
+
+    The state is one long per distinct token — the vocabulary — which
+    is exactly what the batch job would shuffle anyway; no per-doc
+    state, no unbounded growth beyond vocabulary size."""
+    from ..functions import text as T
+
+    toks = raw.select(
+        F.explode(T.tokens(F.col("value"))).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    return (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(sinks.parquet_upsert(out_path, ["token"]))
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )

@@ -405,3 +405,19 @@ def test_document_ingest_pipeline(spark, tmp_path):
     assert os.path.isdir(os.path.join(out, "lang=en")) and os.path.isdir(
         os.path.join(out, "lang=zh")
     )
+
+
+def test_vocabulary_stream_job_accumulates(spark, tmp_path):
+    """Streaming wordcount: counts accumulate across triggers in the
+    state store and upsert by token — the streaming twin of
+    corpus_vocabulary_topk."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(src, "b1.txt", ["spark spark flink", "spark  duck"])
+    _run(jobs.vocabulary_stream_job, spark, src, out, ckpt)
+    counts = {r["token"]: r["cnt"] for r in spark.read.parquet(out).collect()}
+    assert counts == {"spark": 3, "flink": 1, "duck": 1}
+
+    _write_lines(src, "b2.txt", ["duck spark"])
+    _run(jobs.vocabulary_stream_job, spark, src, out, ckpt)
+    counts = {r["token"]: r["cnt"] for r in spark.read.parquet(out).collect()}
+    assert counts == {"spark": 4, "flink": 1, "duck": 2}
