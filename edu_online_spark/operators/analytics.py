@@ -15,6 +15,7 @@ memory per group where exact distinct shuffles every distinct pair.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -260,6 +261,54 @@ def price_quantiles(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def price_quantiles_approx(lineitem: DataFrame) -> DataFrame:
+    """Sketch variant of price_quantiles: percentile_approx
+    (Greenwald-Khanna) — bounded memory per group, single pass, the
+    100 TB form where exact percentile must buffer each group's values.
+    Estimates are engine-specific → rows-only check; accuracy is pinned
+    against the exact op in pytest instead."""
+    q = F.expr(
+        "percentile_approx(l_extendedprice, array(0.25, 0.5, 0.9, 0.99), 1000)"
+    )
+    return lineitem.groupBy("l_returnflag").agg(
+        q[0].alias("p25"), q[1].alias("p50"), q[2].alias("p90"), q[3].alias("p99")
+    )
+
+
+def user_value_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Per-user exponentially-weighted moving average of purchase
+    values — the inherently SEQUENTIAL per-key recurrence
+    (s_t = α·x_t + (1−α)·s_{t−1}) that window frames can't express.
+
+    applyInPandas (grouped map): one shuffle on user_id, then each
+    group's history replays in ts order inside an Arrow batch — the
+    batch sibling of applyInPandasWithState. Ties on ts break by
+    event_id so the replay order is total and runs are identical.
+    Emits each user's final smoothed value and event count; rows-only
+    (no SQL engine expresses the recurrence without a recursive CTE),
+    exactness pinned by a hand-computed pytest fixture."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+
+    def ewma_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        s = None
+        for x in pdf["value"]:
+            s = x if s is None else alpha * x + (1.0 - alpha) * s
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_purchases": [len(pdf)],
+                "ewma_value": [s],
+            }
+        )
+
+    return purchases.groupBy("user_id").applyInPandas(
+        ewma_group, "user_id long, n_purchases long, ewma_value double"
+    )
+
+
 def events_funnel(events: DataFrame) -> DataFrame:
     """Ordered conversion funnel view → click → purchase: users counted
     at a stage only if it happened AFTER their previous stage (a click
@@ -441,6 +490,13 @@ QUERIES = {
     "events_cohort_retention": _q(cohort_retention, "events"),
     "basket_part_pairs": _q(basket_part_pairs, "lineitem"),
     "customer_rfm": _q(customer_rfm, "orders"),
+    "lineitem_price_quantiles_approx": _q(
+        price_quantiles_approx, "lineitem"
+    ),  # rows-only: GK sketch estimates are engine-specific
+    "events_user_value_ewma": _q(
+        user_value_ewma, "events"
+    ),  # rows-only: sequential recurrence, no SQL equivalent
+
     "orders_date_features": _q(orders_date_features, "orders"),
 }
 

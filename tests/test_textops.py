@@ -46,3 +46,45 @@ def test_chunking_overlap_and_coverage(spark):
 
 def test_chunking_single_token(spark):
     assert _chunks(spark, "solo") == [(0, 1, "solo")]
+
+
+def test_ewma_matches_hand_computation(spark):
+    """The applyInPandas recurrence replays per-user purchases in
+    (ts, event_id) order: s_t = 0.3 x_t + 0.7 s_{t-1}."""
+    from edu_online_spark.operators.analytics import user_value_ewma
+
+    rows = [
+        (1, "2026-08-13 10:00:00", 1, "purchase", 10.0),
+        (1, "2026-08-13 10:01:00", 2, "purchase", 20.0),
+        (1, "2026-08-13 10:02:00", 3, "purchase", 30.0),
+        (1, "2026-08-13 10:03:00", 4, "view", 99.0),  # ignored
+        (2, "2026-08-13 10:00:00", 5, "purchase", 5.0),
+    ]
+    events = spark.createDataFrame(
+        [(e, __import__("datetime").datetime.fromisoformat(t), u, k, v)
+         for (u, t, e, k, v) in rows],
+        ["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    out = {r["user_id"]: r for r in user_value_ewma(events).collect()}
+    # u1: s=10 -> .3*20+.7*10=13 -> .3*30+.7*13=18.1
+    assert out[1]["n_purchases"] == 3
+    assert abs(out[1]["ewma_value"] - 18.1) < 1e-12
+    assert out[2]["ewma_value"] == 5.0 and out[2]["n_purchases"] == 1
+
+
+def test_approx_quantiles_close_to_exact(spark, sf_dir):
+    """GK sketch estimates stay within 5% of the exact percentiles —
+    the accuracy pin for the rows-only approx variant."""
+    from edu_online_spark.operators.analytics import (
+        price_quantiles,
+        price_quantiles_approx,
+    )
+    from edu_online_spark.sources import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    exact = {r["l_returnflag"]: r for r in price_quantiles(li).collect()}
+    approx = {r["l_returnflag"]: r for r in price_quantiles_approx(li).collect()}
+    assert set(exact) == set(approx)
+    for flag, e in exact.items():
+        for p in ("p25", "p50", "p90", "p99"):
+            assert abs(approx[flag][p] - e[p]) / e[p] < 0.05
