@@ -43,6 +43,14 @@ class EngineConfig:
             "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
         )
     )
+    # Streaming state-store backend. "rocksdb" switches to the
+    # off-heap, spillable RocksDB provider — the production choice once
+    # keyed state outgrows executor heap (the default HDFS-backed store
+    # keeps every key in memory). Tested in
+    # tests/test_streaming.py::test_quiz_mastery_under_rocksdb_state_store.
+    state_store: str = field(
+        default_factory=lambda: os.environ.get("SPARK_GRAFT_STATE_STORE", "default")
+    )
     # Fixed questions-per-knowledge-point denominator from the reference
     # (QzPointStreaming.scala:171).
     questions_per_point: int = 30

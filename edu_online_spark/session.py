@@ -45,6 +45,12 @@ def get_spark(cfg: EngineConfig = DEFAULT, extra: dict[str, str] | None = None) 
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
     )
+    if cfg.state_store == "rocksdb":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

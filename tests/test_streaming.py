@@ -421,3 +421,22 @@ def test_vocabulary_stream_job_accumulates(spark, tmp_path):
     _run(jobs.vocabulary_stream_job, spark, src, out, ckpt)
     counts = {r["token"]: r["cnt"] for r in spark.read.parquet(out).collect()}
     assert counts == {"spark": 4, "flink": 1, "duck": 2}
+
+
+def test_quiz_mastery_under_rocksdb_state_store(spark, tmp_path):
+    """The production state-store backend: RocksDB keeps streaming state
+    off-heap and spillable — the HDFS-backed in-memory default caps
+    state at executor heap, which a 100 TB keyed stream blows through.
+    Same job, same semantics, state accumulating across triggers."""
+    rocks = spark.newSession()
+    rocks.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(src, "b1.txt", QZ_B1)
+    _run(jobs.quiz_mastery_job, rocks, src, out, ckpt)
+    _write_lines(src, "b2.txt", QZ_B2)
+    _run(jobs.quiz_mastery_job, rocks, src, out, ckpt)
+    r = rocks.read.parquet(out).collect()[0]
+    assert r["qz_sum"] == 4 and r["qz_istrue"] == 3 and r["qz_count"] == 3
