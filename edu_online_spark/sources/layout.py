@@ -36,3 +36,80 @@ def write_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def _morton_interleave(df: DataFrame, col_a: str, col_b: str, bits: int = 8):
+    """Column expression: Morton (Z-order) code over two NORMALIZED
+    dimensions.
+
+    Raw bit-interleave degenerates when the columns' domains differ in
+    magnitude (a 4-bit user_id interleaved with a 20-bit event_id gives
+    a code whose high bits are all event_id — stripes, not rectangles).
+    So each column is first min-max scaled onto [0, 2^bits) — the same
+    reason production Z-ORDER implementations interleave range-bucket
+    IDs, not raw values. The min/max pass is one 4-scalar aggregate;
+    the interleave itself is shifts and masks, all codegen."""
+    from pyspark.sql import functions as F
+
+    mn_a, mx_a, mn_b, mx_b = (
+        df.agg(
+            F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+        ).first()
+    )
+    top = (1 << bits) - 1
+
+    def scaled(col, mn, mx):
+        span = max(float(mx - mn), 1.0)
+        return (
+            ((F.col(col).cast("double") - float(mn)) * top / span)
+            .cast("long")
+        )
+
+    a = scaled(col_a, mn_a, mx_a)
+    b = scaled(col_b, mn_b, mx_b)
+    code = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_a = F.shiftrightunsigned(a, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftrightunsigned(b, i).bitwiseAND(F.lit(1))
+        code = (
+            code
+            .bitwiseOR(F.shiftleft(bit_a, 2 * i))
+            .bitwiseOR(F.shiftleft(bit_b, 2 * i + 1))
+        )
+    return code
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    num_files: int = 8,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton) clustering over TWO columns.
+
+    Linear clustering (write_clustered) makes the FIRST column's file
+    ranges disjoint but leaves the second column full-range in every
+    file — a predicate on it alone prunes nothing. Interleaving the
+    bits makes each file cover a small rectangle of the 2-D value
+    space, so footer stats narrow on BOTH columns and either
+    single-column predicate skips most files. The standard layout for
+    multi-predicate scan keys (Delta/Iceberg expose the same idea as
+    OPTIMIZE ZORDER BY); here it's one derived column + range
+    repartition — no engine extension.
+
+    Each dimension is min-max normalized onto `bits` bits before the
+    interleave (see _morton_interleave — raw bits degenerate to stripes
+    when domains are unbalanced); 8 bits = 256 buckets per dimension is
+    plenty for file-level pruning, and cost is linear in bits."""
+    code = _morton_interleave(df, col_a, col_b, bits)
+    (
+        df.withColumn("_zorder", code)
+        .repartitionByRange(num_files, "_zorder")
+        .sortWithinPartitions("_zorder")
+        .drop("_zorder")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -38,3 +38,51 @@ def test_write_clustered_produces_disjoint_file_ranges(spark, sf_dir, tmp_path):
 
     # same rows, just reordered
     assert spark.read.parquet(out).count() == events.count()
+
+
+def _file_ranges(out: str, col: str):
+    ranges = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == col
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    return ranges
+
+
+def test_write_zordered_narrows_both_columns(spark, sf_dir, tmp_path):
+    """Z-order: every file covers a small rectangle of the 2-D key
+    space, so footer stats narrow on BOTH columns — linear clustering
+    on the first column leaves the second full-range in every file."""
+    from edu_online_spark.sources.layout import write_zordered
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    n_rows = events.count()
+    lin, zord = str(tmp_path / "lin"), str(tmp_path / "zord")
+    write_clustered(events, lin, ["event_id"], num_files=8)
+    write_zordered(events, zord, "event_id", "user_id", num_files=8)
+
+    def avg_width(ranges):
+        return sum(hi - lo for lo, hi in ranges) / len(ranges)
+
+    global_user = _file_ranges(lin, "user_id")
+    z_user = _file_ranges(zord, "user_id")
+    assert len(z_user) > 1
+    # linear layout: user_id ~full-range per file; z-order: much narrower
+    assert avg_width(z_user) < 0.6 * avg_width(global_user)
+    # and event_id is still narrowed too (each file a rectangle, not a
+    # stripe): every z-file's event_id width far below the global span
+    z_event = _file_ranges(zord, "event_id")
+    global_span = max(hi for _, hi in z_event) - min(lo for lo, _ in z_event)
+    assert avg_width(z_event) < 0.6 * global_span
+    # same rows, just reordered
+    assert spark.read.parquet(zord).count() == n_rows
