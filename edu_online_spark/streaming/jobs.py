@@ -663,3 +663,58 @@ def vocabulary_stream_job(
         .trigger(**_trigger({}, available_now))
         .start()
     )
+
+
+def page_abandonment_job(
+    raw: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    max_gap: str = "10 minutes",
+    watermark: str = "30 seconds",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Stream-stream LEFT OUTER self-join: every visit paired with its
+    follow-up OR emitted as abandoned — the funnel's exit points,
+    which the inner-join transition job can't see.
+
+    Outer semantics under watermarks: a matched pair emits when it
+    joins; an UNMATCHED left row can only emit once the engine proves
+    no match can still arrive — i.e. when the watermark passes
+    from_ts + max_gap — so abandonment rows trail the data by the gap
+    plus the watermark delay, by design (correctness over latency; the
+    time-range conjunct is also what bounds the join state). A batch
+    job would instead scan the whole history per day — this emits each
+    abandonment exactly once, incrementally."""
+    pages = decode_page_log_ts(raw).select("uid", "last_page_id", "page_id", "event_ts")
+    prev = pages.select(
+        F.col("uid"),
+        F.col("page_id").alias("from_page"),
+        F.col("event_ts").alias("from_ts"),
+    ).withWatermark("from_ts", watermark)
+    nxt = pages.select(
+        F.col("uid").alias("uid2"),
+        F.col("last_page_id"),
+        F.col("page_id").alias("to_page"),
+        F.col("event_ts").alias("to_ts"),
+    ).withWatermark("to_ts", watermark)
+    joined = prev.join(
+        nxt,
+        (prev.uid == nxt.uid2)
+        & (F.col("from_page") == F.col("last_page_id"))
+        & (F.col("to_ts") > F.col("from_ts"))
+        & (F.col("to_ts") <= F.col("from_ts") + F.expr(f"INTERVAL {max_gap}")),
+        "left_outer",
+    ).select(
+        "uid",
+        "from_page",
+        "from_ts",
+        "to_page",
+        F.col("to_page").isNull().alias("abandoned"),
+    )
+    return (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(sinks.parquet_append(out_path))
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )

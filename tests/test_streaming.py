@@ -440,3 +440,45 @@ def test_quiz_mastery_under_rocksdb_state_store(spark, tmp_path):
     _run(jobs.quiz_mastery_job, rocks, src, out, ckpt)
     r = rocks.read.parquet(out).collect()[0]
     assert r["qz_sum"] == 4 and r["qz_istrue"] == 3 and r["qz_count"] == 3
+
+
+def test_page_abandonment_outer_join_emits_unmatched(spark, tmp_path):
+    """Stream-stream LEFT OUTER join semantics: matched visits emit as
+    transitions immediately; a visit with no follow-up emits with
+    abandoned=true only after the watermark passes from_ts + max_gap
+    (the engine must PROVE no match can still arrive)."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(
+        src,
+        "b1.txt",
+        [
+            '{"uid":"u1","last_page_id":"0","page_id":"1","ts":"2026-08-13 10:00:00"}',
+            '{"uid":"u1","last_page_id":"1","page_id":"2","ts":"2026-08-13 10:02:00"}',
+            # u2 visits page 5 and never follows up → abandoned
+            '{"uid":"u2","last_page_id":"0","page_id":"5","ts":"2026-08-13 10:00:30"}',
+        ],
+    )
+    _run(jobs.page_abandonment_job, spark, src, out, ckpt)
+
+    # wave 2 far in the future: watermark sails past every gap window
+    _write_lines(
+        src,
+        "b2.txt",
+        ['{"uid":"u9","last_page_id":"0","page_id":"9","ts":"2026-08-13 12:00:00"}'],
+    )
+    _run(jobs.page_abandonment_job, spark, src, out, ckpt)
+    # one more trigger so the engine finalizes expired outer-join state
+    _write_lines(
+        src,
+        "b3.txt",
+        ['{"uid":"u9","last_page_id":"0","page_id":"9","ts":"2026-08-13 13:00:00"}'],
+    )
+    _run(jobs.page_abandonment_job, spark, src, out, ckpt)
+
+    rows = spark.read.parquet(out).collect()
+    matched = {(r["uid"], r["from_page"], r["to_page"]) for r in rows if not r["abandoned"]}
+    abandoned = {(r["uid"], r["from_page"]) for r in rows if r["abandoned"]}
+    assert ("u1", "1", "2") in matched
+    assert ("u2", "5") in abandoned
+    # u1's page-2 visit also had no follow-up → abandoned too
+    assert ("u1", "2") in abandoned
