@@ -259,3 +259,50 @@ def parquet_append(path: str, partition_by: list[str] | None = None):
         w.parquet(path)
 
     return write
+
+
+def compact_partition(
+    spark,
+    path: str,
+    partition: str,
+    target_files: int = 1,
+) -> int:
+    """Compact one partition dir of a streaming archive in place.
+
+    Streaming file sinks append a file per trigger per partition — a
+    3-second trigger writes ~28k files/day/partition, and at 100 TB
+    file-listing and scan-task overhead dominate long before data size
+    does. The periodic fix: coalesce each CLOSED partition (one the
+    watermark has moved past — never the one still being written) down
+    to `target_files`, published with the same staged atomic swap as
+    the upsert sink, so concurrent readers see the old file set until
+    the compacted one is complete. Returns the number of files before
+    compaction (0 = nothing to do).
+
+    Run as a scheduled batch pass over yesterday's partitions — the
+    Spark-native replacement for the reference's custom appendable
+    OutputFormat (AppendTextOutputFormat.scala:12-48), which solved the
+    same small-files problem by mutating files in place.
+    """
+    part_dir = os.path.join(path, partition)
+    if not os.path.isdir(part_dir):
+        return 0
+    files = [
+        f
+        for f in os.listdir(part_dir)
+        if f.endswith(".parquet") and not f.startswith(".")
+    ]
+    if len(files) <= target_files:
+        return len(files)
+    staging = part_dir + ".__staging__"
+    retired = part_dir + ".__retired__"
+    _recover_half_commit(part_dir, staging, retired)
+    (
+        spark.read.parquet(part_dir)
+        .coalesce(target_files)
+        .write.mode("overwrite")
+        .option("compression", "snappy")
+        .parquet(staging)
+    )
+    _swap_into_place(part_dir, staging, retired)
+    return len(files)

@@ -272,3 +272,32 @@ def test_dbapi_upsert_postgres_dialect_executes(spark, tmp_path):
 
     rows = dict(sqlite3.connect(db).execute("SELECT platform, total FROM totals"))
     assert rows == {"PC": 7, "APP": 1, "Other": 3}
+
+
+def test_compact_partition_reduces_files_preserves_rows(spark, tmp_path):
+    """Streaming sinks append a file per trigger; the compaction pass
+    coalesces a CLOSED partition to one file behind the atomic swap,
+    preserving every row and the partition-discovery layout."""
+    out = str(tmp_path / "archive")
+    # simulate 3 triggers appending to the same day partition
+    for i in range(3):
+        spark.createDataFrame(
+            [(f"v{i}-{j}", 20260813) for j in range(4)], ["value", "day"]
+        ).write.mode("append").partitionBy("day").parquet(out)
+    part = "day=20260813"
+    import glob as g
+
+    before = len(g.glob(f"{out}/{part}/*.parquet"))
+    assert before >= 3
+    rows_before = sorted(r["value"] for r in spark.read.parquet(out).collect())
+
+    n = sinks.compact_partition(spark, out, part, target_files=1)
+    assert n == before
+    after = len(g.glob(f"{out}/{part}/*.parquet"))
+    assert after == 1
+    rows_after = sorted(r["value"] for r in spark.read.parquet(out).collect())
+    assert rows_after == rows_before
+    # idempotent: already-compacted partition is a no-op
+    assert sinks.compact_partition(spark, out, part, target_files=1) == 1
+    # unknown partition is a clean no-op
+    assert sinks.compact_partition(spark, out, "day=19990101") == 0
