@@ -190,3 +190,21 @@ def test_vocabulary_and_tfidf_plan_shapes(spark, sf_dir):
     # a second one would mean a real join degenerated
     assert p.count("BroadcastNestedLoopJoin") <= 1
     assert has_broadcast_join(tfidf)  # tf⋈df resolved as a hash join
+
+
+def test_analytics_round3_no_degenerate_joins(spark, sf_dir):
+    """Funnel, cohort, and basket queries must stay equi-join only —
+    a missed join key degenerates to a nested-loop/cartesian plan that
+    dies at scale."""
+    from edu_online_spark.operators.analytics import (
+        basket_part_pairs,
+        cohort_retention,
+        events_funnel,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    for df in (events_funnel(events), cohort_retention(events), basket_part_pairs(li)):
+        p = explain_str(df, "simple")
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
