@@ -290,6 +290,25 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_feature_vectors(synth_assets(load_table(spark, sf_dir, "documents")))
 
 
+def payload_dedup(assets: DataFrame) -> DataFrame:
+    """Exact dedup over the BINARY payload column — content-hash
+    grouping, the multimodal sibling of dedup.exact_dedup: identical
+    media bytes collapse to one survivor regardless of asset id or
+    metadata. sha2 reduces each payload to a 32-byte key BEFORE the
+    shuffle (the bytes themselves never shuffle)."""
+    return (
+        assets.groupBy(F.sha2("payload", 256).alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("asset_id").alias("survivor_id"),
+        )
+    )
+
+
+def q_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return payload_dedup(synth_assets(load_table(spark, sf_dir, "documents")))
+
+
 QUERIES = {
     "multimodal_decoded_meta": q_decoded_meta,
     "multimodal_media_summary": q_media_summary,
@@ -299,6 +318,7 @@ QUERIES = {
     # ops are codepoint-based, so the arithmetic isn't reproducible in
     # SQL — pinned by tests/test_multimodal.py instead
     "multimodal_audio_features": q_audio_features,
+    "multimodal_payload_dedup": q_payload_dedup,
 }
 
 # The stub decode is pure arithmetic on byte length, so the oracle can
@@ -314,6 +334,16 @@ _DECODED_SQL = """
 """
 
 ORACLE = {
+    # payload bytes are the document's UTF-8 text bytes by construction,
+    # and DuckDB's sha256(VARCHAR) hashes UTF-8 — both engines hash the
+    # same byte string to the same lowercase hex
+    "multimodal_payload_dedup": """
+        SELECT sha256(text) AS content_hash,
+               count(*) AS n_copies,
+               min(doc_id) AS survivor_id
+        FROM documents
+        GROUP BY 1
+    """,
     "multimodal_decoded_meta": _DECODED_SQL,
     # images are doc_id % 3 == 0 (list index 1); thumbnail metadata is
     # constant by construction
