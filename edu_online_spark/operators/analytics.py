@@ -457,6 +457,57 @@ def customer_rfm(orders: DataFrame, anchor: str = "2002-01-01") -> DataFrame:
     )
 
 
+def data_quality_checks(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Pipeline-gate constraint checks, one row per rule: violation
+    counts for key uniqueness, referential integrity, null rates, and
+    domain bounds — the pre-publish validation a production pipeline
+    runs before exposing a day's partitions.
+
+    Each rule is an independent aggregate over a pruned projection;
+    integrity checks are anti-joins against distinct parent keys (the
+    key set travels, not the table). The union of 1-row aggregates is
+    plan-trivial; the scans dominate, as they should.
+    """
+    def rule(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.count("*").cast("long").alias("n_violations"),
+        )
+
+    dup_orders = (
+        orders.groupBy("o_orderkey").agg(F.count("*").alias("n")).filter(F.col("n") > 1)
+    )
+    orphan_orders = orders.join(
+        customer.select("c_custkey").distinct(),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    )
+    orphan_lineitems = lineitem.join(
+        orders.select("o_orderkey").distinct(),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    )
+    null_price = orders.filter(F.col("o_totalprice").isNull())
+    negative_qty = lineitem.filter(F.col("l_quantity") <= 0)
+    discount_domain = lineitem.filter(
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+    )
+    checks = [
+        rule("orders_pk_duplicates", dup_orders),
+        rule("orders_fk_customer_orphans", orphan_orders),
+        rule("lineitem_fk_orders_orphans", orphan_lineitems),
+        rule("orders_totalprice_nulls", null_price),
+        rule("lineitem_qty_nonpositive", negative_qty),
+        rule("lineitem_discount_out_of_range", discount_domain),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked query registry
 # ---------------------------------------------------------------------------
@@ -496,6 +547,7 @@ QUERIES = {
     "events_user_value_ewma": _q(
         user_value_ewma, "events"
     ),  # rows-only: sequential recurrence, no SQL equivalent
+    "data_quality_checks": _q(data_quality_checks, "customer", "orders", "lineitem"),
 
     "orders_date_features": _q(orders_date_features, "orders"),
 }
@@ -638,6 +690,26 @@ ORACLE = {
         SELECT '2_view_click', count(*) FROM first_click
         UNION ALL
         SELECT '3_view_click_purchase', count(*) FROM first_purchase
+    """,
+    "data_quality_checks": """
+        SELECT 'orders_pk_duplicates' AS check_name,
+               CAST(count(*) AS BIGINT) AS n_violations
+        FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+        UNION ALL
+        SELECT 'orders_fk_customer_orphans', CAST(count(*) AS BIGINT)
+        FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        UNION ALL
+        SELECT 'lineitem_fk_orders_orphans', CAST(count(*) AS BIGINT)
+        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        UNION ALL
+        SELECT 'orders_totalprice_nulls', CAST(count(*) AS BIGINT)
+        FROM orders WHERE o_totalprice IS NULL
+        UNION ALL
+        SELECT 'lineitem_qty_nonpositive', CAST(count(*) AS BIGINT)
+        FROM lineitem WHERE l_quantity <= 0
+        UNION ALL
+        SELECT 'lineitem_discount_out_of_range', CAST(count(*) AS BIGINT)
+        FROM lineitem WHERE l_discount < 0 OR l_discount > 1
     """,
     "customer_rfm": """
         WITH base AS (
