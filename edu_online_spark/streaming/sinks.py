@@ -284,6 +284,19 @@ def compact_partition(
     OutputFormat (AppendTextOutputFormat.scala:12-48), which solved the
     same small-files problem by mutating files in place.
     """
+    # A NATIVE streaming file sink (writeStream.format("parquet")) keeps
+    # a _spark_metadata transaction log listing its exact files; batch
+    # readers trust the log over the directory, so rewriting files
+    # underneath it makes the compacted data invisible (or the read
+    # fail). Compaction is only safe for foreachBatch-written archives
+    # (parquet_append) — refuse loudly rather than corrupt silently.
+    if os.path.isdir(os.path.join(path, "_spark_metadata")):
+        raise ValueError(
+            f"{path} is a native streaming file-sink output "
+            "(_spark_metadata present); compact_partition would desync "
+            "the sink's transaction log. Compact foreachBatch-written "
+            "archives only, or rewrite the whole sink with its log."
+        )
     part_dir = os.path.join(path, partition)
     if not os.path.isdir(part_dir):
         return 0

@@ -301,3 +301,16 @@ def test_compact_partition_reduces_files_preserves_rows(spark, tmp_path):
     assert sinks.compact_partition(spark, out, part, target_files=1) == 1
     # unknown partition is a clean no-op
     assert sinks.compact_partition(spark, out, "day=19990101") == 0
+
+
+def test_compact_partition_refuses_native_file_sink(spark, tmp_path):
+    """A native streaming file sink's _spark_metadata log lists its
+    exact files — compacting underneath it would desync the log, so
+    the pass must refuse."""
+    import pytest
+
+    out = str(tmp_path / "native_sink")
+    os.makedirs(os.path.join(out, "_spark_metadata"))
+    os.makedirs(os.path.join(out, "day=20260813"))
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        sinks.compact_partition(spark, out, "day=20260813")
