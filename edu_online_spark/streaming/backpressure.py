@@ -169,3 +169,43 @@ class ProgressStatsAdapter:
                 0.0, stats.processing_delay_sec - self.trigger_interval_sec
             )
         return stats
+
+
+def observe_query(
+    query,
+    estimator: PIDRateEstimator,
+    adapter: "ProgressStatsAdapter | None" = None,
+    time_source=None,
+) -> int | None:
+    """Feed a live StreamingQuery's lastProgress into the estimator;
+    returns the current suggested maxOffsetsPerTrigger (None until two
+    valid observations).
+
+    The polling loop a supervisor runs between (re)starts:
+
+        est = PIDRateEstimator(batch_interval_sec=3.0)
+        adapter = ProgressStatsAdapter(trigger_interval_sec=3.0)
+        while query.isActive:
+            cap = observe_query(query, est, adapter)
+            ...
+        # on restart: .option("maxOffsetsPerTrigger", cap)
+
+    `time_source` is injectable for tests; defaults to the progress
+    record's own batch timestamp when present so replayed progress
+    sequences produce identical estimates.
+    """
+    progress = query.lastProgress
+    if not progress:
+        return estimator.suggested_max_per_trigger()
+    if time_source is not None:
+        now = time_source()
+    else:
+        # batchId is monotone per query; scale by the trigger interval
+        # so dt between consecutive batches is physically meaningful
+        now = float(progress.get("batchId", 0)) * estimator.batch_interval_sec
+    if adapter is None:
+        adapter = ProgressStatsAdapter()
+    stats = adapter(progress, now)
+    if stats is not None:
+        estimator.update(stats)
+    return estimator.suggested_max_per_trigger()

@@ -79,3 +79,36 @@ def test_progress_adapter_lags_overrun_one_batch():
     # without a trigger interval the backlog term is (documented) off
     off = ProgressStatsAdapter()
     assert off(slow, time_sec=4.0).scheduling_delay_sec == 0.0
+
+
+def test_observe_live_query_end_to_end(spark, tmp_path):
+    """T5 closed against a REAL StreamingQuery: drive a file-source job,
+    poll its lastProgress through observe_query, and get a positive
+    finite rate cap out — the estimator consumes genuine engine
+    progress records, not just synthetic dicts."""
+    import os
+
+    from edu_online_spark.streaming import jobs
+    from edu_online_spark.streaming.backpressure import (
+        PIDRateEstimator,
+        ProgressStatsAdapter,
+        observe_query,
+    )
+    from edu_online_spark.streaming.sources import file_stream
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    est = PIDRateEstimator(batch_interval_sec=3.0, min_rate=1.0)
+    adapter = ProgressStatsAdapter(trigger_interval_sec=3.0)
+
+    cap = None
+    for wave in range(3):
+        with open(os.path.join(src, f"b{wave}.txt"), "w") as f:
+            for i in range(50):
+                f.write(f"u{wave}-{i}\t1\t2026-08-13 10:00:0{wave}\n")
+        q = jobs.register_totals_job(
+            file_stream(spark, src), out, ckpt, available_now=True
+        )
+        q.awaitTermination(120)
+        cap = observe_query(q, est, adapter)
+    assert cap is not None and cap >= 1
