@@ -359,13 +359,16 @@ def daily_anomaly_flags(events: DataFrame, factor: float = 1.5) -> DataFrame:
 
     One shuffle to daily counts (tiny), then a single ordered window.
     The trailing average divides exact integer sums — bit-stable; days
-    with no 7-day history report NULL and never flag."""
+    without a FULL 7-day history report NULL and never flag (a partial
+    1-6 day "average" would make the launch week a spurious-alarm
+    machine: one quiet first day flags every normal day after it)."""
     daily = (
         events.groupBy(F.to_date("ts").alias("day"))
         .agg(F.count("*").alias("cnt"))
     )
     w = Window.orderBy("day").rowsBetween(-7, -1)
-    trailing = F.avg("cnt").over(w)
+    full_history = F.count("cnt").over(w) == 7
+    trailing = F.when(full_history, F.avg("cnt").over(w))
     return daily.select(
         "day",
         "cnt",
@@ -760,16 +763,17 @@ ORACLE = {
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
             FROM events GROUP BY 1
+        ),
+        win AS (
+            SELECT day, cnt,
+                   CASE WHEN count(cnt) OVER w = 7
+                        THEN avg(cnt) OVER w END AS trailing_avg
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
         )
-        SELECT day, cnt,
-               avg(cnt) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
-                   AS trailing_avg,
-               CASE WHEN avg(cnt) OVER (ORDER BY day
-                                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
-                        IS NULL THEN FALSE
-                    ELSE cnt > 1.5 * avg(cnt) OVER (ORDER BY day
-                                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
-               END AS is_anomaly
-        FROM daily
+        SELECT day, cnt, trailing_avg,
+               CASE WHEN trailing_avg IS NULL THEN FALSE
+                    ELSE cnt > 1.5 * trailing_avg END AS is_anomaly
+        FROM win
     """,
 }

@@ -129,31 +129,38 @@ def knn_lsh(
     bands · 2^-planes_per_band for random vectors.
     """
     bucketize = srp_band_buckets_udf(dim, bands, planes_per_band)
-    # materialized once: the query and corpus branches both derive from
-    # this relation and DAG branches recompute (no cross-branch CSE) —
-    # without the eager localCheckpoint the bucketize UDF runs twice
-    # over the corpus.
+    # Materialized once, IDS ONLY: the query and corpus branches both
+    # derive from this relation and DAG branches recompute (no
+    # cross-branch CSE) — without the eager localCheckpoint the
+    # bucketize UDF runs twice over the corpus. Carrying the embedding
+    # through the 12-band posexplode would store ~bands× the corpus
+    # vectors in checkpoint memory; vectors re-join below instead
+    # (same candidates-then-verify split as ann_all_pairs_topk).
     tagged = embeddings.select(
         "vec_id",
-        "embedding",
         F.posexplode(bucketize(F.col("embedding"))).alias("band", "bucket"),
     ).localCheckpoint(eager=True)
     q = tagged.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "band", "bucket"
+        F.col("vec_id").alias("qid"), "band", "bucket"
     )
-    c = tagged.select(
-        F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"), "band", "bucket"
-    )
+    c = tagged.select(F.col("vec_id").alias("nid"), "band", "bucket")
     cand = (
         c.join(
             F.broadcast(q),
             (q.band == c.band) & (q.bucket == c.bucket) & (F.col("qid") != F.col("nid")),
         )
-        .select("qid", "qv", "nid", "nv")
+        .select("qid", "nid")
         .dropDuplicates(["qid", "nid"])
     )
+    qv = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    nv = embeddings.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("nv")
+    )
+    scored = cand.join(F.broadcast(qv), "qid").join(nv, "nid")
     cos = cosine_similarity(F.col("qv"), F.col("nv"))
-    return _topk(cand.select("qid", "nid", cos.alias("cosine")), k)
+    return _topk(scored.select("qid", "nid", cos.alias("cosine")), k)
 
 
 def ann_all_pairs_topk(
@@ -355,9 +362,11 @@ def label_lang_crosstab(documents: DataFrame, embeddings: DataFrame) -> DataFram
     )
 
 
-def norm_extremes_by_label(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
-    """Per-cluster embedding-norm spread joined with document counts per
-    source. min/max over bit-exact per-row norms (sequential fold) stay
+def norm_extremes_by_source(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Per-SOURCE embedding-norm spread: document counts and min/max
+    vector norms grouped by the document's source — the cross-modal
+    drift check (did one ingest source ship badly-scaled embeddings?).
+    min/max over bit-exact per-row norms (sequential fold) stay
     bit-exact — deliberately NOT avg: a sum of doubles is
     association-order-dependent and can never hash-match an oracle."""
     from ..functions.vectors import l2_norm
@@ -401,7 +410,7 @@ QUERIES = {
     "ann_all_pairs_topk": _q(ann_all_pairs_topk),  # rows-only: approximate
     "sim_embedding_norms": _q(embedding_norms),
     "xmodal_label_lang_crosstab": _q2(label_lang_crosstab),
-    "xmodal_norm_extremes": _q2(norm_extremes_by_label),
+    "xmodal_norm_extremes": _q2(norm_extremes_by_source),
 }
 
 _COS = """

@@ -56,6 +56,8 @@ def _morton_interleave(df: DataFrame, col_a: str, col_b: str, bits: int = 8):
             F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
         ).first()
     )
+    if mn_a is None or mn_b is None:  # empty input: no range to scale
+        return F.lit(0).cast("long")
     top = (1 << bits) - 1
 
     def scaled(col, mn, mx):

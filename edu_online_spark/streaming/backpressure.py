@@ -204,7 +204,14 @@ def observe_query(
         # so dt between consecutive batches is physically meaningful
         now = float(progress.get("batchId", 0)) * estimator.batch_interval_sec
     if adapter is None:
-        adapter = ProgressStatsAdapter()
+        # The default adapter must PERSIST across calls (it carries the
+        # prior batch's overrun — a fresh throwaway adapter per call
+        # would silence the backlog/integral term forever), so it lives
+        # on the estimator, keyed to its trigger interval.
+        adapter = getattr(estimator, "_default_adapter", None)
+        if adapter is None:
+            adapter = ProgressStatsAdapter(estimator.batch_interval_sec)
+            estimator._default_adapter = adapter
     stats = adapter(progress, now)
     if stats is not None:
         estimator.update(stats)

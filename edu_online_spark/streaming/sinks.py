@@ -298,6 +298,16 @@ def compact_partition(
             "archives only, or rewrite the whole sink with its log."
         )
     part_dir = os.path.join(path, partition)
+    # Staging/retired live INSIDE the archive root but DOT-PREFIXED:
+    # Spark's file index skips hidden paths, so readers never discover
+    # them as extra partitions. A bare `day=X.__staging__` sibling
+    # WOULD be discovered (it matches the partition pattern) — readers
+    # would see the day's rows twice and partition-type inference would
+    # flip the column to string.
+    hidden = "." + partition.replace("/", "__")
+    staging = os.path.join(path, hidden + ".__staging__")
+    retired = os.path.join(path, hidden + ".__retired__")
+    _recover_half_commit(part_dir, staging, retired)
     if not os.path.isdir(part_dir):
         return 0
     files = [
@@ -307,9 +317,6 @@ def compact_partition(
     ]
     if len(files) <= target_files:
         return len(files)
-    staging = part_dir + ".__staging__"
-    retired = part_dir + ".__retired__"
-    _recover_half_commit(part_dir, staging, retired)
     (
         spark.read.parquet(part_dir)
         .coalesce(target_files)

@@ -112,3 +112,36 @@ def test_observe_live_query_end_to_end(spark, tmp_path):
         q.awaitTermination(120)
         cap = observe_query(q, est, adapter)
     assert cap is not None and cap >= 1
+
+
+def test_observe_query_default_adapter_keeps_backlog_signal():
+    """Without an explicit adapter, observe_query must still thread the
+    prior batch's overrun between calls (a throwaway adapter per call
+    would permanently disable the integral term)."""
+    from edu_online_spark.streaming.backpressure import (
+        PIDRateEstimator,
+        observe_query,
+    )
+
+    class FakeQuery:
+        def __init__(self):
+            self.lastProgress = None
+
+    est = PIDRateEstimator(batch_interval_sec=3.0, min_rate=1.0)
+    q = FakeQuery()
+    # batch 0: overruns the interval (9s for 900 rows)
+    q.lastProgress = {"batchId": 0, "durationMs": {"triggerExecution": 9000},
+                      "numInputRows": 900}
+    observe_query(q, est)
+    # batch 1: fast — but queued behind batch 0's 6s overrun
+    q.lastProgress = {"batchId": 3, "durationMs": {"triggerExecution": 3000},
+                      "numInputRows": 300}
+    observe_query(q, est)
+    adapter = est._default_adapter
+    assert adapter is not None
+    # the overrun was consumed: batch 1 reported 6s backlog and left none
+    assert adapter._pending_overrun == 0.0
+    # with the backlog signal the rate lands BELOW the 100/s processing
+    # rate (integral term engaged); a dead adapter would give exactly 100
+    cap = observe_query(q, est)
+    assert cap is not None and cap < 100 * 3.0

@@ -86,3 +86,14 @@ def test_write_zordered_narrows_both_columns(spark, sf_dir, tmp_path):
     assert avg_width(z_event) < 0.6 * global_span
     # same rows, just reordered
     assert spark.read.parquet(zord).count() == n_rows
+
+
+def test_write_zordered_empty_input_is_safe(spark, tmp_path):
+    """An empty frame (everything gated out upstream) writes an empty
+    dataset instead of raising TypeError on the None min/max."""
+    from edu_online_spark.sources.layout import write_zordered
+
+    empty = spark.createDataFrame([], "event_id long, user_id long")
+    out = str(tmp_path / "empty_z")
+    write_zordered(empty, out, "event_id", "user_id", num_files=2)
+    assert spark.read.parquet(out).count() == 0

@@ -314,3 +314,34 @@ def test_compact_partition_refuses_native_file_sink(spark, tmp_path):
     os.makedirs(os.path.join(out, "day=20260813"))
     with pytest.raises(ValueError, match="_spark_metadata"):
         sinks.compact_partition(spark, out, "day=20260813")
+
+
+def test_compact_staging_is_invisible_to_readers_and_recoverable(spark, tmp_path):
+    """The compaction staging/retired dirs are dot-prefixed INSIDE the
+    archive root: a reader listing the root mid-compaction (or after a
+    crash) must see neither duplicate rows nor a corrupted partition
+    column; the next compaction call must recover a half-committed
+    swap instead of losing the partition."""
+    import shutil as sh
+
+    out = str(tmp_path / "archive")
+    spark.createDataFrame(
+        [(f"v{j}", 20260813) for j in range(6)], ["value", "day"]
+    ).write.mode("append").partitionBy("day").parquet(out)
+    part = "day=20260813"
+
+    # simulate a crash mid-compaction: complete staging present
+    staging = os.path.join(out, ".day=20260813.__staging__")
+    sh.copytree(os.path.join(out, part), staging)
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+
+    df = spark.read.parquet(out)
+    assert df.count() == 6  # no duplicate partition discovered
+    assert dict(df.dtypes)["day"] == "int"  # partition type intact
+
+    # crash AFTER part_dir was retired: live dir gone, staging complete
+    sh.rmtree(os.path.join(out, part))
+    assert sinks.compact_partition(spark, out, part) >= 0  # recovers
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 6 and {r["value"] for r in rows} == {f"v{j}" for j in range(6)}
+    assert not [d for d in os.listdir(out) if "__staging__" in d or "__retired__" in d]
