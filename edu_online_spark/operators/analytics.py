@@ -359,15 +359,22 @@ def daily_anomaly_flags(events: DataFrame, factor: float = 1.5) -> DataFrame:
 
     One shuffle to daily counts (tiny), then a single ordered window.
     The trailing average divides exact integer sums — bit-stable; days
-    without a FULL 7-day history report NULL and never flag (a partial
-    1-6 day "average" would make the launch week a spurious-alarm
-    machine: one quiet first day flags every normal day after it)."""
+    without a full CONSECUTIVE 7-day history report NULL and never flag
+    (a partial 1-6 day "average" would make the launch week a
+    spurious-alarm machine, and after an ingest gap the 7 prior ROWS
+    are months stale — the gate checks the row 7 back is exactly 7
+    calendar days back)."""
     daily = (
         events.groupBy(F.to_date("ts").alias("day"))
         .agg(F.count("*").alias("cnt"))
     )
     w = Window.orderBy("day").rowsBetween(-7, -1)
-    full_history = F.count("cnt").over(w) == 7
+    # Full CONSECUTIVE week, not just 7 prior rows: the row 7 back must
+    # be exactly 7 calendar days back, else an ingest gap would compare
+    # today against a stale months-old average.
+    full_history = F.lag("day", 7).over(Window.orderBy("day")) == F.date_sub(
+        "day", 7
+    )
     trailing = F.when(full_history, F.avg("cnt").over(w))
     return daily.select(
         "day",
@@ -766,7 +773,7 @@ ORACLE = {
         ),
         win AS (
             SELECT day, cnt,
-                   CASE WHEN count(cnt) OVER w = 7
+                   CASE WHEN lag(day, 7) OVER (ORDER BY day) = day - 7
                         THEN avg(cnt) OVER w END AS trailing_avg
             FROM daily
             WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)

@@ -206,8 +206,11 @@ def observe_query(
     if adapter is None:
         # The default adapter must PERSIST across calls (it carries the
         # prior batch's overrun — a fresh throwaway adapter per call
-        # would silence the backlog/integral term forever), so it lives
-        # on the estimator, keyed to its trigger interval.
+        # would silence the backlog/integral term forever), so it is
+        # cached on the estimator. One estimator + one adapter serve
+        # exactly ONE query: PID state is per-stream, so don't mix
+        # explicit and default adapters for the same estimator, and
+        # build a fresh estimator per query.
         adapter = getattr(estimator, "_default_adapter", None)
         if adapter is None:
             adapter = ProgressStatsAdapter(estimator.batch_interval_sec)

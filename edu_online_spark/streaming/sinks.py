@@ -307,6 +307,11 @@ def compact_partition(
     hidden = "." + partition.replace("/", "__")
     staging = os.path.join(path, hidden + ".__staging__")
     retired = os.path.join(path, hidden + ".__retired__")
+    # Legacy cleanup first: earlier revisions staged under BARE names
+    # (part_dir + '.__staging__') which readers discover as an extra
+    # partition — recover any such half-commit, then remove the
+    # leftovers, before the hidden-name recovery below.
+    _recover_half_commit(part_dir, part_dir + ".__staging__", part_dir + ".__retired__")
     _recover_half_commit(part_dir, staging, retired)
     if not os.path.isdir(part_dir):
         return 0

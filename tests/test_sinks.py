@@ -345,3 +345,25 @@ def test_compact_staging_is_invisible_to_readers_and_recoverable(spark, tmp_path
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 6 and {r["value"] for r in rows} == {f"v{j}" for j in range(6)}
     assert not [d for d in os.listdir(out) if "__staging__" in d or "__retired__" in d]
+
+
+def test_compact_recovers_legacy_bare_staging(spark, tmp_path):
+    """A half-commit left by the OLD bare-named staging scheme (which
+    readers could discover as an extra partition) is recovered and
+    cleaned on the next compaction call."""
+    import shutil as sh
+
+    out = str(tmp_path / "archive")
+    spark.createDataFrame(
+        [(f"v{j}", 20260813) for j in range(4)], ["value", "day"]
+    ).write.mode("append").partitionBy("day").parquet(out)
+    part = "day=20260813"
+    # legacy crash state: live dir gone, BARE-named staging complete
+    legacy = os.path.join(out, part + ".__staging__")
+    sh.move(os.path.join(out, part), legacy)
+    open(os.path.join(legacy, "_SUCCESS"), "w").close()
+
+    assert sinks.compact_partition(spark, out, part) >= 0
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 4 and dict(spark.read.parquet(out).dtypes)["day"] == "int"
+    assert not [d for d in os.listdir(out) if "__staging__" in d]

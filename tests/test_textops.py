@@ -88,3 +88,31 @@ def test_approx_quantiles_close_to_exact(spark, sf_dir):
     for flag, e in exact.items():
         for p in ("p25", "p50", "p90", "p99"):
             assert abs(approx[flag][p] - e[p]) / e[p] < 0.05
+
+
+def test_anomaly_gate_requires_consecutive_week(spark):
+    """After an ingest gap the 7 prior ROWS are stale — the day
+    resuming after the gap must report NULL trailing average and never
+    flag, even though 7 older rows exist."""
+    import datetime as dt
+
+    from edu_online_spark.operators.analytics import daily_anomaly_flags
+
+    rows = []
+    eid = 0
+    # days 1-8 consecutive, then a 90-day gap, then one huge day
+    for d in list(range(1, 9)) + [99]:
+        day = dt.datetime(2026, 1, 1) + dt.timedelta(days=d)
+        n = 1000 if d == 99 else 10
+        for _ in range(n):
+            rows.append((eid, day, 1, "view", 1.0, "{}"))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {str(r["day"]): r for r in daily_anomaly_flags(events).collect()}
+    # day 8 has a full consecutive week behind it → gated normally
+    assert out["2026-01-09"]["trailing_avg"] == 10.0
+    # the post-gap day has 7 stale rows but no consecutive week → NULL, no flag
+    post_gap = out["2026-04-10"]
+    assert post_gap["trailing_avg"] is None and post_gap["is_anomaly"] is False
