@@ -467,6 +467,37 @@ def customer_rfm(orders: DataFrame, anchor: str = "2002-01-01") -> DataFrame:
     )
 
 
+def events_hourly_heatmap(events: DataFrame) -> DataFrame:
+    """Activity heatmap: event counts by (day-of-week, hour-of-day) —
+    the seasonality grid capacity planning reads. Pure scan-stage
+    expressions into a ≤168-row aggregate; dow keeps Spark's raw
+    1=Sunday convention with the name saying so (see
+    orders_date_features)."""
+    return (
+        events.groupBy(
+            F.dayofweek("ts").alias("dow_sun1"), F.hour("ts").alias("hour")
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def docs_length_histogram(documents: DataFrame, bucket_width: int = 100) -> DataFrame:
+    """Document-length histogram: fixed-width buckets over n_chars —
+    the distribution scan every corpus report starts with. floor
+    division (not width_bucket) so the bucketing is integer-exact and
+    engine-identical; per-bucket min/max bound each bar exactly."""
+    bucket = F.floor(F.col("n_chars") / bucket_width).cast("long")
+    return (
+        documents.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .withColumn("bucket_lo", F.col("bucket") * bucket_width)
+    )
+
+
 def data_quality_checks(
     customer: DataFrame, orders: DataFrame, lineitem: DataFrame
 ) -> DataFrame:
@@ -558,6 +589,8 @@ QUERIES = {
         user_value_ewma, "events"
     ),  # rows-only: sequential recurrence, no SQL equivalent
     "data_quality_checks": _q(data_quality_checks, "customer", "orders", "lineitem"),
+    "events_hourly_heatmap": _q(events_hourly_heatmap, "events"),
+    "docs_length_histogram": _q(docs_length_histogram, "documents"),
 
     "orders_date_features": _q(orders_date_features, "orders"),
 }
@@ -700,6 +733,21 @@ ORACLE = {
         SELECT '2_view_click', count(*) FROM first_click
         UNION ALL
         SELECT '3_view_click_purchase', count(*) FROM first_purchase
+    """,
+    "events_hourly_heatmap": """
+        SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow_sun1,
+               CAST(hour(ts) AS INTEGER) AS hour,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    """,
+    "docs_length_histogram": """
+        SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
+               count(*) AS n_docs,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars,
+               CAST(floor(n_chars / 100) AS BIGINT) * 100 AS bucket_lo
+        FROM documents
+        GROUP BY 1
     """,
     "data_quality_checks": """
         SELECT 'orders_pk_duplicates' AS check_name,
