@@ -1,0 +1,186 @@
+"""PII scanning / redaction and URL extraction over the `documents` table.
+
+A training-data pipeline scrubs personally-identifiable information
+before a corpus ships; the reference engine has no equivalent (its
+inputs are pre-anonymized click logs, `SURVEY.md §2`), so this is pure
+extension surface alongside textops/dedup.
+
+Every operator here is a pure column expression (`regexp_count` /
+`regexp_replace` / `regexp_extract_all`) — Catalyst keeps them in the
+parquet scan stage with zero Python, so at 100 TB the PII pass costs
+one corpus read and nothing else. The patterns are deliberately ASCII
+RE2-compatible (no lookarounds, no backreferences) so the DuckDB
+oracles run the *same* regexes, not a translation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+# Pattern table: name -> (regex, redaction token). Ordered — redaction
+# applies top to bottom, and the order matters (an email must be
+# redacted before the bare-domain URL pass could chew on its host part;
+# ipv4 before phone so `1.2.3.4`'s digit runs never half-match).
+# All patterns are valid and equivalent under both Java regex (Spark)
+# and RE2 (DuckDB): \b, \d, \s, char classes and bounded repetition
+# only.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("id_number", r"\b\d{3}-\d{2}-\d{4}\b", "[ID]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+]
+
+URL_PATTERN = r"https?://[^\s]+"
+URL_DOMAIN_PATTERN = r"https?://([^/\s:]+)"
+
+
+def _count(col: str, pat: str) -> Column:
+    return F.regexp_count(F.col(col), F.lit(pat))
+
+
+def pii_scan(documents: DataFrame) -> DataFrame:
+    """Per-document PII hit counts, one column per pattern class.
+
+    Scan-stage column expressions; the downstream filter
+    (`pii_total = 0` → clean corpus) pushes into the same stage.
+    """
+    d = documents.select(
+        "doc_id",
+        *[_count("text", pat).alias(f"n_{name}") for name, pat, _ in PII_PATTERNS],
+    )
+    total = None
+    for name, _, _ in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return d.withColumn("n_pii_total", total)
+
+
+def pii_source_stats(documents: DataFrame) -> DataFrame:
+    """Per-source PII exposure report — the go/no-go table a release
+    review reads: how many documents in each source leak anything, and
+    what kind. Single shuffle on `source` after map-side combine."""
+    scanned = pii_scan(documents).join(
+        documents.select("doc_id", "source"), "doc_id"
+    )
+    return scanned.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("n_pii_total") > 0).cast("long")).alias("docs_with_pii"),
+        *[
+            F.sum(f"n_{name}").alias(f"n_{name}")
+            for name, _, _ in PII_PATTERNS
+        ],
+        F.sum("n_pii_total").alias("n_pii_total"),
+    )
+
+
+def pii_redact(documents: DataFrame) -> DataFrame:
+    """Redacted corpus: every PII match replaced with its class token.
+
+    Replacement chain is a single projection — Catalyst fuses the four
+    `regexp_replace`s into one codegen stage, so this is still one
+    corpus scan. `n_redactions` is counted BEFORE redaction (the token
+    text would otherwise perturb later patterns' counts).
+    """
+    redacted = F.col("text")
+    for _, pat, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, token)
+    return pii_scan(documents).join(documents.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        F.col("n_pii_total").alias("n_redactions"),
+        redacted.alias("text_clean"),
+    )
+
+
+def url_domains(documents: DataFrame) -> DataFrame:
+    """Domain frequency table over all URLs in the corpus — the base
+    relation for domain-level quality weighting and blocklist filtering
+    (a C4/RefinedWeb-style curation stage).
+
+    explode(regexp_extract_all) → wordcount shape: map-side combine
+    collapses each partition to its distinct domains before the single
+    shuffle on `domain`.
+    """
+    urls = documents.select(
+        F.explode(F.regexp_extract_all("text", F.lit(URL_PATTERN), F.lit(0))).alias(
+            "url"
+        )
+    )
+    return (
+        urls.select(
+            F.lower(F.regexp_extract("url", URL_DOMAIN_PATTERN, 1)).alias("domain")
+        )
+        .filter(F.col("domain") != "")
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_urls"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked query registry
+# ---------------------------------------------------------------------------
+
+def _q(fn):
+    def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(load_table(spark, sf_dir, "documents"))
+
+    return runner
+
+
+QUERIES = {
+    "text_pii_source_stats": _q(pii_source_stats),
+    "text_pii_redacted": _q(pii_redact),
+    "text_url_domains": _q(url_domains),
+}
+
+
+def _count_sql(name: str, pat: str) -> str:
+    # CAST AS INTEGER: Spark's regexp_count is int32; the driver's
+    # value-hash gate is type-exact.
+    return f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER) AS n_{name}"
+
+
+_SCAN_CTE = f"""
+    SELECT doc_id, source, text,
+           {', '.join(_count_sql(n, p) for n, p, _ in PII_PATTERNS)},
+           CAST({' + '.join(f"len(regexp_extract_all(text, '{p}'))" for _, p, _ in PII_PATTERNS)}
+               AS INTEGER) AS n_pii_total
+    FROM documents
+"""
+
+_REDACT_EXPR = "text"
+for _, _pat, _token in PII_PATTERNS:
+    _REDACT_EXPR = f"regexp_replace({_REDACT_EXPR}, '{_pat}', '{_token}', 'g')"
+
+ORACLE = {
+    "text_pii_source_stats": f"""
+        WITH s AS ({_SCAN_CTE})
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN n_pii_total > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS docs_with_pii,
+               {', '.join(f'CAST(sum(n_{n}) AS BIGINT) AS n_{n}' for n, _, _ in PII_PATTERNS)},
+               CAST(sum(n_pii_total) AS BIGINT) AS n_pii_total
+        FROM s GROUP BY source
+    """,
+    "text_pii_redacted": f"""
+        WITH s AS ({_SCAN_CTE})
+        SELECT doc_id, n_pii_total AS n_redactions,
+               {_REDACT_EXPR} AS text_clean
+        FROM s
+    """,
+    "text_url_domains": f"""
+        WITH u AS (
+            SELECT unnest(regexp_extract_all(text, '{URL_PATTERN}')) AS url
+            FROM documents
+        )
+        SELECT lower(regexp_extract(url, '{URL_DOMAIN_PATTERN}', 1)) AS domain,
+               count(*) AS n_urls
+        FROM u
+        WHERE regexp_extract(url, '{URL_DOMAIN_PATTERN}', 1) != ''
+        GROUP BY 1
+    """,
+}

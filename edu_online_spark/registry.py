@@ -30,6 +30,7 @@ _EXTENSION_NAMES = [
     "dedup",
     "similarity",
     "textops",
+    "pii",
     "multimodal",
     "tpch",
     "analytics",

@@ -1,0 +1,63 @@
+"""PII scan/redact + URL extraction (operators/pii.py).
+
+The synthetic corpus contains no real PII, so these tests plant known
+emails / phone numbers / IPs / id-numbers and assert exact counts and
+redactions — the oracle parity run then certifies the same expressions
+against DuckDB on the real tables.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from edu_online_spark.operators import pii
+
+ROWS = [
+    # doc_id, text, source
+    (1, "contact alice@example.com or bob.smith+x@sub.dom.org today", "s1"),
+    (2, "server at 10.0.0.1 and 192.168.255.254 rebooted", "s1"),
+    (3, "ssn 123-45-6789 phone 555-867-5309 and 555.867.5309", "s2"),
+    (4, "nothing sensitive here, just 12345 and v1.2", "s2"),
+    (5, "see https://Example.COM/path?q=1 and http://other.org", "s3"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, ["doc_id", "text", "source"])
+
+
+def test_pii_scan_counts(docs):
+    rows = {r["doc_id"]: r for r in pii.pii_scan(docs).collect()}
+    assert rows[1]["n_email"] == 2 and rows[1]["n_pii_total"] == 2
+    assert rows[2]["n_ipv4"] == 2 and rows[2]["n_email"] == 0
+    assert rows[3]["n_id_number"] == 1  # 123-45-6789 is 3-2-4, id-shaped
+    assert rows[3]["n_phone"] == 2  # both separators, 3-3-4
+    assert rows[3]["n_pii_total"] == 3
+    assert rows[4]["n_pii_total"] == 0
+    # a version string `v1.2` must not count as an IP
+    assert rows[4]["n_ipv4"] == 0
+
+
+def test_pii_redact_replaces_all_classes(docs):
+    out = {r["doc_id"]: r for r in pii.pii_redact(docs).collect()}
+    assert out[1]["text_clean"] == "contact [EMAIL] or [EMAIL] today"
+    assert out[2]["text_clean"] == "server at [IP] and [IP] rebooted"
+    assert out[3]["text_clean"] == "ssn [ID] phone [PHONE] and [PHONE]"
+    assert out[4]["text_clean"] == ROWS[3][1]  # untouched
+    assert out[1]["n_redactions"] == 2
+    assert out[4]["n_redactions"] == 0
+
+
+def test_pii_source_stats(docs):
+    stats = {r["source"]: r for r in pii.pii_source_stats(docs).collect()}
+    assert stats["s1"]["n_docs"] == 2
+    assert stats["s1"]["docs_with_pii"] == 2
+    assert stats["s1"]["n_email"] == 2 and stats["s1"]["n_ipv4"] == 2
+    assert stats["s2"]["docs_with_pii"] == 1
+    assert stats["s3"]["n_pii_total"] == 0
+
+
+def test_url_domains_lowercased_and_counted(docs):
+    out = {r["domain"]: r["n_urls"] for r in pii.url_domains(docs).collect()}
+    assert out == {"example.com": 1, "other.org": 1}

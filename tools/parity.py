@@ -99,7 +99,8 @@ def main() -> int:
             print(f"     - {p}")
         if probs:
             failed.append(name)
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} queries pass parity")
+    n_run = len(only & set(qs)) if only else len(qs)
+    print(f"\n{n_run - len(failed)}/{n_run} queries pass parity")
     return 1 if failed else 0
 
 
