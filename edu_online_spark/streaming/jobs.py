@@ -636,6 +636,69 @@ def document_ingest_job(
     )
 
 
+def pii_scrub_job(
+    raw: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming PII scrub — the streaming twin of operators/pii:
+    documents are redacted on the way INTO the lake, so nothing
+    downstream (archives, vocab state, dedup fingerprints) ever holds
+    raw PII. The reference's ingest (RawLogSparkStreaming.scala:21-122)
+    archives verbatim; a training-data pipeline must not.
+
+    Stateless map: decode (corrupt/malformed-ts rows QUARANTINED, not
+    thrown) → the fused regexp_replace chain from operators/pii (one
+    codegen projection, no Python) → (lang, day)-partitioned append.
+    No watermark, no state store — this job backpressures only on
+    sink throughput, so it scales to the full firehose.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ..operators.pii import PII_PATTERNS
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("ts", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    parsed = F.from_json(
+        F.col("value"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    redacted = F.col("j.text")
+    n_hits = F.lit(0)
+    for _, pat, token in PII_PATTERNS:
+        n_hits = n_hits + F.regexp_count(F.col("j.text"), F.lit(pat))
+        redacted = F.regexp_replace(redacted, pat, token)
+    docs = (
+        raw.select(parsed.alias("j"))
+        .filter(F.col("j._corrupt").isNull())
+        .select(
+            F.col("j.doc_id").alias("doc_id"),
+            redacted.alias("text"),
+            n_hits.alias("n_redactions"),
+            F.coalesce(F.col("j.lang"), F.lit("und")).alias("lang"),
+            F.coalesce(F.col("j.source"), F.lit("unknown")).alias("source"),
+            F.try_to_timestamp(F.col("j.ts")).alias("event_ts"),
+        )
+        .filter(F.col("event_ts").isNotNull() & F.col("text").isNotNull())
+        .withColumn("day", day_bucket("event_ts"))
+    )
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(sinks.parquet_append(out_path, ["lang", "day"]))
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )
+
+
 def vocabulary_stream_job(
     raw: DataFrame,
     out_path: str,

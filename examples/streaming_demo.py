@@ -36,7 +36,10 @@ def produce(topic_dir: str, batch: str, lines: list[str]) -> None:
 def main() -> None:
     work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/edu-online-demo"
     shutil.rmtree(work, ignore_errors=True)
-    topics = {t: f"{work}/topics/{t}" for t in ("register", "qz", "page", "raw", "docs")}
+    topics = {
+        t: f"{work}/topics/{t}"
+        for t in ("register", "qz", "page", "raw", "docs", "pii")
+    }
 
     produce(topics["register"], "b1.log", [
         "8001\t1\t2026-08-13 10:00:01",
@@ -124,6 +127,17 @@ def main() -> None:
     out["ingested_docs"] = f"{work}/out/ingested_docs"
     jobs.document_ingest_job(
         file_stream(spark, topics["docs"]), out["ingested_docs"], ck("docs"),
+        available_now=True,
+    ).awaitTermination(120)
+
+    # round-3 job: streaming PII scrub (redact on the way into the lake)
+    produce(topics["pii"], "b1.log", [
+        '{"doc_id":"p1","text":"mail bob@corp.io from 10.0.0.7","lang":"en","source":"s1","ts":"2026-08-13 10:00:00"}',
+        '{"doc_id":"p2","text":"clean text","lang":"en","source":"s1","ts":"2026-08-13 10:00:01"}',
+    ])
+    out["scrubbed_docs"] = f"{work}/out/scrubbed_docs"
+    jobs.pii_scrub_job(
+        file_stream(spark, topics["pii"]), out["scrubbed_docs"], ck("pii"),
         available_now=True,
     ).awaitTermination(120)
 

@@ -407,6 +407,33 @@ def test_document_ingest_pipeline(spark, tmp_path):
     )
 
 
+def test_pii_scrub_job_redacts_in_stream(spark, tmp_path):
+    """Streaming PII scrub: redaction happens before anything lands in
+    the lake; corrupt JSON and malformed timestamps quarantined, not
+    thrown (same poison-pill posture as document ingest)."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(
+        src,
+        "b1.txt",
+        [
+            '{"doc_id":"d1","text":"mail bob@corp.io from 10.0.0.7","lang":"en",'
+            '"source":"s1","ts":"2026-08-13 10:00:00"}',
+            '{"doc_id":"d2","text":"clean text","lang":"en","source":"s1",'
+            '"ts":"2026-08-13 10:00:01"}',
+            "NOT JSON {{{",
+            '{"doc_id":"d3","text":"call 555-867-5309","lang":"en","source":"s1",'
+            '"ts":"garbage"}',
+        ],
+    )
+    _run(jobs.pii_scrub_job, spark, src, out, ckpt)
+    by_doc = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(by_doc) == {"d1", "d2"}  # corrupt + bad-ts quarantined
+    assert by_doc["d1"]["text"] == "mail [EMAIL] from [IP]"
+    assert by_doc["d1"]["n_redactions"] == 2
+    assert by_doc["d2"]["text"] == "clean text"
+    assert by_doc["d2"]["n_redactions"] == 0
+
+
 def test_vocabulary_stream_job_accumulates(spark, tmp_path):
     """Streaming wordcount: counts accumulate across triggers in the
     state store and upsert by token — the streaming twin of
