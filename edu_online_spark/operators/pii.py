@@ -42,14 +42,16 @@ def _count(col: str, pat: str) -> Column:
     return F.regexp_count(F.col(col), F.lit(pat))
 
 
-def pii_scan(documents: DataFrame) -> DataFrame:
+def pii_scan(documents: DataFrame, keep: tuple[str, ...] = ("doc_id",)) -> DataFrame:
     """Per-document PII hit counts, one column per pattern class.
 
     Scan-stage column expressions; the downstream filter
     (`pii_total = 0` → clean corpus) pushes into the same stage.
+    `keep` carries passthrough columns so callers never re-join the
+    corpus to itself to get them back.
     """
     d = documents.select(
-        "doc_id",
+        *keep,
         *[_count("text", pat).alias(f"n_{name}") for name, pat, _ in PII_PATTERNS],
     )
     total = None
@@ -62,10 +64,9 @@ def pii_scan(documents: DataFrame) -> DataFrame:
 def pii_source_stats(documents: DataFrame) -> DataFrame:
     """Per-source PII exposure report — the go/no-go table a release
     review reads: how many documents in each source leak anything, and
-    what kind. Single shuffle on `source` after map-side combine."""
-    scanned = pii_scan(documents).join(
-        documents.select("doc_id", "source"), "doc_id"
-    )
+    what kind. One projection + single shuffle on `source` after
+    map-side combine; no join anywhere."""
+    scanned = pii_scan(documents, keep=("doc_id", "source"))
     return scanned.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum((F.col("n_pii_total") > 0).cast("long")).alias("docs_with_pii"),
@@ -86,11 +87,15 @@ def pii_redact(documents: DataFrame) -> DataFrame:
     text would otherwise perturb later patterns' counts).
     """
     redacted = F.col("text")
+    n_hits = None
+    for _, pat, _ in PII_PATTERNS:
+        c = _count("text", pat)
+        n_hits = c if n_hits is None else n_hits + c
     for _, pat, token in PII_PATTERNS:
         redacted = F.regexp_replace(redacted, pat, token)
-    return pii_scan(documents).join(documents.select("doc_id", "text"), "doc_id").select(
+    return documents.select(
         "doc_id",
-        F.col("n_pii_total").alias("n_redactions"),
+        n_hits.alias("n_redactions"),
         redacted.alias("text_clean"),
     )
 

@@ -208,3 +208,34 @@ def test_analytics_round3_no_degenerate_joins(spark, sf_dir):
         p = explain_str(df, "simple")
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pii_ops_stay_in_scan_stage(spark, sf_dir):
+    """The PII pass must cost one corpus read: per-doc scan counts are
+    pure projection (no exchange at all), and the per-source report is
+    one partial-agg shuffle. A regex that fell out of codegen into a
+    Python UDF would show up as BatchEvalPython here."""
+    from edu_online_spark.operators.pii import (
+        pii_redact,
+        pii_scan,
+        pii_source_stats,
+        url_domains,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    for df in (pii_scan(docs), pii_redact(docs)):
+        plan = explain_str(df, "simple")
+        assert "BatchEvalPython" not in plan
+        assert "Exchange" not in plan  # pure scan-stage projection
+        assert "Join" not in plan  # never re-join the corpus to itself
+
+    stats = pii_source_stats(docs)
+    p = explain_str(stats, "simple")
+    assert "BatchEvalPython" not in p
+    assert "Join" not in p
+    assert "partial" in explain_str(stats).lower()  # map-side combine
+
+    dom = url_domains(docs)
+    p = explain_str(dom, "simple")
+    assert "BatchEvalPython" not in p
+    assert "partial" in explain_str(dom).lower()
