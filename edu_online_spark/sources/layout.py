@@ -115,3 +115,43 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed (and bucket-sorted) table write — the co-located
+    join layout.
+
+    Two tables bucketed on the same key into the same bucket count are
+    ALREADY partitioned the way a shuffle would partition them, so a
+    join between them needs no Exchange at all — and with `sort=True`
+    each bucket file is pre-sorted on the key, so the sort-merge join
+    needs no Sort either. At 100 TB this turns the nightly
+    fact-to-fact join from the cluster's biggest shuffle into a
+    zero-movement merge. The price is paid ONCE at write time (the
+    bucketing write shuffles), then every downstream join rides free —
+    the right trade for any join run more often than the data is
+    rewritten.
+
+    Bucket metadata lives in the catalog (`saveAsTable`; in-memory
+    catalog locally, Hive metastore / Iceberg in production) — a plain
+    `.parquet(path)` write cannot carry it.
+    """
+    if sort:
+        # One file per bucket: the planner only trusts a bucket's sort
+        # order (and can skip the SMJ Sort) when the bucket is a single
+        # file, so align the write's partitioning with the bucket hash —
+        # repartition(n, cols) and bucketBy(n, cols) use the same
+        # Murmur3 HashPartitioning, making each task own exactly one
+        # bucket.
+        df = df.repartition(num_buckets, *bucket_cols)
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort:
+        writer = writer.sortBy(*bucket_cols)
+    writer.format("parquet").saveAsTable(table)

@@ -6,6 +6,9 @@ from __future__ import annotations
 import glob
 
 import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from edu_online_spark.plans import explain_str
 
 from edu_online_spark.sources.layout import write_clustered
 
@@ -97,3 +100,52 @@ def test_write_zordered_empty_input_is_safe(spark, tmp_path):
     out = str(tmp_path / "empty_z")
     write_zordered(empty, out, "event_id", "user_id", num_files=2)
     assert spark.read.parquet(out).count() == 0
+
+
+def test_bucketed_join_needs_no_exchange_or_sort(spark, sf_dir, tmp_path):
+    """Co-located join: both sides bucketed+sorted on the join key →
+    the physical plan has NO Exchange and NO Sort. This is the layout
+    that deletes the biggest shuffle at scale; if bucketing metadata
+    stopped reaching the planner this test fails."""
+    from edu_online_spark.sources.layout import write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_order = spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    try:
+        # force a real (non-broadcast) join so the assertion is about
+        # bucketing, not about one side being tiny
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # let the scan advertise per-bucket sort order (safe because
+        # write_bucketed guarantees ONE file per bucket; Spark disables
+        # this by default to avoid merging multi-file buckets)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
+        write_bucketed(orders, "t_orders_b", ["o_orderkey"], num_buckets=4)
+        write_bucketed(lineitem, "t_lineitem_b", ["l_orderkey"], num_buckets=4)
+        joined = spark.table("t_orders_b").join(
+            spark.table("t_lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = explain_str(joined, "simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert "Sort " not in plan.replace("SortMergeJoin", "SMJ"), plan
+        # and it still computes the right thing
+        expected = orders.join(
+            lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", old_order
+        )
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
