@@ -549,6 +549,58 @@ def data_quality_checks(
     return out
 
 
+def time_grain_rollup(events: DataFrame) -> DataFrame:
+    """Hypertable-style continuous-aggregate hierarchy: per-event-type
+    counts and value sums at day, month, and year grain — each COARSER
+    grain re-aggregated from the FINER aggregate, never from the raw
+    table.
+
+    This is the rollup-reuse shape (TimescaleDB continuous aggregates,
+    Druid rollup): the raw scan happens exactly once, for the daily
+    grain; monthly re-aggregates |days|×|types| rows and yearly
+    |months|×|types| — at 100 TB the month/year passes are free
+    compared to re-scanning the fact table per grain (3× scan cost),
+    and in production the daily output is the incrementally-maintained
+    materialization the others fold over. Value sums carry
+    decimal(18,6) through every level so re-aggregation is
+    order-insensitive and exactly equals a flat GROUP BY from raw —
+    which is what the oracle checks.
+    """
+    daily = events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("value_dec"),
+    )
+    # Materialize the daily grain (days×types rows — tiny) so the
+    # month/year branches fold over it instead of re-scanning the fact
+    # table; without this the union plan holds three FileScans (verified
+    # — exchange reuse does not dedupe the shared subtree here).
+    daily = daily.localCheckpoint(eager=True)
+    monthly = daily.groupBy(
+        F.substring("day", 1, 7).alias("bucket"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("value_dec").alias("value_dec"))
+    yearly = monthly.groupBy(
+        F.substring("bucket", 1, 4).alias("bucket"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("value_dec").alias("value_dec"))
+
+    def _emit(df, grain, bucket_col):
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.col(bucket_col).alias("bucket"),
+            "event_type",
+            "n_events",
+            F.col("value_dec").cast("double").alias("total_value"),
+        )
+
+    return (
+        _emit(daily, "day", "day")
+        .unionByName(_emit(monthly, "month", "bucket"))
+        .unionByName(_emit(yearly, "year", "bucket"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked query registry
 # ---------------------------------------------------------------------------
@@ -593,6 +645,7 @@ QUERIES = {
     "docs_length_histogram": _q(docs_length_histogram, "documents"),
 
     "orders_date_features": _q(orders_date_features, "orders"),
+    "events_time_grain_rollup": _q(time_grain_rollup, "events"),
 }
 
 _PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -830,5 +883,21 @@ ORACLE = {
                CASE WHEN trailing_avg IS NULL THEN FALSE
                     ELSE cnt > 1.5 * trailing_avg END AS is_anomaly
         FROM win
+    """,
+    # flat GROUP BYs from raw — must equal the hierarchical re-aggregation
+    # exactly (decimal sums are order-insensitive)
+    "events_time_grain_rollup": """
+        SELECT 'day' AS grain, strftime(ts, '%Y-%m-%d') AS bucket, event_type,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 2, 3
+        UNION ALL
+        SELECT 'month', strftime(ts, '%Y-%m'), event_type, count(*),
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        FROM events GROUP BY 2, 3
+        UNION ALL
+        SELECT 'year', strftime(ts, '%Y'), event_type, count(*),
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        FROM events GROUP BY 2, 3
     """,
 }

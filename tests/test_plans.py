@@ -239,3 +239,17 @@ def test_pii_ops_stay_in_scan_stage(spark, sf_dir):
     p = explain_str(dom, "simple")
     assert "BatchEvalPython" not in p
     assert "partial" in explain_str(dom).lower()
+
+
+def test_time_grain_rollup_reuses_daily_grain(spark, sf_dir):
+    """The month/year grains must fold over the materialized daily
+    aggregate, not re-scan the fact table: after construction the
+    union plan contains ZERO parquet scans (the single scan ran once,
+    into the daily checkpoint)."""
+    from edu_online_spark.operators.analytics import time_grain_rollup
+
+    df = time_grain_rollup(load_table(spark, sf_dir, "events"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 0, plan
+    grains = {r["grain"] for r in df.select("grain").distinct().collect()}
+    assert grains == {"day", "month", "year"}
