@@ -55,6 +55,8 @@ HEADLINE = [
     "multimodal_decoded_meta",
     "corpus_vocabulary_topk",
     "text_tfidf_top_terms",
+    "text_pii_redacted",
+    "events_time_grain_rollup",
 ]
 
 

@@ -136,6 +136,38 @@ def curate_documents(
     )
 
 
+# Shared between the Spark expression and the DuckDB oracle: \xhh
+# escapes and \s are valid in both Java regex and RE2.
+CONTROL_CHARS_PATTERN = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+WS_RUN_PATTERN = r"\s+"
+
+
+def normalize_documents(documents: DataFrame) -> DataFrame:
+    """Whitespace/control-character normalization — the first cleanup
+    stage of every web-scrape curation pipeline (C4 et al.): strip
+    ASCII control characters, collapse whitespace runs to single
+    spaces, trim. Emits the normalized text plus audit columns
+    (changed flag, chars saved) so the pipeline can report what the
+    pass actually did.
+
+    Two fused regexp_replaces + trim — one codegen projection in the
+    scan stage, zero Python, zero shuffle.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace("text", CONTROL_CHARS_PATTERN, ""),
+            WS_RUN_PATTERN,
+            " ",
+        )
+    )
+    return documents.select(
+        "doc_id",
+        norm.alias("text_norm"),
+        (norm != F.col("text")).alias("changed"),
+        (F.length("text") - F.length(norm)).alias("n_chars_saved"),
+    )
+
+
 def char_diversity_scores(documents: DataFrame) -> DataFrame:
     """Character-distribution quality metrics per document — the cheap
     perplexity-proxy filter (gibberish and template spam sit at the
@@ -488,6 +520,7 @@ QUERIES = {
     "text_tfidf_top_terms": _q(tfidf_top_terms),
     "corpus_boilerplate_ngrams": _q(boilerplate_ngrams),
     "text_boilerplate_fraction": _q(doc_boilerplate_fraction),
+    "text_normalized": _q(normalize_documents),
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), ' +')"
@@ -512,6 +545,20 @@ def _pred_lang_sql() -> str:
 
 
 ORACLE = {
+    "text_normalized": f'''
+        WITH n AS (
+            SELECT doc_id, text,
+                   trim(regexp_replace(regexp_replace(text,
+                       '{CONTROL_CHARS_PATTERN}', '', 'g'),
+                       '{WS_RUN_PATTERN}', ' ', 'g')) AS text_norm
+            FROM documents
+        )
+        SELECT doc_id, text_norm,
+               text_norm != text AS changed,
+               CAST(length(text) - length(text_norm) AS INTEGER)
+                   AS n_chars_saved
+        FROM n
+    ''',
     "text_quality": f"""
         WITH d AS (
             SELECT doc_id,

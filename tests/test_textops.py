@@ -116,3 +116,24 @@ def test_anomaly_gate_requires_consecutive_week(spark):
     # the post-gap day has 7 stale rows but no consecutive week → NULL, no flag
     post_gap = out["2026-04-10"]
     assert post_gap["trailing_avg"] is None and post_gap["is_anomaly"] is False
+
+
+def test_normalize_documents_strips_controls_and_collapses_ws(spark):
+    from edu_online_spark.operators.textops import normalize_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "  hello\tworld\x00\x07 again  "),
+            (2, "already clean"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in normalize_documents(docs).collect()}
+    assert out[1]["text_norm"] == "hello world again"
+    assert out[1]["changed"] is True
+    assert out[1]["n_chars_saved"] == len("  hello\tworld\x00\x07 again  ") - len(
+        "hello world again"
+    )
+    assert out[2]["text_norm"] == "already clean"
+    assert out[2]["changed"] is False
+    assert out[2]["n_chars_saved"] == 0
