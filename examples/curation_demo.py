@@ -2,6 +2,10 @@
 one script, composed entirely from registry operators:
 
   raw documents
+    → normalization       (textops.normalize_documents: control chars,
+                           whitespace runs)
+    → PII scrub           (pii.pii_redact: emails/phones/IPs/ids →
+                           class tokens, before anything persists)
     → quality gate        (textops.curate_documents: token floor,
                            punctuation ceiling)
     → boilerplate gate    (textops.doc_boilerplate_fraction < 50%)
@@ -27,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from edu_online_spark.config import EngineConfig
-from edu_online_spark.operators import dedup, textops
+from edu_online_spark.operators import dedup, pii, textops
 from edu_online_spark.session import get_spark
 from edu_online_spark.sources import load_table
 from edu_online_spark.sources.layout import write_zordered
@@ -40,6 +44,17 @@ def main() -> None:
 
     docs = load_table(spark, sf_dir, "documents")
     n_raw = docs.count()
+
+    # normalize + scrub FIRST: every later stage (fingerprints, shingles,
+    # chunks) must only ever see cleaned, redacted text
+    normed = textops.normalize_documents(docs)
+    scrubbed = pii.pii_redact(
+        normed.select("doc_id", F.col("text_norm").alias("text"))
+    )
+    n_redactions = scrubbed.agg(F.sum("n_redactions")).first()[0]
+    docs = docs.select("doc_id", "lang", "source").join(
+        scrubbed.select("doc_id", F.col("text_clean").alias("text")), "doc_id"
+    ).withColumn("n_chars", F.length("text"))
 
     # curate_documents returns (doc_id, lang, n_tokens) — join the ids
     # back to recover full rows for the downstream text-bearing stages
@@ -71,6 +86,7 @@ def main() -> None:
     vocab = textops.vocabulary_topk(curated, k=10).collect()
 
     print(f"raw documents:        {n_raw}")
+    print(f"pii redactions:       {n_redactions}")
     print(f"after quality gate:   {n_quality}")
     print(f"after boilerplate:    {n_gated}")
     print(f"after near-dup:       {n_curated}")
