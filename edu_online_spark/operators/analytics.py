@@ -601,6 +601,23 @@ def time_grain_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def value_percentiles_by_type(events: DataFrame) -> DataFrame:
+    """Exact grouped percentiles (p25/p50/p90 of value per event type)
+    via percentile_disc — DISCRETE selection, not interpolation, so the
+    result is an actual data value and bit-matches any engine (the
+    interpolated percentile_cont mixes doubles in engine-specific
+    order). One partial-agg shuffle on event_type; per-group state is
+    the sorted value multiset, fine for grouped-summary cardinalities —
+    for per-user percentiles at 100 TB you'd switch to the GK-sketch
+    variant (`lineitem_price_quantiles_approx`)."""
+    return events.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").alias("p25"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked query registry
 # ---------------------------------------------------------------------------
@@ -646,6 +663,7 @@ QUERIES = {
 
     "orders_date_features": _q(orders_date_features, "orders"),
     "events_time_grain_rollup": _q(time_grain_rollup, "events"),
+    "events_value_percentiles": _q(value_percentiles_by_type, "events"),
 }
 
 _PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -899,5 +917,13 @@ ORACLE = {
         SELECT 'year', strftime(ts, '%Y'), event_type, count(*),
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
         FROM events GROUP BY 2, 3
+    """,
+    "events_value_percentiles": """
+        SELECT event_type,
+               quantile_disc(value, 0.25) AS p25,
+               quantile_disc(value, 0.5) AS p50,
+               quantile_disc(value, 0.9) AS p90,
+               count(*) AS n
+        FROM events GROUP BY event_type
     """,
 }
