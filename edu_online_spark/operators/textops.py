@@ -303,6 +303,46 @@ def chunk_documents(
     )
 
 
+def pack_training_sequences(
+    documents: DataFrame, budget: int = 128
+) -> DataFrame:
+    """Sequence packing: assign chunks to fixed-token-budget packs —
+    the batching stage between chunking and a training loader (packed
+    sequences waste no pad tokens).
+
+    Assignment is by each chunk's START offset in its source's
+    cumulative token stream (`pack_id = floor(cum_before / budget)`), a
+    pure window cumsum — deterministic and fully relational. A greedy
+    no-overflow packer is a sequential recurrence (each decision
+    depends on the previous pack's fill), which would serialize the
+    corpus; this start-offset scheme lets a pack overrun by at most one
+    chunk's tail and keeps the whole pass parallel. Windows partition
+    by `source`, so parallelism is per-source and no single global sort
+    exists; at 100 TB you'd sub-salt giant sources (same recipe as
+    functions/skew.py).
+
+    Output is the per-pack manifest (chunk count, token count) the
+    loader reads.
+    """
+    from pyspark.sql import Window
+
+    chunks = chunk_documents(documents)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum("n_chunk_tokens").over(w) - F.col("n_chunk_tokens")
+    packed = chunks.withColumn(
+        "pack_id", F.floor(cum_before / budget).cast("int")
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked query registry
 # ---------------------------------------------------------------------------
@@ -521,6 +561,7 @@ QUERIES = {
     "corpus_boilerplate_ngrams": _q(boilerplate_ngrams),
     "text_boilerplate_fraction": _q(doc_boilerplate_fraction),
     "text_normalized": _q(normalize_documents),
+    "chunks_packed": _q(pack_training_sequences),
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), ' +')"
@@ -682,6 +723,37 @@ ORACLE = {
         WHERE chunk_idx * {CHUNK_STRIDE} < len(w)
           AND (chunk_idx = 0
                OR (chunk_idx - 1) * {CHUNK_STRIDE} + {CHUNK_TOKENS} < len(w))
+    """,
+    "chunks_packed": f"""
+        WITH toks AS (SELECT doc_id, source, {_TOKENS} AS w FROM documents),
+        chunks AS (
+            SELECT doc_id, source, w,
+                   unnest(range(0, CAST(ceil(greatest(len(w), 1)
+                                             / {CHUNK_STRIDE}.0) AS BIGINT)))
+                       AS chunk_idx
+            FROM toks
+        ),
+        c AS (
+            SELECT doc_id, source, chunk_idx,
+                   least(len(w) - chunk_idx * {CHUNK_STRIDE}, {CHUNK_TOKENS})
+                       AS n_chunk_tokens
+            FROM chunks
+            WHERE chunk_idx * {CHUNK_STRIDE} < len(w)
+              AND (chunk_idx = 0
+                   OR (chunk_idx - 1) * {CHUNK_STRIDE} + {CHUNK_TOKENS} < len(w))
+        ),
+        win AS (
+            SELECT source, doc_id, n_chunk_tokens,
+                   SUM(n_chunk_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id, chunk_idx
+                       ROWS UNBOUNDED PRECEDING) - n_chunk_tokens AS cum_before
+            FROM c
+        )
+        SELECT source, CAST(floor(cum_before / 128) AS INTEGER) AS pack_id,
+               count(*) AS n_chunks,
+               CAST(sum(n_chunk_tokens) AS BIGINT) AS pack_tokens,
+               min(doc_id) AS first_doc_id
+        FROM win GROUP BY 1, 2
     """,
     "text_token_stats": f"""
         WITH per_doc AS (
