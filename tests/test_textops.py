@@ -137,3 +137,30 @@ def test_normalize_documents_strips_controls_and_collapses_ws(spark):
     assert out[2]["text_norm"] == "already clean"
     assert out[2]["changed"] is False
     assert out[2]["n_chars_saved"] == 0
+
+
+def test_pack_training_sequences_budget_and_coverage(spark):
+    """Packing must cover every chunk exactly once, keep packs within
+    budget + one chunk tail, and be deterministic."""
+    from edu_online_spark.operators.textops import (
+        chunk_documents,
+        pack_training_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(40 + 7 * i)), "s1") for i in range(6)],
+        ["doc_id", "text", "source"],
+    )
+    budget = 64
+    packs = pack_training_sequences(docs, budget=budget).collect()
+    total_chunks = chunk_documents(docs).count()
+    assert sum(r["n_chunks"] for r in packs) == total_chunks
+    # start-offset assignment: a pack holds every chunk STARTING inside
+    # its budget window, so it can overrun by at most one chunk's tail
+    from edu_online_spark.operators.textops import CHUNK_TOKENS
+
+    for r in packs:
+        assert r["pack_tokens"] < budget + CHUNK_TOKENS
+    # deterministic: second run identical
+    again = pack_training_sequences(docs, budget=budget).collect()
+    assert sorted(map(tuple, packs)) == sorted(map(tuple, again))
