@@ -343,6 +343,78 @@ def pack_training_sequences(
     )
 
 
+def quality_tiered_sample(documents: DataFrame) -> DataFrame:
+    """Quality-tiered deterministic sampling: keep all of the best
+    tier, down-sample the middle, keep a sliver of the worst — the
+    quality-weighted mixture step between scoring and training.
+
+    Tier thresholds are integer token counts and the keep decision is
+    an integer hash-bucket compare (functions/core.hash_bucket — same
+    replay-stable recipe as the events samplers; no rand(), no floats
+    in the predicate), so membership is bit-identical on every engine,
+    partitioning, and retry. Scan-stage only.
+    """
+    from ..functions.core import hash_bucket
+
+    n_tokens = T.token_count("text")
+    tier_pct = (
+        F.when(n_tokens >= 40, F.lit(100))
+        .when(n_tokens >= 20, F.lit(50))
+        .otherwise(F.lit(10))
+    )
+    return (
+        documents.select(
+            "doc_id",
+            "source",
+            n_tokens.alias("n_tokens"),
+            tier_pct.alias("tier_pct"),
+            hash_bucket("doc_id", 100).alias("bucket"),
+        )
+        .filter(F.col("bucket") < F.col("tier_pct"))
+        .select("doc_id", "source", "n_tokens", "tier_pct")
+    )
+
+
+MIXTURE_WEIGHTS = {"src0": 4, "src1": 2, "src2": 1, "src3": 1}
+MIXTURE_TOKEN_BUDGET = 20_000
+
+
+def corpus_mixture_plan(
+    documents: DataFrame,
+    weights: dict[str, int] | None = None,
+    token_budget: int = MIXTURE_TOKEN_BUDGET,
+) -> DataFrame:
+    """Data-mixing plan: given per-source mixture weights and a total
+    token budget, compute each source's token inventory, its target
+    share, and the sampling rate that hits it — the manifest a mixture
+    dataloader (or the sampler above) consumes.
+
+    One per-source aggregate (map-side combined); the arithmetic is a
+    single multiply/divide per source so the plan is engine-exact.
+    Sources outside the weight map get weight 0 (excluded, rate 0).
+    """
+    weights = MIXTURE_WEIGHTS if weights is None else weights
+    total_w = sum(weights.values())
+    w = F.lit(0)
+    for src, wt in sorted(weights.items()):
+        w = F.when(F.col("source") == src, F.lit(wt)).otherwise(w)
+    inv = documents.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(T.token_count("text")).alias("total_tokens"),
+    )
+    return inv.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        w.alias("weight"),
+        (F.lit(token_budget) * w / F.lit(total_w)).alias("target_tokens"),
+        F.least(
+            F.lit(1.0),
+            (F.lit(token_budget) * w / F.lit(total_w)) / F.col("total_tokens"),
+        ).alias("sample_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked query registry
 # ---------------------------------------------------------------------------
@@ -562,6 +634,8 @@ QUERIES = {
     "text_boilerplate_fraction": _q(doc_boilerplate_fraction),
     "text_normalized": _q(normalize_documents),
     "chunks_packed": _q(pack_training_sequences),
+    "docs_quality_tiered_sample": _q(quality_tiered_sample),
+    "corpus_mixture_plan": _q(corpus_mixture_plan),
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), ' +')"
@@ -723,6 +797,37 @@ ORACLE = {
         WHERE chunk_idx * {CHUNK_STRIDE} < len(w)
           AND (chunk_idx = 0
                OR (chunk_idx - 1) * {CHUNK_STRIDE} + {CHUNK_TOKENS} < len(w))
+    """,
+    "docs_quality_tiered_sample": f"""
+        WITH d AS (
+            SELECT doc_id, source, len({_TOKENS}) AS n_tokens,
+                   CASE WHEN len({_TOKENS}) >= 40 THEN 100
+                        WHEN len({_TOKENS}) >= 20 THEN 50
+                        ELSE 10 END AS tier_pct
+            FROM documents
+        )
+        SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
+               CAST(tier_pct AS INTEGER) AS tier_pct
+        FROM d
+        WHERE ((doc_id % 2147483647) * 2654435761) % 100 < tier_pct
+    """,
+    "corpus_mixture_plan": f"""
+        WITH inv AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len({_TOKENS})) AS BIGINT) AS total_tokens
+            FROM documents GROUP BY source
+        ),
+        wt AS (
+            SELECT *, CASE source
+                        WHEN 'src0' THEN 4 WHEN 'src1' THEN 2
+                        WHEN 'src2' THEN 1 WHEN 'src3' THEN 1
+                        ELSE 0 END AS weight
+            FROM inv
+        )
+        SELECT source, n_docs, total_tokens, CAST(weight AS INTEGER) AS weight,
+               20000 * weight / 8.0 AS target_tokens,
+               least(1.0, (20000 * weight / 8.0) / total_tokens) AS sample_rate
+        FROM wt
     """,
     "chunks_packed": f"""
         WITH toks AS (SELECT doc_id, source, {_TOKENS} AS w FROM documents),
