@@ -164,3 +164,21 @@ def test_pack_training_sequences_budget_and_coverage(spark):
     # deterministic: second run identical
     again = pack_training_sequences(docs, budget=budget).collect()
     assert sorted(map(tuple, packs)) == sorted(map(tuple, again))
+
+
+def test_corpus_mixture_plan_unknown_source_excluded(spark):
+    from edu_online_spark.operators.textops import corpus_mixture_plan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e", "src0"),
+            (2, "a b c", "mystery"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    rows = {r["source"]: r for r in corpus_mixture_plan(docs, token_budget=4).collect()}
+    assert rows["mystery"]["weight"] == 0
+    assert rows["mystery"]["sample_rate"] == 0.0
+    assert rows["src0"]["weight"] == 4
+    # budget 4 of weight-share 4/8 → target 2 tokens over 5 available
+    assert abs(rows["src0"]["sample_rate"] - 2 / 5) < 1e-12
