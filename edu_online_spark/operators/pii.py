@@ -124,6 +124,30 @@ def url_domains(documents: DataFrame) -> DataFrame:
     )
 
 
+def k_anonymity_report(
+    df: DataFrame, qi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: the size
+    distribution of QI equivalence classes, flagging classes smaller
+    than k (each such class re-identifies its members) — the release
+    gate that complements record-level PII scrubbing.
+
+    Two aggregations: per-class sizes (one shuffle on the QI — map-side
+    combined), then a |distinct sizes|-row summary. Nothing scales with
+    row count after the first aggregate.
+    """
+    classes = df.groupBy(*qi_cols).agg(F.count("*").alias("class_size"))
+    return (
+        classes.groupBy("class_size")
+        .agg(F.count("*").alias("n_classes"))
+        .select(
+            "class_size",
+            "n_classes",
+            (F.col("class_size") < k).alias("violates_k"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked query registry
 # ---------------------------------------------------------------------------
@@ -135,10 +159,21 @@ def _q(fn):
     return runner
 
 
+def _q_events_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    qi = events.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    return k_anonymity_report(qi, ["event_type", "day"])
+
+
 QUERIES = {
     "text_pii_source_stats": _q(pii_source_stats),
     "text_pii_redacted": _q(pii_redact),
     "text_url_domains": _q(url_domains),
+    "events_k_anonymity": _q_events_kanon,
 }
 
 
@@ -176,6 +211,16 @@ ORACLE = {
         SELECT doc_id, n_pii_total AS n_redactions,
                {_REDACT_EXPR} AS text_clean
         FROM s
+    """,
+    "events_k_anonymity": """
+        WITH classes AS (
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   count(*) AS class_size
+            FROM events GROUP BY 1, 2
+        )
+        SELECT class_size, count(*) AS n_classes,
+               class_size < 5 AS violates_k
+        FROM classes GROUP BY class_size
     """,
     "text_url_domains": f"""
         WITH u AS (

@@ -61,3 +61,14 @@ def test_pii_source_stats(docs):
 def test_url_domains_lowercased_and_counted(docs):
     out = {r["domain"]: r["n_urls"] for r in pii.url_domains(docs).collect()}
     assert out == {"example.com": 1, "other.org": 1}
+
+
+def test_k_anonymity_report_flags_small_classes(spark):
+    from edu_online_spark.operators.pii import k_anonymity_report
+
+    rows = [("a", "x")] * 6 + [("b", "x")] * 2 + [("c", "y")]
+    df = spark.createDataFrame(rows, ["qi1", "qi2"])
+    out = {r["class_size"]: r for r in k_anonymity_report(df, ["qi1", "qi2"]).collect()}
+    assert out[6]["violates_k"] is False
+    assert out[2]["violates_k"] is True and out[2]["n_classes"] == 1
+    assert out[1]["violates_k"] is True
