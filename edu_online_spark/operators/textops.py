@@ -415,6 +415,67 @@ def corpus_mixture_plan(
     )
 
 
+VOCAB_SIZE = 64
+
+
+def encode_documents(documents: DataFrame, vocab_size: int = VOCAB_SIZE) -> DataFrame:
+    """Vocabulary encoding: map each document's tokens to integer ids
+    from the corpus top-`vocab_size` vocabulary (OOV → -1) — the
+    tokenizer-apply stage that turns curated text into model input.
+
+    The vocabulary is the wordcount top-k (tiny — vocab_size rows), so
+    the token→id join BROADCASTS it; the heavy side is one
+    posexplode → broadcast-join → per-doc re-assembly shuffle. Ids are
+    assigned by (count desc, token asc) rank — deterministic across
+    engines, no hash collisions to reconcile. Sequence order is
+    restored with array_sort over (pos, id) structs, not collect order
+    (collect_list is partition-order-dependent).
+    """
+    from pyspark.sql import Window
+
+    # Bounded top-k FIRST (TakeOrderedAndProject — never a global sort),
+    # then rank the vocab_size-row result; a row_number over the full
+    # distinct-token relation would funnel the whole vocabulary through
+    # one partition.
+    top = (
+        _token_rows(documents)
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(vocab_size)
+    )
+    vocab = top.withColumn(
+        "id",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token"))) - 1,
+    ).select("token", "id")
+    toks = documents.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "token")
+    ).filter(F.col("token") != "")
+    encoded = toks.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("id"), F.lit(-1)).alias("id"),
+    )
+    return (
+        encoded.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "id"))).alias("seq"),
+            F.sum((F.col("id") == -1).cast("int")).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            # CSV, not array<int>: engines render arrays differently in
+            # comparison layers; a joined string is canonical everywhere
+            # (same convention as quiz_mastery's questionids)
+            F.array_join(
+                F.transform("seq", lambda s: s.getField("id").cast("string")),
+                ",",
+            ).alias("ids_csv"),
+            "n_oov",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked query registry
 # ---------------------------------------------------------------------------
@@ -635,6 +696,7 @@ QUERIES = {
     "text_normalized": _q(normalize_documents),
     "chunks_packed": _q(pack_training_sequences),
     "docs_quality_tiered_sample": _q(quality_tiered_sample),
+    "docs_vocab_encoded": _q(encode_documents),
     "corpus_mixture_plan": _q(corpus_mixture_plan),
 }
 
@@ -797,6 +859,35 @@ ORACLE = {
         WHERE chunk_idx * {CHUNK_STRIDE} < len(w)
           AND (chunk_idx = 0
                OR (chunk_idx - 1) * {CHUNK_STRIDE} + {CHUNK_TOKENS} < len(w))
+    """,
+    "docs_vocab_encoded": f"""
+        WITH w AS (SELECT doc_id, {_TOKENS} AS w FROM documents),
+        tok AS (
+            SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, w FROM w
+        ),
+        t AS (
+            SELECT doc_id, pos, w[pos] AS token FROM tok WHERE w[pos] != ''
+        ),
+        vcounts AS (
+            SELECT token, count(*) AS cnt FROM t GROUP BY token
+        ),
+        vocab AS (
+            SELECT token, id FROM (
+                SELECT token,
+                       row_number() OVER (ORDER BY cnt DESC, token ASC) - 1
+                           AS id
+                FROM vcounts
+            ) WHERE id < {VOCAB_SIZE}
+        ),
+        enc AS (
+            SELECT t.doc_id, t.pos, COALESCE(v.id, -1) AS id
+            FROM t LEFT JOIN vocab v USING (token)
+        )
+        SELECT doc_id,
+               array_to_string(list(id ORDER BY pos), ',') AS ids_csv,
+               CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS INTEGER)
+                   AS n_oov
+        FROM enc GROUP BY doc_id
     """,
     "docs_quality_tiered_sample": f"""
         WITH d AS (
