@@ -31,7 +31,7 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
     ("id_number", r"\b\d{3}-\d{2}-\d{4}\b", "[ID]"),
-    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    ("phone", r"(\(\d{3}\) ?|\b\d{3}[-.])\d{3}[-.]\d{4}\b", "[PHONE]"),
 ]
 
 URL_PATTERN = r"https?://[^\s]+"

@@ -19,6 +19,7 @@ ROWS = [
     (3, "ssn 123-45-6789 phone 555-867-5309 and 555.867.5309", "s2"),
     (4, "nothing sensitive here, just 12345 and v1.2", "s2"),
     (5, "see https://Example.COM/path?q=1 and http://other.org", "s3"),
+    (6, "call (555) 867-5309 now", "s4"),
 ]
 
 
@@ -37,6 +38,7 @@ def test_pii_scan_counts(docs):
     assert rows[4]["n_pii_total"] == 0
     # a version string `v1.2` must not count as an IP
     assert rows[4]["n_ipv4"] == 0
+    assert rows[6]["n_phone"] == 1  # (NNN) NNN-NNNN format
 
 
 def test_pii_redact_replaces_all_classes(docs):
@@ -47,6 +49,7 @@ def test_pii_redact_replaces_all_classes(docs):
     assert out[4]["text_clean"] == ROWS[3][1]  # untouched
     assert out[1]["n_redactions"] == 2
     assert out[4]["n_redactions"] == 0
+    assert out[6]["text_clean"] == "call [PHONE] now"
 
 
 def test_pii_source_stats(docs):
