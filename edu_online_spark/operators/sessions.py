@@ -246,8 +246,45 @@ def q_purchases_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchases_minutely_gapfill(load_table(spark, sf_dir, "events"))
 
 
+def scd2_user_status(events: DataFrame) -> DataFrame:
+    """SCD2 (type-2 slowly-changing-dimension) history build: each
+    user's event_type sequence collapsed into validity intervals —
+    the warehouse shape for "what was X's status over time", built
+    from an append-only event log in one pass.
+
+    Gaps-and-islands again: a change row starts a new interval
+    (lag != current), `valid_to` is the NEXT change's timestamp (lead
+    over the change rows), open intervals carry NULL + is_current.
+    Windows partition by user_id — high-cardinality, uniform; no
+    global sort anywhere. Ties on ts break by event_id (deterministic
+    across engines).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scd2_user_status(load_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "events_sessionize": q_sessionize,
+    "events_scd2_status": q_scd2,
     "events_session_stats": q_session_stats,
     "events_region_enrich": q_region_enrichment,
     "purchase_attribution": q_purchase_attribution,
@@ -280,6 +317,25 @@ _SESSIONS_SQL = f"""
 """
 
 ORACLE = {
+    "events_scd2_status": """
+        WITH changes AS (
+            SELECT user_id, event_type, ts, event_id
+            FROM (
+                SELECT user_id, event_type, ts, event_id,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type
+                FROM events
+            )
+            WHERE prev_type IS NULL OR prev_type != event_type
+        )
+        SELECT user_id, event_type AS status, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL AS is_current
+        FROM changes
+    """,
     "events_sessionize": f"WITH {_SESSIONS_SQL} SELECT * FROM sessions",
     "events_session_stats": f"""
         WITH {_SESSIONS_SQL}
