@@ -253,3 +253,16 @@ def test_time_grain_rollup_reuses_daily_grain(spark, sf_dir):
     assert plan.count("FileScan parquet") == 0, plan
     grains = {r["grain"] for r in df.select("grain").distinct().collect()}
     assert grains == {"day", "month", "year"}
+
+
+def test_encode_documents_bounded_vocab_and_broadcast(spark, sf_dir):
+    """Vocab ranking must be a bounded TakeOrdered (not a global sort
+    over all distinct tokens) and the token->id join must broadcast the
+    vocab side."""
+    from edu_online_spark.operators.textops import encode_documents
+
+    df = encode_documents(load_table(spark, sf_dir, "documents"))
+    plan = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
