@@ -21,7 +21,7 @@ _MODULES = [register, quiz, page, archival]
 
 # Registration order is a CONTRACT, not cosmetics: the correctness driver
 # checks the first 50 registry entries per round. The LLM-pipeline modules
-# (dedup / similarity / textops / multimodal / iplookup — the north-star
+# (iplookup / dedup / similarity / textops / pii / multimodal — the north-star
 # operators) therefore come before the long relational tail (tpch /
 # analytics / sessions, certified by the round-2 driver run) so every
 # flagship operator gets a driver-side CORRECTNESS entry each round.
