@@ -13,6 +13,8 @@ one script, composed entirely from registry operators:
                            connected components → one survivor/cluster)
     → chunking            (textops.chunk_documents: fixed-stride token
                            windows for a training loader)
+    → packing + encoding  (pack_training_sequences / encode_documents:
+                           budget packs and vocab-id sequences)
     → curated corpus      written Z-ORDERED on (doc_id, n_chars) so a
                            downstream scan filtered on either prunes
     + corpus stats        (vocabulary, per-source token stats)
@@ -75,6 +77,10 @@ def main() -> None:
     chunks = textops.chunk_documents(curated)
     n_chunks = chunks.count()
 
+    # loader-facing tail: fixed-budget packs + vocab-encoded sequences
+    n_packs = textops.pack_training_sequences(curated).count()
+    n_encoded = textops.encode_documents(curated).count()
+
     write_zordered(
         curated.select("doc_id", "text", "lang", "source", "n_chars"),
         out,
@@ -91,6 +97,8 @@ def main() -> None:
     print(f"after boilerplate:    {n_gated}")
     print(f"after near-dup:       {n_curated}")
     print(f"training chunks:      {n_chunks}")
+    print(f"packed sequences:     {n_packs}")
+    print(f"encoded documents:    {n_encoded}")
     print(f"curated corpus:       {out} (z-ordered, "
           f"{len(os.listdir(out))} entries)")
     print("top tokens:", [(r['token'], r['cnt']) for r in vocab[:5]])
