@@ -28,7 +28,12 @@ from ..sources import load_table
 # and RE2 (DuckDB): \b, \d, \s, char classes and bounded repetition
 # only.
 PII_PATTERNS: list[tuple[str, str, str]] = [
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    # the trailing \b matters beyond taste: every pattern ending on a
+    # boundary leaves the char AFTER a replacement's context unchanged,
+    # which is what makes the redaction chain idempotent (property-
+    # tested) — without it, `a@b.co1.2.3.4` redacts to `[EMAIL]1.2.3.4`
+    # whose IP only becomes matchable on a second pass.
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b", "[EMAIL]"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
     ("id_number", r"\b\d{3}-\d{2}-\d{4}\b", "[ID]"),
     ("phone", r"(\(\d{3}\) ?|\b\d{3}[-.])\d{3}[-.]\d{4}\b", "[PHONE]"),

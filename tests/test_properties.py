@@ -66,3 +66,35 @@ def test_hash_bucket_in_range_stable_and_overflow_safe(spark, keys):
     for k in keys:
         expect = ((k % 2147483647) * 2654435761) % 100
         assert got[k] == expect and 0 <= got[k] < 100
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_pii_redaction_idempotent_and_hit_consistent(spark, texts):
+    """Redaction invariants over arbitrary printable text: redacting an
+    already-redacted corpus changes nothing (class tokens contain no
+    PII shapes), and n_redactions == 0 iff the text survives verbatim."""
+    from edu_online_spark.operators.pii import pii_redact
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    once = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+    again_in = spark.createDataFrame(
+        [(i, once[i]["text_clean"]) for i in once], ["doc_id", "text"]
+    )
+    twice = {r["doc_id"]: r for r in pii_redact(again_in).collect()}
+    for i, t in enumerate(texts):
+        assert twice[i]["text_clean"] == once[i]["text_clean"]
+        assert twice[i]["n_redactions"] == 0
+        if once[i]["n_redactions"] == 0:
+            assert once[i]["text_clean"] == t
