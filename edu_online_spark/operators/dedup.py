@@ -220,6 +220,45 @@ def minhash_lsh_pairs(
     )
 
 
+def text_knn_minhash(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Text k-NN: each document's k most-similar neighbors by exact
+    word-shingle Jaccard, restricted to MinHash-LSH candidates — the
+    text-side analog of the embedding ANN path (similarity.py), for
+    retrieval/aug pipelines that work on raw text.
+
+    Reuses the dedup candidate generator with NO similarity floor
+    (threshold 0: every banded collision is scored), mirrors the
+    half-pairs so both endpoints get neighbors, then a per-doc window
+    top-k with a deterministic (jaccard desc, neighbor asc) tie-break.
+    Approximate by construction — a neighbor with no band collision is
+    invisible — so the query is rows-only; recall against exact
+    Jaccard is pinned by pytest on planted fixtures.
+    """
+    from pyspark.sql import Window
+
+    pairs = minhash_lsh_pairs(documents, threshold=0.0)
+    mirrored = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"),
+            F.col("doc_a").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("doc_a").orderBy(
+        F.desc("jaccard"), F.asc("doc_b")
+    )
+    return (
+        mirrored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("neighbor_id"),
+            "jaccard",
+            "rank",
+        )
+    )
+
+
 def simhash_pairs(documents: DataFrame, max_hamming: int = HAMMING_MAX) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ max_hamming.
 
@@ -408,6 +447,8 @@ QUERIES = {
     "dedup_embedding_cosine": _q(embedding_neardup_pairs, "embeddings"),
     "dedup_near_dup_clusters": _q(minhash_near_dup_clusters, "documents"),
     "dedup_neardup_curated": _q(neardup_curated, "documents"),
+    # rows-only: neighbor set depends on LSH band collisions
+    "text_knn_minhash": _q(text_knn_minhash, "documents"),
 }
 
 # Exact Jaccard in DuckDB: build distinct 3-shingle lists with a list

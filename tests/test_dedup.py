@@ -95,3 +95,30 @@ def test_all_pairs_guard_raises_on_big_corpus(spark):
     )
     with pytest.raises(ValueError, match="all-pairs baseline"):
         embedding_neardup_pairs(big)
+
+
+def test_text_knn_minhash_finds_planted_neighbor(spark):
+    """A near-duplicate pair must rank each other as top-1 neighbor
+    with the exact Jaccard score; unrelated docs must not outrank it."""
+    from edu_online_spark.operators.dedup import text_knn_minhash
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),  # near-dup of 1
+            (3, "completely different words nothing shared here at all ok"),
+            (4, base.replace("alpha", "omega")),  # still close to 1
+        ],
+        ["doc_id", "text"],
+    )
+    out = text_knn_minhash(docs, k=2).collect()
+    top = {
+        r["doc_id"]: r["neighbor_id"] for r in out if r["rank"] == 1
+    }
+    assert top[1] == 2 and top[2] == 1
+    scores = {(r["doc_id"], r["neighbor_id"]): r["jaccard"] for r in out}
+    assert scores[(1, 2)] > 0.8
+    # the unrelated doc shares no shingles: it may simply have no
+    # neighbors (no band collisions), never a high-score edge
+    assert all(s < 0.5 for (a, b), s in scores.items() if a == 3 or b == 3)
