@@ -27,6 +27,7 @@ def test_rows_only_set_is_intentional():
         "sim_knn_ivf",
         "sim_knn_lsh",
         "text_fingerprints_fast",
+        "text_knn_minhash",
     }
 
 
