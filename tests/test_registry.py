@@ -49,3 +49,23 @@ def test_broken_extension_does_not_kill_core(monkeypatch):
     names = {m.__name__.rsplit(".", 1)[-1] for m in mods}
     assert "tpch" not in names          # the broken one was skipped
     assert "dedup" in names and "textops" in names  # the rest survived
+
+
+def test_driver_window_contract():
+    """The driver certifies only the first 50 registry entries. Pin the
+    contract: every VERDICT-named flagship sits inside the window, and
+    at most the last two window slots are rows-only."""
+    qs = list(registry.queries())
+    os_ = set(registry.oracle_sql())
+    first50 = qs[:50]
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_neardup_curated",
+        "sim_knn_bruteforce",
+        "text_quality",
+        "multimodal_decoded_meta",
+        "ip_region_counts",
+    ):
+        assert name in first50, f"{name} fell out of the driver window"
+    rows_only_in_window = [q for q in first50 if q not in os_]
+    assert len(rows_only_in_window) <= 2, rows_only_in_window
