@@ -266,3 +266,15 @@ def test_encode_documents_bounded_vocab_and_broadcast(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert has_broadcast_join(df)
     assert "CartesianProduct" not in plan
+
+
+def test_pack_training_sequences_no_global_sort(spark, sf_dir):
+    """Packing must stay parallel per source: the window sort is
+    within hash partitions — no rangepartitioning (global sort)
+    anywhere in the plan."""
+    from edu_online_spark.operators.textops import pack_training_sequences
+
+    df = pack_training_sequences(load_table(spark, sf_dir, "documents"))
+    plan = explain_str(df, "simple")
+    assert "rangepartitioning" not in plan
+    assert "hashpartitioning" in plan
