@@ -699,6 +699,59 @@ def pii_scrub_job(
     )
 
 
+def mixture_monitor_job(
+    raw: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming per-source token inventory — the live side of
+    operators/textops.corpus_mixture_plan: as documents arrive, keep
+    running (n_docs, total_tokens) per source so the mixture dashboard
+    can compare actual ingest against target shares without scanning
+    the archive.
+
+    State is one row per source (bounded by |sources|); update mode
+    emits only sources touched this trigger and the keyed upsert folds
+    them into the sink. Decode quarantines corrupt JSON, same posture
+    as every ingest job.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ..functions import text as T
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    parsed = F.from_json(
+        F.col("value"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    docs = (
+        raw.select(parsed.alias("j"))
+        .filter(F.col("j._corrupt").isNull() & F.col("j.text").isNotNull())
+        .select(
+            F.coalesce(F.col("j.source"), F.lit("unknown")).alias("source"),
+            T.token_count(F.col("j.text")).alias("n_tokens"),
+        )
+    )
+    inv = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    return (
+        inv.writeStream.outputMode("update")
+        .foreachBatch(sinks.parquet_upsert(out_path, ["source"]))
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )
+
+
 def vocabulary_stream_job(
     raw: DataFrame,
     out_path: str,

@@ -509,3 +509,28 @@ def test_page_abandonment_outer_join_emits_unmatched(spark, tmp_path):
     assert ("u2", "5") in abandoned
     # u1's page-2 visit also had no follow-up → abandoned too
     assert ("u1", "2") in abandoned
+
+
+def test_mixture_monitor_accumulates_per_source(spark, tmp_path):
+    """Streaming token inventory: counts accumulate across triggers in
+    the state store and upsert by source."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(
+        src,
+        "b1.txt",
+        [
+            '{"doc_id":"d1","text":"a b c","source":"s1"}',
+            '{"doc_id":"d2","text":"a b","source":"s2"}',
+            "NOT JSON {{{",
+        ],
+    )
+    _run(jobs.mixture_monitor_job, spark, src, out, ckpt)
+    inv = {r["source"]: r for r in spark.read.parquet(out).collect()}
+    assert inv["s1"]["n_docs"] == 1 and inv["s1"]["total_tokens"] == 3
+    assert inv["s2"]["total_tokens"] == 2
+
+    _write_lines(src, "b2.txt", ['{"doc_id":"d3","text":"x y z w","source":"s1"}'])
+    _run(jobs.mixture_monitor_job, spark, src, out, ckpt)
+    inv = {r["source"]: r for r in spark.read.parquet(out).collect()}
+    assert inv["s1"]["n_docs"] == 2 and inv["s1"]["total_tokens"] == 7
+    assert inv["s2"]["total_tokens"] == 2
