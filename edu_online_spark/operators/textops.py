@@ -476,6 +476,32 @@ def encode_documents(documents: DataFrame, vocab_size: int = VOCAB_SIZE) -> Data
     )
 
 
+def train_val_test_split(
+    documents: DataFrame, val_pct: int = 10, test_pct: int = 10
+) -> DataFrame:
+    """Deterministic train/val/test assignment + per-(source, split)
+    counts — the final hand-off of a curation pipeline. Assignment is
+    the engine's standard integer hash-bucket compare (no rand(): the
+    same document lands in the same split on every run, engine, and
+    partitioning — a replay that shuffles documents between train and
+    eval silently contaminates the benchmark). One aggregate after a
+    scan-stage projection.
+    """
+    from ..functions.core import hash_bucket
+
+    b = hash_bucket("doc_id", 100)
+    split = (
+        F.when(b < test_pct, F.lit("test"))
+        .when(b < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        documents.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked query registry
 # ---------------------------------------------------------------------------
@@ -697,6 +723,7 @@ QUERIES = {
     "chunks_packed": _q(pack_training_sequences),
     "docs_quality_tiered_sample": _q(quality_tiered_sample),
     "docs_vocab_encoded": _q(encode_documents),
+    "docs_train_val_test": _q(train_val_test_split),
     "corpus_mixture_plan": _q(corpus_mixture_plan),
 }
 
@@ -859,6 +886,18 @@ ORACLE = {
         WHERE chunk_idx * {CHUNK_STRIDE} < len(w)
           AND (chunk_idx = 0
                OR (chunk_idx - 1) * {CHUNK_STRIDE} + {CHUNK_TOKENS} < len(w))
+    """,
+    "docs_train_val_test": """
+        WITH d AS (
+            SELECT source,
+                   CASE WHEN ((doc_id % 2147483647) * 2654435761) % 100 < 10
+                            THEN 'test'
+                        WHEN ((doc_id % 2147483647) * 2654435761) % 100 < 20
+                            THEN 'val'
+                        ELSE 'train' END AS split
+            FROM documents
+        )
+        SELECT source, split, count(*) AS n_docs FROM d GROUP BY 1, 2
     """,
     "docs_vocab_encoded": f"""
         WITH w AS (SELECT doc_id, {_TOKENS} AS w FROM documents),
