@@ -220,6 +220,48 @@ def minhash_lsh_pairs(
     )
 
 
+def containment_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: containment(A in B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)|. Catches the case
+    symmetric Jaccard structurally misses — a document that is a
+    chunk/quote of a much larger one (Jaccard ≈ |A|/|B| → 0, while
+    containment = 1) — which is exactly how boilerplate wrappers and
+    excerpt spam duplicate training data.
+
+    Same sparse co-occurrence plan as ngram_jaccard_pairs (shingle-keyed
+    equi self-join, broadcastable per-doc sizes, division-free compare
+    avoided here because the ratio IS the output) — only pairs sharing
+    ≥1 shingle materialize. Emits both directions (containment is not
+    symmetric). Guarded like every all-pairs baseline; the LSH path
+    remains the unconditional scale form for candidate generation.
+    """
+    _guard_all_pairs(documents, "containment_pairs", "minhash_lsh_pairs")
+    sh = _shingle_rows(documents, n).dropDuplicates(["doc_id", "shingle"])
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    return (
+        inter.join(sz_a, "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_inter").cast("double") / F.col("sz_a")).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def text_knn_minhash(documents: DataFrame, k: int = 3) -> DataFrame:
     """Text k-NN: each document's k most-similar neighbors by exact
     word-shingle Jaccard, restricted to MinHash-LSH candidates — the
@@ -447,6 +489,7 @@ QUERIES = {
     "dedup_embedding_cosine": _q(embedding_neardup_pairs, "embeddings"),
     "dedup_near_dup_clusters": _q(minhash_near_dup_clusters, "documents"),
     "dedup_neardup_curated": _q(neardup_curated, "documents"),
+    "dedup_containment": _q(containment_pairs, "documents"),
     # rows-only: neighbor set depends on LSH band collisions
     "text_knn_minhash": _q(text_knn_minhash, "documents"),
 }
@@ -480,6 +523,14 @@ ORACLE = {
         FROM documents GROUP BY text
     """,
     "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
+    "dedup_containment": f"""
+        WITH {_SHINGLES_CTE}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh)
+                   AS containment
+        FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) >= 0.8
+    """,
     # connected components as a recursive transitive closure over the
     # exact near-dup pairs (LSH+verify output ≡ exact pairs here), then
     # min reachable id per node — tiny clusters keep the closure small

@@ -122,3 +122,22 @@ def test_text_knn_minhash_finds_planted_neighbor(spark):
     # the unrelated doc shares no shingles: it may simply have no
     # neighbors (no band collisions), never a high-score edge
     assert all(s < 0.5 for (a, b), s in scores.items() if a == 3 or b == 3)
+
+
+def test_containment_detects_excerpt(spark):
+    """A document fully contained in a larger one must score 1.0 in the
+    contained->container direction even though symmetric Jaccard is
+    low; the reverse direction must NOT pass the threshold."""
+    from edu_online_spark.operators.dedup import containment_pairs
+
+    small = "alpha beta gamma delta epsilon"
+    big = small + " " + " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "unrelated text having no overlap at all")],
+        ["doc_id", "text"],
+    )
+    out = {(r["doc_a"], r["doc_b"]): r["containment"] for r in
+           containment_pairs(docs).collect()}
+    assert out[(1, 2)] == 1.0
+    assert (2, 1) not in out  # big is not contained in small
+    assert not any(3 in k for k in out)
