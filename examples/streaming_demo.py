@@ -141,6 +141,13 @@ def main() -> None:
         available_now=True,
     ).awaitTermination(120)
 
+    # round-3 job: live per-source token inventory (mixture monitor)
+    out["mixture"] = f"{work}/out/mixture"
+    jobs.mixture_monitor_job(
+        file_stream(spark, topics["docs"]), out["mixture"], ck("mixture"),
+        available_now=True,
+    ).awaitTermination(120)
+
     for name, path in out.items():
         df = spark.read.parquet(path)
         rows = [r.asDict() for r in df.collect()]
