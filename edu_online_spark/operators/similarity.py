@@ -386,6 +386,32 @@ def norm_extremes_by_source(documents: DataFrame, embeddings: DataFrame) -> Data
     )
 
 
+def ann_recall_report(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Self-measuring retrieval quality: recall@k of the SRP-LSH path
+    against the exact brute-force neighbors, computed IN the engine as
+    one semi-join + two counts — the number an ANN deployment watches
+    after every index rebuild / parameter change, produced by the same
+    code paths the pytest recall gates pin (≥0.9).
+
+    Output is one row: (k, n_exact, n_hit, recall). Joining the two
+    result sets on (qid, nid) is exact set-intersection semantics —
+    no float comparisons involved.
+    """
+    exact = knn_bruteforce(embeddings, k=k).select("qid", "nid")
+    approx = knn_lsh(embeddings, k=k).select("qid", "nid")
+    hits = exact.join(approx, ["qid", "nid"], "left_semi")
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(hits.agg(F.count("*").alias("n_hit")))
+        .select(
+            F.lit(k).alias("k"),
+            "n_exact",
+            "n_hit",
+            (F.col("n_hit") / F.col("n_exact")).alias("recall"),
+        )
+    )
+
+
 def _q(fn):
     def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(load_table(spark, sf_dir, "embeddings"))
@@ -409,6 +435,7 @@ QUERIES = {
     "sim_knn_ivf": _q(knn_ivf),  # rows-only: iterative k-means training
     "ann_all_pairs_topk": _q(ann_all_pairs_topk),  # rows-only: approximate
     "sim_embedding_norms": _q(embedding_norms),
+    "ann_recall_report": _q(ann_recall_report),  # rows-only: measures the approximate path
     "xmodal_label_lang_crosstab": _q2(label_lang_crosstab),
     "xmodal_norm_extremes": _q2(norm_extremes_by_source),
 }

@@ -18,6 +18,7 @@ def test_rows_only_set_is_intentional():
     rows_only = set(qs) - set(os_)
     assert rows_only == {
         "ann_all_pairs_topk",
+        "ann_recall_report",
         "dedup_simhash",
         "events_distinct_users_approx",
         "events_user_value_ewma",
