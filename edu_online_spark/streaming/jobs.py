@@ -699,6 +699,90 @@ def pii_scrub_job(
     )
 
 
+def user_status_scd2_job(
+    raw: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming SCD2 — the live twin of sessions.scd2_user_status:
+    per-user status intervals emitted INCREMENTALLY as changes arrive,
+    instead of re-scanning the event log per day.
+
+    applyInPandasWithState keyed by user_id; state is (current status,
+    since). A batch's events are walked in (ts) order; every status
+    CHANGE closes the open interval and emits it (valid_from, valid_to)
+    — the still-open interval lives only in the state store, so the
+    sink is append-only closed history, exactly once per interval.
+    State is one row per active user; the reference's A8 merge pattern
+    (QzPointStreaming.scala:142-163) is the same shape with counters
+    instead of intervals.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("user_id", StringType()),
+            StructField("event_type", StringType()),
+            StructField("ts", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    parsed = F.from_json(
+        F.col("value"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    events = (
+        raw.select(parsed.alias("j"))
+        .filter(F.col("j._corrupt").isNull())
+        .select(
+            F.col("j.user_id").alias("user_id"),
+            F.col("j.event_type").alias("event_type"),
+            F.try_to_timestamp(F.col("j.ts")).alias("event_ts"),
+        )
+        .filter(F.col("event_ts").isNotNull() & F.col("user_id").isNotNull())
+    )
+
+    def track(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("event_ts")
+        if state.exists:
+            cur_status, cur_since = state.get
+        else:
+            cur_status, cur_since = None, None
+        out = {"user_id": [], "status": [], "valid_from": [], "valid_to": []}
+        for _, r in rows.iterrows():
+            ts = str(r["event_ts"])
+            if cur_status is None:
+                cur_status, cur_since = r["event_type"], ts
+            elif r["event_type"] != cur_status:
+                out["user_id"].append(key[0])
+                out["status"].append(cur_status)
+                out["valid_from"].append(cur_since)
+                out["valid_to"].append(ts)
+                cur_status, cur_since = r["event_type"], ts
+        state.update((cur_status, cur_since))
+        yield pd.DataFrame(out)
+
+    closed = events.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType=(
+            "user_id string, status string, valid_from string, valid_to string"
+        ),
+        stateStructType="status string, since string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        closed.writeStream.outputMode("append")
+        .foreachBatch(sinks.parquet_append(out_path))
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )
+
+
 def mixture_monitor_job(
     raw: DataFrame,
     out_path: str,

@@ -534,3 +534,43 @@ def test_mixture_monitor_accumulates_per_source(spark, tmp_path):
     inv = {r["source"]: r for r in spark.read.parquet(out).collect()}
     assert inv["s1"]["n_docs"] == 2 and inv["s1"]["total_tokens"] == 7
     assert inv["s2"]["total_tokens"] == 2
+
+
+def test_user_status_scd2_emits_closed_intervals(spark, tmp_path):
+    """Streaming SCD2: status changes close intervals exactly once,
+    state carries the open interval across triggers, corrupt/malformed
+    rows quarantined."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(
+        src,
+        "b1.txt",
+        [
+            '{"user_id":"u1","event_type":"view","ts":"2026-08-13 10:00:00"}',
+            '{"user_id":"u1","event_type":"view","ts":"2026-08-13 10:05:00"}',
+            '{"user_id":"u1","event_type":"purchase","ts":"2026-08-13 10:10:00"}',
+            "NOT JSON",
+            '{"user_id":"u2","event_type":"error","ts":"garbage"}',
+        ],
+    )
+    _run(jobs.user_status_scd2_job, spark, src, out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1  # only the CLOSED view interval
+    r = rows[0]
+    assert (r["status"], r["valid_from"][:19], r["valid_to"][:19]) == (
+        "view",
+        "2026-08-13 10:00:00",
+        "2026-08-13 10:10:00",
+    )
+
+    # next trigger: a new status closes the open purchase interval
+    _write_lines(
+        src,
+        "b2.txt",
+        ['{"user_id":"u1","event_type":"error","ts":"2026-08-13 11:00:00"}'],
+    )
+    _run(jobs.user_status_scd2_job, spark, src, out, ckpt)
+    statuses = {(r["status"], r["valid_to"][:19]) for r in spark.read.parquet(out).collect()}
+    assert statuses == {
+        ("view", "2026-08-13 10:10:00"),
+        ("purchase", "2026-08-13 11:00:00"),
+    }
