@@ -924,7 +924,7 @@ ORACLE = {
         )
         SELECT doc_id,
                array_to_string(list(id ORDER BY pos), ',') AS ids_csv,
-               CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS INTEGER)
+               CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_oov
         FROM enc GROUP BY doc_id
     """,
@@ -949,14 +949,13 @@ ORACLE = {
         ),
         wt AS (
             SELECT *, CASE source
-                        WHEN 'src0' THEN 4 WHEN 'src1' THEN 2
-                        WHEN 'src2' THEN 1 WHEN 'src3' THEN 1
+                        {' '.join(f"WHEN '{s}' THEN {w}" for s, w in sorted(MIXTURE_WEIGHTS.items()))}
                         ELSE 0 END AS weight
             FROM inv
         )
         SELECT source, n_docs, total_tokens, CAST(weight AS INTEGER) AS weight,
-               20000 * weight / 8.0 AS target_tokens,
-               least(1.0, (20000 * weight / 8.0) / total_tokens) AS sample_rate
+               {MIXTURE_TOKEN_BUDGET} * weight / {float(sum(MIXTURE_WEIGHTS.values()))} AS target_tokens,
+               least(1.0, ({MIXTURE_TOKEN_BUDGET} * weight / {float(sum(MIXTURE_WEIGHTS.values()))}) / total_tokens) AS sample_rate
         FROM wt
     """,
     "chunks_packed": f"""

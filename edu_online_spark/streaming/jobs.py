@@ -710,10 +710,18 @@ def user_status_scd2_job(
     instead of re-scanning the event log per day.
 
     applyInPandasWithState keyed by user_id; state is (current status,
-    since). A batch's events are walked in (ts) order; every status
-    CHANGE closes the open interval and emits it (valid_from, valid_to)
-    — the still-open interval lives only in the state store, so the
-    sink is append-only closed history, exactly once per interval.
+    since). A batch's events are walked in (ts, event_id) order — the
+    SAME tie-break as the batch twin, so the two histories agree row
+    for row; every status CHANGE closes the open interval and emits it
+    (valid_from, valid_to) — the still-open interval lives only in the
+    state store, so the sink is append-only closed history, exactly
+    once per interval. Output columns are TIMESTAMPS, matching
+    sessions.scd2_user_status, so the live and batch histories union
+    without casts. Cross-batch stragglers older than the stored `since`
+    cannot be spliced into already-emitted history (append-only sink);
+    they are dropped, keeping intervals monotone (valid_to >=
+    valid_from) — in-order ingest per user is the job's contract, and
+    late data belongs to the batch twin's daily rebuild.
     State is one row per active user; the reference's A8 merge pattern
     (QzPointStreaming.scala:142-163) is the same shape with counters
     instead of intervals.
@@ -727,6 +735,7 @@ def user_status_scd2_job(
             StructField("user_id", StringType()),
             StructField("event_type", StringType()),
             StructField("ts", StringType()),
+            StructField("event_id", StringType()),
             StructField("_corrupt", StringType()),
         ]
     )
@@ -740,20 +749,24 @@ def user_status_scd2_job(
             F.col("j.user_id").alias("user_id"),
             F.col("j.event_type").alias("event_type"),
             F.try_to_timestamp(F.col("j.ts")).alias("event_ts"),
+            F.coalesce(F.col("j.event_id"), F.lit("")).alias("event_id"),
         )
         .filter(F.col("event_ts").isNotNull() & F.col("user_id").isNotNull())
     )
 
     def track(key, pdfs, state: GroupState):
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values("event_ts")
+        rows = rows.sort_values(["event_ts", "event_id"], kind="mergesort")
         if state.exists:
-            cur_status, cur_since = state.get
+            cur_status, since_iso = state.get
+            cur_since = pd.Timestamp(since_iso)
         else:
             cur_status, cur_since = None, None
         out = {"user_id": [], "status": [], "valid_from": [], "valid_to": []}
         for _, r in rows.iterrows():
-            ts = str(r["event_ts"])
+            ts = r["event_ts"]
+            if cur_since is not None and ts < cur_since:
+                continue  # cross-batch straggler — see docstring
             if cur_status is None:
                 cur_status, cur_since = r["event_type"], ts
             elif r["event_type"] != cur_status:
@@ -762,13 +775,24 @@ def user_status_scd2_job(
                 out["valid_from"].append(cur_since)
                 out["valid_to"].append(ts)
                 cur_status, cur_since = r["event_type"], ts
-        state.update((cur_status, cur_since))
-        yield pd.DataFrame(out)
+        # state stores `since` as full-precision ISO text (state columns
+        # round-trip strings losslessly on every Spark build; isoformat
+        # keeps microseconds so the Timestamp parse above is exact)
+        state.update((cur_status, cur_since.isoformat()))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series(out["user_id"], dtype="object"),
+                "status": pd.Series(out["status"], dtype="object"),
+                "valid_from": pd.Series(out["valid_from"], dtype="datetime64[ns]"),
+                "valid_to": pd.Series(out["valid_to"], dtype="datetime64[ns]"),
+            }
+        )
 
     closed = events.groupBy("user_id").applyInPandasWithState(
         track,
         outputStructType=(
-            "user_id string, status string, valid_from string, valid_to string"
+            "user_id string, status string, "
+            "valid_from timestamp, valid_to timestamp"
         ),
         stateStructType="status string, since string",
         outputMode="append",

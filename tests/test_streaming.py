@@ -556,21 +556,56 @@ def test_user_status_scd2_emits_closed_intervals(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 1  # only the CLOSED view interval
     r = rows[0]
-    assert (r["status"], r["valid_from"][:19], r["valid_to"][:19]) == (
+    # output schema is TIMESTAMP, matching the batch twin's
+    assert (r["status"], str(r["valid_from"]), str(r["valid_to"])) == (
         "view",
         "2026-08-13 10:00:00",
         "2026-08-13 10:10:00",
     )
 
-    # next trigger: a new status closes the open purchase interval
+    # next trigger: a new status closes the open purchase interval; a
+    # straggler older than the stored `since` is dropped, never spliced
+    # into already-emitted history
     _write_lines(
         src,
         "b2.txt",
-        ['{"user_id":"u1","event_type":"error","ts":"2026-08-13 11:00:00"}'],
+        [
+            '{"user_id":"u1","event_type":"error","ts":"2026-08-13 11:00:00"}',
+            '{"user_id":"u1","event_type":"view","ts":"2026-08-13 09:00:00"}',
+        ],
     )
     _run(jobs.user_status_scd2_job, spark, src, out, ckpt)
-    statuses = {(r["status"], r["valid_to"][:19]) for r in spark.read.parquet(out).collect()}
+    statuses = {
+        (r["status"], str(r["valid_to"])) for r in spark.read.parquet(out).collect()
+    }
     assert statuses == {
         ("view", "2026-08-13 10:10:00"),
         ("purchase", "2026-08-13 11:00:00"),
     }
+    for r in spark.read.parquet(out).collect():
+        assert r["valid_from"] <= r["valid_to"]
+
+
+def test_user_status_scd2_tiebreak_matches_batch(spark, tmp_path):
+    """Same-timestamp events order by event_id — the batch twin's
+    contract — so the emitted interval sequence is deterministic."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(
+        src,
+        "b1.txt",
+        [
+            # same ts; event_id order says view (e1) THEN purchase (e2)
+            '{"user_id":"u1","event_type":"purchase","ts":"2026-08-13 10:00:00","event_id":"e2"}',
+            '{"user_id":"u1","event_type":"view","ts":"2026-08-13 10:00:00","event_id":"e1"}',
+            '{"user_id":"u1","event_type":"error","ts":"2026-08-13 10:30:00","event_id":"e3"}',
+        ],
+    )
+    _run(jobs.user_status_scd2_job, spark, src, out, ckpt)
+    rows = sorted(
+        spark.read.parquet(out).collect(),
+        key=lambda r: (r["valid_from"], r["valid_to"]),
+    )
+    assert [(r["status"], str(r["valid_from"]), str(r["valid_to"])) for r in rows] == [
+        ("view", "2026-08-13 10:00:00", "2026-08-13 10:00:00"),
+        ("purchase", "2026-08-13 10:00:00", "2026-08-13 10:30:00"),
+    ]
