@@ -154,12 +154,134 @@ def k_anonymity_report(
 
 
 # ---------------------------------------------------------------------------
+# Synthetic PII sowing (oracle-input enrichment)
+# ---------------------------------------------------------------------------
+#
+# The driver's sf corpora contain no organic PII or URLs (verified in
+# round 3: zero matches for every pattern), which made the cross-engine
+# checks for these operators vacuous — both engines agreed on a no-op.
+# The registry queries therefore SOW deterministic synthetic PII into
+# the text before scanning/redacting: emails, IPs, SSN-shaped ids,
+# phones, and URLs derived arithmetically from doc_id, mirrored exactly
+# in the oracle SQL (same trick multimodal.synth_assets uses for
+# payloads). Moduli are chosen coprime-ish so documents carry every
+# subset of classes, including none (doc_id odd & indivisible by
+# 3/5/7/11 gets nothing) — the hash now witnesses real, varied
+# redactions. The pure operators below stay sow-free for library use.
+
+def sow_pii(documents: DataFrame) -> DataFrame:
+    """Append deterministic synthetic PII/URLs to each document's text.
+
+    Keep in lockstep with _SOWN_SQL — the parity gate compares the two
+    engines' results string-for-string, so any drift fails loudly.
+    """
+    did = F.col("doc_id")
+
+    def s(col: Column) -> Column:
+        return col.cast("string")
+
+    def lp(col: Column, n: int) -> Column:
+        return F.lpad(s(col), n, "0")
+
+    email = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit(" user"), s(did), F.lit("@example"), s(did % 7), F.lit(".com")
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" 10."),
+            s(did % 256),
+            F.lit("."),
+            s((did * 3) % 256),
+            F.lit("."),
+            s((did * 7) % 251),
+        ),
+    ).otherwise(F.lit(""))
+    idnum = F.when(
+        did % 7 == 0,
+        F.concat(
+            F.lit(" "),
+            lp(did % 1000, 3),
+            F.lit("-"),
+            lp(did % 100, 2),
+            F.lit("-"),
+            lp((did * 9) % 10000, 4),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 11 == 0,
+        F.concat(
+            F.lit(" "),
+            s((did % 900) + 100),
+            F.lit("-"),
+            lp((did * 3) % 1000, 3),
+            F.lit("-"),
+            lp((did * 7) % 10000, 4),
+        ),
+    ).otherwise(F.lit(""))
+    url = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit(" https://site"),
+            s(did % 23),
+            F.lit(".example.org/p/"),
+            s(did),
+        ),
+    ).otherwise(F.lit(""))
+    return documents.withColumn(
+        "text", F.concat(F.col("text"), email, ip, idnum, phone, url)
+    )
+
+
+# DuckDB mirror of sow_pii — same arithmetic, same string layout.
+_SOWN_SQL = """
+    SELECT doc_id, source,
+           text
+           || CASE WHEN doc_id % 3 = 0
+                THEN ' user' || CAST(doc_id AS VARCHAR)
+                     || '@example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+                ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                THEN ' 10.' || CAST(doc_id % 256 AS VARCHAR)
+                     || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+                     || '.' || CAST((doc_id * 7) % 251 AS VARCHAR)
+                ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                THEN ' ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                     || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                     || '-' || lpad(CAST((doc_id * 9) % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                THEN ' ' || CAST((doc_id % 900) + 100 AS VARCHAR)
+                     || '-' || lpad(CAST((doc_id * 3) % 1000 AS VARCHAR), 3, '0')
+                     || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+           || CASE WHEN doc_id % 2 = 0
+                THEN ' https://site' || CAST(doc_id % 23 AS VARCHAR)
+                     || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+                ELSE '' END
+           AS text
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # Oracle-checked query registry
 # ---------------------------------------------------------------------------
 
 def _q(fn):
     def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(load_table(spark, sf_dir, "documents"))
+
+    return runner
+
+
+def _q_sown(fn):
+    def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(sow_pii(load_table(spark, sf_dir, "documents")))
 
     return runner
 
@@ -175,9 +297,9 @@ def _q_events_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "text_pii_source_stats": _q(pii_source_stats),
-    "text_pii_redacted": _q(pii_redact),
-    "text_url_domains": _q(url_domains),
+    "text_pii_source_stats": _q_sown(pii_source_stats),
+    "text_pii_redacted": _q_sown(pii_redact),
+    "text_url_domains": _q_sown(url_domains),
     "events_k_anonymity": _q_events_kanon,
 }
 
@@ -193,7 +315,7 @@ _SCAN_CTE = f"""
            {', '.join(_count_sql(n, p) for n, p, _ in PII_PATTERNS)},
            CAST({' + '.join(f"len(regexp_extract_all(text, '{p}'))" for _, p, _ in PII_PATTERNS)}
                AS INTEGER) AS n_pii_total
-    FROM documents
+    FROM ({_SOWN_SQL})
 """
 
 _REDACT_EXPR = "text"
@@ -230,7 +352,7 @@ ORACLE = {
     "text_url_domains": f"""
         WITH u AS (
             SELECT unnest(regexp_extract_all(text, '{URL_PATTERN}')) AS url
-            FROM documents
+            FROM ({_SOWN_SQL})
         )
         SELECT lower(regexp_extract(url, '{URL_DOMAIN_PATTERN}', 1)) AS domain,
                count(*) AS n_urls
