@@ -6,23 +6,38 @@ feature-extract / resize / frame-sample run as Arrow-batched pandas
 functions over `mapInPandas`, so each task holds only its batch of
 payloads and the pipeline shape (schema in → schema out) is explicit.
 
-No media libraries ship in this container, so the actual pixel/sample
-decode is STUBBED — `decode_stub_batch` derives deterministic fake
-metadata from the payload bytes (and `decode_real` raises
-NotImplementedError where Pillow/ffmpeg would plug in). Everything
-around the stub — binary column synthesis, schema, batching,
-partitioning, the mapInPandas contract — is real and tested.
+The payloads are REAL container formats built and parsed with stdlib
+`struct` — no media libraries needed:
+
+- images are valid 24-bpp BMP files (14-byte file header + 40-byte
+  BITMAPINFOHEADER + bottom-up BGR rows padded to 4 bytes);
+- audio is valid 16-bit mono PCM WAV (RIFF/fmt/data chunk walk);
+- video is a toy-but-parsed container (`VID0` magic, frame count,
+  length-prefixed BMP frames) standing in for MP4, whose real parse
+  needs ffmpeg.
+
+So the decode stage genuinely reads dimensions, sample rates, and
+frame tables out of the bytes; resize genuinely resamples pixels
+(nearest-neighbor over the decoded BGR grid); audio features are
+genuinely span means over decoded int16 samples. Payload parameters
+are deterministic functions of doc_id, which is what lets the DuckDB
+oracles verify the write→parse round-trip arithmetically without
+parsing bytes themselves. Codec formats beyond these (JPEG, FLAC,
+MP4…) would slot into the same `_parse_*` seam via Pillow/ffmpeg;
+unknown or corrupt payloads decode to NULL metadata (quarantine, not
+job failure — at 100 TB a poison payload must never kill the stage).
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType,
     BinaryType,
     DoubleType,
     IntegerType,
@@ -34,23 +49,123 @@ from pyspark.sql.types import (
 
 from ..sources import load_table
 
-# Output schema of the decode stage — what a real image/audio decoder
-# would emit (dims, duration, frame count) plus lineage columns.
-DECODED_META = StructType(
+# ---------------------------------------------------------------------------
+# Payload builders (deterministic, doc_id-parameterized, real formats)
+# ---------------------------------------------------------------------------
+
+IMG_W_MOD, IMG_H_MOD = 64, 48  # image dims: (id % 64)+1 × ((id*7) % 48)+1
+WAV_RATE_BASE, WAV_RATE_STEP, WAV_RATE_MOD = 8000, 1000, 8
+WAV_N_MOD, WAV_N_BASE = 500, 100
+VID_FRAMES_MOD = 30
+FRAME_STEP = 5  # sample_frames keeps every 5th frame
+
+
+def _bmp_row_size(width: int) -> int:
+    return (3 * width + 3) // 4 * 4
+
+
+def _bmp_bytes(doc_id: int, frame_idx: int = 0) -> bytes:
+    """A valid 24-bpp BMP whose dims and pixels derive from doc_id (and
+    frame index, for video frames)."""
+    w = (doc_id + frame_idx) % IMG_W_MOD + 1
+    h = (doc_id * 7 + frame_idx * 3) % IMG_H_MOD + 1
+    img_size = _bmp_row_size(w) * h
+    file_hdr = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    pix = (
+        (doc_id * 13 + frame_idx * 11 + np.arange(img_size, dtype=np.int64) * 7) % 256
+    ).astype(np.uint8)
+    return file_hdr + info_hdr + pix.tobytes()
+
+
+def _wav_samples(doc_id: int) -> np.ndarray:
+    n = doc_id % WAV_N_MOD + WAV_N_BASE
+    return (
+        ((doc_id * 31 + np.arange(n, dtype=np.int64) * 17) % 65536) - 32768
+    ).astype("<i2")
+
+
+def _wav_bytes(doc_id: int) -> bytes:
+    rate = WAV_RATE_BASE + (doc_id % WAV_RATE_MOD) * WAV_RATE_STEP
+    data = _wav_samples(doc_id).tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(data),
+        b"WAVE",
+        b"fmt ",
+        16,
+        1,  # PCM
+        1,  # mono
+        rate,
+        rate * 2,
+        2,
+        16,
+        b"data",
+        len(data),
+    )
+    return hdr + data
+
+
+def _vid_bytes(doc_id: int) -> bytes:
+    n_frames = doc_id % VID_FRAMES_MOD + 1
+    parts = [struct.pack("<4sI", b"VID0", n_frames)]
+    for fi in range(n_frames):
+        frame = _bmp_bytes(doc_id, fi)
+        parts.append(struct.pack("<I", len(frame)) + frame)
+    return b"".join(parts)
+
+
+def synth_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas payload writer: doc rows → (asset_id, media_type,
+    payload, byte_len, meta) with REAL BMP/WAV/VID0 bytes."""
+    builders = {"image": _bmp_bytes, "audio": _wav_bytes, "video": _vid_bytes}
+    types = ["image", "audio", "video"]
+    for pdf in batches:
+        ids = pdf["doc_id"].astype("int64")
+        mtypes = [types[i % 3] for i in ids]
+        payloads = [builders[mt](int(i)) for i, mt in zip(ids, mtypes)]
+        yield pd.DataFrame(
+            {
+                "asset_id": ids,
+                "media_type": mtypes,
+                "payload": payloads,
+                "byte_len": pd.Series([len(p) for p in payloads], dtype="int64"),
+                "meta": [
+                    '{"lang":"%s","source":"%s"}' % (lg, sc)
+                    for lg, sc in zip(pdf["lang"], pdf["source"])
+                ],
+            }
+        )
+
+
+MEDIA_ASSETS_SCHEMA = StructType(
     [
         StructField("asset_id", LongType()),
         StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
         StructField("byte_len", LongType()),
-        StructField("width", IntegerType()),
-        StructField("height", IntegerType()),
-        StructField("n_frames", IntegerType()),
+        StructField("meta", StringType()),
     ]
 )
 
 
+def synth_media_assets(documents: DataFrame) -> DataFrame:
+    """Synthesize the media-asset table with real container payloads.
+
+    One Arrow-batched pass; at scale this stage is the ingest decoder's
+    stand-in (payloads would arrive from object storage instead)."""
+    return documents.select("doc_id", "lang", "source").mapInPandas(
+        synth_media_batch, MEDIA_ASSETS_SCHEMA
+    )
+
+
 def synth_assets(documents: DataFrame) -> DataFrame:
-    """Synthesize a media-asset table: document text bytes stand in for
-    encoded payloads. Shape matches schemas.MEDIA_ASSETS."""
+    """Text-bytes payload variant (documents' UTF-8 bytes as payload) —
+    kept for binary-dedup checks where the oracle must be able to hash
+    the same bytes (DuckDB sha256 works on the VARCHAR's UTF-8)."""
     return documents.select(
         F.col("doc_id").alias("asset_id"),
         F.element_at(
@@ -63,35 +178,120 @@ def synth_assets(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_real(payload: bytes, media_type: str):
-    """Where Pillow / soundfile / pyav would decode the payload.
+# ---------------------------------------------------------------------------
+# Decoders (stdlib struct parsing of the actual bytes)
+# ---------------------------------------------------------------------------
 
-    Kept as an explicit extension point: the container ships no media
-    libraries, so calling this raises."""
-    raise NotImplementedError(
-        "media decode requires Pillow/ffmpeg — not available in this "
-        "environment; decode_stub_batch provides the deterministic stand-in"
-    )
+def _parse_bmp(buf: bytes) -> tuple[int, int] | None:
+    """(width, height) from a BMP header, or None if not a BMP."""
+    if len(buf) < 54 or buf[:2] != b"BM":
+        return None
+    w = struct.unpack_from("<i", buf, 18)[0]
+    h = struct.unpack_from("<i", buf, 22)[0]
+    if w <= 0 or h == 0:
+        return None
+    return w, abs(h)  # negative height = top-down storage
 
 
-def decode_stub_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas decode stage (STUB decode, real plumbing).
+def _parse_wav(buf: bytes) -> tuple[int, int] | None:
+    """(sample_rate, n_samples) from a RIFF/WAVE chunk walk, or None."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    rate = data_len = bits = None
+    off = 12
+    while off + 8 <= len(buf):
+        cid, sz = struct.unpack_from("<4sI", buf, off)
+        if cid == b"fmt " and sz >= 16:
+            _, _, rate, _, _, bits = struct.unpack_from("<HHIIHH", buf, off + 8)
+        elif cid == b"data":
+            data_len = sz
+        off += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if rate is None or data_len is None or not bits:
+        return None
+    return rate, data_len // (bits // 8)
 
-    Deterministic fake dimensions derived from payload size — replace
-    the three arithmetic lines with decode_real() when media libs exist.
-    Operates on whole Arrow batches; never materializes more than one
-    batch per task.
-    """
+
+def _parse_vid(buf: bytes) -> tuple[int, list[tuple[int, int]]] | None:
+    """(n_frames, [(frame_offset, frame_len), ...]) from the VID0 toy
+    container, or None."""
+    if len(buf) < 8 or buf[:4] != b"VID0":
+        return None
+    n_frames = struct.unpack_from("<I", buf, 4)[0]
+    frames, off = [], 8
+    for _ in range(n_frames):
+        if off + 4 > len(buf):
+            return None
+        flen = struct.unpack_from("<I", buf, off)[0]
+        if off + 4 + flen > len(buf):
+            return None
+        frames.append((off + 4, flen))
+        off += 4 + flen
+    return n_frames, frames
+
+
+# Output schema of the decode stage — real header-derived metadata plus
+# lineage columns. NULLs where a field doesn't apply to the media type
+# (or the payload failed to parse).
+DECODED_META = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", DoubleType()),
+    ]
+)
+
+
+def decode_meta_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas decode stage: parse each payload's actual header.
+
+    image → (width, height) from the BMP info header, n_frames = 1;
+    audio → sample_rate + n_samples from the WAV chunk walk,
+            duration from the two;
+    video → frame count from the VID0 table, dims from frame 0's BMP.
+    Unparseable payloads yield NULL metadata (quarantine posture)."""
     for pdf in batches:
-        n = pdf["payload"].map(len).astype("int64")
+        rows = {k: [] for k in ("width", "height", "n_frames", "sample_rate",
+                                "duration_ms")}
+        for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
+            w = h = nf = rate = dur = None
+            buf = bytes(payload)
+            if mtype == "image":
+                parsed = _parse_bmp(buf)
+                if parsed:
+                    (w, h), nf = parsed, 1
+            elif mtype == "audio":
+                parsed = _parse_wav(buf)
+                if parsed:
+                    rate, nf = parsed
+                    dur = nf * 1000.0 / rate
+            elif mtype == "video":
+                parsed = _parse_vid(buf)
+                if parsed:
+                    nf, frames = parsed
+                    if frames:
+                        first = _parse_bmp(buf[frames[0][0]:frames[0][0] + frames[0][1]])
+                        if first:
+                            w, h = first
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["n_frames"].append(nf)
+            rows["sample_rate"].append(rate)
+            rows["duration_ms"].append(dur)
         yield pd.DataFrame(
             {
                 "asset_id": pdf["asset_id"],
                 "media_type": pdf["media_type"],
-                "byte_len": n,
-                "width": (n % 640).astype("int32"),
-                "height": ((n * 7) % 480).astype("int32"),
-                "n_frames": ((n % 30) + 1).astype("int32"),
+                "byte_len": pdf["payload"].map(len).astype("int64"),
+                "width": pd.Series(rows["width"], dtype="Int32"),
+                "height": pd.Series(rows["height"], dtype="Int32"),
+                "n_frames": pd.Series(rows["n_frames"], dtype="Int32"),
+                "sample_rate": pd.Series(rows["sample_rate"], dtype="Int32"),
+                "duration_ms": pd.Series(rows["duration_ms"], dtype="float64"),
             }
         )
 
@@ -101,39 +301,12 @@ def decode_assets(assets: DataFrame) -> DataFrame:
 
     `repartition` by asset_id first on real data so payload bytes spread
     evenly across tasks (skipped here: testdata payloads are tiny)."""
-    return assets.mapInPandas(decode_stub_batch, DECODED_META)
+    return assets.mapInPandas(decode_meta_batch, DECODED_META)
 
 
-def frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas 1→N stage: emit one row per sampled frame (every 5th
-    of n_frames). With a real decoder each row would carry the frame
-    bytes; the stub carries the frame index + deterministic pseudo-size.
-    The expansion happens inside the Arrow batch — no driver fan-out —
-    and is fully vectorized: np.repeat builds the per-asset row fan-out
-    and a cumulative-offset trick produces each asset's 0,5,10,…
-    frame-index sequence without a Python-level loop over rows.
-    """
-    import numpy as np
-
-    for pdf in batches:
-        n = pdf["payload"].map(len).to_numpy(dtype="int64")
-        n_frames = (n % 30) + 1
-        k = (n_frames + 4) // 5  # sampled frames per asset (step 5)
-        asset_ids = np.repeat(pdf["asset_id"].to_numpy(dtype="int64"), k)
-        lens = np.repeat(n, k)
-        # global arange minus each asset's starting offset → per-asset
-        # 0..k_i-1 counters, scaled by the stride
-        starts = np.repeat(np.cumsum(k) - k, k)
-        frame_idx = ((np.arange(k.sum()) - starts) * 5).astype("int32")
-        frame_bytes = (lens * (frame_idx + 1)) % 10_000
-        yield pd.DataFrame(
-            {
-                "asset_id": pd.Series(asset_ids, dtype="int64"),
-                "frame_idx": pd.Series(frame_idx, dtype="int32"),
-                "frame_bytes": pd.Series(frame_bytes, dtype="int64"),
-            }
-        )
-
+# ---------------------------------------------------------------------------
+# Frame sampling (video): parse the container's frame table
+# ---------------------------------------------------------------------------
 
 FRAME_SAMPLE_SCHEMA = StructType(
     [
@@ -144,12 +317,40 @@ FRAME_SAMPLE_SCHEMA = StructType(
 )
 
 
+def frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas 1→N stage: every FRAME_STEP-th frame from the VID0
+    frame table, with each frame's REAL stored byte length. The fan-out
+    happens inside the Arrow batch — no driver involvement."""
+    for pdf in batches:
+        ids, fidx, fbytes = [], [], []
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            parsed = _parse_vid(bytes(payload))
+            if not parsed:
+                continue
+            _, frames = parsed
+            for fi in range(0, len(frames), FRAME_STEP):
+                ids.append(asset_id)
+                fidx.append(fi)
+                fbytes.append(frames[fi][1])
+        yield pd.DataFrame(
+            {
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(fidx, dtype="int32"),
+                "frame_bytes": pd.Series(fbytes, dtype="int64"),
+            }
+        )
+
+
 def sample_frames(assets: DataFrame) -> DataFrame:
     """Frame sampling over video assets only — the filter prunes before
     the Python stage so non-video payloads never cross the Arrow boundary."""
     videos = assets.filter(F.col("media_type") == "video")
     return videos.mapInPandas(frame_sample_batch, FRAME_SAMPLE_SCHEMA)
 
+
+# ---------------------------------------------------------------------------
+# Resize (image): real pixel decode + nearest-neighbor resample
+# ---------------------------------------------------------------------------
 
 RESIZE_W, RESIZE_H = 64, 48
 
@@ -164,34 +365,46 @@ RESIZED_SCHEMA = StructType(
 )
 
 
+def _decode_bmp_pixels(buf: bytes) -> np.ndarray | None:
+    """BMP bytes → (h, w, 3) uint8 RGB array (top-down row order)."""
+    parsed = _parse_bmp(buf)
+    if not parsed:
+        return None
+    w, h = parsed
+    row = _bmp_row_size(w)
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    if len(buf) < data_off + row * h:
+        return None
+    raw = np.frombuffer(buf, dtype=np.uint8, count=row * h, offset=data_off)
+    bgr = raw.reshape(h, row)[:, : 3 * w].reshape(h, w, 3)
+    return bgr[::-1, :, ::-1]  # bottom-up → top-down, BGR → RGB
+
+
 def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas resize stage (STUB resample, real plumbing).
-
-    A real implementation decodes pixels and resamples to RESIZE_W ×
-    RESIZE_H; the stand-in produces a deterministic fixed-size
-    pseudo-thumbnail by striding the payload bytes to exactly W·H bytes
-    (cycling when the payload is shorter) — same output schema, same
-    batch discipline, binary-in → binary-out proven through Arrow both
-    directions.
-    """
-    import numpy as np
-
-    size = RESIZE_W * RESIZE_H
+    """mapInPandas resize stage: decode the BMP pixel grid and resample
+    to RESIZE_W × RESIZE_H RGB24 by nearest neighbor — an actual image
+    operation on actual pixels, vectorized with numpy fancy indexing."""
+    ys = np.arange(RESIZE_H)
+    xs = np.arange(RESIZE_W)
     for pdf in batches:
-        thumbs = []
-        for payload in pdf["payload"]:
-            buf = np.frombuffer(payload, dtype=np.uint8)
-            if len(buf) == 0:
-                buf = np.zeros(1, dtype=np.uint8)
-            idx = (np.arange(size) * max(len(buf) // size, 1)) % len(buf)
-            thumbs.append(buf[idx].tobytes())
+        ids, thumbs = [], []
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            img = _decode_bmp_pixels(bytes(payload))
+            if img is None:
+                continue
+            h, w = img.shape[:2]
+            thumb = img[(ys * h) // RESIZE_H][:, (xs * w) // RESIZE_W]
+            ids.append(asset_id)
+            thumbs.append(thumb.tobytes())
         yield pd.DataFrame(
             {
-                "asset_id": pdf["asset_id"],
-                "width": pd.Series([RESIZE_W] * len(pdf), dtype="int32"),
-                "height": pd.Series([RESIZE_H] * len(pdf), dtype="int32"),
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series([RESIZE_W] * len(ids), dtype="int32"),
+                "height": pd.Series([RESIZE_H] * len(ids), dtype="int32"),
                 "thumb": thumbs,
-                "thumb_len": pd.Series([size] * len(pdf), dtype="int64"),
+                "thumb_len": pd.Series(
+                    [RESIZE_W * RESIZE_H * 3] * len(ids), dtype="int64"
+                ),
             }
         )
 
@@ -203,41 +416,56 @@ def resize_images(assets: DataFrame) -> DataFrame:
     return images.mapInPandas(resize_batch, RESIZED_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Audio features: real sample decode + span statistics
+# ---------------------------------------------------------------------------
+
 AUDIO_FEAT_DIM = 8
 
 AUDIO_FEATURES_SCHEMA = StructType(
-    [
-        StructField("asset_id", LongType()),
-        StructField("features", ArrayType(DoubleType())),
-        StructField("n_bytes", IntegerType()),
-    ]
+    [StructField("asset_id", LongType()),
+     StructField("sample_rate", IntegerType()),
+     StructField("n_samples", IntegerType())]
+    + [StructField(f"f{i}", DoubleType()) for i in range(AUDIO_FEAT_DIM)]
 )
 
 
 def audio_features_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas feature-extraction stage (STUB features, real
-    plumbing): per asset, window the payload bytes into AUDIO_FEAT_DIM
-    equal spans and emit the mean byte value per span (plus the raw
-    payload byte count as `n_bytes`) — a deterministic
-    stand-in with the exact shape of an MFCC/embedding extractor
-    (binary → fixed-length float vector), vectorized per batch.
-    """
-    import numpy as np
-
+    """mapInPandas feature-extraction stage: decode the WAV's int16 PCM
+    samples and emit the mean per span, spans assigned by
+    `span(i) = i * DIM // n` — the fixed-length summary vector shape an
+    MFCC/embedding extractor produces, with bincount doing the span
+    sums in one vectorized pass."""
     for pdf in batches:
-        feats, n_bytes = [], []
-        for payload in pdf["payload"]:
-            buf = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
-            if len(buf) == 0:
-                buf = np.zeros(1)
-            spans = np.array_split(buf, AUDIO_FEAT_DIM)
-            feats.append([float(s.mean()) if len(s) else 0.0 for s in spans])
-            n_bytes.append(len(buf))
+        out = {k: [] for k in ["asset_id", "sample_rate", "n_samples"]
+               + [f"f{i}" for i in range(AUDIO_FEAT_DIM)]}
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            buf = bytes(payload)
+            parsed = _parse_wav(buf)
+            if not parsed:
+                continue
+            rate, n = parsed
+            samples = np.frombuffer(buf, dtype="<i2", count=n, offset=44).astype(
+                np.float64
+            )
+            span = (np.arange(n) * AUDIO_FEAT_DIM) // n
+            sums = np.bincount(span, weights=samples, minlength=AUDIO_FEAT_DIM)
+            counts = np.bincount(span, minlength=AUDIO_FEAT_DIM)
+            means = sums / np.maximum(counts, 1)
+            out["asset_id"].append(asset_id)
+            out["sample_rate"].append(rate)
+            out["n_samples"].append(n)
+            for i in range(AUDIO_FEAT_DIM):
+                out[f"f{i}"].append(means[i])
         yield pd.DataFrame(
             {
-                "asset_id": pdf["asset_id"],
-                "features": feats,
-                "n_bytes": pd.Series(n_bytes, dtype="int32"),
+                "asset_id": pd.Series(out["asset_id"], dtype="int64"),
+                "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+                "n_samples": pd.Series(out["n_samples"], dtype="int32"),
+                **{
+                    f"f{i}": pd.Series(out[f"f{i}"], dtype="float64")
+                    for i in range(AUDIO_FEAT_DIM)
+                },
             }
         )
 
@@ -249,45 +477,14 @@ def audio_feature_vectors(assets: DataFrame) -> DataFrame:
 
 
 def media_summary(decoded: DataFrame) -> DataFrame:
-    """Post-decode roll-up: asset volume and dimensions per media type."""
+    """Post-decode roll-up: asset volume and dimensions per media type.
+    avg(width) skips NULLs (audio has no width) in both engines."""
     return decoded.groupBy("media_type").agg(
         F.count("*").alias("n_assets"),
         F.sum("byte_len").alias("total_bytes"),
         F.avg(F.col("width").cast("double")).alias("avg_width"),
         F.max("n_frames").alias("max_frames"),
     )
-
-
-# ---------------------------------------------------------------------------
-# Oracle-checked query registry
-# ---------------------------------------------------------------------------
-
-def q_decoded_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return decode_assets(synth_assets(load_table(spark, sf_dir, "documents")))
-
-
-def q_media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return media_summary(
-        decode_assets(synth_assets(load_table(spark, sf_dir, "documents")))
-    )
-
-
-def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sample_frames(synth_assets(load_table(spark, sf_dir, "documents")))
-
-
-def q_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # registry projection drops the binary thumb: metadata is oracle-
-    # checkable cross-engine, the byte content is pinned by
-    # tests/test_multimodal.py (DuckDB can't index blob bytes to
-    # reproduce the striding arithmetic)
-    return resize_images(synth_assets(load_table(spark, sf_dir, "documents"))).select(
-        "asset_id", "width", "height", "thumb_len"
-    )
-
-
-def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return audio_feature_vectors(synth_assets(load_table(spark, sf_dir, "documents")))
 
 
 def payload_dedup(assets: DataFrame) -> DataFrame:
@@ -305,6 +502,39 @@ def payload_dedup(assets: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Oracle-checked query registry
+# ---------------------------------------------------------------------------
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synth_media_assets(load_table(spark, sf_dir, "documents"))
+
+
+def q_decoded_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_assets(_media(spark, sf_dir))
+
+
+def q_media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_summary(decode_assets(_media(spark, sf_dir)))
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(_media(spark, sf_dir))
+
+
+def q_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # registry projection drops the binary thumb: metadata is oracle-
+    # checkable cross-engine, the byte content is pinned by
+    # tests/test_multimodal.py against an independent pixel reference
+    return resize_images(_media(spark, sf_dir)).select(
+        "asset_id", "width", "height", "thumb_len"
+    )
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_feature_vectors(_media(spark, sf_dir))
+
+
 def q_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload_dedup(synth_assets(load_table(spark, sf_dir, "documents")))
 
@@ -314,23 +544,51 @@ QUERIES = {
     "multimodal_media_summary": q_media_summary,
     "multimodal_frame_sample": q_frame_sample,
     "multimodal_resized": q_resized,
-    # rows-only: features are means over UTF-8 BYTE spans; DuckDB string
-    # ops are codepoint-based, so the arithmetic isn't reproducible in
-    # SQL — pinned by tests/test_multimodal.py instead
     "multimodal_audio_features": q_audio_features,
     "multimodal_payload_dedup": q_payload_dedup,
 }
 
-# The stub decode is pure arithmetic on byte length, so the oracle can
-# reproduce it: strlen() in DuckDB is byte length.
-_DECODED_SQL = """
-    SELECT doc_id AS asset_id,
-           ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type,
-           CAST(strlen(text) AS BIGINT) AS byte_len,
-           CAST(strlen(text) % 640 AS INTEGER) AS width,
-           CAST((strlen(text) * 7) % 480 AS INTEGER) AS height,
-           CAST((strlen(text) % 30) + 1 AS INTEGER) AS n_frames
-    FROM documents
+# The payload parameters are deterministic in doc_id, so the oracle
+# verifies the whole write→parse round trip arithmetically: if the BMP
+# writer mis-packed a field or the parser read the wrong offset, the
+# Spark side would diverge from these formulas and the hash would fail.
+_DECODED_SQL = f"""
+    WITH base AS (
+        SELECT doc_id,
+               ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type,
+               (doc_id % {IMG_W_MOD}) + 1 AS iw,
+               ((doc_id * 7) % {IMG_H_MOD}) + 1 AS ih,
+               (doc_id % {WAV_N_MOD}) + {WAV_N_BASE} AS n_samp,
+               {WAV_RATE_BASE} + (doc_id % {WAV_RATE_MOD}) * {WAV_RATE_STEP} AS rate,
+               (doc_id % {VID_FRAMES_MOD}) + 1 AS nf
+        FROM documents
+    ),
+    vid AS (
+        SELECT doc_id,
+               8 + sum(4 + 54
+                       + ((3 * (((doc_id + fi) % {IMG_W_MOD}) + 1) + 3) // 4 * 4)
+                         * (((doc_id * 7 + fi * 3) % {IMG_H_MOD}) + 1)) AS vlen
+        FROM (SELECT doc_id, unnest(range(0, nf)) AS fi
+              FROM base WHERE media_type = 'video')
+        GROUP BY doc_id
+    )
+    SELECT b.doc_id AS asset_id, b.media_type,
+           CAST(CASE b.media_type
+                WHEN 'image' THEN 54 + ((3 * iw + 3) // 4 * 4) * ih
+                WHEN 'audio' THEN 44 + 2 * n_samp
+                ELSE v.vlen END AS BIGINT) AS byte_len,
+           CAST(CASE WHEN b.media_type = 'audio' THEN NULL ELSE iw END
+                AS INTEGER) AS width,
+           CAST(CASE WHEN b.media_type = 'audio' THEN NULL ELSE ih END
+                AS INTEGER) AS height,
+           CAST(CASE b.media_type WHEN 'image' THEN 1
+                                  WHEN 'audio' THEN n_samp
+                                  ELSE nf END AS INTEGER) AS n_frames,
+           CAST(CASE WHEN b.media_type = 'audio' THEN rate END
+                AS INTEGER) AS sample_rate,
+           CASE WHEN b.media_type = 'audio' THEN n_samp * 1000.0 / rate
+                END AS duration_ms
+    FROM base b LEFT JOIN vid v USING (doc_id)
 """
 
 ORACLE = {
@@ -346,24 +604,49 @@ ORACLE = {
     """,
     "multimodal_decoded_meta": _DECODED_SQL,
     # images are doc_id % 3 == 0 (list index 1); thumbnail metadata is
-    # constant by construction
+    # constant by construction (RGB24 at fixed dims)
     "multimodal_resized": f"""
         SELECT doc_id AS asset_id,
                CAST({RESIZE_W} AS INTEGER) AS width,
                CAST({RESIZE_H} AS INTEGER) AS height,
-               CAST({RESIZE_W * RESIZE_H} AS BIGINT) AS thumb_len
+               CAST({RESIZE_W * RESIZE_H * 3} AS BIGINT) AS thumb_len
         FROM documents WHERE doc_id % 3 = 0
     """,
-    # videos are doc_id % 3 == 2 (list index 3); every 5th frame of
-    # (strlen % 30) + 1 frames, stub frame size (strlen·(fi+1)) % 10000
-    "multimodal_frame_sample": """
-        SELECT asset_id, CAST(fi AS INTEGER) AS frame_idx,
-               CAST((ln * (fi + 1)) % 10000 AS BIGINT) AS frame_bytes
+    # videos are doc_id % 3 == 2 (list index 3); every FRAME_STEP-th of
+    # (doc_id % 30) + 1 frames, each frame's byte length = its BMP size
+    "multimodal_frame_sample": f"""
+        SELECT doc_id AS asset_id, CAST(fi AS INTEGER) AS frame_idx,
+               CAST(54 + ((3 * (((doc_id + fi) % {IMG_W_MOD}) + 1) + 3) // 4 * 4)
+                         * (((doc_id * 7 + fi * 3) % {IMG_H_MOD}) + 1)
+                    AS BIGINT) AS frame_bytes
         FROM (
-            SELECT doc_id AS asset_id, strlen(text) AS ln,
-                   unnest(range(0, (strlen(text) % 30) + 1, 5)) AS fi
+            SELECT doc_id,
+                   unnest(range(0, (doc_id % {VID_FRAMES_MOD}) + 1, {FRAME_STEP}))
+                       AS fi
             FROM documents WHERE doc_id % 3 = 2
         )
+    """,
+    # audio span means: same sample formula, same span assignment
+    # span(i) = i*DIM//n; integer sums are exact in double on both
+    # engines, so the single sum/count rounding matches bit-for-bit
+    "multimodal_audio_features": f"""
+        WITH a AS (
+            SELECT doc_id,
+                   {WAV_RATE_BASE} + (doc_id % {WAV_RATE_MOD}) * {WAV_RATE_STEP}
+                       AS rate,
+                   (doc_id % {WAV_N_MOD}) + {WAV_N_BASE} AS n
+            FROM documents WHERE doc_id % 3 = 1
+        ),
+        v AS (
+            SELECT doc_id, rate, n, (i * {AUDIO_FEAT_DIM}) // n AS span,
+                   CAST(((doc_id * 31 + i * 17) % 65536) - 32768 AS DOUBLE) AS val
+            FROM (SELECT doc_id, rate, n, unnest(range(0, n)) AS i FROM a)
+        )
+        SELECT doc_id AS asset_id,
+               CAST(rate AS INTEGER) AS sample_rate,
+               CAST(n AS INTEGER) AS n_samples,
+               {', '.join(f'sum(CASE WHEN span = {i} THEN val END) / count(CASE WHEN span = {i} THEN 1 END) AS f{i}' for i in range(AUDIO_FEAT_DIM))}
+        FROM v GROUP BY doc_id, rate, n
     """,
     "multimodal_media_summary": f"""
         WITH decoded AS ({_DECODED_SQL})

@@ -1,8 +1,12 @@
-"""Multimodal stages whose byte-level arithmetic the SQL oracle can't
-reproduce (DuckDB string ops are codepoint-based): thumbnail striding
-and audio feature windows, pinned against a Python reference."""
+"""Multimodal byte-level checks the SQL oracle can't see: the oracle
+verifies header arithmetic (dims, sizes, span means) cross-engine, but
+not the pixel/sample CONTENT — so thumbnails and decoded frames are
+pinned here against independent Python references, plus the
+corrupt-payload quarantine path."""
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 
@@ -10,51 +14,167 @@ from edu_online_spark.operators.multimodal import (
     AUDIO_FEAT_DIM,
     RESIZE_H,
     RESIZE_W,
+    _bmp_bytes,
+    _bmp_row_size,
+    _decode_bmp_pixels,
+    _parse_bmp,
+    _parse_vid,
+    _parse_wav,
+    _wav_bytes,
+    _wav_samples,
     audio_feature_vectors,
+    decode_assets,
     resize_images,
-    synth_assets,
+    sample_frames,
+    synth_media_assets,
 )
 
 
-def _assets(spark):
-    docs = spark.createDataFrame(
-        [
-            (0, "an image payload with some words", "en", "src1"),
-            (1, "audio-ish bytes here for the feature stage", "en", "src1"),
-            (3, "x", "en", "src2"),  # image with a 1-byte payload (cycle path)
-            (4, "second audio payload", "en", "src2"),
-        ],
+def _docs(spark, ids):
+    return spark.createDataFrame(
+        [(i, f"doc {i}", "en", "src1") for i in ids],
         ["doc_id", "text", "lang", "source"],
     )
-    return synth_assets(docs)
 
 
-def _expected_thumb(payload: bytes) -> bytes:
-    buf = np.frombuffer(payload, dtype=np.uint8)
-    if len(buf) == 0:
-        buf = np.zeros(1, dtype=np.uint8)
-    size = RESIZE_W * RESIZE_H
-    idx = (np.arange(size) * max(len(buf) // size, 1)) % len(buf)
-    return buf[idx].tobytes()
+# ---------------------------------------------------------------------------
+# Pure builders/parsers: write → parse round trip without Spark
+# ---------------------------------------------------------------------------
+
+def test_bmp_round_trip():
+    for doc_id in (0, 3, 63, 127, 480):
+        buf = _bmp_bytes(doc_id)
+        w, h = _parse_bmp(buf)
+        assert w == doc_id % 64 + 1
+        assert h == (doc_id * 7) % 48 + 1
+        assert len(buf) == 54 + _bmp_row_size(w) * h
+        # file-size field in the header agrees with reality
+        assert struct.unpack_from("<I", buf, 2)[0] == len(buf)
 
 
-def test_resize_thumbnails_deterministic(spark):
-    out = {r["asset_id"]: r for r in resize_images(_assets(spark)).collect()}
-    assert set(out) == {0, 3}  # doc_id % 3 == 0 → image
-    for doc_id, text in [(0, "an image payload with some words"), (3, "x")]:
-        r = out[doc_id]
-        assert (r["width"], r["height"]) == (RESIZE_W, RESIZE_H)
-        assert bytes(r["thumb"]) == _expected_thumb(text.encode())
-        assert r["thumb_len"] == RESIZE_W * RESIZE_H
+def test_wav_round_trip():
+    for doc_id in (1, 4, 103, 499):
+        buf = _wav_bytes(doc_id)
+        rate, n = _parse_wav(buf)
+        assert rate == 8000 + (doc_id % 8) * 1000
+        assert n == doc_id % 500 + 100
+        assert len(buf) == 44 + 2 * n
+        # samples decode back to the generator formula
+        got = np.frombuffer(buf, dtype="<i2", offset=44)
+        assert np.array_equal(got, _wav_samples(doc_id))
 
 
-def test_audio_features_are_span_means(spark):
-    out = {r["asset_id"]: r for r in audio_feature_vectors(_assets(spark)).collect()}
-    assert set(out) == {1, 4}  # doc_id % 3 == 1 → audio
-    for doc_id, text in [(1, "audio-ish bytes here for the feature stage"),
-                         (4, "second audio payload")]:
-        buf = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.float64)
-        expected = [float(s.mean()) for s in np.array_split(buf, AUDIO_FEAT_DIM)]
-        got = out[doc_id]
-        assert got["n_bytes"] == len(buf)
-        assert list(got["features"]) == expected
+def test_vid_container_round_trip():
+    from edu_online_spark.operators.multimodal import _vid_bytes
+
+    doc_id = 17  # 17 % 3 == 2 → video; 18 frames
+    buf = _vid_bytes(doc_id)
+    n_frames, frames = _parse_vid(buf)
+    assert n_frames == doc_id % 30 + 1 == len(frames)
+    # every stored frame is itself a valid BMP with the expected dims
+    for fi, (off, flen) in enumerate(frames):
+        w, h = _parse_bmp(buf[off : off + flen])
+        assert w == (doc_id + fi) % 64 + 1
+        assert h == (doc_id * 7 + fi * 3) % 48 + 1
+
+
+def test_parsers_reject_garbage():
+    assert _parse_bmp(b"not a bmp at all........................................") is None
+    assert _parse_wav(b"RIFFxxxxNOPE") is None
+    assert _parse_vid(b"VID0") is None  # truncated
+    assert _parse_vid(b"VID0" + struct.pack("<I", 3) + b"\x00") is None
+
+
+def test_bmp_pixel_decode_reference():
+    """Decoded pixel grid equals the generator formula, row-flipped and
+    BGR→RGB swapped."""
+    doc_id = 6  # image: w=7, h=42
+    buf = _bmp_bytes(doc_id)
+    img = _decode_bmp_pixels(buf)
+    w, h = doc_id % 64 + 1, (doc_id * 7) % 48 + 1
+    assert img.shape == (h, w, 3)
+    row = _bmp_row_size(w)
+    raw = ((doc_id * 13 + np.arange(row * h, dtype=np.int64) * 7) % 256).astype(
+        np.uint8
+    )
+    expected = raw.reshape(h, row)[:, : 3 * w].reshape(h, w, 3)[::-1, :, ::-1]
+    assert np.array_equal(img, expected)
+
+
+# ---------------------------------------------------------------------------
+# Spark stages on planted doc_ids
+# ---------------------------------------------------------------------------
+
+def test_decode_assets_parses_real_headers(spark):
+    out = {
+        r["asset_id"]: r
+        for r in decode_assets(synth_media_assets(_docs(spark, [0, 1, 2]))).collect()
+    }
+    img, aud, vid = out[0], out[1], out[2]
+    assert (img["media_type"], img["width"], img["height"], img["n_frames"]) == (
+        "image", 1, 1, 1
+    )
+    assert img["sample_rate"] is None and img["duration_ms"] is None
+    assert (aud["media_type"], aud["sample_rate"], aud["n_frames"]) == (
+        "audio", 9000, 101
+    )
+    assert aud["duration_ms"] == 101 * 1000.0 / 9000
+    assert (vid["media_type"], vid["n_frames"], vid["width"], vid["height"]) == (
+        "video", 3, 3, 15
+    )
+
+
+def test_resize_is_nearest_neighbor_of_decoded_pixels(spark):
+    doc_id = 9  # image: w=10, h=16
+    out = resize_images(synth_media_assets(_docs(spark, [doc_id]))).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["width"], r["height"], r["thumb_len"]) == (
+        RESIZE_W, RESIZE_H, RESIZE_W * RESIZE_H * 3
+    )
+    img = _decode_bmp_pixels(_bmp_bytes(doc_id))
+    h, w = img.shape[:2]
+    expected = img[(np.arange(RESIZE_H) * h) // RESIZE_H][
+        :, (np.arange(RESIZE_W) * w) // RESIZE_W
+    ]
+    assert bytes(r["thumb"]) == expected.tobytes()
+
+
+def test_audio_features_are_span_means_of_decoded_samples(spark):
+    doc_id = 4  # audio: rate 12000, n 104
+    out = audio_feature_vectors(synth_media_assets(_docs(spark, [doc_id]))).collect()
+    assert len(out) == 1
+    r = out[0]
+    samples = _wav_samples(doc_id).astype(np.float64)
+    n = len(samples)
+    assert (r["sample_rate"], r["n_samples"]) == (12000, n)
+    span = (np.arange(n) * AUDIO_FEAT_DIM) // n
+    for i in range(AUDIO_FEAT_DIM):
+        assert r[f"f{i}"] == samples[span == i].mean()
+
+
+def test_frame_sample_reads_stored_lengths(spark):
+    doc_id = 11  # video: 12 frames → samples frames 0, 5, 10
+    rows = sorted(
+        sample_frames(synth_media_assets(_docs(spark, [doc_id]))).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 5, 10]
+    for r in rows:
+        assert r["frame_bytes"] == len(_bmp_bytes(doc_id, r["frame_idx"]))
+
+
+def test_corrupt_payloads_quarantine_to_null_metadata(spark):
+    """A poison payload must yield NULL metadata, not a task failure."""
+    from pyspark.sql import functions as F
+
+    assets = synth_media_assets(_docs(spark, [0, 1, 2])).withColumn(
+        "payload",
+        F.when(F.col("asset_id") == 1, F.lit(b"garbage bytes")).otherwise(
+            F.col("payload")
+        ),
+    )
+    out = {r["asset_id"]: r for r in decode_assets(assets).collect()}
+    assert out[1]["width"] is None and out[1]["n_frames"] is None
+    assert out[1]["byte_len"] == len(b"garbage bytes")
+    assert out[0]["width"] is not None and out[2]["n_frames"] is not None

@@ -23,7 +23,6 @@ def test_rows_only_set_is_intentional():
         "events_distinct_users_approx",
         "events_user_value_ewma",
         "lineitem_price_quantiles_approx",
-        "multimodal_audio_features",
         "quiz_mastery_approx",
         "sim_knn_ivf",
         "sim_knn_lsh",
