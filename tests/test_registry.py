@@ -53,19 +53,16 @@ def test_broken_extension_does_not_kill_core(monkeypatch):
 
 def test_driver_window_contract():
     """The driver certifies only the first 50 registry entries. Pin the
-    contract: every VERDICT-named flagship sits inside the window, and
-    at most the last two window slots are rows-only."""
+    round-4 rotation contract: every _WINDOW_PRIORITY name (the
+    never-certified backlog + this round's changed queries + sentinels)
+    sits inside the window, every priority name is oracle-backed (a
+    rotation slot spent on a rows-only query is wasted), and no
+    rows-only query occupies any window slot."""
     qs = list(registry.queries())
     os_ = set(registry.oracle_sql())
     first50 = qs[:50]
-    for name in (
-        "dedup_minhash_lsh",
-        "dedup_neardup_curated",
-        "sim_knn_bruteforce",
-        "text_quality",
-        "multimodal_decoded_meta",
-        "ip_region_counts",
-    ):
+    for name in registry._WINDOW_PRIORITY:
         assert name in first50, f"{name} fell out of the driver window"
+        assert name in os_, f"priority slot wasted on rows-only {name}"
     rows_only_in_window = [q for q in first50 if q not in os_]
-    assert len(rows_only_in_window) <= 2, rows_only_in_window
+    assert rows_only_in_window == []
