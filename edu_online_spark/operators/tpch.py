@@ -694,6 +694,158 @@ def q15_top_supplier(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H Q2 (adapted): cheapest EUROPE supplier per qualifying part.
+
+    The testdata star schema has no partsupp table, so the part↔supplier
+    catalog is DERIVED from lineitem: supply cost per (part, supplier) =
+    MIN(l_extendedprice) over their trade history. That keeps Q2's
+    signature shape — per-group minimum resolved by aggregate + join-back
+    (the decorrelated form of the reference's correlated MIN subquery) —
+    with ties preserved, exactly like q15's scalar-MAX pattern.
+
+    Scale: the derived catalog aggregates lineitem down to (part,supplier)
+    cardinality BEFORE any dimension join, so the big shuffle carries two
+    keys + one decimal. region⋈nation is constant-size → broadcast; the
+    min-cost join-back is an equi-join on (p_partkey, cost). Top-100 is
+    TakeOrderedAndProject.
+    """
+    supply = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_dec("l_extendedprice")).alias("supply_cost_dec")
+    )
+    eur_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    eur_supp = supplier.join(
+        F.broadcast(eur_nations), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    parts = part.filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    ).select("p_partkey", "p_name")
+    cand = (
+        supply.join(eur_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal",
+            "n_name", "supply_cost_dec",
+        )
+    )
+    min_cost = cand.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
+        F.min("supply_cost_dec").alias("min_cost_dec")
+    )
+    return (
+        cand.join(
+            min_cost,
+            (F.col("p_partkey") == F.col("mc_partkey"))
+            & (F.col("supply_cost_dec") == F.col("min_cost_dec")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "s_suppkey",
+            F.col("supply_cost_dec").cast("double").alias("supply_cost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+            F.asc("p_partkey"), F.asc("s_suppkey"),
+        )
+        .limit(100)
+    )
+
+
+def q9_profit_by_nation(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q9 (adapted): profit on 'red' parts per supplier nation per
+    order year.
+
+    No partsupp → supply cost is modeled as half the part's list price
+    per unit (cost = l_quantity × p_retailprice × 0.5, exact decimal),
+    keeping Q9's shape: 5-way join, LIKE-filtered part dimension,
+    profit = revenue − cost aggregated by (nation, year).
+
+    Scale: part is filtered before the join (predicate pushdown to the
+    scan); nation broadcasts; lineitem joins orders on l_orderkey — both
+    fact-sized, left to AQE. All money math is exact decimal (28,5 max —
+    no 38-precision truncation), cast to double only at the end, so a
+    32-way run hash-matches single-threaded DuckDB.
+    """
+    rev = _dec("l_extendedprice") * _one_minus("l_discount")
+    cost = _dec("l_quantity") * _dec("p_retailprice") * F.lit("0.5").cast("decimal(2,1)")
+    red_parts = part.filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    return (
+        lineitem.join(red_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            supplier.select("s_suppkey", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(rev - cost).cast("double").alias("sum_profit"))
+    )
+
+
+def q11_important_parts(
+    supplier: DataFrame, lineitem: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """TPC-H Q11 (adapted): parts whose traded value through ASIA-region
+    suppliers exceeds 0.1% of the total.
+
+    No partsupp → "stock value" per part is the summed extended price of
+    its lineitems via ASIA suppliers. Keeps Q11's signature: grouped
+    value, a GLOBAL scalar threshold (broadcast 1-row aggregate, q15
+    pattern), HAVING-style filter against it.
+
+    The threshold comparison is done in DOUBLE on both engines: each
+    side is first an exact decimal sum (partition-order independent),
+    then one IEEE multiply by 0.001 — bit-identical cross-engine,
+    whereas a decimal multiply would overflow DuckDB's 38-digit width
+    on the total.
+    """
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    asia_supp = supplier.join(
+        F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    vals = (
+        lineitem.join(asia_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(_dec("l_extendedprice")).alias("val_dec"))
+    )
+    total = vals.agg(F.sum("val_dec").alias("total_dec"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("val_dec").cast("double")
+            > F.col("total_dec").cast("double") * F.lit(0.001)
+        )
+        .select("p_partkey", F.col("val_dec").cast("double").alias("part_value"))
+    )
+
+
 def part_price_rank_family(part: DataFrame) -> DataFrame:
     """The full ranking-function family in one windowed pass per brand:
     dense_rank, percent_rank, cume_dist, ntile(4) — one shuffle on
@@ -779,6 +931,15 @@ QUERIES = {
         q10_returned_items, "customer", "orders", "lineitem", "nation"
     ),
     "tpch_q15_top_supplier": _q(q15_top_supplier, "supplier", "lineitem"),
+    "tpch_q2_min_cost_supplier": _q(
+        q2_min_cost_supplier, "part", "supplier", "lineitem", "nation", "region"
+    ),
+    "tpch_q9_profit_by_nation": _q(
+        q9_profit_by_nation, "part", "supplier", "lineitem", "orders", "nation"
+    ),
+    "tpch_q11_important_parts": _q(
+        q11_important_parts, "supplier", "lineitem", "nation", "region"
+    ),
     "users_purchase_no_error": _q(users_purchase_no_error, "events"),
     "users_view_and_purchase": _q(users_view_and_purchase, "events"),
 }
@@ -1082,5 +1243,66 @@ ORACLE = {
                CAST(total_rev_dec AS DOUBLE) AS total_revenue
         FROM by_supp JOIN supplier ON l_suppkey = s_suppkey
         WHERE total_rev_dec = (SELECT MAX(total_rev_dec) FROM by_supp)
+    """,
+    "tpch_q2_min_cost_supplier": """
+        WITH supply AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS supply_cost_dec
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        cand AS (
+            SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+                   supply_cost_dec
+            FROM supply
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            JOIN part     ON l_partkey = p_partkey
+            WHERE r_name = 'EUROPE'
+              AND p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey,
+               CAST(supply_cost_dec AS DOUBLE) AS supply_cost
+        FROM cand
+        WHERE supply_cost_dec = (
+            SELECT MIN(c2.supply_cost_dec) FROM cand c2
+            WHERE c2.p_partkey = cand.p_partkey
+        )
+        ORDER BY s_acctbal DESC, n_name ASC, s_name ASC,
+                 p_partkey ASC, s_suppkey ASC
+        LIMIT 100
+    """,
+    "tpch_q9_profit_by_nation": f"""
+        SELECT n_name AS nation,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+               CAST(SUM(
+                   {_REV}
+                   - CAST(l_quantity AS DECIMAL(12,2))
+                     * CAST(p_retailprice AS DECIMAL(12,2))
+                     * CAST(0.5 AS DECIMAL(2,1))
+               ) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+    """,
+    "tpch_q11_important_parts": """
+        WITH vals AS (
+            SELECT l_partkey AS p_partkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS val_dec
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY l_partkey
+        )
+        SELECT p_partkey, CAST(val_dec AS DOUBLE) AS part_value
+        FROM vals
+        WHERE CAST(val_dec AS DOUBLE)
+              > (SELECT CAST(SUM(val_dec) AS DOUBLE) FROM vals) * 0.001
     """,
 }

@@ -170,6 +170,44 @@ def test_q7_q8_q10_dims_broadcast_facts_pruned(spark, sf_dir):
     assert any("l_shipdate" in p for p in pushed_filters(q15))
 
 
+def test_q2_q9_q11_derived_catalog_shapes(spark, sf_dir):
+    """Round-4 TPC-H completions (partsupp derived from lineitem): part
+    filters pushed to the scan, constant-size dims broadcast, the only
+    nested-loop join anywhere is q11's 1-row scalar-threshold broadcast."""
+    from edu_online_spark.operators.tpch import (
+        q2_min_cost_supplier,
+        q9_profit_by_nation,
+        q11_important_parts,
+    )
+
+    t = {
+        n: load_table(spark, sf_dir, n)
+        for n in ("region", "nation", "supplier", "orders", "lineitem", "part")
+    }
+    q2 = q2_min_cost_supplier(t["part"], t["supplier"], t["lineitem"], t["nation"], t["region"])
+    p2 = explain_str(q2)
+    assert any("p_type" in p for p in pushed_filters(q2))
+    assert any("p_size" in p for p in pushed_filters(q2))
+    assert has_broadcast_join(q2)
+    assert "CartesianProduct" not in p2 and "BroadcastNestedLoopJoin" not in p2
+    assert "TakeOrderedAndProject" in explain_str(q2, "simple")
+
+    q9 = q9_profit_by_nation(t["part"], t["supplier"], t["lineitem"], t["orders"], t["nation"])
+    p9 = explain_str(q9)
+    assert any("p_name" in p for p in pushed_filters(q9))
+    assert has_broadcast_join(q9)
+    assert "CartesianProduct" not in p9 and "BroadcastNestedLoopJoin" not in p9
+
+    q11 = q11_important_parts(t["supplier"], t["lineitem"], t["nation"], t["region"])
+    p11 = explain_str(q11)
+    assert any("r_name" in p for p in pushed_filters(q11))
+    assert "CartesianProduct" not in p11
+    # the scalar total joins back as a 1-row broadcast (BNLJ is the
+    # expected physical form of that crossJoin; anything larger would
+    # not appear because both join inputs are aggregates)
+    assert has_broadcast_join(q11) or "BroadcastNestedLoopJoin" in p11
+
+
 def test_vocabulary_and_tfidf_plan_shapes(spark, sf_dir):
     """Wordcount must partial-aggregate before its single shuffle and
     take top-k without a global sort; TF-IDF must stay equi-join only."""
