@@ -32,6 +32,7 @@ _EXTENSION_NAMES = [
     "textops",
     "pii",
     "multimodal",
+    "sketches",
     "tpch",
     "analytics",
     "sessions",
@@ -106,6 +107,12 @@ _WINDOW_PRIORITY = [
     "text_url_domains",
     "docs_vocab_encoded",
     "corpus_mixture_plan",
+    # 2b: new in round 4 (oracle-backed, certify immediately)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_profit_by_nation",
+    "tpch_q11_important_parts",
+    "events_hll_rollup",
+    "events_theta_overlap",
     # 3: sentinels
     "quiz_mastery",
     "dedup_minhash_lsh",

@@ -1,0 +1,64 @@
+"""Sketch operators: accuracy envelopes, the mergeability property that
+justifies them at scale, and the all-JVM plan contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from edu_online_spark.operators.sketches import (
+    audience_overlap_sketch,
+    distinct_users_sketch_rollup,
+)
+from edu_online_spark.plans import explain_str
+from edu_online_spark.sources import load_table
+
+
+def test_hll_rollup_matches_exact_within_tolerance(spark, sf_dir):
+    out = distinct_users_sketch_rollup(load_table(spark, sf_dir, "events")).collect()
+    assert out, "no groups"
+    for r in out:
+        assert r.est_within_5pct, f"{r.event_type}: estimate outside 5% of {r.exact_users}"
+        assert r.n_days >= 1
+
+
+def test_theta_overlap_matches_exact_within_tolerance(spark, sf_dir):
+    [r] = audience_overlap_sketch(load_table(spark, sf_dir, "events")).collect()
+    assert r.overlap_within_5pct, f"overlap est off (exact {r.exact_overlap})"
+    assert r.view_only_within_5pct, f"difference est off (exact {r.exact_view_only})"
+    # the set algebra must be consistent: overlap + view_only = viewers
+    events = load_table(spark, sf_dir, "events")
+    n_viewers = (
+        events.filter(F.col("event_type") == "view").select("user_id").distinct().count()
+    )
+    assert r.exact_overlap + r.exact_view_only == n_viewers
+
+
+def test_hll_union_of_disjoint_slices_equals_whole(spark, sf_dir):
+    """THE property that makes sketches the 100 TB rollup path: sketching
+    two disjoint halves and unioning the sketches estimates the same
+    cardinality as sketching the whole — merge is lossless relative to
+    one-shot sketching (identical sketch state, not merely close)."""
+    events = load_table(spark, sf_dir, "events")
+    whole = events.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias("est")
+    ).collect()[0].est
+    halves = (
+        events.withColumn("half", (F.col("event_id") % 2).cast("int"))
+        .groupBy("half")
+        .agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    assert whole == halves, (whole, halves)
+
+
+def test_sketch_plans_stay_jvm_side(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    for df in (
+        distinct_users_sketch_rollup(events),
+        audience_overlap_sketch(events),
+    ):
+        plan = explain_str(df, "simple")
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan  # 1-row crossJoins broadcast
