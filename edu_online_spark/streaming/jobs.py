@@ -942,3 +942,65 @@ def page_abandonment_job(
         .trigger(**_trigger({}, available_now))
         .start()
     )
+
+
+def distinct_users_sketch_job(
+    raw: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Live DISTINCT registered users per platform via mergeable HLL
+    sketches — the streaming twin of operators/sketches.py.
+
+    Why not exact? A streaming exact distinct needs per-user state
+    (unbounded: one entry per user ever seen) or a watermark that
+    forgets old users (then it isn't all-time). The sketch version
+    keeps ONE ~1-2 KB binary per platform regardless of user
+    cardinality: each trigger sketches just the batch's users
+    (hll_sketch_agg), then foreachBatch unions it into the persistent
+    per-platform sketch (hll_union_agg over old ∪ new) and republishes
+    sketch + estimate atomically.
+
+    Replay safety comes from the algebra, not bookkeeping: an HLL
+    union is a register-wise max, so re-merging a replayed batch is a
+    no-op — the estimate cannot double-count, unlike the reference's
+    read-add-write history merge (QzPointStreaming.scala:160-163, the
+    T7 replay bug). Pinned by test_streaming_sketch_replay_idempotent.
+
+    Output table: platform, sk (binary, reusable for further rollups
+    e.g. all-platform union), distinct_users (estimate).
+    """
+    import os
+
+    reg = decode_register_log(raw)
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        new = batch.groupBy("platform").agg(F.hll_sketch_agg("user_id").alias("sk"))
+        if os.path.exists(out_path):
+            old = spark.read.parquet(out_path).select("platform", "sk")
+            new = old.unionByName(new)
+        merged = (
+            new.groupBy("platform")
+            .agg(F.hll_union_agg("sk").alias("sk"))
+            .withColumn(
+                "distinct_users", F.hll_sketch_estimate("sk").cast("long")
+            )
+            # tiny result (one row per platform): single file keeps the
+            # read-back cheap and the swap atomic
+            .coalesce(1)
+            # materialize BEFORE the staged swap below reads out_path
+            .localCheckpoint(eager=True)
+        )
+        sinks.parquet_overwrite_atomic(out_path)(merged, batch_id)
+
+    return (
+        reg.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )

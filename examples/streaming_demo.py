@@ -148,6 +148,14 @@ def main() -> None:
         available_now=True,
     ).awaitTermination(120)
 
+    # round-4 job: live distinct registered users per platform via
+    # mergeable HLL sketches (bounded state at any user cardinality)
+    out["distinct_users"] = f"{work}/out/distinct_users"
+    jobs.distinct_users_sketch_job(
+        file_stream(spark, topics["register"]), out["distinct_users"],
+        ck("sketch"), available_now=True,
+    ).awaitTermination(120)
+
     for name, path in out.items():
         df = spark.read.parquet(path)
         rows = [r.asDict() for r in df.collect()]

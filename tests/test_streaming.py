@@ -609,3 +609,40 @@ def test_user_status_scd2_tiebreak_matches_batch(spark, tmp_path):
         ("view", "2026-08-13 10:00:00", "2026-08-13 10:00:00"),
         ("purchase", "2026-08-13 10:00:00", "2026-08-13 10:30:00"),
     ]
+
+
+def test_distinct_users_sketch_accumulates_and_is_exact_at_small_n(spark, tmp_path):
+    """Two waves: the per-platform HLL sketches union across triggers;
+    at these cardinalities HLL's sparse mode is exact, so estimates must
+    EQUAL the true distincts (u2 re-registers in wave 2 on the same
+    platform — a distinct count must not double-count it)."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(src, "b1.txt", REG_LINES_1)
+    _run(jobs.distinct_users_sketch_job, spark, src, out, ckpt)
+    t1 = {r["platform"]: r["distinct_users"] for r in spark.read.parquet(out).collect()}
+    assert t1 == {"PC": 2, "APP": 1}
+
+    _write_lines(src, "b2.txt", REG_LINES_2 + ["u2\t1\t2026-08-13 10:01:03"])
+    _run(jobs.distinct_users_sketch_job, spark, src, out, ckpt)
+    t2 = {r["platform"]: r["distinct_users"] for r in spark.read.parquet(out).collect()}
+    # u2 already counted in wave 1: PC gains only u4 (u5 is platform 9=Other)
+    assert t2 == {"PC": 3, "APP": 1, "Other": 1}
+
+
+def test_streaming_sketch_replay_idempotent(spark, tmp_path):
+    """HLL union is a register-wise max, so re-merging a replayed batch
+    is algebraically a no-op — the sketch sink cannot double-count
+    (contrast: the reference's read-add-write merge, T7)."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(src, "b1.txt", REG_LINES_1)
+    _run(jobs.distinct_users_sketch_job, spark, src, out, ckpt)
+    before = sorted(
+        (r["platform"], r["distinct_users"]) for r in spark.read.parquet(out).collect()
+    )
+    # simulate an at-least-once redelivery: merge the identical batch again,
+    # bypassing the checkpoint (a fresh checkpoint dir replays the files)
+    _run(jobs.distinct_users_sketch_job, spark, src, out, str(tmp_path / "ck2"))
+    after = sorted(
+        (r["platform"], r["distinct_users"]) for r in spark.read.parquet(out).collect()
+    )
+    assert after == before

@@ -1,0 +1,107 @@
+"""Deterministic 10× scale-rehearsal data generator (VERDICT-r3 #6).
+
+The driver's testdata stops at sf0.1 (5k documents / 2k embeddings).
+SCALE.md's 100 TB argument was purely analytic; this generator produces
+an sf1-shaped corpus (10× sf0.1: 50k documents / 20k embeddings) with
+the SAME schema, dtypes, and statistical shape as the driver tables —
+31-word vocabulary, 10-100-word documents, weighted langs, 20 sources,
+~1.5% planted near-duplicates, L2-normalized 64-d float32 embeddings in
+10 label clusters — so the heavy operators (dedup_minhash_lsh,
+sim_knn_lsh) can be timed at a second scale point and the growth curve
+measured instead of asserted.
+
+Writes OUTSIDE /root/testdata (which is read-only by contract):
+
+    python tools/gen_scale.py /tmp/scale_rehearsal/sf1 10
+
+The multiplier scales both tables off the sf0.1 cardinalities. Seeded
+numpy end to end — two runs produce byte-identical corpora.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window",
+]
+LANGS = ["en", "zh", "es", "fr", "de"]
+LANG_W = [0.41, 0.15, 0.15, 0.15, 0.14]
+N_SOURCES = 20
+DIM = 64
+N_LABELS = 10
+
+
+def gen_documents(n: int, seed: int = 7) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    # zipf-ish word weights so token frequencies are realistic, not flat
+    w = 1.0 / np.arange(1, len(VOCAB) + 1)
+    w /= w.sum()
+    word_idx = rng.permutation(len(VOCAB))
+    texts: list[str] = []
+    for i in range(n):
+        if texts and i % 64 == 63:
+            # planted near-duplicate: clone an earlier doc, perturb one word
+            src = texts[rng.integers(0, len(texts))].split(" ")
+            pos = int(rng.integers(0, len(src)))
+            src[pos] = VOCAB[int(rng.integers(0, len(VOCAB)))]
+            texts.append(" ".join(src))
+            continue
+        if texts and i % 512 == 511:
+            texts.append(texts[int(rng.integers(0, len(texts)))])  # exact dup
+            continue
+        ln = int(rng.integers(10, 101))
+        words = rng.choice(len(VOCAB), size=ln, p=w)
+        texts.append(" ".join(VOCAB[word_idx[j]] for j in words))
+    langs = rng.choice(LANGS, size=n, p=LANG_W)
+    sources = [f"src{i % N_SOURCES}" for i in rng.integers(0, N_SOURCES, size=n)]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(langs.tolist(), type=pa.string()),
+            "source": pa.array(sources, type=pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+
+
+def gen_embeddings(n: int, seed: int = 11) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((N_LABELS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.integers(0, N_LABELS, size=n)
+    vecs = centers[labels] + 0.35 * rng.standard_normal((n, DIM))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs = vecs.astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+            "label": pa.array(labels.astype(np.int32)),
+        }
+    )
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_rehearsal/sf1"
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs = gen_documents(5000 * mult)
+    pq.write_table(docs, f"{out_dir}/documents.parquet")
+    emb = gen_embeddings(2000 * mult)
+    pq.write_table(emb, f"{out_dir}/embeddings.parquet")
+    print(f"wrote {docs.num_rows} documents, {emb.num_rows} embeddings -> {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

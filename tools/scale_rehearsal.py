@@ -1,0 +1,101 @@
+"""Measured scaling rehearsal (VERDICT-r3 #6): heavy operators at 10×.
+
+Runs the two heaviest pipeline operators — dedup_minhash_lsh and
+sim_knn_lsh — at sf0.1 (driver testdata) and at a generated sf1
+(tools/gen_scale.py, 10× rows), recording wall-clock AND total shuffle
+read/write bytes per run (from Spark's stage-level REST API, stdlib
+urllib — no extra deps). A near-linear growth curve is the empirical
+backing for SCALE.md's claim that candidate generation is bucketed
+(equi-join on banded hashes), not quadratic.
+
+    python tools/gen_scale.py /tmp/scale_rehearsal/sf1 10
+    python tools/scale_rehearsal.py /tmp/scale_rehearsal/sf1
+
+Prints one JSON line per (query, scale) with secs / shuffle bytes /
+output rows, then a growth summary.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, ".")
+
+from edu_online_spark.registry import queries  # noqa: E402
+from edu_online_spark.session import get_spark  # noqa: E402
+
+QUERIES = ["dedup_minhash_lsh", "sim_knn_lsh"]
+
+
+def _shuffle_totals(spark) -> tuple[int, int]:
+    """Sum shuffle read/write bytes across all completed stages via the
+    UI REST API (the one place PySpark exposes stage metrics without a
+    JVM listener)."""
+    url = spark.sparkContext.uiWebUrl
+    if not url:
+        return -1, -1
+    base = f"http://localhost:{url.rsplit(':', 1)[1]}"
+    app_id = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(f"{base}/api/v1/applications/{app_id}/stages?status=complete") as r:
+            stages = json.load(r)
+    except Exception as exc:  # UI disabled or port moved — degrade, don't die
+        print(f"stage metrics unavailable: {exc}", file=sys.stderr)
+        return -1, -1
+    return (
+        sum(s.get("shuffleReadBytes", 0) for s in stages),
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+    )
+
+
+def main() -> None:
+    sf1_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_rehearsal/sf1"
+    qs = queries()
+    results: dict[tuple[str, str], dict] = {}
+    for scale, sf_dir in [("sf0.1", "/root/testdata/sf0.1"), ("sf1", sf1_dir)]:
+        # fresh session per scale so REST stage totals are per-scale deltas;
+        # the engine default disables the UI — the rehearsal needs its REST
+        # stage metrics, so re-enable it here only
+        spark = get_spark(extra={"spark.ui.enabled": "true"})
+        # JVM/codegen warmup so the first measured query doesn't absorb
+        # session start cost (which would swamp the scaling signal)
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        for name in QUERIES:
+            qs[name](spark, sf_dir).count()  # warm run (plan/codegen caches)
+            r0, w0 = _shuffle_totals(spark)
+            t0 = time.monotonic()
+            n = qs[name](spark, sf_dir).count()
+            secs = time.monotonic() - t0
+            r1, w1 = _shuffle_totals(spark)
+            rec = {
+                "query": name,
+                "scale": scale,
+                "secs": round(secs, 2),
+                "rows": n,
+                "shuffle_read_mb": round((r1 - r0) / 1e6, 1) if r0 >= 0 else None,
+                "shuffle_write_mb": round((w1 - w0) / 1e6, 1) if w0 >= 0 else None,
+            }
+            results[(name, scale)] = rec
+            print(json.dumps(rec))
+        spark.stop()
+    for name in QUERIES:
+        a, b = results[(name, "sf0.1")], results[(name, "sf1")]
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "time_growth_x": round(b["secs"] / a["secs"], 2),
+                    "shuffle_write_growth_x": (
+                        round(b["shuffle_write_mb"] / a["shuffle_write_mb"], 2)
+                        if a["shuffle_write_mb"] else None
+                    ),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
