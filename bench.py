@@ -63,6 +63,13 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "text_pii_redacted",
     "events_time_grain_rollup",
+    # round 4
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_profit_by_nation",
+    "tpch_q11_important_parts",
+    "events_hll_rollup",
+    "events_theta_overlap",
+    "dedup_cross_corpus",
 ]
 
 

@@ -220,6 +220,78 @@ def minhash_lsh_pairs(
     )
 
 
+def cross_corpus_minhash_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    n: int = 3,
+    threshold: float = JACCARD_THRESHOLD,
+    num_hashes: int = hashing.DEFAULT_NUM_HASHES,
+    bands: int = hashing.DEFAULT_BANDS,
+) -> DataFrame:
+    """Incremental dedup: near-dup pairs BETWEEN a new batch and an
+    existing corpus — the production ingest shape. A daily 1 TB delta
+    against a 100 TB corpus must not re-sign the corpus or consider
+    delta-internal / corpus-internal pairs; here only the two banded
+    sides join (new.band_hashes ⋈ corpus.band_hashes), so the work is
+    O(delta signatures + collisions). The corpus side's signature
+    relation is exactly what a production pipeline would persist once
+    and reuse per delta (signatures are content-addressed: append-only
+    corpus ⇒ append-only signature table).
+
+    Same LSH parameters and exact-verification contract as
+    minhash_lsh_pairs: candidates from band collisions, then exact
+    Jaccard by re-shingling ONLY candidate docs from each side.
+    Output: (new_id, corpus_id, jaccard ≥ threshold).
+    """
+
+    def banded_sigs(docs: DataFrame) -> DataFrame:
+        sig = hashing.minhash_signatures_df(
+            _shingle_rows(docs, n), "doc_id", F.col("shingle"), num_hashes
+        )
+        return sig.select(
+            "doc_id",
+            F.posexplode(hashing.band_hashes(F.col("sig"), bands, num_hashes)).alias(
+                "band", "bh"
+            ),
+        )
+
+    cand = (
+        banded_sigs(new_docs)
+        .alias("a")
+        .join(
+            banded_sigs(corpus_docs).alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")),
+        )
+        .select(F.col("a.doc_id").alias("new_id"), F.col("b.doc_id").alias("corpus_id"))
+        .distinct()
+        # two downstream consumers (per-side semi-join reducers + the
+        # verification join) — materialize once, same rationale as
+        # minhash_lsh_pairs
+        .localCheckpoint(eager=True)
+    )
+    sh_new = _shingled(
+        new_docs.join(
+            cand.select(F.col("new_id").alias("doc_id")).distinct(), "doc_id", "left_semi"
+        ),
+        n,
+    )
+    sh_corp = _shingled(
+        corpus_docs.join(
+            cand.select(F.col("corpus_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        ),
+        n,
+    )
+    j = hashing.jaccard(F.col("sa.sh"), F.col("sb.sh"))
+    return (
+        cand.join(sh_new.alias("sa"), cand.new_id == F.col("sa.doc_id"))
+        .join(sh_corp.alias("sb"), cand.corpus_id == F.col("sb.doc_id"))
+        .select("new_id", "corpus_id", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def containment_pairs(
     documents: DataFrame, n: int = 3, threshold: float = 0.8
 ) -> DataFrame:
@@ -481,6 +553,16 @@ def _q(fn, table):
     return runner
 
 
+def _q_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry split: every 10th doc is the 'new batch', the rest are
+    the standing corpus (deterministic, oracle-mirrorable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cross_corpus_minhash_pairs(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+    )
+
+
 QUERIES = {
     "dedup_exact": _q(exact_dedup, "documents"),
     "dedup_ngram_jaccard": _q(ngram_jaccard_pairs, "documents"),
@@ -492,6 +574,7 @@ QUERIES = {
     "dedup_containment": _q(containment_pairs, "documents"),
     # rows-only: neighbor set depends on LSH band collisions
     "text_knn_minhash": _q(text_knn_minhash, "documents"),
+    "dedup_cross_corpus": _q_cross_corpus,
 }
 
 # Exact Jaccard in DuckDB: build distinct 3-shingle lists with a list
@@ -523,6 +606,17 @@ ORACLE = {
         FROM documents GROUP BY text
     """,
     "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
+    # cross-side exact Jaccard (new = doc_id % 10 == 0 vs the rest);
+    # LSH+verify output must equal it, same contract as dedup_minhash_lsh
+    "dedup_cross_corpus": f"""
+        WITH {_SHINGLES_CTE}
+        SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+               len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
+    """,
     "dedup_containment": f"""
         WITH {_SHINGLES_CTE}
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -289,15 +289,14 @@ def train_ivf_centroids(
         rows = (
             assigned.groupBy("cid", "pos")
             .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count("*").alias("n"))
-            .collect()
+            .toPandas()
         )
+        # numpy scatter update: clusters with no members keep their old
+        # centroid (rows simply absent), matching the dict-loop semantics
         new = cents.copy()
-        by_cid: dict[int, list] = {}
-        for r in rows:
-            by_cid.setdefault(r["cid"], []).append(r)
-        for cid, rs in by_cid.items():
-            for r in rs:
-                new[cid][r["pos"]] = r["s"] / r["n"]
+        cid = rows["cid"].to_numpy(np.int64)
+        pos = rows["pos"].to_numpy(np.int64)
+        new[cid, pos] = rows["s"].to_numpy(np.float64) / rows["n"].to_numpy(np.float64)
         cents = new
     return cents
 

@@ -113,6 +113,7 @@ _WINDOW_PRIORITY = [
     "tpch_q11_important_parts",
     "events_hll_rollup",
     "events_theta_overlap",
+    "dedup_cross_corpus",
     # 3: sentinels
     "quiz_mastery",
     "dedup_minhash_lsh",

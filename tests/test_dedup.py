@@ -141,3 +141,34 @@ def test_containment_detects_excerpt(spark):
     assert out[(1, 2)] == 1.0
     assert (2, 1) not in out  # big is not contained in small
     assert not any(3 in k for k in out)
+
+
+def test_cross_corpus_finds_only_cross_side_pairs(spark):
+    """Incremental dedup must surface new↔corpus near-dups and NOTHING
+    internal to either side: the corpus holds its own near-dup pair
+    (20, 21) which must not appear, and the unique new doc matches
+    nothing."""
+    from edu_online_spark.operators.dedup import cross_corpus_minhash_pairs
+
+    corpus = spark.createDataFrame(
+        [
+            (20, BASE),
+            (21, BASE.replace("large", "huge")),  # corpus-internal near dup
+            (22, "the quick brown fox jumps over the lazy dog again today"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (30, BASE.replace("stages", "phases")),  # near dup of corpus 20/21
+            (31, "completely different words about cooking pasta tonight ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["new_id"], r["corpus_id"])
+        for r in cross_corpus_minhash_pairs(new, corpus).collect()
+    }
+    assert (30, 20) in pairs
+    assert all(n == 30 for n, _ in pairs), pairs  # 31 matches nothing
+    assert (20, 21) not in pairs and (21, 20) not in pairs

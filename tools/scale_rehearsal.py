@@ -27,7 +27,7 @@ sys.path.insert(0, ".")
 from edu_online_spark.registry import queries  # noqa: E402
 from edu_online_spark.session import get_spark  # noqa: E402
 
-QUERIES = ["dedup_minhash_lsh", "sim_knn_lsh"]
+QUERIES = ["dedup_minhash_lsh", "sim_knn_lsh", "dedup_cross_corpus"]
 
 
 def _shuffle_totals(spark) -> tuple[int, int]:
