@@ -1004,3 +1004,61 @@ def distinct_users_sketch_job(
         .trigger(**_trigger({}, available_now))
         .start()
     )
+
+
+def embedding_ingest_job(
+    raw: DataFrame,
+    centroids,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Index-on-ingest for the ANN corpus: streaming embeddings are
+    quantized to their IVF cell as they arrive and archived partitioned
+    by cell — so the batch `knn_ivf` probe path reads ONLY its probe
+    cells' directories (partition pruning does the inverted-list
+    lookup; no re-indexing pass over the corpus, ever).
+
+    `centroids` is the trained coarse quantizer
+    (operators.similarity.train_ivf_centroids) — broadcast inside the
+    vectorized assignment UDF, the same numpy-over-Arrow path the batch
+    operators use. Input lines are JSON {"vec_id": long, "embedding":
+    [float...], "label": int}; malformed lines and wrong-dimension
+    vectors are dropped (quarantine posture, same as document_ingest).
+    """
+    import numpy as np
+
+    from ..operators.similarity import _nearest_cids_udf
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    dim = cents.shape[1]
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    decoded = (
+        raw.select(F.from_json(F.col("value").cast("string"), schema).alias("j"))
+        .select("j.vec_id", "j.embedding", "j.label")
+        .filter(F.col("vec_id").isNotNull() & (F.size("embedding") == dim))
+    )
+    assigned = decoded.withColumn(
+        "cell", _nearest_cids_udf(cents, 1)(F.col("embedding"))[0]
+    )
+    return (
+        assigned.writeStream.outputMode("append")
+        .foreachBatch(sinks.parquet_append(out_path, partition_by=["cell"]))
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )

@@ -646,3 +646,33 @@ def test_streaming_sketch_replay_idempotent(spark, tmp_path):
         (r["platform"], r["distinct_users"]) for r in spark.read.parquet(out).collect()
     )
     assert after == before
+
+
+def test_embedding_ingest_assigns_cells_and_partitions(spark, tmp_path):
+    """Streaming embeddings land partitioned by their IVF cell, the
+    assignment matches the batch quantizer, and malformed / wrong-dim
+    lines are quarantined."""
+    import json as _json
+
+    import numpy as np
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    lines = [
+        _json.dumps({"vec_id": 1, "embedding": [0.9, 0.1], "label": 0}),
+        _json.dumps({"vec_id": 2, "embedding": [0.2, 0.8], "label": 1}),
+        _json.dumps({"vec_id": 3, "embedding": [0.7, 0.6], "label": 0}),
+        _json.dumps({"vec_id": 4, "embedding": [0.1], "label": 9}),  # wrong dim
+        "corrupt line",
+    ]
+    _write_lines(src, "b1.jsonl", lines)
+    q = jobs.embedding_ingest_job(
+        file_stream(spark, src), cents, out, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+    rows = {r["vec_id"]: r["cell"] for r in spark.read.parquet(out).collect()}
+    assert rows == {1: 0, 2: 1, 3: 0}  # 3 is nearer x-axis centroid
+    # physical layout IS the inverted list: one dir per touched cell
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("cell=")
+    ) == ["cell=0", "cell=1"]
