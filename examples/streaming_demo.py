@@ -38,7 +38,7 @@ def main() -> None:
     shutil.rmtree(work, ignore_errors=True)
     topics = {
         t: f"{work}/topics/{t}"
-        for t in ("register", "qz", "page", "raw", "docs", "pii")
+        for t in ("register", "qz", "page", "raw", "docs", "pii", "emb")
     }
 
     produce(topics["register"], "b1.log", [
@@ -154,6 +154,22 @@ def main() -> None:
     jobs.distinct_users_sketch_job(
         file_stream(spark, topics["register"]), out["distinct_users"],
         ck("sketch"), available_now=True,
+    ).awaitTermination(120)
+
+    # round-4 job: embedding index-on-ingest — vectors quantized to
+    # their IVF cell on arrival, archived partitioned by cell (the
+    # on-disk inverted lists the batch probe path partition-prunes)
+    produce(topics["emb"], "b1.jsonl", [
+        '{"vec_id": 1, "embedding": [0.9, 0.1], "label": 0}',
+        '{"vec_id": 2, "embedding": [0.1, 0.9], "label": 1}',
+        '{"vec_id": 3, "embedding": [0.8, 0.5], "label": 0}',
+        '{"vec_id": 4, "embedding": [0.2], "label": 9}',
+        'corrupt vector line',
+    ])
+    out["indexed_embeddings"] = f"{work}/out/indexed_embeddings"
+    jobs.embedding_ingest_job(
+        file_stream(spark, topics["emb"]), [[1.0, 0.0], [0.0, 1.0]],
+        out["indexed_embeddings"], ck("emb"), available_now=True,
     ).awaitTermination(120)
 
     for name, path in out.items():

@@ -676,3 +676,33 @@ def test_embedding_ingest_assigns_cells_and_partitions(spark, tmp_path):
     assert sorted(
         d for d in os.listdir(out) if d.startswith("cell=")
     ) == ["cell=0", "cell=1"]
+
+
+def test_ingested_embedding_index_partition_prunes_probe(spark, tmp_path):
+    """The payoff of index-on-ingest: a probe over the cell-partitioned
+    archive plans with PartitionFilters on `cell` — only the probe
+    cells' directories are read, never the whole corpus."""
+    import json as _json
+
+    import numpy as np
+
+    from edu_online_spark.plans import explain_str
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    _write_lines(
+        src,
+        "b1.jsonl",
+        [
+            _json.dumps({"vec_id": i, "embedding": [float(i % 2), float(1 - i % 2)], "label": 0})
+            for i in range(8)
+        ],
+    )
+    jobs.embedding_ingest_job(
+        file_stream(spark, src), cents, out, ckpt, available_now=True
+    ).awaitTermination(120)
+
+    probe = spark.read.parquet(out).filter("cell = 0")
+    plan = explain_str(probe, "formatted")
+    assert "PartitionFilters: [isnotnull(cell" in plan or "PartitionFilters: [(cell" in plan, plan
+    assert probe.count() == 4
