@@ -109,6 +109,32 @@ def distinct_users_by_type_approx(events: DataFrame) -> DataFrame:
     )
 
 
+def distinct_users_approx_certified(events: DataFrame) -> DataFrame:
+    """Certified form for the driver (boolean-tolerance oracle): exact
+    count hash-checked, plus a pinned boolean that the HLL++ estimate
+    sits within max(1, 5%) of it. Both aggregates compute in the ONE
+    groupBy — no extra scan or shuffle over the rows-only form.
+
+    rsd=0.01 (not the 0.05 default): the boolean is a >3σ envelope
+    only if the sketch's own σ is well inside it — at the default rsd
+    a 5% check is a ~1σ coin flip once cardinality leaves the
+    sparse-exact range (observed failing at sf0.1's 1,500
+    users/group). Tighter rsd costs more registers per group
+    (~2^16 · 6 bits ≈ 48 KB), still constant per key."""
+    agg = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id", 0.01).alias("_approx"),
+    )
+    tol = F.greatest(F.lit(1.0), F.lit(0.05) * F.col("n_users"))
+    return agg.select(
+        "event_type",
+        "n_users",
+        (F.abs(F.col("_approx") - F.col("n_users")) <= tol).alias(
+            "approx_within_5pct"
+        ),
+    )
+
+
 def deterministic_sample(events: DataFrame, pct: int = 10) -> DataFrame:
     """Reproducible ~pct% sample via multiplicative hashing of the row
     key — no rand() (nondeterministic under retries/replays at scale),
@@ -272,6 +298,37 @@ def price_quantiles_approx(lineitem: DataFrame) -> DataFrame:
     )
     return lineitem.groupBy("l_returnflag").agg(
         q[0].alias("p25"), q[1].alias("p50"), q[2].alias("p90"), q[3].alias("p99")
+    )
+
+
+def price_quantiles_approx_certified(lineitem: DataFrame) -> DataFrame:
+    """Certified form (boolean-tolerance oracle): exact interpolated
+    percentiles hash-checked cross-engine, plus one pinned boolean per
+    quantile asserting the GK-sketch estimate lands within 5% of the
+    exact value (GK accuracy 1000 bounds RANK error at n/1000; on these
+    smooth price distributions that is far inside 5% of value). Exact
+    and approx compute in the one groupBy."""
+    ex = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.9, 0.99))")
+    ap = F.expr(
+        "percentile_approx(l_extendedprice, array(0.25, 0.5, 0.9, 0.99), 1000)"
+    )
+    agg = lineitem.groupBy("l_returnflag").agg(ex.alias("_ex"), ap.alias("_ap"))
+
+    def ok(i: int) -> F.Column:
+        return (
+            F.abs(F.col("_ap")[i] - F.col("_ex")[i]) <= F.lit(0.05) * F.col("_ex")[i]
+        )
+
+    return agg.select(
+        "l_returnflag",
+        F.col("_ex")[0].alias("p25"),
+        F.col("_ex")[1].alias("p50"),
+        F.col("_ex")[2].alias("p90"),
+        F.col("_ex")[3].alias("p99"),
+        ok(0).alias("p25_within_5pct"),
+        ok(1).alias("p50_within_5pct"),
+        ok(2).alias("p90_within_5pct"),
+        ok(3).alias("p99_within_5pct"),
     )
 
 
@@ -638,8 +695,8 @@ QUERIES = {
     "nation_participation": _q(nation_participation, "customer", "supplier"),
     "events_distinct_users": _q(distinct_users_by_type, "events"),
     "events_distinct_users_approx": _q(
-        distinct_users_by_type_approx, "events"
-    ),  # rows-only: sketch estimate is engine-specific
+        distinct_users_approx_certified, "events"
+    ),  # boolean-tolerance oracle: exact hash-checked, estimate pinned
     "lineitem_price_quantiles": _q(price_quantiles, "lineitem"),
     "events_deterministic_sample": _q(deterministic_sample, "events"),
     "events_stratified_sample": _q(stratified_sample, "events"),
@@ -652,8 +709,8 @@ QUERIES = {
     "basket_part_pairs": _q(basket_part_pairs, "lineitem"),
     "customer_rfm": _q(customer_rfm, "orders"),
     "lineitem_price_quantiles_approx": _q(
-        price_quantiles_approx, "lineitem"
-    ),  # rows-only: GK sketch estimates are engine-specific
+        price_quantiles_approx_certified, "lineitem"
+    ),  # boolean-tolerance oracle: exact hash-checked, estimate pinned
     "events_user_value_ewma": _q(
         user_value_ewma, "events"
     ),  # rows-only: sequential recurrence, no SQL equivalent
@@ -722,6 +779,22 @@ ORACLE = {
                quantile_cont(l_extendedprice, 0.9)  AS p90,
                quantile_cont(l_extendedprice, 0.99) AS p99
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "lineitem_price_quantiles_approx": """
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.25) AS p25,
+               quantile_cont(l_extendedprice, 0.5)  AS p50,
+               quantile_cont(l_extendedprice, 0.9)  AS p90,
+               quantile_cont(l_extendedprice, 0.99) AS p99,
+               TRUE AS p25_within_5pct, TRUE AS p50_within_5pct,
+               TRUE AS p90_within_5pct, TRUE AS p99_within_5pct
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "events_distinct_users_approx": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_users,
+               TRUE AS approx_within_5pct
+        FROM events GROUP BY event_type
     """,
     "events_deterministic_sample": """
         SELECT event_type, count(*) AS n_sampled

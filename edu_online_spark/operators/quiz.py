@@ -137,15 +137,37 @@ def q_quiz_mastery(spark, sf_dir):
 
 
 def q_quiz_mastery_approx(spark, sf_dir):
+    """Certified form of the sketch variant (boolean-tolerance oracle,
+    see operators/sketches.py for the pattern): exact per-key counts
+    hash-checked cross-engine, plus a pinned boolean asserting the
+    HLL++ distinct estimate sits within max(1, 5%) of the exact count —
+    so the driver certifies the sketch path, not just its row count.
+    `mastery_agg_approx` remains the production operator."""
     from ..sources import load_table
 
-    return mastery_agg_approx(quiz_view(load_table(spark, sf_dir, "events")))
+    qz = quiz_view(load_table(spark, sf_dir, "events"))
+    agg = qz.groupBy("uid", "courseid", "pointid").agg(
+        F.count_distinct("questionid").alias("qz_count"),
+        F.approx_count_distinct("questionid").alias("_approx"),
+        F.count("*").alias("qz_sum"),
+        F.sum(F.when(F.col("istrue") == "1", 1).otherwise(0)).alias("qz_istrue"),
+        F.min("createtime").alias("createtime"),
+    )
+    tol = F.greatest(F.lit(1.0), F.lit(0.05) * F.col("qz_count"))
+    return agg.select(
+        "uid", "courseid", "pointid", "qz_count", "qz_sum", "qz_istrue",
+        "createtime",
+        (F.abs(F.col("_approx") - F.col("qz_count")) <= tol).alias(
+            "approx_within_tol"
+        ),
+    )
 
 
 QUERIES = {
     "quiz_mastery": q_quiz_mastery,
-    # rows-only: HLL++ estimates are engine-specific; the sketch form is
-    # the unbounded-question-domain variant of quiz_mastery
+    # boolean-tolerance oracle: exact columns hash-checked, the HLL++
+    # estimate pinned to its accuracy envelope (the sketch form is the
+    # unbounded-question-domain variant of quiz_mastery)
     "quiz_mastery_approx": q_quiz_mastery_approx,
 }
 
@@ -168,5 +190,16 @@ ORACLE = {
                qz_istrue / qz_sum AS correct_rate,
                (qz_count / 30.0) * (qz_istrue / qz_sum) AS mastery_rate
         FROM agg
+    """,
+    "quiz_mastery_approx": f"""
+        WITH qz AS ({QUIZ_SQL_VIEW})
+        SELECT uid, courseid, pointid,
+               count(DISTINCT questionid) AS qz_count,
+               count(*) AS qz_sum,
+               CAST(sum(CASE WHEN istrue = '1' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS qz_istrue,
+               min(createtime) AS createtime,
+               TRUE AS approx_within_tol
+        FROM qz GROUP BY uid, courseid, pointid
     """,
 }

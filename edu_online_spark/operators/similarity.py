@@ -418,6 +418,22 @@ def _q(fn):
     return runner
 
 
+RECALL_GATE = 0.9  # same threshold the pytest recall gates pin
+
+
+def ann_recall_certified(embeddings: DataFrame) -> DataFrame:
+    """Certified form of ann_recall_report (boolean-tolerance oracle):
+    k and the exact-neighbor count are oracle-computable and
+    hash-checked; the LSH-dependent recall collapses to a pinned
+    boolean `recall_ok` (recall ≥ 0.9, the same gate
+    tests/test_similarity.py enforces at sf0.01/sf0.1) — so the
+    driver certifies the retrieval-quality gate itself each round."""
+    r = ann_recall_report(embeddings)
+    return r.select(
+        "k", "n_exact", (F.col("recall") >= RECALL_GATE).alias("recall_ok")
+    )
+
+
 def _q2(fn):
     def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(
@@ -434,7 +450,9 @@ QUERIES = {
     "sim_knn_ivf": _q(knn_ivf),  # rows-only: iterative k-means training
     "ann_all_pairs_topk": _q(ann_all_pairs_topk),  # rows-only: approximate
     "sim_embedding_norms": _q(embedding_norms),
-    "ann_recall_report": _q(ann_recall_report),  # rows-only: measures the approximate path
+    # boolean-tolerance oracle: k + exact-neighbor count hash-checked,
+    # the recall gate pinned as a boolean
+    "ann_recall_report": _q(ann_recall_certified),
     "xmodal_label_lang_crosstab": _q2(label_lang_crosstab),
     "xmodal_norm_extremes": _q2(norm_extremes_by_source),
 }
@@ -446,6 +464,13 @@ _COS = """
 """
 
 ORACLE = {
+    "ann_recall_report": f"""
+        SELECT {TOP_K} AS k,
+               (SELECT COUNT(*) FROM embeddings WHERE vec_id < {N_QUERIES})
+                   * LEAST({TOP_K}, (SELECT COUNT(*) FROM embeddings) - 1)
+                   AS n_exact,
+               TRUE AS recall_ok
+    """,
     "sim_embedding_norms": """
         SELECT vec_id,
                sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE

@@ -114,6 +114,11 @@ _WINDOW_PRIORITY = [
     "events_hll_rollup",
     "events_theta_overlap",
     "dedup_cross_corpus",
+    # 2c: rows-only → boolean-tolerance oracle upgrades (round 4);
+    # quiz_mastery_approx reaches the window via prefix order already
+    "events_distinct_users_approx",
+    "lineitem_price_quantiles_approx",
+    "ann_recall_report",
     # 3: sentinels
     "quiz_mastery",
     "dedup_minhash_lsh",

@@ -16,14 +16,13 @@ def test_rows_only_set_is_intentional():
     rows-only list — a new query silently missing its oracle fails."""
     qs, os_ = registry.queries(), registry.oracle_sql()
     rows_only = set(qs) - set(os_)
+    # round 4 moved the approx/recall quartet to boolean-tolerance
+    # oracles (exact columns hash-checked, estimate envelope pinned);
+    # what remains is genuinely engine-defined or sequential
     assert rows_only == {
         "ann_all_pairs_topk",
-        "ann_recall_report",
         "dedup_simhash",
-        "events_distinct_users_approx",
         "events_user_value_ewma",
-        "lineitem_price_quantiles_approx",
-        "quiz_mastery_approx",
         "sim_knn_ivf",
         "sim_knn_lsh",
         "text_fingerprints_fast",

@@ -62,3 +62,30 @@ def test_sketch_plans_stay_jvm_side(spark, sf_dir):
         plan = explain_str(df, "simple")
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "CartesianProduct" not in plan  # 1-row crossJoins broadcast
+
+
+def test_tolerance_booleans_hold_at_bench_scale(spark):
+    """The boolean-tolerance oracles must be scale-stable: a tolerance
+    calibrated only for the tiny driver SF is a landmine (observed: the
+    default-rsd HLL++ check flipped at sf0.1's 1,500 users/group before
+    rsd was tightened to 0.01). Pin every certified estimate boolean at
+    the largest local SF."""
+    from pyspark.sql import functions as F
+
+    from edu_online_spark.registry import queries
+
+    qs = queries()
+    for name in (
+        "events_distinct_users_approx",
+        "lineitem_price_quantiles_approx",
+        "quiz_mastery_approx",
+        "events_hll_rollup",
+        "events_theta_overlap",
+    ):
+        df = qs[name](spark, "/root/testdata/sf0.1")
+        cond = None
+        for c, t in df.dtypes:
+            if t == "boolean":
+                cond = F.col(c) if cond is None else (cond & F.col(c))
+        assert cond is not None, f"{name} lost its tolerance booleans"
+        assert df.filter(~cond).count() == 0, f"{name} envelope violated at sf0.1"
