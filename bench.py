@@ -70,6 +70,7 @@ HEADLINE = [
     "events_hll_rollup",
     "events_theta_overlap",
     "dedup_cross_corpus",
+    "hybrid_search_rrf",
 ]
 
 

@@ -421,6 +421,119 @@ def _q(fn):
 RECALL_GATE = 0.9  # same threshold the pytest recall gates pin
 
 
+def ann_all_pairs_recall(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Certified recall for the corpus×corpus path (boolean-tolerance
+    oracle): the exact every-vector top-k inventory count is
+    oracle-computable (n · min(k, n−1)) and hash-checked; recall of
+    ann_all_pairs_topk against it is pinned as a ≥0.9 boolean — the
+    same gate tests/test_similarity.py enforces, now driver-certified.
+
+    The exact baseline broadcasts the whole corpus as the query side
+    (O(n²) cosines) — a certification harness, not a production path,
+    so it carries the same 50k guard as the exact dedup baselines;
+    at scale, recall is estimated on a sampled query subset instead
+    (ann_recall_report's shape)."""
+    n = embeddings.count()
+    if n > 50_000:
+        raise ValueError(
+            f"ann_all_pairs_recall is an O(n²) certification baseline "
+            f"(corpus has {n} vectors, cap 50000); at scale measure recall "
+            "on a sampled query set via ann_recall_report"
+        )
+    exact = knn_bruteforce(embeddings, k=k, n_queries=n).select("qid", "nid")
+    approx = ann_all_pairs_topk(embeddings, k=k).select("qid", "nid")
+    hits = exact.join(approx, ["qid", "nid"], "left_semi")
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(hits.agg(F.count("*").alias("n_hit")))
+        .select(
+            F.lit(k).alias("k"),
+            "n_exact",
+            ((F.col("n_hit") / F.col("n_exact")) >= RECALL_GATE).alias("recall_ok"),
+        )
+    )
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+def hybrid_search_rrf(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Hybrid retrieval: lexical (n-gram Jaccard) + vector (cosine)
+    rankings fused by Reciprocal Rank Fusion — the standard two-tower
+    retrieval combiner (RRF(d) = Σ 1/(rrf_k + rank_i(d))), here exact
+    and fully oracle-checkable because every score is rational: integer
+    shingle counts, fold-based cosine (bit-exact vs DuckDB), and
+    1/(60+rank) sums — no BM25 log terms, which would be libm-unstable
+    cross-engine.
+
+    Corpus = items present in both tables (doc_id = vec_id); queries =
+    the first n_queries items (broadcast — the query side is small by
+    construction). A document absent from the lexical list (zero
+    shingle overlap) contributes only its vector term, per standard
+    RRF over incomplete lists. Ties everywhere break by ascending
+    neighbor id, making the top-k deterministic in any engine.
+
+    Scale: this certified form ranks the full corpus per query (exact,
+    for the oracle); the production path would feed RRF from the
+    banded LSH candidate sets (knn_lsh / text_knn_minhash) instead of
+    full rankings — the fusion arithmetic is identical.
+    """
+    from ..functions import hashing
+    from ..operators.dedup import _shingled
+
+    items = documents.join(
+        embeddings, documents.doc_id == embeddings.vec_id
+    ).select("doc_id", "text", "embedding")
+    sh = _shingled(items.select("doc_id", "text"))
+    with_sh = items.join(sh, "doc_id").select("doc_id", "embedding", "sh")
+    q = with_sh.select(
+        F.col("doc_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("sh").alias("qsh"),
+    ).filter(F.col("qid") < n_queries)
+    c = with_sh.select(
+        F.col("doc_id").alias("nid"),
+        F.col("embedding").alias("nv"),
+        F.col("sh").alias("nsh"),
+    )
+    pairs = c.join(F.broadcast(q), F.col("qid") != F.col("nid")).select(
+        "qid",
+        "nid",
+        cosine_similarity(F.col("qv"), F.col("nv")).alias("cosine"),
+        hashing.jaccard(F.col("qsh"), F.col("nsh")).alias("jaccard"),
+    )
+    w_vec = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    ranked = pairs.withColumn("vrank", F.row_number().over(w_vec))
+    w_txt = Window.partitionBy("qid").orderBy(F.desc("jaccard"), F.asc("nid"))
+    text_ranks = (
+        pairs.filter(F.col("jaccard") > 0)
+        .withColumn("trank", F.row_number().over(w_txt))
+        .select("qid", "nid", "trank")
+    )
+    fused = (
+        ranked.join(text_ranks, ["qid", "nid"], "left")
+        .withColumn(
+            "rrf_score",
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("trank")), F.lit(0.0)
+            )
+            + F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("vrank")),
+        )
+    )
+    w_top = Window.partitionBy("qid").orderBy(F.desc("rrf_score"), F.asc("nid"))
+    return (
+        fused.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= k)
+        .select("qid", "nid", "rrf_score")
+    )
+
+
 def ann_recall_certified(embeddings: DataFrame) -> DataFrame:
     """Certified form of ann_recall_report (boolean-tolerance oracle):
     k and the exact-neighbor count are oracle-computable and
@@ -453,6 +566,8 @@ QUERIES = {
     # boolean-tolerance oracle: k + exact-neighbor count hash-checked,
     # the recall gate pinned as a boolean
     "ann_recall_report": _q(ann_recall_certified),
+    "ann_all_pairs_recall": _q(ann_all_pairs_recall),
+    "hybrid_search_rrf": _q2(hybrid_search_rrf),
     "xmodal_label_lang_crosstab": _q2(label_lang_crosstab),
     "xmodal_norm_extremes": _q2(norm_extremes_by_source),
 }
@@ -471,11 +586,71 @@ ORACLE = {
                    AS n_exact,
                TRUE AS recall_ok
     """,
+    "ann_all_pairs_recall": f"""
+        SELECT {TOP_K} AS k,
+               (SELECT COUNT(*) FROM embeddings)
+                   * LEAST({TOP_K}, (SELECT COUNT(*) FROM embeddings) - 1)
+                   AS n_exact,
+               TRUE AS recall_ok
+    """,
     "sim_embedding_norms": """
         SELECT vec_id,
                sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
                               for i in range(1, len(embedding) + 1)])) AS norm
         FROM embeddings
+    """,
+    "hybrid_search_rrf": f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(w[i:i+2], ' ')
+                                  for i in range(1, len(w) - 1)]) AS sh
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w
+                  FROM documents)
+            WHERE len(w) >= 3
+        ),
+        items AS (
+            SELECT d.doc_id, e.embedding, s.sh
+            FROM documents d
+            JOIN embeddings e ON d.doc_id = e.vec_id
+            JOIN sh s ON d.doc_id = s.doc_id
+        ),
+        pairs AS (
+            SELECT q.doc_id AS qid, c.doc_id AS nid,
+                   list_sum([q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE
+                             for i in range(1, len(q.embedding) + 1)])
+                   / (sqrt(list_sum([q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE
+                                     for i in range(1, len(q.embedding) + 1)]))
+                      * sqrt(list_sum([c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE
+                                       for i in range(1, len(c.embedding) + 1)])))
+                       AS cosine,
+                   len(list_intersect(q.sh, c.sh))::DOUBLE
+                       / len(list_distinct(list_concat(q.sh, c.sh))) AS jaccard
+            FROM items c
+            JOIN items q ON q.doc_id < {N_QUERIES} AND q.doc_id <> c.doc_id
+        ),
+        ranked AS (
+            SELECT qid, nid, jaccard,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY cosine DESC, nid ASC) AS vrank
+            FROM pairs
+        ),
+        tranks AS (
+            SELECT qid, nid,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY jaccard DESC, nid ASC) AS trank
+            FROM pairs WHERE jaccard > 0
+        ),
+        fused AS (
+            SELECT r.qid, r.nid,
+                   COALESCE(1.0 / ({RRF_K} + t.trank), 0.0)
+                       + 1.0 / ({RRF_K} + r.vrank) AS rrf_score
+            FROM ranked r LEFT JOIN tranks t
+              ON r.qid = t.qid AND r.nid = t.nid
+        )
+        SELECT qid, nid, rrf_score
+        FROM fused
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY rrf_score DESC, nid ASC) <= {TOP_K}
     """,
     "xmodal_label_lang_crosstab": """
         SELECT label, lang, count(*) AS n_docs

@@ -119,6 +119,8 @@ _WINDOW_PRIORITY = [
     "events_distinct_users_approx",
     "lineitem_price_quantiles_approx",
     "ann_recall_report",
+    "ann_all_pairs_recall",
+    "hybrid_search_rrf",
     # 3: sentinels
     "quiz_mastery",
     "dedup_minhash_lsh",

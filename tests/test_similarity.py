@@ -81,3 +81,35 @@ def test_all_pairs_topk_recall_at_bench_scale(spark):
     assert len(exact) == 500
     approx = _result_sets(ann_all_pairs_topk(emb))
     assert _recall(approx, exact) >= 0.9
+
+
+def test_hybrid_rrf_fuses_lexical_and_vector_signals(spark):
+    """A neighbor that is strong in ONLY ONE modality must still
+    surface, and one strong in BOTH must outrank it: doc 1 is near-
+    identical text but orthogonal vector, doc 2 is same-direction
+    vector but disjoint text, doc 3 is strong in both."""
+    from edu_online_spark.operators.similarity import hybrid_search_rrf
+
+    base = "spark shuffles data between stages when keys change and joins move rows"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base.replace("rows", "tuples")),                    # text twin
+            (2, "completely different cooking pasta recipe tonight yes ok"),
+            (3, base),                                              # both-strong
+        ],
+        ["doc_id", "text"],
+    )
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),   # orthogonal to the query
+            (2, [0.9, 0.3, 0.0]),   # vector-only neighbor
+            (3, [0.99, 0.05, 0.0]),  # both-strong
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = hybrid_search_rrf(docs, vecs, k=3, n_queries=1).collect()
+    by_rank = [r["nid"] for r in sorted(out, key=lambda r: -r["rrf_score"])]
+    assert set(by_rank) == {1, 2, 3}  # single-modality docs still surface
+    assert by_rank[0] == 3, by_rank  # rank 1 in BOTH lists wins the fusion
