@@ -1,0 +1,236 @@
+"""In-engine BPE tokenizer training and encoding.
+
+The reference has no tokenizer (its "tokens" are TSV fields); an LLM
+curation engine needs one — vocabulary induction is the step between
+corpus statistics (textops.vocabulary_topk) and encoding
+(textops.encode_documents), and byte-pair encoding is the standard
+algorithm (Sennrich et al. 2016, the public BPE used by GPT-2/RoBERTa
+tokenizers).
+
+Spark-first architecture — the part that matters at 100 TB:
+
+  1. ONE corpus pass collapses the corpus to a WORD-FREQUENCY table
+     (wordcount shape: partial agg, single shuffle on the word). This
+     is the only stage that touches corpus-sized data.
+  2. The merge loop then iterates over the VOCABULARY table (distinct
+     word forms × frequency — bounded by language, not corpus size;
+     this is exactly how HuggingFace `tokenizers` trains). Each round:
+     explode adjacent symbol pairs weighted by word frequency →
+     aggregate pair counts → take the argmax pair (count desc, then
+     lexicographic — fully deterministic ties) → rewrite the symbol
+     sequences containing that pair. The rewrite is an Arrow-batched
+     pandas UDF applied to vocab-sized data — the sanctioned Python
+     boundary, never the corpus.
+  3. Encoding documents with the learned merges broadcasts the merge
+     ranks and applies them per word in one `mapInPandas` pass over
+     the corpus (each word encodes independently — embarrassingly
+     parallel).
+
+Driver-side state per round is the argmax pair — a 1-row collect,
+driver-safe at any scale; the symbol table itself never leaves the
+executors.
+
+Rows-only in the registry: the merge loop is iterative and the
+per-word merge order is not expressible in one SQL query; correctness
+is pinned by the classic hand-computable fixture (the "hug/pug/bun"
+corpus) and a lossless-round-trip property test instead.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions import text as T
+from ..sources import load_table
+
+END_OF_WORD = "</w>"  # GPT-2-style word-boundary marker
+
+
+def word_frequencies(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus → (word, freq): the single corpus-sized stage."""
+    return (
+        documents.select(F.explode(T.tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _initial_symbols(words: DataFrame) -> DataFrame:
+    """(word, freq, syms: array<string>) — characters + end-of-word."""
+    return words.select(
+        "word",
+        "freq",
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit(END_OF_WORD))
+        ).alias("syms"),
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent symbol pairs weighted by word frequency. posexplode +
+    per-word self-alignment via element_at — all codegen, vocab-sized."""
+    exploded = vocab.select(
+        "freq", F.posexplode("syms").alias("i", "left"), F.col("syms")
+    ).filter(F.col("i") < F.size("syms") - 1)
+    return (
+        exploded.select(
+            "freq",
+            "left",
+            F.element_at(F.col("syms"), F.col("i") + 2).alias("right"),
+        )
+        .groupBy("left", "right")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def _merge_pair_udf(left: str, right: str):
+    merged = left + right
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def merge(syms: pd.Series) -> pd.Series:
+        out = []
+        for seq in syms:
+            res, i, n = [], 0, len(seq)
+            while i < n:
+                if i + 1 < n and seq[i] == left and seq[i + 1] == right:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(seq[i])
+                    i += 1
+            out.append(res)
+        return pd.Series(out)
+
+    return merge
+
+
+def train_bpe_merges(
+    documents: DataFrame, n_merges: int = 20, text_col: str = "text"
+) -> list[tuple[str, str]]:
+    """Learn `n_merges` BPE merges; returns [(left, right), ...] in
+    rank order. Deterministic: ties on pair count break lexicographic.
+    """
+    vocab = _initial_symbols(word_frequencies(documents, text_col))
+    # the loop re-reads vocab each round; keep it materialized and tiny
+    vocab = vocab.localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < 2:
+            break  # nothing left worth merging
+        left, right = top[0]["left"], top[0]["right"]
+        merges.append((left, right))
+        vocab = vocab.withColumn(
+            "syms", _merge_pair_udf(left, right)(F.col("syms"))
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_encode(
+    documents: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode every document with learned merges: (doc_id, tokens,
+    n_tokens, n_words). One mapInPandas pass; the merge list (priority-
+    ranked) ships in the closure (serialized once per task — the
+    merge table is KBs). Per-word greedy lowest-rank-first application,
+    exactly the standard BPE encode."""
+    ranks = {pair: r for r, pair in enumerate(merges)}
+
+    def encode_word(word: str) -> list[str]:
+        seq = list(word) + [END_OF_WORD]
+        while len(seq) > 1:
+            best, best_rank = None, None
+            for i in range(len(seq) - 1):
+                r = ranks.get((seq[i], seq[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best is None:
+                break
+            seq = seq[:best] + [seq[best] + seq[best + 1]] + seq[best + 2:]
+        return seq
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks, n_toks, n_words = [], [], []
+            for text in pdf[text_col]:
+                words = [w for w in str(text).strip().split(" ") if w]
+                enc: list[str] = []
+                for w in words:
+                    enc.extend(encode_word(w))
+                toks.append(enc)
+                n_toks.append(len(enc))
+                n_words.append(len(words))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "tokens": toks,
+                    "n_tokens": pd.Series(n_toks, dtype="int64"),
+                    "n_words": pd.Series(n_words, dtype="int64"),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("tokens", ArrayType(StringType())),
+            StructField("n_tokens", LongType()),
+            StructField("n_words", LongType()),
+        ]
+    )
+    return documents.select("doc_id", text_col).mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Registry (rows-only — iterative algorithm; see module docstring)
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_MERGES = 20
+
+
+def _q_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, BPE_TRAIN_MERGES)
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        schema=StructType(
+            [
+                StructField("rank", IntegerType()),
+                StructField("left", StringType()),
+                StructField("right", StringType()),
+            ]
+        ),
+    )
+
+
+def _q_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, BPE_TRAIN_MERGES)
+    return bpe_encode(docs, merges)
+
+
+QUERIES = {
+    "corpus_bpe_merges": _q_merges,
+    "docs_bpe_encoded": _q_encoded,
+}
+
+ORACLE: dict[str, str] = {}

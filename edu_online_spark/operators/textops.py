@@ -699,6 +699,64 @@ def doc_boilerplate_fraction(
     )
 
 
+def lm_perplexity_scores(documents: DataFrame, add_k: float = 0.5) -> DataFrame:
+    """CCNet-style n-gram LM quality scoring: train a bigram language
+    model on a deterministic half of the corpus (xxhash64 doc split —
+    replay-stable, no rand()), then score EVERY document by its average
+    negative log-probability. High avg_nll ⇒ out-of-distribution text
+    (gibberish, boilerplate soup, wrong language) — the classic
+    perplexity gate between heuristic filters and dedup in an LLM
+    curation stack.
+
+    Model: P(w₂|w₁) = (c(w₁,w₂) + k) / (c(w₁) + k·V), add-k smoothed,
+    V = training vocabulary size. Scoring is two LEFT joins of the
+    document bigram rows against the count tables — at real vocabulary
+    sizes those tables shard by key (no broadcast hint; AQE broadcasts
+    only if they measure small), the document side streams, and unseen
+    bigrams fall back to the smoothed floor via coalesce.
+
+    Rows-only by design: ln() is libm (not bit-portable across
+    engines); correctness is pinned by the in-distribution <
+    out-of-distribution ordering test instead.
+    """
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "token")
+    ).filter(F.col("token") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.withColumn("next", F.lead("token").over(w))
+        .filter(F.col("next").isNotNull())
+        .select("doc_id", "token", "next")
+    )
+    is_train = F.xxhash64(F.col("doc_id")) % 2 == 0
+    train = bigrams.filter(is_train)
+    c2 = train.groupBy("token", "next").agg(F.count("*").alias("c2"))
+    c1 = train.groupBy("token").agg(F.count("*").alias("c1"))
+    vocab = train.select(F.col("token").alias("v_tok")).union(
+        train.select(F.col("next"))
+    ).distinct().agg(F.count("*").alias("v"))
+    scored = (
+        bigrams.join(c2, ["token", "next"], "left")
+        .join(c1, ["token"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(add_k))
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(add_k) * F.col("v"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.avg("nll").alias("avg_nll"),
+    )
+
+
 QUERIES = {
     "text_quality": _q(text_quality),
     "text_lang_confusion": _q(lang_confusion),
@@ -725,6 +783,9 @@ QUERIES = {
     "docs_vocab_encoded": _q(encode_documents),
     "docs_train_val_test": _q(train_val_test_split),
     "corpus_mixture_plan": _q(corpus_mixture_plan),
+    # rows-only: ln() is libm, not bit-portable cross-engine; ordering
+    # semantics pinned by test instead
+    "docs_lm_perplexity": _q(lm_perplexity_scores),
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), ' +')"

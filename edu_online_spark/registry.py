@@ -33,6 +33,7 @@ _EXTENSION_NAMES = [
     "pii",
     "multimodal",
     "sketches",
+    "bpe",
     "tpch",
     "analytics",
     "sessions",

@@ -21,7 +21,10 @@ def test_rows_only_set_is_intentional():
     # what remains is genuinely engine-defined or sequential
     assert rows_only == {
         "ann_all_pairs_topk",
+        "corpus_bpe_merges",
         "dedup_simhash",
+        "docs_bpe_encoded",
+        "docs_lm_perplexity",
         "events_user_value_ewma",
         "sim_knn_ivf",
         "sim_knn_lsh",

@@ -182,3 +182,23 @@ def test_corpus_mixture_plan_unknown_source_excluded(spark):
     assert rows["src0"]["weight"] == 4
     # budget 4 of weight-share 4/8 → target 2 tokens over 5 available
     assert abs(rows["src0"]["sample_rate"] - 2 / 5) < 1e-12
+
+
+def test_lm_perplexity_orders_in_distribution_before_gibberish(spark):
+    """The bigram LM must assign lower average NLL to text made of the
+    corpus's common bigrams than to never-seen token sequences, and
+    smoothing must keep unseen bigrams finite."""
+    from edu_online_spark.operators.textops import lm_perplexity_scores
+
+    common = "the quick brown fox jumps over the lazy dog"
+    # enough copies that some land in the xxhash64 training half
+    rows = [(i, common) for i in range(40)]
+    rows.append((1000, common))                        # in-distribution probe
+    rows.append((1001, "zyx wvu tsr qpo nml kji hgf"))  # all-unseen probe
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in lm_perplexity_scores(docs).collect()}
+    assert out[1000]["avg_nll"] < out[1001]["avg_nll"]
+    import math
+
+    assert math.isfinite(out[1001]["avg_nll"])  # add-k floor, no -inf
+    assert out[1000]["n_bigrams"] == 8
