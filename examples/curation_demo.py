@@ -68,10 +68,20 @@ def main() -> None:
     gated = docs.join(quality_ids, "doc_id").join(clean_ids, "doc_id")
     n_gated = gated.count()
 
+    # round-4 stage: bigram-LM perplexity gate (CCNet-style) — drop the
+    # worst-NLL tail (95th percentile cut on this synthetic corpus)
+    nll = textops.lm_perplexity_scores(gated)
+    cut = nll.agg(
+        F.expr("percentile(avg_nll, 0.95)").alias("c")
+    ).first()["c"]
+    lm_ids = nll.filter(F.col("avg_nll") <= cut).select("doc_id")
+    lm_gated = gated.join(lm_ids, "doc_id")
+    n_lm = lm_gated.count()
+
     # neardup_curated projects to (doc_id, source, lang); join the
     # surviving ids back for the text-bearing chunking stage
-    survivors = dedup.neardup_curated(gated).select("doc_id")
-    curated = gated.join(survivors, "doc_id")
+    survivors = dedup.neardup_curated(lm_gated).select("doc_id")
+    curated = lm_gated.join(survivors, "doc_id")
     n_curated = curated.count()
 
     chunks = textops.chunk_documents(curated)
@@ -91,10 +101,22 @@ def main() -> None:
 
     vocab = textops.vocabulary_topk(curated, k=10).collect()
 
+    # round-4 tail: BPE vocabulary induction on the curated corpus +
+    # encode (merge loop runs on the word-frequency table, not docs)
+    from edu_online_spark.operators import bpe
+
+    merges = bpe.train_bpe_merges(curated, n_merges=12)
+    bpe_stats = (
+        bpe.bpe_encode(curated, merges)
+        .agg(F.sum("n_tokens").alias("t"), F.sum("n_words").alias("w"))
+        .first()
+    )
+
     print(f"raw documents:        {n_raw}")
     print(f"pii redactions:       {n_redactions}")
     print(f"after quality gate:   {n_quality}")
     print(f"after boilerplate:    {n_gated}")
+    print(f"after LM perplexity:  {n_lm}")
     print(f"after near-dup:       {n_curated}")
     print(f"training chunks:      {n_chunks}")
     print(f"packed sequences:     {n_packs}")
@@ -102,6 +124,9 @@ def main() -> None:
     print(f"curated corpus:       {out} (z-ordered, "
           f"{len(os.listdir(out))} entries)")
     print("top tokens:", [(r['token'], r['cnt']) for r in vocab[:5]])
+    print(f"bpe merges:           {len(merges)} learned; "
+          f"{bpe_stats['t']} tokens / {bpe_stats['w']} words "
+          f"({bpe_stats['t'] / bpe_stats['w']:.2f} tokens/word)")
 
 
 if __name__ == "__main__":
