@@ -542,6 +542,40 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_dedup_keep(
+    embeddings: DataFrame, threshold: float = COSINE_THRESHOLD
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): collapse clusters of semantically
+    near-identical items (embedding cosine ≥ threshold) into one
+    canonical survivor — the curation step that removes paraphrase-level
+    redundancy exact and MinHash dedup can't see.
+
+    Composition of two already-certified pieces: cosine near-dup pairs →
+    connected components → keep the minimum vec_id per cluster. Every
+    vector gets a verdict row (singletons are their own cluster rep,
+    kept=true), so the output is a total keep/drop decision, not just
+    the duplicate pairs. The pair stage here is the guarded all-pairs
+    correctness anchor; at corpus scale feed similarity.ann_lsh bucket
+    candidates into the same clustering — the components/keep logic is
+    candidate-source-agnostic.
+    """
+    pairs = embedding_neardup_pairs(embeddings, threshold).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    clusters = near_dup_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_rep"
+    )
+    return (
+        embeddings.select("vec_id")
+        .join(clusters, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_rep", "vec_id").alias("cluster_rep"),
+            (F.coalesce("cluster_rep", "vec_id") == F.col("vec_id")).alias("kept"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked query registry
 # ---------------------------------------------------------------------------
@@ -575,6 +609,7 @@ QUERIES = {
     # rows-only: neighbor set depends on LSH band collisions
     "text_knn_minhash": _q(text_knn_minhash, "documents"),
     "dedup_cross_corpus": _q_cross_corpus,
+    "dedup_semantic_keep": _q(semantic_dedup_keep, "embeddings"),
 }
 
 # Exact Jaccard in DuckDB: build distinct 3-shingle lists with a list
@@ -683,5 +718,40 @@ ORACLE = {
                                 for i in range(1, len(a.embedding) + 1)]))
                  * sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
                                   for i in range(1, len(b.embedding) + 1)]))) >= {COSINE_THRESHOLD}
+    """,
+    # SemDeDup keep/drop verdicts: recursive closure over the cosine
+    # pairs (same bit-exact list_sum arithmetic as dedup_embedding_cosine,
+    # so both engines agree on pair membership at the threshold), min
+    # reachable id per node, then a left join back so singletons carry
+    # their own id with kept=true.
+    "dedup_semantic_keep": f"""
+        WITH RECURSIVE pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                            for i in range(1, len(a.embedding) + 1)])
+                  / (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+                                    for i in range(1, len(a.embedding) + 1)]))
+                     * sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                                      for i in range(1, len(b.embedding) + 1)])))
+                  >= {COSINE_THRESHOLD}
+        ),
+        edges AS (
+            SELECT vec_a AS src, vec_b AS dst FROM pairs
+            UNION SELECT vec_b, vec_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT src, src FROM edges
+            UNION SELECT src, dst FROM edges
+            UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        labels AS (
+            SELECT src AS vec_id, min(dst) AS cluster_rep
+            FROM reach GROUP BY src
+        )
+        SELECT emb.vec_id,
+               coalesce(l.cluster_rep, emb.vec_id) AS cluster_rep,
+               coalesce(l.cluster_rep, emb.vec_id) = emb.vec_id AS kept
+        FROM embeddings emb LEFT JOIN labels l ON emb.vec_id = l.vec_id
     """,
 }

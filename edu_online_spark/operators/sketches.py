@@ -128,6 +128,96 @@ def audience_overlap_sketch(events: DataFrame) -> DataFrame:
     )
 
 
+# Count-Min sketch geometry. WIDTH is deliberately TINY (16 cells per
+# row against a ~31-word vocabulary) so hash collisions — the thing a
+# CMS trades for its fixed footprint — actually occur and the
+# overestimate column is non-zero: a production width (2^20) on this
+# corpus would make every estimate exact and the certification vacuous.
+# All row hashes are pure integer arithmetic over the polynomial token
+# fingerprint, so the DuckDB oracle reproduces every cell bit-for-bit —
+# unlike HLL/Theta above, a CMS needs no tolerance boolean.
+CMS_DEPTH = 4
+CMS_WIDTH = 16
+CMS_P = 2_147_483_647
+CMS_A = (1_103_515_245, 1_299_709, 104_729, 179_424_673)
+CMS_B = (12_345, 7, 31, 127)
+CMS_TOPK = 20
+
+# polynomial-fingerprint parameters shared with functions/text.py (the
+# oracle interpolates these so the two folds can't drift apart)
+from ..functions.text import FINGERPRINT_BASE as _FP_BASE  # noqa: E402
+from ..functions.text import FINGERPRINT_MOD as _FP_MOD  # noqa: E402
+
+
+def _cms_bucket(fp: F.Column, i: int) -> F.Column:
+    """Row-i cell index: ((fp·Aᵢ + Bᵢ) mod P) mod WIDTH. fp < 1e9+7 and
+    Aᵢ < 2³¹ keep the product under 2⁶¹ — no BIGINT overflow (the same
+    domain-reduction discipline as functions.core.hash_bucket)."""
+    return F.pmod(F.pmod(fp * F.lit(CMS_A[i]) + F.lit(CMS_B[i]), F.lit(CMS_P)), F.lit(CMS_WIDTH))
+
+
+def token_countmin(documents: DataFrame, k: int = CMS_TOPK) -> DataFrame:
+    """Count-Min frequency sketch over the corpus vocabulary, certified
+    against exact counts: build the d×w cell table, then answer point
+    queries for the top-k tokens and report the (always ≥ 0)
+    overestimate each suffered from collisions.
+
+    The third sketch family (HLL = distinct, Theta = set algebra,
+    CMS = frequency): at 100 TB the full token histogram is
+    vocabulary-sized state per partition, while the CMS is a FIXED d×w
+    integer grid that merges by cell-wise addition — the cell build
+    below is a groupBy-sum, i.e. already the map-side-combining merge.
+    Cells are fed from per-token counts (equivalent to per-occurrence
+    increments, one aggregation cheaper); estimates are the classic
+    min over the d cells a token hashes into.
+    """
+    from ..functions.text import fingerprint, tokens
+
+    counts = (
+        documents.select(F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("exact_cnt"))
+        .withColumn("fp", fingerprint("token"))
+        # two consumers below (cells + probes); the relation is
+        # vocabulary-sized, so materializing it once is cheap and
+        # avoids recomputing the corpus-wide count per branch
+        .localCheckpoint(eager=True)
+    )
+    cells = (
+        counts.select(
+            "exact_cnt",
+            F.posexplode(
+                F.array(*[_cms_bucket(F.col("fp"), i) for i in range(CMS_DEPTH)])
+            ).alias("row", "bucket"),
+        )
+        .groupBy("row", "bucket")
+        .agg(F.sum("exact_cnt").alias("cell_cnt"))
+    )
+    probes = counts.orderBy(F.desc("exact_cnt"), F.asc("token")).limit(k)
+    probe_cells = probes.select(
+        "token",
+        "exact_cnt",
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col("fp"), i) for i in range(CMS_DEPTH)])
+        ).alias("row", "bucket"),
+    )
+    return (
+        probe_cells.join(cells, ["row", "bucket"])
+        .groupBy("token")
+        .agg(
+            F.first("exact_cnt").alias("exact_cnt"),
+            F.min("cell_cnt").alias("cms_est"),
+        )
+        .select(
+            "token",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+        )
+    )
+
+
 def _q(fn, *tables):
     def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(*[load_table(spark, sf_dir, t) for t in tables])
@@ -138,6 +228,7 @@ def _q(fn, *tables):
 QUERIES = {
     "events_hll_rollup": _q(distinct_users_sketch_rollup, "events"),
     "events_theta_overlap": _q(audience_overlap_sketch, "events"),
+    "corpus_token_countmin": _q(token_countmin, "documents"),
 }
 
 ORACLE = {
@@ -161,5 +252,51 @@ ORACLE = {
                    AS exact_view_only,
                TRUE AS overlap_within_5pct,
                TRUE AS view_only_within_5pct
+    """,
+    # Every cell and every estimate reproduced from the same integer
+    # arithmetic — geometry and hash constants interpolated from the
+    # module constants so editing them cannot desynchronize the oracle.
+    "corpus_token_countmin": f"""
+        WITH hashes(i, a, b) AS (VALUES {", ".join(
+            f"({i}, {CMS_A[i]}, {CMS_B[i]})" for i in range(CMS_DEPTH)
+        )}),
+        tok AS (
+            SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS token
+            FROM documents
+        ),
+        cnt AS (
+            SELECT token, count(*) AS exact_cnt
+            FROM tok WHERE token <> '' GROUP BY token
+        ),
+        fp AS (
+            SELECT token, exact_cnt,
+                   list_reduce(
+                       [ascii(token[i])::BIGINT
+                        for i in range(1, length(token) + 1)],
+                       (acc, ch) -> (acc * {_FP_BASE} + ch) % {_FP_MOD}
+                   ) AS fp
+            FROM cnt
+        ),
+        cells AS (
+            SELECT h.i AS row_i,
+                   ((f.fp * h.a + h.b) % {CMS_P}) % {CMS_WIDTH} AS bucket,
+                   CAST(sum(f.exact_cnt) AS BIGINT) AS cell_cnt
+            FROM fp f CROSS JOIN hashes h
+            GROUP BY 1, 2
+        ),
+        probes AS (
+            SELECT token, exact_cnt, fp FROM fp
+            ORDER BY exact_cnt DESC, token ASC LIMIT {CMS_TOPK}
+        )
+        SELECT p.token,
+               p.exact_cnt,
+               min(c.cell_cnt) AS cms_est,
+               min(c.cell_cnt) - p.exact_cnt AS overestimate
+        FROM probes p
+        CROSS JOIN hashes h
+        JOIN cells c
+          ON c.row_i = h.i
+         AND c.bucket = ((p.fp * h.a + h.b) % {CMS_P}) % {CMS_WIDTH}
+        GROUP BY p.token, p.exact_cnt
     """,
 }

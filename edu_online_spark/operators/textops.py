@@ -8,6 +8,7 @@ the downstream group-by shapes a data-curation pipeline runs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -502,6 +503,183 @@ def train_val_test_split(
     )
 
 
+# Gopher-style rule thresholds (Rae et al. 2021, table A1), adapted to
+# the synthetic corpus so every rule is live (some docs pass, some
+# fail) rather than vacuously green: the corpus' uniform word lengths
+# cluster at ~4.5 (Gopher's real-text bound is 3), and its word-soup
+# has no punctuation, so the symbol-ratio rule is replaced by the
+# repetition (top-token-share) rule from the same suite.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 1000
+GOPHER_MIN_MEAN_WORD_LEN = 4.2
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_TOP_TOKEN_SHARE = 0.12
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality_rules(documents: DataFrame) -> DataFrame:
+    """Rule-based quality gate with per-rule verdicts and a drop reason.
+
+    The Gopher/MassiveText filter shape: each rule is an independent
+    boolean column (so curation can audit WHICH rule fired, not just
+    that a doc vanished), `keep` is their conjunction, and `drop_reason`
+    names the first failing rule in a fixed precedence order. All pure
+    higher-order-function column expressions over the token array —
+    scan-stage, zero Python, zero shuffles; the per-doc top-token-share
+    fold is O(distinct·n) on a ≤1000-token doc, i.e. bounded work per
+    row, which is exactly what survives a 100 TB scan.
+    """
+    tk = T.tokens("text")
+    d = documents.select(
+        "doc_id",
+        F.size(tk).alias("n_tokens"),
+        (
+            F.aggregate(tk, F.lit(0), lambda a, x: a + F.length(x)).cast("double")
+            / F.size(tk)
+        ).alias("mean_word_len"),
+        (
+            F.array_max(
+                F.transform(
+                    F.array_distinct(tk),
+                    lambda u: F.size(F.filter(tk, lambda t: t == u)),
+                )
+            ).cast("double")
+            / F.size(tk)
+        ).alias("top_token_share"),
+        T.marker_hits("text", T.STOPWORDS_EN).alias("n_stop"),
+    )
+    rules = d.select(
+        "*",
+        F.col("n_tokens").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS).alias(
+            "pass_word_count"
+        ),
+        F.col("mean_word_len")
+        .between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        .alias("pass_word_len"),
+        (F.col("top_token_share") <= GOPHER_MAX_TOP_TOKEN_SHARE).alias(
+            "pass_repetition"
+        ),
+        (F.col("n_stop") >= GOPHER_MIN_STOPWORDS).alias("pass_stopwords"),
+    )
+    return rules.select(
+        "*",
+        (
+            F.col("pass_word_count")
+            & F.col("pass_word_len")
+            & F.col("pass_repetition")
+            & F.col("pass_stopwords")
+        ).alias("keep"),
+        F.when(~F.col("pass_word_count"), F.lit("word_count"))
+        .when(~F.col("pass_word_len"), F.lit("word_len"))
+        .when(~F.col("pass_repetition"), F.lit("repetition"))
+        .when(~F.col("pass_stopwords"), F.lit("stopwords"))
+        .alias("drop_reason"),
+    )
+
+
+STRATIFIED_HASH_MOD = 1_000_003
+STRATIFIED_PER_STRATUM = 10
+
+
+def stratified_sample(
+    documents: DataFrame, per_stratum: int = STRATIFIED_PER_STRATUM
+) -> DataFrame:
+    """Deterministic stratified sample: exactly min(per_stratum, |s|)
+    docs per source, selected by hash order — no rand(), so the sample
+    is replay-, engine-, and partitioning-stable (the same property
+    train_val_test_split relies on), and re-drawing after corpus growth
+    keeps previously-sampled docs with high probability (hash order is
+    stable; only rank boundaries move).
+
+    Plan shape: one shuffle on `source`, rank within stratum, filter.
+    At 100 TB with a bounded per_stratum this is the top-k-per-key
+    pattern — the window sort is per-stratum and the filter keeps a
+    constant number of rows per group, so no stage materializes more
+    than the scan itself.
+    """
+    from pyspark.sql import Window
+    from ..functions.core import hash_bucket
+
+    w = Window.partitionBy("source").orderBy(
+        hash_bucket("doc_id", STRATIFIED_HASH_MOD), F.asc("doc_id")
+    )
+    return (
+        documents.select(
+            "doc_id", "source", "lang", F.row_number().over(w).alias("strat_rank")
+        )
+        .filter(F.col("strat_rank") <= per_stratum)
+    )
+
+
+def corpus_snapshot_diff(documents: DataFrame) -> DataFrame:
+    """Content diff between two corpus snapshots → one verdict row per
+    doc_id: added / removed / changed / unchanged.
+
+    The pipeline-ops primitive behind incremental reprocessing: only
+    `added`+`changed` docs need re-curation, `removed` docs need their
+    derived artifacts retired. Here the two snapshots are deterministic
+    views of the same table (old = doc_id % 7 != 3, new = doc_id % 11
+    != 5 with every 5th doc's text revised) so the oracle can mirror
+    them exactly; in production the inputs are two partitions of a
+    versioned corpus. FULL OUTER join on doc_id; the null pattern of
+    the two sides is the verdict. At scale, diff sha2 fingerprints
+    instead of raw text so the shuffle carries 32-byte keys — the
+    direct text compare here keeps the oracle trivially portable.
+    """
+    old = documents.filter(F.col("doc_id") % 7 != 3).select("doc_id", "text")
+    new = documents.filter(F.col("doc_id") % 11 != 5).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    j = old.alias("o").join(new.alias("n"), "doc_id", "full_outer")
+    return j.select(
+        "doc_id",
+        F.when(F.col("o.text").isNull(), F.lit("added"))
+        .when(F.col("n.text").isNull(), F.lit("removed"))
+        .when(F.col("o.text") != F.col("n.text"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+def compression_ratio_scores(documents: DataFrame) -> DataFrame:
+    """DEFLATE compression ratio per document — the classic cheap
+    redundancy signal (highly repetitive text compresses far below
+    ~0.5; near-random word soup stays high). Used as a quality gate
+    alongside the LM perplexity score.
+
+    zlib is stdlib and deterministic at a fixed level, but not
+    expressible in SQL → rows-only registry entry; the ordering
+    semantics (repetitive ≪ diverse) are pinned by test instead.
+    Arrow-vectorized pandas_udf: the only Python boundary is batched,
+    and the operator is embarrassingly parallel (scan-stage, no
+    shuffle).
+    """
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def comp_ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def ratio(t: str) -> float:
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(ratio)
+
+    return documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        comp_ratio(F.col("text")).alias("comp_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked query registry
 # ---------------------------------------------------------------------------
@@ -786,6 +964,12 @@ QUERIES = {
     # rows-only: ln() is libm, not bit-portable cross-engine; ordering
     # semantics pinned by test instead
     "docs_lm_perplexity": _q(lm_perplexity_scores),
+    "docs_gopher_quality": _q(gopher_quality_rules),
+    "docs_stratified_sample": _q(stratified_sample),
+    "corpus_snapshot_diff": _q(corpus_snapshot_diff),
+    # rows-only: DEFLATE output length is not SQL-expressible; ordering
+    # semantics (repetitive ≪ diverse) pinned by test
+    "docs_compression_ratio": _q(compression_ratio_scores),
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), ' +')"
@@ -1170,5 +1354,78 @@ ORACLE = {
                CAST(COALESCE(c.n_boilerplate, 0) AS DOUBLE) / p.n_shingles
                    AS boilerplate_frac
         FROM per_doc p LEFT JOIN per_doc_common c ON p.doc_id = c.doc_id
+    """,
+    # Per-rule verdicts: integer folds over the token list, DOUBLE
+    # divisions of exact integers (same IEEE op both engines), rule
+    # thresholds interpolated from the module constants so editing them
+    # cannot desynchronize the oracle.
+    "docs_gopher_quality": f"""
+        WITH d AS (
+            SELECT doc_id, {_TOKENS} AS w FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   len(w) AS n_tokens,
+                   list_sum(list_transform(w, x -> length(x)))::DOUBLE
+                       / len(w) AS mean_word_len,
+                   list_max(list_transform(list_distinct(w),
+                       u -> len(list_filter(w, x -> x = u))))::DOUBLE
+                       / len(w) AS top_token_share,
+                   len(list_filter(w, x -> x IN ({_STOP_LIST}))) AS n_stop
+            FROM d
+        ), r AS (
+            SELECT doc_id,
+                   CAST(n_tokens AS INTEGER) AS n_tokens,
+                   mean_word_len,
+                   top_token_share,
+                   CAST(n_stop AS INTEGER) AS n_stop,
+                   n_tokens BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                       AS pass_word_count,
+                   mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+                       AND {GOPHER_MAX_MEAN_WORD_LEN} AS pass_word_len,
+                   top_token_share <= {GOPHER_MAX_TOP_TOKEN_SHARE}
+                       AS pass_repetition,
+                   n_stop >= {GOPHER_MIN_STOPWORDS} AS pass_stopwords
+            FROM m
+        )
+        SELECT *,
+               (pass_word_count AND pass_word_len AND pass_repetition
+                AND pass_stopwords) AS keep,
+               CASE WHEN NOT pass_word_count THEN 'word_count'
+                    WHEN NOT pass_word_len THEN 'word_len'
+                    WHEN NOT pass_repetition THEN 'repetition'
+                    WHEN NOT pass_stopwords THEN 'stopwords' END AS drop_reason
+        FROM r
+    """,
+    # Same multiplicative-hash order as the Spark side (hash_bucket's
+    # documented SQL mirror), same (hash, doc_id) tie-break.
+    "docs_stratified_sample": f"""
+        WITH r AS (
+            SELECT doc_id, source, lang,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY ((doc_id % 2147483647) * 2654435761)
+                                    % {STRATIFIED_HASH_MOD},
+                                doc_id
+                   ) AS INTEGER) AS strat_rank
+            FROM documents
+        )
+        SELECT doc_id, source, lang, strat_rank
+        FROM r WHERE strat_rank <= {STRATIFIED_PER_STRATUM}
+    """,
+    "corpus_snapshot_diff": """
+        WITH old AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 7 != 3
+        ), new AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 11 != 5
+        )
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.text IS NULL THEN 'added'
+                    WHEN n.text IS NULL THEN 'removed'
+                    WHEN o.text != n.text THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
     """,
 }

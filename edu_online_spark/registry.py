@@ -115,6 +115,11 @@ _WINDOW_PRIORITY = [
     "events_hll_rollup",
     "events_theta_overlap",
     "dedup_cross_corpus",
+    "docs_gopher_quality",
+    "docs_stratified_sample",
+    "corpus_snapshot_diff",
+    "dedup_semantic_keep",
+    "corpus_token_countmin",
     # 2c: rows-only → boolean-tolerance oracle upgrades (round 4);
     # quiz_mastery_approx reaches the window via prefix order already
     "events_distinct_users_approx",

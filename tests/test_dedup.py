@@ -172,3 +172,22 @@ def test_cross_corpus_finds_only_cross_side_pairs(spark):
     assert (30, 20) in pairs
     assert all(n == 30 for n, _ in pairs), pairs  # 31 matches nothing
     assert (20, 21) not in pairs and (21, 20) not in pairs
+
+
+def test_semantic_dedup_keep_clusters_and_singletons(spark):
+    from edu_online_spark.operators.dedup import semantic_dedup_keep
+
+    # v1 ≈ v2 (same direction, different scale) form a cluster; v3 is
+    # orthogonal to both -> singleton. Cosine is scale-invariant so the
+    # planted pair sits at cosine 1.0 regardless of magnitudes.
+    rows = [
+        (1, [1.0, 0.0, 1.0, 0.0]),
+        (2, [2.0, 0.0, 2.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: (r["cluster_rep"], r["kept"])
+        for r in semantic_dedup_keep(df, threshold=0.9).collect()
+    }
+    assert got == {1: (1, True), 2: (1, False), 3: (3, True)}

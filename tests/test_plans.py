@@ -316,3 +316,41 @@ def test_pack_training_sequences_no_global_sort(spark, sf_dir):
     plan = explain_str(df, "simple")
     assert "rangepartitioning" not in plan
     assert "hashpartitioning" in plan
+
+
+def test_gopher_rules_stay_in_scan_stage(spark, sf_dir):
+    """The quality gate must cost one corpus read: pure HOF column
+    projections, no exchange, no join, no Python. A rule that fell out
+    of codegen into BatchEvalPython would 100×-cost the 100 TB scan."""
+    from edu_online_spark.operators.textops import gopher_quality_rules
+
+    df = gopher_quality_rules(load_table(spark, sf_dir, "documents"))
+    plan = explain_str(df, "simple")
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_stratified_sample_single_stratum_shuffle(spark, sf_dir):
+    """Top-k-per-stratum: exactly one exchange (hash-partition on
+    source), no global sort — the window sorts within strata only."""
+    from edu_online_spark.operators.textops import stratified_sample
+
+    df = stratified_sample(load_table(spark, sf_dir, "documents"))
+    plan = explain_str(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+    assert "BatchEvalPython" not in plan
+
+
+def test_snapshot_diff_prunes_to_two_columns(spark, sf_dir):
+    """The diff reads only (doc_id, text) from each snapshot — column
+    pruning must reach both scans; no nested-loop fallback."""
+    from edu_online_spark.operators.textops import corpus_snapshot_diff
+
+    df = corpus_snapshot_diff(load_table(spark, sf_dir, "documents"))
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    scans = read_schema_columns(df)
+    assert scans and all(set(c) <= {"doc_id", "text"} for c in scans), scans

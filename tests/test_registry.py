@@ -24,6 +24,7 @@ def test_rows_only_set_is_intentional():
         "corpus_bpe_merges",
         "dedup_simhash",
         "docs_bpe_encoded",
+        "docs_compression_ratio",
         "docs_lm_perplexity",
         "events_user_value_ewma",
         "sim_knn_ivf",

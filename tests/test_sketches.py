@@ -89,3 +89,19 @@ def test_tolerance_booleans_hold_at_bench_scale(spark):
                 cond = F.col(c) if cond is None else (cond & F.col(c))
         assert cond is not None, f"{name} lost its tolerance booleans"
         assert df.filter(~cond).count() == 0, f"{name} envelope violated at sf0.1"
+
+
+def test_countmin_never_underestimates_and_detects_collisions(spark, sf_dir):
+    """The CMS guarantee: est >= exact for every probe (min over d
+    rows of non-negative-sum cells can never undercount), and with the
+    deliberately tiny 16-cell width some probe MUST collide (31-word
+    vocabulary, pigeonhole) — a zero total overestimate would mean the
+    sketch silently degenerated to exact counts and certifies nothing."""
+    from edu_online_spark.operators.sketches import token_countmin
+    from edu_online_spark.sources import load_table
+
+    out = token_countmin(load_table(spark, sf_dir, "documents")).collect()
+    assert len(out) == 20
+    assert all(r["overestimate"] >= 0 for r in out)
+    assert all(r["cms_est"] == r["exact_cnt"] + r["overestimate"] for r in out)
+    assert any(r["overestimate"] > 0 for r in out)

@@ -202,3 +202,117 @@ def test_lm_perplexity_orders_in_distribution_before_gibberish(spark):
 
     assert math.isfinite(out[1001]["avg_nll"])  # add-k floor, no -inf
     assert out[1000]["n_bigrams"] == 8
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule gate, stratified sampling, snapshot diff,
+# compression-ratio quality signal (round-4 additions)
+# ---------------------------------------------------------------------------
+
+def _gopher(spark, rows):
+    from edu_online_spark.operators.textops import gopher_quality_rules
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return {r["doc_id"]: r.asDict() for r in gopher_quality_rules(df).collect()}
+
+
+def test_gopher_rules_fire_individually(spark):
+    good = "the quick brown gazelle jumped over a lazy hound " * 4  # 36 words
+    out = _gopher(
+        spark,
+        [
+            (1, good),
+            (2, "the short doc is it"),  # 5 words -> word_count
+            (3, ("the spark " + "spark " * 30).strip()),  # repetition
+            (
+                4,
+                # 24 distinct long-ish words, zero stopwords -> only the
+                # stopword rule fires
+                "quick brown gazelle jumped beside lazy hounds while "
+                "seven violet cranes circled above frozen rivers carrying "
+                "silver branches toward distant mountain ridges during "
+                "early winter storms",
+            ),
+        ],
+    )
+    assert out[1]["keep"] and out[1]["drop_reason"] is None
+    assert not out[2]["keep"] and out[2]["drop_reason"] == "word_count"
+    assert not out[3]["keep"] and out[3]["drop_reason"] == "repetition"
+    assert not out[4]["keep"] and out[4]["drop_reason"] == "stopwords"
+
+
+def test_gopher_drop_reason_precedence(spark):
+    # fails word_count AND stopwords -> reports the first rule in order
+    out = _gopher(spark, [(1, "quick brown gazelle")])
+    assert out[1]["drop_reason"] == "word_count"
+    assert not out[1]["pass_word_count"] and not out[1]["pass_stopwords"]
+
+
+def test_stratified_sample_exact_size_and_determinism(spark, sf_dir):
+    from edu_online_spark.operators.textops import (
+        STRATIFIED_PER_STRATUM,
+        stratified_sample,
+    )
+    from edu_online_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(__import__("pyspark").sql.functions.count("*").alias("n")).collect()
+    }
+    sample = stratified_sample(docs)
+    got = {
+        r["source"]: r["n"]
+        for r in sample.groupBy("source").agg(__import__("pyspark").sql.functions.count("*").alias("n")).collect()
+    }
+    assert got == {
+        s: min(STRATIFIED_PER_STRATUM, n) for s, n in per_source.items()
+    }
+    # partitioning-invariance: the same docs are chosen after a reshuffle
+    a = {(r["source"], r["doc_id"]) for r in sample.collect()}
+    b = {
+        (r["source"], r["doc_id"])
+        for r in stratified_sample(docs.repartition(13)).collect()
+    }
+    assert a == b
+
+
+def test_snapshot_diff_all_statuses(spark):
+    from pyspark.sql import functions as F
+
+    from edu_online_spark.operators.textops import corpus_snapshot_diff
+
+    # doc_ids engineered so every verdict occurs:
+    #   3  -> only in new (3 % 7 == 3 drops it from old)       -> added
+    #   5  -> only in old (5 % 11 == 5 drops it from new)      -> removed
+    #   15 -> both, text revised in new (15 % 5 == 0)          -> changed
+    #   1  -> both, untouched                                  -> unchanged
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (3, "bravo"), (5, "charlie"), (15, "delta")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_snapshot_diff(docs).collect()}
+    assert got == {1: "unchanged", 3: "added", 5: "removed", 15: "changed"}
+
+
+def test_compression_ratio_orders_repetitive_below_diverse(spark):
+    import random
+
+    from edu_online_spark.operators.textops import compression_ratio_scores
+
+    rng = random.Random(7)
+    diverse = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(8))
+        for _ in range(60)
+    )
+    repetitive = "spark shuffle " * 60
+    df = spark.createDataFrame(
+        [(1, repetitive), (2, diverse)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["comp_ratio"] for r in compression_ratio_scores(df).collect()}
+    assert out[1] < 0.25 < out[2]
+    # deterministic: same input -> bit-identical score on re-run
+    again = {
+        r["doc_id"]: r["comp_ratio"] for r in compression_ratio_scores(df).collect()
+    }
+    assert out == again
