@@ -156,6 +156,34 @@ def _cms_bucket(fp: F.Column, i: int) -> F.Column:
     return F.pmod(F.pmod(fp * F.lit(CMS_A[i]) + F.lit(CMS_B[i]), F.lit(CMS_P)), F.lit(CMS_WIDTH))
 
 
+def countmin_cells(token_counts: DataFrame) -> DataFrame:
+    """(token, cnt) → the d×w CMS cell table (row, bucket, cell_cnt).
+
+    The mergeable core shared by the batch certification query and the
+    streaming twin (jobs.token_countmin_job): cells from two inputs
+    merge by cell-wise ADDITION, so a groupBy-sum over unioned cell
+    tables IS the sketch merge. Reuses a precomputed `fp` column when
+    the caller already carries one.
+    """
+    from ..functions.text import fingerprint
+
+    withfp = (
+        token_counts
+        if "fp" in token_counts.columns
+        else token_counts.withColumn("fp", fingerprint("token"))
+    )
+    return (
+        withfp.select(
+            "cnt",
+            F.posexplode(
+                F.array(*[_cms_bucket(F.col("fp"), i) for i in range(CMS_DEPTH)])
+            ).alias("row", "bucket"),
+        )
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cell_cnt"))
+    )
+
+
 def token_countmin(documents: DataFrame, k: int = CMS_TOPK) -> DataFrame:
     """Count-Min frequency sketch over the corpus vocabulary, certified
     against exact counts: build the d×w cell table, then answer point
@@ -184,16 +212,7 @@ def token_countmin(documents: DataFrame, k: int = CMS_TOPK) -> DataFrame:
         # avoids recomputing the corpus-wide count per branch
         .localCheckpoint(eager=True)
     )
-    cells = (
-        counts.select(
-            "exact_cnt",
-            F.posexplode(
-                F.array(*[_cms_bucket(F.col("fp"), i) for i in range(CMS_DEPTH)])
-            ).alias("row", "bucket"),
-        )
-        .groupBy("row", "bucket")
-        .agg(F.sum("exact_cnt").alias("cell_cnt"))
-    )
+    cells = countmin_cells(counts.select("token", "fp", F.col("exact_cnt").alias("cnt")))
     probes = counts.orderBy(F.desc("exact_cnt"), F.asc("token")).limit(k)
     probe_cells = probes.select(
         "token",

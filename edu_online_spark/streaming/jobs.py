@@ -1062,3 +1062,92 @@ def embedding_ingest_job(
         .trigger(**_trigger({}, available_now))
         .start()
     )
+
+
+def token_countmin_job(
+    raw: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Live corpus token-frequency Count-Min sketch — the streaming
+    twin of operators/sketches.token_countmin: each trigger folds the
+    batch's token counts into a persistent d×w cell grid (row, bucket,
+    cell_cnt), so frequency point-queries are answerable at any moment
+    from CMS_DEPTH×CMS_WIDTH integers of state, independent of
+    vocabulary size.
+
+    Merge is cell-wise ADDITION (countmin_cells groupBy-sum over the
+    old cells ∪ the batch delta). Unlike the HLL job above, addition is
+    NOT replay-idempotent — a redelivered batch would double-count — so
+    the sink carries the last merged batch_id and a trigger whose id
+    is not newer than the sink's is dropped. That is the Spark-native
+    form of the reference's transactional offset bookkeeping
+    (RegisterStreaming.scala:125-137) and the guard its history merge
+    lacked (the T7 replay-doubling bug). The id check is scoped to the
+    checkpoint: a fresh checkpoint pointed at an existing sink restarts
+    batch ids at 0, which this guard treats as redelivery — reprocess
+    into a fresh sink instead.
+    """
+    import os
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ..functions import text as T
+    from ..operators.sketches import countmin_cells
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    parsed = F.from_json(
+        F.col("value"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    docs = (
+        raw.select(parsed.alias("j"))
+        .filter(F.col("j._corrupt").isNull() & F.col("j.text").isNotNull())
+        .select(F.col("j.text").alias("text"))
+    )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        token_counts = (
+            batch.select(F.explode(T.tokens("text")).alias("token"))
+            .filter(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count("*").alias("cnt"))
+        )
+        delta = countmin_cells(token_counts)
+        if os.path.exists(out_path):
+            old = spark.read.parquet(out_path)
+            last = old.agg(F.max("last_batch_id")).first()[0]
+            if last is not None and last >= batch_id:
+                return  # redelivered trigger: already folded in
+            delta = (
+                old.select("row", "bucket", "cell_cnt")
+                .unionByName(delta)
+                .groupBy("row", "bucket")
+                .agg(F.sum("cell_cnt").alias("cell_cnt"))
+            )
+        merged = (
+            delta.withColumn("last_batch_id", F.lit(batch_id))
+            # d×w cells at most: single file, atomic swap, cheap read-back
+            .coalesce(1)
+            # materialize BEFORE the swap below retires the old out_path
+            .localCheckpoint(eager=True)
+        )
+        sinks.parquet_overwrite_atomic(out_path)(merged, batch_id)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )

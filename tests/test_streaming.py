@@ -706,3 +706,65 @@ def test_ingested_embedding_index_partition_prunes_probe(spark, tmp_path):
     plan = explain_str(probe, "formatted")
     assert "PartitionFilters: [isnotnull(cell" in plan or "PartitionFilters: [(cell" in plan, plan
     assert probe.count() == 4
+
+
+def _cms_doc_lines(docs):
+    import json as _json
+
+    return [_json.dumps({"doc_id": d, "text": t, "source": "s1"}) for d, t in docs]
+
+
+def test_token_countmin_stream_matches_batch_cells(spark, tmp_path):
+    """Stream↔batch parity for the CMS: after two waves (plus a corrupt
+    line dropped on decode), the streamed cell grid equals
+    countmin_cells over the union of the same documents' token counts."""
+    from pyspark.sql import functions as F
+
+    from edu_online_spark.operators.sketches import countmin_cells
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    wave1 = [("d1", "alpha beta alpha"), ("d2", "gamma beta")]
+    wave2 = [("d3", "alpha delta"), ("d4", "epsilon")]
+    _write_lines(src, "b1.jsonl", _cms_doc_lines(wave1) + ["corrupt {"])
+    _run(jobs.token_countmin_job, spark, src, out, ckpt)
+    _write_lines(src, "b2.jsonl", _cms_doc_lines(wave2))
+    _run(jobs.token_countmin_job, spark, src, out, ckpt)
+
+    streamed = {
+        (r["row"], r["bucket"]): r["cell_cnt"]
+        for r in spark.read.parquet(out).collect()
+    }
+    all_tokens = " ".join(t for _, t in wave1 + wave2).split()
+    tc = (
+        spark.createDataFrame([(t,) for t in all_tokens], ["token"])
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    expected = {
+        (r["row"], r["bucket"]): r["cell_cnt"] for r in countmin_cells(tc).collect()
+    }
+    assert streamed == expected
+    # total mass per row == total token occurrences (CMS row invariant)
+    per_row = {}
+    for (row, _), cnt in streamed.items():
+        per_row[row] = per_row.get(row, 0) + cnt
+    assert set(per_row.values()) == {len(all_tokens)}
+
+
+def test_token_countmin_replay_does_not_double_count(spark, tmp_path):
+    """CMS merge is addition, not a max — replay safety must come from
+    the batch-id bookkeeping: redelivering the same wave through a
+    fresh checkpoint leaves the cells untouched."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(src, "b1.jsonl", _cms_doc_lines([("d1", "alpha beta alpha")]))
+    _run(jobs.token_countmin_job, spark, src, out, ckpt)
+    before = sorted(
+        (r["row"], r["bucket"], r["cell_cnt"])
+        for r in spark.read.parquet(out).collect()
+    )
+    _run(jobs.token_countmin_job, spark, src, out, str(tmp_path / "ck2"))
+    after = sorted(
+        (r["row"], r["bucket"], r["cell_cnt"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert after == before
