@@ -71,6 +71,9 @@ HEADLINE = [
     "events_theta_overlap",
     "dedup_cross_corpus",
     "hybrid_search_rrf",
+    "docs_gopher_quality",
+    "docs_stratified_sample",
+    "corpus_token_countmin",
 ]
 
 

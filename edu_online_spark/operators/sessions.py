@@ -282,6 +282,76 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_user_status(load_table(spark, sf_dir, "events"))
 
 
+def purchase_training_examples(events: DataFrame) -> DataFrame:
+    """Leakage-free training-set construction (the feature-store
+    point-in-time join): one example row per purchase, every feature
+    computed ONLY from the user's events STRICTLY BEFORE that purchase.
+
+    The naive rendering re-aggregates the user's history per example
+    (a per-label self-join — quadratic in events-per-user and a
+    different scan per cutoff). The scale rendering is the same trick
+    as purchase_attribution: running window frames ending at -1 row
+    over the (ts, event_id)-ordered stream — ONE shuffle on user_id,
+    each feature an incremental aggregate, label rows filtered at the
+    end. Adding a feature is adding a window column, not a join.
+
+    Monetary feature sums run in decimal (exact, order-independent)
+    and surface as double — a running double sum's value would depend
+    on accumulation order and break cross-engine certification.
+    """
+    hist = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    feats = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.count(F.when(F.col("event_type") == "view", True)).over(hist).alias(
+            "n_prior_views"
+        ),
+        F.count(F.when(F.col("event_type") == "purchase", True)).over(hist).alias(
+            "n_prior_purchases"
+        ),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value")
+                ).cast("decimal(18,6)")
+            ).over(hist),
+            F.lit(0).cast("decimal(18,6)"),
+        )
+        .cast("double")
+        .alias("prior_purchase_value"),
+        F.count(F.when(F.col("event_type") == "error", True)).over(hist).alias(
+            "n_prior_errors"
+        ),
+        (
+            F.col("ts").cast("timestamp").cast("double")
+            - F.lag("ts").over(seq).cast("timestamp").cast("double")
+        ).alias("secs_since_prev_event"),
+    )
+    return feats.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "n_prior_views",
+        "n_prior_purchases",
+        "prior_purchase_value",
+        "n_prior_errors",
+        "secs_since_prev_event",
+        F.col("value").alias("label_value"),
+    )
+
+
+def q_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return purchase_training_examples(load_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "events_sessionize": q_sessionize,
     "events_scd2_status": q_scd2,
@@ -290,6 +360,7 @@ QUERIES = {
     "purchase_attribution": q_purchase_attribution,
     "purchase_view_window_counts": q_purchase_view_window,
     "purchases_minutely_gapfill": q_purchases_gapfill,
+    "purchase_training_examples": q_training_examples,
 }
 
 _SESSIONS_SQL = f"""
@@ -389,5 +460,36 @@ ORACLE = {
         SELECT event_id, user_id, ts AS purchase_ts, last_view_ts,
                epoch(ts) - epoch(last_view_ts) AS gap_sec
         FROM w WHERE event_type = 'purchase'
+    """,
+    # Same strictly-prior ROWS frame, same (ts, event_id) total order;
+    # the money sum runs in DECIMAL then surfaces as DOUBLE (see the
+    # operator docstring — running double sums are order-dependent).
+    "purchase_training_examples": """
+        WITH feat AS (
+            SELECT event_id, user_id, ts, event_type, value,
+                   count(CASE WHEN event_type = 'view' THEN 1 END)
+                       OVER hist AS n_prior_views,
+                   count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                       OVER hist AS n_prior_purchases,
+                   CAST(coalesce(
+                       sum(CASE WHEN event_type = 'purchase'
+                                THEN CAST(value AS DECIMAL(18,6)) END)
+                           OVER hist,
+                       0) AS DOUBLE) AS prior_purchase_value,
+                   count(CASE WHEN event_type = 'error' THEN 1 END)
+                       OVER hist AS n_prior_errors,
+                   epoch(ts) - epoch(lag(ts) OVER seq)
+                       AS secs_since_prev_event
+            FROM events
+            WINDOW hist AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING),
+                   seq AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_id, user_id, ts AS purchase_ts,
+               n_prior_views, n_prior_purchases, prior_purchase_value,
+               n_prior_errors, secs_since_prev_event,
+               value AS label_value
+        FROM feat WHERE event_type = 'purchase'
     """,
 }

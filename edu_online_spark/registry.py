@@ -120,6 +120,7 @@ _WINDOW_PRIORITY = [
     "corpus_snapshot_diff",
     "dedup_semantic_keep",
     "corpus_token_countmin",
+    "purchase_training_examples",
     # 2c: rows-only → boolean-tolerance oracle upgrades (round 4);
     # quiz_mastery_approx reaches the window via prefix order already
     "events_distinct_users_approx",

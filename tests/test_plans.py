@@ -354,3 +354,14 @@ def test_snapshot_diff_prunes_to_two_columns(spark, sf_dir):
     assert "CartesianProduct" not in plan
     scans = read_schema_columns(df)
     assert scans and all(set(c) <= {"doc_id", "text"} for c in scans), scans
+
+
+def test_training_examples_single_user_shuffle(spark, sf_dir):
+    """Point-in-time features must come from running windows over ONE
+    user_id shuffle — no per-label self-join re-aggregation."""
+    from edu_online_spark.operators.sessions import purchase_training_examples
+
+    df = purchase_training_examples(load_table(spark, sf_dir, "events"))
+    plan = explain_str(df, "simple")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -316,3 +316,37 @@ def test_compression_ratio_orders_repetitive_below_diverse(spark):
         r["doc_id"]: r["comp_ratio"] for r in compression_ratio_scores(df).collect()
     }
     assert out == again
+
+
+def test_purchase_training_examples_strictly_prior(spark):
+    """Point-in-time correctness: features for a purchase count ONLY
+    events strictly before it in (ts, event_id) order — the purchase
+    itself, same-instant later-id events, and anything after must not
+    leak in."""
+    import datetime as dt
+
+    from edu_online_spark.operators.sessions import purchase_training_examples
+
+    t = lambda s: dt.datetime.fromisoformat(f"2026-08-13 10:0{s}:00")
+    rows = [
+        (1, t(0), 7, "view", 0.0),
+        (2, t(1), 7, "purchase", 10.0),   # prior: 1 view
+        (3, t(2), 7, "error", 0.0),
+        (4, t(3), 7, "purchase", 20.0),   # prior: 1 view, 1 purchase(10), 1 error
+        (5, t(3), 7, "view", 0.0),        # same instant as id 4, higher id -> NOT prior
+        (6, t(4), 8, "purchase", 5.0),    # other user: empty history
+    ]
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    out = {r["event_id"]: r for r in purchase_training_examples(events).collect()}
+    assert set(out) == {2, 4, 6}
+    assert (out[2]["n_prior_views"], out[2]["n_prior_purchases"]) == (1, 0)
+    assert out[2]["prior_purchase_value"] == 0.0
+    assert out[2]["secs_since_prev_event"] == 60.0
+    assert (out[4]["n_prior_views"], out[4]["n_prior_purchases"]) == (1, 1)
+    assert out[4]["prior_purchase_value"] == 10.0
+    assert out[4]["n_prior_errors"] == 1
+    assert (out[6]["n_prior_views"], out[6]["n_prior_purchases"]) == (0, 0)
+    assert out[6]["secs_since_prev_event"] is None
+    assert out[6]["label_value"] == 5.0
