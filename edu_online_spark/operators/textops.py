@@ -577,6 +577,50 @@ def gopher_quality_rules(documents: DataFrame) -> DataFrame:
     )
 
 
+def quality_calibrated(documents: DataFrame) -> DataFrame:
+    """Per-source calibration of the quality score: decile rank and
+    min-max normalization within each source.
+
+    Raw quality scores aren't comparable across sources (a web crawl
+    and a books corpus have different score distributions), so
+    curation thresholds like "keep the top 30%" must be per-source —
+    exactly what a per-source decile gives. Both columns come from ONE
+    shuffle on source: ntile + min/max window aggregates over the same
+    partition. Deterministic ties via (score, doc_id) total order.
+    Degenerate single-score sources yield NULL minmax_norm (0/0)
+    rather than a misleading constant.
+    """
+    from pyspark.sql import Window
+
+    # the text_quality composite, inlined as one scan-stage projection
+    # (re-joining text_quality's output would scan the corpus twice)
+    d = documents.select(
+        "doc_id",
+        "source",
+        (
+            (T.marker_hits("text", T.STOPWORDS_EN) / T.token_count("text"))
+            - (T.punct_count("text") / F.length("text"))
+        ).alias("quality_score"),
+    )
+    by_src = Window.partitionBy("source")
+    order = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    return d.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.ntile(10).over(order).alias("decile"),
+        F.when(
+            F.max("quality_score").over(by_src)
+            != F.min("quality_score").over(by_src),
+            (F.col("quality_score") - F.min("quality_score").over(by_src))
+            / (
+                F.max("quality_score").over(by_src)
+                - F.min("quality_score").over(by_src)
+            ),
+        ).alias("minmax_norm"),
+    )
+
+
 STRATIFIED_HASH_MOD = 1_000_003
 STRATIFIED_PER_STRATUM = 10
 
@@ -965,6 +1009,7 @@ QUERIES = {
     # semantics pinned by test instead
     "docs_lm_perplexity": _q(lm_perplexity_scores),
     "docs_gopher_quality": _q(gopher_quality_rules),
+    "docs_quality_calibrated": _q(quality_calibrated),
     "docs_stratified_sample": _q(stratified_sample),
     "corpus_snapshot_diff": _q(corpus_snapshot_diff),
     # rows-only: DEFLATE output length is not SQL-expressible; ordering
@@ -1395,6 +1440,29 @@ ORACLE = {
                     WHEN NOT pass_repetition THEN 'repetition'
                     WHEN NOT pass_stopwords THEN 'stopwords' END AS drop_reason
         FROM r
+    """,
+    # Same composite score as text_quality (identical IEEE divisions),
+    # same (score, doc_id) tie order for the deterministic ntile; the
+    # single-score-source guard mirrors the NULL-not-constant choice.
+    "docs_quality_calibrated": f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   (len(list_filter({_TOKENS}, w -> w IN ({_STOP_LIST})))::DOUBLE
+                        / len({_TOKENS}))
+                   - (len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
+                        / length(text)) AS quality_score
+            FROM documents
+        )
+        SELECT doc_id, source, quality_score,
+               CAST(NTILE(10) OVER (PARTITION BY source
+                    ORDER BY quality_score, doc_id) AS INTEGER) AS decile,
+               CASE WHEN max(quality_score) OVER s != min(quality_score) OVER s
+                    THEN (quality_score - min(quality_score) OVER s)
+                         / (max(quality_score) OVER s
+                            - min(quality_score) OVER s)
+               END AS minmax_norm
+        FROM d
+        WINDOW s AS (PARTITION BY source)
     """,
     # Same multiplicative-hash order as the Spark side (hash_bucket's
     # documented SQL mirror), same (hash, doc_id) tie-break.

@@ -350,3 +350,29 @@ def test_purchase_training_examples_strictly_prior(spark):
     assert (out[6]["n_prior_views"], out[6]["n_prior_purchases"]) == (0, 0)
     assert out[6]["secs_since_prev_event"] is None
     assert out[6]["label_value"] == 5.0
+
+
+def test_quality_calibrated_per_source(spark):
+    """Calibration is per-source: deciles rank within each source, the
+    min/max docs normalize to 0/1, and a single-doc source yields NULL
+    minmax_norm (0/0 guard) rather than a misleading constant."""
+    from edu_online_spark.operators.textops import quality_calibrated
+
+    docs = spark.createDataFrame(
+        [
+            # srcA: stopword share orders quality low -> high
+            (1, "gazelle cranes rivers branches", "srcA"),
+            (2, "the gazelle cranes rivers branches", "srcA"),
+            (3, "the a of gazelle cranes rivers", "srcA"),
+            (4, "anything at all", "srcB"),  # singleton source
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {r["doc_id"]: r for r in quality_calibrated(docs).collect()}
+    a = sorted((out[i]["quality_score"], i) for i in (1, 2, 3))
+    assert [i for _, i in a] == [1, 2, 3]  # scores strictly increase
+    assert [out[i]["decile"] for i in (1, 2, 3)] == [1, 2, 3]
+    assert out[1]["minmax_norm"] == 0.0
+    assert out[3]["minmax_norm"] == 1.0
+    assert 0.0 < out[2]["minmax_norm"] < 1.0
+    assert out[4]["minmax_norm"] is None and out[4]["decile"] == 1

@@ -27,7 +27,16 @@ sys.path.insert(0, ".")
 from edu_online_spark.registry import queries  # noqa: E402
 from edu_online_spark.session import get_spark  # noqa: E402
 
-QUERIES = ["dedup_minhash_lsh", "sim_knn_lsh", "dedup_cross_corpus"]
+QUERIES = [
+    "dedup_minhash_lsh",
+    "sim_knn_lsh",
+    "dedup_cross_corpus",
+    # round-4 session additions — all linear by construction; measured
+    # here to keep the growth table honest rather than analytic
+    "corpus_token_countmin",
+    "docs_gopher_quality",
+    "docs_stratified_sample",
+]
 
 
 def _shuffle_totals(spark) -> tuple[int, int]:
