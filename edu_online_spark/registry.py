@@ -121,6 +121,7 @@ _WINDOW_PRIORITY = [
     "dedup_semantic_keep",
     "corpus_token_countmin",
     "purchase_training_examples",
+    "docs_quality_calibrated",
     # 2c: rows-only → boolean-tolerance oracle upgrades (round 4);
     # quiz_mastery_approx reaches the window via prefix order already
     "events_distinct_users_approx",

@@ -59,3 +59,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or ALL_TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> list[str]:
+    """Expose the testdata tables as temp views so users can drive the
+    engine through plain `spark.sql(...)` — the SQL half of the
+    DataFrame/SQL dual surface. Views go through load_table, so the
+    nanos-ts conversion and defensive conf pinning apply identically;
+    a SQL query and its DataFrame twin therefore see byte-identical
+    relations (and compile to the same Catalyst plans).
+
+    Returns the registered view names. Temp views are metadata only —
+    nothing is scanned or cached at registration.
+    """
+    registered = []
+    for n in names or ALL_TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+        registered.append(n)
+    return registered

@@ -144,3 +144,30 @@ def test_kafka_writer_plumbing(spark):
     assert [f.name for f in out.schema.fields] == ["key", "value"]
     r = out.collect()[0]
     assert r["key"] == "1" and r["value"] == "payload"
+
+
+def test_register_views_sql_equals_dataframe(spark, sf_dir):
+    """The SQL surface: after register_views, a plain spark.sql query
+    returns exactly what the DataFrame twin returns (same relations,
+    same Catalyst planning)."""
+    from pyspark.sql import functions as F
+
+    from edu_online_spark.sources.tables import register_views
+
+    names = register_views(spark, sf_dir)
+    assert set(names) >= {"documents", "events", "lineitem"}
+    via_sql = spark.sql(
+        "SELECT source, count(*) AS n FROM documents GROUP BY source"
+    )
+    via_df = (
+        __import__("edu_online_spark.sources", fromlist=["load_table"])
+        .load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, via_sql.collect())) == sorted(
+        map(tuple, via_df.collect())
+    )
+    # ts conversion applied inside the view too (nanos -> timestamp_ntz)
+    t = spark.sql("SELECT ts FROM events LIMIT 1").schema["ts"].dataType.typeName()
+    assert t == "timestamp_ntz"
