@@ -621,6 +621,62 @@ def quality_calibrated(documents: DataFrame) -> DataFrame:
     )
 
 
+def corpus_dataset_card(documents: DataFrame) -> DataFrame:
+    """Per-source "dataset card" — the one-page documentation block a
+    corpus release ships with: volume (docs/tokens/chars), language
+    spread and dominant language, exact-duplicate rate, the
+    quality-gate pass rate, and the median quality score.
+
+    One per-doc scan-stage projection feeds two bounded aggregations
+    (per-source stats; per-(source, lang) counts → deterministic
+    dominant language via (cnt desc, lang asc) rank) joined broadcast
+    on source. Duplicate rate counts sha2 content hashes, so the
+    distinct state is 32-byte keys, not document bytes. The median is
+    percentile_disc — discrete selection, engine-portable. Everything
+    else is integer counts and int/int double divisions, so the whole
+    card hash-certifies cross-engine.
+    """
+    from pyspark.sql import Window
+
+    tk = T.tokens("text")
+    base = documents.select(
+        "source",
+        "lang",
+        F.size(tk).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.sha2("text", 256).alias("h"),
+        (
+            (T.marker_hits("text", T.STOPWORDS_EN) / T.token_count("text"))
+            - (T.punct_count("text") / F.length("text"))
+        ).alias("quality_score"),
+        F.size(tk).between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS).alias("pass_wc"),
+    )
+    per_source = base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        (1 - F.countDistinct("h") / F.count("*")).alias("exact_dup_rate"),
+        (F.sum(F.col("pass_wc").cast("int")) / F.count("*")).alias(
+            "word_count_pass_rate"
+        ),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY quality_score)"
+        ).alias("median_quality"),
+    )
+    lang_rank = Window.partitionBy("source").orderBy(
+        F.desc("cnt"), F.asc("lang")
+    )
+    top_lang = (
+        base.groupBy("source", "lang")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rk", F.row_number().over(lang_rank))
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return per_source.join(F.broadcast(top_lang), "source")
+
+
 STRATIFIED_HASH_MOD = 1_000_003
 STRATIFIED_PER_STRATUM = 10
 
@@ -1010,6 +1066,7 @@ QUERIES = {
     "docs_lm_perplexity": _q(lm_perplexity_scores),
     "docs_gopher_quality": _q(gopher_quality_rules),
     "docs_quality_calibrated": _q(quality_calibrated),
+    "corpus_dataset_card": _q(corpus_dataset_card),
     "docs_stratified_sample": _q(stratified_sample),
     "corpus_snapshot_diff": _q(corpus_snapshot_diff),
     # rows-only: DEFLATE output length is not SQL-expressible; ordering
@@ -1440,6 +1497,47 @@ ORACLE = {
                     WHEN NOT pass_repetition THEN 'repetition'
                     WHEN NOT pass_stopwords THEN 'stopwords' END AS drop_reason
         FROM r
+    """,
+    # Distinct-text stands in for the Spark side's distinct-sha2 (equal
+    # by construction absent collisions); every rate is an int/int
+    # double division, the median a discrete selection — the whole
+    # card hash-certifies.
+    "corpus_dataset_card": f"""
+        WITH base AS (
+            SELECT source, lang, text,
+                   len({_TOKENS}) AS n_tokens,
+                   length(text) AS n_chars,
+                   (len(list_filter({_TOKENS}, w -> w IN ({_STOP_LIST})))::DOUBLE
+                        / len({_TOKENS}))
+                   - (len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
+                        / length(text)) AS quality_score,
+                   len({_TOKENS}) BETWEEN {GOPHER_MIN_WORDS}
+                       AND {GOPHER_MAX_WORDS} AS pass_wc
+            FROM documents
+        ),
+        per_source AS (
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   count(DISTINCT lang) AS n_langs,
+                   1 - count(DISTINCT text)::DOUBLE / count(*)
+                       AS exact_dup_rate,
+                   sum(CASE WHEN pass_wc THEN 1 ELSE 0 END)::DOUBLE
+                       / count(*) AS word_count_pass_rate,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY quality_score)
+                       AS median_quality
+            FROM base GROUP BY source
+        ),
+        tl AS (
+            SELECT source, lang AS top_lang
+            FROM (SELECT source, lang,
+                         ROW_NUMBER() OVER (PARTITION BY source
+                             ORDER BY count(*) DESC, lang ASC) AS rk
+                  FROM base GROUP BY source, lang)
+            WHERE rk = 1
+        )
+        SELECT p.*, t.top_lang FROM per_source p JOIN tl t USING (source)
     """,
     # Same composite score as text_quality (identical IEEE divisions),
     # same (score, doc_id) tie order for the deterministic ntile; the

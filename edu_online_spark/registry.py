@@ -122,6 +122,7 @@ _WINDOW_PRIORITY = [
     "corpus_token_countmin",
     "purchase_training_examples",
     "docs_quality_calibrated",
+    "corpus_dataset_card",
     # 2c: rows-only → boolean-tolerance oracle upgrades (round 4);
     # quiz_mastery_approx reaches the window via prefix order already
     "events_distinct_users_approx",

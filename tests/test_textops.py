@@ -376,3 +376,30 @@ def test_quality_calibrated_per_source(spark):
     assert out[3]["minmax_norm"] == 1.0
     assert 0.0 < out[2]["minmax_norm"] < 1.0
     assert out[4]["minmax_norm"] is None and out[4]["decile"] == 1
+
+
+def test_dataset_card_dup_rate_and_dominant_lang(spark):
+    """The card's duplicate rate counts identical content, the dominant
+    language is the deterministic (cnt desc, lang asc) winner, and
+    pass-rate/medians aggregate per source."""
+    from edu_online_spark.operators.textops import corpus_dataset_card
+
+    good = "the quick brown gazelle jumped over a lazy hound " * 4
+    docs = spark.createDataFrame(
+        [
+            (1, good, "en", "sA"),
+            (2, good, "en", "sA"),          # exact dup of 1
+            (3, good + "tail", "de", "sA"),  # tie-break: en vs de 2-1
+            (4, "tiny doc here", "fr", "sB"),
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+    out = {r["source"]: r for r in corpus_dataset_card(docs).collect()}
+    a = out["sA"]
+    assert a["n_docs"] == 3 and a["n_langs"] == 2 and a["top_lang"] == "en"
+    assert abs(a["exact_dup_rate"] - (1 - 2 / 3)) < 1e-15
+    assert a["word_count_pass_rate"] == 1.0
+    b = out["sB"]
+    assert b["n_docs"] == 1 and b["top_lang"] == "fr"
+    assert b["exact_dup_rate"] == 0.0
+    assert b["word_count_pass_rate"] == 0.0  # 3 words < GOPHER_MIN_WORDS
