@@ -68,6 +68,19 @@ def main() -> None:
     gated = docs.join(quality_ids, "doc_id").join(clean_ids, "doc_id")
     n_gated = gated.count()
 
+    # round-4 session stage: Gopher-style rule gate with per-rule
+    # audit — report WHY documents fall, then keep the passers
+    gopher = textops.gopher_quality_rules(gated)
+    reasons = {
+        r["drop_reason"]: r["n"]
+        for r in gopher.filter(~F.col("keep"))
+        .groupBy("drop_reason")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    gated = gated.join(gopher.filter(F.col("keep")).select("doc_id"), "doc_id")
+    n_gopher = gated.count()
+
     # round-4 stage: bigram-LM perplexity gate (CCNet-style) — drop the
     # worst-NLL tail (95th percentile cut on this synthetic corpus)
     nll = textops.lm_perplexity_scores(gated)
@@ -101,6 +114,17 @@ def main() -> None:
 
     vocab = textops.vocabulary_topk(curated, k=10).collect()
 
+    # round-4 session tail: the release deliverables — per-source
+    # dataset card over the curated corpus + the CMS frequency sketch
+    card = {
+        r["source"]: r
+        for r in textops.corpus_dataset_card(curated).collect()
+    }
+    from edu_online_spark.operators import sketches
+
+    cms = sketches.token_countmin(curated).collect()
+    n_collided = sum(1 for r in cms if r["overestimate"] > 0)
+
     # round-4 tail: BPE vocabulary induction on the curated corpus +
     # encode (merge loop runs on the word-frequency table, not docs)
     from edu_online_spark.operators import bpe
@@ -116,6 +140,8 @@ def main() -> None:
     print(f"pii redactions:       {n_redactions}")
     print(f"after quality gate:   {n_quality}")
     print(f"after boilerplate:    {n_gated}")
+    print(f"after gopher rules:   {n_gopher} (dropped: "
+          + ", ".join(f"{k}={v}" for k, v in sorted(reasons.items())) + ")")
     print(f"after LM perplexity:  {n_lm}")
     print(f"after near-dup:       {n_curated}")
     print(f"training chunks:      {n_chunks}")
@@ -127,6 +153,15 @@ def main() -> None:
     print(f"bpe merges:           {len(merges)} learned; "
           f"{bpe_stats['t']} tokens / {bpe_stats['w']} words "
           f"({bpe_stats['t'] / bpe_stats['w']:.2f} tokens/word)")
+    print("dataset card:         "
+          + "; ".join(
+              f"{s}: {c['n_docs']} docs, {c['total_tokens']} tok, "
+              f"top_lang={c['top_lang']}, dup={c['exact_dup_rate']:.2f}"
+              for s, c in sorted(card.items())[:2]
+          )
+          + f" (+{max(len(card) - 2, 0)} more sources)")
+    print(f"countmin sketch:      {len(cms)} probes, "
+          f"{n_collided} collided (4x16 cells)")
 
 
 if __name__ == "__main__":
