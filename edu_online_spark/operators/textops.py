@@ -597,9 +597,13 @@ def quality_calibrated(documents: DataFrame) -> DataFrame:
     d = documents.select(
         "doc_id",
         "source",
-        (
+        # CASE-guarded: an empty/whitespace doc has length 0 and would
+        # throw DIVIDE_BY_ZERO under ANSI mode mid-scan — degenerate
+        # docs score NULL instead (mirrored in the oracle)
+        F.when(
+            F.length("text") > 0,
             (T.marker_hits("text", T.STOPWORDS_EN) / T.token_count("text"))
-            - (T.punct_count("text") / F.length("text"))
+            - (T.punct_count("text") / F.length("text")),
         ).alias("quality_score"),
     )
     by_src = Window.partitionBy("source")
@@ -645,9 +649,11 @@ def corpus_dataset_card(documents: DataFrame) -> DataFrame:
         F.size(tk).alias("n_tokens"),
         F.length("text").alias("n_chars"),
         F.sha2("text", 256).alias("h"),
-        (
+        # same ANSI divide-by-zero guard as quality_calibrated
+        F.when(
+            F.length("text") > 0,
             (T.marker_hits("text", T.STOPWORDS_EN) / T.token_count("text"))
-            - (T.punct_count("text") / F.length("text"))
+            - (T.punct_count("text") / F.length("text")),
         ).alias("quality_score"),
         F.size(tk).between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS).alias("pass_wc"),
     )
@@ -1507,10 +1513,11 @@ ORACLE = {
             SELECT source, lang, text,
                    len({_TOKENS}) AS n_tokens,
                    length(text) AS n_chars,
-                   (len(list_filter({_TOKENS}, w -> w IN ({_STOP_LIST})))::DOUBLE
-                        / len({_TOKENS}))
-                   - (len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
-                        / length(text)) AS quality_score,
+                   CASE WHEN length(text) > 0 THEN
+                       (len(list_filter({_TOKENS}, w -> w IN ({_STOP_LIST})))::DOUBLE
+                            / len({_TOKENS}))
+                       - (len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
+                            / length(text)) END AS quality_score,
                    len({_TOKENS}) BETWEEN {GOPHER_MIN_WORDS}
                        AND {GOPHER_MAX_WORDS} AS pass_wc
             FROM documents
@@ -1545,10 +1552,11 @@ ORACLE = {
     "docs_quality_calibrated": f"""
         WITH d AS (
             SELECT doc_id, source,
-                   (len(list_filter({_TOKENS}, w -> w IN ({_STOP_LIST})))::DOUBLE
-                        / len({_TOKENS}))
-                   - (len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
-                        / length(text)) AS quality_score
+                   CASE WHEN length(text) > 0 THEN
+                       (len(list_filter({_TOKENS}, w -> w IN ({_STOP_LIST})))::DOUBLE
+                            / len({_TOKENS}))
+                       - (len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
+                            / length(text)) END AS quality_score
             FROM documents
         )
         SELECT doc_id, source, quality_score,

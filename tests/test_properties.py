@@ -98,3 +98,47 @@ def test_pii_redaction_idempotent_and_hit_consistent(spark, texts):
         assert twice[i]["n_redactions"] == 0
         if once[i]["n_redactions"] == 0:
             assert once[i]["text_clean"] == t
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_quality_gates_total_on_arbitrary_text(spark, texts):
+    """The rule gate and calibration are TOTAL over arbitrary printable
+    input — empty strings, all-whitespace, one-token docs: every doc
+    gets a verdict row, booleans are never NULL, and keep ==
+    (conjunction of the rule columns). A crash or NULL verdict here
+    would poison a 100 TB scan on its weirdest row."""
+    from edu_online_spark.operators.textops import (
+        gopher_quality_rules,
+        quality_calibrated,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t, "srcP") for i, t in enumerate(texts)],
+        ["doc_id", "text", "source"],
+    )
+    rules = {r["doc_id"]: r for r in gopher_quality_rules(docs).collect()}
+    assert set(rules) == set(range(len(texts)))
+    for r in rules.values():
+        flags = (
+            r["pass_word_count"],
+            r["pass_word_len"],
+            r["pass_repetition"],
+            r["pass_stopwords"],
+        )
+        assert all(f is not None for f in flags)
+        assert r["keep"] == all(flags)
+        assert (r["drop_reason"] is None) == r["keep"]
+    # calibration must also produce one row per doc without throwing
+    # (scores may be NULL on degenerate input — deciles still total)
+    cal = quality_calibrated(docs).collect()
+    assert len(cal) == len(texts)
