@@ -74,6 +74,8 @@ HEADLINE = [
     "docs_gopher_quality",
     "docs_stratified_sample",
     "corpus_token_countmin",
+    "purchase_training_examples",
+    "corpus_dataset_card",
 ]
 
 
