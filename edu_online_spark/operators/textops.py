@@ -732,16 +732,11 @@ def corpus_snapshot_diff(documents: DataFrame) -> DataFrame:
     instead of raw text so the shuffle carries 32-byte keys — the
     direct text compare here keeps the oracle trivially portable.
     """
-    old = documents.filter(F.col("doc_id") % 7 != 3).select("doc_id", "text")
-    new = documents.filter(F.col("doc_id") % 11 != 5).select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
+    j = (
+        _snapshot_old(documents)
+        .alias("o")
+        .join(_snapshot_new(documents).alias("n"), "doc_id", "full_outer")
     )
-    j = old.alias("o").join(new.alias("n"), "doc_id", "full_outer")
     return j.select(
         "doc_id",
         F.when(F.col("o.text").isNull(), F.lit("added"))
@@ -749,6 +744,85 @@ def corpus_snapshot_diff(documents: DataFrame) -> DataFrame:
         .when(F.col("o.text") != F.col("n.text"), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
         .alias("status"),
+    )
+
+
+DRIFT_BIN_WIDTH = 10
+
+
+def _snapshot_old(documents: DataFrame) -> DataFrame:
+    """Deterministic 'previous corpus version' view (shared with
+    corpus_snapshot_diff so the two operators describe the same pair
+    of snapshots)."""
+    return documents.filter(F.col("doc_id") % 7 != 3).select("doc_id", "text")
+
+
+def _snapshot_new(documents: DataFrame) -> DataFrame:
+    """Deterministic 'current corpus version' view: different membership
+    and every 5th doc's text revised (the revision appends a token, so
+    the two snapshots genuinely differ in length distribution — the
+    drift this report exists to detect)."""
+    return documents.filter(F.col("doc_id") % 11 != 5).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def corpus_drift_report(
+    documents: DataFrame, bin_width: int = DRIFT_BIN_WIDTH
+) -> DataFrame:
+    """Distribution-drift monitor between two corpus snapshots: the
+    token-count histogram of each version, per-bin shares, and the
+    chi-square contribution of each bin — the release gate that catches
+    'the new crawl skews short' before training does.
+
+    Chi-square, not PSI/KL: the divergence stays RATIONAL (share
+    deltas squared over the reference share — squaring is a multiply,
+    not libm pow), so the whole report hash-certifies cross-engine
+    where a log-based divergence could not. Two histogram aggregations
+    (bounded by n_bins) full-outer-joined on bin; totals enter via a
+    broadcast of two 1-row aggregates. Bins with no reference mass
+    yield NULL contribution (new-only bins are drift by existence —
+    flagged by n_old = 0, not by an infinite statistic).
+    """
+    def hist(snap: DataFrame, cnt_name: str) -> DataFrame:
+        return (
+            snap.select(
+                F.floor(T.token_count("text") / bin_width).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count("*").alias(cnt_name))
+        )
+
+    ho, hn = hist(_snapshot_old(documents), "n_old"), hist(
+        _snapshot_new(documents), "n_new"
+    )
+    j = (
+        ho.join(hn, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    totals = j.agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    )
+    shared = j.crossJoin(F.broadcast(totals))
+    p_old, p_new = F.col("n_old") / F.col("t_old"), F.col("n_new") / F.col("t_new")
+    return shared.select(
+        "bin",
+        "n_old",
+        "n_new",
+        p_old.alias("p_old"),
+        p_new.alias("p_new"),
+        F.when(
+            F.col("n_old") > 0, (p_new - p_old) * (p_new - p_old) / p_old
+        ).alias("chi2_term"),
     )
 
 
@@ -1075,6 +1149,7 @@ QUERIES = {
     "corpus_dataset_card": _q(corpus_dataset_card),
     "docs_stratified_sample": _q(stratified_sample),
     "corpus_snapshot_diff": _q(corpus_snapshot_diff),
+    "corpus_drift_report": _q(corpus_drift_report),
     # rows-only: DEFLATE output length is not SQL-expressible; ordering
     # semantics (repetitive ≪ diverse) pinned by test
     "docs_compression_ratio": _q(compression_ratio_scores),
@@ -1585,6 +1660,45 @@ ORACLE = {
         )
         SELECT doc_id, source, lang, strat_rank
         FROM r WHERE strat_rank <= {STRATIFIED_PER_STRATUM}
+    """,
+    # Same snapshot views and bin arithmetic as the Spark side; squaring
+    # by multiplication keeps the statistic rational and hash-exact.
+    "corpus_drift_report": f"""
+        WITH old AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 7 != 3
+        ), new AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 11 != 5
+        ),
+        ho AS (
+            SELECT CAST(floor(len({_TOKENS})::DOUBLE / {DRIFT_BIN_WIDTH})
+                       AS BIGINT) AS bin,
+                   count(*) AS n_old
+            FROM old GROUP BY 1
+        ),
+        hn AS (
+            SELECT CAST(floor(len({_TOKENS})::DOUBLE / {DRIFT_BIN_WIDTH})
+                       AS BIGINT) AS bin,
+                   count(*) AS n_new
+            FROM new GROUP BY 1
+        ),
+        j AS (
+            SELECT coalesce(ho.bin, hn.bin) AS bin,
+                   coalesce(n_old, 0) AS n_old,
+                   coalesce(n_new, 0) AS n_new
+            FROM ho FULL OUTER JOIN hn ON ho.bin = hn.bin
+        ),
+        t AS (SELECT sum(n_old) AS t_old, sum(n_new) AS t_new FROM j)
+        SELECT bin, n_old, n_new,
+               n_old::DOUBLE / t_old AS p_old,
+               n_new::DOUBLE / t_new AS p_new,
+               CASE WHEN n_old > 0 THEN
+                   (n_new::DOUBLE / t_new - n_old::DOUBLE / t_old)
+                   * (n_new::DOUBLE / t_new - n_old::DOUBLE / t_old)
+                   / (n_old::DOUBLE / t_old) END AS chi2_term
+        FROM j CROSS JOIN t
     """,
     "corpus_snapshot_diff": """
         WITH old AS (

@@ -403,3 +403,31 @@ def test_dataset_card_dup_rate_and_dominant_lang(spark):
     assert b["n_docs"] == 1 and b["top_lang"] == "fr"
     assert b["exact_dup_rate"] == 0.0
     assert b["word_count_pass_rate"] == 0.0  # 3 words < GOPHER_MIN_WORDS
+
+
+def test_drift_report_shares_and_chi2(spark):
+    """Per-bin shares sum to 1 on each side, the chi-square term is
+    NULL exactly on reference-empty bins, and a planted length shift
+    produces nonzero drift."""
+    from edu_online_spark.operators.textops import corpus_drift_report
+
+    # ids chosen so old = {1, 2, 5, 15}, new = {1, 2, 3, 15(rev)}:
+    # doc 3 (30 tokens) enters only the new snapshot; 15 gains a token
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["w"] * 5)),
+            (2, " ".join(["w"] * 12)),
+            (3, " ".join(["w"] * 30)),
+            (5, " ".join(["w"] * 7)),
+            (15, " ".join(["w"] * 9)),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["bin"]: r for r in corpus_drift_report(docs).collect()}
+    assert abs(sum(r["p_old"] for r in rows.values()) - 1.0) < 1e-12
+    assert abs(sum(r["p_new"] for r in rows.values()) - 1.0) < 1e-12
+    # bin 3 (30-39 tokens) exists only in the new snapshot
+    assert rows[3]["n_old"] == 0 and rows[3]["chi2_term"] is None
+    # bin 0 lost a doc (5 left, 15 moved to bin 1): nonzero drift term
+    assert rows[0]["chi2_term"] > 0
+    assert rows[1]["n_new"] == 2  # doc 2 plus the revision-grown doc 15
