@@ -789,29 +789,34 @@ def corpus_drift_report(
     yield NULL contribution (new-only bins are drift by existence —
     flagged by n_old = 0, not by an infinite statistic).
     """
-    def hist(snap: DataFrame, cnt_name: str) -> DataFrame:
-        return (
-            snap.select(
-                F.floor(T.token_count("text") / bin_width).alias("bin")
-            )
-            .groupBy("bin")
-            .agg(F.count("*").alias(cnt_name))
-        )
+    ho = token_length_histogram(_snapshot_old(documents), bin_width, "n_old")
+    hn = token_length_histogram(_snapshot_new(documents), bin_width, "n_new")
+    return drift_between_histograms(ho, hn)
 
-    ho, hn = hist(_snapshot_old(documents), "n_old"), hist(
-        _snapshot_new(documents), "n_new"
+
+def token_length_histogram(
+    docs: DataFrame, bin_width: int = DRIFT_BIN_WIDTH, cnt_name: str = "n"
+) -> DataFrame:
+    """(bin, count) token-length histogram — bounded state regardless of
+    corpus size; the mergeable form both drift surfaces build on."""
+    return (
+        docs.select(F.floor(T.token_count("text") / bin_width).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias(cnt_name))
     )
-    j = (
-        ho.join(hn, "bin", "full_outer")
-        .select(
-            "bin",
-            F.coalesce("n_old", F.lit(0)).alias("n_old"),
-            F.coalesce("n_new", F.lit(0)).alias("n_new"),
-        )
+
+
+def drift_between_histograms(ho: DataFrame, hn: DataFrame) -> DataFrame:
+    """The comparison core shared by the batch snapshot report and the
+    streaming monitor: full-outer join two (bin, count) histograms,
+    normalize to shares, emit per-bin chi-square contributions
+    (rational arithmetic throughout — see corpus_drift_report)."""
+    j = ho.join(hn, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
     )
-    totals = j.agg(
-        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
-    )
+    totals = j.agg(F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new"))
     shared = j.crossJoin(F.broadcast(totals))
     p_old, p_new = F.col("n_old") / F.col("t_old"), F.col("n_new") / F.col("t_new")
     return shared.select(

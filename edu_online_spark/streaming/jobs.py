@@ -1151,3 +1151,95 @@ def token_countmin_job(
         .trigger(**_trigger({}, available_now))
         .start()
     )
+
+
+def length_drift_monitor_job(
+    raw: DataFrame,
+    reference_hist: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Live ingest-drift monitor: maintain the cumulative token-length
+    histogram of everything ingested so far and republish, each
+    trigger, the full chi-square drift report against a static
+    reference histogram (e.g. the previous release's, from
+    textops.token_length_histogram with cnt_name='n_old').
+
+    The monitoring counterpart of the batch corpus_drift_report — same
+    drift_between_histograms core, so alerting thresholds mean the same
+    thing on both surfaces. State is the cumulative histogram: bounded
+    by n_bins, merged by per-bin addition, guarded against redelivery
+    with the same sink-side batch-id bookkeeping as token_countmin_job
+    (addition is not replay-idempotent). The histogram lives beside the
+    report (out_path + '.hist') so the report overwrite stays atomic.
+    """
+    import os
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ..functions import text as T
+    from ..operators.textops import (
+        drift_between_histograms,
+        token_length_histogram,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    parsed = F.from_json(
+        F.col("value"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    docs = (
+        raw.select(parsed.alias("j"))
+        .filter(F.col("j._corrupt").isNull() & F.col("j.text").isNotNull())
+        .select(F.col("j.text").alias("text"))
+    )
+    hist_path = out_path + ".hist"
+    ref = reference_hist.select(
+        "bin", F.col("n_old").alias("n_old")
+    ).localCheckpoint(eager=True)
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        delta = token_length_histogram(batch, cnt_name="n")
+        if os.path.exists(hist_path):
+            old = spark.read.parquet(hist_path)
+            last = old.agg(F.max("last_batch_id")).first()[0]
+            if last is not None and last >= batch_id:
+                return  # redelivered trigger: already folded in
+            delta = (
+                old.select("bin", "n")
+                .unionByName(delta)
+                .groupBy("bin")
+                .agg(F.sum("n").alias("n"))
+            )
+        cum = (
+            delta.withColumn("last_batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+        sinks.parquet_overwrite_atomic(hist_path)(cum, batch_id)
+        report = (
+            drift_between_histograms(
+                ref, cum.select("bin", F.col("n").alias("n_new"))
+            )
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+        sinks.parquet_overwrite_atomic(out_path)(report, batch_id)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )

@@ -768,3 +768,53 @@ def test_token_countmin_replay_does_not_double_count(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert after == before
+
+
+def test_length_drift_monitor_matches_batch_core(spark, tmp_path):
+    """The streamed drift report after two waves equals
+    drift_between_histograms(reference, histogram of ALL streamed
+    docs) — the monitoring surface and the batch release gate share
+    one comparison core, so thresholds transfer."""
+    from pyspark.sql import functions as F
+
+    from edu_online_spark.operators.textops import (
+        drift_between_histograms,
+        token_length_histogram,
+    )
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    ref_docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate([5, 8, 12, 15, 25])],
+        ["doc_id", "text"],
+    )
+    reference = token_length_histogram(ref_docs, cnt_name="n_old")
+
+    wave1 = [("d1", " ".join(["w"] * 6)), ("d2", " ".join(["w"] * 14))]
+    wave2 = [("d3", " ".join(["w"] * 33))]
+    _write_lines(src, "b1.jsonl", _cms_doc_lines(wave1) + ["not json"])
+    q = jobs.length_drift_monitor_job(
+        file_stream(spark, src), reference, out, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+    _write_lines(src, "b2.jsonl", _cms_doc_lines(wave2))
+    q = jobs.length_drift_monitor_job(
+        file_stream(spark, src), reference, out, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["bin"]: (r["n_old"], r["n_new"], r["p_old"], r["p_new"], r["chi2_term"])
+        for r in spark.read.parquet(out).drop("last_batch_id").collect()
+    }
+    all_docs = spark.createDataFrame(
+        [(d, t) for d, t in wave1 + wave2], ["doc_id", "text"]
+    )
+    want = {
+        r["bin"]: (r["n_old"], r["n_new"], r["p_old"], r["p_new"], r["chi2_term"])
+        for r in drift_between_histograms(
+            reference, token_length_histogram(all_docs, cnt_name="n_new")
+        ).collect()
+    }
+    assert got == want
+    # the streamed side saw a bin the reference lacks (33 tokens -> bin 3)
+    assert got[3][0] == 0 and got[3][4] is None
