@@ -679,6 +679,102 @@ def value_percentiles_by_type(events: DataFrame) -> DataFrame:
 # Oracle-checked query registry
 # ---------------------------------------------------------------------------
 
+MIN_RULE_ORDERS = 3
+
+
+def basket_association_rules(
+    lineitem: DataFrame, min_orders: int = MIN_RULE_ORDERS
+) -> DataFrame:
+    """Directional association rules over order baskets: for every
+    (antecedent → consequent) part pair co-bought in ≥ min_orders
+    orders, the classic support / confidence / lift triple — the step
+    after basket_part_pairs' raw co-occurrence counts.
+
+    All three metrics stay RATIONAL (long-integer counts, one double
+    division at the end; lift's cross-product runs in long arithmetic
+    before the division), so the full rule table hash-certifies.
+    Plan shape: the pair self-join is co-partitioned on l_orderkey
+    (one shuffle builds both sides), per-item counts and the basket
+    total are part-/1-cardinality relations joined broadcast — the
+    fact table is scanned once for items, once for pairs, never
+    re-scanned per rule.
+    """
+    items = lineitem.select("l_orderkey", "l_partkey").dropDuplicates()
+    item_cnt = items.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    totals = items.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("antecedent"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("consequent"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= min_orders)
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                item_cnt.select(
+                    F.col("l_partkey").alias("antecedent"),
+                    F.col("n_item").alias("n_ante"),
+                )
+            ),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                item_cnt.select(
+                    F.col("l_partkey").alias("consequent"),
+                    F.col("n_item").alias("n_cons"),
+                )
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            "n_ante",
+            "n_cons",
+            (F.col("n_both") / F.col("n_baskets")).alias("support"),
+            (F.col("n_both") / F.col("n_ante")).alias("confidence"),
+            (
+                (F.col("n_both") * F.col("n_baskets"))
+                / (F.col("n_ante") * F.col("n_cons"))
+            ).alias("lift"),
+        )
+    )
+
+
+def value_winsorized(events: DataFrame) -> DataFrame:
+    """Winsorization — the outlier treatment a training pipeline applies
+    before a value column feeds a loss: clip each event's value to its
+    event-type's [p1, p99] band. Thresholds via percentile_disc
+    (discrete selection — engine-portable, and the clip boundary is an
+    actual observed value); per-type thresholds are a tiny relation
+    joined broadcast, so the corpus pass stays scan-shaped.
+    """
+    th = events.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.01) WITHIN GROUP (ORDER BY value)").alias("p_lo"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").alias("p_hi"),
+    )
+    return (
+        events.join(F.broadcast(th), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi")).alias(
+                "value_winsorized"
+            ),
+            (
+                (F.col("value") < F.col("p_lo")) | (F.col("value") > F.col("p_hi"))
+            ).alias("was_clipped"),
+        )
+    )
+
+
 def _q(fn, *tables):
     def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(*[load_table(spark, sf_dir, t) for t in tables])
@@ -721,6 +817,8 @@ QUERIES = {
     "orders_date_features": _q(orders_date_features, "orders"),
     "events_time_grain_rollup": _q(time_grain_rollup, "events"),
     "events_value_percentiles": _q(value_percentiles_by_type, "events"),
+    "basket_association_rules": _q(basket_association_rules, "lineitem"),
+    "events_value_winsorized": _q(value_winsorized, "events"),
 }
 
 _PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -998,5 +1096,47 @@ ORACLE = {
                quantile_disc(value, 0.9) AS p90,
                count(*) AS n
         FROM events GROUP BY event_type
+    """,
+    # Rational support/confidence/lift: long counts, double division at
+    # the end, lift's cross-product in integer arithmetic first.
+    "basket_association_rules": f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        item_cnt AS (
+            SELECT l_partkey, count(*) AS n_item FROM items GROUP BY 1
+        ),
+        t AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM items),
+        pairs AS (
+            SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent,
+                   count(*) AS n_both
+            FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+                                     AND a.l_partkey != b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= {MIN_RULE_ORDERS}
+        )
+        SELECT p.antecedent, p.consequent, p.n_both,
+               ca.n_item AS n_ante, cc.n_item AS n_cons,
+               p.n_both::DOUBLE / t.n_baskets AS support,
+               p.n_both::DOUBLE / ca.n_item AS confidence,
+               (p.n_both * t.n_baskets)::DOUBLE / (ca.n_item * cc.n_item)
+                   AS lift
+        FROM pairs p
+        JOIN item_cnt ca ON ca.l_partkey = p.antecedent
+        JOIN item_cnt cc ON cc.l_partkey = p.consequent
+        CROSS JOIN t
+    """,
+    "events_value_winsorized": """
+        WITH th AS (
+            SELECT event_type,
+                   quantile_disc(value, 0.01) AS p_lo,
+                   quantile_disc(value, 0.99) AS p_hi
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               least(greatest(e.value, th.p_lo), th.p_hi)
+                   AS value_winsorized,
+               (e.value < th.p_lo OR e.value > th.p_hi) AS was_clipped
+        FROM events e JOIN th USING (event_type)
     """,
 }

@@ -352,6 +352,45 @@ def q_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchase_training_examples(load_table(spark, sf_dir, "events"))
 
 
+def purchase_status_asof(events: DataFrame) -> DataFrame:
+    """Temporal dimension enrichment: each purchase tagged with the
+    user's state AS OF that instant — the last non-purchase event type
+    strictly before it and when that state began. The point-in-time
+    join against an SCD2-style status history, rendered without
+    building or range-joining the interval table: a conditional
+    running MAX of (ts, event_id, event_type) structs over the ordered
+    event stream picks the latest prior state in one user_id shuffle
+    (struct comparison is lexicographic, so the max is the latest
+    (ts, event_id) — deterministic under ties).
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.max(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct("ts", "event_id", "event_type"),
+        )
+    ).over(w)
+    return (
+        events.withColumn("prior", prior)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("prior.event_type").alias("status_asof"),
+            F.col("prior.ts").alias("status_since"),
+        )
+    )
+
+
+def q_status_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return purchase_status_asof(load_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "events_sessionize": q_sessionize,
     "events_scd2_status": q_scd2,
@@ -361,6 +400,7 @@ QUERIES = {
     "purchase_view_window_counts": q_purchase_view_window,
     "purchases_minutely_gapfill": q_purchases_gapfill,
     "purchase_training_examples": q_training_examples,
+    "purchase_status_asof": q_status_asof,
 }
 
 _SESSIONS_SQL = f"""
@@ -491,5 +531,22 @@ ORACLE = {
                n_prior_errors, secs_since_prev_event,
                value AS label_value
         FROM feat WHERE event_type = 'purchase'
+    """,
+    # Same lexicographic struct-max over the strictly-prior frame.
+    "purchase_status_asof": """
+        WITH w AS (
+            SELECT event_id, user_id, ts, event_type,
+                   max(CASE WHEN event_type != 'purchase'
+                       THEN {'ts': ts, 'event_id': event_id,
+                             'event_type': event_type} END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS prior
+            FROM events
+        )
+        SELECT event_id, user_id, ts AS purchase_ts,
+               prior.event_type AS status_asof,
+               prior.ts AS status_since
+        FROM w WHERE event_type = 'purchase'
     """,
 }

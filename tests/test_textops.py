@@ -431,3 +431,72 @@ def test_drift_report_shares_and_chi2(spark):
     # bin 0 lost a doc (5 left, 15 moved to bin 1): nonzero drift term
     assert rows[0]["chi2_term"] > 0
     assert rows[1]["n_new"] == 2  # doc 2 plus the revision-grown doc 15
+
+
+def test_association_rules_metrics(spark):
+    """Hand-checked support/confidence/lift on a 4-basket fixture;
+    directional rules differ in confidence but share lift."""
+    from edu_online_spark.operators.analytics import basket_association_rules
+
+    baskets = {1: [10, 20], 2: [10, 20], 3: [10, 20, 30], 4: [10]}
+    li = spark.createDataFrame(
+        [(o, p) for o, ps in baskets.items() for p in ps],
+        ["l_orderkey", "l_partkey"],
+    )
+    rules = {
+        (r["antecedent"], r["consequent"]): r
+        for r in basket_association_rules(li, min_orders=3).collect()
+    }
+    # only 10<->20 co-occur >= 3 times
+    assert set(rules) == {(10, 20), (20, 10)}
+    r = rules[(10, 20)]
+    assert (r["n_both"], r["n_ante"], r["n_cons"]) == (3, 4, 3)
+    assert r["support"] == 3 / 4
+    assert r["confidence"] == 3 / 4          # p(20 | 10)
+    assert rules[(20, 10)]["confidence"] == 1.0  # p(10 | 20)
+    assert r["lift"] == rules[(20, 10)]["lift"] == (3 * 4) / (4 * 3)
+
+
+def test_winsorize_clips_to_type_band(spark):
+    """Values clip to their own event type's [p1, p99]; in-band rows
+    pass through unclipped."""
+    import datetime as dt
+
+    from edu_online_spark.operators.analytics import value_winsorized
+
+    base = dt.datetime(2026, 8, 13)
+    rows = [(i, base, 1, "view", float(v)) for i, v in enumerate(range(100))]
+    rows.append((1000, base, 1, "view", 1e9))       # extreme high
+    rows.append((1001, base, 1, "purchase", 5.0))   # other type untouched
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    out = {r["event_id"]: r for r in value_winsorized(events).collect()}
+    assert out[1000]["was_clipped"] and out[1000]["value_winsorized"] < 1e9
+    assert not out[50]["was_clipped"]
+    assert out[50]["value_winsorized"] == 50.0
+    assert not out[1001]["was_clipped"]  # singleton type: p1 == p99 == value
+
+
+def test_purchase_status_asof_prior_state(spark):
+    """The as-of state is the latest strictly-prior non-purchase event;
+    purchases never self-tag, and a first-event purchase has NULL state."""
+    import datetime as dt
+
+    from edu_online_spark.operators.sessions import purchase_status_asof
+
+    t = lambda m: dt.datetime(2026, 8, 13, 10, m)
+    rows = [
+        (1, t(0), 7, "signup", 0.0),
+        (2, t(1), 7, "purchase", 10.0),  # as-of: signup
+        (3, t(2), 7, "error", 0.0),
+        (4, t(3), 7, "purchase", 20.0),  # as-of: error (latest prior)
+        (5, t(0), 8, "purchase", 5.0),   # no prior state
+    ]
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    out = {r["event_id"]: r for r in purchase_status_asof(events).collect()}
+    assert out[2]["status_asof"] == "signup" and out[2]["status_since"] == t(0)
+    assert out[4]["status_asof"] == "error" and out[4]["status_since"] == t(2)
+    assert out[5]["status_asof"] is None and out[5]["status_since"] is None
