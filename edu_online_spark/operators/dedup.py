@@ -576,6 +576,67 @@ def semantic_dedup_keep(
     )
 
 
+NEG_SAMPLE_K = 5
+NEG_QUERY_MOD = 50  # every 50th doc is a training query (bounded batch)
+NEG_HASH_MOD = 1_000_003
+
+
+def retrieval_negative_samples(
+    documents: DataFrame, k: int = NEG_SAMPLE_K
+) -> DataFrame:
+    """Deterministic hard-negative mining for retrieval training: for
+    each training query (a bounded batch — every NEG_QUERY_MODth doc
+    stands in), k corpus documents that are NOT near-duplicates of it,
+    chosen by hash order. No rand(): the same (query, epoch-free)
+    negatives on every run, engine, and partitioning — resampling
+    noise between replays would silently change the training set.
+
+    Near-dups of the query are excluded via the certified MinHash-LSH
+    pairs (an actual positive sampled as a negative is the classic
+    retrieval-training bug), the query itself likewise. Selection is
+    top-k per query over the pair hash — a per-query window over the
+    (bounded queries × corpus) candidate relation; queries are a fixed
+    training batch, so the relation is k·|corpus|-linear, not n².
+    (At 100 TB ids need the pre-reduced 128-bit-safe key mix of
+    functions.core.hash_bucket; the direct mix here is safe for the
+    testdata id ranges.)
+    """
+    from pyspark.sql import Window
+
+    from ..functions.core import hash_bucket
+
+    q = documents.filter(F.col("doc_id") % NEG_QUERY_MOD == 0).select(
+        F.col("doc_id").alias("query_id")
+    )
+    c = documents.select(F.col("doc_id").alias("negative_id"))
+    pairs = minhash_lsh_pairs(documents)
+    near = pairs.select(
+        F.col("doc_a").alias("query_id"), F.col("doc_b").alias("negative_id")
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("query_id"), F.col("doc_a").alias("negative_id")
+        )
+    )
+    cand = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("negative_id"))
+        .join(near, ["query_id", "negative_id"], "left_anti")
+        .withColumn(
+            "h",
+            hash_bucket(
+                F.col("query_id") * F.lit(1_000_003) + F.col("negative_id"),
+                NEG_HASH_MOD,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("h", "negative_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "negative_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked query registry
 # ---------------------------------------------------------------------------
@@ -610,6 +671,7 @@ QUERIES = {
     "text_knn_minhash": _q(text_knn_minhash, "documents"),
     "dedup_cross_corpus": _q_cross_corpus,
     "dedup_semantic_keep": _q(semantic_dedup_keep, "embeddings"),
+    "retrieval_negative_samples": _q(retrieval_negative_samples, "documents"),
 }
 
 # Exact Jaccard in DuckDB: build distinct 3-shingle lists with a list
@@ -753,5 +815,33 @@ ORACLE = {
                coalesce(l.cluster_rep, emb.vec_id) AS cluster_rep,
                coalesce(l.cluster_rep, emb.vec_id) = emb.vec_id AS kept
         FROM embeddings emb LEFT JOIN labels l ON emb.vec_id = l.vec_id
+    """,
+    # Same hash order (hash_bucket's documented SQL mirror over the
+    # query·1000003+candidate key mix), same exact-Jaccard near-set
+    # exclusion the LSH output is certified against.
+    "retrieval_negative_samples": f"""
+        WITH {_SHINGLES_CTE},
+        near AS (
+            SELECT a.doc_id AS query_id, b.doc_id AS negative_id
+            FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / len(list_distinct(list_concat(a.sh, b.sh)))
+                  >= {JACCARD_THRESHOLD}
+        ),
+        cand AS (
+            SELECT q.doc_id AS query_id, c.doc_id AS negative_id,
+                   (((q.doc_id * 1000003 + c.doc_id) % 2147483647)
+                       * 2654435761) % {NEG_HASH_MOD} AS h
+            FROM documents q JOIN documents c ON q.doc_id % {NEG_QUERY_MOD} = 0
+                                             AND q.doc_id != c.doc_id
+            WHERE NOT EXISTS (SELECT 1 FROM near n
+                              WHERE n.query_id = q.doc_id
+                                AND n.negative_id = c.doc_id)
+        )
+        SELECT query_id, negative_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY h, negative_id) AS INTEGER) AS rank
+        FROM cand
+        QUALIFY rank <= {NEG_SAMPLE_K}
     """,
 }

@@ -191,3 +191,41 @@ def test_semantic_dedup_keep_clusters_and_singletons(spark):
         for r in semantic_dedup_keep(df, threshold=0.9).collect()
     }
     assert got == {1: (1, True), 2: (1, False), 3: (3, True)}
+
+
+def test_negative_samples_exclude_near_dups_and_are_stable(spark):
+    """Negatives never include the query itself or its near-duplicates,
+    exactly k per query, and the selection is partitioning-invariant
+    (hash order, not rand)."""
+    from pyspark.sql import functions as F
+
+    from edu_online_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        retrieval_negative_samples,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        # doc 0 and 3 are near-identical -> 3 must not be 0's negative
+        [(0, base), (3, base + " iota")]
+        + [(i, f"doc {i} " + " ".join(f"w{i}{j}" for j in range(8)))
+           for i in range(4, 20)],
+        ["doc_id", "text"],
+    )
+    out = retrieval_negative_samples(docs, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(r["negative_id"])
+    assert set(by_q) == {0}  # only doc 0 is a query (id % 50 == 0)
+    assert len(by_q[0]) == 5
+    assert 0 not in by_q[0]
+    near = {
+        r["doc_b"] for r in minhash_lsh_pairs(docs).collect() if r["doc_a"] == 0
+    } | {r["doc_a"] for r in minhash_lsh_pairs(docs).collect() if r["doc_b"] == 0}
+    assert 3 in near  # the planted near-dup is detected...
+    assert not (by_q[0] & near)  # ...and excluded from the negatives
+    again = {
+        r["negative_id"]
+        for r in retrieval_negative_samples(docs.repartition(7), k=5).collect()
+    }
+    assert again == by_q[0]
