@@ -679,6 +679,79 @@ def value_percentiles_by_type(events: DataFrame) -> DataFrame:
 # Oracle-checked query registry
 # ---------------------------------------------------------------------------
 
+def daily_trend_fit(events: DataFrame) -> DataFrame:
+    """Per-event-type OLS trend over daily counts — slope/intercept via
+    the closed-form normal equations, so the whole fit is four integer
+    sums and two double divisions (no iterative solver, no libm):
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) with x = day index from the
+    type's first day, y = daily count. The capacity-planning primitive
+    ("are error events trending up?") as ONE aggregation over the daily
+    grain — at 100 TB the daily grain is already tiny.
+
+    Single-day types yield NULL slope/intercept (zero variance in x)
+    rather than a degenerate fit.
+    """
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("y"))
+    from pyspark.sql import Window
+
+    x = F.datediff(
+        F.col("day"), F.min("day").over(Window.partitionBy("event_type"))
+    ).cast("long")
+    d = daily.select("event_type", x.alias("x"), "y")
+    agg = d.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    return agg.select(
+        "event_type",
+        "n",
+        F.when(denom != 0, slope).alias("slope_per_day"),
+        F.when(
+            denom != 0, (F.col("sy") - slope * F.col("sx")) / F.col("n")
+        ).alias("intercept"),
+    )
+
+
+def event_type_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition table over each user's event
+    stream: (from_type, to_type) counts and row-normalized transition
+    probabilities — the sequence-modeling prep for behavioral data
+    (and the empirical bigram model sessionization sanity-checks
+    against). lead() over the (ts, event_id)-ordered per-user stream
+    gives consecutive pairs in one user_id shuffle; probabilities are
+    long-count ratios (one double division), so the table hash-
+    certifies. Per-from-type totals come from a window over the
+    (small) transition table, not a rescan.
+    """
+    from pyspark.sql import Window
+
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(seq).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n") / F.sum("n").over(tot)).alias("p"),
+    )
+
+
 MIN_RULE_ORDERS = 3
 
 
@@ -819,6 +892,8 @@ QUERIES = {
     "events_value_percentiles": _q(value_percentiles_by_type, "events"),
     "basket_association_rules": _q(basket_association_rules, "lineitem"),
     "events_value_winsorized": _q(value_winsorized, "events"),
+    "events_daily_trend": _q(daily_trend_fit, "events"),
+    "events_type_transitions": _q(event_type_transitions, "events"),
 }
 
 _PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -1125,6 +1200,55 @@ ORACLE = {
         JOIN item_cnt ca ON ca.l_partkey = p.antecedent
         JOIN item_cnt cc ON cc.l_partkey = p.consequent
         CROSS JOIN t
+    """,
+    # Normal-equation OLS: integer sums, two double divisions — mirrors
+    # the Spark expression order exactly (n*sxy - sx*sy etc.).
+    "events_daily_trend": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        d AS (
+            SELECT event_type,
+                   CAST(day - min(day) OVER (PARTITION BY event_type)
+                       AS BIGINT) AS x,
+                   y
+            FROM daily
+        ),
+        agg AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM d GROUP BY 1
+        )
+        SELECT event_type, n,
+               CASE WHEN n * sxx - sx * sx != 0 THEN
+                   (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)
+               END AS slope_per_day,
+               CASE WHEN n * sxx - sx * sx != 0 THEN
+                   (sy - (n * sxy - sx * sy)::DOUBLE
+                             / (n * sxx - sx * sx) * sx) / n
+               END AS intercept
+        FROM agg
+    """,
+    "events_type_transitions": """
+        WITH pairs AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS to_type
+            FROM events
+        ),
+        cnt AS (
+            SELECT from_type, to_type, count(*) AS n
+            FROM pairs WHERE to_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               n::DOUBLE / sum(n) OVER (PARTITION BY from_type) AS p
+        FROM cnt
     """,
     "events_value_winsorized": """
         WITH th AS (

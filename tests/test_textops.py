@@ -500,3 +500,58 @@ def test_purchase_status_asof_prior_state(spark):
     assert out[2]["status_asof"] == "signup" and out[2]["status_since"] == t(0)
     assert out[4]["status_asof"] == "error" and out[4]["status_since"] == t(2)
     assert out[5]["status_asof"] is None and out[5]["status_since"] is None
+
+
+def test_daily_trend_fits_exact_line(spark):
+    """A perfectly linear daily series recovers its slope and intercept
+    exactly (closed-form OLS on integers); a single-day type yields
+    NULL fit rather than a degenerate one."""
+    import datetime as dt
+
+    from edu_online_spark.operators.analytics import daily_trend_fit
+
+    rows, eid = [], 0
+    for d in range(5):  # y = 10 + 3x views per day
+        day = dt.datetime(2026, 1, 1) + dt.timedelta(days=d)
+        for _ in range(10 + 3 * d):
+            rows.append((eid, day, 1, "view", 1.0))
+            eid += 1
+    rows.append((eid, dt.datetime(2026, 1, 1), 1, "signup", 1.0))
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    out = {r["event_type"]: r for r in daily_trend_fit(events).collect()}
+    assert out["view"]["slope_per_day"] == 3.0
+    assert out["view"]["intercept"] == 10.0
+    assert out["signup"]["slope_per_day"] is None
+    assert out["signup"]["intercept"] is None
+
+
+def test_type_transitions_probabilities(spark):
+    """Transition probabilities row-normalize per from_type; streams
+    don't leak across users."""
+    import datetime as dt
+
+    from edu_online_spark.operators.analytics import event_type_transitions
+
+    t = lambda m: dt.datetime(2026, 8, 13, 10, m)
+    rows = [
+        (1, t(0), 7, "view", 0.0),
+        (2, t(1), 7, "view", 0.0),
+        (3, t(2), 7, "purchase", 0.0),
+        (4, t(0), 8, "view", 0.0),
+        (5, t(1), 8, "error", 0.0),
+    ]
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in event_type_transitions(events).collect()
+    }
+    # from 'view': view->view 1, view->purchase 1, view->error 1 (u8)
+    assert got[("view", "view")] == (1, 1 / 3)
+    assert got[("view", "purchase")] == (1, 1 / 3)
+    assert got[("view", "error")] == (1, 1 / 3)
+    # no cross-user pair (u7's last 'purchase' -> u8's first 'view')
+    assert ("purchase", "view") not in got
