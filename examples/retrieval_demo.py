@@ -1,0 +1,87 @@
+"""Retrieval training-set construction — the contrastive-learning data
+story composed from certified registry operators:
+
+  corpus (documents + embeddings)
+    → positives      (dedup.minhash_lsh_pairs: near-duplicate pairs —
+                      the classic self-supervised positive signal)
+    → hard negatives (dedup.retrieval_negative_samples: hash-ordered,
+                      near-dups excluded, replay-stable)
+    → training triples (query, doc, label) for a bi-encoder loss
+    + hybrid retrieval sanity check (similarity.hybrid_search_rrf:
+      lexical ∪ vector fused by reciprocal rank)
+    + ANN recall report (similarity.ann_recall_report: is the fast
+      index good enough to mine with?)
+
+Run: python examples/retrieval_demo.py [sf_dir] (default sf0.001).
+Every step is the same function the driver's correctness gate checks.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from edu_online_spark.config import EngineConfig
+from edu_online_spark.operators import similarity
+from edu_online_spark.operators.dedup import (
+    NEG_QUERY_MOD,
+    minhash_lsh_pairs,
+    retrieval_negative_samples,
+)
+from edu_online_spark.session import get_spark
+from edu_online_spark.sources import load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(EngineConfig(cpus=8, shuffle_partitions=8))
+
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings")
+
+    queries = docs.filter(F.col("doc_id") % NEG_QUERY_MOD == 0)
+    n_queries = queries.count()
+
+    # positives: near-dup partners of the query batch (either side)
+    pairs = minhash_lsh_pairs(docs)
+    pos = (
+        pairs.select(F.col("doc_a").alias("query_id"), F.col("doc_b").alias("doc_id"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("query_id"), F.col("doc_a").alias("doc_id"))
+        )
+        .filter(F.col("query_id") % NEG_QUERY_MOD == 0)
+        .withColumn("label", F.lit(1))
+    )
+    neg = retrieval_negative_samples(docs).select(
+        "query_id", F.col("negative_id").alias("doc_id"), F.lit(0).alias("label")
+    )
+    triples = pos.unionByName(neg)
+    n_pos = pos.count()
+    n_neg = neg.count()
+
+    # retrieval sanity: hybrid lexical+vector ranking for the corpus head
+    hybrid = similarity.hybrid_search_rrf(docs, embs, k=3, n_queries=2)
+    top = [
+        (r["qid"], r["nid"], round(r["rrf_score"], 4))
+        for r in hybrid.orderBy("qid", F.desc("rrf_score"), "nid").collect()
+    ]
+
+    recall = similarity.ann_recall_report(embs).first().asDict()
+    n_q = recall.get("n_queries", embs.count())
+
+    print(f"training queries:     {n_queries}")
+    print(f"positive pairs:       {n_pos}")
+    print(f"hard negatives:       {n_neg} "
+          f"({n_neg // max(n_queries, 1)} per query, near-dups excluded)")
+    print(f"training triples:     {triples.count()}")
+    print(f"hybrid top-3 (q, doc, rrf): {top}")
+    print(f"ann recall@{recall['k']}:        {recall['recall']:.2f} "
+          f"over {n_q} queries (LSH vs exact)")
+
+
+if __name__ == "__main__":
+    main()
