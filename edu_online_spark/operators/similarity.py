@@ -345,6 +345,43 @@ def embedding_norms(embeddings: DataFrame) -> DataFrame:
     return embeddings.select("vec_id", l2_norm(F.col("embedding")).alias("norm"))
 
 
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label mean vector — the supervised form of the IVF k-means
+    inner step, here HASH-CERTIFIED: a parallel float mean is
+    order-dependent (sum order varies with partitioning), so each
+    dimension's sum runs in exact DECIMAL over the posexploded
+    (label, dim, value) rows and only the final mean division is
+    double. Output one row per (label, dim) — the columnar centroid
+    form that feeds matrix ops without array re-assembly; shuffle
+    carries labels×dim partial sums (map-side combined), never
+    vectors.
+
+    Determinism: the per-cell values are collected, SORTED, and folded
+    left-to-right (the same array_sort+fold discipline as the cosine
+    operators, mirrored by DuckDB's list_sum over list_sort), so the
+    mean is bit-identical on any partitioning or engine — a plain
+    F.sum over doubles would drift with accumulation order. Per-cell
+    state is the value list (rows-per-label sized); that is the
+    certification form — a production centroid update uses the plain
+    parallel sum and tolerates ±ulp.
+    """
+    rows = embeddings.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    cells = rows.groupBy("label", "dim").agg(
+        F.count("*").alias("n"),
+        F.array_sort(F.collect_list(F.col("v").cast("double"))).alias("vals"),
+    )
+    return cells.select(
+        "label",
+        "dim",
+        "n",
+        (
+            F.aggregate("vals", F.lit(0.0), lambda a, x: a + x) / F.col("n")
+        ).alias("centroid_v"),
+    )
+
+
 def label_lang_crosstab(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
     """Cross-modal join: document language × embedding cluster label —
     the text↔vector consistency check a curation pipeline runs before
@@ -563,6 +600,7 @@ QUERIES = {
     "sim_knn_ivf": _q(knn_ivf),  # rows-only: iterative k-means training
     "ann_all_pairs_topk": _q(ann_all_pairs_topk),  # rows-only: approximate
     "sim_embedding_norms": _q(embedding_norms),
+    "embeddings_label_centroids": _q(label_centroids),
     # boolean-tolerance oracle: k + exact-neighbor count hash-checked,
     # the recall gate pinned as a boolean
     "ann_recall_report": _q(ann_recall_certified),
@@ -579,6 +617,24 @@ _COS = """
 """
 
 ORACLE = {
+    # Same sorted-fold sum (list_sum over list_sort ≡ array_sort +
+    # sequential F.aggregate), so the mean is bit-exact; dim re-based
+    # to Spark's 0-indexed posexplode.
+    "embeddings_label_centroids": """
+        WITH rows AS (
+            SELECT label,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER)
+                       AS dim,
+                   unnest(embedding)::DOUBLE AS v
+            FROM embeddings
+        ),
+        cells AS (
+            SELECT label, dim, count(*) AS n,
+                   list_sum(list_sort(list(v))) AS s
+            FROM rows GROUP BY 1, 2
+        )
+        SELECT label, dim, n, s / n AS centroid_v FROM cells
+    """,
     "ann_recall_report": f"""
         SELECT {TOP_K} AS k,
                (SELECT COUNT(*) FROM embeddings WHERE vec_id < {N_QUERIES})

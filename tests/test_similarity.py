@@ -113,3 +113,24 @@ def test_hybrid_rrf_fuses_lexical_and_vector_signals(spark):
     by_rank = [r["nid"] for r in sorted(out, key=lambda r: -r["rrf_score"])]
     assert set(by_rank) == {1, 2, 3}  # single-modality docs still surface
     assert by_rank[0] == 3, by_rank  # rank 1 in BOTH lists wins the fusion
+
+
+def test_label_centroids_partitioning_invariant(spark, sf_dir):
+    """The sorted-fold mean is bit-identical under reshuffling — the
+    property a plain parallel float sum does not have, and the reason
+    the certified form exists."""
+    from edu_online_spark.operators.similarity import label_centroids
+    from edu_online_spark.sources import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    a = {
+        (r["label"], r["dim"]): (r["n"], r["centroid_v"])
+        for r in label_centroids(embs).collect()
+    }
+    b = {
+        (r["label"], r["dim"]): (r["n"], r["centroid_v"])
+        for r in label_centroids(embs.repartition(17)).collect()
+    }
+    assert a == b
+    dims = {d for _, d in a}
+    assert dims == set(range(max(dims) + 1))  # every dimension covered

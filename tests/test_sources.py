@@ -171,3 +171,37 @@ def test_register_views_sql_equals_dataframe(spark, sf_dir):
     # ts conversion applied inside the view too (nanos -> timestamp_ntz)
     t = spark.sql("SELECT ts FROM events LIMIT 1").schema["ts"].dataType.typeName()
     assert t == "timestamp_ntz"
+
+
+def test_gzip_log_input_decodes_identically(spark, tmp_path):
+    """Compressed replay logs: Spark's text reader handles .gz
+    transparently, and the decode pipeline produces the same rows as
+    the plain file — the archival format costs nothing in the code
+    path. (gz is non-splittable: one file = one task, so archives
+    should be many moderate files, not one giant one — that layout
+    note lives in SCALE.md.)"""
+    import gzip
+    import os
+
+    from edu_online_spark.sources.logs import decode_register_log
+
+    lines = [
+        "u1\t1\t2026-08-13 10:00:01",
+        "u2\t2\t2026-08-13 10:00:02",
+        "corrupt line",
+        "u3\t9\t2026-08-13 10:00:03",
+    ]
+    plain_dir, gz_dir = str(tmp_path / "plain"), str(tmp_path / "gz")
+    os.makedirs(plain_dir), os.makedirs(gz_dir)
+    with open(os.path.join(plain_dir, "b.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    with gzip.open(os.path.join(gz_dir, "b.txt.gz"), "wt") as f:
+        f.write("\n".join(lines) + "\n")
+
+    def rows(d):
+        return sorted(
+            map(tuple, decode_register_log(spark.read.text(d)).collect())
+        )
+
+    assert rows(gz_dir) == rows(plain_dir)
+    assert len(rows(gz_dir)) == 3  # corrupt line quarantined in both
