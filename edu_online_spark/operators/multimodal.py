@@ -417,6 +417,72 @@ def resize_images(assets: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Perceptual hash: aHash over the decoded pixel grid
+# ---------------------------------------------------------------------------
+
+AHASH_GRID = 8
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("ahash", StringType()),
+        StructField("bits_set", IntegerType()),
+    ]
+)
+
+
+def ahash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas perceptual-hash stage: average hash (aHash) over the
+    REAL decoded pixels — 8×8 nearest-neighbor downsample, integer
+    grayscale, mean threshold, one bit per cell in row-major order.
+    Pure integer arithmetic end to end, which is what lets the DuckDB
+    oracle reproduce every bit from the payload generator's formulas:
+    a mis-parsed stride, a channel swap (sum is channel-order
+    independent — deliberately), or an off-by-one in the bottom-up row
+    flip all flip bits and fail the hash match. Emitted as a 64-char
+    bit string: portable, and engine-signedness-proof where a 64-bit
+    integer with bit 63 set is not."""
+    ks = np.arange(AHASH_GRID)
+    for pdf in batches:
+        ids, ws, hs, hashes, nbits = [], [], [], [], []
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            img = _decode_bmp_pixels(bytes(payload))
+            if img is None:
+                continue
+            h, w = img.shape[:2]
+            sample = img[(ks * h) // AHASH_GRID][:, (ks * w) // AHASH_GRID]
+            gray = sample.astype(np.int64).sum(axis=2) // 3
+            mean = int(gray.sum()) // (AHASH_GRID * AHASH_GRID)
+            bits = (gray > mean).astype(np.uint8).reshape(-1)
+            ids.append(asset_id)
+            ws.append(w)
+            hs.append(h)
+            hashes.append("".join("1" if b else "0" for b in bits))
+            nbits.append(int(bits.sum()))
+        yield pd.DataFrame(
+            {
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "ahash": hashes,
+                "bits_set": pd.Series(nbits, dtype="int32"),
+            }
+        )
+
+
+def image_ahash(assets: DataFrame) -> DataFrame:
+    """Perceptual-hash stage over image assets (filter prunes before
+    the Arrow boundary, like resize/sample_frames). Downstream
+    near-dup blocking groups on hash prefixes exactly like SimHash's
+    pigeonhole chunks — the hash is the content key, the bytes never
+    shuffle."""
+    images = assets.filter(F.col("media_type") == "image")
+    return images.mapInPandas(ahash_batch, AHASH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Audio features: real sample decode + span statistics
 # ---------------------------------------------------------------------------
 
@@ -522,6 +588,10 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(_media(spark, sf_dir))
 
 
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_ahash(_media(spark, sf_dir))
+
+
 def q_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # registry projection drops the binary thumb: metadata is oracle-
     # checkable cross-engine, the byte content is pinned by
@@ -546,6 +616,7 @@ QUERIES = {
     "multimodal_resized": q_resized,
     "multimodal_audio_features": q_audio_features,
     "multimodal_payload_dedup": q_payload_dedup,
+    "multimodal_image_ahash": q_image_ahash,
 }
 
 # The payload parameters are deterministic in doc_id, so the oracle
@@ -592,6 +663,49 @@ _DECODED_SQL = f"""
 """
 
 ORACLE = {
+    # Every aHash bit reproduced from the payload generator's integer
+    # formulas: pixel P(i) = (id·13 + i·7) mod 256 at the sampled
+    # (bottom-up, stride-padded) buffer offsets, integer grayscale,
+    # floor-mean threshold. A stride/flip/offset bug on the Spark
+    # decode side flips bits and fails this hash.
+    "multimodal_image_ahash": f"""
+        WITH imgs AS (
+            SELECT doc_id AS asset_id,
+                   (doc_id % {IMG_W_MOD}) + 1 AS w,
+                   ((doc_id * 7) % {IMG_H_MOD}) + 1 AS h,
+                   ((3 * ((doc_id % {IMG_W_MOD}) + 1) + 3) // 4) * 4 AS row_sz
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        g AS (
+            SELECT asset_id, w, h, k,
+                   (h - 1 - (((k // {AHASH_GRID}) * h) // {AHASH_GRID}))
+                       * row_sz
+                   + 3 * (((k % {AHASH_GRID}) * w) // {AHASH_GRID}) AS base
+            FROM imgs, (SELECT unnest(range(0, {AHASH_GRID * AHASH_GRID}))
+                        AS k) ks
+        ),
+        gray AS (
+            SELECT asset_id, w, h, k,
+                   (((asset_id * 13 + base * 7) % 256)
+                    + ((asset_id * 13 + (base + 1) * 7) % 256)
+                    + ((asset_id * 13 + (base + 2) * 7) % 256)) // 3 AS gv
+            FROM g
+        ),
+        m AS (
+            SELECT asset_id,
+                   sum(gv) // {AHASH_GRID * AHASH_GRID} AS mean
+            FROM gray GROUP BY 1
+        )
+        SELECT gray.asset_id,
+               CAST(min(w) AS INTEGER) AS width,
+               CAST(min(h) AS INTEGER) AS height,
+               string_agg(CASE WHEN gv > mean THEN '1' ELSE '0' END,
+                          '' ORDER BY k) AS ahash,
+               CAST(sum(CASE WHEN gv > mean THEN 1 ELSE 0 END) AS INTEGER)
+                   AS bits_set
+        FROM gray JOIN m USING (asset_id)
+        GROUP BY gray.asset_id
+    """,
     # payload bytes are the document's UTF-8 text bytes by construction,
     # and DuckDB's sha256(VARCHAR) hashes UTF-8 — both engines hash the
     # same byte string to the same lowercase hex

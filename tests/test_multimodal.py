@@ -178,3 +178,39 @@ def test_corrupt_payloads_quarantine_to_null_metadata(spark):
     assert out[1]["width"] is None and out[1]["n_frames"] is None
     assert out[1]["byte_len"] == len(b"garbage bytes")
     assert out[0]["width"] is not None and out[2]["n_frames"] is not None
+
+
+def test_image_ahash_semantics_on_planted_image(spark):
+    """A half-dark / half-bright image must hash to exactly the bright
+    half's bits — checked by building a real BMP by hand and running
+    the full decode→downsample→threshold path."""
+    import struct
+
+    import numpy as np
+
+    from edu_online_spark.operators.multimodal import image_ahash
+
+    w = h = 16
+    row = (3 * w + 3) // 4 * 4
+    # bottom-up storage: first h/2 rows in the buffer are the BOTTOM
+    # half of the image -> make them bright (200), top half dark (10)
+    rows = []
+    for r in range(h):
+        val = 200 if r < h // 2 else 10
+        rows.append(bytes([val] * (3 * w)) + b"\x00" * (row - 3 * w))
+    pix = b"".join(rows)
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+    )
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(hdr + info + pix))],
+        "asset_id long, media_type string, payload binary",
+    )
+    out = image_ahash(assets).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["width"], r["height"]) == (16, 16)
+    # top-down hash order: dark rows first (0s), bright rows last (1s)
+    assert r["ahash"] == "0" * 32 + "1" * 32
+    assert r["bits_set"] == 32
