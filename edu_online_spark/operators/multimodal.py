@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -483,6 +484,140 @@ def image_ahash(assets: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Audio fingerprint: span-threshold bits over decoded PCM
+# ---------------------------------------------------------------------------
+
+AFP_BITS = 64
+
+AFP_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_samples", IntegerType()),
+        StructField("afp", StringType()),
+        StructField("bits_set", IntegerType()),
+    ]
+)
+
+
+def audio_fingerprint_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas audio fingerprint: 64 span-energy bits over the
+    decoded int16 PCM — span j's bit is set iff its mean exceeds the
+    track mean. Threshold compares run as INTEGER cross-products
+    (span_sum·n_total > total_sum·span_n), never divisions, so every
+    bit is exact and the oracle reproduces the fingerprint from the
+    sample generator's formula."""
+    for pdf in batches:
+        ids, ns, fps, nbits = [], [], [], []
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            buf = bytes(payload)
+            parsed = _parse_wav(buf)
+            if not parsed:
+                continue
+            _, n = parsed
+            samples = np.frombuffer(buf, dtype="<i2", count=n, offset=44).astype(
+                np.int64
+            )
+            span = (np.arange(n) * AFP_BITS) // n
+            s_sum = np.bincount(span, weights=samples, minlength=AFP_BITS).astype(
+                np.int64
+            )
+            s_n = np.bincount(span, minlength=AFP_BITS).astype(np.int64)
+            total = int(samples.sum())
+            bits = (s_sum * n) > (total * np.maximum(s_n, 1))
+            bits &= s_n > 0  # empty spans (n < 64) stay 0
+            ids.append(asset_id)
+            ns.append(n)
+            fps.append("".join("1" if b else "0" for b in bits))
+            nbits.append(int(bits.sum()))
+        yield pd.DataFrame(
+            {
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "n_samples": pd.Series(ns, dtype="int32"),
+                "afp": fps,
+                "bits_set": pd.Series(nbits, dtype="int32"),
+            }
+        )
+
+
+def audio_fingerprint(assets: DataFrame) -> DataFrame:
+    """Fingerprint stage over audio assets (filter prunes before the
+    Arrow boundary)."""
+    return assets.filter(F.col("media_type") == "audio").mapInPandas(
+        audio_fingerprint_batch, AFP_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video scene cuts: per-frame signature deltas
+# ---------------------------------------------------------------------------
+
+SCENE_CUT_THRESHOLD = 8  # mean-brightness delta (integer, exact compare)
+
+SCENECUT_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("row_sum", LongType()),
+        StructField("row_n", IntegerType()),
+        StructField("is_cut", BooleanType()),
+    ]
+)
+
+
+def scenecut_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas scene-cut detection: decode each frame, take the
+    first display row's byte sum/count as the frame signature, and flag
+    a cut when consecutive means differ by > SCENE_CUT_THRESHOLD —
+    compared as the integer cross-product |s_f·n_p − s_p·n_f| >
+    T·n_f·n_p (frames differ in width, so the means have different
+    denominators; cross-multiplying keeps the compare exact)."""
+    for pdf in batches:
+        out = {"asset_id": [], "frame_idx": [], "row_sum": [], "row_n": [], "is_cut": []}
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            buf = bytes(payload)
+            parsed = _parse_vid(buf)
+            if not parsed:
+                continue
+            _, frames = parsed
+            prev = None
+            for fi, (off, ln) in enumerate(frames):
+                img = _decode_bmp_pixels(buf[off : off + ln])
+                if img is None:
+                    continue
+                s = int(img[0].astype(np.int64).sum())
+                nn = int(img.shape[1] * 3)
+                cut = (
+                    False
+                    if prev is None
+                    else abs(s * prev[1] - prev[0] * nn)
+                    > SCENE_CUT_THRESHOLD * nn * prev[1]
+                )
+                out["asset_id"].append(asset_id)
+                out["frame_idx"].append(fi)
+                out["row_sum"].append(s)
+                out["row_n"].append(nn)
+                out["is_cut"].append(bool(cut))
+                prev = (s, nn)
+        yield pd.DataFrame(
+            {
+                "asset_id": pd.Series(out["asset_id"], dtype="int64"),
+                "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                "row_sum": pd.Series(out["row_sum"], dtype="int64"),
+                "row_n": pd.Series(out["row_n"], dtype="int32"),
+                "is_cut": pd.Series(out["is_cut"], dtype="bool"),
+            }
+        )
+
+
+def video_scene_cuts(assets: DataFrame) -> DataFrame:
+    """Scene-cut stage over video assets (filter prunes before the
+    Arrow boundary; 1→N frame fan-out like sample_frames)."""
+    return assets.filter(F.col("media_type") == "video").mapInPandas(
+        scenecut_batch, SCENECUT_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
 # Audio features: real sample decode + span statistics
 # ---------------------------------------------------------------------------
 
@@ -592,6 +727,14 @@ def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_ahash(_media(spark, sf_dir))
 
 
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_fingerprint(_media(spark, sf_dir))
+
+
+def q_video_scenecuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return video_scene_cuts(_media(spark, sf_dir))
+
+
 def q_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # registry projection drops the binary thumb: metadata is oracle-
     # checkable cross-engine, the byte content is pinned by
@@ -617,6 +760,8 @@ QUERIES = {
     "multimodal_audio_features": q_audio_features,
     "multimodal_payload_dedup": q_payload_dedup,
     "multimodal_image_ahash": q_image_ahash,
+    "multimodal_audio_fingerprint": q_audio_fingerprint,
+    "multimodal_video_scenecuts": q_video_scenecuts,
 }
 
 # The payload parameters are deterministic in doc_id, so the oracle
@@ -705,6 +850,75 @@ ORACLE = {
                    AS bits_set
         FROM gray JOIN m USING (asset_id)
         GROUP BY gray.asset_id
+    """,
+    # Span-energy bits from the PCM generator's formula; thresholds as
+    # integer cross-products exactly as the Spark stage computes them.
+    "multimodal_audio_fingerprint": f"""
+        WITH auds AS (
+            SELECT doc_id AS asset_id,
+                   (doc_id % {WAV_N_MOD}) + {WAV_N_BASE} AS n
+            FROM documents WHERE doc_id % 3 = 1
+        ),
+        samp AS (
+            SELECT asset_id, n, (j * {AFP_BITS}) // n AS span,
+                   ((asset_id * 31 + j * 17) % 65536) - 32768 AS v
+            FROM (SELECT asset_id, n, unnest(range(0, n)) AS j FROM auds)
+        ),
+        sp AS (
+            SELECT asset_id, min(n) AS n, span,
+                   CAST(sum(v) AS BIGINT) AS s_sum, count(*) AS s_n
+            FROM samp GROUP BY asset_id, span
+        ),
+        tot AS (
+            SELECT asset_id, CAST(sum(v) AS BIGINT) AS total
+            FROM samp GROUP BY 1
+        )
+        SELECT sp.asset_id,
+               CAST(min(sp.n) AS INTEGER) AS n_samples,
+               string_agg(CASE WHEN s_sum * sp.n > total * s_n
+                               THEN '1' ELSE '0' END, '' ORDER BY span)
+                   AS afp,
+               CAST(sum(CASE WHEN s_sum * sp.n > total * s_n
+                             THEN 1 ELSE 0 END) AS INTEGER) AS bits_set
+        FROM sp JOIN tot USING (asset_id)
+        GROUP BY sp.asset_id
+    """,
+    # Frame signatures from the per-frame pixel formulas at the stored
+    # bottom-up offsets; the cut compare is the same integer
+    # cross-product (means have different denominators across frames).
+    "multimodal_video_scenecuts": f"""
+        WITH vids AS (
+            SELECT doc_id AS asset_id, (doc_id % {VID_FRAMES_MOD}) + 1 AS nf
+            FROM documents WHERE doc_id % 3 = 2
+        ),
+        fr AS (SELECT asset_id, unnest(range(0, nf)) AS fi FROM vids),
+        dims AS (
+            SELECT asset_id, fi,
+                   ((asset_id + fi) % {IMG_W_MOD}) + 1 AS w,
+                   ((asset_id * 7 + fi * 3) % {IMG_H_MOD}) + 1 AS h
+            FROM fr
+        ),
+        px AS (
+            SELECT asset_id, fi, 3 * w AS row_n,
+                   list_sum([(asset_id * 13 + fi * 11
+                              + ((((3 * w + 3) // 4) * 4) * (h - 1) + x) * 7)
+                             % 256
+                             for x in range(0, 3 * w)]) AS row_sum
+            FROM dims
+        ),
+        lagd AS (
+            SELECT asset_id, fi, row_sum, row_n,
+                   lag(row_sum) OVER w AS ps, lag(row_n) OVER w AS pn
+            FROM px
+            WINDOW w AS (PARTITION BY asset_id ORDER BY fi)
+        )
+        SELECT asset_id, CAST(fi AS INTEGER) AS frame_idx,
+               CAST(row_sum AS BIGINT) AS row_sum,
+               CAST(row_n AS INTEGER) AS row_n,
+               CASE WHEN ps IS NULL THEN FALSE
+                    ELSE abs(row_sum * pn - ps * row_n)
+                         > {SCENE_CUT_THRESHOLD} * row_n * pn END AS is_cut
+        FROM lagd
     """,
     # payload bytes are the document's UTF-8 text bytes by construction,
     # and DuckDB's sha256(VARCHAR) hashes UTF-8 — both engines hash the

@@ -214,3 +214,62 @@ def test_image_ahash_semantics_on_planted_image(spark):
     # top-down hash order: dark rows first (0s), bright rows last (1s)
     assert r["ahash"] == "0" * 32 + "1" * 32
     assert r["bits_set"] == 32
+
+
+def _flat_bmp(val: int, w: int = 8, h: int = 4) -> bytes:
+    import struct
+
+    row = (3 * w + 3) // 4 * 4
+    pix = b"".join(
+        bytes([val] * (3 * w)) + b"\x00" * (row - 3 * w) for _ in range(h)
+    )
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return hdr + info + pix
+
+
+def test_video_scene_cuts_fire_on_brightness_jump(spark):
+    """dark→dark is no cut; dark→bright is — on a hand-built VID0 so
+    the decision rides the real container walk and frame decode."""
+    import struct
+
+    from edu_online_spark.operators.multimodal import video_scene_cuts
+
+    frames = [_flat_bmp(10), _flat_bmp(10), _flat_bmp(200)]
+    payload = struct.pack("<4sI", b"VID0", len(frames)) + b"".join(
+        struct.pack("<I", len(f)) + f for f in frames
+    )
+    assets = spark.createDataFrame(
+        [(1, "video", bytearray(payload))],
+        "asset_id long, media_type string, payload binary",
+    )
+    out = {r["frame_idx"]: r for r in video_scene_cuts(assets).collect()}
+    assert [out[i]["is_cut"] for i in range(3)] == [False, False, True]
+    assert out[0]["row_sum"] == 10 * 24 and out[2]["row_sum"] == 200 * 24
+
+
+def test_audio_fingerprint_marks_loud_spans(spark):
+    """A silent track with one loud span sets exactly that span's bits —
+    through the real WAV build/parse path."""
+    import struct
+
+    import numpy as np
+
+    from edu_online_spark.operators.multimodal import audio_fingerprint
+
+    n = 640  # 10 samples per span
+    samples = np.zeros(n, dtype="<i2")
+    samples[320:330] = 1000  # span 32 loud
+    data = samples.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, 1, 8000, 16000, 2, 16, b"data", len(data),
+    )
+    assets = spark.createDataFrame(
+        [(1, "audio", bytearray(hdr + data))],
+        "asset_id long, media_type string, payload binary",
+    )
+    r = audio_fingerprint(assets).first()
+    assert r["n_samples"] == n
+    assert r["bits_set"] == 1
+    assert r["afp"].index("1") == 32
