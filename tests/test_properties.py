@@ -142,3 +142,44 @@ def test_quality_gates_total_on_arbitrary_text(spark, texts):
     # (scores may be NULL on degenerate input — deciles still total)
     cal = quality_calibrated(docs).collect()
     assert len(cal) == len(texts)
+
+
+@given(
+    blobs=st.lists(
+        st.binary(max_size=200), min_size=1, max_size=6
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_media_stages_quarantine_arbitrary_bytes(spark, blobs):
+    """Poison-payload posture for the perceptual stages: arbitrary
+    bytes (truncated headers, wrong magics, junk) must quarantine to
+    zero rows, never throw — at 100 TB a poison payload must not kill
+    the stage. Valid payloads mixed in still come through."""
+    from edu_online_spark.operators.multimodal import (
+        _bmp_bytes,
+        audio_fingerprint,
+        image_ahash,
+        video_scene_cuts,
+        _wav_bytes,
+        _vid_bytes,
+    )
+
+    rows = [(i, t, bytearray(b)) for i, b in enumerate(blobs)
+            for t in ("image", "audio", "video")]
+    rows += [
+        (1000, "image", bytearray(_bmp_bytes(7))),
+        (1001, "audio", bytearray(_wav_bytes(7))),
+        (1002, "video", bytearray(_vid_bytes(7))),
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary"
+    )
+    ah = image_ahash(assets).collect()
+    fp = audio_fingerprint(assets).collect()
+    sc = video_scene_cuts(assets).collect()
+    # the planted valid payloads always come through; junk either
+    # quarantines (usual) or — if hypothesis ever crafts a genuinely
+    # valid header — decodes, which is also correct. No throw either way.
+    assert 1000 in {r["asset_id"] for r in ah}
+    assert 1001 in {r["asset_id"] for r in fp}
+    assert 1002 in {r["asset_id"] for r in sc}
