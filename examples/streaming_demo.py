@@ -172,6 +172,32 @@ def main() -> None:
         out["indexed_embeddings"], ck("emb"), available_now=True,
     ).awaitTermination(120)
 
+    # round-4 session jobs: live token-frequency CMS + drift monitor
+    # over the SAME docs topic the ingest job consumed (new checkpoints
+    # replay it from the start)
+    out["token_countmin"] = f"{work}/out/token_countmin"
+    jobs.token_countmin_job(
+        file_stream(spark, topics["docs"]), out["token_countmin"],
+        ck("cms"), available_now=True,
+    ).awaitTermination(120)
+
+    from edu_online_spark.operators.textops import token_length_histogram
+
+    reference = token_length_histogram(
+        spark.createDataFrame(
+            [(1, "five tokens of reference text"),
+             (2, "this reference document carries eleven whitespace "
+                 "separated tokens in total")],
+            ["doc_id", "text"],
+        ),
+        cnt_name="n_old",
+    )
+    out["length_drift"] = f"{work}/out/length_drift"
+    jobs.length_drift_monitor_job(
+        file_stream(spark, topics["docs"]), reference, out["length_drift"],
+        ck("drift"), available_now=True,
+    ).awaitTermination(120)
+
     for name, path in out.items():
         df = spark.read.parquet(path)
         rows = [r.asDict() for r in df.collect()]
