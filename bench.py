@@ -76,6 +76,8 @@ HEADLINE = [
     "corpus_token_countmin",
     "purchase_training_examples",
     "corpus_dataset_card",
+    "corpus_drift_report",
+    "multimodal_image_ahash",
 ]
 
 
