@@ -848,6 +848,86 @@ def value_winsorized(events: DataFrame) -> DataFrame:
     )
 
 
+ER_PERTURB_MOD = 3  # every 3rd customer gets a dirtied twin
+ER_MIN_DICE = 0.5
+
+
+def _char_bigrams(col: F.Column) -> F.Column:
+    """Distinct character bigrams of a string — codegen HOFs only."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(col) - 1),
+            lambda i: col.substr(i, F.lit(2)),
+        )
+    )
+
+
+def customer_record_linkage(customer: DataFrame) -> DataFrame:
+    """Entity resolution: link dirtied customer records back to their
+    canonical rows — blocking + pairwise similarity + best-match
+    selection, the standard three-stage linkage pipeline.
+
+    The dirty side is a deterministic perturbation of every
+    ER_PERTURB_MODth customer (one account-balance digit overwritten
+    in the exact-cents rendering), so ground
+    truth is known and the oracle can mirror the whole pipeline.
+    Blocking on c_nationkey bounds candidates to same-nation pairs
+    (at production scale the block key gains phone/name structure —
+    the code path is identical); the match score is Dice over distinct
+    character bigrams of name|phone — integer set sizes, one double
+    division, so scores hash-certify. Best match per dirty record by
+    (score desc, custkey asc); `is_correct` makes the linkage accuracy
+    itself part of the certified output.
+    """
+    from pyspark.sql import Window
+
+    cents = (
+        F.round(F.col("c_acctbal") * 100).cast("long").cast("string")
+    )
+    base = customer.select(
+        "c_custkey", "c_name", "c_nationkey", cents.alias("cents")
+    )
+    dirty = base.filter(F.col("c_custkey") % ER_PERTURB_MOD == 0).select(
+        F.col("c_custkey").alias("true_key"),
+        F.col("c_nationkey").alias("d_nation"),
+        # perturbation: first cents digit overwritten with '9'
+        F.concat(
+            F.col("c_name"),
+            F.lit("|9"),
+            F.col("cents").substr(F.lit(2), F.length("cents")),
+        ).alias("d_rec"),
+    )
+    clean = base.select(
+        F.col("c_custkey").alias("cand_key"),
+        F.col("c_nationkey").alias("c_nation"),
+        F.concat(F.col("c_name"), F.lit("|"), F.col("cents")).alias("c_rec"),
+    )
+    db, cb = _char_bigrams(F.col("d_rec")), _char_bigrams(F.col("c_rec"))
+    pairs = (
+        dirty.join(clean, dirty.d_nation == clean.c_nation)
+        .withColumn(
+            "dice",
+            2
+            * F.size(F.array_intersect(db, cb))
+            / (F.size(db) + F.size(cb)),
+        )
+        .filter(F.col("dice") >= ER_MIN_DICE)
+    )
+    w = Window.partitionBy("true_key").orderBy(
+        F.desc("dice"), F.asc("cand_key")
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "true_key",
+            F.col("cand_key").alias("matched_key"),
+            "dice",
+            (F.col("cand_key") == F.col("true_key")).alias("is_correct"),
+        )
+    )
+
+
 def _q(fn, *tables):
     def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(*[load_table(spark, sf_dir, t) for t in tables])
@@ -894,6 +974,7 @@ QUERIES = {
     "events_value_winsorized": _q(value_winsorized, "events"),
     "events_daily_trend": _q(daily_trend_fit, "events"),
     "events_type_transitions": _q(event_type_transitions, "events"),
+    "customer_record_linkage": _q(customer_record_linkage, "customer"),
 }
 
 _PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -1171,6 +1252,50 @@ ORACLE = {
                quantile_disc(value, 0.9) AS p90,
                count(*) AS n
         FROM events GROUP BY event_type
+    """,
+    # Same perturbation, same nation blocking, same distinct-char-bigram
+    # Dice (integer set sizes, one double division), same best-match
+    # tie order — linkage accuracy is itself part of the certified rows.
+    "customer_record_linkage": f"""
+        WITH base AS (
+            SELECT c_custkey, c_name, c_nationkey,
+                   CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR)
+                       AS cents
+            FROM customer
+        ),
+        dirty AS (
+            SELECT c_custkey AS true_key, c_nationkey AS d_nation,
+                   c_name || '|9' || substring(cents, 2) AS d_rec
+            FROM base WHERE c_custkey % {ER_PERTURB_MOD} = 0
+        ),
+        clean AS (
+            SELECT c_custkey AS cand_key, c_nationkey AS c_nation,
+                   c_name || '|' || cents AS c_rec
+            FROM base
+        ),
+        grams AS (
+            SELECT true_key, cand_key,
+                   list_distinct([substring(d_rec, i, 2)
+                                  for i in range(1, length(d_rec))]) AS db,
+                   list_distinct([substring(c_rec, i, 2)
+                                  for i in range(1, length(c_rec))]) AS cb
+            FROM dirty JOIN clean ON d_nation = c_nation
+        ),
+        pairs AS (
+            SELECT true_key, cand_key,
+                   2 * len(list_intersect(db, cb)) / (len(db) + len(cb))
+                       AS dice
+            FROM grams
+        ),
+        ranked AS (
+            SELECT true_key, cand_key, dice,
+                   ROW_NUMBER() OVER (PARTITION BY true_key
+                       ORDER BY dice DESC, cand_key) AS rk
+            FROM pairs WHERE dice >= {ER_MIN_DICE}
+        )
+        SELECT true_key, cand_key AS matched_key, dice,
+               cand_key = true_key AS is_correct
+        FROM ranked WHERE rk = 1
     """,
     # Rational support/confidence/lift: long counts, double division at
     # the end, lift's cross-product in integer arithmetic first.

@@ -555,3 +555,29 @@ def test_type_transitions_probabilities(spark):
     assert got[("view", "error")] == (1, 1 / 3)
     # no cross-user pair (u7's last 'purchase' -> u8's first 'view')
     assert ("purchase", "view") not in got
+
+
+def test_record_linkage_blocks_and_matches(spark):
+    """Linkage finds the canonical row for each dirtied record, never
+    crosses a block (nation) boundary, and reports is_correct
+    truthfully — checked on a fixture where customer 0's nearest
+    similar-name rival lives in ANOTHER nation and an in-nation
+    stranger is dissimilar."""
+    from edu_online_spark.operators.analytics import customer_record_linkage
+
+    rows = [
+        (0, "Customer#000000000", 1, 1863.84, "BUILDING"),
+        # similar name, same balance, different nation -> blocked out
+        (7, "Customer#000000100", 2, 1863.84, "BUILDING"),
+        # same nation, very different record -> low dice
+        (2, "Zzgh#999", 1, 11.11, "AUTO"),
+        (3, "Customer#000000003", 1, 2547.40, "MACHINERY"),  # dirty twin too
+    ]
+    cust = spark.createDataFrame(
+        rows, ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    )
+    out = {r["true_key"]: r for r in customer_record_linkage(cust).collect()}
+    assert set(out) == {0, 3}  # custkey % 3 == 0 get dirty twins
+    assert out[0]["matched_key"] == 0 and out[0]["is_correct"]
+    assert out[3]["matched_key"] == 3 and out[3]["is_correct"]
+    assert out[0]["dice"] > 0.8
