@@ -902,29 +902,42 @@ def customer_record_linkage(customer: DataFrame) -> DataFrame:
         F.col("c_nationkey").alias("c_nation"),
         F.concat(F.col("c_name"), F.lit("|"), F.col("cents")).alias("c_rec"),
     )
+    return link_records(dirty, clean, id_col="true_key").select(
+        "true_key",
+        "matched_key",
+        "dice",
+        (F.col("matched_key") == F.col("true_key")).alias("is_correct"),
+    )
+
+
+def link_records(
+    dirty: DataFrame,
+    clean: DataFrame,
+    min_dice: float = ER_MIN_DICE,
+    id_col: str = "true_key",
+) -> DataFrame:
+    """The linkage core (blocking equi-join → bigram Dice → best match
+    per incoming record), shared by the batch certification query and
+    the streaming link-on-ingest job. dirty carries (id_col, d_nation,
+    d_rec); clean carries (cand_key, c_nation, c_rec). The clean side
+    is broadcast — at scale the canonical table is the small,
+    deduplicated master data."""
     db, cb = _char_bigrams(F.col("d_rec")), _char_bigrams(F.col("c_rec"))
     pairs = (
-        dirty.join(clean, dirty.d_nation == clean.c_nation)
+        dirty.join(F.broadcast(clean), dirty.d_nation == clean.c_nation)
         .withColumn(
             "dice",
             2
             * F.size(F.array_intersect(db, cb))
             / (F.size(db) + F.size(cb)),
         )
-        .filter(F.col("dice") >= ER_MIN_DICE)
+        .filter(F.col("dice") >= min_dice)
     )
-    w = Window.partitionBy("true_key").orderBy(
-        F.desc("dice"), F.asc("cand_key")
-    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("dice"), F.asc("cand_key"))
     return (
         pairs.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select(
-            "true_key",
-            F.col("cand_key").alias("matched_key"),
-            "dice",
-            (F.col("cand_key") == F.col("true_key")).alias("is_correct"),
-        )
+        .select(id_col, F.col("cand_key").alias("matched_key"), "dice")
     )
 
 

@@ -1243,3 +1243,68 @@ def length_drift_monitor_job(
         .trigger(**_trigger({}, available_now))
         .start()
     )
+
+
+def record_linkage_job(
+    raw: DataFrame,
+    canonical: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Link-on-ingest: incoming records are matched against the
+    canonical master table AS THEY ARRIVE — blocking equi-join on the
+    broadcast canonical side, bigram-Dice scoring, best match per
+    record — so downstream consumers only ever see resolved entity
+    ids. Same analytics.link_records core as the batch certification
+    query, wired stateless per trigger (append mode): linkage needs no
+    cross-trigger state because the canonical side is static reference
+    data, exactly like register_region_enrich_job's dimension join.
+
+    Input records are JSON {rec_id, name, nation, cents}; malformed
+    lines quarantine on decode. canonical carries (cand_key, c_nation,
+    c_rec) as produced by the batch operator's clean-side projection.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ..operators.analytics import link_records
+
+    schema = StructType(
+        [
+            StructField("rec_id", LongType()),
+            StructField("name", StringType()),
+            StructField("nation", LongType()),
+            StructField("cents", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    parsed = F.from_json(
+        F.col("value"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    dirty = (
+        raw.select(parsed.alias("j"))
+        .filter(
+            F.col("j._corrupt").isNull()
+            & F.col("j.rec_id").isNotNull()
+            & F.col("j.name").isNotNull()
+        )
+        .select(
+            F.col("j.rec_id").alias("rec_id"),
+            F.col("j.nation").alias("d_nation"),
+            F.concat(F.col("j.name"), F.lit("|"), F.col("j.cents")).alias("d_rec"),
+        )
+    )
+
+    def link(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        matches = link_records(batch, canonical, id_col="rec_id")
+        matches.write.mode("append").parquet(out_path)
+
+    return (
+        dirty.writeStream.outputMode("append")
+        .foreachBatch(link)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )

@@ -365,3 +365,15 @@ def test_training_examples_single_user_shuffle(spark, sf_dir):
     plan = explain_str(df, "simple")
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_record_linkage_blocking_is_equi_join(spark, sf_dir):
+    """The candidate stage must be the nation equi-join (blocking), not
+    a nested-loop cross of dirty x clean."""
+    from edu_online_spark.operators.analytics import customer_record_linkage
+
+    df = customer_record_linkage(load_table(spark, sf_dir, "customer"))
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
