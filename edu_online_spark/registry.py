@@ -124,6 +124,7 @@ _WINDOW_PRIORITY = [
     "docs_quality_calibrated",
     "corpus_dataset_card",
     "corpus_drift_report",
+    "customer_record_linkage",
     # 2c: rows-only → boolean-tolerance oracle upgrades (round 4);
     # quiz_mastery_approx reaches the window via prefix order already
     "events_distinct_users_approx",
