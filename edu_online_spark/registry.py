@@ -138,6 +138,18 @@ _WINDOW_PRIORITY = [
     "sim_knn_bruteforce",
 ]
 
+# Round-5 rotation backlog: oracle-backed queries added late in round 4
+# that did NOT fit this round's 50-slot window (all locally certified at
+# sf0.01, most also at sf0.1 — see COVERAGE.md). Promote these into
+# _WINDOW_PRIORITY next round, retiring this round's freshly-certified
+# block:
+#   purchase_training_examples is IN the window; still missing:
+#   basket_association_rules, events_value_winsorized,
+#   events_daily_trend, events_type_transitions, purchase_status_asof,
+#   embeddings_label_centroids, multimodal_image_ahash,
+#   multimodal_audio_fingerprint, multimodal_video_scenecuts,
+#   docs_quality_calibrated is IN; retrieval_negative_samples (sf0.01).
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Module order as declared, with two cross-module rules:
