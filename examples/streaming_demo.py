@@ -38,7 +38,7 @@ def main() -> None:
     shutil.rmtree(work, ignore_errors=True)
     topics = {
         t: f"{work}/topics/{t}"
-        for t in ("register", "qz", "page", "raw", "docs", "pii", "emb")
+        for t in ("register", "qz", "page", "raw", "docs", "pii", "emb", "link")
     }
 
     produce(topics["register"], "b1.log", [
@@ -196,6 +196,26 @@ def main() -> None:
     jobs.length_drift_monitor_job(
         file_stream(spark, topics["docs"]), reference, out["length_drift"],
         ck("drift"), available_now=True,
+    ).awaitTermination(120)
+
+    # round-4 session job: link-on-ingest — dirty records resolved
+    # against the broadcast canonical table as they arrive
+    produce(topics["link"], "b1.jsonl", [
+        '{"rec_id": 900, "name": "Customer#000000010", "nation": 1, "cents": "986384"}',
+        '{"rec_id": 901, "name": "Zz#9", "nation": 1, "cents": "1"}',
+        "corrupt {",
+    ])
+    canonical = spark.createDataFrame(
+        [
+            (10, 1, "Customer#000000010|186384"),
+            (11, 1, "Customer#000000011|254740"),
+        ],
+        ["cand_key", "c_nation", "c_rec"],
+    )
+    out["linked_records"] = f"{work}/out/linked_records"
+    jobs.record_linkage_job(
+        file_stream(spark, topics["link"]), canonical,
+        out["linked_records"], ck("link"), available_now=True,
     ).awaitTermination(120)
 
     for name, path in out.items():
