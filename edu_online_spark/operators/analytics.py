@@ -848,6 +848,58 @@ def value_winsorized(events: DataFrame) -> DataFrame:
     )
 
 
+def seasonal_residuals(events: DataFrame) -> DataFrame:
+    """Robust seasonality decomposition of the daily event counts: each
+    (event_type, day) gets its day-of-week baseline, the deseasonalized
+    residual, and an outlier flag via the median-absolute-deviation
+    rule — |residual| > 3·MAD. The seasonality-aware alternative to
+    daily_anomaly_flags' trailing mean.
+
+    Robust end to end: the dow baseline is a MEDIAN (a mean would let
+    one spiked Monday drag every other Monday into the outlier band —
+    the masking failure the MAD rule exists to avoid), the MAD is a
+    percentile_disc SELECTION (an actual residual value, no
+    sqrt/stddev), and the 3·MAD compare multiplies — all selections
+    and integer subtractions, so the whole decomposition
+    hash-certifies where a z-score (stddev = sqrt) could not. Two bounded aggregations over the daily
+    grain; at 100 TB the daily grain is already tiny.
+    """
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("y"))
+    dow = F.dayofweek("day")
+    prof = daily.groupBy("event_type", dow.alias("dow")).agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY y)").alias(
+            "dow_baseline"
+        )
+    )
+    d = daily.select("event_type", "day", dow.alias("dow"), "y").join(
+        F.broadcast(prof), ["event_type", "dow"]
+    )
+    resid = d.select(
+        "event_type",
+        "day",
+        "dow",
+        "y",
+        "dow_baseline",
+        (F.col("y") - F.col("dow_baseline")).alias("residual"),
+    )
+    mad = resid.groupBy("event_type").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(residual))"
+        ).alias("mad")
+    )
+    return resid.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "day",
+        "dow",
+        "y",
+        "dow_baseline",
+        "residual",
+        (F.abs(F.col("residual")) > 3 * F.col("mad")).alias("is_outlier"),
+    )
+
+
 ER_PERTURB_MOD = 3  # every 3rd customer gets a dirtied twin
 ER_MIN_DICE = 0.5
 
@@ -988,6 +1040,7 @@ QUERIES = {
     "events_daily_trend": _q(daily_trend_fit, "events"),
     "events_type_transitions": _q(event_type_transitions, "events"),
     "customer_record_linkage": _q(customer_record_linkage, "customer"),
+    "events_seasonal_residuals": _q(seasonal_residuals, "events"),
 }
 
 _PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -1265,6 +1318,39 @@ ORACLE = {
                quantile_disc(value, 0.9) AS p90,
                count(*) AS n
         FROM events GROUP BY event_type
+    """,
+    # Same dow median baseline and MAD selection (percentile_disc both
+    # times), same 3-MAD multiply compare.
+    "events_seasonal_residuals": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        d AS (
+            SELECT event_type, day, dayofweek(day) + 1 AS dow, y
+            FROM daily
+        ),
+        prof AS (
+            SELECT event_type, dow,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY y)
+                       AS dow_baseline
+            FROM d GROUP BY 1, 2
+        ),
+        resid AS (
+            SELECT d.event_type, d.day, d.dow, d.y, prof.dow_baseline,
+                   d.y - prof.dow_baseline AS residual
+            FROM d JOIN prof USING (event_type, dow)
+        ),
+        mad AS (
+            SELECT event_type,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(residual))
+                       AS mad
+            FROM resid GROUP BY 1
+        )
+        SELECT r.event_type, r.day, CAST(r.dow AS INTEGER) AS dow,
+               r.y, r.dow_baseline, r.residual,
+               abs(r.residual) > 3 * m.mad AS is_outlier
+        FROM resid r JOIN mad m USING (event_type)
     """,
     # Same perturbation, same nation blocking, same distinct-char-bigram
     # Dice (integer set sizes, one double division), same best-match

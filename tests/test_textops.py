@@ -581,3 +581,36 @@ def test_record_linkage_blocks_and_matches(spark):
     assert out[0]["matched_key"] == 0 and out[0]["is_correct"]
     assert out[3]["matched_key"] == 3 and out[3]["is_correct"]
     assert out[0]["dice"] > 0.8
+
+
+def test_seasonal_residuals_dow_baseline_and_mad_outlier(spark):
+    """Each Monday compares against the Monday mean, not the global
+    one; a single spiked Monday is flagged while ordinary variation is
+    not (3-MAD rule)."""
+    import datetime as dt
+
+    from edu_online_spark.operators.analytics import seasonal_residuals
+
+    rows, eid = [], 0
+    # 6 weeks: Mondays get 20 events, other days 10; the last Monday 60
+    start = dt.datetime(2026, 1, 5)  # a Monday
+    for d in range(42):
+        day = start + dt.timedelta(days=d)
+        base = 20 if day.weekday() == 0 else 10
+        if d == 35:  # final Monday spikes
+            base = 60
+        for _ in range(base):
+            rows.append((eid, day, 1, "view", 1.0))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    out = {str(r["day"]): r for r in seasonal_residuals(events).collect()}
+    spike = out["2026-02-09"]
+    assert spike["is_outlier"] and spike["residual"] > 30
+    # an ordinary Monday sits on its own (median) baseline
+    normal_monday = out["2026-01-12"]
+    assert not normal_monday["is_outlier"]
+    # the spiked week does NOT drag the Monday baseline: median holds
+    assert normal_monday["dow_baseline"] == 20
+    assert not out["2026-01-13"]["is_outlier"]  # plain Tuesday
