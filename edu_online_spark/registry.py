@@ -148,7 +148,8 @@ _WINDOW_PRIORITY = [
 #   events_daily_trend, events_type_transitions, purchase_status_asof,
 #   embeddings_label_centroids, multimodal_image_ahash,
 #   multimodal_audio_fingerprint, multimodal_video_scenecuts,
-#   docs_quality_calibrated is IN; retrieval_negative_samples (sf0.01).
+#   docs_quality_calibrated is IN; retrieval_negative_samples (sf0.01),
+#   events_seasonal_residuals.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
