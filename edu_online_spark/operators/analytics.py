@@ -905,13 +905,20 @@ ER_MIN_DICE = 0.5
 
 
 def _char_bigrams(col: F.Column) -> F.Column:
-    """Distinct character bigrams of a string — codegen HOFs only."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.length(col) - 1),
-            lambda i: col.substr(i, F.lit(2)),
-        )
-    )
+    """Distinct character bigrams of a string — codegen HOFs only.
+    Strings shorter than 2 chars yield an EMPTY array: F.sequence(1, 0)
+    would otherwise produce the descending [1, 0] (Spark sequences step
+    -1 when stop < start), manufacturing bogus 'bigrams' and a nonzero
+    Dice denominator for inputs the oracle scores 0/0."""
+    return F.when(
+        F.length(col) >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(col) - 1),
+                lambda i: col.substr(i, F.lit(2)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def customer_record_linkage(customer: DataFrame) -> DataFrame:
@@ -977,6 +984,9 @@ def link_records(
     db, cb = _char_bigrams(F.col("d_rec")), _char_bigrams(F.col("c_rec"))
     pairs = (
         dirty.join(F.broadcast(clean), dirty.d_nation == clean.c_nation)
+        # zero-bigram records (len<2 strings) have no defined Dice —
+        # drop them before the division rather than emit 0/0 garbage
+        .filter((F.size(db) > 0) & (F.size(cb) > 0))
         .withColumn(
             "dice",
             2

@@ -591,15 +591,21 @@ def retrieval_negative_samples(
     negatives on every run, engine, and partitioning — resampling
     noise between replays would silently change the training set.
 
-    Near-dups of the query are excluded via the certified MinHash-LSH
-    pairs (an actual positive sampled as a negative is the classic
-    retrieval-training bug), the query itself likewise. Selection is
-    top-k per query over the pair hash — a per-query window over the
-    (bounded queries × corpus) candidate relation; queries are a fixed
-    training batch, so the relation is k·|corpus|-linear, not n².
-    (At 100 TB ids need the pre-reduced 128-bit-safe key mix of
-    functions.core.hash_bucket; the direct mix here is safe for the
-    testdata id ranges.)
+    Near-dups of the query are excluded by EXACT shingle Jaccard
+    against the bounded query batch (an actual positive sampled as a
+    negative is the classic retrieval-training bug), the query itself
+    likewise. LSH banding would NOT do here: its false-negative rate
+    (~(1-j⁴)¹⁶ ≈ 35% at j=0.5) means a genuine near-duplicate could
+    slip through as a hard negative — precisely the bug this exclusion
+    exists to prevent. Exactness is affordable because one side is the
+    query batch, not the corpus: the sparse shingle co-occurrence join
+    (same shape as ngram_jaccard_pairs) costs query-shingles ×
+    posting-list, linear in corpus size for a fixed batch. Selection
+    is top-k per query over the pair hash — a per-query window over
+    the (bounded queries × corpus) candidate relation, k·|corpus|-
+    linear, not n². (At 100 TB ids need the pre-reduced 128-bit-safe
+    key mix of functions.core.hash_bucket; the direct mix here is safe
+    for the testdata id ranges.)
     """
     from pyspark.sql import Window
 
@@ -609,13 +615,35 @@ def retrieval_negative_samples(
         F.col("doc_id").alias("query_id")
     )
     c = documents.select(F.col("doc_id").alias("negative_id"))
-    pairs = minhash_lsh_pairs(documents)
-    near = pairs.select(
-        F.col("doc_a").alias("query_id"), F.col("doc_b").alias("negative_id")
-    ).unionByName(
-        pairs.select(
-            F.col("doc_b").alias("query_id"), F.col("doc_a").alias("negative_id")
+    sh = _shingle_rows(documents).dropDuplicates(["doc_id", "shingle"])
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    qsh = sh.filter(F.col("doc_id") % NEG_QUERY_MOD == 0).select(
+        F.col("doc_id").alias("query_id"), "shingle"
+    )
+    csh = sh.select(F.col("doc_id").alias("negative_id"), "shingle")
+    inter = (
+        qsh.join(csh, "shingle")
+        .filter(F.col("query_id") != F.col("negative_id"))
+        .groupBy("query_id", "negative_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    near = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("query_id"), F.col("sz").alias("sz_q")),
+            "query_id",
         )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("negative_id"), F.col("sz").alias("sz_c")
+            ),
+            "negative_id",
+        )
+        .filter(
+            F.col("n_inter").cast("double")
+            / (F.col("sz_q") + F.col("sz_c") - F.col("n_inter"))
+            >= JACCARD_THRESHOLD
+        )
+        .select("query_id", "negative_id")
     )
     cand = (
         q.crossJoin(c)

@@ -607,7 +607,13 @@ def quality_calibrated(documents: DataFrame) -> DataFrame:
         ).alias("quality_score"),
     )
     by_src = Window.partitionBy("source")
-    order = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    # explicit NULLS FIRST: Spark defaults ASC to nulls-first but
+    # DuckDB to nulls-last, so the NULL scores the CASE guard emits for
+    # empty/whitespace docs would otherwise shift every ntile in that
+    # source cross-engine (oracle carries the matching NULLS FIRST)
+    order = Window.partitionBy("source").orderBy(
+        F.asc_nulls_first("quality_score"), "doc_id"
+    )
     return d.select(
         "doc_id",
         "source",
@@ -1641,7 +1647,8 @@ ORACLE = {
         )
         SELECT doc_id, source, quality_score,
                CAST(NTILE(10) OVER (PARTITION BY source
-                    ORDER BY quality_score, doc_id) AS INTEGER) AS decile,
+                    ORDER BY quality_score NULLS FIRST, doc_id) AS INTEGER)
+                   AS decile,
                CASE WHEN max(quality_score) OVER s != min(quality_score) OVER s
                     THEN (quality_score - min(quality_score) OVER s)
                          / (max(quality_score) OVER s

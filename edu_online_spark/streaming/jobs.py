@@ -1124,6 +1124,10 @@ def token_countmin_job(
             .agg(F.count("*").alias("cnt"))
         )
         delta = countmin_cells(token_counts)
+        # promote any half-committed swap BEFORE the existence check —
+        # otherwise a crash between the two publish renames reads as a
+        # fresh sink and the accumulated grid + replay watermark vanish
+        sinks.recover_sink(out_path)
         if os.path.exists(out_path):
             old = spark.read.parquet(out_path)
             last = old.agg(F.max("last_batch_id")).first()[0]
@@ -1210,6 +1214,7 @@ def length_drift_monitor_job(
             return
         spark = batch.sparkSession
         delta = token_length_histogram(batch, cnt_name="n")
+        sinks.recover_sink(hist_path)
         if os.path.exists(hist_path):
             old = spark.read.parquet(hist_path)
             last = old.agg(F.max("last_batch_id")).first()[0]
@@ -1262,8 +1267,13 @@ def record_linkage_job(
     data, exactly like register_region_enrich_job's dimension join.
 
     Input records are JSON {rec_id, name, nation, cents}; malformed
-    lines quarantine on decode. canonical carries (cand_key, c_nation,
-    c_rec) as produced by the batch operator's clean-side projection.
+    lines AND records missing any matcher-required field land in
+    out_path + '.quarantine' (batch_id-stamped — dedupe on read) rather
+    than being silently dropped by join/concat null-propagation.
+    Matches go through the rec_id-keyed parquet_upsert sink, so a
+    redelivered trigger rewrites the same keys instead of appending
+    duplicates. canonical carries (cand_key, c_nation, c_rec) as
+    produced by the batch operator's clean-side projection.
     """
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -1281,28 +1291,56 @@ def record_linkage_job(
     parsed = F.from_json(
         F.col("value"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
     )
-    dirty = (
-        raw.select(parsed.alias("j"))
-        .filter(
-            F.col("j._corrupt").isNull()
-            & F.col("j.rec_id").isNotNull()
-            & F.col("j.name").isNotNull()
-        )
-        .select(
-            F.col("j.rec_id").alias("rec_id"),
-            F.col("j.nation").alias("d_nation"),
-            F.concat(F.col("j.name"), F.lit("|"), F.col("j.cents")).alias("d_rec"),
-        )
+    decoded = raw.select(parsed.alias("j")).select(
+        F.col("j._corrupt").alias("_corrupt"),
+        F.col("j.rec_id").alias("rec_id"),
+        F.col("j.name").alias("name"),
+        F.col("j.nation").alias("d_nation"),
+        F.col("j.cents").alias("cents"),
     )
+    quarantine_path = out_path + ".quarantine"
+    # the matches sink is an idempotent upsert keyed on rec_id: a
+    # trigger redelivered after a successful write but before the
+    # checkpoint commit rewrites the same keys instead of duplicating
+    # every match row (plain mode('append') had exactly that bug)
+    upsert = sinks.parquet_upsert(out_path, ["rec_id"])
 
     def link(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        matches = link_records(batch, canonical, id_col="rec_id")
-        matches.write.mode("append").parquet(out_path)
+        batch = batch.localCheckpoint(eager=True)  # consumed twice below
+        # a record missing ANY field the matcher needs is quarantined,
+        # not silently dropped by the join/concat null-propagation
+        bad = batch.filter(
+            F.col("_corrupt").isNotNull()
+            | F.col("rec_id").isNull()
+            | F.col("name").isNull()
+            | F.col("d_nation").isNull()
+            | F.col("cents").isNull()
+        )
+        if not bad.isEmpty():
+            # append is not replay-idempotent; the batch_id stamp lets
+            # consumers dedupe on read (rec_id may itself be null here,
+            # so an upsert key does not exist for this path)
+            bad.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(quarantine_path)
+        good = batch.filter(
+            F.col("_corrupt").isNull()
+            & F.col("rec_id").isNotNull()
+            & F.col("name").isNotNull()
+            & F.col("d_nation").isNotNull()
+            & F.col("cents").isNotNull()
+        ).select(
+            "rec_id",
+            "d_nation",
+            F.concat(F.col("name"), F.lit("|"), F.col("cents")).alias("d_rec"),
+        )
+        matches = link_records(good, canonical, id_col="rec_id")
+        upsert(matches, batch_id)
 
     return (
-        dirty.writeStream.outputMode("append")
+        decoded.writeStream.outputMode("append")
         .foreachBatch(link)
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))

@@ -125,6 +125,19 @@ def _recover_half_commit(path: str, staging: str, retired: str) -> None:
             shutil.rmtree(leftover)
 
 
+def recover_sink(path: str) -> None:
+    """Run half-commit recovery for a sink path BEFORE reading its
+    state. foreachBatch functions that read cumulative sink state with
+    os.path.exists(path) (CMS cells, drift histograms) must call this
+    first: a crash between _swap_into_place's two renames leaves the
+    live dir absent with the only copy in .__staging__/.__retired__,
+    and an unrecovered existence check would treat the sink as fresh —
+    silently discarding all accumulated state plus the last_batch_id
+    replay watermark, then overwriting the later-recovered old state
+    with a delta-only grid."""
+    _recover_half_commit(path, path + ".__staging__", path + ".__retired__")
+
+
 def _swap_into_place(path: str, staging: str, retired: str) -> None:
     """Publish a complete staging tree with two metadata renames;
     readers see the full old state until the instant the full new state

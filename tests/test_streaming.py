@@ -871,6 +871,9 @@ def test_record_linkage_job_resolves_on_ingest(spark, tmp_path):
         # a truly alien record)
         _json.dumps({"rec_id": 901, "name": "Zz#9", "nation": 1,
                      "cents": "1"}),
+        # missing nation -> quarantined, not silently dropped
+        _json.dumps({"rec_id": 902, "name": "Customer#000000011",
+                     "cents": "254740"}),
         "corrupt {",
     ]
     _write_lines(src, "b1.jsonl", lines)
@@ -881,3 +884,15 @@ def test_record_linkage_job_resolves_on_ingest(spark, tmp_path):
     rows = {r["rec_id"]: r for r in spark.read.parquet(out).collect()}
     assert set(rows) == {900}
     assert rows[900]["matched_key"] == 10 and rows[900]["dice"] > 0.8
+    quarantined = spark.read.parquet(out + ".quarantine").collect()
+    # the null-nation record and the corrupt line both quarantine
+    assert {r["rec_id"] for r in quarantined} == {902, None}
+    assert all(r["batch_id"] is not None for r in quarantined)
+    # replay from a fresh checkpoint: the rec_id-keyed upsert sink
+    # rewrites the same keys — no duplicate match rows
+    jobs.record_linkage_job(
+        file_stream(spark, src), canonical, out, str(tmp_path / "ck2"),
+        available_now=True,
+    ).awaitTermination(120)
+    replayed = spark.read.parquet(out).collect()
+    assert len(replayed) == 1 and replayed[0]["rec_id"] == 900
