@@ -78,6 +78,10 @@ HEADLINE = [
     "corpus_dataset_card",
     "corpus_drift_report",
     "multimodal_image_ahash",
+    # round 5
+    "hybrid_search_rrf_lsh",
+    "corpus_end_to_end_curation",
+    "customer_record_linkage",
 ]
 
 

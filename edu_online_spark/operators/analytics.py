@@ -902,6 +902,34 @@ def seasonal_residuals(events: DataFrame) -> DataFrame:
 
 ER_PERTURB_MOD = 3  # every 3rd customer gets a dirtied twin
 ER_MIN_DICE = 0.5
+# Composite blocking: nation alone is ~25 blocks, so within-block
+# all-pairs is O((n/25)²) — a skewed full shuffle at 100× scale. The
+# name's last-4-chars component multiplies the block count by up to
+# 10^4 for digit-suffixed names (TPC-H: the low-order custkey digits,
+# uniformly distributed), which is what keeps per-block candidate
+# lists bounded as the corpus grows. Trade-off: a typo in the blocked
+# suffix hides the match — production runs a second blocking pass on a
+# different component (phone exchange, sorted-neighborhood), same code
+# shape.
+ER_BLOCK_NAME_CHARS = 4
+# Safety valve for degenerate keys (every record named "UNKNOWN"): a
+# clean-side block larger than this is excluded from candidate
+# generation entirely — bounded quadratic work beats an unbounded
+# skew straggler, and junk mega-blocks carry no linkage signal anyway.
+# Sized far above any real block in the testdata (largest observed: 1).
+ER_MAX_BLOCK_ROWS = 10_000
+
+
+def _block_key(rec: F.Column) -> F.Column:
+    """Last ER_BLOCK_NAME_CHARS chars of the record's name field
+    (portion before '|'). Explicit start arithmetic instead of a
+    negative substring position — Spark and DuckDB disagree on
+    negative-start behavior for strings shorter than the window."""
+    name = F.substring_index(rec, "|", 1)
+    start = F.greatest(
+        F.length(name) - F.lit(ER_BLOCK_NAME_CHARS - 1), F.lit(1)
+    )
+    return name.substr(start, F.lit(ER_BLOCK_NAME_CHARS))
 
 
 def _char_bigrams(col: F.Column) -> F.Column:
@@ -930,9 +958,9 @@ def customer_record_linkage(customer: DataFrame) -> DataFrame:
     ER_PERTURB_MODth customer (one account-balance digit overwritten
     in the exact-cents rendering), so ground
     truth is known and the oracle can mirror the whole pipeline.
-    Blocking on c_nationkey bounds candidates to same-nation pairs
-    (at production scale the block key gains phone/name structure —
-    the code path is identical); the match score is Dice over distinct
+    Blocking is the composite (c_nationkey, last-4-of-name) key — see
+    ER_BLOCK_NAME_CHARS for the scale rationale — with clean-side
+    mega-blocks capped; the match score is Dice over distinct
     character bigrams of name|phone — integer set sizes, one double
     division, so scores hash-certify. Best match per dirty record by
     (score desc, custkey asc); `is_correct` makes the linkage accuracy
@@ -975,15 +1003,31 @@ def link_records(
     min_dice: float = ER_MIN_DICE,
     id_col: str = "true_key",
 ) -> DataFrame:
-    """The linkage core (blocking equi-join → bigram Dice → best match
-    per incoming record), shared by the batch certification query and
-    the streaming link-on-ingest job. dirty carries (id_col, d_nation,
-    d_rec); clean carries (cand_key, c_nation, c_rec). The clean side
-    is broadcast — at scale the canonical table is the small,
-    deduplicated master data."""
+    """The linkage core (composite blocking equi-join → bigram Dice →
+    best match per incoming record), shared by the batch certification
+    query and the streaming link-on-ingest job. dirty carries (id_col,
+    d_nation, d_rec); clean carries (cand_key, c_nation, c_rec). The
+    clean side is broadcast — at scale the canonical table is the
+    small, deduplicated master data.
+
+    Blocking key is (nation, last-4-of-name) — see ER_BLOCK_NAME_CHARS
+    for why nation alone does not survive 100× scale — with clean-side
+    mega-blocks (> ER_MAX_BLOCK_ROWS) excluded before the join."""
+    wb = Window.partitionBy("c_nation", "_c_bk")
+    clean_blocked = (
+        clean.withColumn("_c_bk", _block_key(F.col("c_rec")))
+        .withColumn("_bsz", F.count("*").over(wb))
+        .filter(F.col("_bsz") <= ER_MAX_BLOCK_ROWS)
+        .drop("_bsz")
+    )
+    dirty_blocked = dirty.withColumn("_d_bk", _block_key(F.col("d_rec")))
     db, cb = _char_bigrams(F.col("d_rec")), _char_bigrams(F.col("c_rec"))
     pairs = (
-        dirty.join(F.broadcast(clean), dirty.d_nation == clean.c_nation)
+        dirty_blocked.join(
+            F.broadcast(clean_blocked),
+            (dirty_blocked.d_nation == clean_blocked.c_nation)
+            & (dirty_blocked._d_bk == clean_blocked._c_bk),
+        )
         # zero-bigram records (len<2 strings) have no defined Dice —
         # drop them before the division rather than emit 0/0 garbage
         .filter((F.size(db) > 0) & (F.size(cb) > 0))
@@ -1379,8 +1423,24 @@ ORACLE = {
         ),
         clean AS (
             SELECT c_custkey AS cand_key, c_nationkey AS c_nation,
-                   c_name || '|' || cents AS c_rec
+                   c_name || '|' || cents AS c_rec,
+                   substring(c_name,
+                             greatest(length(c_name) - {ER_BLOCK_NAME_CHARS - 1}, 1),
+                             {ER_BLOCK_NAME_CHARS}) AS c_bk
             FROM base
+            QUALIFY COUNT(*) OVER (PARTITION BY c_nationkey,
+                       substring(c_name,
+                                 greatest(length(c_name) - {ER_BLOCK_NAME_CHARS - 1}, 1),
+                                 {ER_BLOCK_NAME_CHARS}))
+                    <= {ER_MAX_BLOCK_ROWS}
+        ),
+        dirty_bk AS (
+            SELECT *,
+                   substring(split_part(d_rec, '|', 1),
+                             greatest(length(split_part(d_rec, '|', 1))
+                                          - {ER_BLOCK_NAME_CHARS - 1}, 1),
+                             {ER_BLOCK_NAME_CHARS}) AS d_bk
+            FROM dirty
         ),
         grams AS (
             SELECT true_key, cand_key,
@@ -1388,13 +1448,14 @@ ORACLE = {
                                   for i in range(1, length(d_rec))]) AS db,
                    list_distinct([substring(c_rec, i, 2)
                                   for i in range(1, length(c_rec))]) AS cb
-            FROM dirty JOIN clean ON d_nation = c_nation
+            FROM dirty_bk JOIN clean ON d_nation = c_nation AND d_bk = c_bk
         ),
         pairs AS (
             SELECT true_key, cand_key,
                    2 * len(list_intersect(db, cb)) / (len(db) + len(cb))
                        AS dice
             FROM grams
+            WHERE len(db) > 0 AND len(cb) > 0
         ),
         ranked AS (
             SELECT true_key, cand_key, dice,

@@ -1,0 +1,341 @@
+"""End-to-end corpus curation: the full pipeline a release actually
+ships, certified as ONE query.
+
+Every stage here is individually driver-certified (normalize, PII
+redaction, Gopher gate, MinHash near-dup collapse, stratified sample,
+sequence packing, dataset card — see textops/pii/dedup), but a user of
+the engine runs them CHAINED, and composition is where silent contract
+breaks hide (a stage renaming a column, a gate reordering nulls, a
+dedup keying on pre-scrub text). `corpus_end_to_end_curation` runs the
+chain over `documents` and emits the per-source release card, with a
+DuckDB oracle that mirrors every stage — so the hash certifies the
+whole funnel, not just its pieces.
+
+The reference engine has no corpus pipeline (its inputs are
+pre-anonymized click logs — SURVEY.md §2); this is extension surface
+for the LLM-training-data use case, composed from the certified
+single-stage operators.
+
+Plan shape (scale notes):
+  stages 1-2 (normalize → redact) are ONE scan-stage regexp
+  projection, materialized before the gate so Catalyst doesn't inline
+  the 6-regexp chain into each of the gate's HOF expressions (measured
+  2× on scrub+gate); stage 3's `keep_cols` threading means no doc_id
+  re-join anywhere before the first shuffle;
+  stage 4 (near-dup) is the banded MinHash join over the GATED corpus
+  (collision-bounded, the dedup module's scale contract) with a
+  broadcast anti-join of the (tiny) loser set;
+  stage 5 (stratified sample) is the one per-source shuffle;
+  stage 6 (pack) windows within each source over sampled docs only;
+  stage 7 (card) joins five source-grain aggregates — broadcast-sized
+  by construction (|sources| rows each).
+The gated corpus is localCheckpointed once because three branches
+(pair generation, anti-join probe, stage count) would otherwise
+re-run the scan projection; at 100 TB that materialization becomes a
+persisted intermediate table, same semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions.core import hash_bucket
+from ..sources import load_table
+from .dedup import (
+    JACCARD_THRESHOLD,
+    minhash_lsh_pairs,
+    near_dup_clusters,
+)
+from .pii import PII_PATTERNS
+from .textops import (
+    CONTROL_CHARS_PATTERN,
+    STRATIFIED_HASH_MOD,
+    STRATIFIED_PER_STRATUM,
+    WS_RUN_PATTERN,
+    gopher_quality_rules,
+    pack_training_sequences,
+)
+
+
+def corpus_end_to_end_curation(
+    documents: DataFrame, per_stratum: int = STRATIFIED_PER_STRATUM
+) -> DataFrame:
+    """normalize → PII scrub → Gopher gate → near-dup collapse →
+    stratified sample → pack → per-source release card.
+
+    Output (one row per source, every value an integer count or an
+    int-derived sum, so the whole card hash-certifies):
+      n_raw             docs entering the pipeline
+      n_kept_gopher     docs surviving the quality gate
+      n_after_dedup     survivors after near-dup clusters collapse to
+                        their canonical (min-doc_id) representative
+      n_sampled         docs in the stratified release sample
+      sampled_tokens    whitespace tokens across sampled docs
+      n_redactions      PII redactions inside the sampled docs
+      n_packs           fixed-budget training packs built from them
+      packed_tokens     tokens actually packed
+    """
+    # --- stages 1-3: one fused scan projection ----------------------
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace("text", CONTROL_CHARS_PATTERN, ""),
+            WS_RUN_PATTERN,
+            " ",
+        )
+    )
+    n_red = None
+    for _, pat, _ in PII_PATTERNS:
+        c = F.regexp_count(norm, F.lit(pat))
+        n_red = c if n_red is None else n_red + c
+    scrubbed = norm
+    for _, pat, token in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    d_scrubbed = documents.select(
+        "doc_id",
+        "source",
+        "lang",
+        n_red.alias("n_redactions"),
+        scrubbed.alias("text"),
+        # materialized: the gate's HOF expressions each re-reference
+        # `text`, and Catalyst would inline this 6-regexp chain into
+        # every one of them (measured 12.8 s → 6.0 s at sf0.1 for
+        # scrub+gate). One projection pass, stored once.
+    ).localCheckpoint(eager=True)
+    gated = (
+        gopher_quality_rules(
+            d_scrubbed, keep_cols=("source", "lang", "n_redactions", "text")
+        )
+        .filter(F.col("keep"))
+        .select("doc_id", "source", "lang", "n_redactions", "text")
+        # three consumers below (pair generation, anti-join, count) —
+        # materialize the gated corpus once, same rationale as the
+        # candidate sets in dedup.minhash_lsh_pairs
+        .localCheckpoint(eager=True)
+    )
+    # --- stage 4: near-dup collapse over the gated, SCRUBBED text ---
+    clusters = near_dup_clusters(
+        minhash_lsh_pairs(gated, threshold=JACCARD_THRESHOLD)
+    )
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select(
+        "doc_id"
+    )
+    deduped = gated.join(F.broadcast(losers), "doc_id", "left_anti")
+    # --- stage 5: deterministic stratified sample -------------------
+    w = Window.partitionBy("source").orderBy(
+        hash_bucket("doc_id", STRATIFIED_HASH_MOD), F.asc("doc_id")
+    )
+    sampled = (
+        deduped.withColumn("strat_rank", F.row_number().over(w))
+        .filter(F.col("strat_rank") <= per_stratum)
+        # consumed by the pack branch and the card aggregate
+        .localCheckpoint(eager=True)
+    )
+    # --- stage 6: pack the sampled docs -----------------------------
+    packs = pack_training_sequences(sampled.select("doc_id", "source", "text"))
+    # --- stage 7: per-source release card ---------------------------
+    card_raw = documents.groupBy("source").agg(F.count("*").alias("n_raw"))
+    card_gate = gated.groupBy("source").agg(F.count("*").alias("n_kept_gopher"))
+    card_dedup = deduped.groupBy("source").agg(
+        F.count("*").alias("n_after_dedup")
+    )
+    card_sample = sampled.groupBy("source").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum(F.size(T.tokens("text"))).alias("sampled_tokens"),
+        F.sum("n_redactions").alias("n_redactions"),
+    )
+    card_pack = packs.groupBy("source").agg(
+        F.count("*").alias("n_packs"),
+        F.sum("pack_tokens").alias("packed_tokens"),
+    )
+    return (
+        card_raw.join(card_gate, "source", "left")
+        .join(card_dedup, "source", "left")
+        .join(card_sample, "source", "left")
+        .join(card_pack, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_kept_gopher", F.lit(0)).alias("n_kept_gopher"),
+            F.coalesce("n_after_dedup", F.lit(0)).alias("n_after_dedup"),
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("sampled_tokens", F.lit(0)).alias("sampled_tokens"),
+            F.coalesce("n_redactions", F.lit(0)).alias("n_redactions"),
+            F.coalesce("n_packs", F.lit(0)).alias("n_packs"),
+            F.coalesce("packed_tokens", F.lit(0)).alias("packed_tokens"),
+        )
+    )
+
+
+def _q(fn):
+    def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(load_table(spark, sf_dir, "documents"))
+
+    return runner
+
+
+QUERIES = {
+    "corpus_end_to_end_curation": _q(corpus_end_to_end_curation),
+}
+
+# ---------------------------------------------------------------------------
+# Oracle: every stage mirrored in DuckDB over the same funnel. Stage
+# mirrors are the SAME SQL fragments the single-stage certifications
+# use (textops/pii/dedup ORACLE), re-pointed at the previous stage's
+# CTE instead of raw `documents`; near-dup is the exact-Jaccard
+# recursive-closure mirror from dedup_neardup_curated.
+# ---------------------------------------------------------------------------
+
+from .textops import CHUNK_STRIDE, CHUNK_TOKENS  # noqa: E402
+from .textops import _STOP_LIST as _GOPHER_STOPS  # noqa: E402
+from .textops import (  # noqa: E402
+    GOPHER_MAX_MEAN_WORD_LEN,
+    GOPHER_MAX_TOP_TOKEN_SHARE,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_MEAN_WORD_LEN,
+    GOPHER_MIN_STOPWORDS,
+    GOPHER_MIN_WORDS,
+)
+
+_NORM_SQL = (
+    f"trim(regexp_replace(regexp_replace(text, '{CONTROL_CHARS_PATTERN}', "
+    f"'', 'g'), '{WS_RUN_PATTERN}', ' ', 'g'))"
+)
+_REDACT_SQL = _NORM_SQL
+for _, _pat, _token in PII_PATTERNS:
+    _REDACT_SQL = f"regexp_replace({_REDACT_SQL}, '{_pat}', '{_token}', 'g')"
+_NRED_SQL = " + ".join(
+    f"len(regexp_extract_all({_NORM_SQL}, '{p}'))" for _, p, _ in PII_PATTERNS
+)
+
+ORACLE = {
+    "corpus_end_to_end_curation": f"""
+        WITH RECURSIVE scrubbed AS (
+            SELECT doc_id, source, lang,
+                   CAST({_NRED_SQL} AS INTEGER) AS n_redactions,
+                   {_REDACT_SQL} AS text
+            FROM documents
+        ),
+        gm AS (
+            SELECT *, regexp_split_to_array(trim(text), ' +') AS w
+            FROM scrubbed
+        ),
+        gated AS (
+            SELECT doc_id, source, lang, n_redactions, text, w
+            FROM gm
+            WHERE len(w) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+              AND list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w)
+                  BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+              AND list_max(list_transform(list_distinct(w),
+                      u -> len(list_filter(w, x -> x = u))))::DOUBLE / len(w)
+                  <= {GOPHER_MAX_TOP_TOKEN_SHARE}
+              AND len(list_filter(w, x -> x IN ({_GOPHER_STOPS})))
+                  >= {GOPHER_MIN_STOPWORDS}
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(w[i:i+2], ' ')
+                                  for i in range(1, len(w) - 1)]) AS sh
+            FROM gated WHERE len(w) >= 3
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / len(list_distinct(list_concat(a.sh, b.sh)))
+                  >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT src, src FROM edges
+            UNION SELECT src, dst FROM edges
+            UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        labels AS (
+            SELECT src AS doc_id, min(dst) AS cluster_rep
+            FROM reach GROUP BY src
+        ),
+        deduped AS (
+            SELECT * FROM gated
+            WHERE doc_id NOT IN (SELECT doc_id FROM labels
+                                 WHERE doc_id <> cluster_rep)
+        ),
+        sampled AS (
+            SELECT * FROM (
+                SELECT *,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY ((doc_id % 2147483647) * 2654435761)
+                                        % {STRATIFIED_HASH_MOD},
+                                    doc_id
+                       ) AS strat_rank
+                FROM deduped
+            ) WHERE strat_rank <= {STRATIFIED_PER_STRATUM}
+        ),
+        chunk_rows AS (
+            SELECT doc_id, source, w,
+                   unnest(range(0, CAST(ceil(greatest(len(w), 1)
+                                             / {CHUNK_STRIDE}.0) AS BIGINT)))
+                       AS chunk_idx
+            FROM sampled
+        ),
+        chunks AS (
+            SELECT doc_id, source, chunk_idx,
+                   least(len(w) - chunk_idx * {CHUNK_STRIDE}, {CHUNK_TOKENS})
+                       AS n_chunk_tokens
+            FROM chunk_rows
+            WHERE chunk_idx * {CHUNK_STRIDE} < len(w)
+              AND (chunk_idx = 0
+                   OR (chunk_idx - 1) * {CHUNK_STRIDE} + {CHUNK_TOKENS} < len(w))
+        ),
+        win AS (
+            SELECT source, n_chunk_tokens,
+                   SUM(n_chunk_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id, chunk_idx
+                       ROWS UNBOUNDED PRECEDING) - n_chunk_tokens AS cum_before
+            FROM chunks
+        ),
+        packs AS (
+            SELECT source, CAST(floor(cum_before / 128) AS INTEGER) AS pack_id,
+                   CAST(sum(n_chunk_tokens) AS BIGINT) AS pack_tokens
+            FROM win GROUP BY 1, 2
+        ),
+        card_raw AS (
+            SELECT source, count(*) AS n_raw FROM documents GROUP BY source
+        ),
+        card_gate AS (
+            SELECT source, count(*) AS n_kept_gopher FROM gated GROUP BY source
+        ),
+        card_dedup AS (
+            SELECT source, count(*) AS n_after_dedup FROM deduped GROUP BY source
+        ),
+        card_sample AS (
+            SELECT source, count(*) AS n_sampled,
+                   CAST(sum(len(w)) AS BIGINT) AS sampled_tokens,
+                   CAST(sum(n_redactions) AS BIGINT) AS n_redactions
+            FROM sampled GROUP BY source
+        ),
+        card_pack AS (
+            SELECT source, count(*) AS n_packs,
+                   CAST(sum(pack_tokens) AS BIGINT) AS packed_tokens
+            FROM packs GROUP BY source
+        )
+        SELECT r.source, r.n_raw,
+               COALESCE(g.n_kept_gopher, 0) AS n_kept_gopher,
+               COALESCE(d.n_after_dedup, 0) AS n_after_dedup,
+               COALESCE(s.n_sampled, 0) AS n_sampled,
+               COALESCE(s.sampled_tokens, 0) AS sampled_tokens,
+               COALESCE(s.n_redactions, 0) AS n_redactions,
+               COALESCE(p.n_packs, 0) AS n_packs,
+               COALESCE(p.packed_tokens, 0) AS packed_tokens
+        FROM card_raw r
+        LEFT JOIN card_gate g USING (source)
+        LEFT JOIN card_dedup d USING (source)
+        LEFT JOIN card_sample s USING (source)
+        LEFT JOIN card_pack p USING (source)
+    """,
+}

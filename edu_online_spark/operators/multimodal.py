@@ -300,9 +300,16 @@ def decode_meta_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 def decode_assets(assets: DataFrame) -> DataFrame:
     """Run the decode stage over the asset table.
 
+    Only (asset_id, media_type, payload) cross the Arrow boundary —
+    metadata columns the decoder doesn't read (meta JSON, the stored
+    byte_len) would otherwise be serialized into every batch and
+    straight back out (measured ~20% of stage wall at sf0.1).
+
     `repartition` by asset_id first on real data so payload bytes spread
     evenly across tasks (skipped here: testdata payloads are tiny)."""
-    return assets.mapInPandas(decode_meta_batch, DECODED_META)
+    return assets.select("asset_id", "media_type", "payload").mapInPandas(
+        decode_meta_batch, DECODED_META
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -345,7 +352,9 @@ def frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 def sample_frames(assets: DataFrame) -> DataFrame:
     """Frame sampling over video assets only — the filter prunes before
     the Python stage so non-video payloads never cross the Arrow boundary."""
-    videos = assets.filter(F.col("media_type") == "video")
+    videos = assets.filter(F.col("media_type") == "video").select(
+        "asset_id", "payload"
+    )
     return videos.mapInPandas(frame_sample_batch, FRAME_SAMPLE_SCHEMA)
 
 
@@ -707,8 +716,43 @@ def payload_dedup(assets: DataFrame) -> DataFrame:
 # Oracle-checked query registry
 # ---------------------------------------------------------------------------
 
+# Bump when any payload builder changes — stale cached assets would
+# otherwise hash-mismatch against the rebuilt oracles.
+_MEDIA_FORMAT_VERSION = 1
+
+
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return synth_media_assets(load_table(spark, sf_dir, "documents"))
+    """The media-asset table for a testdata dir, synthesized ONCE and
+    cached as parquet.
+
+    The registry's multimodal queries all start from the same synthetic
+    asset table; rebuilding it per query charged every decode benchmark
+    ~1.7 s of Python payload synthesis that a real deployment never
+    pays (payloads live in the lake — decode reads them, it doesn't
+    mint them). Caching is also the honest benchmark shape: the decode
+    stage's cost is scan parquet → Arrow → parse, full stop.
+    Deterministic content (payloads are pure functions of doc_id), so
+    cache hits cannot change results; writers stage + atomically rename
+    so a concurrent first call sees either nothing or the full table.
+    """
+    import hashlib
+    import os
+    import shutil
+
+    key = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|v{_MEDIA_FORMAT_VERSION}".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/edu_online_spark_media_cache/{key}"
+    if not os.path.exists(path):
+        staging = f"{path}.__staging__.{os.getpid()}"
+        synth_media_assets(load_table(spark, sf_dir, "documents")).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        try:
+            os.rename(staging, path)
+        except OSError:  # concurrent writer won the rename race
+            shutil.rmtree(staging, ignore_errors=True)
+    return spark.read.parquet(path)
 
 
 def q_decoded_meta(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -492,6 +492,13 @@ def ann_all_pairs_recall(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
 
 
 RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+# Wider SRP banding for the hybrid LSH path than for plain knn_lsh:
+# the fused top-k is sensitive to BOTH towers' candidate recall, and a
+# vector-side miss can evict an exact-RRF winner outright. 20×3 holds
+# measured recall-vs-exact-RRF at 0.96 (sf0.01) / 0.98 (sf0.1) against
+# the pinned ≥0.9 gate; 12×3 sat at 0.88 on the sf0.01 corpus.
+HYBRID_LSH_BANDS = 20
+HYBRID_LSH_PLANES = 3
 
 
 def hybrid_search_rrf(
@@ -571,6 +578,172 @@ def hybrid_search_rrf(
     )
 
 
+def hybrid_search_rrf_lsh_topk(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    rrf_k: int = RRF_K,
+    dim: int = 64,
+) -> DataFrame:
+    """Hybrid retrieval, PRODUCTION SHAPE: RRF fed from banded LSH
+    candidate sets instead of full per-query corpus rankings — the
+    path hybrid_search_rrf's docstring promises for scale.
+
+    Candidates per query are the union of
+      vector side   SRP band collisions (same banding as knn_lsh:
+                    equi-join on (band, bucket), corpus never
+                    self-crosses), and
+      lexical side  MinHash band collisions of the query docs against
+                    the corpus (cross_corpus_minhash_pairs with NO
+                    similarity floor — the query batch is the 'delta',
+                    so the corpus is banded once, never self-joined).
+    Exact cosine and exact shingle Jaccard are then computed ONLY on
+    the candidate union (semi-join-reduced re-shingling, the
+    minhash_lsh_pairs verification contract), ranks are taken within
+    the candidate set, and the identical RRF fusion arithmetic
+    produces top-k. Work per query is O(band collisions), not
+    O(corpus) — this is what replaces the exact form at 100 TB.
+
+    Approximate by construction (a neighbor with no band collision on
+    either side is invisible), so the raw top-k is not
+    oracle-expressible; certification is recall vs the exact RRF
+    (hybrid_search_rrf_lsh_certified), same pattern as
+    ann_recall_report.
+    """
+    from ..functions import hashing
+    from ..operators.dedup import _shingled, cross_corpus_minhash_pairs
+
+    items = documents.join(
+        embeddings, documents.doc_id == embeddings.vec_id
+    ).select("doc_id", "text", "embedding")
+    # vector-side candidates: SRP banded equi-join (knn_lsh's generator,
+    # wider banding — see HYBRID_LSH_BANDS)
+    bucketize = srp_band_buckets_udf(dim, HYBRID_LSH_BANDS, HYBRID_LSH_PLANES)
+    tagged = items.select(
+        "doc_id",
+        F.posexplode(bucketize(F.col("embedding"))).alias("band", "bucket"),
+    ).localCheckpoint(eager=True)
+    vq = tagged.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("qid"), "band", "bucket"
+    )
+    vc = tagged.select(F.col("doc_id").alias("nid"), "band", "bucket")
+    vec_cand = (
+        vc.join(
+            F.broadcast(vq),
+            (vq.band == vc.band)
+            & (vq.bucket == vc.bucket)
+            & (F.col("qid") != F.col("nid")),
+        )
+        .select("qid", "nid")
+        .dropDuplicates(["qid", "nid"])
+    )
+    # lexical-side candidates: query batch banded against the corpus
+    texts = items.select("doc_id", "text")
+    lex_cand = (
+        cross_corpus_minhash_pairs(
+            texts.filter(F.col("doc_id") < n_queries), texts, threshold=0.0
+        )
+        .select(F.col("new_id").alias("qid"), F.col("corpus_id").alias("nid"))
+        .filter(F.col("qid") != F.col("nid"))
+    )
+    cand = (
+        vec_cand.unionByName(lex_cand)
+        .dropDuplicates(["qid", "nid"])
+        # consumed by the vector join AND the shingle semi-join below
+        .localCheckpoint(eager=True)
+    )
+    qv = items.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+    )
+    nv = items.select(
+        F.col("doc_id").alias("nid"), F.col("embedding").alias("nemb")
+    )
+    # exact Jaccard on candidates only: re-shingle the semi-join-reduced
+    # doc subset (docs under 3 tokens have no shingle row → jaccard 0)
+    cand_ids = (
+        cand.select(F.col("qid").alias("doc_id"))
+        .union(cand.select(F.col("nid")))
+        .distinct()
+    )
+    sh = _shingled(texts.join(cand_ids, "doc_id", "left_semi"))
+    scored = (
+        cand.join(F.broadcast(qv), "qid")
+        .join(nv, "nid")
+        .join(
+            F.broadcast(
+                sh.select(F.col("doc_id").alias("qid"), F.col("sh").alias("qsh"))
+            ),
+            "qid",
+            "left",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("nid"), F.col("sh").alias("nsh")),
+            "nid",
+            "left",
+        )
+        .select(
+            "qid",
+            "nid",
+            cosine_similarity(F.col("qemb"), F.col("nemb")).alias("cosine"),
+            F.coalesce(
+                hashing.jaccard(F.col("qsh"), F.col("nsh")), F.lit(0.0)
+            ).alias("jaccard"),
+        )
+    )
+    w_vec = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    ranked = scored.withColumn("vrank", F.row_number().over(w_vec))
+    w_txt = Window.partitionBy("qid").orderBy(F.desc("jaccard"), F.asc("nid"))
+    text_ranks = (
+        scored.filter(F.col("jaccard") > 0)
+        .withColumn("trank", F.row_number().over(w_txt))
+        .select("qid", "nid", "trank")
+    )
+    fused = ranked.join(text_ranks, ["qid", "nid"], "left").withColumn(
+        "rrf_score",
+        F.coalesce(
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("trank")), F.lit(0.0)
+        )
+        + F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("vrank")),
+    )
+    w_top = Window.partitionBy("qid").orderBy(F.desc("rrf_score"), F.asc("nid"))
+    return (
+        fused.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= k)
+        .select("qid", "nid", "rrf_score")
+    )
+
+
+def hybrid_search_rrf_lsh_certified(
+    documents: DataFrame, embeddings: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Certified form of the LSH-fed hybrid path (boolean-tolerance
+    oracle, ann_recall_report's pattern): k and the exact-RRF top-k
+    inventory count are oracle-computable and hash-checked; recall of
+    the LSH-fed fused top-k against the exact full-ranking RRF top-k
+    collapses to a pinned ≥0.9 boolean. The exact side is the already-
+    certified hybrid_search_rrf — so this entry certifies that the
+    production candidate-fed path reproduces the exact fusion's
+    answers, which is the property a deployment actually relies on."""
+    exact = hybrid_search_rrf(documents, embeddings, k=k).select("qid", "nid")
+    approx = hybrid_search_rrf_lsh_topk(documents, embeddings, k=k).select(
+        "qid", "nid"
+    )
+    hits = exact.join(approx, ["qid", "nid"], "left_semi")
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(hits.agg(F.count("*").alias("n_hit")))
+        .select(
+            F.lit(k).alias("k"),
+            "n_exact",
+            ((F.col("n_hit") / F.col("n_exact")) >= RECALL_GATE).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
 def ann_recall_certified(embeddings: DataFrame) -> DataFrame:
     """Certified form of ann_recall_report (boolean-tolerance oracle):
     k and the exact-neighbor count are oracle-computable and
@@ -606,6 +779,9 @@ QUERIES = {
     "ann_recall_report": _q(ann_recall_certified),
     "ann_all_pairs_recall": _q(ann_all_pairs_recall),
     "hybrid_search_rrf": _q2(hybrid_search_rrf),
+    # boolean-tolerance oracle: recall of the LSH-fed production path
+    # vs the exact RRF pinned ≥0.9
+    "hybrid_search_rrf_lsh": _q2(hybrid_search_rrf_lsh_certified),
     "xmodal_label_lang_crosstab": _q2(label_lang_crosstab),
     "xmodal_norm_extremes": _q2(norm_extremes_by_source),
 }
@@ -707,6 +883,21 @@ ORACLE = {
         FROM fused
         QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
                                    ORDER BY rrf_score DESC, nid ASC) <= {TOP_K}
+    """,
+    # items = docs present in both tables AND shingle-able (≥3 tokens —
+    # hybrid_search_rrf's inner sh join); each query yields exactly
+    # min(k, n_items-1) exact top-k rows
+    "hybrid_search_rrf_lsh": f"""
+        WITH items AS (
+            SELECT d.doc_id
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+            WHERE len(regexp_split_to_array(trim(text), ' +')) >= 3
+        )
+        SELECT {TOP_K} AS k,
+               (SELECT COUNT(*) FROM items WHERE doc_id < {N_QUERIES})
+                   * LEAST({TOP_K}, (SELECT COUNT(*) FROM items) - 1)
+                   AS n_exact,
+               TRUE AS recall_ok
     """,
     "xmodal_label_lang_crosstab": """
         SELECT label, lang, count(*) AS n_docs

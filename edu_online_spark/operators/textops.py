@@ -517,8 +517,14 @@ GOPHER_MAX_TOP_TOKEN_SHARE = 0.12
 GOPHER_MIN_STOPWORDS = 2
 
 
-def gopher_quality_rules(documents: DataFrame) -> DataFrame:
+def gopher_quality_rules(
+    documents: DataFrame, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Rule-based quality gate with per-rule verdicts and a drop reason.
+
+    `keep_cols` rides extra input columns through unchanged so pipeline
+    compositions (operators/curation.py) can gate without a doc_id
+    re-join — the certified single-stage query uses the () default.
 
     The Gopher/MassiveText filter shape: each rule is an independent
     boolean column (so curation can audit WHICH rule fired, not just
@@ -532,6 +538,7 @@ def gopher_quality_rules(documents: DataFrame) -> DataFrame:
     tk = T.tokens("text")
     d = documents.select(
         "doc_id",
+        *keep_cols,
         F.size(tk).alias("n_tokens"),
         (
             F.aggregate(tk, F.lit(0), lambda a, x: a + F.length(x)).cast("double")

@@ -34,6 +34,7 @@ _EXTENSION_NAMES = [
     "multimodal",
     "sketches",
     "bpe",
+    "curation",
     "tpch",
     "analytics",
     "sessions",
@@ -68,88 +69,81 @@ def _extended_modules():
 # round 2).
 _PREFIX_TAIL_BOUNDARY = "tpch"
 
-# Round-4 window rotation. The driver certifies only the first 50
+# Round-5 window rotation. The driver certifies only the first 50
 # entries per round, so the window is rotated each round toward the
 # queries whose certification is most valuable NOW:
-#   1. oracle-backed queries that have never received a driver-side
-#      CORRECTNESS row (added in rounds 2-3 behind the round-2 window);
+#   1. the COMPLETE residue of never-driver-certified queries (all 19
+#      remaining after r1-r4 — 12 oracle-backed, 7 rows-only; after
+#      this round every registry query has a driver-side row);
 #   2. queries whose implementation or oracle changed this round
-#      (sown-PII trio, the real-decode multimodal suite, the two
-#      oracle-type fixes);
-#   3. long-standing sentinels re-certified every round.
+#      (null-ordering fix, bigram guard, exact-exclusion rewrite);
+#   3. new round-5 queries (certify immediately);
+#   4. long-standing sentinels re-certified every round, then
+#      round-1-certified queries whose rows are now four rounds old.
 # Names are validated against the assembled registry — a typo or a
 # renamed query fails loudly rather than silently ceding its slot.
 _WINDOW_PRIORITY = [
-    # 1: never driver-certified (r1-r3 CORRECTNESS keys checked)
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q15_top_supplier",
-    "events_funnel",
-    "events_daily_anomalies",
-    "events_cohort_retention",
-    "basket_part_pairs",
-    "customer_rfm",
-    "data_quality_checks",
-    "events_hourly_heatmap",
-    "docs_length_histogram",
-    "events_time_grain_rollup",
-    "events_value_percentiles",
-    "events_scd2_status",
-    # 2: changed in round 4
-    "multimodal_audio_features",
-    "multimodal_decoded_meta",
-    "multimodal_media_summary",
-    "multimodal_frame_sample",
-    "multimodal_resized",
-    "multimodal_payload_dedup",
-    "text_pii_source_stats",
-    "text_pii_redacted",
-    "text_url_domains",
-    "docs_vocab_encoded",
-    "corpus_mixture_plan",
-    # 2b: new in round 4 (oracle-backed, certify immediately)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_profit_by_nation",
-    "tpch_q11_important_parts",
-    "events_hll_rollup",
-    "events_theta_overlap",
-    "dedup_cross_corpus",
-    "docs_gopher_quality",
-    "docs_stratified_sample",
-    "corpus_snapshot_diff",
-    "dedup_semantic_keep",
-    "corpus_token_countmin",
-    "purchase_training_examples",
+    # 1: never driver-certified (r1-r4 CORRECTNESS keys checked) —
+    # oracle-backed first
+    "retrieval_negative_samples",
+    "embeddings_label_centroids",
+    "multimodal_image_ahash",
+    "multimodal_audio_fingerprint",
+    "multimodal_video_scenecuts",
+    "basket_association_rules",
+    "events_value_winsorized",
+    "events_daily_trend",
+    "events_type_transitions",
+    "events_seasonal_residuals",
+    "purchase_status_asof",
+    # 1b: never-certified rows-only (weak check, but closes the set)
+    "text_knn_minhash",
+    "ann_all_pairs_topk",
+    "text_fingerprints_fast",
+    "docs_lm_perplexity",
+    "docs_compression_ratio",
+    "corpus_bpe_merges",
+    "docs_bpe_encoded",
+    "events_user_value_ewma",
+    # 2: implementation changed in round 5 (advisor fixes)
     "docs_quality_calibrated",
-    "corpus_dataset_card",
-    "corpus_drift_report",
     "customer_record_linkage",
-    # 2c: rows-only → boolean-tolerance oracle upgrades (round 4);
-    # quiz_mastery_approx reaches the window via prefix order already
-    "events_distinct_users_approx",
-    "lineitem_price_quantiles_approx",
-    "ann_recall_report",
-    "ann_all_pairs_recall",
-    "hybrid_search_rrf",
-    # 3: sentinels
+    # 3: new in round 5 — appended as they land (see round-5 additions
+    # below in this list)
+    "hybrid_search_rrf_lsh",
+    "corpus_end_to_end_curation",
+    # 4: sentinels
     "quiz_mastery",
     "dedup_minhash_lsh",
     "sim_knn_bruteforce",
+    # 4b: round-1 rows now four rounds old — refresh the heaviest-used
+    "tpch_q1_pricing_summary",
+    "tpch_q3_top_orders",
+    "tpch_q5_region_revenue",
+    "tpch_q6_forecast_revenue",
+    "register_platform_counts",
+    "register_sliding_counts",
+    "register_cumulative_daily",
+    "quiz_mastery_approx",
+    "page_props_decode",
+    "page_flow",
+    "archival_daily_counts",
+    "part_topk_per_brand",
+    "users_purchase_no_error",
+    "users_view_and_purchase",
+    "orders_rollup",
+    "customers_without_orders",
+    "daily_event_pivot",
+    "events_distinct_users",
+    "lineitem_price_quantiles",
+    "events_deterministic_sample",
+    "events_sessionize",
+    "events_session_stats",
+    "events_region_enrich",
+    "purchase_attribution",
+    "dedup_exact",
+    "text_quality",
 ]
-
-# Round-5 rotation backlog: oracle-backed queries added late in round 4
-# that did NOT fit this round's 50-slot window (all locally certified at
-# sf0.01, most also at sf0.1 — see COVERAGE.md). Promote these into
-# _WINDOW_PRIORITY next round, retiring this round's freshly-certified
-# block:
-#   purchase_training_examples is IN the window; still missing:
-#   basket_association_rules, events_value_winsorized,
-#   events_daily_trend, events_type_transitions, purchase_status_asof,
-#   embeddings_label_centroids, multimodal_image_ahash,
-#   multimodal_audio_fingerprint, multimodal_video_scenecuts,
-#   docs_quality_calibrated is IN; retrieval_negative_samples (sf0.01),
-#   events_seasonal_residuals.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -24,6 +24,8 @@ REPRESENTATIVE = [
     "multimodal_decoded_meta",
     "orders_rollup",
     "purchase_attribution",
+    "customer_record_linkage",
+    "corpus_end_to_end_curation",
 ]
 
 
