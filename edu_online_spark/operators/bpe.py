@@ -96,50 +96,104 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
-def _merge_pair_udf(left: str, right: str):
-    merged = left + right
+def _merge_pairs_udf(pairs: list[tuple[str, str]]):
+    """One Arrow round-trip applying a BATCH of merges in rank order.
+    The batch is pairwise symbol-disjoint (see train_bpe_merges), so
+    per-sequence application order cannot change the result — but we
+    still apply in rank order for clarity."""
 
     @F.pandas_udf(ArrayType(StringType()))
     def merge(syms: pd.Series) -> pd.Series:
         out = []
         for seq in syms:
-            res, i, n = [], 0, len(seq)
-            while i < n:
-                if i + 1 < n and seq[i] == left and seq[i + 1] == right:
-                    res.append(merged)
-                    i += 2
-                else:
-                    res.append(seq[i])
-                    i += 1
-            out.append(res)
+            for left, right in pairs:
+                res, i, n = [], 0, len(seq)
+                while i < n:
+                    if i + 1 < n and seq[i] == left and seq[i + 1] == right:
+                        res.append(left + right)
+                        i += 2
+                    else:
+                        res.append(seq[i])
+                        i += 1
+                seq = res
+            out.append(list(seq))
         return pd.Series(out)
 
     return merge
 
 
+BPE_BATCH_K = 8  # max merges learned per driver round-trip
+
+
 def train_bpe_merges(
-    documents: DataFrame, n_merges: int = 20, text_col: str = "text"
+    documents: DataFrame,
+    n_merges: int = 20,
+    text_col: str = "text",
+    batch_k: int = BPE_BATCH_K,
 ) -> list[tuple[str, str]]:
     """Learn `n_merges` BPE merges; returns [(left, right), ...] in
     rank order. Deterministic: ties on pair count break lexicographic.
+
+    BATCHED driver loop, sequence-EXACT: up to batch_k merges are
+    committed per round-trip, cutting driver chatter ~batch_k× for
+    real vocab sizes (a 50k-merge vocabulary is ~6k round-trips at
+    k=8, not 50k). A batch is safe exactly when one-at-a-time training
+    would have produced the same prefix, which holds for the maximal
+    CONTIGUOUS top-of-table prefix of pairwise symbol-DISJOINT pairs,
+    trimmed of trailing ties with the stop count:
+
+      * disjoint pairs don't change each other's counts (no shared
+        symbol ⇒ no adjacency created or destroyed), so after applying
+        the first i batch merges, pair i+1 is still the count-max
+        among surviving old pairs;
+      * every pair INTERACTING with a batched merge ranks at/after the
+        stop point (the batch is a contiguous prefix), so its count —
+        which merging can only DECREASE — stays ≤ the stop count;
+      * every NEW pair (w,xy)/(xy,w) created by a batched merge (x,y)
+        is bounded by a destroyed adjacency's pre-count (count(w,x) /
+        count(y,w)), both interacting ⇒ ≤ the stop count;
+      * trimming batch entries whose count EQUALS the stop count
+        removes the one remaining hazard — a changed/new pair tying a
+        batch entry and winning the lexicographic tie-break.
+    If trimming empties the batch, the argmax alone is committed
+    (always correct: new pairs don't exist yet when it's chosen).
+    Verified exact by tests/test_bpe.py's pinned merge sequence and a
+    batched-vs-unbatched equality test.
     """
     vocab = _initial_symbols(word_frequencies(documents, text_col))
     # the loop re-reads vocab each round; keep it materialized and tiny
     vocab = vocab.localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
+        want = min(batch_k, n_merges - len(merges))
         top = (
             _pair_counts(vocab)
+            .filter(F.col("cnt") >= 2)
             .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
-            .limit(1)
+            .limit(want + 1)
             .collect()
         )
-        if not top or top[0]["cnt"] < 2:
+        if not top:
             break  # nothing left worth merging
-        left, right = top[0]["left"], top[0]["right"]
-        merges.append((left, right))
+        batch: list[tuple[str, str]] = []
+        used: set[str] = set()
+        stop_cnt = None
+        for r in top:
+            if len(batch) >= want or r["left"] in used or r["right"] in used:
+                stop_cnt = r["cnt"]
+                break
+            batch.append((r["left"], r["right"]))
+            used.add(r["left"])
+            used.add(r["right"])
+        if stop_cnt is not None:
+            cnts = {(r["left"], r["right"]): r["cnt"] for r in top}
+            while batch and cnts[batch[-1]] <= stop_cnt:
+                batch.pop()
+            if not batch:  # all-tied head: the argmax alone is safe
+                batch = [(top[0]["left"], top[0]["right"])]
+        merges.extend(batch)
         vocab = vocab.withColumn(
-            "syms", _merge_pair_udf(left, right)(F.col("syms"))
+            "syms", _merge_pairs_udf(batch)(F.col("syms"))
         ).localCheckpoint(eager=True)
     return merges
 

@@ -141,8 +141,6 @@ _WINDOW_PRIORITY = [
     "events_session_stats",
     "events_region_enrich",
     "purchase_attribution",
-    "dedup_exact",
-    "text_quality",
 ]
 
 

@@ -96,6 +96,138 @@ def write_kafka_stream(df: DataFrame, topic: str, brokers: str, checkpoint: str)
     return writer
 
 
+# ---------------------------------------------------------------------------
+# File-backed Kafka stub (S1/S2 end-to-end without the connector jar)
+# ---------------------------------------------------------------------------
+#
+# The container ships no spark-sql-kafka package and has no network to
+# fetch one, so the real `format("kafka")` path can never execute here.
+# The stub renders a broker as a DIRECTORY: each produced batch is one
+# atomically-published JSONL file under <broker_dir>/<topic>/, each
+# record carrying the full Kafka wire row (key, value, topic,
+# partition, offset, timestamp). kafka_stub_stream() then honors the
+# SAME option map kafka_reader_options() builds — bootstrap servers
+# (the directory), subscribe (topic filter), maxOffsetsPerTrigger
+# (file-granularity trigger cap) — and exposes the SAME wire schema
+# (key/value as BINARY), so KAFKA_PROJECTION and every downstream job
+# run against it unchanged. Swapping in a real broker is a one-line
+# format change; everything downstream is already exercised.
+#
+# Deliberate deltas from a real broker, documented not hidden:
+#   * startingOffsets='latest' is not supported (the file source reads
+#     all files on first start; resume-from-checkpoint — the S2
+#     behavior the reference implements by hand — works natively);
+#   * maxOffsetsPerTrigger caps FILES per trigger, not records: a
+#     produced file is the stub's offset range unit.
+
+import json as _json
+import os as _os
+
+
+def kafka_stub_produce(
+    broker_dir: str,
+    topic: str,
+    records: list[tuple[str | None, str]],
+    partition: int = 0,
+) -> int:
+    """Publish one batch of (key, value) records to a stub topic,
+    assigning contiguous per-(topic, partition) offsets by scanning the
+    published filenames (part-<partition>-<start>-<n>.jsonl). The file
+    is staged and renamed so the streaming file source never sees a
+    half-written batch. Returns the first offset assigned."""
+    import time as _time
+
+    tdir = _os.path.join(broker_dir, topic)
+    _os.makedirs(tdir, exist_ok=True)
+    start = 0
+    for name in _os.listdir(tdir):
+        parts = name.split("-")
+        if len(parts) == 4 and parts[0] == "part" and int(parts[1]) == partition:
+            start = max(start, int(parts[2]) + int(parts[3].split(".")[0]))
+    ts = _time.strftime("%Y-%m-%dT%H:%M:%S.000Z", _time.gmtime())
+    fname = f"part-{partition}-{start}-{len(records)}.jsonl"
+    staging = _os.path.join(tdir, "." + fname + ".tmp")
+    with open(staging, "w") as f:
+        for i, (key, value) in enumerate(records):
+            f.write(
+                _json.dumps(
+                    {
+                        "key": key,
+                        "value": value,
+                        "topic": topic,
+                        "partition": partition,
+                        "offset": start + i,
+                        "timestamp": ts,
+                    }
+                )
+                + "\n"
+            )
+    _os.rename(staging, _os.path.join(tdir, fname))
+    return start
+
+
+def kafka_stub_stream(
+    spark: SparkSession,
+    topics: str,
+    brokers: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """S1/S2 through the stub broker: consumes the SAME option map as
+    kafka_stream (built by kafka_reader_options) and emits the SAME
+    projected columns, so any job wired for Kafka runs against it
+    verbatim."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    opts = kafka_reader_options(
+        topics, brokers, starting_offsets, max_offsets_per_trigger
+    )
+    if opts["startingOffsets"] != "earliest":
+        raise ValueError(
+            "kafka_stub_stream supports startingOffsets='earliest' only "
+            "(resume is the checkpoint's job, as with the real source)"
+        )
+    broker_dir = opts["kafka.bootstrap.servers"]
+    subscribed = [t.strip() for t in opts["subscribe"].split(",") if t.strip()]
+    wire = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("value", StringType()),
+            StructField("topic", StringType()),
+            StructField("partition", IntegerType()),
+            StructField("offset", LongType()),
+            StructField("timestamp", TimestampType()),
+        ]
+    )
+    reader = spark.readStream.format("json").schema(wire)
+    if "maxOffsetsPerTrigger" in opts:
+        # file-granularity rendering of the record cap (see module note)
+        reader = reader.option("maxFilesPerTrigger", "1")
+    raw = (
+        reader.option("pathGlobFilter", "part-*.jsonl")
+        .option("recursiveFileLookup", "true")
+        .load(broker_dir)
+        .filter(F.col("topic").isin(subscribed))
+    )
+    # present Kafka's BINARY key/value wire types, then apply the shared
+    # projection — the cast round-trip is exact for UTF-8 payloads
+    return raw.select(
+        F.encode("key", "UTF-8").alias("key"),
+        F.encode("value", "UTF-8").alias("value"),
+        "topic",
+        "partition",
+        "offset",
+        "timestamp",
+    ).selectExpr(*KAFKA_PROJECTION)
+
+
 def file_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:

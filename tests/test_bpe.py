@@ -44,6 +44,20 @@ def test_bpe_merges_are_deterministic(spark):
     assert train_bpe_merges(docs, 6) == train_bpe_merges(docs, 6)
 
 
+def test_bpe_batched_loop_is_sequence_exact(spark, sf_dir):
+    """The batched driver loop (batch_k merges per round-trip) must
+    produce the IDENTICAL merge sequence as one-at-a-time training —
+    on the tie-heavy textbook corpus and on real documents."""
+    docs = _corpus(spark)
+    assert train_bpe_merges(docs, 6, batch_k=8) == train_bpe_merges(
+        docs, 6, batch_k=1
+    )
+    real = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert train_bpe_merges(real, 12, batch_k=8) == train_bpe_merges(
+        real, 12, batch_k=1
+    )
+
+
 def test_bpe_encode_is_lossless_and_compresses(spark):
     """Tokens must reconstruct each word exactly (strip the end marker,
     concatenate) and frequent words must compress below char count."""

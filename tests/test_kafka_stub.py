@@ -1,0 +1,124 @@
+"""S1/S2 end-to-end through the Kafka source path.
+
+The container ships no spark-sql-kafka connector and has no network to
+fetch one (verified: format('kafka') fails at stream construction, and
+maven is unreachable), so the REAL broker test self-skips with that
+reason. Everything downstream of the source — the options contract,
+the wire-schema projection, decode, windowed aggregation, checkpoint
+resume — runs end-to-end against the file-backed stub broker, which
+honors the same option map and emits the same wire schema
+(MyKafkaUtil.scala:32-92 parity at the contract level)."""
+
+from __future__ import annotations
+
+import pytest
+
+from edu_online_spark.streaming import jobs
+from edu_online_spark.streaming.sources import (
+    KAFKA_PROJECTION,
+    kafka_reader_options,
+    kafka_stub_produce,
+    kafka_stub_stream,
+)
+
+REG_WAVE_1 = [
+    (None, "u1\t1\t2026-08-13 10:00:01"),
+    (None, "u2\t1\t2026-08-13 10:00:02"),
+    (None, "u3\t2\t2026-08-13 10:00:03"),
+]
+REG_WAVE_2 = [
+    (None, "u4\t1\t2026-08-13 10:01:01"),
+    (None, "u5\t9\t2026-08-13 10:01:02"),
+]
+
+
+def test_kafka_stub_honors_wire_schema_and_options(spark, tmp_path):
+    """The stub consumes kafka_reader_options' exact option map and
+    yields the projected Kafka columns: value decoded from binary,
+    per-(topic, partition) contiguous offsets, topic filtering."""
+    broker = str(tmp_path / "broker")
+    assert kafka_stub_produce(broker, "register", REG_WAVE_1) == 0
+    assert kafka_stub_produce(broker, "register", REG_WAVE_2) == 3
+    kafka_stub_produce(broker, "other_topic", [("k", "ignore-me")])
+    # same option map the real reader would get
+    opts = kafka_reader_options("register", broker, "earliest", 1000)
+    assert set(opts) == {
+        "kafka.bootstrap.servers",
+        "subscribe",
+        "startingOffsets",
+        "maxOffsetsPerTrigger",
+    }
+    stream = kafka_stub_stream(spark, "register", broker, "earliest", 1000)
+    assert [f.name for f in stream.schema.fields] == [
+        "key",
+        "value",
+        "topic",
+        "partition",
+        "offset",
+        "timestamp",
+    ]
+    out = str(tmp_path / "rows")
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck0"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert {r["topic"] for r in rows} == {"register"}  # subscribe filter
+    assert sorted(r["offset"] for r in rows) == [0, 1, 2, 3, 4]
+    assert {r["value"] for r in rows} == {v for _, v in REG_WAVE_1 + REG_WAVE_2}
+
+
+def test_kafka_stub_drives_register_job_with_resume(spark, tmp_path):
+    """The reference's defining pipeline (Kafka → decode → windowed
+    platform counts, RegisterStreaming.scala:66-72) runs unchanged on
+    the stub source, and a second wave through the SAME checkpoint
+    resumes from stored progress instead of reprocessing (S2)."""
+    broker = str(tmp_path / "broker")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    kafka_stub_produce(broker, "register", REG_WAVE_1)
+    raw = kafka_stub_stream(spark, "register", broker)
+    jobs.register_windowed_job(raw, out, ckpt, available_now=True).awaitTermination(
+        120
+    )
+    pc1 = [
+        r["cnt"]
+        for r in spark.read.parquet(out).collect()
+        if r["platform"] == "PC"
+    ]
+    assert pc1 and max(pc1) == 2
+    # wave 2 arrives at the broker; same checkpoint → resume
+    kafka_stub_produce(broker, "register", REG_WAVE_2)
+    raw = kafka_stub_stream(spark, "register", broker)
+    jobs.register_windowed_job(raw, out, ckpt, available_now=True).awaitTermination(
+        120
+    )
+    rows = spark.read.parquet(out).collect()
+    assert {r["platform"] for r in rows} == {"PC", "APP", "Other"}
+    pc2 = [r["cnt"] for r in rows if r["platform"] == "PC"]
+    assert max(pc2) == 2  # wave-2 PC event is a minute later: own windows
+
+
+def test_kafka_real_connector_roundtrip(spark, tmp_path):
+    """The REAL format('kafka') path, executed only where the connector
+    jar exists. In this container it does not (no network to fetch it),
+    so this skips — the stub tests above cover the contract."""
+    try:
+        spark.readStream.format("kafka").option(
+            "kafka.bootstrap.servers", "localhost:9092"
+        ).option("subscribe", "register").load()
+    except Exception as exc:
+        pytest.skip(
+            "spark-sql-kafka connector not on the classpath "
+            f"(container has no network to fetch it): {type(exc).__name__}"
+        )
+    # connector present (not this container): the stub stream and the
+    # real stream must expose identical projected schemas
+    stream = kafka_stub_stream(spark, "register", str(tmp_path / "b"))
+    assert [f.name for f in stream.schema.fields] == [
+        c.split(" AS ")[-1] for c in KAFKA_PROJECTION
+    ]
