@@ -228,6 +228,38 @@ def kafka_stub_stream(
     ).selectExpr(*KAFKA_PROJECTION)
 
 
+def write_kafka_stub_stream(
+    df: DataFrame, topic: str, brokers: str, checkpoint: str
+):
+    """K5 through the stub broker: the producer-sink counterpart of
+    kafka_stub_stream. Consumes the SAME payload contract as the real
+    writer (a `value` column and optional `key`, as prepared by
+    to_kafka_payload + kafka_writer_options) and publishes each trigger
+    as one atomic offset file, so a downstream kafka_stub_stream
+    consumer sees exactly what a real topic would carry
+    (RegisterProducer.scala:30-43 parity at the contract level).
+    Returns the started StreamingQuery."""
+    opts = kafka_writer_options(topic, brokers)
+    broker_dir, target = opts["kafka.bootstrap.servers"], opts["topic"]
+    has_key = "key" in df.columns
+
+    def publish(batch: DataFrame, batch_id: int) -> None:
+        rows = batch.collect()  # producer batches are trigger-sized
+        if not rows:
+            return
+        records = [
+            (r["key"] if has_key else None, r["value"]) for r in rows
+        ]
+        kafka_stub_produce(broker_dir, target, records)
+
+    return (
+        df.writeStream.outputMode("append")
+        .foreachBatch(publish)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def file_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:

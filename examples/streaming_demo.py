@@ -218,6 +218,31 @@ def main() -> None:
         out["linked_records"], ck("link"), available_now=True,
     ).awaitTermination(120)
 
+    # round-5: the Kafka SOURCE PATH executed end-to-end through the
+    # file-backed stub broker — same option map, same wire schema, same
+    # downstream job as the real format('kafka') reader (which needs
+    # the connector jar this container doesn't ship)
+    from edu_online_spark.streaming.sources import (
+        kafka_stub_produce,
+        kafka_stub_stream,
+    )
+
+    broker = f"{work}/stub_broker"
+    kafka_stub_produce(
+        broker,
+        "register",
+        [
+            (None, "9001\t1\t2026-08-13 10:00:01"),
+            (None, "9002\t2\t2026-08-13 10:00:02"),
+            (None, "9003\t1\t2026-08-13 10:00:03"),
+        ],
+    )
+    out["kafka_stub_windowed"] = f"{work}/out/kafka_stub_windowed"
+    jobs.register_windowed_job(
+        kafka_stub_stream(spark, "register", broker),
+        out["kafka_stub_windowed"], ck("kafka_stub"), available_now=True,
+    ).awaitTermination(120)
+
     for name, path in out.items():
         df = spark.read.parquet(path)
         rows = [r.asDict() for r in df.collect()]

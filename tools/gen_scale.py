@@ -90,6 +90,33 @@ def gen_embeddings(n: int, seed: int = 11) -> pa.Table:
     )
 
 
+def gen_customer(n: int, seed: int = 13) -> pa.Table:
+    """Customer master with the driver table's linkage-relevant columns
+    (c_custkey, c_name TPC-H style, c_nationkey 0-24, c_acctbal) — the
+    second scale point for customer_record_linkage's composite-blocked
+    candidate generation."""
+    rng = np.random.default_rng(seed)
+    keys = np.arange(n, dtype=np.int64)
+    return pa.table(
+        {
+            "c_custkey": pa.array(keys),
+            "c_name": pa.array(
+                [f"Customer#{k:09d}" for k in keys], type=pa.string()
+            ),
+            "c_nationkey": pa.array(
+                rng.integers(0, 25, size=n).astype(np.int32)
+            ),
+            "c_acctbal": pa.array(
+                np.round(rng.uniform(-999.99, 9999.99, size=n), 2)
+            ),
+            "c_mktsegment": pa.array(
+                [f"SEG{int(s)}" for s in rng.integers(0, 5, size=n)],
+                type=pa.string(),
+            ),
+        }
+    )
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_rehearsal/sf1"
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -100,7 +127,12 @@ def main() -> None:
     pq.write_table(docs, f"{out_dir}/documents.parquet")
     emb = gen_embeddings(2000 * mult)
     pq.write_table(emb, f"{out_dir}/embeddings.parquet")
-    print(f"wrote {docs.num_rows} documents, {emb.num_rows} embeddings -> {out_dir}")
+    cust = gen_customer(15000 * mult)
+    pq.write_table(cust, f"{out_dir}/customer.parquet")
+    print(
+        f"wrote {docs.num_rows} documents, {emb.num_rows} embeddings, "
+        f"{cust.num_rows} customers -> {out_dir}"
+    )
 
 
 if __name__ == "__main__":

@@ -36,6 +36,14 @@ QUERIES = [
     "corpus_token_countmin",
     "docs_gopher_quality",
     "docs_stratified_sample",
+    # round-5 additions (VERDICT r4 #6): the new/hardened heavy paths
+    "hybrid_search_rrf_lsh",   # LSH-fed fusion incl. exact-RRF baseline
+    "customer_record_linkage", # composite-blocked candidate generation
+    "corpus_bpe_merges",       # batched merge loop (vocab-sized rounds)
+    "multimodal_image_ahash",  # perceptual-hash trio over cached assets
+    "multimodal_audio_fingerprint",
+    "multimodal_video_scenecuts",
+    "corpus_end_to_end_curation",
 ]
 
 
