@@ -184,7 +184,10 @@ QUERIES = {
 # mirrors are the SAME SQL fragments the single-stage certifications
 # use (textops/pii/dedup ORACLE), re-pointed at the previous stage's
 # CTE instead of raw `documents`; near-dup is the exact-Jaccard
-# recursive-closure mirror from dedup_neardup_curated.
+# recursive-closure mirror from dedup_neardup_curated. Certified at
+# sf0.01 (the driver's gate SF): the closure CTE is the quadratic
+# exact baseline, the same sf0.01-only policy as the pair oracles —
+# the Spark side is measured at sf0.1/sf1 in SCALE.md §4 instead.
 # ---------------------------------------------------------------------------
 
 from .textops import CHUNK_STRIDE, CHUNK_TOKENS  # noqa: E402

@@ -368,8 +368,8 @@ def test_training_examples_single_user_shuffle(spark, sf_dir):
 
 
 def test_record_linkage_blocking_is_equi_join(spark, sf_dir):
-    """The candidate stage must be the nation equi-join (blocking), not
-    a nested-loop cross of dirty x clean."""
+    """The candidate stage must be the composite (nation, name-suffix)
+    equi-join (blocking), not a nested-loop cross of dirty x clean."""
     from edu_online_spark.operators.analytics import customer_record_linkage
 
     df = customer_record_linkage(load_table(spark, sf_dir, "customer"))
@@ -377,3 +377,55 @@ def test_record_linkage_blocking_is_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+    # the composite block key must be part of the join condition (the
+    # formatted plan prints the equi-join keys)
+    formatted = explain_str(df, "formatted")
+    assert "_d_bk" in formatted and "_c_bk" in formatted
+
+
+def test_decoded_meta_single_python_stage(spark, sf_dir):
+    """The decode stage must be exactly ONE Arrow-batched Python pass
+    over a pruned scan: no shuffle, no extra Python stages, and only
+    the three decoder-needed columns crossing the boundary (the meta
+    JSON and stored byte_len stay JVM-side). This pins the round-5
+    perf fix — decoded_meta's cost is scan → Arrow → parse, full stop."""
+    from edu_online_spark.operators.multimodal import q_decoded_meta
+
+    df = q_decoded_meta(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert plan.count("ArrowEvalPython") == 0  # mapInPandas, not UDF eval
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    scans = read_schema_columns(df)
+    assert scans and all("meta" not in cols for cols in scans), scans
+
+
+def test_curation_pipeline_shapes(spark, sf_dir):
+    """The end-to-end curation composition: no cartesian anywhere, no
+    Python in the plan (every stage is column expressions or the banded
+    join), and the loser anti-join broadcast."""
+    from edu_online_spark.operators.curation import corpus_end_to_end_curation
+
+    df = corpus_end_to_end_curation(load_table(spark, sf_dir, "documents"))
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # losers anti-join + card joins
+
+
+def test_hybrid_lsh_no_corpus_cross(spark, sf_dir):
+    """The LSH-fed hybrid path must generate candidates via banded
+    equi-joins — the corpus never self-crosses, and the only Python is
+    the Arrow-batched SRP bucketizer."""
+    from edu_online_spark.operators.similarity import hybrid_search_rrf_lsh_topk
+
+    df = hybrid_search_rrf_lsh_topk(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python banned
