@@ -82,6 +82,7 @@ HEADLINE = [
     "hybrid_search_rrf_lsh",
     "corpus_end_to_end_curation",
     "customer_record_linkage",
+    "docs_substring_dedup",
 ]
 
 

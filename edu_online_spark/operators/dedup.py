@@ -577,6 +577,134 @@ def semantic_dedup_keep(
 
 
 NEG_SAMPLE_K = 5
+SUBSTR_SPAN_TOKENS = 15  # repeated-span window (Lee et al. 2021 use 50
+# BPE tokens at web scale; 15 words fits this corpus' 10-100-word docs)
+SUBSTR_MIN_DOCS = 2
+
+
+def _span_rows(documents: DataFrame, span: int) -> DataFrame:
+    """(doc_id, start [1-based], span): every contiguous `span`-token
+    window of every document — posexplode + lead() like shingle_rows,
+    but keeping the start position (masking needs it). Codegen
+    expressions only; one shuffle on doc_id; output rows = corpus
+    token count (linear)."""
+    from pyspark.sql import Window
+
+    tok = documents.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, span)]
+    return (
+        tok.select(
+            "doc_id",
+            (F.col("pos") + 1).alias("start"),
+            F.concat_ws(" ", *grams).alias("span"),
+            grams[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+
+
+def repeated_spans(
+    documents: DataFrame,
+    span: int = SUBSTR_SPAN_TOKENS,
+    min_docs: int = SUBSTR_MIN_DOCS,
+) -> DataFrame:
+    """Cross-document repeated token spans — the exact-substring-dedup
+    signal (Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better"): a `span`-token window appearing verbatim
+    in ≥ min_docs documents is memorization fuel (licenses, templates,
+    syndicated passages) that near-dup DOCUMENT dedup structurally
+    misses when the rest of the documents differ.
+
+    One span explode (linear in corpus tokens) → one groupBy on the
+    span text. At 100 TB the group key becomes xxhash64(span) — 8-byte
+    keys instead of 15-word strings, with a documented 2^-64-per-pair
+    collision risk; the text key here is what lets DuckDB reproduce
+    the result verbatim. Output: (span, n_docs, n_occurrences).
+    """
+    return (
+        _span_rows(documents, span)
+        .groupBy("span")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def substring_dedup(
+    documents: DataFrame,
+    span: int = SUBSTR_SPAN_TOKENS,
+    min_docs: int = SUBSTR_MIN_DOCS,
+) -> DataFrame:
+    """Exact substring deduplication: REMOVE every token that sits
+    inside any cross-document repeated span, keeping the rest of the
+    document — the masking form of repeated_spans (document-level
+    near-dup dedup keeps one copy of a duplicated passage per cluster;
+    this removes every copy of a passage duplicated across otherwise
+    distinct documents).
+
+    Pipeline (all linear, three shuffles): span explode → repeated-span
+    set (span-keyed count) → flag each occurrence's [start, start+span)
+    interval → explode intervals to covered positions (span× constant
+    blowup, then distinct) → anti-join the token rows → reassemble the
+    surviving tokens in position order. Reassembly is a deterministic
+    sort_array over (pos, token) structs, so the output string is
+    bit-identical on any engine/partitioning — the DuckDB oracle
+    rebuilds it with string_agg(... ORDER BY pos).
+
+    Output: (doc_id, n_tokens, n_removed, text_deduped); a fully-
+    covered document survives as an empty string (curation drops it
+    downstream), never a missing row.
+    """
+    sp = _span_rows(documents, span).localCheckpoint(eager=True)
+    rep = (
+        sp.groupBy("span")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("span")
+    )
+    covered = (
+        sp.join(rep, "span")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(span - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = documents.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "t")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "t")
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "t"))),
+                lambda x: x["t"],
+            ),
+            " ",
+        ).alias("text_deduped"),
+        F.count("*").alias("n_kept"),
+    )
+    sizes = documents.select(
+        "doc_id", F.size(tokens("text")).alias("n_tokens")
+    )
+    return sizes.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+        F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+    )
+
+
 NEG_QUERY_MOD = 50  # every 50th doc is a training query (bounded batch)
 NEG_HASH_MOD = 1_000_003
 
@@ -700,6 +828,8 @@ QUERIES = {
     "dedup_cross_corpus": _q_cross_corpus,
     "dedup_semantic_keep": _q(semantic_dedup_keep, "embeddings"),
     "retrieval_negative_samples": _q(retrieval_negative_samples, "documents"),
+    "corpus_repeated_spans": _q(repeated_spans, "documents"),
+    "docs_substring_dedup": _q(substring_dedup, "documents"),
 }
 
 # Exact Jaccard in DuckDB: build distinct 3-shingle lists with a list
@@ -729,6 +859,66 @@ ORACLE = {
     "dedup_exact": """
         SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
         FROM documents GROUP BY text
+    """,
+    # zipped parallel unnests give (span, start) pairs; span windows
+    # mirror Spark's lead()-built concat exactly
+    "corpus_repeated_spans": f"""
+        WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w
+                   FROM documents),
+        spans AS (
+            SELECT doc_id,
+                   unnest([array_to_string(w[i:i+{SUBSTR_SPAN_TOKENS - 1}], ' ')
+                           for i in range(1, len(w) - {SUBSTR_SPAN_TOKENS - 2})])
+                       AS span
+            FROM t WHERE len(w) >= {SUBSTR_SPAN_TOKENS}
+        )
+        SELECT span,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               count(*) AS n_occurrences
+        FROM spans GROUP BY span
+        HAVING count(DISTINCT doc_id) >= {SUBSTR_MIN_DOCS}
+    """,
+    "docs_substring_dedup": f"""
+        WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w
+                   FROM documents),
+        toks AS (
+            SELECT doc_id, unnest(w) AS t,
+                   CAST(generate_subscripts(w, 1) AS BIGINT) AS pos
+            FROM t
+        ),
+        spans AS (
+            SELECT doc_id,
+                   unnest([array_to_string(w[i:i+{SUBSTR_SPAN_TOKENS - 1}], ' ')
+                           for i in range(1, len(w) - {SUBSTR_SPAN_TOKENS - 2})])
+                       AS span,
+                   unnest(range(1, len(w) - {SUBSTR_SPAN_TOKENS - 2}))
+                       AS start
+            FROM t WHERE len(w) >= {SUBSTR_SPAN_TOKENS}
+        ),
+        rep AS (
+            SELECT span FROM spans GROUP BY span
+            HAVING count(DISTINCT doc_id) >= {SUBSTR_MIN_DOCS}
+        ),
+        covered AS (
+            SELECT DISTINCT s.doc_id,
+                   unnest(range(s.start, s.start + {SUBSTR_SPAN_TOKENS}))
+                       AS pos
+            FROM spans s JOIN rep USING (span)
+        ),
+        kept AS (
+            SELECT doc_id, pos, t FROM toks
+            ANTI JOIN covered USING (doc_id, pos)
+        ),
+        rebuilt AS (
+            SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS text_deduped,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(w) AS INTEGER) AS n_tokens,
+               CAST(len(w) - COALESCE(r.n_kept, 0) AS INTEGER) AS n_removed,
+               COALESCE(r.text_deduped, '') AS text_deduped
+        FROM t LEFT JOIN rebuilt r USING (doc_id)
     """,
     "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
     # cross-side exact Jaccard (new = doc_id % 10 == 0 vs the rest);

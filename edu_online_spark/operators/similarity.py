@@ -524,9 +524,12 @@ def hybrid_search_rrf(
     neighbor id, making the top-k deterministic in any engine.
 
     Scale: this certified form ranks the full corpus per query (exact,
-    for the oracle); the production path would feed RRF from the
-    banded LSH candidate sets (knn_lsh / text_knn_minhash) instead of
-    full rankings — the fusion arithmetic is identical.
+    for the oracle — including one deliberate BroadcastNestedLoopJoin,
+    the bounded n_queries-side broadcast with a != predicate); the
+    production path is hybrid_search_rrf_lsh_topk below — RRF fed from
+    the banded LSH candidate sets with identical fusion arithmetic,
+    certified against this form by a ≥0.9 recall gate
+    (hybrid_search_rrf_lsh).
     """
     from ..functions import hashing
     from ..operators.dedup import _shingled

@@ -143,6 +143,10 @@ _WINDOW_PRIORITY = [
     "purchase_attribution",
 ]
 
+# Round-6 rotation backlog: added after this round's window filled —
+# certify next round: corpus_repeated_spans, docs_substring_dedup
+# (both oracle-backed, locally green at sf0.01 + sf0.1).
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Module order as declared, with two cross-module rules:

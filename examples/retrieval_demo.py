@@ -69,6 +69,9 @@ def main() -> None:
         (r["qid"], r["nid"], round(r["rrf_score"], 4))
         for r in hybrid.orderBy("qid", F.desc("rrf_score"), "nid").collect()
     ]
+    # the production (LSH-candidate-fed) path, certified vs the exact
+    # form by a >=0.9 recall gate
+    hybrid_prod = similarity.hybrid_search_rrf_lsh_certified(docs, embs).first()
 
     recall = similarity.ann_recall_report(embs).first().asDict()
     n_q = recall.get("n_queries", embs.count())
@@ -79,6 +82,8 @@ def main() -> None:
           f"({n_neg // max(n_queries, 1)} per query, near-dups excluded)")
     print(f"training triples:     {triples.count()}")
     print(f"hybrid top-3 (q, doc, rrf): {top}")
+    print(f"hybrid LSH-fed recall_ok:   {hybrid_prod['recall_ok']} "
+          f"(vs exact RRF over {hybrid_prod['n_exact']} top-k rows)")
     print(f"ann recall@{recall['k']}:        {recall['recall']:.2f} "
           f"over {n_q} queries (LSH vs exact)")
 

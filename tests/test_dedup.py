@@ -229,3 +229,52 @@ def test_negative_samples_exclude_near_dups_and_are_stable(spark):
         for r in retrieval_negative_samples(docs.repartition(7), k=5).collect()
     }
     assert again == by_q[0]
+
+
+def test_substring_dedup_masks_shared_passage(spark):
+    """Two otherwise-distinct docs share a verbatim 20-token passage:
+    exact substring dedup must remove the passage from BOTH (document
+    near-dup dedup would keep both docs untouched — their overall
+    Jaccard is low), leave unique text intact, and leave a doc with no
+    repeated span untouched."""
+    from edu_online_spark.operators.dedup import (
+        repeated_spans,
+        substring_dedup,
+    )
+
+    shared = " ".join(f"lic{i}" for i in range(20))  # 20-token passage
+    a_unique = " ".join(f"alpha{i}" for i in range(10))
+    b_unique = " ".join(f"beta{i}" for i in range(12))
+    c_text = " ".join(f"gamma{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [
+            (0, a_unique + " " + shared),
+            (1, shared + " " + b_unique),
+            (2, c_text),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in substring_dedup(docs).collect()}
+    assert out[0]["text_deduped"] == a_unique
+    assert out[0]["n_removed"] == 20 and out[0]["n_tokens"] == 30
+    assert out[1]["text_deduped"] == b_unique
+    assert out[1]["n_removed"] == 20
+    assert out[2]["text_deduped"] == c_text and out[2]["n_removed"] == 0
+    # the span inventory sees the passage (overlapping windows: a
+    # 20-token passage has 6 repeated 15-token windows)
+    spans = repeated_spans(docs).collect()
+    assert len(spans) == 6
+    assert all(r["n_docs"] == 2 for r in spans)
+
+
+def test_substring_dedup_fully_covered_doc_survives_empty(spark):
+    """An exact duplicate pair is fully covered - both must surface
+    with empty text_deduped, not vanish."""
+    from edu_online_spark.operators.dedup import substring_dedup
+
+    t = " ".join(f"w{i}" for i in range(18))
+    docs = spark.createDataFrame([(0, t), (1, t)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in substring_dedup(docs).collect()}
+    assert set(out) == {0, 1}
+    for r in out.values():
+        assert r["text_deduped"] == "" and r["n_removed"] == 18
