@@ -980,6 +980,11 @@ def distinct_users_sketch_job(
             return
         spark = batch.sparkSession
         new = batch.groupBy("platform").agg(F.hll_sketch_agg("user_id").alias("sk"))
+        # same recovery-before-read ordering as token_countmin_job: a
+        # crash between the swap renames must not read as a fresh sink
+        # (union algebra protects against REPLAY, not against losing
+        # the accumulated sketches themselves)
+        sinks.recover_sink(out_path)
         if os.path.exists(out_path):
             old = spark.read.parquet(out_path).select("platform", "sk")
             new = old.unionByName(new)

@@ -751,6 +751,31 @@ def test_token_countmin_stream_matches_batch_cells(spark, tmp_path):
     assert set(per_row.values()) == {len(all_tokens)}
 
 
+def test_token_countmin_recovers_half_committed_sink(spark, tmp_path):
+    """ADVICE r4 (medium): a crash between the publish renames leaves
+    the live sink dir ABSENT with the complete state in .__staging__.
+    The next trigger's merge must promote it BEFORE the existence
+    check — otherwise the accumulated grid + replay watermark are
+    silently discarded and the sink restarts from the new wave alone."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    wave1 = [("d1", "alpha beta alpha"), ("d2", "gamma beta")]
+    wave2 = [("d3", "alpha delta")]
+    _write_lines(src, "b1.jsonl", _cms_doc_lines(wave1))
+    _run(jobs.token_countmin_job, spark, src, out, ckpt)
+    # simulate the crash: live dir retired, complete staging not yet
+    # promoted (the written sink carries parquet's _SUCCESS marker)
+    os.rename(out, out + ".__staging__")
+    assert not os.path.exists(out)
+    _write_lines(src, "b2.jsonl", _cms_doc_lines(wave2))
+    _run(jobs.token_countmin_job, spark, src, out, ckpt)
+    per_row: dict[int, int] = {}
+    for r in spark.read.parquet(out).collect():
+        per_row[r["row"]] = per_row.get(r["row"], 0) + r["cell_cnt"]
+    n_tokens = len(" ".join(t for _, t in wave1 + wave2).split())
+    # every CMS row still carries the FULL token mass (wave1 + wave2)
+    assert set(per_row.values()) == {n_tokens}
+
+
 def test_token_countmin_replay_does_not_double_count(spark, tmp_path):
     """CMS merge is addition, not a max — replay safety must come from
     the batch-id bookkeeping: redelivering the same wave through a
