@@ -668,9 +668,19 @@ def substring_dedup(
         .filter(F.col("n_docs") >= min_docs)
         .select("span")
     )
+    return _mask_spans(documents, sp.join(rep, "span"), span)
+
+
+def _mask_spans(
+    documents: DataFrame, flagged: DataFrame, span: int
+) -> DataFrame:
+    """Shared masking tail: explode each flagged occurrence's interval
+    to covered positions (span× constant blowup, then distinct),
+    anti-join the token rows, reassemble survivors in position order
+    (deterministic sort over (pos, token) structs — bit-identical on
+    any engine/partitioning). flagged carries (doc_id, start)."""
     covered = (
-        sp.join(rep, "span")
-        .select(
+        flagged.select(
             "doc_id",
             F.explode(
                 F.sequence(F.col("start"), F.col("start") + F.lit(span - 1))
@@ -703,6 +713,30 @@ def substring_dedup(
         .alias("n_removed"),
         F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
     )
+
+
+def cross_corpus_substring_dedup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    span: int = SUBSTR_SPAN_TOKENS,
+) -> DataFrame:
+    """Incremental exact substring dedup — the production ingest shape:
+    mask every token of a NEW batch that sits inside a span already
+    present in the standing corpus. A daily delta against a 100 TB
+    corpus must not re-explode the corpus (its span relation is
+    content-addressed and persisted once, appended as the corpus
+    grows — same contract as cross_corpus_minhash_pairs' signature
+    table) and must not consider delta-internal repeats (those are
+    substring_dedup's job on the batch itself, or next run's when the
+    batch joins the corpus).
+
+    Only the two span relations equi-join on the span text; work is
+    O(delta spans + matches). Output matches substring_dedup's schema
+    over the new batch: (doc_id, n_tokens, n_removed, text_deduped).
+    """
+    new_sp = _span_rows(new_docs, span)
+    corpus_spans = _span_rows(corpus_docs, span).select("span").distinct()
+    return _mask_spans(new_docs, new_sp.join(corpus_spans, "span"), span)
 
 
 NEG_QUERY_MOD = 50  # every 50th doc is a training query (bounded batch)
@@ -814,6 +848,15 @@ def _q_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cross_corpus_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same deterministic new/corpus split as _q_cross_corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cross_corpus_substring_dedup(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+    )
+
+
 QUERIES = {
     "dedup_exact": _q(exact_dedup, "documents"),
     "dedup_ngram_jaccard": _q(ngram_jaccard_pairs, "documents"),
@@ -830,6 +873,7 @@ QUERIES = {
     "retrieval_negative_samples": _q(retrieval_negative_samples, "documents"),
     "corpus_repeated_spans": _q(repeated_spans, "documents"),
     "docs_substring_dedup": _q(substring_dedup, "documents"),
+    "dedup_substring_cross_corpus": _q_cross_corpus_substring,
 }
 
 # Exact Jaccard in DuckDB: build distinct 3-shingle lists with a list
@@ -877,6 +921,55 @@ ORACLE = {
                count(*) AS n_occurrences
         FROM spans GROUP BY span
         HAVING count(DISTINCT doc_id) >= {SUBSTR_MIN_DOCS}
+    """,
+    # incremental form: mask new-batch (doc_id % 10 == 0) tokens inside
+    # any span the standing corpus already contains
+    "dedup_substring_cross_corpus": f"""
+        WITH nd AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w
+                    FROM documents WHERE doc_id % 10 = 0),
+        cd AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w
+               FROM documents WHERE doc_id % 10 != 0),
+        toks AS (
+            SELECT doc_id, unnest(w) AS t,
+                   CAST(generate_subscripts(w, 1) AS BIGINT) AS pos
+            FROM nd
+        ),
+        new_spans AS (
+            SELECT doc_id,
+                   unnest([array_to_string(w[i:i+{SUBSTR_SPAN_TOKENS - 1}], ' ')
+                           for i in range(1, len(w) - {SUBSTR_SPAN_TOKENS - 2})])
+                       AS span,
+                   unnest(range(1, len(w) - {SUBSTR_SPAN_TOKENS - 2}))
+                       AS start
+            FROM nd WHERE len(w) >= {SUBSTR_SPAN_TOKENS}
+        ),
+        corpus_spans AS (
+            SELECT DISTINCT
+                   unnest([array_to_string(w[i:i+{SUBSTR_SPAN_TOKENS - 1}], ' ')
+                           for i in range(1, len(w) - {SUBSTR_SPAN_TOKENS - 2})])
+                       AS span
+            FROM cd WHERE len(w) >= {SUBSTR_SPAN_TOKENS}
+        ),
+        covered AS (
+            SELECT DISTINCT s.doc_id,
+                   unnest(range(s.start, s.start + {SUBSTR_SPAN_TOKENS}))
+                       AS pos
+            FROM new_spans s JOIN corpus_spans USING (span)
+        ),
+        kept AS (
+            SELECT doc_id, pos, t FROM toks
+            ANTI JOIN covered USING (doc_id, pos)
+        ),
+        rebuilt AS (
+            SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS text_deduped,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT nd.doc_id,
+               CAST(len(w) AS INTEGER) AS n_tokens,
+               CAST(len(w) - COALESCE(r.n_kept, 0) AS INTEGER) AS n_removed,
+               COALESCE(r.text_deduped, '') AS text_deduped
+        FROM nd LEFT JOIN rebuilt r USING (doc_id)
     """,
     "docs_substring_dedup": f"""
         WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w

@@ -144,8 +144,9 @@ _WINDOW_PRIORITY = [
 ]
 
 # Round-6 rotation backlog: added after this round's window filled —
-# certify next round: corpus_repeated_spans, docs_substring_dedup
-# (both oracle-backed, locally green at sf0.01 + sf0.1).
+# certify next round: corpus_repeated_spans, docs_substring_dedup,
+# dedup_substring_cross_corpus (all oracle-backed, locally green at
+# sf0.01 + sf0.1).
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

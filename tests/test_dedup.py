@@ -278,3 +278,30 @@ def test_substring_dedup_fully_covered_doc_survives_empty(spark):
     assert set(out) == {0, 1}
     for r in out.values():
         assert r["text_deduped"] == "" and r["n_removed"] == 18
+
+
+def test_cross_corpus_substring_dedup_masks_only_corpus_spans(spark):
+    """Incremental masking: a new-batch passage already in the corpus
+    is removed; a passage repeated only WITHIN the new batch is NOT
+    (that's the batch-internal operator's job)."""
+    from edu_online_spark.operators.dedup import cross_corpus_substring_dedup
+
+    corpus_passage = " ".join(f"lic{i}" for i in range(18))
+    batch_passage = " ".join(f"tmpl{i}" for i in range(18))
+    a_unique = " ".join(f"alpha{i}" for i in range(8))
+    new = spark.createDataFrame(
+        [
+            (0, a_unique + " " + corpus_passage),   # masked (in corpus)
+            (10, batch_passage),                    # batch-internal dup:
+            (20, batch_passage),                    # NOT masked here
+        ],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [(1, corpus_passage + " " + " ".join(f"c{i}" for i in range(9)))],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in cross_corpus_substring_dedup(new, corpus).collect()}
+    assert out[0]["text_deduped"] == a_unique and out[0]["n_removed"] == 18
+    assert out[10]["n_removed"] == 0 and out[10]["text_deduped"] == batch_passage
+    assert out[20]["n_removed"] == 0
