@@ -1351,3 +1351,115 @@ def record_linkage_job(
         .trigger(**_trigger({}, available_now))
         .start()
     )
+
+
+def substring_scrub_job(
+    raw: DataFrame,
+    span_table: str,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Substring-dedup-on-ingest: each arriving document is masked
+    against the spans of EVERYTHING ingested before it, then its own
+    spans join the standing span table — the streaming twin of
+    dedup.cross_corpus_substring_dedup, completing the ingest trio
+    (near-dup filter in document_ingest_job, IVF cell assignment in
+    embedding_ingest_job, repeated-span scrub here).
+
+    State is the distinct-span relation itself, kept NOT in the state
+    store but as a span-keyed parquet_upsert table (content-addressed
+    and unbounded like the corpus — lake data, not stream state; at
+    scale this is the persisted span index every delta re-uses, and
+    the upsert's hash-bucket layout means a trigger only opens the
+    bucket dirs its spans touch).
+
+    Replay safety needs more than the keyed upserts: a redelivered
+    trigger re-reads a span table that its own first attempt already
+    populated, and masking a document against its OWN spans would turn
+    redelivery into data loss. So each span carries the batch_id of
+    its FIRST ingestion (first-wins: spans already present are
+    anti-joined away, never restamped) and masking only uses spans
+    with ingest_batch < the current batch — a redelivered trigger sees
+    exactly the table its first attempt saw. Batch-internal repeats
+    are deliberately not masked (same semantics as the batch
+    operator); the id guard is scoped to the checkpoint, like
+    token_countmin_job's.
+
+    Input: JSON {doc_id, text, source}; malformed lines drop on
+    decode. Output rows: (doc_id, n_tokens, n_removed, text_deduped).
+    """
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ..operators.dedup import (
+        SUBSTR_SPAN_TOKENS,
+        _mask_spans,
+        _span_rows,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    parsed = F.from_json(
+        F.col("value"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    docs = (
+        raw.select(parsed.alias("j"))
+        .filter(
+            F.col("j._corrupt").isNull()
+            & F.col("j.doc_id").isNotNull()
+            & F.col("j.text").isNotNull()
+        )
+        .select(F.col("j.doc_id").alias("doc_id"), F.col("j.text").alias("text"))
+    )
+    upsert_docs = sinks.parquet_upsert(out_path, ["doc_id"])
+    upsert_spans = sinks.parquet_upsert(span_table, ["span"])
+
+    def scrub(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        batch = batch.localCheckpoint(eager=True)  # masked + span branches
+        sp = _span_rows(batch, SUBSTR_SPAN_TOKENS).localCheckpoint(eager=True)
+        batch_spans = sp.select("span").distinct()
+        # promote any half-committed swap BEFORE reading the span table
+        sinks.recover_sink(span_table)
+        if os.path.exists(span_table):
+            existing = (
+                spark.read.parquet(span_table)
+                .select("span", "ingest_batch")
+                .localCheckpoint(eager=True)  # mask + anti-join branches
+            )
+            # only spans from EARLIER batches mask — a redelivered
+            # trigger must not see its own first attempt's spans
+            corpus_spans = existing.filter(
+                F.col("ingest_batch") < batch_id
+            ).select("span")
+            new_spans = batch_spans.join(
+                existing.select("span"), "span", "left_anti"
+            )
+        else:
+            corpus_spans = spark.createDataFrame([], "span string")
+            new_spans = batch_spans
+        masked = _mask_spans(
+            batch, sp.join(corpus_spans, "span"), SUBSTR_SPAN_TOKENS
+        ).localCheckpoint(eager=True)  # materialize BEFORE the upserts swap dirs
+        upsert_docs(masked, batch_id)
+        upsert_spans(
+            new_spans.withColumn("ingest_batch", F.lit(batch_id)), batch_id
+        )
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(scrub)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )

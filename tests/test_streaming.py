@@ -921,3 +921,53 @@ def test_record_linkage_job_resolves_on_ingest(spark, tmp_path):
     ).awaitTermination(120)
     replayed = spark.read.parquet(out).collect()
     assert len(replayed) == 1 and replayed[0]["rec_id"] == 900
+
+
+def test_substring_scrub_job_masks_against_prior_ingest(spark, tmp_path):
+    """Substring-dedup-on-ingest: a wave-2 document repeating a wave-1
+    passage arrives masked; wave-1 docs (nothing before them) and
+    fresh wave-2 text pass through; replay through a fresh checkpoint
+    leaves both sinks unchanged (keyed upserts)."""
+    import json as _json
+
+    src = str(tmp_path / "src")
+    spans, out, ckpt = (
+        str(tmp_path / "spans"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    passage = " ".join(f"lic{i}" for i in range(18))
+    fresh = " ".join(f"beta{i}" for i in range(16))
+
+    def lines(docs):
+        return [
+            _json.dumps({"doc_id": d, "text": t, "source": "s1"})
+            for d, t in docs
+        ]
+
+    _write_lines(src, "b1.jsonl", lines([(1, passage)]) + ["corrupt {"])
+    jobs.substring_scrub_job(
+        file_stream(spark, src, max_files_per_trigger=1),
+        spans, out, ckpt, available_now=True,
+    ).awaitTermination(120)
+    _write_lines(src, "b2.jsonl", lines([(2, passage), (3, fresh)]))
+    jobs.substring_scrub_job(
+        file_stream(spark, src, max_files_per_trigger=1),
+        spans, out, ckpt, available_now=True,
+    ).awaitTermination(120)
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert rows[1]["n_removed"] == 0 and rows[1]["text_deduped"] == passage
+    assert rows[2]["n_removed"] == 18 and rows[2]["text_deduped"] == ""
+    assert rows[3]["n_removed"] == 0 and rows[3]["text_deduped"] == fresh
+    # spans carry their FIRST ingest batch (first-wins, never restamped):
+    # doc 2 re-contributing wave-1's passage must not bump its stamp
+    span_rows = spark.read.parquet(spans).collect()
+    assert min(r["ingest_batch"] for r in span_rows) == 0
+    passage_spans = [r for r in span_rows if r["span"].startswith("lic0")]
+    assert passage_spans and all(r["ingest_batch"] == 0 for r in passage_spans)
+    # same-checkpoint rerun with no new data: both sinks unchanged
+    jobs.substring_scrub_job(
+        file_stream(spark, src), spans, out, ckpt, available_now=True
+    ).awaitTermination(120)
+    again = {r["doc_id"]: r["n_removed"] for r in spark.read.parquet(out).collect()}
+    assert again == {1: 0, 2: 18, 3: 0}
