@@ -577,6 +577,47 @@ def semantic_dedup_keep(
 
 
 NEG_SAMPLE_K = 5
+SPLIT_VAL_PCT = 10
+SPLIT_TEST_PCT = 10
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    val_pct: int = SPLIT_VAL_PCT,
+    test_pct: int = SPLIT_TEST_PCT,
+) -> DataFrame:
+    """Near-dup-aware train/val/test assignment: every member of a
+    near-duplicate cluster hashes on its cluster REPRESENTATIVE, so
+    two near-identical documents can never straddle train and eval —
+    the split-leakage failure mode a plain per-doc hash
+    (textops.train_val_test_split) cannot prevent (a near-copy of a
+    training doc in the test set silently inflates eval).
+
+    Singletons hash on their own id, so for them the assignment is
+    bit-identical to the plain split — adopting the safe split moves
+    ONLY documents living in duplicate clusters. The cluster relation
+    is the certified LSH→connected-components output; its member list
+    is tiny (duplicate docs only) and broadcasts into the left join.
+    Output: (doc_id, split_key, split) — per-document, hash-exact.
+    """
+    from ..functions.core import hash_bucket
+
+    clusters = near_dup_clusters(minhash_lsh_pairs(documents))
+    with_rep = documents.select("doc_id").join(
+        F.broadcast(clusters), "doc_id", "left"
+    )
+    key = F.coalesce(F.col("cluster_rep"), F.col("doc_id"))
+    b = hash_bucket(key, 100)
+    split = (
+        F.when(b < test_pct, F.lit("test"))
+        .when(b < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return with_rep.select(
+        "doc_id", key.alias("split_key"), split.alias("split")
+    )
+
+
 SUBSTR_SPAN_TOKENS = 15  # repeated-span window (Lee et al. 2021 use 50
 # BPE tokens at web scale; 15 words fits this corpus' 10-100-word docs)
 SUBSTR_MIN_DOCS = 2
@@ -874,6 +915,7 @@ QUERIES = {
     "corpus_repeated_spans": _q(repeated_spans, "documents"),
     "docs_substring_dedup": _q(substring_dedup, "documents"),
     "dedup_substring_cross_corpus": _q_cross_corpus_substring,
+    "docs_leakage_safe_split": _q(leakage_safe_split, "documents"),
 }
 
 # Exact Jaccard in DuckDB: build distinct 3-shingle lists with a list
@@ -921,6 +963,36 @@ ORACLE = {
                count(*) AS n_occurrences
         FROM spans GROUP BY span
         HAVING count(DISTINCT doc_id) >= {SUBSTR_MIN_DOCS}
+    """,
+    # cluster reps from the exact-Jaccard recursive closure (the
+    # dedup_neardup_curated mirror); hash_bucket's documented SQL form
+    "docs_leakage_safe_split": f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT src, src FROM edges
+            UNION SELECT src, dst FROM edges
+            UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        labels AS (
+            SELECT src AS doc_id, min(dst) AS cluster_rep
+            FROM reach GROUP BY src
+        ),
+        keyed AS (
+            SELECT d.doc_id,
+                   COALESCE(l.cluster_rep, d.doc_id) AS split_key
+            FROM documents d LEFT JOIN labels l USING (doc_id)
+        )
+        SELECT doc_id, split_key,
+               CASE WHEN ((split_key % 2147483647) * 2654435761) % 100
+                         < {SPLIT_TEST_PCT} THEN 'test'
+                    WHEN ((split_key % 2147483647) * 2654435761) % 100
+                         < {SPLIT_TEST_PCT + SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'train' END AS split
+        FROM keyed
     """,
     # incremental form: mask new-batch (doc_id % 10 == 0) tokens inside
     # any span the standing corpus already contains

@@ -145,8 +145,9 @@ _WINDOW_PRIORITY = [
 
 # Round-6 rotation backlog: added after this round's window filled —
 # certify next round: corpus_repeated_spans, docs_substring_dedup,
-# dedup_substring_cross_corpus (all oracle-backed, locally green at
-# sf0.01 + sf0.1).
+# dedup_substring_cross_corpus (green at sf0.01 + sf0.1),
+# docs_leakage_safe_split (green at sf0.01; quadratic closure oracle →
+# sf0.01 policy). All oracle-backed.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

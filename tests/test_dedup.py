@@ -305,3 +305,27 @@ def test_cross_corpus_substring_dedup_masks_only_corpus_spans(spark):
     assert out[0]["text_deduped"] == a_unique and out[0]["n_removed"] == 18
     assert out[10]["n_removed"] == 0 and out[10]["text_deduped"] == batch_passage
     assert out[20]["n_removed"] == 0
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Near-dup cluster members must land in the SAME split (keyed on
+    the rep), and singletons must keep the plain per-doc assignment."""
+    from edu_online_spark.operators.dedup import leakage_safe_split
+
+    base = (
+        "spark shuffles data between stages when keys change and joins "
+        "move rows across the cluster network every time"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base.replace("rows", "tuples")),   # near-dup of 0
+            (2, base.replace("keys", "values")),   # near-dup of 0
+            (3, "completely different cooking pasta recipe tonight ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in leakage_safe_split(docs).collect()}
+    assert {out[i]["split_key"] for i in (0, 1, 2)} == {0}  # rep-keyed
+    assert len({out[i]["split"] for i in (0, 1, 2)}) == 1   # same split
+    assert out[3]["split_key"] == 3                         # singleton
