@@ -220,6 +220,45 @@ def minhash_lsh_pairs(
     )
 
 
+def cross_corpus_band_candidates(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = hashing.DEFAULT_NUM_HASHES,
+    bands: int = hashing.DEFAULT_BANDS,
+) -> DataFrame:
+    """Banded MinHash CANDIDATE pairs between a new batch and a corpus
+    — the collision stage of cross_corpus_minhash_pairs without the
+    exact verification, for consumers that score candidates themselves
+    (hybrid retrieval re-ranks the candidate union with its own exact
+    cosine + Jaccard, so verifying here would do the shingle join
+    twice). Returns distinct (new_id, corpus_id), eagerly materialized
+    (candidate sets always feed multiple branches)."""
+
+    def banded_sigs(docs: DataFrame) -> DataFrame:
+        sig = hashing.minhash_signatures_df(
+            _shingle_rows(docs, n), "doc_id", F.col("shingle"), num_hashes
+        )
+        return sig.select(
+            "doc_id",
+            F.posexplode(hashing.band_hashes(F.col("sig"), bands, num_hashes)).alias(
+                "band", "bh"
+            ),
+        )
+
+    return (
+        banded_sigs(new_docs)
+        .alias("a")
+        .join(
+            banded_sigs(corpus_docs).alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")),
+        )
+        .select(F.col("a.doc_id").alias("new_id"), F.col("b.doc_id").alias("corpus_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
 def cross_corpus_minhash_pairs(
     new_docs: DataFrame,
     corpus_docs: DataFrame,
@@ -244,30 +283,8 @@ def cross_corpus_minhash_pairs(
     Output: (new_id, corpus_id, jaccard ≥ threshold).
     """
 
-    def banded_sigs(docs: DataFrame) -> DataFrame:
-        sig = hashing.minhash_signatures_df(
-            _shingle_rows(docs, n), "doc_id", F.col("shingle"), num_hashes
-        )
-        return sig.select(
-            "doc_id",
-            F.posexplode(hashing.band_hashes(F.col("sig"), bands, num_hashes)).alias(
-                "band", "bh"
-            ),
-        )
-
-    cand = (
-        banded_sigs(new_docs)
-        .alias("a")
-        .join(
-            banded_sigs(corpus_docs).alias("b"),
-            (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")),
-        )
-        .select(F.col("a.doc_id").alias("new_id"), F.col("b.doc_id").alias("corpus_id"))
-        .distinct()
-        # two downstream consumers (per-side semi-join reducers + the
-        # verification join) — materialize once, same rationale as
-        # minhash_lsh_pairs
-        .localCheckpoint(eager=True)
+    cand = cross_corpus_band_candidates(
+        new_docs, corpus_docs, n, num_hashes, bands
     )
     sh_new = _shingled(
         new_docs.join(

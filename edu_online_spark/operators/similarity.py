@@ -615,7 +615,7 @@ def hybrid_search_rrf_lsh_topk(
     ann_recall_report.
     """
     from ..functions import hashing
-    from ..operators.dedup import _shingled, cross_corpus_minhash_pairs
+    from ..operators.dedup import _shingled, cross_corpus_band_candidates
 
     items = documents.join(
         embeddings, documents.doc_id == embeddings.vec_id
@@ -641,11 +641,12 @@ def hybrid_search_rrf_lsh_topk(
         .select("qid", "nid")
         .dropDuplicates(["qid", "nid"])
     )
-    # lexical-side candidates: query batch banded against the corpus
+    # lexical-side candidates: query batch banded against the corpus —
+    # candidates ONLY (exact scoring happens once, below, on the union)
     texts = items.select("doc_id", "text")
     lex_cand = (
-        cross_corpus_minhash_pairs(
-            texts.filter(F.col("doc_id") < n_queries), texts, threshold=0.0
+        cross_corpus_band_candidates(
+            texts.filter(F.col("doc_id") < n_queries), texts
         )
         .select(F.col("new_id").alias("qid"), F.col("corpus_id").alias("nid"))
         .filter(F.col("qid") != F.col("nid"))
