@@ -844,6 +844,50 @@ def drift_between_histograms(ho: DataFrame, hn: DataFrame) -> DataFrame:
     )
 
 
+FEATURE_HASH_DIM = 64
+
+
+def feature_hash_vectors(
+    documents: DataFrame, dim: int = FEATURE_HASH_DIM
+) -> DataFrame:
+    """Feature hashing (the hashing trick, Weinberger et al. 2009 —
+    sklearn's HashingVectorizer): text → sparse `dim`-dimensional
+    bag-of-words vector with NO vocabulary table. Each token hashes to
+    a dimension; a second hash bit supplies a ±1 sign so collisions
+    cancel in expectation instead of biasing counts. The cheap
+    everywhere-deterministic featurizer for similarity, clustering,
+    and quality-classifier features when real embeddings are too
+    expensive — and unlike vocabulary encoding, completely stateless
+    (no fit step, no vocab broadcast, nothing to version).
+
+    Output is COLUMNAR sparse form (doc_id, dim, v) with exact-zero
+    cells dropped — the layout the centroid/cosine operators consume,
+    and the one that scales (no per-row array materialization). The
+    token hash is the char-fold polynomial (functions/text.fingerprint)
+    so DuckDB reproduces every cell bit-for-bit; at 100 TB swap in
+    xxhash64 per token (fingerprint_fast's rationale — rows-only then).
+    Everything else is integer arithmetic: dim = h mod dim, sign from
+    the next hash bit (h mod 2·dim ≥ dim → −1), v = Σ sign.
+    """
+    tok = documents.select(
+        "doc_id", F.explode(T.tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    h = T.fingerprint(F.col("token"))
+    signed = tok.select(
+        "doc_id",
+        F.pmod(h, F.lit(dim)).cast("int").alias("dim"),
+        F.when(F.pmod(h, F.lit(2 * dim)) >= dim, F.lit(-1))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("sign"),
+    )
+    return (
+        signed.groupBy("doc_id", "dim")
+        .agg(F.sum("sign").alias("v"))
+        .filter(F.col("v") != 0)
+    )
+
+
 def compression_ratio_scores(documents: DataFrame) -> DataFrame:
     """DEFLATE compression ratio per document — the classic cheap
     redundancy signal (highly repetitive text compresses far below
@@ -1171,6 +1215,7 @@ QUERIES = {
     # rows-only: DEFLATE output length is not SQL-expressible; ordering
     # semantics (repetitive ≪ diverse) pinned by test
     "docs_compression_ratio": _q(compression_ratio_scores),
+    "docs_feature_hashed": _q(feature_hash_vectors),
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), ' +')"
@@ -1243,6 +1288,32 @@ ORACLE = {
                    (a, b) -> (a * {T.FINGERPRINT_BASE} + b) % {T.FINGERPRINT_MOD}
                ) END AS BIGINT) AS fp
         FROM documents
+    """,
+    # per-token char-fold hash (same arithmetic as text_fingerprints),
+    # dim + sign as pure integer mod/compare, signed counts summed
+    "docs_feature_hashed": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKENS}) AS token FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   list_reduce(
+                       [ascii(token[i])::BIGINT
+                        for i in range(1, length(token) + 1)],
+                       (a, b) -> (a * {T.FINGERPRINT_BASE} + b)
+                                     % {T.FINGERPRINT_MOD}
+                   ) AS hv
+            FROM tok WHERE token != ''
+        )
+        SELECT doc_id,
+               CAST(hv % {FEATURE_HASH_DIM} AS INTEGER) AS dim,
+               CAST(sum(CASE WHEN (hv % {2 * FEATURE_HASH_DIM})
+                                  >= {FEATURE_HASH_DIM}
+                             THEN -1 ELSE 1 END) AS BIGINT) AS v
+        FROM h GROUP BY 1, 2
+        HAVING sum(CASE WHEN (hv % {2 * FEATURE_HASH_DIM})
+                             >= {FEATURE_HASH_DIM}
+                        THEN -1 ELSE 1 END) != 0
     """,
     "text_top_bigrams": f"""
         WITH bg AS (

@@ -614,3 +614,28 @@ def test_seasonal_residuals_dow_baseline_and_mad_outlier(spark):
     # the spiked week does NOT drag the Monday baseline: median holds
     assert normal_monday["dow_baseline"] == 20
     assert not out["2026-01-13"]["is_outlier"]  # plain Tuesday
+
+
+def test_feature_hashing_is_deterministic_and_signed(spark):
+    """The hashing trick: same text → identical sparse vector under any
+    partitioning; a repeated token adds ±1 consistently (|v| equals its
+    count when it collides with nothing)."""
+    from pyspark.sql import functions as F
+
+    from edu_online_spark.operators.textops import feature_hash_vectors
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta alpha alpha"), (1, "alpha beta alpha alpha")],
+        ["doc_id", "text"],
+    )
+    out = feature_hash_vectors(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["dim"]] = r["v"]
+    assert by_doc[0] == by_doc[1]          # content-deterministic
+    assert sorted(abs(v) for v in by_doc[0].values()) == [1, 3]
+    again = {
+        (r["doc_id"], r["dim"]): r["v"]
+        for r in feature_hash_vectors(docs.repartition(7)).collect()
+    }
+    assert again == {(r["doc_id"], r["dim"]): r["v"] for r in out}
