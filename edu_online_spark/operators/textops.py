@@ -888,6 +888,68 @@ def feature_hash_vectors(
     )
 
 
+HASHED_KNN_QUERY_MOD = 100  # every 100th doc is a query (bounded batch)
+HASHED_KNN_K = 5
+
+
+def hashed_knn(
+    documents: DataFrame,
+    k: int = HASHED_KNN_K,
+    query_mod: int = HASHED_KNN_QUERY_MOD,
+) -> DataFrame:
+    """Exact cosine top-k over the feature-hashed vectors — retrieval
+    on the stateless featurizer, no embedding model anywhere. The
+    sparse COLUMNAR form makes the dot product a dim-keyed equi-join +
+    sum (only dimensions where BOTH sides are non-zero ever pair), and
+    with a bounded query batch (every query_mod-th doc) the work is
+    |query nnz| × per-dim corpus density — the same bounded-batch
+    contract as knn_bruteforce, minus the dense arrays.
+
+    Fully hash-certifiable: dot products and squared norms are integer
+    sums; sqrt is IEEE-correctly-rounded and the final division
+    deterministic, so cosine values match DuckDB bit-for-bit. Ties
+    break (cosine desc, nid asc).
+    """
+    from pyspark.sql import Window
+
+    vec = feature_hash_vectors(documents)
+    norms = vec.groupBy("doc_id").agg(F.sum(F.col("v") * F.col("v")).alias("sq"))
+    q = vec.filter(F.col("doc_id") % query_mod == 0).select(
+        F.col("doc_id").alias("qid"), "dim", F.col("v").alias("vq")
+    )
+    c = vec.select(F.col("doc_id").alias("nid"), "dim", F.col("v").alias("vn"))
+    dots = (
+        q.join(c, "dim")
+        .filter(F.col("qid") != F.col("nid"))
+        .groupBy("qid", "nid")
+        .agg(F.sum(F.col("vq") * F.col("vn")).alias("dot"))
+    )
+    scored = (
+        dots.join(
+            norms.select(F.col("doc_id").alias("qid"), F.col("sq").alias("sq_q")),
+            "qid",
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("nid"), F.col("sq").alias("sq_n")),
+            "nid",
+        )
+        .select(
+            "qid",
+            "nid",
+            (
+                F.col("dot")
+                / (F.sqrt(F.col("sq_q")) * F.sqrt(F.col("sq_n")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "cosine", "rank")
+    )
+
+
 def compression_ratio_scores(documents: DataFrame) -> DataFrame:
     """DEFLATE compression ratio per document — the classic cheap
     redundancy signal (highly repetitive text compresses far below
@@ -1216,6 +1278,7 @@ QUERIES = {
     # semantics (repetitive ≪ diverse) pinned by test
     "docs_compression_ratio": _q(compression_ratio_scores),
     "docs_feature_hashed": _q(feature_hash_vectors),
+    "docs_hashed_knn": _q(hashed_knn),
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), ' +')"
@@ -1288,6 +1351,56 @@ ORACLE = {
                    (a, b) -> (a * {T.FINGERPRINT_BASE} + b) % {T.FINGERPRINT_MOD}
                ) END AS BIGINT) AS fp
         FROM documents
+    """,
+    # sparse dot-product join over the hashed vectors; integer dots and
+    # squared norms, IEEE sqrt, (cosine desc, nid) ties
+    "docs_hashed_knn": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKENS}) AS token FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   list_reduce(
+                       [ascii(token[i])::BIGINT
+                        for i in range(1, length(token) + 1)],
+                       (a, b) -> (a * {T.FINGERPRINT_BASE} + b)
+                                     % {T.FINGERPRINT_MOD}
+                   ) AS hv
+            FROM tok WHERE token != ''
+        ),
+        vec AS (
+            SELECT doc_id,
+                   CAST(hv % {FEATURE_HASH_DIM} AS INTEGER) AS dim,
+                   CAST(sum(CASE WHEN (hv % {2 * FEATURE_HASH_DIM})
+                                      >= {FEATURE_HASH_DIM}
+                                 THEN -1 ELSE 1 END) AS BIGINT) AS v
+            FROM h GROUP BY 1, 2
+            HAVING sum(CASE WHEN (hv % {2 * FEATURE_HASH_DIM})
+                                 >= {FEATURE_HASH_DIM}
+                            THEN -1 ELSE 1 END) != 0
+        ),
+        norms AS (
+            SELECT doc_id, sum(v * v) AS sq FROM vec GROUP BY doc_id
+        ),
+        dots AS (
+            SELECT q.doc_id AS qid, c.doc_id AS nid, sum(q.v * c.v) AS dot
+            FROM vec q JOIN vec c ON q.dim = c.dim
+            WHERE q.doc_id % {HASHED_KNN_QUERY_MOD} = 0
+              AND q.doc_id != c.doc_id
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT d.qid, d.nid,
+                   d.dot / (sqrt(nq.sq) * sqrt(nc.sq)) AS cosine
+            FROM dots d
+            JOIN norms nq ON d.qid = nq.doc_id
+            JOIN norms nc ON d.nid = nc.doc_id
+        )
+        SELECT qid, nid, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY cosine DESC, nid ASC) AS INTEGER) AS rank
+        FROM scored
+        QUALIFY rank <= {HASHED_KNN_K}
     """,
     # per-token char-fold hash (same arithmetic as text_fingerprints),
     # dim + sign as pure integer mod/compare, signed counts summed

@@ -147,8 +147,8 @@ _WINDOW_PRIORITY = [
 # certify next round: corpus_repeated_spans, docs_substring_dedup,
 # dedup_substring_cross_corpus (green at sf0.01 + sf0.1),
 # docs_leakage_safe_split (green at sf0.01; quadratic closure oracle →
-# sf0.01 policy), docs_feature_hashed (green at sf0.01 + sf0.1).
-# All oracle-backed.
+# sf0.01 policy), docs_feature_hashed, docs_hashed_knn (green at
+# sf0.01 + sf0.1). All oracle-backed.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -639,3 +639,22 @@ def test_feature_hashing_is_deterministic_and_signed(spark):
         for r in feature_hash_vectors(docs.repartition(7)).collect()
     }
     assert again == {(r["doc_id"], r["dim"]): r["v"] for r in out}
+
+
+def test_hashed_knn_finds_textual_twin(spark):
+    """A near-identical doc must be its query's top hashed-vector
+    neighbor with cosine near 1 — retrieval on the stateless
+    featurizer."""
+    from edu_online_spark.operators.textops import hashed_knn
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (0, base),                                   # query (0 % 100 == 0)
+            (1, base.replace("kappa", "lambda")),        # near twin
+            (2, "totally different words entirely here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = [r for r in hashed_knn(docs, k=2).collect() if r["qid"] == 0]
+    assert out and out[0]["nid"] == 1 and out[0]["cosine"] > 0.85
