@@ -38,7 +38,10 @@ def main() -> None:
     shutil.rmtree(work, ignore_errors=True)
     topics = {
         t: f"{work}/topics/{t}"
-        for t in ("register", "qz", "page", "raw", "docs", "pii", "emb", "link")
+        for t in (
+            "register", "qz", "page", "raw", "docs", "pii", "emb", "link",
+            "scrub",
+        )
     }
 
     produce(topics["register"], "b1.log", [
@@ -241,6 +244,28 @@ def main() -> None:
     jobs.register_windowed_job(
         kafka_stub_stream(spark, "register", broker),
         out["kafka_stub_windowed"], ck("kafka_stub"), available_now=True,
+    ).awaitTermination(120)
+
+    # round-5: substring-scrub-on-ingest — wave 2 re-posts wave 1's
+    # passage and arrives masked against the standing span index
+    scrub_passage = " ".join(f"lic{i}" for i in range(18))
+    produce(topics["scrub"], "b1.jsonl", [
+        json.dumps({"doc_id": 1, "text": scrub_passage, "source": "s1"}),
+    ])
+    out["scrubbed_spans"] = f"{work}/out/scrubbed_spans"
+    jobs.substring_scrub_job(
+        file_stream(spark, topics["scrub"]), f"{work}/span_index",
+        out["scrubbed_spans"], ck("scrub"), available_now=True,
+    ).awaitTermination(120)
+    produce(topics["scrub"], "b2.jsonl", [
+        json.dumps({"doc_id": 2, "text": scrub_passage, "source": "s2"}),
+        json.dumps({"doc_id": 3,
+                    "text": " ".join(f"fresh{i}" for i in range(16)),
+                    "source": "s2"}),
+    ])
+    jobs.substring_scrub_job(
+        file_stream(spark, topics["scrub"]), f"{work}/span_index",
+        out["scrubbed_spans"], ck("scrub"), available_now=True,
     ).awaitTermination(120)
 
     for name, path in out.items():
