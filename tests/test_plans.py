@@ -416,6 +416,34 @@ def test_curation_pipeline_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in plan  # losers anti-join + card joins
 
 
+def test_substring_dedup_and_hashing_plan_shapes(spark, sf_dir):
+    """Round-5 late additions stay declarative: substring dedup's span
+    explode + anti-join, the feature hasher, and the hashed KNN's
+    sparse dot-product join — no cartesian, no Python anywhere, scans
+    pruned to (doc_id, text)."""
+    from edu_online_spark.operators.dedup import substring_dedup
+    from edu_online_spark.operators.textops import (
+        feature_hash_vectors,
+        hashed_knn,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    for df in (
+        substring_dedup(docs),
+        feature_hash_vectors(docs),
+        hashed_knn(docs),
+    ):
+        plan = explain_str(df, "simple")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        scans = read_schema_columns(df)
+        assert scans and all(
+            set(cols) <= {"doc_id", "text"} for cols in scans
+        ), scans
+
+
 def test_hybrid_lsh_no_corpus_cross(spark, sf_dir):
     """The LSH-fed hybrid path must generate candidates via banded
     equi-joins — the corpus never self-crosses, and the only Python is
