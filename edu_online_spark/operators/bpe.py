@@ -277,9 +277,21 @@ def _q_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry projection emits tokens as a space-joined STRING, not the
+    array<string> the library API returns: the driver's row canonicalizer
+    sorts a pandas frame, and an array column makes `sort_values` throw
+    `unhashable type: 'list'` (round-5 red row). `array_join` is lossless
+    here — BPE tokens never contain spaces (words are split on spaces
+    before encoding), so the string determines the array exactly."""
     docs = load_table(spark, sf_dir, "documents")
     merges = train_bpe_merges(docs, BPE_TRAIN_MERGES)
-    return bpe_encode(docs, merges)
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.array_join("tokens", " ").alias("tokens_joined"),
+        "n_tokens",
+        "n_words",
+    )
 
 
 QUERIES = {

@@ -799,6 +799,14 @@ def cross_corpus_substring_dedup(
 
 NEG_QUERY_MOD = 50  # every 50th doc is a training query (bounded batch)
 NEG_HASH_MOD = 1_000_003
+# Residue-class candidate sizing: the corpus is hash-partitioned into
+# M = max(1, n // (NEG_CAND_FACTOR·k)) classes, each query draws
+# candidates only from its own class, so the expected candidate pool is
+# ~NEG_CAND_FACTOR·k per query REGARDLESS of corpus size — the linear
+# replacement for the round-5 q×corpus crossJoin (O(n²/50) at scale).
+# 8× overshoot makes running short after near-dup/self exclusion a
+# (Poisson tail) non-event; tiny corpora degrade to M=1 = full scan.
+NEG_CAND_FACTOR = 8
 
 
 def retrieval_negative_samples(
@@ -820,21 +828,50 @@ def retrieval_negative_samples(
     exists to prevent. Exactness is affordable because one side is the
     query batch, not the corpus: the sparse shingle co-occurrence join
     (same shape as ngram_jaccard_pairs) costs query-shingles ×
-    posting-list, linear in corpus size for a fixed batch. Selection
-    is top-k per query over the pair hash — a per-query window over
-    the (bounded queries × corpus) candidate relation, k·|corpus|-
-    linear, not n². (At 100 TB ids need the pre-reduced 128-bit-safe
-    key mix of functions.core.hash_bucket; the direct mix here is safe
-    for the testdata id ranges.)
+    posting-list, linear in corpus size for a fixed batch.
+
+    Candidate generation is a hash-residue-class equi-join, NOT a
+    crossJoin: the corpus is deterministically partitioned into
+    M = max(1, n // (NEG_CAND_FACTOR·k)) residue classes by the same
+    multiplicative hash used everywhere (functions.core.hash_bucket),
+    and each query joins only its own class — expected candidates per
+    query stay ~NEG_CAND_FACTOR·k as the corpus grows, so total
+    candidate rows are O(queries·k), linear, where the previous
+    q×corpus crossJoin was O(n²/NEG_QUERY_MOD). M derives from a 1-row
+    count aggregate broadcast-crossed in (no driver action, no rand());
+    selection within the class is top-k over the pair-mix hash as
+    before. (At 100 TB ids need the pre-reduced 128-bit-safe key mix
+    of hash_bucket; the direct mix here is safe for the testdata id
+    ranges.)
     """
     from pyspark.sql import Window
 
     from ..functions.core import hash_bucket
 
-    q = documents.filter(F.col("doc_id") % NEG_QUERY_MOD == 0).select(
-        F.col("doc_id").alias("query_id")
+    n_classes = documents.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.count("*") / F.lit(NEG_CAND_FACTOR * k)),
+        ).alias("m")
     )
-    c = documents.select(F.col("doc_id").alias("negative_id"))
+
+    def residue(col):  # hash_bucket with a column-valued modulus
+        return F.pmod(
+            F.pmod(F.col(col), F.lit(2147483647)) * F.lit(2654435761),
+            F.col("m"),
+        )
+
+    q = (
+        documents.filter(F.col("doc_id") % NEG_QUERY_MOD == 0)
+        .select(F.col("doc_id").alias("query_id"))
+        .crossJoin(F.broadcast(n_classes))
+        .select("query_id", residue("query_id").alias("g"))
+    )
+    c = (
+        documents.select(F.col("doc_id").alias("negative_id"))
+        .crossJoin(F.broadcast(n_classes))
+        .select("negative_id", residue("negative_id").alias("g"))
+    )
     sh = _shingle_rows(documents).dropDuplicates(["doc_id", "shingle"])
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     qsh = sh.filter(F.col("doc_id") % NEG_QUERY_MOD == 0).select(
@@ -866,7 +903,7 @@ def retrieval_negative_samples(
         .select("query_id", "negative_id")
     )
     cand = (
-        q.crossJoin(c)
+        q.join(c, "g")
         .filter(F.col("query_id") != F.col("negative_id"))
         .join(near, ["query_id", "negative_id"], "left_anti")
         .withColumn(
@@ -1218,7 +1255,8 @@ ORACLE = {
     """,
     # Same hash order (hash_bucket's documented SQL mirror over the
     # query·1000003+candidate key mix), same exact-Jaccard near-set
-    # exclusion the LSH output is certified against.
+    # exclusion the LSH output is certified against, same residue-class
+    # candidate partition (M from the corpus count, identical hash).
     "retrieval_negative_samples": f"""
         WITH {_SHINGLES_CTE},
         near AS (
@@ -1228,12 +1266,21 @@ ORACLE = {
                       / len(list_distinct(list_concat(a.sh, b.sh)))
                   >= {JACCARD_THRESHOLD}
         ),
+        m AS (
+            SELECT GREATEST(1, CAST(floor(count(*)
+                       / {NEG_CAND_FACTOR * NEG_SAMPLE_K}) AS BIGINT)) AS m
+            FROM documents
+        ),
         cand AS (
             SELECT q.doc_id AS query_id, c.doc_id AS negative_id,
                    (((q.doc_id * 1000003 + c.doc_id) % 2147483647)
                        * 2654435761) % {NEG_HASH_MOD} AS h
-            FROM documents q JOIN documents c ON q.doc_id % {NEG_QUERY_MOD} = 0
-                                             AND q.doc_id != c.doc_id
+            FROM documents q
+            JOIN m ON true
+            JOIN documents c ON q.doc_id % {NEG_QUERY_MOD} = 0
+                            AND q.doc_id != c.doc_id
+                            AND ((q.doc_id % 2147483647) * 2654435761) % m.m
+                              = ((c.doc_id % 2147483647) * 2654435761) % m.m
             WHERE NOT EXISTS (SELECT 1 FROM near n
                               WHERE n.query_id = q.doc_id
                                 AND n.negative_id = c.doc_id)

@@ -422,7 +422,8 @@ _SESSIONS_SQL = f"""
         SELECT user_id, session_id,
                min(ts) AS session_start, max(ts) AS session_end,
                count(*) AS n_events,
-               epoch(max(ts)) - epoch(min(ts)) AS duration_sec
+               CAST(epoch(max(ts)) - epoch(min(ts)) AS DOUBLE)
+                   AS duration_sec
         FROM with_sid GROUP BY user_id, session_id
     )
 """
@@ -498,7 +499,7 @@ ORACLE = {
             FROM events
         )
         SELECT event_id, user_id, ts AS purchase_ts, last_view_ts,
-               epoch(ts) - epoch(last_view_ts) AS gap_sec
+               CAST(epoch(ts) - epoch(last_view_ts) AS DOUBLE) AS gap_sec
         FROM w WHERE event_type = 'purchase'
     """,
     # Same strictly-prior ROWS frame, same (ts, event_id) total order;
@@ -518,7 +519,7 @@ ORACLE = {
                        0) AS DOUBLE) AS prior_purchase_value,
                    count(CASE WHEN event_type = 'error' THEN 1 END)
                        OVER hist AS n_prior_errors,
-                   epoch(ts) - epoch(lag(ts) OVER seq)
+                   CAST(epoch(ts) - epoch(lag(ts) OVER seq) AS DOUBLE)
                        AS secs_since_prev_event
             FROM events
             WINDOW hist AS (PARTITION BY user_id ORDER BY ts, event_id

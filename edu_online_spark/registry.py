@@ -69,86 +69,85 @@ def _extended_modules():
 # round 2).
 _PREFIX_TAIL_BOUNDARY = "tpch"
 
-# Round-5 window rotation. The driver certifies only the first 50
+# Round-6 window rotation. The driver certifies only the first 50
 # entries per round, so the window is rotated each round toward the
 # queries whose certification is most valuable NOW:
-#   1. the COMPLETE residue of never-driver-certified queries (all 19
-#      remaining after r1-r4 — 12 oracle-backed, 7 rows-only; after
-#      this round every registry query has a driver-side row);
+#   1. the round-5 backlog (added after the r5 window filled — the only
+#      registry queries without a driver-side row);
 #   2. queries whose implementation or oracle changed this round
-#      (null-ordering fix, bigram guard, exact-exclusion rewrite);
-#   3. new round-5 queries (certify immediately);
-#   4. long-standing sentinels re-certified every round, then
-#      round-1-certified queries whose rows are now four rounds old.
+#      (the two r5 red rows + the dayofweek-oracle hardening + the
+#      de-quadratified negative sampler);
+#   3. new round-6 queries (inserted as they land; one tail filler is
+#      dropped per insertion so the list stays exactly 50);
+#   4. long-standing sentinels re-certified every round;
+#   5. stale refreshers, oldest driver row first (r1 rows-only trio,
+#      then the full r2 cohort, then the oldest r3 rows).
 # Names are validated against the assembled registry — a typo or a
 # renamed query fails loudly rather than silently ceding its slot.
 _WINDOW_PRIORITY = [
-    # 1: never driver-certified (r1-r4 CORRECTNESS keys checked) —
-    # oracle-backed first
-    "retrieval_negative_samples",
-    "embeddings_label_centroids",
-    "multimodal_image_ahash",
-    "multimodal_audio_fingerprint",
-    "multimodal_video_scenecuts",
-    "basket_association_rules",
-    "events_value_winsorized",
-    "events_daily_trend",
-    "events_type_transitions",
+    # 1: round-5 backlog, never driver-certified (all oracle-backed;
+    # all green in the r5 judge's local gate replica)
+    "corpus_repeated_spans",
+    "docs_substring_dedup",
+    "dedup_substring_cross_corpus",
+    "docs_leakage_safe_split",
+    "docs_feature_hashed",
+    "docs_hashed_knn",
+    # 2: changed in round 6 — the r5 red rows (dow column dropped /
+    # tokens array_join'ed), the strftime-pinned dow oracles, and the
+    # residue-class rewrite of the negative sampler
     "events_seasonal_residuals",
-    "purchase_status_asof",
-    # 1b: never-certified rows-only (weak check, but closes the set)
-    "text_knn_minhash",
-    "ann_all_pairs_topk",
-    "text_fingerprints_fast",
-    "docs_lm_perplexity",
-    "docs_compression_ratio",
-    "corpus_bpe_merges",
     "docs_bpe_encoded",
-    "events_user_value_ewma",
-    # 2: implementation changed in round 5 (advisor fixes)
-    "docs_quality_calibrated",
-    "customer_record_linkage",
-    # 3: new in round 5 — appended as they land (see round-5 additions
-    # below in this list)
-    "hybrid_search_rrf_lsh",
-    "corpus_end_to_end_curation",
+    "retrieval_negative_samples",
+    "orders_date_features",
+    "events_hourly_heatmap",
+    # 3: new in round 6 — inserted here as they land (one 5c filler
+    # dropped per insertion so the list stays exactly 50)
     # 4: sentinels
     "quiz_mastery",
     "dedup_minhash_lsh",
     "sim_knn_bruteforce",
-    # 4b: round-1 rows now four rounds old — refresh the heaviest-used
-    "tpch_q1_pricing_summary",
-    "tpch_q3_top_orders",
-    "tpch_q5_region_revenue",
-    "tpch_q6_forecast_revenue",
-    "register_platform_counts",
-    "register_sliding_counts",
-    "register_cumulative_daily",
-    "quiz_mastery_approx",
-    "page_props_decode",
-    "page_flow",
-    "archival_daily_counts",
-    "part_topk_per_brand",
-    "users_purchase_no_error",
-    "users_view_and_purchase",
-    "orders_rollup",
-    "customers_without_orders",
-    "daily_event_pivot",
-    "events_distinct_users",
-    "lineitem_price_quantiles",
-    "events_deterministic_sample",
-    "events_sessionize",
-    "events_session_stats",
-    "events_region_enrich",
-    "purchase_attribution",
+    # 5a: round-1 rows-only trio, five rounds stale
+    "dedup_simhash",
+    "sim_knn_ivf",
+    "sim_knn_lsh",
+    # 5b: round-2 cohort, four rounds stale (orders_date_features is in
+    # section 2)
+    "daily_revenue_ma7",
+    "events_profile",
+    "events_props_k_stats",
+    "events_stratified_sample",
+    "nation_participation",
+    "orders_cube",
+    "orders_grouping_sets",
+    "orders_priciest_per_priority",
+    "part_price_rank_family",
+    "purchase_view_window_counts",
+    "purchases_minutely_gapfill",
+    "tpch_q12_priority_by_flag",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q16_dormant_customers",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_heavy_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_rich_punctual_orders",
+    "tpch_q4_priority_waiting",
+    # 5c: oldest round-3 rows (the rest of r3 refreshes in round 7)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_near_dup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_containment",
+    "dedup_neardup_curated",
+    "text_quality",
+    "text_normalized",
+    "documents_curated",
+    "docs_train_val_test",
+    "benchmark_contamination",
 ]
-
-# Round-6 rotation backlog: added after this round's window filled —
-# certify next round: corpus_repeated_spans, docs_substring_dedup,
-# dedup_substring_cross_corpus (green at sf0.01 + sf0.1),
-# docs_leakage_safe_split (green at sf0.01; quadratic closure oracle →
-# sf0.01 policy), docs_feature_hashed, docs_hashed_knn (green at
-# sf0.01 + sf0.1). All oracle-backed.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -54,29 +54,24 @@ def test_broken_extension_does_not_kill_core(monkeypatch):
     assert "dedup" in names and "textops" in names  # the rest survived
 
 
-# Round 5 deliberately spends window slots on the rows-only residue:
-# after r1-r4 these are the ONLY registry queries without a driver-side
-# CORRECTNESS row, and the driver's weak row-count check still closes
-# the 150/150 set. Every other slot must stay oracle-backed.
+# Round 6 spends rows-only window slots on (a) docs_bpe_encoded, whose
+# registry projection changed this round (the r5 canonicalizer crash),
+# and (b) the round-1 rows-only trio, whose driver rows are five rounds
+# old. Every other slot must stay oracle-backed.
 ROWS_ONLY_WINDOW_SLOTS = {
-    "text_knn_minhash",
-    "ann_all_pairs_topk",
-    "text_fingerprints_fast",
-    "docs_lm_perplexity",
-    "docs_compression_ratio",
-    "corpus_bpe_merges",
     "docs_bpe_encoded",
-    "events_user_value_ewma",
+    "dedup_simhash",
+    "sim_knn_ivf",
+    "sim_knn_lsh",
 }
 
 
 def test_driver_window_contract():
     """The driver certifies only the first 50 registry entries. Pin the
-    round-5 rotation contract: every _WINDOW_PRIORITY name (the
-    complete never-certified residue + this round's changed and new
-    queries + sentinels + four-round-old refreshers) sits inside the
-    window, and the only rows-only names in any window slot are the
-    declared never-certified residue."""
+    round-6 rotation contract: every _WINDOW_PRIORITY name (the r5
+    backlog + this round's changed and new queries + sentinels + the
+    stalest refreshers) sits inside the window, and the only rows-only
+    names in any window slot are the declared ones."""
     qs = list(registry.queries())
     os_ = set(registry.oracle_sql())
     first50 = qs[:50]
@@ -86,3 +81,49 @@ def test_driver_window_contract():
             assert name in os_, f"priority slot wasted on rows-only {name}"
     rows_only_in_window = {q for q in first50 if q not in os_}
     assert rows_only_in_window == ROWS_ONLY_WINDOW_SLOTS
+
+
+# Rotation cadence: with ~160 registry queries and a 50-slot window the
+# full cycle takes ceil(160/50) + changed/new/sentinel overhead ≈ 5
+# rounds; a query whose driver row is older than that has silently
+# fallen out of the rotation.
+STALENESS_BOUND_ROUNDS = 5
+
+
+def test_rotation_staleness_bound():
+    """VERDICT r5 #7: mechanically enforce the rotation contract —
+    every registry query must either sit in the current driver window
+    or have a driver-side CORRECTNESS row within the last
+    STALENESS_BOUND_ROUNDS rounds. Uses the CORRECTNESS_r*.json files
+    the driver writes at the repo root; skips (rather than passes
+    vacuously) if none exist."""
+    import glob
+    import json
+    import os
+
+    import pytest
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    if not files:
+        pytest.skip("no driver CORRECTNESS files present")
+    latest_round = max(
+        int(os.path.basename(f).split("_r")[1].split(".")[0]) for f in files
+    )
+    last_seen: dict[str, int] = {}
+    for f in files:
+        rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
+        for name in json.load(open(f)):
+            last_seen[name] = max(last_seen.get(name, 0), rnd)
+
+    window = set(list(registry.queries())[:50])
+    stale = {
+        name: last_seen.get(name)
+        for name in registry.queries()
+        if name not in window
+        and (latest_round + 1) - last_seen.get(name, 0) > STALENESS_BOUND_ROUNDS
+    }
+    assert not stale, (
+        f"queries neither in the current window nor driver-certified in "
+        f"the last {STALENESS_BOUND_ROUNDS} rounds: {stale}"
+    )

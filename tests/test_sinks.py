@@ -367,3 +367,29 @@ def test_compact_recovers_legacy_bare_staging(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 4 and dict(spark.read.parquet(out).dtypes)["day"] == "int"
     assert not [d for d in os.listdir(out) if "__staging__" in d]
+
+
+def test_every_cumulative_sink_recovers_before_existence_check():
+    """VERDICT r5 #5, made mechanical: any cumulative foreachBatch job
+    that reads its own sink back (`os.path.exists(path)` guard) MUST
+    call sinks.recover_sink(path) first — a crash between the staged
+    swap's two publish renames otherwise reads as a fresh sink and the
+    accumulated state silently vanishes. Scans jobs.py source so every
+    NEW cumulative job added later is covered automatically."""
+    import inspect
+    import re
+
+    src = inspect.getsource(jobs)
+    for m in re.finditer(r"os\.path\.exists\((\w+)\)", src):
+        var = m.group(1)
+        preceding = src[: m.start()]
+        recover = f"sinks.recover_sink({var})"
+        # the recover call must appear, and its LAST occurrence must be
+        # in the same function body (heuristic: within the preceding
+        # 2000 chars — a foreachBatch closure is short)
+        idx = preceding.rfind(recover)
+        assert idx != -1 and m.start() - idx < 2000, (
+            f"os.path.exists({var}) at char {m.start()} is not preceded "
+            f"by a nearby {recover} — cumulative sink would lose state "
+            "on a half-committed swap"
+        )
