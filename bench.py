@@ -83,6 +83,10 @@ HEADLINE = [
     "corpus_end_to_end_curation",
     "customer_record_linkage",
     "docs_substring_dedup",
+    # round 6: the LSH-fed hybrid production path WITHOUT the exact-RRF
+    # baseline the certified entry pays for its recall pin — this is the
+    # deployment-shape number (VERDICT r5 #8)
+    "hybrid_search_rrf_lsh_prod",
 ]
 
 

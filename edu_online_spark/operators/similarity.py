@@ -786,6 +786,10 @@ QUERIES = {
     # boolean-tolerance oracle: recall of the LSH-fed production path
     # vs the exact RRF pinned ≥0.9
     "hybrid_search_rrf_lsh": _q2(hybrid_search_rrf_lsh_certified),
+    # rows-only: the production path ALONE (no exact-RRF baseline) —
+    # the deployment-shape cost people should read off the bench; its
+    # quality is certified by hybrid_search_rrf_lsh above (VERDICT r5 #8)
+    "hybrid_search_rrf_lsh_prod": _q2(hybrid_search_rrf_lsh_topk),
     "xmodal_label_lang_crosstab": _q2(label_lang_crosstab),
     "xmodal_norm_extremes": _q2(norm_extremes_by_source),
 }

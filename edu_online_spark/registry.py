@@ -103,6 +103,7 @@ _WINDOW_PRIORITY = [
     "events_hourly_heatmap",
     # 3: new in round 6 — inserted here as they land (one 5c filler
     # dropped per insertion so the list stays exactly 50)
+    "hybrid_search_rrf_lsh_prod",
     # 4: sentinels
     "quiz_mastery",
     "dedup_minhash_lsh",
@@ -146,7 +147,6 @@ _WINDOW_PRIORITY = [
     "text_normalized",
     "documents_curated",
     "docs_train_val_test",
-    "benchmark_contamination",
 ]
 
 

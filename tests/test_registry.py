@@ -27,6 +27,7 @@ def test_rows_only_set_is_intentional():
         "docs_compression_ratio",
         "docs_lm_perplexity",
         "events_user_value_ewma",
+        "hybrid_search_rrf_lsh_prod",
         "sim_knn_ivf",
         "sim_knn_lsh",
         "text_fingerprints_fast",
@@ -63,6 +64,10 @@ ROWS_ONLY_WINDOW_SLOTS = {
     "dedup_simhash",
     "sim_knn_ivf",
     "sim_knn_lsh",
+    # new this round: deployment-shape bench twin of the certified
+    # hybrid_search_rrf_lsh (approximate by construction — recall is
+    # what's certified, by the oracle-backed entry)
+    "hybrid_search_rrf_lsh_prod",
 }
 
 

@@ -44,6 +44,15 @@ QUERIES = [
     "multimodal_audio_fingerprint",
     "multimodal_video_scenecuts",
     "corpus_end_to_end_curation",
+    # round-6 additions (VERDICT r5 #6 + #3): the substring-dedup family
+    # (span explosion is corpus-token-linear by design — measure it) and
+    # the residue-class negative sampler (candidate rows must grow
+    # linearly in corpus size, not O(n²/50) like the crossJoin it
+    # replaced)
+    "corpus_repeated_spans",
+    "docs_substring_dedup",
+    "dedup_substring_cross_corpus",
+    "retrieval_negative_samples",
 ]
 
 
@@ -70,6 +79,8 @@ def _shuffle_totals(spark) -> tuple[int, int]:
 
 def main() -> None:
     sf1_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_rehearsal/sf1"
+    subset = sys.argv[2:]  # optional: rehearse only the named queries
+    run_list = [q for q in QUERIES if not subset or q in subset]
     qs = queries()
     results: dict[tuple[str, str], dict] = {}
     for scale, sf_dir in [("sf0.1", "/root/testdata/sf0.1"), ("sf1", sf1_dir)]:
@@ -80,7 +91,7 @@ def main() -> None:
         # JVM/codegen warmup so the first measured query doesn't absorb
         # session start cost (which would swamp the scaling signal)
         spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-        for name in QUERIES:
+        for name in run_list:
             qs[name](spark, sf_dir).count()  # warm run (plan/codegen caches)
             r0, w0 = _shuffle_totals(spark)
             t0 = time.monotonic()
@@ -98,7 +109,7 @@ def main() -> None:
             results[(name, scale)] = rec
             print(json.dumps(rec))
         spark.stop()
-    for name in QUERIES:
+    for name in run_list:
         a, b = results[(name, "sf0.1")], results[(name, "sf1")]
         print(
             json.dumps(
