@@ -635,6 +635,143 @@ def leakage_safe_split(
     )
 
 
+def split_leakage_compare(
+    documents: DataFrame,
+    val_pct: int = SPLIT_VAL_PCT,
+    test_pct: int = SPLIT_TEST_PCT,
+) -> DataFrame:
+    """The audit that justifies leakage_safe_split: for BOTH split
+    methods — 'plain' (per-doc hash, textops.train_val_test_split's
+    rule) and 'leakage_safe' (cluster-rep hash) — count the near-dup
+    pairs that straddle two different splits. The safe method's count
+    is ZERO BY CONSTRUCTION (same key ⇒ same split), and this query
+    certifies that guarantee as data rather than as a docstring claim,
+    next to the plain method's measured leak count.
+
+    Cross-split pairs per cluster are counted with the identity
+    C(n,2) − Σ_split C(k,2) — all-integer, no pair enumeration, so the
+    heavy side is one aggregate over (cluster, split) counts. The
+    cluster relation is the certified LSH→connected-components output
+    (tiny: duplicate docs only, broadcast).
+    """
+    from ..functions.core import hash_bucket
+
+    clusters = near_dup_clusters(minhash_lsh_pairs(documents)).select(
+        "doc_id", "cluster_rep"
+    )
+
+    def split_of(key):
+        b = hash_bucket(key, 100)
+        return (
+            F.when(b < test_pct, F.lit("test"))
+            .when(b < test_pct + val_pct, F.lit("val"))
+            .otherwise(F.lit("train"))
+        )
+
+    out = []
+    for method, key in [
+        ("plain", F.col("doc_id")),
+        ("leakage_safe", F.coalesce(F.col("cluster_rep"), F.col("doc_id"))),
+    ]:
+        labeled = documents.select("doc_id").join(
+            F.broadcast(clusters), "doc_id", "left"
+        ).select(
+            "doc_id", "cluster_rep", split_of(key).alias("split")
+        )
+        per_cluster_split = (
+            labeled.filter(F.col("cluster_rep").isNotNull())
+            .groupBy("cluster_rep", "split")
+            .agg(F.count("*").alias("k"))
+        )
+        per_cluster = per_cluster_split.groupBy("cluster_rep").agg(
+            F.sum("k").alias("n"),
+            F.sum(
+                ((F.col("k") * (F.col("k") - 1)) / 2).cast("long")
+            ).alias("same_pairs"),
+        )
+        leak = per_cluster.agg(
+            F.coalesce(
+                F.sum(
+                    (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+                    - F.col("same_pairs")
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_cross_split_pairs"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias(
+                "n_clustered_docs"
+            ),
+        )
+        counts = labeled.groupBy().pivot(
+            "split", ["train", "val", "test"]
+        ).count()
+        row = leak.crossJoin(counts).select(
+            F.lit(method).alias("method"),
+            "n_cross_split_pairs",
+            "n_clustered_docs",
+            F.coalesce(F.col("train"), F.lit(0)).alias("n_train"),
+            F.coalesce(F.col("val"), F.lit(0)).alias("n_val"),
+            F.coalesce(F.col("test"), F.lit(0)).alias("n_test"),
+        )
+        out.append(row)
+    return out[0].unionByName(out[1])
+
+
+def memorization_risk(
+    documents: DataFrame,
+    span: int = 15,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document memorization-risk score: the fraction of a
+    document's `span`-token windows that occur verbatim in ≥ min_docs
+    documents (the repeated_spans signal, folded back to the doc
+    grain). A doc that is 80% corpus-repeated boilerplate is a
+    memorization hazard even if document-level near-dup dedup kept it —
+    this is the per-doc triage column a curation pipeline sorts by
+    before substring_dedup's surgical masking.
+
+    One span explode, eagerly checkpointed because BOTH branches (the
+    per-doc denominator and the repeated-span join) consume it and
+    Catalyst would otherwise re-explode the corpus twice (P7 pattern).
+    Span-text groupBy + two doc-grain aggregates — all linear in corpus
+    tokens; the risk division is a single double op (exact
+    cross-engine).
+    """
+    sp = _span_rows(documents, span).localCheckpoint(eager=True)
+    rep = (
+        sp.groupBy("span")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("span")
+    )
+    per_doc = sp.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    rep_occ = (
+        sp.join(rep, "span")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_repeated_spans"))
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(rep_occ, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_repeated_spans", F.lit(0)).alias(
+                "n_repeated_spans"
+            ),
+            F.when(
+                F.coalesce("n_spans", F.lit(0)) > 0,
+                F.coalesce("n_repeated_spans", F.lit(0)).cast("double")
+                / F.col("n_spans"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("memorization_risk"),
+        )
+    )
+
+
 SUBSTR_SPAN_TOKENS = 15  # repeated-span window (Lee et al. 2021 use 50
 # BPE tokens at web scale; 15 words fits this corpus' 10-100-word docs)
 SUBSTR_MIN_DOCS = 2
@@ -970,6 +1107,8 @@ QUERIES = {
     "docs_substring_dedup": _q(substring_dedup, "documents"),
     "dedup_substring_cross_corpus": _q_cross_corpus_substring,
     "docs_leakage_safe_split": _q(leakage_safe_split, "documents"),
+    "docs_memorization_risk": _q(memorization_risk, "documents"),
+    "split_leakage_compare": _q(split_leakage_compare, "documents"),
 }
 
 # Exact Jaccard in DuckDB: build distinct 3-shingle lists with a list
@@ -1253,6 +1392,104 @@ ORACLE = {
                coalesce(l.cluster_rep, emb.vec_id) = emb.vec_id AS kept
         FROM embeddings emb LEFT JOIN labels l ON emb.vec_id = l.vec_id
     """,
+    # Same span windows as corpus_repeated_spans, folded to doc grain:
+    # BIGINT occurrence counts, one double division for the risk.
+    "docs_memorization_risk": f"""
+        WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w
+                   FROM documents),
+        spans AS (
+            SELECT doc_id,
+                   unnest([array_to_string(w[i:i+{SUBSTR_SPAN_TOKENS - 1}], ' ')
+                           for i in range(1, len(w) - {SUBSTR_SPAN_TOKENS - 2})])
+                       AS span
+            FROM t WHERE len(w) >= {SUBSTR_SPAN_TOKENS}
+        ),
+        rep AS (
+            SELECT span FROM spans GROUP BY span
+            HAVING count(DISTINCT doc_id) >= {SUBSTR_MIN_DOCS}
+        ),
+        per_doc AS (
+            SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id
+        ),
+        rep_occ AS (
+            SELECT s.doc_id, count(*) AS n_rep
+            FROM spans s JOIN rep USING (span) GROUP BY s.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_spans, 0) AS n_spans,
+               COALESCE(r.n_rep, 0) AS n_repeated_spans,
+               CASE WHEN COALESCE(p.n_spans, 0) > 0
+                    THEN COALESCE(r.n_rep, 0)::DOUBLE / p.n_spans
+                    ELSE 0.0 END AS memorization_risk
+        FROM documents d
+        LEFT JOIN per_doc p USING (doc_id)
+        LEFT JOIN rep_occ r USING (doc_id)
+    """,
+    # Same exact-Jaccard closure as docs_leakage_safe_split (quadratic
+    # baseline — sf0.01 policy), same hash split rules, same
+    # C(n,2) − Σ C(k,2) all-integer cross-pair identity.
+    "split_leakage_compare": f"""
+        WITH RECURSIVE pairs AS ({{_JPS}}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT src, src FROM edges
+            UNION SELECT src, dst FROM edges
+            UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        labels AS (
+            SELECT src AS doc_id, min(dst) AS cluster_rep
+            FROM reach GROUP BY src
+        ),
+        labeled AS (
+            SELECT m.method, d.doc_id, l.cluster_rep,
+                   CASE WHEN ((CASE WHEN m.method = 'plain' THEN d.doc_id
+                               ELSE COALESCE(l.cluster_rep, d.doc_id) END
+                               % 2147483647) * 2654435761) % 100
+                             < {SPLIT_TEST_PCT} THEN 'test'
+                        WHEN ((CASE WHEN m.method = 'plain' THEN d.doc_id
+                               ELSE COALESCE(l.cluster_rep, d.doc_id) END
+                               % 2147483647) * 2654435761) % 100
+                             < {SPLIT_TEST_PCT + SPLIT_VAL_PCT} THEN 'val'
+                        ELSE 'train' END AS split
+            FROM documents d
+            LEFT JOIN labels l USING (doc_id)
+            CROSS JOIN (SELECT unnest(['plain', 'leakage_safe']) AS method) m
+        ),
+        pc AS (
+            SELECT method, cluster_rep, split, count(*) AS k
+            FROM labeled WHERE cluster_rep IS NOT NULL
+            GROUP BY 1, 2, 3
+        ),
+        per_cluster AS (
+            SELECT method, cluster_rep, SUM(k) AS n,
+                   SUM((k * (k - 1)) // 2) AS same_pairs
+            FROM pc GROUP BY 1, 2
+        ),
+        leak AS (
+            SELECT method,
+                   CAST(COALESCE(SUM((n * (n - 1)) // 2 - same_pairs), 0)
+                        AS BIGINT) AS n_cross_split_pairs,
+                   CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_clustered_docs
+            FROM per_cluster GROUP BY method
+        ),
+        totals AS (
+            SELECT method,
+                   count(*) FILTER (WHERE split = 'train') AS n_train,
+                   count(*) FILTER (WHERE split = 'val') AS n_val,
+                   count(*) FILTER (WHERE split = 'test') AS n_test
+            FROM labeled GROUP BY method
+        )
+        SELECT t.method,
+               CAST(COALESCE(l.n_cross_split_pairs, 0) AS BIGINT)
+                   AS n_cross_split_pairs,
+               CAST(COALESCE(l.n_clustered_docs, 0) AS BIGINT)
+                   AS n_clustered_docs,
+               t.n_train, t.n_val, t.n_test
+        FROM totals t LEFT JOIN leak l USING (method)
+    """.replace("{_JPS}", _JACCARD_PAIRS_SQL),
     # Same hash order (hash_bucket's documented SQL mirror over the
     # query·1000003+candidate key mix), same exact-Jaccard near-set
     # exclusion the LSH output is certified against, same residue-class

@@ -398,6 +398,69 @@ def label_lang_crosstab(documents: DataFrame, embeddings: DataFrame) -> DataFram
     )
 
 
+def quantize_embeddings_int8(embeddings: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization audit: per vector, scale =
+    max|v_i| / 127 and q_i = clamp(floor(v_i/scale + 0.5), ±127) — the
+    4×-memory-compression step an ANN index takes before serving, with
+    the reconstruction guarantee surfaced as data. Output certifies the
+    quantization BIT-EXACTLY cross-engine: the integer summaries
+    (q_sum, q_l1, q_max_abs) pin every q_i through two independent
+    linear probes, and recon_ok pins max|v_i − q_i·scale| ≤ scale/2
+    (the tight bound for round-half-up).
+
+    Engine-exactness is why each op is what it is: float→double widening
+    is exact, division/multiplication/subtraction are single correctly-
+    rounded IEEE ops, floor(x + 0.5) replaces round() (Spark HALF_UP vs
+    DuckDB half-away disagree on negative ties), and the bound gets a
+    1-ulp-scale epsilon so the comparison never hinges on the last bit.
+    All higher-order functions (transform/aggregate/array_max) — JVM
+    codegen, zero Python. Zero vectors quantize to scale 0, all-zero q.
+    Scan-shaped: no shuffle at any scale.
+    """
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
+    q = F.when(
+        amax > 0,
+        F.transform(
+            v,
+            lambda x: F.greatest(
+                F.lit(-127).cast("long"),
+                F.least(
+                    F.lit(127).cast("long"),
+                    F.floor(x / (amax / F.lit(127.0)) + F.lit(0.5)),
+                ),
+            ),
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("long")))
+    recon_err = F.when(
+        amax > 0,
+        F.array_max(
+            F.zip_with(
+                v,
+                q,
+                lambda a, b: F.abs(a - b.cast("double") * (amax / F.lit(127.0))),
+            )
+        ),
+    ).otherwise(F.lit(0.0))
+    return embeddings.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        scale.alias("scale"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+        ).alias("q_l1"),
+        F.array_max(F.transform(q, lambda x: F.abs(x))).alias("q_max_abs"),
+        (
+            recon_err
+            <= scale * F.lit(0.5) + F.lit(1e-12)
+        ).alias("recon_ok"),
+    )
+
+
 def norm_extremes_by_source(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
     """Per-SOURCE embedding-norm spread: document counts and min/max
     vector norms grouped by the document's source — the cross-modal
@@ -792,6 +855,7 @@ QUERIES = {
     "hybrid_search_rrf_lsh_prod": _q2(hybrid_search_rrf_lsh_topk),
     "xmodal_label_lang_crosstab": _q2(label_lang_crosstab),
     "xmodal_norm_extremes": _q2(norm_extremes_by_source),
+    "embeddings_quantized_int8": _q(quantize_embeddings_int8),
 }
 
 _COS = """
@@ -940,5 +1004,41 @@ ORACLE = {
             FROM scored
         )
         SELECT * FROM ranked WHERE rank <= {TOP_K}
+    """,
+    # Same widen → amax → floor(x/scale + 0.5) → clamp chain, every op a
+    # single correctly-rounded IEEE operation; integer probes CAST out
+    # of DuckDB's HUGEINT sums.
+    "embeddings_quantized_int8": """
+        WITH v AS (
+            SELECT vec_id, [e::DOUBLE for e in embedding] AS vd
+            FROM embeddings
+        ),
+        m AS (
+            SELECT vec_id, vd, list_max([abs(x) for x in vd]) AS amax
+            FROM v
+        ),
+        q AS (
+            SELECT vec_id, vd, amax,
+                   CASE WHEN amax > 0
+                        THEN [GREATEST(-127, LEAST(127,
+                                  CAST(floor(x / (amax / 127.0) + 0.5)
+                                       AS BIGINT)))
+                              for x in vd]
+                        ELSE [CAST(0 AS BIGINT) for x in vd] END AS qv
+            FROM m
+        )
+        SELECT vec_id,
+               CAST(len(vd) AS INTEGER) AS n_dims,
+               CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0 END AS scale,
+               CAST(list_sum(qv) AS BIGINT) AS q_sum,
+               CAST(list_sum([abs(x) for x in qv]) AS BIGINT) AS q_l1,
+               CAST(list_max([abs(x) for x in qv]) AS BIGINT) AS q_max_abs,
+               (CASE WHEN amax > 0
+                     THEN list_max([abs(vd[i] - qv[i] * (amax / 127.0))
+                                    for i in range(1, len(vd) + 1)])
+                     ELSE 0.0 END)
+                   <= (CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0 END)
+                      * 0.5 + 1e-12 AS recon_ok
+        FROM q
     """,
 }

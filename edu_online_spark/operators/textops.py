@@ -1239,6 +1239,190 @@ def lm_perplexity_scores(documents: DataFrame, add_k: float = 0.5) -> DataFrame:
     )
 
 
+# --- round-6 curation-budget operators ------------------------------------
+
+TOKEN_BUDGET_PER_SOURCE = 1500
+BUDGET_HASH_MOD = 1_000_003
+BUDGET_PREFIX_BUCKETS = 32
+
+
+def token_budget_cap(
+    documents: DataFrame, budget: int = TOKEN_BUDGET_PER_SOURCE
+) -> DataFrame:
+    """Per-source token-budget capping: admit each source's documents
+    in deterministic hash-priority order until the source's cumulative
+    token count exceeds `budget` — the quota stage that stops one
+    crawler dump from drowning the mixture. No rand(): the admitted
+    set is identical on every run, engine, and partitioning.
+
+    Built as a DISTRIBUTED PREFIX SUM, not a naive per-source window:
+    `Window.partitionBy(source)` would drag a whole source through ONE
+    task — with 5 sources and 100 TB that is 5 tasks doing 20 TB each.
+    Instead the hash-priority space is cut into BUDGET_PREFIX_BUCKETS
+    ordered ranges; stage 1 aggregates per-(source, bucket) token
+    totals (tiny: sources × 32 rows), stage 2 turns them into running
+    offsets with a window over that TINY relation, stage 3 broadcasts
+    the offsets back and cumulates only WITHIN each (source, bucket)
+    partition — every heavy window partition is 1/32 of a source and
+    the cut count scales with the cluster. Result is bit-identical to
+    the single-window form (all-integer arithmetic), which is exactly
+    what the oracle runs.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.core import hash_bucket
+
+    per_bucket = BUDGET_HASH_MOD // BUDGET_PREFIX_BUCKETS + 1
+    d = documents.select(
+        "doc_id",
+        "source",
+        T.token_count("text").cast("long").alias("n_tokens"),
+        hash_bucket("doc_id", BUDGET_HASH_MOD).alias("h"),
+    ).withColumn("bucket", (F.col("h") / per_bucket).cast("int"))
+    totals = d.groupBy("source", "bucket").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    off_w = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "source",
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(off_w), F.lit(0)).alias(
+            "offset"
+        ),
+    )
+    cum_w = (
+        Window.partitionBy("source", "bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.join(F.broadcast(offsets), ["source", "bucket"])
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (F.sum("n_tokens").over(cum_w) + F.col("offset")).alias(
+                "cum_tokens"
+            ),
+        )
+        .withColumn("kept", F.col("cum_tokens") <= budget)
+    )
+
+
+TEMP_SAMPLE_HALF_DIVISOR = 2  # draw total_docs // 2 across all sources
+
+
+def temperature_mixture_sample(documents: DataFrame) -> DataFrame:
+    """Temperature-smoothed source mixture (the GPT-3 / multilingual-LM
+    rebalancing trick): sampling weight ∝ n_docs^α flattens the source
+    distribution so head sources stop dominating and tail sources are
+    upsampled relative to their share. α is fixed at 0.5 — not just a
+    reasonable temperature but the ONE exponent computable as sqrt(),
+    which IEEE 754 requires to be correctly rounded; pow(x, 0.7) is
+    libm and its low bits differ across engines, so a 0.7-temperature
+    plan could never hash-certify. The weight normalizer folds the
+    per-source sqrt terms in source order (double addition is
+    order-sensitive; both engines fold the identical sorted list).
+
+    Output: the sampled documents (doc_id, source, rank, target_n) —
+    per-source hash-priority rank ≤ target_n = floor(N · share), with
+    N = total_docs // 2. The per-source rank window carries the same
+    scale caveat as any per-key ranking; at 100 TB it becomes the
+    bucketed prefix-count of token_budget_cap (count per hash bucket,
+    find the threshold bucket, rank within it).
+    """
+    from ..functions.core import hash_bucket
+
+    inv = documents.groupBy("source").agg(F.count("*").alias("n_docs"))
+    norm = inv.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "n_docs"))),
+            F.lit(0.0),
+            lambda acc, x: acc + F.sqrt(x["n_docs"].cast("double")),
+        ).alias("w_total"),
+        F.floor(
+            F.sum("n_docs") / F.lit(TEMP_SAMPLE_HALF_DIVISOR)
+        ).cast("long").alias("sample_n"),
+    )
+    targets = inv.crossJoin(F.broadcast(norm)).select(
+        "source",
+        F.floor(
+            F.col("sample_n")
+            * (F.sqrt(F.col("n_docs").cast("double")) / F.col("w_total"))
+        ).cast("long").alias("target_n"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        hash_bucket("doc_id", BUDGET_HASH_MOD), "doc_id"
+    )
+    return (
+        documents.select("doc_id", "source")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(targets), "source")
+        .filter(F.col("rank") <= F.col("target_n"))
+        .select("doc_id", "source", "rank", "target_n")
+    )
+
+
+def curriculum_stages(documents: DataFrame) -> DataFrame:
+    """Curriculum ordering: stage each document 1 (easiest) → 4
+    (hardest) by mean token commonness — the average document
+    frequency of its token occurrences. Documents made of corpus-common
+    vocabulary land early; rare-vocabulary documents land late — the
+    standard frequency-based curriculum signal.
+
+    Stage boundaries are the corpus quartiles of the score, computed
+    with percentile_disc (a SELECTION of an actual score — no
+    interpolation, so the thresholds are bit-identical cross-engine)
+    and broadcast as a 1-row aggregate; assignment is then a pure
+    scan-stage CASE — no global ntile() window, which would funnel the
+    whole corpus through one task at scale. Join shape: token
+    occurrences ⋈ the df table on token (shards by key; AQE broadcasts
+    the df side only if it measures small).
+    """
+    occ = _token_rows(documents)
+    df_tbl = (
+        occ.dropDuplicates(["doc_id", "token"])
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    per_doc = (
+        occ.join(df_tbl, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.sum("df").cast("double") / F.count("*")).alias("mean_df"),
+        )
+    )
+    qs = per_doc.agg(
+        F.expr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY mean_df)"
+        ).alias("q25"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY mean_df)"
+        ).alias("q50"),
+        F.expr(
+            "percentile_disc(0.75) WITHIN GROUP (ORDER BY mean_df)"
+        ).alias("q75"),
+    )
+    scored = documents.select("doc_id").join(per_doc, "doc_id", "left")
+    return scored.crossJoin(F.broadcast(qs)).select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("mean_df", F.lit(0.0)).alias("mean_df"),
+        F.when(F.coalesce("mean_df", F.lit(0.0)) >= F.col("q75"), 1)
+        .when(F.coalesce("mean_df", F.lit(0.0)) >= F.col("q50"), 2)
+        .when(F.coalesce("mean_df", F.lit(0.0)) >= F.col("q25"), 3)
+        .otherwise(4)
+        .alias("stage"),
+    )
+
+
 QUERIES = {
     "text_quality": _q(text_quality),
     "text_lang_confusion": _q(lang_confusion),
@@ -1279,6 +1463,9 @@ QUERIES = {
     "docs_compression_ratio": _q(compression_ratio_scores),
     "docs_feature_hashed": _q(feature_hash_vectors),
     "docs_hashed_knn": _q(hashed_knn),
+    "docs_token_budget_cap": _q(token_budget_cap),
+    "docs_mixture_temperature": _q(temperature_mixture_sample),
+    "docs_curriculum_stages": _q(curriculum_stages),
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), ' +')"
@@ -1918,5 +2105,97 @@ ORACLE = {
                     WHEN o.text != n.text THEN 'changed'
                     ELSE 'unchanged' END AS status
         FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    """,
+    # Single-window form of the same all-integer prefix sum the Spark
+    # side computes in two bucketed stages (hash_bucket's documented
+    # SQL mirror as the priority order).
+    "docs_token_budget_cap": f"""
+        SELECT doc_id, source, n_tokens, cum_tokens,
+               cum_tokens <= {TOKEN_BUDGET_PER_SOURCE} AS kept
+        FROM (
+            SELECT doc_id, source, n_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY source
+                       ORDER BY ((doc_id % 2147483647) * 2654435761)
+                                % {BUDGET_HASH_MOD}, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            FROM (SELECT doc_id, source,
+                         CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+                  FROM documents)
+        )
+    """,
+    # Same sqrt temperature (IEEE-exact), same source-ordered fold for
+    # the normalizer (list_sum over list(... ORDER BY source) ≡ Spark's
+    # aggregate over the sorted struct list), same floor targets and
+    # hash-priority ranks.
+    "docs_mixture_temperature": f"""
+        WITH inv AS (
+            SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        ),
+        norm AS (
+            SELECT list_sum(list(sqrt(n_docs::DOUBLE) ORDER BY source))
+                       AS w_total,
+                   (SELECT count(*) // {TEMP_SAMPLE_HALF_DIVISOR}
+                    FROM documents) AS sample_n
+            FROM inv
+        ),
+        targets AS (
+            SELECT i.source,
+                   CAST(floor(n.sample_n
+                              * (sqrt(i.n_docs::DOUBLE) / n.w_total))
+                        AS BIGINT) AS target_n
+            FROM inv i CROSS JOIN norm n
+        ),
+        ranked AS (
+            SELECT doc_id, source,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY ((doc_id % 2147483647) * 2654435761)
+                                % {BUDGET_HASH_MOD}, doc_id) AS BIGINT)
+                       AS rank
+            FROM documents
+        )
+        SELECT r.doc_id, r.source, r.rank, t.target_n
+        FROM ranked r JOIN targets t USING (source)
+        WHERE r.rank <= t.target_n
+    """,
+    # Same occurrence-weighted mean document frequency (BIGINT sum, one
+    # double division), same percentile_disc quartile thresholds
+    # (selections — no interpolation), same CASE staging.
+    "docs_curriculum_stages": f"""
+        WITH occf AS (
+            SELECT doc_id, t.token
+            FROM (SELECT doc_id, unnest({_TOKENS}) AS token
+                  FROM documents) t
+            WHERE t.token != ''
+        ),
+        dfq AS (
+            SELECT token, count(DISTINCT doc_id) AS df
+            FROM occf GROUP BY token
+        ),
+        per_doc AS (
+            SELECT o.doc_id, count(*) AS n_tokens,
+                   CAST(sum(d.df) AS DOUBLE) / count(*) AS mean_df
+            FROM occf o JOIN dfq d USING (token) GROUP BY o.doc_id
+        ),
+        qs AS (
+            SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY mean_df)
+                       AS q25,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY mean_df)
+                       AS q50,
+                   percentile_disc(0.75) WITHIN GROUP (ORDER BY mean_df)
+                       AS q75
+            FROM per_doc
+        )
+        SELECT doc.doc_id,
+               COALESCE(p.n_tokens, 0) AS n_tokens,
+               COALESCE(p.mean_df, 0.0) AS mean_df,
+               CAST(CASE WHEN COALESCE(p.mean_df, 0.0) >= q.q75 THEN 1
+                         WHEN COALESCE(p.mean_df, 0.0) >= q.q50 THEN 2
+                         WHEN COALESCE(p.mean_df, 0.0) >= q.q25 THEN 3
+                         ELSE 4 END AS INTEGER) AS stage
+        FROM documents doc
+        LEFT JOIN per_doc p USING (doc_id)
+        CROSS JOIN qs q
     """,
 }

@@ -104,6 +104,12 @@ _WINDOW_PRIORITY = [
     # 3: new in round 6 — inserted here as they land (one 5c filler
     # dropped per insertion so the list stays exactly 50)
     "hybrid_search_rrf_lsh_prod",
+    "docs_token_budget_cap",
+    "docs_mixture_temperature",
+    "docs_curriculum_stages",
+    "docs_memorization_risk",
+    "split_leakage_compare",
+    "embeddings_quantized_int8",
     # 4: sentinels
     "quiz_mastery",
     "dedup_minhash_lsh",
@@ -140,13 +146,7 @@ _WINDOW_PRIORITY = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_near_dup_clusters",
-    "dedup_embedding_cosine",
     "dedup_containment",
-    "dedup_neardup_curated",
-    "text_quality",
-    "text_normalized",
-    "documents_curated",
-    "docs_train_val_test",
 ]
 
 

@@ -329,3 +329,45 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert {out[i]["split_key"] for i in (0, 1, 2)} == {0}  # rep-keyed
     assert len({out[i]["split"] for i in (0, 1, 2)}) == 1   # same split
     assert out[3]["split_key"] == 3                         # singleton
+
+
+def test_memorization_risk_flags_repeated_passage(spark):
+    """Docs sharing a 15-token passage get risk > 0 proportional to the
+    share of their spans that are corpus-repeated; a fresh doc gets 0."""
+    from edu_online_spark.operators.dedup import memorization_risk
+
+    passage = " ".join(f"p{i}" for i in range(15))
+    rows = [
+        (1, passage + " unique1 tail1"),
+        (2, "head2 " + passage),
+        (3, " ".join(f"fresh{i}" for i in range(20))),
+        (4, "short doc"),  # < 15 tokens → zero spans, risk 0
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in memorization_risk(docs).collect()}
+    assert out[1]["n_repeated_spans"] == 1  # exactly the shared window
+    assert out[2]["n_repeated_spans"] == 1
+    assert 0 < out[1]["memorization_risk"] < 1
+    assert out[3]["n_repeated_spans"] == 0
+    assert out[3]["memorization_risk"] == 0.0
+    assert out[4]["n_spans"] == 0 and out[4]["memorization_risk"] == 0.0
+
+
+def test_split_leakage_compare_safe_split_never_leaks(spark):
+    """Planted near-dup cluster: the plain split must be able to leak,
+    the leakage-safe split must report zero cross-split pairs, and the
+    doc totals must cover the corpus under both methods."""
+    from edu_online_spark.operators.dedup import split_leakage_compare
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    rows = [(i, base + f" v{i}") for i in range(6)]  # one big near-dup cluster
+    rows += [(100 + i, " ".join(f"u{i}_{j}" for j in range(25))) for i in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["method"]: r for r in split_leakage_compare(docs).collect()}
+    assert set(out) == {"plain", "leakage_safe"}
+    assert out["leakage_safe"]["n_cross_split_pairs"] == 0
+    n = len(rows)
+    for m in out.values():
+        assert m["n_train"] + m["n_val"] + m["n_test"] == n
+    # the cluster was actually found
+    assert out["plain"]["n_clustered_docs"] >= 6

@@ -191,3 +191,24 @@ def test_label_centroids_partitioning_invariant(spark, sf_dir):
     assert a == b
     dims = {d for _, d in a}
     assert dims == set(range(max(dims) + 1))  # every dimension covered
+
+
+def test_quantize_embeddings_int8_roundtrip_and_edges(spark):
+    """Quantization must hit ±127 at the extremes, reconstruct within
+    scale/2, and survive the zero-vector edge."""
+    from edu_online_spark.operators.similarity import quantize_embeddings_int8
+
+    rows = [
+        (1, [1.0, -1.0, 0.5, 0.0]),
+        (2, [0.003, 0.001, -0.002, 0.004]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in quantize_embeddings_int8(df).collect()}
+    assert out[1]["q_max_abs"] == 127 and out[1]["recon_ok"]
+    assert out[1]["n_dims"] == 4
+    # q for vec 1 is [127, -127, 64, 0] → sum 64, l1 318
+    assert out[1]["q_sum"] == 64 and out[1]["q_l1"] == 318
+    assert out[2]["q_max_abs"] == 127 and out[2]["recon_ok"]
+    assert out[3]["scale"] == 0.0 and out[3]["q_sum"] == 0
+    assert out[3]["q_l1"] == 0 and out[3]["recon_ok"]

@@ -658,3 +658,91 @@ def test_hashed_knn_finds_textual_twin(spark):
     )
     out = [r for r in hashed_knn(docs, k=2).collect() if r["qid"] == 0]
     assert out and out[0]["nid"] == 1 and out[0]["cosine"] > 0.85
+
+
+def test_token_budget_cap_prefix_sum_and_cutoff(spark):
+    """The two-stage bucketed prefix sum must equal the naive running
+    sum, and the kept set must stop exactly at the budget boundary."""
+    from edu_online_spark.operators.textops import (
+        BUDGET_HASH_MOD,
+        token_budget_cap,
+    )
+
+    rows = [
+        (i, "s1" if i % 2 == 0 else "s2", " ".join(["w"] * (5 + i % 7)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r["doc_id"]: r for r in token_budget_cap(docs, budget=30).collect()}
+
+    # naive single-pass replica in Python
+    def h(doc_id):
+        return (doc_id % 2147483647) * 2654435761 % BUDGET_HASH_MOD
+
+    for src in ("s1", "s2"):
+        ordered = sorted(
+            (r for r in rows if r[1] == src), key=lambda r: (h(r[0]), r[0])
+        )
+        cum = 0
+        for doc_id, _, text in ordered:
+            cum += len(text.split())
+            assert out[doc_id]["cum_tokens"] == cum
+            assert out[doc_id]["kept"] == (cum <= 30)
+    # budget actually bites: some kept, some dropped, per source
+    for src in ("s1", "s2"):
+        kept = [r["kept"] for r in out.values() if r["source"] == src]
+        assert any(kept) and not all(kept)
+
+
+def test_token_budget_cap_partitioning_invariant(spark):
+    from edu_online_spark.operators.textops import token_budget_cap
+
+    rows = [(i, f"s{i % 3}", " ".join(["w"] * (3 + i % 5))) for i in range(30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    a = sorted(map(tuple, token_budget_cap(docs, budget=20).collect()))
+    b = sorted(
+        map(tuple, token_budget_cap(docs.repartition(7), budget=20).collect())
+    )
+    assert a == b
+
+
+def test_temperature_mixture_flattens_sources(spark):
+    """sqrt temperature must upsample the tail source relative to its
+    raw share and downsample the head."""
+    from edu_online_spark.operators.textops import temperature_mixture_sample
+
+    rows = [(i, "head" if i < 90 else "tail", "a b c") for i in range(100)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = temperature_mixture_sample(docs).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+    n_head, n_tail = len(by_src["head"]), len(by_src["tail"])
+    # raw shares 90/10; sqrt weights ~9.49/3.16 → ~75%/25% of N=50
+    assert n_head + n_tail <= 50
+    assert n_tail / (n_head + n_tail) > 0.2  # tail upsampled vs 10%
+    assert n_head / (n_head + n_tail) < 0.8  # head downsampled vs 90%
+    # rank never exceeds its source's target
+    for r in got:
+        assert r["rank"] <= r["target_n"]
+
+
+def test_curriculum_stages_orders_common_before_rare(spark):
+    """Docs built from corpus-common tokens must stage earlier than
+    docs of rare tokens, and all four stages must be populated."""
+    from edu_online_spark.operators.textops import curriculum_stages
+
+    rows = []
+    # 'common' appears in every doc; rare_i only in doc i
+    for i in range(20):
+        base = ["common"] * 5
+        rare = [f"rare{i}_{j}" for j in range(i)]  # more rare → harder
+        rows.append((i, " ".join(base + rare)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in curriculum_stages(docs).collect()}
+    assert out[0]["stage"] == 1          # all-common doc is easiest
+    assert out[19]["stage"] == 4         # most rare-heavy doc is hardest
+    assert {r["stage"] for r in out.values()} == {1, 2, 3, 4}
+    # monotone: more rare tokens never DECREASES the stage
+    stages = [out[i]["stage"] for i in range(20)]
+    assert stages == sorted(stages)
