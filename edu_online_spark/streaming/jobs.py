@@ -1463,3 +1463,136 @@ def substring_scrub_job(
         .trigger(**_trigger({}, available_now))
         .start()
     )
+
+
+def token_budget_gate_job(
+    raw: DataFrame,
+    out_docs: str,
+    checkpoint: str,
+    budget: int | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Quota-on-ingest: the streaming twin of
+    operators/textops.token_budget_cap. Each trigger admits the batch's
+    documents in deterministic hash-priority order until their source's
+    CUMULATIVE token total (across all prior triggers) exceeds
+    `budget`; admitted docs land in per-batch parquet dirs, the
+    per-source running totals live in a tiny state table beside them
+    (out_docs + '.state', one row per source).
+
+    Delivery semantics (T7): state merge is addition, so replays are
+    fenced by the sink-side last_batch_id guard (token_countmin_job's
+    bookkeeping); the admitted-docs write is a per-batch-dir OVERWRITE,
+    so the crash window between the docs write and the state swap
+    re-runs to the identical bytes (admission is deterministic given
+    the same prior state and batch). Semantics delta vs the batch
+    operator, documented as with the other twins: the batch form ranks
+    the WHOLE corpus in one global hash order; the stream admits in
+    arrival order, hash-ordered within each trigger — a late doc with a
+    high-priority hash cannot evict an already-admitted one.
+    """
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ..functions import text as T
+    from ..functions.core import hash_bucket
+    from ..operators.textops import BUDGET_HASH_MOD, TOKEN_BUDGET_PER_SOURCE
+
+    budget = TOKEN_BUDGET_PER_SOURCE if budget is None else budget
+    state_path = out_docs + ".state"
+
+    schema = StructType(
+        [
+            # LongType to match documents.doc_id — the priority hash is
+            # arithmetic (hash_bucket), same expression as the batch op
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    parsed = F.from_json(
+        F.col("value"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    docs = (
+        raw.select(parsed.alias("j"))
+        .filter(
+            F.col("j._corrupt").isNull()
+            & F.col("j.doc_id").isNotNull()
+            & F.col("j.text").isNotNull()
+            & F.col("j.source").isNotNull()
+        )
+        .select(
+            F.col("j.doc_id").alias("doc_id"),
+            F.col("j.text").alias("text"),
+            F.col("j.source").alias("source"),
+        )
+    )
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        # promote any half-committed state swap BEFORE the existence
+        # check (the recover-before-read invariant test_sinks pins)
+        sinks.recover_sink(state_path)
+        if os.path.exists(state_path):
+            old = spark.read.parquet(state_path)
+            last = old.agg(F.max("last_batch_id")).first()[0]
+            if last is not None and last >= batch_id:
+                return  # redelivered trigger: already admitted + counted
+            prior = old.select("source", "used_tokens")
+        else:
+            prior = spark.createDataFrame(
+                [], "source string, used_tokens long"
+            )
+        # deterministic within-trigger priority (trigger-sized window)
+        w = (
+            Window.partitionBy("source")
+            .orderBy(hash_bucket("doc_id", BUDGET_HASH_MOD), "doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = batch.select(
+            "doc_id",
+            "source",
+            T.token_count("text").cast("long").alias("n_tokens"),
+            "text",
+        ).withColumn("cum_in_batch", F.sum("n_tokens").over(w))
+        admitted = (
+            cum.join(prior, "source", "left")
+            .withColumn(
+                "cum_tokens",
+                F.col("cum_in_batch") + F.coalesce("used_tokens", F.lit(0)),
+            )
+            .filter(F.col("cum_tokens") <= budget)
+            .select("doc_id", "source", "n_tokens", "cum_tokens", "text")
+            .localCheckpoint(eager=True)  # docs write + state branch
+        )
+        # idempotent by construction: same state + same batch → same dir
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(out_docs, f"ingest_batch={batch_id}")
+        )
+        new_state = (
+            prior.unionByName(
+                admitted.groupBy("source").agg(
+                    F.sum("n_tokens").alias("used_tokens")
+                )
+            )
+            .groupBy("source")
+            .agg(F.sum("used_tokens").alias("used_tokens"))
+            .withColumn("last_batch_id", F.lit(batch_id))
+            .coalesce(1)
+            # materialize BEFORE the staged swap retires the old state
+            .localCheckpoint(eager=True)
+        )
+        sinks.parquet_overwrite_atomic(state_path)(new_state, batch_id)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(gate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )

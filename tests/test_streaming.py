@@ -971,3 +971,68 @@ def test_substring_scrub_job_masks_against_prior_ingest(spark, tmp_path):
     ).awaitTermination(120)
     again = {r["doc_id"]: r["n_removed"] for r in spark.read.parquet(out).collect()}
     assert again == {1: 0, 2: 18, 3: 0}
+
+
+def _budget_doc_lines(docs):
+    import json as _json
+
+    return [
+        _json.dumps({"doc_id": d, "text": t, "source": s}) for d, s, t in docs
+    ]
+
+
+def test_token_budget_gate_accumulates_across_waves(spark, tmp_path):
+    """The per-source quota must be CUMULATIVE: wave 2 docs are judged
+    against tokens already admitted in wave 1, and a source that
+    exhausted its budget admits nothing more."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    # s1: 6 tokens in wave 1, budget 10 → wave 2's 5-token doc is too big
+    wave1 = [(1, "s1", "a b c d e f"), (2, "s2", "x y")]
+    wave2 = [(3, "s1", "g h i j k"), (4, "s2", "z w v")]
+    _write_lines(src, "b1.jsonl", _budget_doc_lines(wave1) + ["corrupt {"])
+    _run(jobs.token_budget_gate_job, spark, src, out, ckpt, budget=10)
+    _write_lines(src, "b2.jsonl", _budget_doc_lines(wave2))
+    _run(jobs.token_budget_gate_job, spark, src, out, ckpt, budget=10)
+
+    admitted = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert admitted == {1, 2, 4}  # doc 3 would push s1 to 11 > 10
+    state = {
+        r["source"]: r["used_tokens"]
+        for r in spark.read.parquet(out + ".state").collect()
+    }
+    assert state == {"s1": 6, "s2": 5}
+
+
+def test_token_budget_gate_replay_does_not_double_count(spark, tmp_path):
+    """Redelivering the wave through a fresh checkpoint must change
+    neither the admitted docs nor the state totals (T7 guard)."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(src, "b1.jsonl", _budget_doc_lines([(1, "s1", "a b c")]))
+    _run(jobs.token_budget_gate_job, spark, src, out, ckpt, budget=10)
+    before_docs = sorted(
+        map(tuple, spark.read.parquet(out).select("doc_id", "cum_tokens").collect())
+    )
+    before_state = sorted(map(tuple, spark.read.parquet(out + ".state").collect()))
+    _run(jobs.token_budget_gate_job, spark, src, out, str(tmp_path / "ck2"), budget=10)
+    assert sorted(
+        map(tuple, spark.read.parquet(out).select("doc_id", "cum_tokens").collect())
+    ) == before_docs
+    assert sorted(map(tuple, spark.read.parquet(out + ".state").collect())) == before_state
+
+
+def test_token_budget_gate_recovers_half_committed_state(spark, tmp_path):
+    """Crash between the state swap's publish renames: the next trigger
+    must promote the staged state BEFORE reading, or the quota restarts
+    from zero and over-admits."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(src, "b1.jsonl", _budget_doc_lines([(1, "s1", "a b c d e f")]))
+    _run(jobs.token_budget_gate_job, spark, src, out, ckpt, budget=10)
+    state = out + ".state"
+    os.rename(state, state + ".__staging__")
+    assert not os.path.exists(state)
+    _write_lines(src, "b2.jsonl", _budget_doc_lines([(3, "s1", "g h i j k")]))
+    _run(jobs.token_budget_gate_job, spark, src, out, ckpt, budget=10)
+    admitted = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert admitted == {1}  # doc 3 still rejected: 6 + 5 > 10 survived the crash
+    st = {r["source"]: r["used_tokens"] for r in spark.read.parquet(state).collect()}
+    assert st == {"s1": 6}
