@@ -1423,6 +1423,101 @@ def curriculum_stages(documents: DataFrame) -> DataFrame:
     )
 
 
+SHARD_TOKEN_TARGET = 4096
+
+
+def assign_training_shards(
+    documents: DataFrame, shard_tokens: int = SHARD_TOKEN_TARGET
+) -> DataFrame:
+    """Deterministic training-shard assignment: lay the whole corpus
+    out in ONE global hash-priority order (the epoch shuffle — no
+    rand(), so every run, engine, and partitioning produces the same
+    training order) and cut it into shards of ~`shard_tokens` tokens
+    by the document's STARTING offset in the global token stream. This
+    is the WebDataset/tar-shard writer's placement problem: shards of
+    near-equal token mass, reproducible order, no driver-side sort.
+
+    Same distributed prefix sum as token_budget_cap — but GLOBAL
+    rather than per-source: a single `Window.orderBy(...)` would drag
+    100 TB through one task, so the hash space is cut into
+    BUDGET_PREFIX_BUCKETS ordered ranges; per-bucket token totals
+    (32 rows) become running offsets via a window over that tiny
+    relation, and the heavy cumsum runs per-bucket. All-integer
+    arithmetic → bit-identical to the single-window oracle form.
+    shard_id uses integer `div` (not float /): cum_tokens exceeds
+    2^53 long before 100 TB, where double division would misplace
+    boundary documents. A doc longer than `shard_tokens` still gets
+    the shard of its starting offset (spans are the reader's concern).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.core import hash_bucket
+
+    per_bucket = BUDGET_HASH_MOD // BUDGET_PREFIX_BUCKETS + 1
+    d = documents.select(
+        "doc_id",
+        "source",
+        T.token_count("text").cast("long").alias("n_tokens"),
+        hash_bucket("doc_id", BUDGET_HASH_MOD).alias("h"),
+    ).withColumn("bucket", (F.col("h") / per_bucket).cast("int"))
+    totals = d.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    off_w = (
+        Window.orderBy("bucket")  # BUDGET_PREFIX_BUCKETS rows — tiny
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(off_w), F.lit(0)).alias(
+            "offset"
+        ),
+    )
+    cum_w = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (F.sum("n_tokens").over(cum_w) + F.col("offset")).alias(
+                "cum_tokens"
+            ),
+        )
+        .withColumn(
+            "shard_id",
+            F.expr(f"(cum_tokens - n_tokens) div {int(shard_tokens)}"),
+        )
+    )
+
+
+def shard_manifest(
+    documents: DataFrame, shard_tokens: int = SHARD_TOKEN_TARGET
+) -> DataFrame:
+    """Shard manifest — the writer's output contract: one row per
+    shard with its document count, token mass, and an order-independent
+    integrity checksum (bit_xor of member doc_ids: overflow-free,
+    partitioning-invariant, and cheap to re-verify after any copy).
+    first/last global offsets pin each shard's byte-range analogue so
+    a reader can address the epoch stream without scanning neighbors.
+    Single exchange over shard_id on top of the prefix-sum assignment."""
+    return (
+        assign_training_shards(documents, shard_tokens)
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_token_mass"),
+            F.min(F.col("cum_tokens") - F.col("n_tokens")).alias(
+                "first_offset"
+            ),
+            F.max("cum_tokens").alias("last_offset"),
+            F.bit_xor("doc_id").alias("id_xor"),
+        )
+    )
+
+
 QUERIES = {
     "text_quality": _q(text_quality),
     "text_lang_confusion": _q(lang_confusion),
@@ -1466,6 +1561,7 @@ QUERIES = {
     "docs_token_budget_cap": _q(token_budget_cap),
     "docs_mixture_temperature": _q(temperature_mixture_sample),
     "docs_curriculum_stages": _q(curriculum_stages),
+    "corpus_shard_manifest": _q(shard_manifest),
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), ' +')"
@@ -2197,5 +2293,31 @@ ORACLE = {
         FROM documents doc
         LEFT JOIN per_doc p USING (doc_id)
         CROSS JOIN qs q
+    """,
+    # Single-window form of the same GLOBAL all-integer prefix sum the
+    # Spark side computes in two bucketed stages; shard_id via integer
+    # division (// ≡ Spark's `div`), checksum via order-independent
+    # bit_xor — both engines, both exact.
+    "corpus_shard_manifest": f"""
+        WITH assigned AS (
+            SELECT doc_id, n_tokens,
+                   SUM(n_tokens) OVER (
+                       ORDER BY pri, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            FROM (SELECT doc_id,
+                         CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+                         ((doc_id % 2147483647) * 2654435761)
+                             % {BUDGET_HASH_MOD} AS pri
+                  FROM documents)
+        )
+        SELECT (cum_tokens - n_tokens) // {SHARD_TOKEN_TARGET}
+                   AS shard_id,
+               count(*) AS n_docs,
+               SUM(n_tokens) AS shard_token_mass,
+               MIN(cum_tokens - n_tokens) AS first_offset,
+               MAX(cum_tokens) AS last_offset,
+               bit_xor(doc_id) AS id_xor
+        FROM assigned
+        GROUP BY 1
     """,
 }

@@ -110,6 +110,7 @@ _WINDOW_PRIORITY = [
     "docs_memorization_risk",
     "split_leakage_compare",
     "embeddings_quantized_int8",
+    "corpus_shard_manifest",
     # 4: sentinels
     "quiz_mastery",
     "dedup_minhash_lsh",
@@ -146,7 +147,6 @@ _WINDOW_PRIORITY = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_near_dup_clusters",
-    "dedup_containment",
 ]
 
 

@@ -746,3 +746,78 @@ def test_curriculum_stages_orders_common_before_rare(spark):
     # monotone: more rare tokens never DECREASES the stage
     stages = [out[i]["stage"] for i in range(20)]
     assert stages == sorted(stages)
+
+
+def test_training_shards_match_naive_global_prefix_sum(spark):
+    """The bucketed GLOBAL prefix sum must equal the naive running sum
+    over the hash-priority order, and shard_id must be the starting
+    offset's integer quotient."""
+    from edu_online_spark.operators.textops import (
+        BUDGET_HASH_MOD,
+        assign_training_shards,
+    )
+
+    rows = [
+        (i, f"s{i % 3}", " ".join(["w"] * (4 + i % 9))) for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in assign_training_shards(docs, shard_tokens=50).collect()
+    }
+
+    def h(doc_id):
+        return (doc_id % 2147483647) * 2654435761 % BUDGET_HASH_MOD
+
+    ordered = sorted(rows, key=lambda r: (h(r[0]), r[0]))
+    cum = 0
+    for doc_id, _, text in ordered:
+        n = len(text.split())
+        start, cum = cum, cum + n
+        assert out[doc_id]["cum_tokens"] == cum
+        assert out[doc_id]["shard_id"] == start // 50
+    assert len({r["shard_id"] for r in out.values()}) > 3
+
+
+def test_shard_manifest_masses_and_checksum(spark):
+    """Every shard except the last must carry >= the target token mass
+    minus one max-doc (no shard closes early), offsets must tile the
+    stream, and the xor checksum must equal the member xor."""
+    from edu_online_spark.operators.textops import (
+        assign_training_shards,
+        shard_manifest,
+    )
+
+    rows = [(i, "s0", " ".join(["w"] * (3 + i % 6))) for i in range(80)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    assigned = assign_training_shards(docs, shard_tokens=40).collect()
+    man = sorted(
+        shard_manifest(docs, shard_tokens=40).collect(),
+        key=lambda r: r["shard_id"],
+    )
+    assert [r["shard_id"] for r in man] == list(range(len(man)))
+    # offsets tile: shard k ends where k+1 starts (docs span boundaries,
+    # so last_offset of k can overhang first_offset of k+1's quotient)
+    for a, b in zip(man, man[1:]):
+        assert a["last_offset"] == b["first_offset"]
+    total = sum(r["n_tokens"] for r in assigned)
+    assert man[-1]["last_offset"] == total
+    assert sum(r["shard_token_mass"] for r in man) == total
+    for r in man:
+        members = [a for a in assigned if a["shard_id"] == r["shard_id"]]
+        x = 0
+        for m in members:
+            x ^= m["doc_id"]
+        assert r["id_xor"] == x and r["n_docs"] == len(members)
+
+
+def test_training_shards_partitioning_invariant(spark):
+    from edu_online_spark.operators.textops import assign_training_shards
+
+    rows = [(i, f"s{i % 2}", " ".join(["w"] * (2 + i % 7))) for i in range(50)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    a = sorted(map(tuple, assign_training_shards(docs, 30).collect()))
+    b = sorted(
+        map(tuple, assign_training_shards(docs.repartition(11), 30).collect())
+    )
+    assert a == b
