@@ -461,6 +461,81 @@ def quantize_embeddings_int8(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def label_noise_candidates(embeddings: DataFrame) -> DataFrame:
+    """Mislabeled-example mining (confident-learning-lite): flag every
+    vector that sits CLOSER to some other label's centroid than to its
+    own — the label-hygiene pass a classification/training set gets
+    before the labels are trusted. Output per vector: own-centroid
+    distance², the nearest OTHER label and its distance², the margin
+    (own − other), and `suspect` = margin > 0.
+
+    Scale shape: centroids come from label_centroids (labels×dim
+    partial sums, map-side combined); the per-label centroid ARRAYS are
+    assembled distributively (groupBy label over the tiny labels×dim
+    relation — no driver collect) and broadcast into a corpus×labels
+    crossJoin. That is n·L rows with L = label count (constant, ~10s):
+    linear in the corpus, and the nearest-other window partitions by
+    vec_id over L−1 rows — no skew possible. At 100 TB this is one
+    broadcast scan plus an n·L shuffle with constant L.
+
+    Exactness: the squared-diff folds run over array_sort'd terms
+    (same sorted-fold discipline as the cosine/centroid operators —
+    DuckDB's list_sum(list_sort(...)) folds the identical sequence);
+    margin is one subtraction of two such doubles; ties in the
+    nearest-other ordering break on label. Bit-identical on any
+    partitioning or engine.
+    """
+    from pyspark.sql import Window
+
+    cvec = (
+        label_centroids(embeddings)
+        .groupBy(F.col("label").alias("clabel"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "centroid_v"))),
+                lambda s: s["centroid_v"],
+            ).alias("cent")
+        )
+    )
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    scored = (
+        embeddings.select("vec_id", "label", v.alias("v"))
+        # broadcast × L centroid rows (L = label count, ~10): linear
+        .crossJoin(F.broadcast(cvec))
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            F.aggregate(
+                F.array_sort(
+                    F.zip_with("v", "cent", lambda x, c: (x - c) * (x - c))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+    )
+    own = scored.filter(F.col("clabel") == F.col("label")).select(
+        "vec_id", "label", F.col("d2").alias("own_d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    other = (
+        scored.filter(F.col("clabel") != F.col("label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("clabel").alias("nearest_other_label"),
+            F.col("d2").alias("nearest_other_d2"),
+        )
+    )
+    return (
+        own.join(other, "vec_id")
+        .withColumn("margin", F.col("own_d2") - F.col("nearest_other_d2"))
+        .withColumn("suspect", F.col("margin") > F.lit(0.0))
+    )
+
+
 def norm_extremes_by_source(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
     """Per-SOURCE embedding-norm spread: document counts and min/max
     vector norms grouped by the document's source — the cross-modal
@@ -856,6 +931,7 @@ QUERIES = {
     "xmodal_label_lang_crosstab": _q2(label_lang_crosstab),
     "xmodal_norm_extremes": _q2(norm_extremes_by_source),
     "embeddings_quantized_int8": _q(quantize_embeddings_int8),
+    "embeddings_label_noise": _q(label_noise_candidates),
 }
 
 _COS = """
@@ -1040,5 +1116,52 @@ ORACLE = {
                    <= (CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0 END)
                       * 0.5 + 1e-12 AS recon_ok
         FROM q
+    """,
+    # Same centroid CTE as embeddings_label_centroids, re-assembled to
+    # per-label arrays in dim order; same sorted-fold d² (list_sum over
+    # list_sort ≡ array_sort + sequential aggregate); nearest-other tie
+    # broken on label in both engines.
+    "embeddings_label_noise": """
+        WITH rows AS (
+            SELECT label,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER)
+                       AS dim,
+                   unnest(embedding)::DOUBLE AS v
+            FROM embeddings
+        ),
+        cells AS (
+            SELECT label, dim, count(*) AS n,
+                   list_sum(list_sort(list(v))) AS s
+            FROM rows GROUP BY 1, 2
+        ),
+        cvec AS (
+            SELECT label AS clabel, list(s / n ORDER BY dim) AS cent
+            FROM cells GROUP BY label
+        ),
+        scored AS (
+            SELECT e.vec_id, e.label, c.clabel,
+                   list_sum(list_sort(
+                       [(e.embedding[i]::DOUBLE - c.cent[i])
+                        * (e.embedding[i]::DOUBLE - c.cent[i])
+                        for i in range(1, len(e.embedding) + 1)]))
+                       AS d2
+            FROM embeddings e CROSS JOIN cvec c
+        ),
+        own AS (
+            SELECT vec_id, label, d2 AS own_d2
+            FROM scored WHERE clabel = label
+        ),
+        oth AS (
+            SELECT vec_id, clabel AS nearest_other_label,
+                   d2 AS nearest_other_d2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+            FROM scored WHERE clabel != label
+        )
+        SELECT o.vec_id, o.label, o.own_d2,
+               t.nearest_other_label, t.nearest_other_d2,
+               o.own_d2 - t.nearest_other_d2 AS margin,
+               o.own_d2 - t.nearest_other_d2 > 0.0 AS suspect
+        FROM own o JOIN oth t ON o.vec_id = t.vec_id AND t.rn = 1
     """,
 }

@@ -212,3 +212,38 @@ def test_quantize_embeddings_int8_roundtrip_and_edges(spark):
     assert out[2]["q_max_abs"] == 127 and out[2]["recon_ok"]
     assert out[3]["scale"] == 0.0 and out[3]["q_sum"] == 0
     assert out[3]["q_l1"] == 0 and out[3]["recon_ok"]
+
+
+def test_label_noise_flags_planted_mislabel(spark):
+    """A point sitting in cluster B but labeled A must come out
+    suspect with nearest_other_label = B; clean points must not."""
+    from edu_online_spark.operators.similarity import label_noise_candidates
+
+    rows = []
+    # tight cluster A near (0,0), cluster B near (10,10)
+    for i in range(5):
+        rows.append((i, [0.0 + i * 0.01, 0.0], 0))
+        rows.append((10 + i, [10.0 + i * 0.01, 10.0], 1))
+    rows.append((99, [10.0, 10.02], 0))  # mislabeled: sits in B
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r["vec_id"]: r for r in label_noise_candidates(df).collect()}
+    assert out[99]["suspect"] and out[99]["nearest_other_label"] == 1
+    assert out[99]["margin"] > 0
+    for i in [0, 1, 2, 13, 14]:
+        assert not out[i]["suspect"]
+    # margins consistent: own_d2 - nearest_other_d2
+    for r in out.values():
+        assert r["margin"] == r["own_d2"] - r["nearest_other_d2"]
+
+
+def test_label_noise_partitioning_invariant(spark):
+    from edu_online_spark.operators.similarity import label_noise_candidates
+
+    rows = [
+        (i, [float((i * 7) % 5), float((i * 3) % 4), 1.0], i % 3)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    a = sorted(map(tuple, label_noise_candidates(df).collect()))
+    b = sorted(map(tuple, label_noise_candidates(df.repartition(13)).collect()))
+    assert a == b
