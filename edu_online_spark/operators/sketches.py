@@ -237,6 +237,87 @@ def token_countmin(documents: DataFrame, k: int = CMS_TOPK) -> DataFrame:
     )
 
 
+BLOOM_M = 1 << 17  # filter bits: ~16 KiB broadcast regardless of corpus size
+BLOOM_MULTS = (2654435761, 2246822519, 3266489917)  # k=3 public hash primes
+
+
+def bloom_membership_audit(
+    customer: DataFrame, orders: DataFrame, m: int = BLOOM_M
+) -> DataFrame:
+    """Bloom-filter join pre-filter, audited: build a k=3/m-bit filter
+    over the DISTINCT order-placing customers, probe every customer row
+    through it, and emit per probe the bloom verdict NEXT TO the exact
+    membership — surfacing the structure's one-sided error (is_fp;
+    false negatives are impossible and the hash proves it on every row).
+
+    Why this is a first-class 100 TB primitive: a semi-join against a
+    billion-key build side shuffles both relations, but the same
+    build side folds into m bits (16 KiB here) that BROADCAST — the
+    probe side is then filtered scan-side at ~fpr cost before any real
+    join runs. AQE does this for some plans (runtime bloom pushdown);
+    this operator is the explicit, engine-portable form.
+
+    Exactness: the k hash functions are the same overflow-safe
+    multiplicative family as hash_bucket ((key % 2^31-1) · prime % m —
+    products bounded < 2^63), so the filter's BIT SET is a
+    deterministic integer relation both engines compute identically.
+    The probe path is three broadcast equi-joins on precomputed bit
+    columns — no shuffle touches the probe side; only the build side's
+    DISTINCT exchanges (members-sized, the thing production amortizes
+    by persisting the filter). The exact-membership column is the
+    audit leg: a broadcast join here at sf, the very join the filter
+    exists to avoid at scale — kept because certifying fpr without it
+    would be vacuous.
+    """
+    members = orders.select(F.col("o_custkey").alias("key")).distinct()
+
+    def bit(col, a):
+        return F.pmod(F.pmod(col, F.lit(2147483647)) * F.lit(a), F.lit(m))
+
+    bits = (
+        members.select(
+            F.explode(
+                F.array(*[bit(F.col("key"), a) for a in BLOOM_MULTS])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    probes = customer.select(F.col("c_custkey").alias("custkey"))
+    out = probes.select(
+        "custkey",
+        *[
+            bit(F.col("custkey"), a).alias(f"_b{i}")
+            for i, a in enumerate(BLOOM_MULTS)
+        ],
+    )
+    for i in range(len(BLOOM_MULTS)):
+        out = out.join(
+            F.broadcast(
+                bits.select(
+                    F.col("bit").alias(f"_b{i}"), F.lit(True).alias(f"_hit{i}")
+                )
+            ),
+            f"_b{i}",
+            "left",
+        )
+    bloom_hit = F.lit(True)
+    for i in range(len(BLOOM_MULTS)):
+        bloom_hit = bloom_hit & F.coalesce(F.col(f"_hit{i}"), F.lit(False))
+    return (
+        out.join(
+            F.broadcast(members.withColumn("_em", F.lit(True))),
+            out["custkey"] == F.col("key"),
+            "left",
+        )
+        .select(
+            "custkey",
+            F.coalesce("_em", F.lit(False)).alias("exact_member"),
+            bloom_hit.alias("bloom_hit"),
+            (bloom_hit & ~F.coalesce("_em", F.lit(False))).alias("is_fp"),
+        )
+    )
+
+
 def _q(fn, *tables):
     def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(*[load_table(spark, sf_dir, t) for t in tables])
@@ -248,6 +329,7 @@ QUERIES = {
     "events_hll_rollup": _q(distinct_users_sketch_rollup, "events"),
     "events_theta_overlap": _q(audience_overlap_sketch, "events"),
     "corpus_token_countmin": _q(token_countmin, "documents"),
+    "customers_bloom_prefilter": _q(bloom_membership_audit, "customer", "orders"),
 }
 
 ORACLE = {
@@ -317,5 +399,34 @@ ORACLE = {
           ON c.row_i = h.i
          AND c.bucket = ((p.fp * h.a + h.b) % {CMS_P}) % {CMS_WIDTH}
         GROUP BY p.token, p.exact_cnt
+    """,
+    # Same k multiplicative hashes over the same domain reduction; the
+    # bit SET is a deterministic integer relation, so bloom_hit (all k
+    # probe bits present) and is_fp hash exactly. nb counts the probe's
+    # k bit-rows that matched the distinct bit set — 3 iff all present,
+    # identical to the Spark side's three broadcast bit-joins.
+    "customers_bloom_prefilter": f"""
+        WITH mults(a) AS (VALUES {", ".join(f"({a})" for a in BLOOM_MULTS)}),
+        members AS (SELECT DISTINCT o_custkey AS key FROM orders),
+        bits AS (
+            SELECT DISTINCT ((key % 2147483647) * a) % {BLOOM_M} AS bit
+            FROM members CROSS JOIN mults
+        ),
+        pb AS (
+            SELECT c_custkey AS custkey,
+                   ((c_custkey % 2147483647) * a) % {BLOOM_M} AS bit
+            FROM customer CROSS JOIN mults
+        ),
+        hits AS (
+            SELECT pb.custkey, count(b.bit) AS nb
+            FROM pb LEFT JOIN bits b USING (bit)
+            GROUP BY pb.custkey
+        )
+        SELECT h.custkey,
+               h.custkey IN (SELECT key FROM members) AS exact_member,
+               h.nb = {len(BLOOM_MULTS)} AS bloom_hit,
+               h.nb = {len(BLOOM_MULTS)}
+                   AND h.custkey NOT IN (SELECT key FROM members) AS is_fp
+        FROM hits h
     """,
 }

@@ -112,6 +112,7 @@ _WINDOW_PRIORITY = [
     "embeddings_quantized_int8",
     "corpus_shard_manifest",
     "embeddings_label_noise",
+    "customers_bloom_prefilter",
     # 4: sentinels
     "quiz_mastery",
     "dedup_minhash_lsh",
@@ -146,7 +147,6 @@ _WINDOW_PRIORITY = [
     "tpch_q4_priority_waiting",
     # 5c: oldest round-3 rows (the rest of r3 refreshes in round 7)
     "dedup_exact",
-    "dedup_ngram_jaccard",
 ]
 
 

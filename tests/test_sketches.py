@@ -105,3 +105,50 @@ def test_countmin_never_underestimates_and_detects_collisions(spark, sf_dir):
     assert all(r["overestimate"] >= 0 for r in out)
     assert all(r["cms_est"] == r["exact_cnt"] + r["overestimate"] for r in out)
     assert any(r["overestimate"] > 0 for r in out)
+
+
+def test_bloom_membership_no_false_negatives_and_forced_fps(spark):
+    """Members must ALWAYS hit (one-sided error), and a deliberately
+    tiny filter must produce false positives that are flagged is_fp —
+    never a member marked miss."""
+    from edu_online_spark.operators.sketches import bloom_membership_audit
+
+    customer = spark.createDataFrame(
+        [(i,) for i in range(1, 201)], ["c_custkey"]
+    )
+    orders = spark.createDataFrame(
+        [(i,) for i in range(1, 201) if i % 10 == 0], ["o_custkey"]
+    )
+    out = bloom_membership_audit(customer, orders, m=64).collect()
+    assert len(out) == 200
+    for r in out:
+        if r["exact_member"]:
+            assert r["bloom_hit"] and not r["is_fp"]  # no false negatives
+        else:
+            assert r["is_fp"] == r["bloom_hit"]
+    # m=64 bits with 20 members * 3 hashes → collisions guaranteed
+    assert any(r["is_fp"] for r in out)
+    # default-sized filter: same guarantee, far fewer fps
+    big = bloom_membership_audit(customer, orders).collect()
+    fps_small = sum(r["is_fp"] for r in out)
+    fps_big = sum(r["is_fp"] for r in big)
+    assert fps_big < fps_small
+
+
+def test_bloom_membership_partitioning_invariant(spark):
+    from edu_online_spark.operators.sketches import bloom_membership_audit
+
+    customer = spark.createDataFrame([(i,) for i in range(300)], ["c_custkey"])
+    orders = spark.createDataFrame(
+        [(i * 7,) for i in range(30)], ["o_custkey"]
+    )
+    a = sorted(map(tuple, bloom_membership_audit(customer, orders, m=128).collect()))
+    b = sorted(
+        map(
+            tuple,
+            bloom_membership_audit(
+                customer.repartition(9), orders.repartition(5), m=128
+            ).collect(),
+        )
+    )
+    assert a == b
