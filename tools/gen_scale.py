@@ -117,6 +117,39 @@ def gen_customer(n: int, seed: int = 13) -> pa.Table:
     )
 
 
+def gen_orders(n_orders: int, n_cust: int, seed: int = 17) -> pa.Table:
+    """Orders fact in the driver table's shape (o_orderkey, o_custkey,
+    o_orderstatus, o_totalprice, o_orderdate, o_orderpriority) — the
+    build side for customers_bloom_prefilter's second scale point.
+    ~1/3 of customers place no order (same membership shape as sf0.1,
+    where the bloom filter's negative probes come from)."""
+    rng = np.random.default_rng(seed)
+    custkeys = rng.integers(0, (n_cust * 2) // 3, size=n_orders)
+    days = rng.integers(0, 365, size=n_orders)
+    base = np.datetime64("2025-01-01", "s")
+    return pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(n_orders, dtype=np.int64)),
+            "o_custkey": pa.array(custkeys.astype(np.int64)),
+            "o_orderstatus": pa.array(
+                [["O", "F", "P"][int(s)] for s in rng.integers(0, 3, size=n_orders)],
+                type=pa.string(),
+            ),
+            "o_totalprice": pa.array(
+                np.round(rng.uniform(900.0, 350000.0, size=n_orders), 2)
+            ),
+            "o_orderdate": pa.array(
+                base + days.astype("timedelta64[D]").astype("timedelta64[s]"),
+                type=pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(
+                [f"{int(p) + 1}-PRI" for p in rng.integers(0, 5, size=n_orders)],
+                type=pa.string(),
+            ),
+        }
+    )
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_rehearsal/sf1"
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -129,9 +162,11 @@ def main() -> None:
     pq.write_table(emb, f"{out_dir}/embeddings.parquet")
     cust = gen_customer(15000 * mult)
     pq.write_table(cust, f"{out_dir}/customer.parquet")
+    orders = gen_orders(150000 * mult, 15000 * mult)
+    pq.write_table(orders, f"{out_dir}/orders.parquet")
     print(
         f"wrote {docs.num_rows} documents, {emb.num_rows} embeddings, "
-        f"{cust.num_rows} customers -> {out_dir}"
+        f"{cust.num_rows} customers, {orders.num_rows} orders -> {out_dir}"
     )
 
 

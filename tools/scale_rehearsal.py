@@ -53,6 +53,13 @@ QUERIES = [
     "docs_substring_dedup",
     "dedup_substring_cross_corpus",
     "retrieval_negative_samples",
+    # round-6 session additions: global prefix-sum sharding (bucketed —
+    # no single-partition window), broadcast-centroid label noise (n·L
+    # rows, L constant), bloom bit-set probe (broadcast, build-side
+    # DISTINCT is the only exchange)
+    "corpus_shard_manifest",
+    "embeddings_label_noise",
+    "customers_bloom_prefilter",
 ]
 
 
