@@ -87,6 +87,12 @@ HEADLINE = [
     # baseline the certified entry pays for its recall pin — this is the
     # deployment-shape number (VERDICT r5 #8)
     "hybrid_search_rrf_lsh_prod",
+    # round 6: second-wave curation deliverables — budget quota (global
+    # prefix sum), shard layout, label hygiene, bloom join pre-filter
+    "docs_token_budget_cap",
+    "corpus_shard_manifest",
+    "embeddings_label_noise",
+    "customers_bloom_prefilter",
 ]
 
 

@@ -237,6 +237,87 @@ def token_countmin(documents: DataFrame, k: int = CMS_TOPK) -> DataFrame:
     )
 
 
+KLL_RANK_TOL = 0.05  # estimate must land within ±5pp of exact rank
+
+
+def price_quantile_sketch_rollup(lineitem: DataFrame) -> DataFrame:
+    """Mergeable quantiles (DataSketches KLL, built into Spark as
+    `kll_sketch_agg_double` / `kll_merge_agg_double`): per-returnflag
+    price sketches PLUS an ALL row whose estimates come from MERGING
+    the per-flag sketches — the operation exact quantiles cannot do
+    (quantiles don't add; a day→month→year rollup needs either a full
+    rescan or a mergeable sketch). This is the quantile counterpart of
+    the HLL distinct rollup above, and the same 100 TB argument
+    applies: per-partition sketches combine map-side, per-group
+    sketches union associatively, state is KB-sized regardless of
+    input rows.
+
+    Same boolean-tolerance oracle as the other sketch queries: exact
+    percentile_disc quartiles (value SELECTION — engine-portable per
+    the COVERAGE.md portability audit) are hash-checked, and each KLL
+    estimate is pinned to land between the exact values at rank
+    q ± KLL_RANK_TOL — generous headroom over KLL k=200's ~1.65%
+    one-sided rank error, loose enough to absorb the sketch's
+    randomized compaction, tight enough to catch a broken merge."""
+    Q = (0.25, 0.5, 0.75)
+
+    def exact_aggs(col: str):
+        aggs = []
+        for q in Q:
+            p = int(q * 100)
+            for tag, qq in (
+                (f"exact_p{p}", q),
+                (f"_lo{p}", max(0.0, q - KLL_RANK_TOL)),
+                (f"_hi{p}", min(1.0, q + KLL_RANK_TOL)),
+            ):
+                aggs.append(
+                    F.expr(
+                        f"percentile_disc({qq}) WITHIN GROUP (ORDER BY {col})"
+                    ).alias(tag)
+                )
+        return aggs
+
+    per = lineitem.groupBy(F.col("l_returnflag").alias("scope")).agg(
+        F.count("*").alias("n_rows"),
+        F.kll_sketch_agg_double("l_extendedprice").alias("sk"),
+        *exact_aggs("l_extendedprice"),
+    )
+    # the ALL row: estimates from the MERGED per-flag sketches (no
+    # rescan), exact columns from the base table (the audit leg)
+    merged = per.agg(
+        F.kll_merge_agg_double("sk").alias("sk"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    overall = (
+        merged.crossJoin(  # broadcast 1-row exact quartiles
+            F.broadcast(lineitem.agg(*exact_aggs("l_extendedprice")))
+        )
+        .select(F.lit("ALL").alias("scope"), "n_rows", "sk", *[
+            F.col(c)
+            for q in Q
+            for p in [int(q * 100)]
+            for c in (f"exact_p{p}", f"_lo{p}", f"_hi{p}")
+        ])
+    )
+    both = per.select(overall.columns).unionByName(overall)
+    est_cols = []
+    for q in Q:
+        p = int(q * 100)
+        est = F.kll_sketch_get_quantile_double("sk", F.lit(q))
+        est_cols.append(
+            (est >= F.col(f"_lo{p}")) & (est <= F.col(f"_hi{p}"))
+        )
+    return both.select(
+        "scope",
+        "n_rows",
+        *[F.col(f"exact_p{int(q * 100)}") for q in Q],
+        *[
+            c.alias(f"est_p{int(q * 100)}_ok")
+            for q, c in zip(Q, est_cols)
+        ],
+    )
+
+
 BLOOM_M = 1 << 17  # filter bits: ~16 KiB broadcast regardless of corpus size
 BLOOM_MULTS = (2654435761, 2246822519, 3266489917)  # k=3 public hash primes
 
@@ -330,6 +411,7 @@ QUERIES = {
     "events_theta_overlap": _q(audience_overlap_sketch, "events"),
     "corpus_token_countmin": _q(token_countmin, "documents"),
     "customers_bloom_prefilter": _q(bloom_membership_audit, "customer", "orders"),
+    "lineitem_price_kll_rollup": _q(price_quantile_sketch_rollup, "lineitem"),
 }
 
 ORACLE = {
@@ -428,5 +510,33 @@ ORACLE = {
                h.nb = {len(BLOOM_MULTS)}
                    AND h.custkey NOT IN (SELECT key FROM members) AS is_fp
         FROM hits h
+    """,
+    # Exact percentile_disc quartiles hash-checked (value selection —
+    # portable per the COVERAGE.md audit); KLL estimates pinned inside
+    # their ±5pp exact-rank band as booleans.
+    "lineitem_price_kll_rollup": """
+        WITH per AS (
+            SELECT l_returnflag AS scope, count(*) AS n_rows,
+                   percentile_disc(0.25) WITHIN GROUP
+                       (ORDER BY l_extendedprice) AS exact_p25,
+                   percentile_disc(0.5) WITHIN GROUP
+                       (ORDER BY l_extendedprice) AS exact_p50,
+                   percentile_disc(0.75) WITHIN GROUP
+                       (ORDER BY l_extendedprice) AS exact_p75
+            FROM lineitem GROUP BY 1
+        ),
+        overall AS (
+            SELECT 'ALL' AS scope, count(*) AS n_rows,
+                   percentile_disc(0.25) WITHIN GROUP
+                       (ORDER BY l_extendedprice) AS exact_p25,
+                   percentile_disc(0.5) WITHIN GROUP
+                       (ORDER BY l_extendedprice) AS exact_p50,
+                   percentile_disc(0.75) WITHIN GROUP
+                       (ORDER BY l_extendedprice) AS exact_p75
+            FROM lineitem
+        )
+        SELECT scope, n_rows, exact_p25, exact_p50, exact_p75,
+               TRUE AS est_p25_ok, TRUE AS est_p50_ok, TRUE AS est_p75_ok
+        FROM (SELECT * FROM per UNION ALL SELECT * FROM overall)
     """,
 }

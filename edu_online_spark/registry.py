@@ -113,6 +113,7 @@ _WINDOW_PRIORITY = [
     "corpus_shard_manifest",
     "embeddings_label_noise",
     "customers_bloom_prefilter",
+    "lineitem_price_kll_rollup",
     # 4: sentinels
     "quiz_mastery",
     "dedup_minhash_lsh",
@@ -145,8 +146,8 @@ _WINDOW_PRIORITY = [
     "tpch_q21_waiting_suppliers",
     "tpch_q22_rich_punctual_orders",
     "tpch_q4_priority_waiting",
-    # 5c: oldest round-3 rows (the rest of r3 refreshes in round 7)
-    "dedup_exact",
+    # (the oldest round-3 rows all refresh in round 7 — this round's
+    # additions consumed the 5c filler slots)
 ]
 
 

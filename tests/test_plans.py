@@ -457,3 +457,51 @@ def test_hybrid_lsh_no_corpus_cross(spark, sf_dir):
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan  # row-at-a-time Python banned
+
+
+def test_round6_session_trio_plan_shapes(spark, sf_dir):
+    """Shard manifest, label-noise mining, and the bloom pre-filter
+    stay declarative: zero Python, no cartesian fact×fact product, and
+    scans pruned to the columns each op actually reads. The bloom
+    probe path must resolve to broadcast joins (its whole point is
+    that the probe side never shuffles)."""
+    from edu_online_spark.operators.similarity import label_noise_candidates
+    from edu_online_spark.operators.sketches import bloom_membership_audit
+    from edu_online_spark.operators.textops import shard_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    man = shard_manifest(docs)
+    plan = explain_str(man, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    scans = read_schema_columns(man)
+    assert scans and all(
+        set(cols) <= {"doc_id", "text", "source"} for cols in scans
+    ), scans
+
+    noise = label_noise_candidates(emb)
+    plan = explain_str(noise, "simple")
+    # the only product is the broadcast × L-row centroid relation
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    scans = read_schema_columns(noise)
+    assert scans and all(
+        set(cols) <= {"vec_id", "embedding", "label"} for cols in scans
+    ), scans
+
+    bloom = bloom_membership_audit(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+    plan = explain_str(bloom, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert has_broadcast_join(bloom)
+    scans = read_schema_columns(bloom)
+    assert scans and all(
+        set(cols) <= {"c_custkey"} or set(cols) <= {"o_custkey"}
+        for cols in scans
+    ), scans

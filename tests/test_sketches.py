@@ -152,3 +152,47 @@ def test_bloom_membership_partitioning_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_kll_rollup_merge_estimates_inside_band(spark):
+    """Per-group estimate booleans must hold, and the ALL row — whose
+    estimates come from MERGING the group sketches, not a rescan —
+    must land inside the exact-rank band too."""
+    from edu_online_spark.operators.sketches import (
+        price_quantile_sketch_rollup,
+    )
+
+    rows = [
+        (float(i), ["A", "N", "R"][i % 3]) for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, ["l_extendedprice", "l_returnflag"])
+    out = {r["scope"]: r for r in price_quantile_sketch_rollup(df).collect()}
+    assert set(out) == {"A", "N", "R", "ALL"}
+    for r in out.values():
+        assert r["est_p25_ok"] and r["est_p50_ok"] and r["est_p75_ok"]
+    assert out["ALL"]["n_rows"] == 3000
+    # exact quartiles of 0..2999 are actual data values (percentile_disc)
+    assert out["ALL"]["exact_p50"] in {1499.0, 1500.0}
+    assert out["ALL"]["exact_p25"] < out["ALL"]["exact_p50"] < out["ALL"]["exact_p75"]
+
+
+def test_kll_rollup_exact_columns_partitioning_invariant(spark):
+    """The hash-certified surface (exact quartiles + counts) must be
+    bit-stable under repartitioning; the sketch estimates only need to
+    stay inside their band (randomized compaction is allowed to move
+    them within it)."""
+    from edu_online_spark.operators.sketches import (
+        price_quantile_sketch_rollup,
+    )
+
+    rows = [(float(i * 7 % 1000), ["A", "N"][i % 2]) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["l_extendedprice", "l_returnflag"])
+    cols = ["scope", "n_rows", "exact_p25", "exact_p50", "exact_p75"]
+    a = sorted(map(tuple, price_quantile_sketch_rollup(df).select(cols).collect()))
+    b = sorted(
+        map(
+            tuple,
+            price_quantile_sketch_rollup(df.repartition(17)).select(cols).collect(),
+        )
+    )
+    assert a == b
