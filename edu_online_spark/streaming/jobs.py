@@ -1596,3 +1596,103 @@ def token_budget_gate_job(
         .trigger(**_trigger({}, available_now))
         .start()
     )
+
+
+def shard_assign_job(
+    raw: DataFrame,
+    out_docs: str,
+    checkpoint: str,
+    shard_tokens: int | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Shard-on-ingest: the streaming twin of
+    operators/textops.assign_training_shards. Each trigger lays its
+    documents out in deterministic hash-priority order, CONTINUES the
+    global token stream from the running total carried in a one-row
+    state table (out_docs + '.state'), and assigns every doc the shard
+    of its starting offset — so shards fill to ~shard_tokens across
+    trigger boundaries exactly as the batch writer fills them across
+    the corpus. The within-trigger prefix sum is the SAME bucketed
+    machinery as the batch operator (reused directly), so no trigger
+    ever rides a single window partition.
+
+    Delivery semantics (T7): per-batch-dir OVERWRITE + batch-id fence
+    in the swap-committed state row; assignment is deterministic given
+    (prior total, batch), so a replayed trigger rewrites identical
+    bytes. Semantics delta vs batch (documented like the other twins):
+    the batch form hash-orders the WHOLE corpus; the stream freezes
+    each trigger's layout at arrival — a later doc never reorders an
+    already-written shard.
+    """
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ..operators.textops import SHARD_TOKEN_TARGET, assign_training_shards
+
+    shard_tokens = SHARD_TOKEN_TARGET if shard_tokens is None else shard_tokens
+    state_path = out_docs + ".state"
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    parsed = F.from_json(
+        F.col("value"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    docs = (
+        raw.select(parsed.alias("j"))
+        .filter(
+            F.col("j._corrupt").isNull()
+            & F.col("j.doc_id").isNotNull()
+            & F.col("j.text").isNotNull()
+            & F.col("j.source").isNotNull()
+        )
+        .select(
+            F.col("j.doc_id").alias("doc_id"),
+            F.col("j.text").alias("text"),
+            F.col("j.source").alias("source"),
+        )
+    )
+
+    def assign(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        sinks.recover_sink(state_path)  # promote half-committed swap first
+        prior_total = 0
+        if os.path.exists(state_path):
+            st = spark.read.parquet(state_path).first()
+            if st["last_batch_id"] >= batch_id:
+                return  # redelivered trigger: layout already written
+            prior_total = st["total_tokens"]
+        assigned = (
+            assign_training_shards(batch, shard_tokens)
+            .withColumn("cum_tokens", F.col("cum_tokens") + F.lit(prior_total))
+            .withColumn(
+                "shard_id",
+                F.expr(f"(cum_tokens - n_tokens) div {int(shard_tokens)}"),
+            )
+            .localCheckpoint(eager=True)  # docs write + state branch
+        )
+        assigned.write.mode("overwrite").parquet(
+            os.path.join(out_docs, f"ingest_batch={batch_id}")
+        )
+        new_total = assigned.agg(F.max("cum_tokens")).first()[0]
+        new_state = spark.createDataFrame(
+            [(int(new_total), int(batch_id))],
+            "total_tokens long, last_batch_id long",
+        ).coalesce(1)
+        sinks.parquet_overwrite_atomic(state_path)(new_state, batch_id)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(assign)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )

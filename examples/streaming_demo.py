@@ -40,7 +40,7 @@ def main() -> None:
         t: f"{work}/topics/{t}"
         for t in (
             "register", "qz", "page", "raw", "docs", "pii", "emb", "link",
-            "scrub",
+            "scrub", "budget", "shard",
         )
     }
 
@@ -266,6 +266,46 @@ def main() -> None:
     jobs.substring_scrub_job(
         file_stream(spark, topics["scrub"]), f"{work}/span_index",
         out["scrubbed_spans"], ck("scrub"), available_now=True,
+    ).awaitTermination(120)
+
+    # round-6: quota-on-ingest + shard-on-ingest — the curation
+    # pipeline's admission and layout stages running live. Budget 8:
+    # s1's second doc (wave 2) is rejected once the source's CUMULATIVE
+    # total would exceed it; the shard stream continues its global
+    # token offset across waves (no restart at shard 0).
+    produce(topics["budget"], "b1.jsonl", [
+        json.dumps({"doc_id": 1, "text": "a b c d e", "source": "s1"}),
+        json.dumps({"doc_id": 2, "text": "x y", "source": "s2"}),
+    ])
+    out["budget_gate"] = f"{work}/out/budget_gate"
+    jobs.token_budget_gate_job(
+        file_stream(spark, topics["budget"]),
+        out["budget_gate"], ck("budget"), budget=8, available_now=True,
+    ).awaitTermination(120)
+    produce(topics["budget"], "b2.jsonl", [
+        json.dumps({"doc_id": 3, "text": "f g h i", "source": "s1"}),
+        json.dumps({"doc_id": 4, "text": "z w", "source": "s2"}),
+    ])
+    jobs.token_budget_gate_job(
+        file_stream(spark, topics["budget"]),
+        out["budget_gate"], ck("budget"), budget=8, available_now=True,
+    ).awaitTermination(120)
+
+    produce(topics["shard"], "b1.jsonl", [
+        json.dumps({"doc_id": i, "text": "t u v w", "source": "s0"})
+        for i in range(3)
+    ])
+    out["shard_stream"] = f"{work}/out/shard_stream"
+    jobs.shard_assign_job(
+        file_stream(spark, topics["shard"]),
+        out["shard_stream"], ck("shard"), shard_tokens=5, available_now=True,
+    ).awaitTermination(120)
+    produce(topics["shard"], "b2.jsonl", [
+        json.dumps({"doc_id": 10, "text": "p q r", "source": "s0"}),
+    ])
+    jobs.shard_assign_job(
+        file_stream(spark, topics["shard"]),
+        out["shard_stream"], ck("shard"), shard_tokens=5, available_now=True,
     ).awaitTermination(120)
 
     for name, path in out.items():

@@ -1036,3 +1036,65 @@ def test_token_budget_gate_recovers_half_committed_state(spark, tmp_path):
     assert admitted == {1}  # doc 3 still rejected: 6 + 5 > 10 survived the crash
     st = {r["source"]: r["used_tokens"] for r in spark.read.parquet(state).collect()}
     assert st == {"s1": 6}
+
+
+def test_shard_assign_continues_global_stream_across_waves(spark, tmp_path):
+    """Wave 2's shard ids must continue from wave 1's running token
+    total — not restart at shard 0 — and within each wave the layout
+    must equal the batch operator's hash order."""
+    from edu_online_spark.operators.textops import BUDGET_HASH_MOD
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    wave1 = [(i, "s0", " ".join(["w"] * 4)) for i in range(5)]       # 20 tokens
+    wave2 = [(i, "s0", " ".join(["w"] * 3)) for i in range(10, 16)]  # 18 tokens
+    _write_lines(src, "b1.jsonl", _budget_doc_lines(wave1) + ["corrupt {"])
+    _run(jobs.shard_assign_job, spark, src, out, ckpt, shard_tokens=10)
+    _write_lines(src, "b2.jsonl", _budget_doc_lines(wave2))
+    _run(jobs.shard_assign_job, spark, src, out, ckpt, shard_tokens=10)
+
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert len(rows) == 11
+
+    def h(doc_id):
+        return (doc_id % 2147483647) * 2654435761 % BUDGET_HASH_MOD
+
+    cum = 0
+    for doc_id, _, text in sorted(wave1, key=lambda r: (h(r[0]), r[0])):
+        start, cum = cum, cum + len(text.split())
+        assert rows[doc_id]["cum_tokens"] == cum
+        assert rows[doc_id]["shard_id"] == start // 10
+    for doc_id, _, text in sorted(wave2, key=lambda r: (h(r[0]), r[0])):
+        start, cum = cum, cum + len(text.split())
+        assert rows[doc_id]["cum_tokens"] == cum  # continues, no restart
+        assert rows[doc_id]["shard_id"] == start // 10
+    st = spark.read.parquet(out + ".state").first()
+    assert st["total_tokens"] == 38
+
+
+def test_shard_assign_replay_is_idempotent(spark, tmp_path):
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(src, "b1.jsonl", _budget_doc_lines([(1, "s0", "a b c")]))
+    _run(jobs.shard_assign_job, spark, src, out, ckpt, shard_tokens=10)
+    before = sorted(map(tuple, spark.read.parquet(out).collect()))
+    st_before = spark.read.parquet(out + ".state").first()
+    _run(jobs.shard_assign_job, spark, src, out, str(tmp_path / "ck2"), shard_tokens=10)
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == before
+    st = spark.read.parquet(out + ".state").first()
+    assert st["total_tokens"] == st_before["total_tokens"]
+
+
+def test_shard_assign_recovers_half_committed_state(spark, tmp_path):
+    """Crash between the state swap's renames: the next trigger must
+    promote the staged state BEFORE reading, or the stream restarts at
+    offset 0 and re-issues shard ids already written."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(src, "b1.jsonl", _budget_doc_lines([(1, "s0", "a b c d e f")]))
+    _run(jobs.shard_assign_job, spark, src, out, ckpt, shard_tokens=4)
+    state = out + ".state"
+    os.rename(state, state + ".__staging__")
+    _write_lines(src, "b2.jsonl", _budget_doc_lines([(2, "s0", "g h i")]))
+    _run(jobs.shard_assign_job, spark, src, out, ckpt, shard_tokens=4)
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert rows[2]["cum_tokens"] == 9      # 6 survived the crash, +3
+    assert rows[2]["shard_id"] == 6 // 4   # starts in shard 1, not 0
+    assert spark.read.parquet(state).first()["total_tokens"] == 9
