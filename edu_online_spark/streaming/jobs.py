@@ -1696,3 +1696,94 @@ def shard_assign_job(
         .trigger(**_trigger({}, available_now))
         .start()
     )
+
+
+def length_quantile_sketch_job(
+    raw: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Live document-length quantiles via a cumulative KLL sketch — the
+    streaming twin of operators/sketches.price_quantile_sketch_rollup
+    and the quantile member of the mergeable-sketch job family (CMS =
+    frequencies, HLL = distincts, KLL = ranks). Each trigger folds the
+    batch's length sketch into a single cumulative sketch held in a
+    swap-committed state table (out_path + '.sk'); the published report
+    is the CURRENT corpus p25/p50/p95 plus the exact running count.
+
+    Why a sketch and not the exact stream: quantiles of an unbounded
+    stream need every value (they don't add); the KLL state is KB-sized
+    forever, merges associatively (kll_merge_agg_double), and its rank
+    error is bounded — the only quantile state that survives T3 at
+    100 TB/day. Merge is addition-like, NOT idempotent, so replays are
+    fenced by last_batch_id exactly as the CMS job fences its cells
+    (the reference's replay-doubling lesson, MyKafkaUtil.scala:32-92).
+    """
+    import os
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    parsed = F.from_json(
+        F.col("value"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    docs = (
+        raw.select(parsed.alias("j"))
+        .filter(F.col("j._corrupt").isNull() & F.col("j.text").isNotNull())
+        .select(F.col("j.text").alias("text"))
+    )
+    sk_path = out_path + ".sk"
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        delta = batch.select(
+            F.size(F.split(F.trim("text"), " +")).cast("double").alias("n")
+        ).agg(
+            F.kll_sketch_agg_double("n").alias("sk"),
+            F.count("*").alias("n_docs"),
+        )
+        sinks.recover_sink(sk_path)  # promote half-commit BEFORE reading
+        if os.path.exists(sk_path):
+            old = spark.read.parquet(sk_path)
+            last = old.agg(F.max("last_batch_id")).first()[0]
+            if last is not None and last >= batch_id:
+                return  # redelivered trigger: already folded in
+            delta = (
+                old.select("sk", "n_docs")
+                .unionByName(delta)
+                .agg(
+                    F.kll_merge_agg_double("sk").alias("sk"),
+                    F.sum("n_docs").alias("n_docs"),
+                )
+            )
+        cum = (
+            delta.withColumn("last_batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .localCheckpoint(eager=True)  # pin before the swap retires old
+        )
+        sinks.parquet_overwrite_atomic(sk_path)(cum, batch_id)
+        report = cum.select(
+            "n_docs",
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.25)).alias("p25"),
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.95)).alias("p95"),
+        ).coalesce(1).localCheckpoint(eager=True)
+        sinks.parquet_overwrite_atomic(out_path)(report, batch_id)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )

@@ -1098,3 +1098,51 @@ def test_shard_assign_recovers_half_committed_state(spark, tmp_path):
     assert rows[2]["cum_tokens"] == 9      # 6 survived the crash, +3
     assert rows[2]["shard_id"] == 6 // 4   # starts in shard 1, not 0
     assert spark.read.parquet(state).first()["total_tokens"] == 9
+
+
+def test_length_quantile_sketch_tracks_cumulative_stream(spark, tmp_path):
+    """The published quantiles must reflect ALL waves (merged sketch),
+    not just the last trigger, and the exact running count is exact."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    # wave 1: 50 docs of 10 tokens; wave 2: 50 docs of 90 tokens
+    _write_lines(
+        src, "b1.jsonl",
+        _budget_doc_lines([(i, "s", " ".join(["w"] * 10)) for i in range(50)]),
+    )
+    _run(jobs.length_quantile_sketch_job, spark, src, out, ckpt)
+    r1 = spark.read.parquet(out).first()
+    assert r1["n_docs"] == 50 and r1["p50"] == 10.0
+    _write_lines(
+        src, "b2.jsonl",
+        _budget_doc_lines(
+            [(100 + i, "s", " ".join(["w"] * 90)) for i in range(50)]
+        ),
+    )
+    _run(jobs.length_quantile_sketch_job, spark, src, out, ckpt)
+    r2 = spark.read.parquet(out).first()
+    assert r2["n_docs"] == 100
+    assert r2["p25"] == 10.0 and r2["p95"] == 90.0  # both waves visible
+    assert r2["p50"] in (10.0, 90.0)  # exact median sits on the step
+
+
+def test_length_quantile_sketch_replay_and_recovery(spark, tmp_path):
+    """Replay through a fresh checkpoint must not double-fold; a crash
+    between the state swap's renames must be recovered before read."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(
+        src, "b1.jsonl",
+        _budget_doc_lines([(i, "s", " ".join(["w"] * 5)) for i in range(20)]),
+    )
+    _run(jobs.length_quantile_sketch_job, spark, src, out, ckpt)
+    _run(jobs.length_quantile_sketch_job, spark, src, out, str(tmp_path / "ck2"))
+    assert spark.read.parquet(out).first()["n_docs"] == 20  # no double count
+    sk = out + ".sk"
+    os.rename(sk, sk + ".__staging__")
+    _write_lines(
+        src, "b2.jsonl",
+        _budget_doc_lines([(50 + i, "s", " ".join(["w"] * 7)) for i in range(10)]),
+    )
+    _run(jobs.length_quantile_sketch_job, spark, src, out, ckpt)
+    r = spark.read.parquet(out).first()
+    assert r["n_docs"] == 30  # staged state promoted, not discarded
+    assert spark.read.parquet(sk).first()["n_docs"] == 30
