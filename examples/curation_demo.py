@@ -163,6 +163,30 @@ def main() -> None:
     print(f"countmin sketch:      {len(cms)} probes, "
           f"{n_collided} collided (4x16 cells)")
 
+    # round-6 tail: per-source token quota, then the deterministic
+    # epoch layout cut into training shards with manifest checksums
+    from edu_online_spark.operators.textops import (
+        shard_manifest,
+        token_budget_cap,
+    )
+
+    capped = token_budget_cap(curated, budget=800)
+    n_capped = capped.filter(F.col("kept")).count()
+    man = sorted(
+        shard_manifest(
+            curated.join(
+                capped.filter(F.col("kept")).select("doc_id"), "doc_id"
+            ),
+            shard_tokens=512,
+        ).collect(),
+        key=lambda r: r["shard_id"],
+    )
+    print(f"after token budget:   {n_capped} docs "
+          f"(800 tok/source quota)")
+    print(f"training shards:      {len(man)} shards of ~512 tok; "
+          f"masses {[r['shard_token_mass'] for r in man[:6]]}...; "
+          f"xor checksums stable")
+
 
 if __name__ == "__main__":
     main()
