@@ -796,6 +796,77 @@ def q_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload_dedup(synth_assets(load_table(spark, sf_dir, "documents")))
 
 
+AHASH_HAMMING_MAX = 7  # 8 pigeonhole chunks of 8 bits each
+
+
+def image_ahash_neardup(
+    assets: DataFrame, max_hamming: int = AHASH_HAMMING_MAX
+) -> DataFrame:
+    """Perceptual image near-dup detection: pairs of images whose
+    64-bit aHash differs in ≤ max_hamming bits — the visual-content
+    counterpart of payload_dedup (which only catches byte-identical
+    copies; a re-encode, resize, or watermark defeats it, but barely
+    moves the aHash). Candidate generation is the same pigeonhole
+    guarantee as SimHash text near-dup (dedup.simhash_pairs): split
+    the hash into max_hamming+1 chunks — any pair within budget agrees
+    on ≥1 whole chunk — and equi-join on (chunk_idx, chunk_value).
+    The image BYTES never shuffle: only 64-char hashes and ids move,
+    and the corpus never self-crosses. Exact hamming (an integer
+    char-compare fold, engine-portable) is computed only on chunk
+    collisions.
+    """
+    chunks = max_hamming + 1
+    if 64 % chunks:
+        raise ValueError("max_hamming+1 must divide 64")
+    width = 64 // chunks
+    # both sides of the self-join read this — materialize the (tiny:
+    # id + 64-char hash per image) relation once
+    sig = image_ahash(assets).select("asset_id", "ahash").localCheckpoint(
+        eager=True
+    )
+    chunked = sig.select(
+        "asset_id",
+        "ahash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("ahash", i * width + 1, width)
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("chunk", "cv"),
+    )
+    cand = (
+        chunked.alias("a")
+        .join(
+            chunked.alias("b"),
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.expr(
+        "aggregate(sequence(1, 64), 0, (acc, i) -> "
+        "acc + IF(substring(ha, i, 1) = substring(hb, i, 1), 0, 1))"
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("asset_a", "asset_b", "hamming")
+    )
+
+
+def q_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_ahash_neardup(_media(spark, sf_dir))
+
+
 QUERIES = {
     "multimodal_decoded_meta": q_decoded_meta,
     "multimodal_media_summary": q_media_summary,
@@ -806,6 +877,7 @@ QUERIES = {
     "multimodal_image_ahash": q_image_ahash,
     "multimodal_audio_fingerprint": q_audio_fingerprint,
     "multimodal_video_scenecuts": q_video_scenecuts,
+    "multimodal_ahash_neardup": q_ahash_neardup,
 }
 
 # The payload parameters are deterministic in doc_id, so the oracle
@@ -1029,3 +1101,31 @@ ORACLE = {
         FROM decoded GROUP BY media_type
     """,
 }
+
+# Perceptual near-dup oracle: the certified aHash relation (above) fed
+# through the same pigeonhole chunk join, exact hamming as a char-fold
+# — banded (linear), not the O(n^2) pair form.
+ORACLE["multimodal_ahash_neardup"] = f"""
+    WITH ah AS ({ORACLE["multimodal_image_ahash"]}),
+    ch AS (
+        SELECT asset_id, ahash, i AS chunk,
+               substring(ahash, i * 8 + 1, 8) AS cv
+        FROM ah CROSS JOIN (SELECT unnest(range(0, 8)) AS i) ks
+    ),
+    cand AS (
+        SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b,
+               a.ahash AS ha, b.ahash AS hb
+        FROM ch a JOIN ch b
+          ON a.chunk = b.chunk AND a.cv = b.cv
+         AND a.asset_id < b.asset_id
+    ),
+    scored AS (
+        SELECT asset_a, asset_b,
+               CAST(list_sum([CASE WHEN ha[i] = hb[i] THEN 0 ELSE 1 END
+                              for i in range(1, 65)]) AS INTEGER)
+                   AS hamming
+        FROM cand
+    )
+    SELECT asset_a, asset_b, hamming FROM scored
+    WHERE hamming <= {AHASH_HAMMING_MAX}
+"""

@@ -81,7 +81,8 @@ _PREFIX_TAIL_BOUNDARY = "tpch"
 #      dropped per insertion so the list stays exactly 50);
 #   4. long-standing sentinels re-certified every round;
 #   5. stale refreshers, oldest driver row first (r1 rows-only trio,
-#      then the full r2 cohort, then the oldest r3 rows).
+#      then the r2 cohort, then the oldest r3 rows; r2/r3 rows that
+#      ceded their slot to round-6 insertions refresh in round 7).
 # Names are validated against the assembled registry — a typo or a
 # renamed query fails loudly rather than silently ceding its slot.
 _WINDOW_PRIORITY = [
@@ -114,6 +115,7 @@ _WINDOW_PRIORITY = [
     "embeddings_label_noise",
     "customers_bloom_prefilter",
     "lineitem_price_kll_rollup",
+    "multimodal_ahash_neardup",
     # 4: sentinels
     "quiz_mastery",
     "dedup_minhash_lsh",
@@ -124,7 +126,6 @@ _WINDOW_PRIORITY = [
     "sim_knn_lsh",
     # 5b: round-2 cohort, four rounds stale (orders_date_features is in
     # section 2)
-    "daily_revenue_ma7",
     "events_profile",
     "events_props_k_stats",
     "events_stratified_sample",

@@ -273,3 +273,61 @@ def test_audio_fingerprint_marks_loud_spans(spark):
     assert r["n_samples"] == n
     assert r["bits_set"] == 1
     assert r["afp"].index("1") == 32
+
+
+def test_ahash_neardup_finds_perturbed_copy_within_budget(spark):
+    """An identical copy (hamming 0) and a slightly-perturbed copy must
+    both pair with the original; a structurally different image must
+    not. The pigeonhole join must agree with the exact hamming."""
+    from edu_online_spark.operators.multimodal import (
+        _bmp_bytes,
+        image_ahash,
+        image_ahash_neardup,
+    )
+
+    base = _bmp_bytes(33)
+    # perturb a handful of pixel bytes far apart — a few ahash cells
+    # flip at most, staying within the hamming budget
+    pert = bytearray(base)
+    for off in range(54, min(len(pert), 54 + 40), 13):
+        pert[off] = 255 - pert[off]
+    rows = [
+        (1, "image", bytearray(base)),
+        (2, "image", bytearray(base)),      # exact copy
+        (3, "image", bytes(pert)),          # near copy
+        (4, "image", bytearray(_bmp_bytes(999))),  # different image
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary"
+    )
+    pairs = {
+        (r["asset_a"], r["asset_b"]): r["hamming"]
+        for r in image_ahash_neardup(assets).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 7
+    assert not any(4 in p for p in pairs)
+    # cross-check one pair against the exact hashes
+    hs = {r["asset_id"]: r["ahash"] for r in image_ahash(assets).collect()}
+    exact = sum(x != y for x, y in zip(hs[1], hs[3]))
+    assert pairs[(1, 3)] == exact
+
+
+def test_ahash_neardup_partitioning_invariant(spark):
+    from edu_online_spark.operators.multimodal import (
+        _bmp_bytes,
+        image_ahash_neardup,
+    )
+
+    rows = [
+        (i, "image", bytearray(_bmp_bytes(i % 7)))  # forced collisions
+        for i in range(21)
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary"
+    )
+    a = sorted(map(tuple, image_ahash_neardup(assets).collect()))
+    b = sorted(
+        map(tuple, image_ahash_neardup(assets.repartition(8)).collect())
+    )
+    assert a == b and len(a) >= 21  # every same-residue pair collides
