@@ -796,7 +796,7 @@ def q_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload_dedup(synth_assets(load_table(spark, sf_dir, "documents")))
 
 
-AHASH_HAMMING_MAX = 7  # 8 pigeonhole chunks of 8 bits each
+AHASH_HAMMING_MAX = 3  # 4 pigeonhole chunks of 16 bits each
 
 
 def image_ahash_neardup(
@@ -806,27 +806,65 @@ def image_ahash_neardup(
     64-bit aHash differs in ≤ max_hamming bits — the visual-content
     counterpart of payload_dedup (which only catches byte-identical
     copies; a re-encode, resize, or watermark defeats it, but barely
-    moves the aHash). Candidate generation is the same pigeonhole
-    guarantee as SimHash text near-dup (dedup.simhash_pairs): split
-    the hash into max_hamming+1 chunks — any pair within budget agrees
-    on ≥1 whole chunk — and equi-join on (chunk_idx, chunk_value).
-    The image BYTES never shuffle: only 64-char hashes and ids move,
-    and the corpus never self-crosses. Exact hamming (an integer
-    char-compare fold, engine-portable) is computed only on chunk
-    collisions.
+    moves the aHash).
+
+    Two scale decisions, both measured (SCALE.md §4):
+    1. DEDUP BEFORE BANDING. Perceptual hashes cluster hard — real
+       corpora are full of byte-different copies of the same picture,
+       and the sf1 rehearsal corpus has 16,667 images over only 251
+       distinct hashes. Banding members directly would put every copy
+       of a popular image in the same bucket (3.5M candidate pairs at
+       sf1); banding the DISTINCT-hash relation instead yields 234.
+       Identical-hash pairs are emitted directly from the group
+       self-join (hamming 0 by definition — no scoring), near pairs
+       are found between hash REPRESENTATIVES and expanded to members.
+    2. The pigeonhole guarantee is SimHash's (dedup.simhash_pairs):
+       4 chunks × 16 bits — any pair within hamming ≤ 3 agrees on ≥1
+       whole chunk, so candidates come from an equi-join on
+       (chunk_idx, chunk_value); exact hamming is two xor+bit_count
+       integer ops on the packed 32-bit halves, not a 64-step string
+       fold. The image BYTES never shuffle; the corpus never
+       self-crosses.
+
+    Output is the audit-friendly pair form (asset_a, asset_b,
+    hamming); its size is the true near-dup mass (identical-copy
+    groups expand to C(n,2) rows). A production collapse step would
+    keep the (ahash → representative) group form instead — same
+    relations, one fewer expansion join.
     """
     chunks = max_hamming + 1
     if 64 % chunks:
         raise ValueError("max_hamming+1 must divide 64")
     width = 64 // chunks
-    # both sides of the self-join read this — materialize the (tiny:
-    # id + 64-char hash per image) relation once
+    # (asset_id, ahash) membership — read by the identical-pair join
+    # and both expansion joins; materialize the signature pass once
     sig = image_ahash(assets).select("asset_id", "ahash").localCheckpoint(
         eager=True
     )
-    chunked = sig.select(
-        "asset_id",
+    # identical-hash pairs: hamming 0, no banding, no scoring
+    within = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.ahash") == F.col("b.ahash"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    # distinct-hash relation with packed 32-bit halves for cheap xor
+    reps = sig.select("ahash").distinct().select(
         "ahash",
+        F.conv(F.substring("ahash", 1, 32), 2, 10).cast("long").alias("w1"),
+        F.conv(F.substring("ahash", 33, 32), 2, 10).cast("long").alias("w2"),
+    )
+    chunked = reps.select(
+        "ahash",
+        "w1",
+        "w2",
         F.posexplode(
             F.array(
                 *[
@@ -836,31 +874,42 @@ def image_ahash_neardup(
             )
         ).alias("chunk", "cv"),
     )
-    cand = (
+    hamming = (
+        F.bit_count(F.col("a.w1").bitwiseXOR(F.col("b.w1")))
+        + F.bit_count(F.col("a.w2").bitwiseXOR(F.col("b.w2")))
+    )
+    hash_pairs = (
         chunked.alias("a")
         .join(
             chunked.alias("b"),
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col("a.asset_id") < F.col("b.asset_id")),
+            & (F.col("a.ahash") < F.col("b.ahash")),
         )
         .select(
-            F.col("a.asset_id").alias("asset_a"),
-            F.col("b.asset_id").alias("asset_b"),
             F.col("a.ahash").alias("ha"),
             F.col("b.ahash").alias("hb"),
+            hamming.alias("hamming"),
         )
         .distinct()
+        .filter((F.col("hamming") > 0) & (F.col("hamming") <= max_hamming))
     )
-    hamming = F.expr(
-        "aggregate(sequence(1, 64), 0, (acc, i) -> "
-        "acc + IF(substring(ha, i, 1) = substring(hb, i, 1), 0, 1))"
+    near = (
+        hash_pairs.join(
+            sig.select(F.col("ahash").alias("ha"), F.col("asset_id").alias("id_a")),
+            "ha",
+        )
+        .join(
+            sig.select(F.col("ahash").alias("hb"), F.col("asset_id").alias("id_b")),
+            "hb",
+        )
+        .select(
+            F.least("id_a", "id_b").alias("asset_a"),
+            F.greatest("id_a", "id_b").alias("asset_b"),
+            "hamming",
+        )
     )
-    return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("asset_a", "asset_b", "hamming")
-    )
+    return within.unionByName(near)
 
 
 def q_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1103,14 +1152,16 @@ ORACLE = {
 }
 
 # Perceptual near-dup oracle: the certified aHash relation (above) fed
-# through the same pigeonhole chunk join, exact hamming as a char-fold
-# — banded (linear), not the O(n^2) pair form.
+# through the same 4x16-bit pigeonhole chunk join (lossless for
+# hamming <= 3), exact hamming as a char-fold. The Spark side's
+# dedup-before-banding is an optimization, not a semantics change, so
+# the oracle uses the direct banded form over the full relation.
 ORACLE["multimodal_ahash_neardup"] = f"""
     WITH ah AS ({ORACLE["multimodal_image_ahash"]}),
     ch AS (
         SELECT asset_id, ahash, i AS chunk,
-               substring(ahash, i * 8 + 1, 8) AS cv
-        FROM ah CROSS JOIN (SELECT unnest(range(0, 8)) AS i) ks
+               substring(ahash, i * 16 + 1, 16) AS cv
+        FROM ah CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ks
     ),
     cand AS (
         SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b,

@@ -287,7 +287,7 @@ def test_ahash_neardup_finds_perturbed_copy_within_budget(spark):
 
     base = _bmp_bytes(33)
     # perturb a handful of pixel bytes far apart — a few ahash cells
-    # flip at most, staying within the hamming budget
+    # flip at most, staying within the hamming-3 budget
     pert = bytearray(base)
     for off in range(54, min(len(pert), 54 + 40), 13):
         pert[off] = 255 - pert[off]
@@ -305,7 +305,7 @@ def test_ahash_neardup_finds_perturbed_copy_within_budget(spark):
         for r in image_ahash_neardup(assets).collect()
     }
     assert pairs[(1, 2)] == 0
-    assert (1, 3) in pairs and pairs[(1, 3)] <= 7
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3
     assert not any(4 in p for p in pairs)
     # cross-check one pair against the exact hashes
     hs = {r["asset_id"]: r["ahash"] for r in image_ahash(assets).collect()}

@@ -60,6 +60,7 @@ QUERIES = [
     "corpus_shard_manifest",
     "embeddings_label_noise",
     "customers_bloom_prefilter",
+    "multimodal_ahash_neardup",  # banded perceptual pairs — bytes never shuffle
 ]
 
 
