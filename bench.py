@@ -93,6 +93,8 @@ HEADLINE = [
     "corpus_shard_manifest",
     "embeddings_label_noise",
     "customers_bloom_prefilter",
+    "lineitem_price_kll_rollup",
+    "multimodal_ahash_neardup",
 ]
 
 
