@@ -150,6 +150,22 @@ def gen_orders(n_orders: int, n_cust: int, seed: int = 17) -> pa.Table:
     )
 
 
+def gen_lineitem(n: int, seed: int = 19) -> pa.Table:
+    """Minimal lineitem twin — only the columns the sketch rollup
+    reads (l_returnflag, l_extendedprice); rehearsal runs name their
+    queries explicitly, so the narrow schema is safe here."""
+    rng = np.random.default_rng(seed)
+    flags = rng.choice(["A", "N", "R"], size=n, p=[0.25, 0.5, 0.25])
+    return pa.table(
+        {
+            "l_returnflag": pa.array(flags.tolist(), type=pa.string()),
+            "l_extendedprice": pa.array(
+                np.round(rng.uniform(900.0, 105000.0, size=n), 2)
+            ),
+        }
+    )
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_rehearsal/sf1"
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -164,9 +180,12 @@ def main() -> None:
     pq.write_table(cust, f"{out_dir}/customer.parquet")
     orders = gen_orders(150000 * mult, 15000 * mult)
     pq.write_table(orders, f"{out_dir}/orders.parquet")
+    li = gen_lineitem(600000 * mult)
+    pq.write_table(li, f"{out_dir}/lineitem.parquet")
     print(
         f"wrote {docs.num_rows} documents, {emb.num_rows} embeddings, "
-        f"{cust.num_rows} customers, {orders.num_rows} orders -> {out_dir}"
+        f"{cust.num_rows} customers, {orders.num_rows} orders, "
+        f"{li.num_rows} lineitems -> {out_dir}"
     )
 
 
