@@ -1787,3 +1787,150 @@ def length_quantile_sketch_job(
         .trigger(**_trigger({}, available_now))
         .start()
     )
+
+
+def seen_filter_job(
+    raw: DataFrame,
+    out_docs: str,
+    checkpoint: str,
+    m: int | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Seen-before filtering on ingest via a cumulative Bloom filter —
+    the streaming twin of operators/sketches.bloom_membership_audit and
+    the membership member of the sketch-state job family (CMS =
+    frequencies, HLL = distincts, KLL = ranks, Bloom = membership).
+    Every trigger probes each document's CONTENT key (xxhash64 of the
+    normalized text — reposts under new doc_ids still match) against
+    the accumulated bit set, annotates `probably_seen`, then inserts
+    the trigger's bits. The state is the distinct-bit relation: at most
+    BLOOM_M rows forever, whatever the stream's length — membership
+    state that survives T3 where an exact seen-set grows without bound.
+
+    One-sided error, surfaced honestly: a Bloom hit may be a false
+    positive (rate set by m vs stream cardinality), so documents are
+    ANNOTATED, not silently dropped — the downstream consumer chooses
+    the drop policy. A miss is always genuinely new. Within a trigger,
+    duplicates of the same key are exact (first occurrence by hash
+    order is unflagged, the rest flagged) — trigger-sized window, the
+    same boundedness argument as the budget gate. Bit insertion is set
+    union (idempotent), but the ANNOTATION depends on prior state, so
+    replays are still fenced by last_batch_id for exact re-emission.
+    """
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ..operators.sketches import BLOOM_M, BLOOM_MULTS
+
+    m = BLOOM_M if m is None else m
+    state_path = out_docs + ".bits"
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    parsed = F.from_json(
+        F.col("value"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    docs = (
+        raw.select(parsed.alias("j"))
+        .filter(
+            F.col("j._corrupt").isNull()
+            & F.col("j.doc_id").isNotNull()
+            & F.col("j.text").isNotNull()
+        )
+        .select(
+            F.col("j.doc_id").alias("doc_id"),
+            F.col("j.text").alias("text"),
+            F.col("j.source").alias("source"),
+        )
+    )
+
+    def probe_and_insert(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        sinks.recover_sink(state_path)  # promote half-commit BEFORE read
+        if os.path.exists(state_path):
+            bits = spark.read.parquet(state_path)
+            last = bits.agg(F.max("last_batch_id")).first()[0]
+            if last is not None and last >= batch_id:
+                return  # redelivered trigger: already annotated + inserted
+            prior = bits.select("bit")
+        else:
+            prior = spark.createDataFrame([], "bit long")
+        key = F.xxhash64(F.trim("text"))
+        keyed = batch.select("doc_id", "text", "source", key.alias("k"))
+        probe = keyed.select(
+            "doc_id",
+            *[
+                F.pmod(F.pmod("k", F.lit(2147483647)) * F.lit(a), F.lit(m)).alias(
+                    f"_b{i}"
+                )
+                for i, a in enumerate(BLOOM_MULTS)
+            ],
+        )
+        hit = probe
+        for i in range(len(BLOOM_MULTS)):
+            hit = hit.join(
+                F.broadcast(
+                    prior.select(
+                        F.col("bit").alias(f"_b{i}"), F.lit(True).alias(f"_h{i}")
+                    ).distinct()
+                ),
+                f"_b{i}",
+                "left",
+            )
+        seen_prior = F.lit(True)
+        for i in range(len(BLOOM_MULTS)):
+            seen_prior = seen_prior & F.coalesce(F.col(f"_h{i}"), F.lit(False))
+        # exact within-trigger duplicate detection (trigger-sized)
+        w = Window.partitionBy("k").orderBy("doc_id")
+        annotated = (
+            keyed.withColumn("rn", F.row_number().over(w))
+            .join(hit.select("doc_id", seen_prior.alias("seen_prior")), "doc_id")
+            .select(
+                "doc_id",
+                "text",
+                "source",
+                (F.col("seen_prior") | (F.col("rn") > 1)).alias("probably_seen"),
+            )
+            .localCheckpoint(eager=True)  # docs write + bits branch
+        )
+        annotated.write.mode("overwrite").parquet(
+            os.path.join(out_docs, f"ingest_batch={batch_id}")
+        )
+        new_bits = keyed.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.pmod("k", F.lit(2147483647)) * F.lit(a), F.lit(m)
+                        )
+                        for a in BLOOM_MULTS
+                    ]
+                )
+            ).alias("bit")
+        )
+        merged = (
+            prior.unionByName(new_bits)
+            .distinct()  # bounded: at most m rows, ever
+            .withColumn("last_batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+        sinks.parquet_overwrite_atomic(state_path)(merged, batch_id)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(probe_and_insert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )

@@ -1146,3 +1146,48 @@ def test_length_quantile_sketch_replay_and_recovery(spark, tmp_path):
     r = spark.read.parquet(out).first()
     assert r["n_docs"] == 30  # staged state promoted, not discarded
     assert spark.read.parquet(sk).first()["n_docs"] == 30
+
+
+def test_seen_filter_flags_reposted_content_across_waves(spark, tmp_path):
+    """A wave-2 repost of wave-1 content (under a NEW doc_id) must be
+    flagged probably_seen; fresh content must not. Within-trigger
+    duplicates: first occurrence clean, second flagged."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(src, "b1.jsonl", _budget_doc_lines([
+        (1, "s", "alpha beta gamma"),
+        (2, "s", "delta epsilon zeta"),
+        (3, "s", "alpha beta gamma"),   # within-trigger dup of doc 1
+    ]) + ["corrupt {"])
+    _run(jobs.seen_filter_job, spark, src, out, ckpt)
+    r1 = {r["doc_id"]: r["probably_seen"] for r in spark.read.parquet(out).collect()}
+    assert r1[2] is False
+    assert sorted([r1[1], r1[3]]) == [False, True]  # exactly one flagged
+    _write_lines(src, "b2.jsonl", _budget_doc_lines([
+        (10, "s", "alpha beta gamma"),  # repost, new doc_id
+        (11, "s", "eta theta iota"),    # fresh
+    ]))
+    _run(jobs.seen_filter_job, spark, src, out, ckpt)
+    r2 = {r["doc_id"]: r["probably_seen"] for r in spark.read.parquet(out).collect()}
+    assert r2[10] is True and r2[11] is False
+
+
+def test_seen_filter_replay_and_bounded_state(spark, tmp_path):
+    """Replay through a fresh checkpoint must re-emit identical rows;
+    the bit state must stay well under the m bound and recover from a
+    half-committed swap."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(src, "b1.jsonl", _budget_doc_lines(
+        [(i, "s", f"text number {i}") for i in range(30)]
+    ))
+    _run(jobs.seen_filter_job, spark, src, out, ckpt, m=4096)
+    before = sorted(map(tuple, spark.read.parquet(out).collect()))
+    _run(jobs.seen_filter_job, spark, src, out, str(tmp_path / "ck2"), m=4096)
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == before
+    bits = out + ".bits"
+    n_bits = spark.read.parquet(bits).count()
+    assert n_bits <= 90  # 30 keys x 3 hashes, minus collisions
+    os.rename(bits, bits + ".__staging__")
+    _write_lines(src, "b2.jsonl", _budget_doc_lines([(50, "s", "text number 7")]))
+    _run(jobs.seen_filter_job, spark, src, out, ckpt, m=4096)
+    r = {r["doc_id"]: r["probably_seen"] for r in spark.read.parquet(out).collect()}
+    assert r[50] is True  # staged bits promoted, repost still caught
