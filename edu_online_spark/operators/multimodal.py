@@ -1180,3 +1180,40 @@ ORACLE["multimodal_ahash_neardup"] = f"""
     SELECT asset_a, asset_b, hamming FROM scored
     WHERE hamming <= {AHASH_HAMMING_MAX}
 """
+
+
+def q_ahash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual duplicate clusters: connected components over the
+    aHash near-dup pairs (dedup.near_dup_clusters is candidate-source-
+    agnostic — the same min-label propagation that collapses MinHash
+    text pairs collapses perceptual image pairs). Every image in a
+    visual-duplicate group maps to the group's minimum asset_id — the
+    keep-one-per-image deliverable an image-corpus curation run ships."""
+    from .dedup import near_dup_clusters
+
+    pairs = image_ahash_neardup(_media(spark, sf_dir)).select(
+        F.col("asset_a").alias("doc_a"), F.col("asset_b").alias("doc_b")
+    )
+    return near_dup_clusters(pairs).select(
+        F.col("doc_id").alias("asset_id"), "cluster_rep"
+    )
+
+
+QUERIES["multimodal_ahash_clusters"] = q_ahash_clusters
+
+# Recursive closure over the banded near-dup oracle — same pattern as
+# dedup_near_dup_clusters' oracle, on the perceptual edge set.
+ORACLE["multimodal_ahash_clusters"] = f"""
+    WITH RECURSIVE np AS ({ORACLE["multimodal_ahash_neardup"]}),
+    edges AS (
+        SELECT asset_a AS src, asset_b AS dst FROM np
+        UNION SELECT asset_b, asset_a FROM np
+    ),
+    reach(src, dst) AS (
+        SELECT src, src FROM edges
+        UNION SELECT src, dst FROM edges
+        UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS asset_id, min(dst) AS cluster_rep
+    FROM reach GROUP BY src
+"""

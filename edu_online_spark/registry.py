@@ -116,6 +116,7 @@ _WINDOW_PRIORITY = [
     "customers_bloom_prefilter",
     "lineitem_price_kll_rollup",
     "multimodal_ahash_neardup",
+    "multimodal_ahash_clusters",
     # 4: sentinels
     "quiz_mastery",
     "dedup_minhash_lsh",
@@ -126,7 +127,6 @@ _WINDOW_PRIORITY = [
     "sim_knn_lsh",
     # 5b: round-2 cohort, four rounds stale (orders_date_features is in
     # section 2)
-    "events_profile",
     "events_props_k_stats",
     "events_stratified_sample",
     "nation_participation",

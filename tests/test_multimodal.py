@@ -331,3 +331,32 @@ def test_ahash_neardup_partitioning_invariant(spark):
         map(tuple, image_ahash_neardup(assets.repartition(8)).collect())
     )
     assert a == b and len(a) >= 21  # every same-residue pair collides
+
+
+def test_ahash_clusters_collapse_copy_groups(spark):
+    """Copies of the same image (and near-copies) must land in one
+    cluster under the minimum asset_id."""
+    from edu_online_spark.operators.dedup import near_dup_clusters
+    from edu_online_spark.operators.multimodal import (
+        _bmp_bytes,
+        image_ahash_neardup,
+    )
+    from pyspark.sql import functions as F
+
+    rows = (
+        [(i, "image", bytearray(_bmp_bytes(5))) for i in (1, 4, 9)]
+        + [(i, "image", bytearray(_bmp_bytes(77))) for i in (2, 6)]
+        + [(3, "image", bytearray(_bmp_bytes(123)))]  # singleton
+    )
+    assets = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary"
+    )
+    pairs = image_ahash_neardup(assets).select(
+        F.col("asset_a").alias("doc_a"), F.col("asset_b").alias("doc_b")
+    )
+    labels = {
+        r["doc_id"]: r["cluster_rep"] for r in near_dup_clusters(pairs).collect()
+    }
+    assert labels[1] == labels[4] == labels[9] == 1
+    assert labels[2] == labels[6] == 2
+    assert 3 not in labels  # singleton never enters the edge set
