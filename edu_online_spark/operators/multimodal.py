@@ -832,13 +832,39 @@ def image_ahash_neardup(
     keep the (ahash → representative) group form instead — same
     relations, one fewer expansion join.
     """
+    return bitstring_neardup_pairs(
+        image_ahash(assets).select("asset_id", "ahash"), "ahash", max_hamming
+    )
+
+
+def audio_fp_neardup(
+    assets: DataFrame, max_hamming: int = AHASH_HAMMING_MAX
+) -> DataFrame:
+    """Perceptual AUDIO near-dup: pairs of tracks whose 64-bit
+    span-energy fingerprint differs in ≤ max_hamming bits — re-encoded
+    or re-leveled copies of the same recording keep nearly the same
+    energy envelope, so they collide here while byte-dedup misses
+    them. Same engine as the image path (bitstring_neardup_pairs)."""
+    return bitstring_neardup_pairs(
+        audio_fingerprint(assets).select("asset_id", "afp"), "afp", max_hamming
+    )
+
+
+def bitstring_neardup_pairs(
+    sig: DataFrame, bits_col: str, max_hamming: int = AHASH_HAMMING_MAX
+) -> DataFrame:
+    """Near-dup pairs over any 64-char perceptual bit-string column
+    (aHash, audio fingerprint, …): dedup-before-banding + 4×16-bit
+    pigeonhole + xor/bit_count hamming, exactly the scale shape the
+    image docstring above derives. Input: (asset_id, <bits_col>);
+    output: (asset_a, asset_b, hamming ≤ max_hamming)."""
     chunks = max_hamming + 1
     if 64 % chunks:
         raise ValueError("max_hamming+1 must divide 64")
     width = 64 // chunks
-    # (asset_id, ahash) membership — read by the identical-pair join
-    # and both expansion joins; materialize the signature pass once
-    sig = image_ahash(assets).select("asset_id", "ahash").localCheckpoint(
+    # membership relation — read by the identical-pair join and both
+    # expansion joins; materialize the signature pass once
+    sig = sig.select("asset_id", F.col(bits_col).alias("hv")).localCheckpoint(
         eager=True
     )
     # identical-hash pairs: hamming 0, no banding, no scoring
@@ -846,7 +872,7 @@ def image_ahash_neardup(
         sig.alias("a")
         .join(
             sig.alias("b"),
-            (F.col("a.ahash") == F.col("b.ahash"))
+            (F.col("a.hv") == F.col("b.hv"))
             & (F.col("a.asset_id") < F.col("b.asset_id")),
         )
         .select(
@@ -856,19 +882,19 @@ def image_ahash_neardup(
         )
     )
     # distinct-hash relation with packed 32-bit halves for cheap xor
-    reps = sig.select("ahash").distinct().select(
-        "ahash",
-        F.conv(F.substring("ahash", 1, 32), 2, 10).cast("long").alias("w1"),
-        F.conv(F.substring("ahash", 33, 32), 2, 10).cast("long").alias("w2"),
+    reps = sig.select("hv").distinct().select(
+        "hv",
+        F.conv(F.substring("hv", 1, 32), 2, 10).cast("long").alias("w1"),
+        F.conv(F.substring("hv", 33, 32), 2, 10).cast("long").alias("w2"),
     )
     chunked = reps.select(
-        "ahash",
+        "hv",
         "w1",
         "w2",
         F.posexplode(
             F.array(
                 *[
-                    F.substring("ahash", i * width + 1, width)
+                    F.substring("hv", i * width + 1, width)
                     for i in range(chunks)
                 ]
             )
@@ -884,11 +910,11 @@ def image_ahash_neardup(
             chunked.alias("b"),
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col("a.ahash") < F.col("b.ahash")),
+            & (F.col("a.hv") < F.col("b.hv")),
         )
         .select(
-            F.col("a.ahash").alias("ha"),
-            F.col("b.ahash").alias("hb"),
+            F.col("a.hv").alias("ha"),
+            F.col("b.hv").alias("hb"),
             hamming.alias("hamming"),
         )
         .distinct()
@@ -896,11 +922,11 @@ def image_ahash_neardup(
     )
     near = (
         hash_pairs.join(
-            sig.select(F.col("ahash").alias("ha"), F.col("asset_id").alias("id_a")),
+            sig.select(F.col("hv").alias("ha"), F.col("asset_id").alias("id_a")),
             "ha",
         )
         .join(
-            sig.select(F.col("ahash").alias("hb"), F.col("asset_id").alias("id_b")),
+            sig.select(F.col("hv").alias("hb"), F.col("asset_id").alias("id_b")),
             "hb",
         )
         .select(

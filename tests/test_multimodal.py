@@ -360,3 +360,43 @@ def test_ahash_clusters_collapse_copy_groups(spark):
     assert labels[1] == labels[4] == labels[9] == 1
     assert labels[2] == labels[6] == 2
     assert 3 not in labels  # singleton never enters the edge set
+
+
+def test_audio_neardup_finds_identical_tracks(spark):
+    """Byte-identical tracks pair at hamming 0; a re-leveled copy
+    (same envelope shape, half the gain) stays within the budget; a
+    reversed-envelope track does not pair. Envelopes are crafted
+    because the synthetic corpus' LCG audio is envelope-uniform (see
+    audio_fp_neardup docstring)."""
+    import struct
+
+    import numpy as np
+
+    from edu_online_spark.operators.multimodal import audio_fp_neardup
+
+    def wav(samples):
+        data = samples.astype("<i2").tobytes()
+        hdr = struct.pack(
+            "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(data), b"WAVE",
+            b"fmt ", 16, 1, 1, 8000, 16000, 2, 16, b"data", len(data),
+        )
+        return bytearray(hdr + data)
+
+    n = 640
+    ramp_up = np.linspace(-10000, 10000, n)
+    rows = [
+        (1, "audio", wav(ramp_up)),
+        (2, "audio", wav(ramp_up)),            # exact copy
+        (3, "audio", wav(ramp_up * 0.5)),      # re-leveled: same envelope
+        (4, "audio", wav(ramp_up[::-1])),      # reversed: opposite bits
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary"
+    )
+    pairs = {
+        (r["asset_a"], r["asset_b"]): r["hamming"]
+        for r in audio_fp_neardup(assets).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert pairs.get((1, 3)) == 0  # threshold bits are gain-invariant
+    assert not any(4 in p for p in pairs)
