@@ -155,3 +155,49 @@ def write_bucketed(
     if sort:
         writer = writer.sortBy(*bucket_cols)
     writer.format("parquet").saveAsTable(table)
+
+
+def write_training_shards(
+    documents: DataFrame,
+    path: str,
+    shard_tokens: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Physically write the training-shard layout that
+    operators/textops.assign_training_shards computes: one
+    `shard_id=K/` parquet directory per ~shard_tokens-token shard,
+    rows inside each shard ordered by their global epoch offset, and
+    the shard manifest (doc counts, token masses, offsets, xor
+    checksums) beside the data at `<path>.manifest`.
+
+    This is the WebDataset-style export step a training run reads:
+    the reader streams shards in shard_id order and rows in cum_tokens
+    order and sees exactly the deterministic epoch permutation —
+    reproducible across rewrites because nothing here uses rand().
+    `repartition(shard_id)` co-locates each shard's rows into the task
+    that writes its directory, so file count = shard count, not
+    shards × tasks; sortWithinPartitions orders rows without any
+    global sort. The manifest is written FIRST so a reader that sees
+    the data dir can always verify it (a crash between the two writes
+    leaves manifest-without-data, which fails loudly, never
+    silently-unverifiable data).
+    """
+    from ..operators.textops import (
+        SHARD_TOKEN_TARGET,
+        assign_training_shards,
+        shard_manifest,
+    )
+
+    shard_tokens = SHARD_TOKEN_TARGET if shard_tokens is None else shard_tokens
+    shard_manifest(documents, shard_tokens).coalesce(1).write.mode(
+        mode
+    ).parquet(path + ".manifest")
+    assigned = assign_training_shards(documents, shard_tokens)
+    (
+        assigned.join(documents.select("doc_id", "text"), "doc_id")
+        .repartition("shard_id")
+        .sortWithinPartitions("shard_id", "cum_tokens")
+        .write.partitionBy("shard_id")
+        .mode(mode)
+        .parquet(path)
+    )

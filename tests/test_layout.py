@@ -149,3 +149,42 @@ def test_bucketed_join_needs_no_exchange_or_sort(spark, sf_dir, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_write_training_shards_layout_and_manifest(spark, tmp_path):
+    """The written tree must have one shard_id directory per manifest
+    row, per-shard token masses and xor checksums must match the data,
+    and rows within a shard must be readable in epoch (cum_tokens)
+    order."""
+    import os
+
+    from edu_online_spark.sources.layout import write_training_shards
+
+    rows = [(i, f"s{i % 3}", " ".join(["w"] * (4 + i % 9))) for i in range(90)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, shard_tokens=60)
+
+    man = {r["shard_id"]: r for r in spark.read.parquet(out + ".manifest").collect()}
+    dirs = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out)
+        if d.startswith("shard_id=")
+    )
+    assert dirs == sorted(man)
+    data = spark.read.parquet(out)
+    for sid, m in man.items():
+        part = [r for r in data.collect() if r["shard_id"] == sid]
+        assert len(part) == m["n_docs"]
+        assert sum(r["n_tokens"] for r in part) == m["shard_token_mass"]
+        x = 0
+        for r in part:
+            x ^= r["doc_id"]
+        assert x == m["id_xor"]
+    # epoch order within shard: cum_tokens strictly increasing
+    first = min(man)
+    ordered = (
+        data.filter(data.shard_id == first).orderBy("cum_tokens").collect()
+    )
+    cums = [r["cum_tokens"] for r in ordered]
+    assert cums == sorted(cums) and len(set(cums)) == len(cums)
