@@ -938,6 +938,65 @@ def bitstring_neardup_pairs(
     return within.unionByName(near)
 
 
+def video_cut_fingerprint(assets: DataFrame) -> DataFrame:
+    """64-bit video fingerprint from the scene-cut PATTERN: bit j is
+    set iff any cut lands in the j-th 1/64 slice of the video's frame
+    range. Cut positions survive re-encoding and resolution changes
+    (they are content structure, not pixel values), which makes this
+    the video analogue of aHash — cheap, deterministic, and length-
+    normalized so videos of different frame counts remain comparable.
+    Built entirely from the certified scene-cut relation: one
+    frame-count join + a (asset, slice) max + a 64-slot assembly fold,
+    all codegen."""
+    cuts = video_scene_cuts(assets).select("asset_id", "frame_idx", "is_cut")
+    nf = cuts.groupBy("asset_id").agg(F.count("*").alias("nf"))
+    sliced = cuts.join(nf, "asset_id").select(
+        "asset_id",
+        F.expr("(frame_idx * 64) div nf").alias("slice"),
+        F.col("is_cut").cast("int").alias("b"),
+    )
+    slot = sliced.groupBy("asset_id", "slice").agg(F.max("b").alias("b"))
+    assembled = slot.groupBy("asset_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("slice", "b"))).alias("mp")
+    )
+    vfp = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.coalesce(F.element_at("mp", i), F.lit(0)).cast(
+                "string"
+            ),
+        ),
+    )
+    return assembled.select(
+        "asset_id",
+        vfp.alias("vfp"),
+    ).withColumn(
+        "bits_set",
+        F.length(F.regexp_replace("vfp", "0", "")).cast("int"),
+    )
+
+
+def video_fp_neardup(
+    assets: DataFrame, max_hamming: int = AHASH_HAMMING_MAX
+) -> DataFrame:
+    """Perceptual VIDEO near-dup: pairs whose cut-position fingerprints
+    differ in <= max_hamming slices — re-encoded or re-scaled copies of
+    the same edit keep their cut structure, so they collide here while
+    byte- and frame-level dedup miss them. Same engine as the image
+    path (bitstring_neardup_pairs): dedup-before-banding, 4x16
+    pigeonhole, xor+bit_count hamming."""
+    return bitstring_neardup_pairs(
+        video_cut_fingerprint(assets).select("asset_id", "vfp"),
+        "vfp",
+        max_hamming,
+    )
+
+
+def q_video_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return video_fp_neardup(_media(spark, sf_dir))
+
+
 def q_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_ahash_neardup(_media(spark, sf_dir))
 
@@ -953,6 +1012,7 @@ QUERIES = {
     "multimodal_audio_fingerprint": q_audio_fingerprint,
     "multimodal_video_scenecuts": q_video_scenecuts,
     "multimodal_ahash_neardup": q_ahash_neardup,
+    "multimodal_video_fp_neardup": q_video_fp_neardup,
 }
 
 # The payload parameters are deterministic in doc_id, so the oracle
@@ -1242,4 +1302,47 @@ ORACLE["multimodal_ahash_clusters"] = f"""
     )
     SELECT src AS asset_id, min(dst) AS cluster_rep
     FROM reach GROUP BY src
+"""
+
+# Video twin: the cut-position fingerprint assembled in SQL from the
+# certified scene-cut relation, then the same banded closure.
+ORACLE["multimodal_video_fp_neardup"] = f"""
+    WITH sc AS ({ORACLE["multimodal_video_scenecuts"]}),
+    nf AS (SELECT asset_id, count(*) AS n FROM sc GROUP BY 1),
+    sl AS (
+        SELECT s.asset_id, (s.frame_idx * 64) // f.n AS slice,
+               max(CASE WHEN s.is_cut THEN 1 ELSE 0 END) AS b
+        FROM sc s JOIN nf f ON s.asset_id = f.asset_id
+        GROUP BY 1, 2
+    ),
+    ah AS (
+        SELECT a.asset_id,
+               string_agg(CAST(coalesce(s.b, 0) AS VARCHAR), ''
+                          ORDER BY ks.i) AS hv
+        FROM (SELECT DISTINCT asset_id FROM sc) a
+        CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ks
+        LEFT JOIN sl s ON s.asset_id = a.asset_id AND s.slice = ks.i
+        GROUP BY a.asset_id
+    ),
+    ch AS (
+        SELECT asset_id, hv, i AS chunk,
+               substring(hv, i * 16 + 1, 16) AS cv
+        FROM ah CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ks
+    ),
+    cand AS (
+        SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b,
+               a.hv AS ha, b.hv AS hb
+        FROM ch a JOIN ch b
+          ON a.chunk = b.chunk AND a.cv = b.cv
+         AND a.asset_id < b.asset_id
+    ),
+    scored AS (
+        SELECT asset_a, asset_b,
+               CAST(list_sum([CASE WHEN ha[i] = hb[i] THEN 0 ELSE 1 END
+                              for i in range(1, 65)]) AS INTEGER)
+                   AS hamming
+        FROM cand
+    )
+    SELECT asset_a, asset_b, hamming FROM scored
+    WHERE hamming <= {AHASH_HAMMING_MAX}
 """

@@ -117,6 +117,7 @@ _WINDOW_PRIORITY = [
     "lineitem_price_kll_rollup",
     "multimodal_ahash_neardup",
     "multimodal_ahash_clusters",
+    "multimodal_video_fp_neardup",
     # 4: sentinels
     "quiz_mastery",
     "dedup_minhash_lsh",
@@ -127,7 +128,6 @@ _WINDOW_PRIORITY = [
     "sim_knn_lsh",
     # 5b: round-2 cohort, four rounds stale (orders_date_features is in
     # section 2)
-    "events_props_k_stats",
     "events_stratified_sample",
     "nation_participation",
     "orders_cube",

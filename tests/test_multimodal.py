@@ -400,3 +400,38 @@ def test_audio_neardup_finds_identical_tracks(spark):
     assert pairs.get((1, 2)) == 0
     assert pairs.get((1, 3)) == 0  # threshold bits are gain-invariant
     assert not any(4 in p for p in pairs)
+
+
+def test_video_fp_neardup_copy_and_structure(spark):
+    """Byte-identical videos pair at hamming 0; whether two different
+    videos pair must agree exactly with the hamming of their computed
+    cut fingerprints (self-consistency of fingerprint + banding)."""
+    from edu_online_spark.operators.multimodal import (
+        _vid_bytes,
+        video_cut_fingerprint,
+        video_fp_neardup,
+    )
+
+    rows = [
+        (1, "video", bytearray(_vid_bytes(23))),
+        (2, "video", bytearray(_vid_bytes(23))),   # exact copy
+        (3, "video", bytearray(_vid_bytes(17))),
+        (4, "video", bytearray(_vid_bytes(26))),
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary"
+    )
+    fps = {r["asset_id"]: r["vfp"] for r in video_cut_fingerprint(assets).collect()}
+    assert all(len(v) == 64 and set(v) <= {"0", "1"} for v in fps.values())
+    assert fps[1] == fps[2]
+    pairs = {
+        (r["asset_a"], r["asset_b"]): r["hamming"]
+        for r in video_fp_neardup(assets).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    for a, b in [(1, 3), (1, 4), (3, 4)]:
+        d = sum(x != y for x, y in zip(fps[a], fps[b]))
+        if d <= 3:
+            assert pairs.get((a, b)) == d
+        else:
+            assert (a, b) not in pairs
