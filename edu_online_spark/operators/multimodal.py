@@ -985,9 +985,16 @@ def video_fp_neardup(
     the same edit keep their cut structure, so they collide here while
     byte- and frame-level dedup miss them. Same engine as the image
     path (bitstring_neardup_pairs): dedup-before-banding, 4x16
-    pigeonhole, xor+bit_count hamming."""
+    pigeonhole, xor+bit_count hamming.
+
+    Cut-FREE videos are excluded (bits_set > 0): a zero fingerprint
+    is absence of evidence, not similarity — and at scale the
+    all-zero group would otherwise pair quadratically (the sf0.1
+    corpus alone has 220 cut-free videos = 24k meaningless pairs)."""
     return bitstring_neardup_pairs(
-        video_cut_fingerprint(assets).select("asset_id", "vfp"),
+        video_cut_fingerprint(assets)
+        .filter(F.col("bits_set") > 0)
+        .select("asset_id", "vfp"),
         "vfp",
         max_hamming,
     )
@@ -1324,10 +1331,11 @@ ORACLE["multimodal_video_fp_neardup"] = f"""
         LEFT JOIN sl s ON s.asset_id = a.asset_id AND s.slice = ks.i
         GROUP BY a.asset_id
     ),
+    nz AS (SELECT * FROM ah WHERE hv <> repeat('0', 64)),
     ch AS (
         SELECT asset_id, hv, i AS chunk,
                substring(hv, i * 16 + 1, 16) AS cv
-        FROM ah CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ks
+        FROM nz CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ks
     ),
     cand AS (
         SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b,

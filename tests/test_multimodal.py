@@ -417,6 +417,8 @@ def test_video_fp_neardup_copy_and_structure(spark):
         (2, "video", bytearray(_vid_bytes(23))),   # exact copy
         (3, "video", bytearray(_vid_bytes(17))),
         (4, "video", bytearray(_vid_bytes(26))),
+        (5, "video", bytearray(_vid_bytes(30))),   # 1 frame: no cuts
+        (6, "video", bytearray(_vid_bytes(60))),   # 1 frame: no cuts
     ]
     assets = spark.createDataFrame(
         rows, "asset_id long, media_type string, payload binary"
@@ -435,3 +437,5 @@ def test_video_fp_neardup_copy_and_structure(spark):
             assert pairs.get((a, b)) == d
         else:
             assert (a, b) not in pairs
+    # cut-free videos carry no evidence: excluded even from each other
+    assert not any(5 in p or 6 in p for p in pairs)

@@ -61,6 +61,7 @@ QUERIES = [
     "embeddings_label_noise",
     "customers_bloom_prefilter",
     "multimodal_ahash_neardup",  # banded perceptual pairs — bytes never shuffle
+    "multimodal_video_fp_neardup",  # cut-structure pairs, same engine
     "lineitem_price_kll_rollup",  # mergeable quantile sketches, scan-shaped
 ]
 
