@@ -1518,6 +1518,89 @@ def shard_manifest(
     )
 
 
+QUALITY_FILL_BUDGET = 30_000  # global token budget for the registry query
+QUALITY_BUCKETS = 64          # fixed score ranges for the ordered prefix sum
+
+
+def quality_budget_fill(
+    documents: DataFrame, budget: int = QUALITY_FILL_BUDGET
+) -> DataFrame:
+    """Best-documents-under-a-budget: fill a GLOBAL token budget from
+    the highest-quality documents down — the curation decision "we can
+    afford N tokens of training data; take the best N" as one query.
+    Ordering key is text_quality's composite score (two exact integer
+    divisions — cross-engine deterministic), ties broken by hash then
+    doc_id so equal-quality docs admit reproducibly.
+
+    Scale shape: the same distributed prefix sum as token_budget_cap /
+    assign_training_shards, but ordered by QUALITY, not hash — the
+    score's bounded range [-1, 1] is cut into QUALITY_BUCKETS fixed
+    width ranges (quantization is data-independent, so bucket
+    boundaries are deterministic — no sampled rangepartitioning),
+    per-bucket token totals become running offsets, and the heavy
+    cumsum runs within buckets. Degenerate empty docs score NULL and
+    sort last (they consume budget only after every scored doc).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.core import hash_bucket
+
+    score = F.when(
+        (F.length("text") > 0) & (T.token_count("text") > 0),
+        (T.marker_hits("text", T.STOPWORDS_EN) / T.token_count("text"))
+        - (T.punct_count("text") / F.length("text")),
+    )
+    d = documents.select(
+        "doc_id",
+        T.token_count("text").cast("long").alias("n_tokens"),
+        score.alias("quality_score"),
+        hash_bucket("doc_id", BUDGET_HASH_MOD).alias("h"),
+    ).withColumn(
+        "bucket",
+        F.when(
+            F.col("quality_score").isNull(), F.lit(QUALITY_BUCKETS)
+        ).otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(QUALITY_BUCKETS - 1),
+                    F.floor(
+                        (F.lit(1.0) - F.col("quality_score"))
+                        / F.lit(2.0 / QUALITY_BUCKETS)
+                    ).cast("int"),
+                ),
+            )
+        ),
+    )
+    totals = d.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    off_w = Window.orderBy("bucket").rowsBetween(  # <=65 rows — tiny
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(off_w), F.lit(0)).alias(
+            "offset"
+        ),
+    )
+    cum_w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.desc_nulls_last("quality_score"), "h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality_score",
+            (F.sum("n_tokens").over(cum_w) + F.col("offset")).alias(
+                "cum_tokens"
+            ),
+        )
+        .withColumn("kept", F.col("cum_tokens") <= budget)
+    )
+
+
 QUERIES = {
     "text_quality": _q(text_quality),
     "text_lang_confusion": _q(lang_confusion),
@@ -1562,6 +1645,7 @@ QUERIES = {
     "docs_mixture_temperature": _q(temperature_mixture_sample),
     "docs_curriculum_stages": _q(curriculum_stages),
     "corpus_shard_manifest": _q(shard_manifest),
+    "docs_quality_budget_fill": _q(quality_budget_fill),
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), ' +')"
@@ -2293,6 +2377,35 @@ ORACLE = {
         FROM documents doc
         LEFT JOIN per_doc p USING (doc_id)
         CROSS JOIN qs q
+    """,
+    # Single-window form of the same quality-ordered prefix sum the
+    # Spark side computes in fixed score-range buckets; the score is
+    # two exact int divisions, ties broken by the documented hash
+    # mirror then doc_id.
+    "docs_quality_budget_fill": f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+                   CASE WHEN length(text) > 0 AND len({_TOKENS}) > 0
+                        THEN (len(list_filter({_TOKENS},
+                                  w -> w IN ({_STOP_LIST})))::DOUBLE
+                              / len({_TOKENS}))
+                             - (len(regexp_extract_all(text,
+                                    '[.,!?;:]'))::DOUBLE / length(text))
+                   END AS quality_score,
+                   ((doc_id % 2147483647) * 2654435761)
+                       % {BUDGET_HASH_MOD} AS pri
+            FROM documents
+        )
+        SELECT doc_id, n_tokens, quality_score, cum_tokens,
+               cum_tokens <= {QUALITY_FILL_BUDGET} AS kept
+        FROM (
+            SELECT doc_id, n_tokens, quality_score,
+                   SUM(n_tokens) OVER (
+                       ORDER BY quality_score DESC NULLS LAST, pri, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            FROM scored
+        )
     """,
     # Single-window form of the same GLOBAL all-integer prefix sum the
     # Spark side computes in two bucketed stages; shard_id via integer

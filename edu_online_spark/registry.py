@@ -118,6 +118,7 @@ _WINDOW_PRIORITY = [
     "multimodal_ahash_neardup",
     "multimodal_ahash_clusters",
     "multimodal_video_fp_neardup",
+    "docs_quality_budget_fill",
     # 4: sentinels
     "quiz_mastery",
     "dedup_minhash_lsh",
@@ -128,7 +129,6 @@ _WINDOW_PRIORITY = [
     "sim_knn_lsh",
     # 5b: round-2 cohort, four rounds stale (orders_date_features is in
     # section 2)
-    "events_stratified_sample",
     "nation_participation",
     "orders_cube",
     "orders_grouping_sets",

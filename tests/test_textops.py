@@ -821,3 +821,66 @@ def test_training_shards_partitioning_invariant(spark):
         map(tuple, assign_training_shards(docs.repartition(11), 30).collect())
     )
     assert a == b
+
+
+def test_quality_budget_fill_takes_best_first(spark):
+    """The kept set must be exactly the best-quality prefix of the
+    budget: high-stopword docs admit before punctuation soup, and the
+    bucketed prefix sum must equal the naive quality-ordered cumsum."""
+    from edu_online_spark.operators.textops import (
+        BUDGET_HASH_MOD,
+        quality_budget_fill,
+    )
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "the a is of and with for " * 3))       # high quality
+    for i in range(20, 40):
+        rows.append((i, ".,;: !? .,;: words mostly punct " * 3))  # low
+    rows.append((99, ""))  # degenerate: NULL score, sorts last
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in quality_budget_fill(docs, budget=200).collect()}
+
+    def h(doc_id):
+        return (doc_id % 2147483647) * 2654435761 % BUDGET_HASH_MOD
+
+    naive = sorted(
+        (r for r in out.values() if r["quality_score"] is not None),
+        key=lambda r: (-r["quality_score"], h(r["doc_id"]), r["doc_id"]),
+    ) + [out[99]]
+    cum = 0
+    for r in naive:
+        cum += r["n_tokens"]
+        assert r["cum_tokens"] == cum
+        assert r["kept"] == (cum <= 200)
+    # the budget bites inside the high-quality block or just after it:
+    # every kept doc must be at least as good as every dropped one
+    kept_min = min(
+        (r["quality_score"] for r in out.values() if r["kept"]), default=None
+    )
+    dropped_max = max(
+        (
+            r["quality_score"]
+            for r in out.values()
+            if not r["kept"] and r["quality_score"] is not None
+        ),
+        default=None,
+    )
+    assert kept_min is not None and dropped_max is not None
+    assert kept_min >= dropped_max
+    assert not out[99]["kept"]  # NULL-scored doc is last in line
+
+
+def test_quality_budget_fill_partitioning_invariant(spark):
+    from edu_online_spark.operators.textops import quality_budget_fill
+
+    rows = [
+        (i, ("the of and " * (1 + i % 4)) + (". , ; " * (i % 3)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(map(tuple, quality_budget_fill(docs, 100).collect()))
+    b = sorted(
+        map(tuple, quality_budget_fill(docs.repartition(13), 100).collect())
+    )
+    assert a == b
