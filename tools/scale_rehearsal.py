@@ -63,6 +63,7 @@ QUERIES = [
     "multimodal_ahash_neardup",  # banded perceptual pairs — bytes never shuffle
     "multimodal_video_fp_neardup",  # cut-structure pairs, same engine
     "lineitem_price_kll_rollup",  # mergeable quantile sketches, scan-shaped
+    "docs_quality_budget_fill",   # quality-ordered bucketed prefix sum
 ]
 
 
