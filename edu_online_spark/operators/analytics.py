@@ -858,20 +858,35 @@ def seasonal_residuals(events: DataFrame) -> DataFrame:
     Robust end to end: the dow baseline is a MEDIAN (a mean would let
     one spiked Monday drag every other Monday into the outlier band —
     the masking failure the MAD rule exists to avoid), the MAD is a
-    percentile_disc SELECTION (an actual residual value, no
-    sqrt/stddev), and the 3·MAD compare multiplies — all selections
-    and integer subtractions, so the whole decomposition
-    hash-certifies where a z-score (stddev = sqrt) could not. Two bounded aggregations over the daily
-    grain; at 100 TB the daily grain is already tiny.
+    median SELECTION (an actual residual value, no sqrt/stddev), and
+    the 3·MAD compare multiplies — all selections and integer
+    subtractions, so the whole decomposition hash-certifies where a
+    z-score (stddev = sqrt) could not. Both medians are computed via an
+    EXPLICIT row_number() = (n+1)//2 selection rather than any
+    discrete-quantile function: percentile_disc's even-group index
+    convention drifted across engine releases (two consecutive red
+    driver rounds), while "the element at sorted position ceil(n/2)"
+    is a single convention both engines execute identically. Ties in
+    the ordered value cannot perturb the selected VALUE — position k
+    of a sorted multiset is value-determined regardless of tie order.
+    Two bounded aggregations over the daily grain; at 100 TB the daily
+    grain is already tiny (the row_number windows run over per-group
+    day counts, not raw events).
     """
+    from pyspark.sql import Window
+
     daily = events.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count("*").alias("y"))
     dow = F.dayofweek("day")
-    prof = daily.groupBy("event_type", dow.alias("dow")).agg(
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY y)").alias(
-            "dow_baseline"
-        )
+    prof_w = Window.partitionBy("event_type", "dow").orderBy("y")
+    prof_n = Window.partitionBy("event_type", "dow")
+    prof = (
+        daily.select("event_type", dow.alias("dow"), "y")
+        .withColumn("rn", F.row_number().over(prof_w))
+        .withColumn("n", F.count(F.lit(1)).over(prof_n))
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", "dow", F.col("y").alias("dow_baseline"))
     )
     d = daily.select("event_type", "day", dow.alias("dow"), "y").join(
         F.broadcast(prof), ["event_type", "dow"]
@@ -884,10 +899,16 @@ def seasonal_residuals(events: DataFrame) -> DataFrame:
         "dow_baseline",
         (F.col("y") - F.col("dow_baseline")).alias("residual"),
     )
-    mad = resid.groupBy("event_type").agg(
-        F.expr(
-            "percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(residual))"
-        ).alias("mad")
+    mad_w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("residual"))
+    )
+    mad_n = Window.partitionBy("event_type")
+    mad = (
+        resid.select("event_type", "residual")
+        .withColumn("rn", F.row_number().over(mad_w))
+        .withColumn("n", F.count(F.lit(1)).over(mad_n))
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.abs(F.col("residual")).alias("mad"))
     )
     # `dow` stays internal: it is a grouping key, not a deliverable, and
     # exposing it made the certified hash hostage to cross-engine
@@ -1376,8 +1397,11 @@ ORACLE = {
                count(*) AS n
         FROM events GROUP BY event_type
     """,
-    # Same dow median baseline and MAD selection (percentile_disc both
-    # times), same 3-MAD multiply compare.
+    # Same dow median baseline and MAD selection — both medians as
+    # EXPLICIT row_number = (n+1)//2 selections, mirroring the Spark
+    # side exactly: percentile_disc's even-group index convention
+    # drifted across DuckDB releases (rounds 5 AND 6 red), so no
+    # quantile function appears anywhere in this oracle.
     "events_seasonal_residuals": """
         WITH daily AS (
             SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
@@ -1392,10 +1416,16 @@ ORACLE = {
             FROM daily
         ),
         prof AS (
-            SELECT event_type, dow,
-                   percentile_disc(0.5) WITHIN GROUP (ORDER BY y)
-                       AS dow_baseline
-            FROM d GROUP BY 1, 2
+            SELECT event_type, dow, y AS dow_baseline
+            FROM (
+                SELECT event_type, dow, y,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type, dow ORDER BY y) AS rn,
+                       COUNT(*) OVER (
+                           PARTITION BY event_type, dow) AS n
+                FROM d
+            )
+            WHERE rn = (n + 1) // 2
         ),
         resid AS (
             SELECT d.event_type, d.day, d.dow, d.y, prof.dow_baseline,
@@ -1403,10 +1433,16 @@ ORACLE = {
             FROM d JOIN prof USING (event_type, dow)
         ),
         mad AS (
-            SELECT event_type,
-                   percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(residual))
-                       AS mad
-            FROM resid GROUP BY 1
+            SELECT event_type, abs(residual) AS mad
+            FROM (
+                SELECT event_type, residual,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type
+                           ORDER BY abs(residual)) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM resid
+            )
+            WHERE rn = (n + 1) // 2
         )
         SELECT r.event_type, r.day,
                r.y, r.dow_baseline, r.residual,

@@ -1513,7 +1513,7 @@ def shard_manifest(
                 "first_offset"
             ),
             F.max("cum_tokens").alias("last_offset"),
-            F.bit_xor("doc_id").alias("id_xor"),
+            F.bit_xor(F.col("doc_id").cast("long")).alias("id_xor"),
         )
     )
 
@@ -2294,11 +2294,11 @@ ORACLE = {
                cum_tokens <= {TOKEN_BUDGET_PER_SOURCE} AS kept
         FROM (
             SELECT doc_id, source, n_tokens,
-                   SUM(n_tokens) OVER (
+                   CAST(SUM(n_tokens) OVER (
                        PARTITION BY source
                        ORDER BY ((doc_id % 2147483647) * 2654435761)
                                 % {BUDGET_HASH_MOD}, doc_id
-                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
             FROM (SELECT doc_id, source,
                          CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
                   FROM documents)
@@ -2401,9 +2401,9 @@ ORACLE = {
                cum_tokens <= {QUALITY_FILL_BUDGET} AS kept
         FROM (
             SELECT doc_id, n_tokens, quality_score,
-                   SUM(n_tokens) OVER (
+                   CAST(SUM(n_tokens) OVER (
                        ORDER BY quality_score DESC NULLS LAST, pri, doc_id
-                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
             FROM scored
         )
     """,
@@ -2414,22 +2414,22 @@ ORACLE = {
     "corpus_shard_manifest": f"""
         WITH assigned AS (
             SELECT doc_id, n_tokens,
-                   SUM(n_tokens) OVER (
+                   CAST(SUM(n_tokens) OVER (
                        ORDER BY pri, doc_id
-                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
             FROM (SELECT doc_id,
                          CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
                          ((doc_id % 2147483647) * 2654435761)
                              % {BUDGET_HASH_MOD} AS pri
                   FROM documents)
         )
-        SELECT (cum_tokens - n_tokens) // {SHARD_TOKEN_TARGET}
-                   AS shard_id,
-               count(*) AS n_docs,
-               SUM(n_tokens) AS shard_token_mass,
-               MIN(cum_tokens - n_tokens) AS first_offset,
-               MAX(cum_tokens) AS last_offset,
-               bit_xor(doc_id) AS id_xor
+        SELECT CAST((cum_tokens - n_tokens) // {SHARD_TOKEN_TARGET}
+                   AS BIGINT) AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS shard_token_mass,
+               CAST(MIN(cum_tokens - n_tokens) AS BIGINT) AS first_offset,
+               CAST(MAX(cum_tokens) AS BIGINT) AS last_offset,
+               CAST(bit_xor(CAST(doc_id AS BIGINT)) AS BIGINT) AS id_xor
         FROM assigned
         GROUP BY 1
     """,

@@ -69,86 +69,77 @@ def _extended_modules():
 # round 2).
 _PREFIX_TAIL_BOUNDARY = "tpch"
 
-# Round-6 window rotation. The driver certifies only the first 50
+# Round-7 window rotation. The driver certifies only the first 50
 # entries per round, so the window is rotated each round toward the
 # queries whose certification is most valuable NOW:
-#   1. the round-5 backlog (added after the r5 window filled — the only
-#      registry queries without a driver-side row);
-#   2. queries whose implementation or oracle changed this round
-#      (the two r5 red rows + the dayofweek-oracle hardening + the
-#      de-quadratified negative sampler);
-#   3. new round-6 queries (inserted as they land; one tail filler is
-#      dropped per insertion so the list stays exactly 50);
-#   4. long-standing sentinels re-certified every round;
-#   5. stale refreshers, oldest driver row first (r1 rows-only trio,
-#      then the r2 cohort, then the oldest r3 rows; r2/r3 rows that
-#      ceded their slot to round-6 insertions refresh in round 7).
+#   1. the STALENESS_BOUND_ROUNDS=5 contract (tests/test_registry.py)
+#      trips first: the r2 cohort displaced by round-6 insertions
+#      (driver row age hits the bound exactly this round), then the
+#      ENTIRE round-3 cohort (31 rows — they hit the bound in round 8,
+#      and round 8's window must absorb the 44-row round-4 cohort, so
+#      they cannot wait);
+#   2. queries whose implementation or oracle changed this round (the
+#      four r6 red rows: explicit-CAST oracle outputs on the three
+#      prefix-sum budget ops; the de-quantiled seasonal residuals),
+#      plus the extended curation composition and the de-skewed label
+#      noise op;
+#   3. new round-7 queries, inserted as they land;
+#   4. long-standing sentinels re-certified every round.
 # Names are validated against the assembled registry — a typo or a
 # renamed query fails loudly rather than silently ceding its slot.
 _WINDOW_PRIORITY = [
-    # 1: round-5 backlog, never driver-certified (all oracle-backed;
-    # all green in the r5 judge's local gate replica)
-    "corpus_repeated_spans",
-    "docs_substring_dedup",
-    "dedup_substring_cross_corpus",
-    "docs_leakage_safe_split",
-    "docs_feature_hashed",
-    "docs_hashed_knn",
-    # 2: changed in round 6 — the r5 red rows (dow column dropped /
-    # tokens array_join'ed), the strftime-pinned dow oracles, and the
-    # residue-class rewrite of the negative sampler
+    # 1a: round-2 cohort — staleness bound trips THIS round
+    "daily_revenue_ma7",
+    "events_profile",
+    "events_props_k_stats",
+    "events_stratified_sample",
+    # 1b: full round-3 cohort — bound trips in round 8, which is
+    # already fully booked by the 44-row round-4 cohort
+    "benchmark_contamination",
+    "chunks_packed",
+    "corpus_boilerplate_ngrams",
+    "corpus_token_df",
+    "corpus_vocabulary_topk",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_near_dup_clusters",
+    "dedup_neardup_curated",
+    "dedup_ngram_jaccard",
+    "docs_quality_tiered_sample",
+    "docs_train_val_test",
+    "documents_chunked",
+    "documents_curated",
+    "events_k_anonymity",
+    "ip_region_counts",
+    "register_windowed_counts",
+    "sim_embedding_norms",
+    "text_boilerplate_fraction",
+    "text_char_diversity",
+    "text_fingerprints",
+    "text_lang_confusion",
+    "text_normalized",
+    "text_quality",
+    "text_repetition_scores",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "text_top_bigrams",
+    "xmodal_label_lang_crosstab",
+    "xmodal_norm_extremes",
+    # 2: changed in round 7 — the four r6 red rows (oracle output CASTs
+    # / the row_number median rewrite), the extended end-to-end
+    # curation chain, and the de-skewed label-noise op
     "events_seasonal_residuals",
-    "docs_bpe_encoded",
-    "retrieval_negative_samples",
-    "orders_date_features",
-    "events_hourly_heatmap",
-    # 3: new in round 6 — inserted here as they land (one 5c filler
-    # dropped per insertion so the list stays exactly 50)
-    "hybrid_search_rrf_lsh_prod",
     "docs_token_budget_cap",
-    "docs_mixture_temperature",
-    "docs_curriculum_stages",
-    "docs_memorization_risk",
-    "split_leakage_compare",
-    "embeddings_quantized_int8",
-    "corpus_shard_manifest",
-    "embeddings_label_noise",
-    "customers_bloom_prefilter",
-    "lineitem_price_kll_rollup",
-    "multimodal_ahash_neardup",
-    "multimodal_ahash_clusters",
-    "multimodal_video_fp_neardup",
     "docs_quality_budget_fill",
+    "corpus_shard_manifest",
+    "corpus_end_to_end_curation",
+    "embeddings_label_noise",
+    # 3: new in round 7 — inserted here as they land
     # 4: sentinels
     "quiz_mastery",
     "dedup_minhash_lsh",
     "sim_knn_bruteforce",
-    # 5a: round-1 rows-only trio, five rounds stale
-    "dedup_simhash",
-    "sim_knn_ivf",
-    "sim_knn_lsh",
-    # 5b: round-2 cohort, four rounds stale (orders_date_features is in
-    # section 2)
-    "nation_participation",
-    "orders_cube",
-    "orders_grouping_sets",
-    "orders_priciest_per_priority",
-    "part_price_rank_family",
-    "purchase_view_window_counts",
-    "purchases_minutely_gapfill",
-    "tpch_q12_priority_by_flag",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_share",
-    "tpch_q16_dormant_customers",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_heavy_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_rich_punctual_orders",
-    "tpch_q4_priority_waiting",
-    # (the oldest round-3 rows all refresh in round 7 — this round's
-    # additions consumed the 5c filler slots)
 ]
 
 

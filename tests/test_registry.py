@@ -55,27 +55,18 @@ def test_broken_extension_does_not_kill_core(monkeypatch):
     assert "dedup" in names and "textops" in names  # the rest survived
 
 
-# Round 6 spends rows-only window slots on (a) docs_bpe_encoded, whose
-# registry projection changed this round (the r5 canonicalizer crash),
-# and (b) the round-1 rows-only trio, whose driver rows are five rounds
-# old. Every other slot must stay oracle-backed.
-ROWS_ONLY_WINDOW_SLOTS = {
-    "docs_bpe_encoded",
-    "dedup_simhash",
-    "sim_knn_ivf",
-    "sim_knn_lsh",
-    # new this round: deployment-shape bench twin of the certified
-    # hybrid_search_rrf_lsh (approximate by construction — recall is
-    # what's certified, by the oracle-backed entry)
-    "hybrid_search_rrf_lsh_prod",
-}
+# Round 7 spends every window slot on oracle-backed queries: the
+# staleness cohorts (full r2 + r3 refresh), the four re-pinned r6 red
+# rows, changed compositions, new queries, and sentinels. The rows-only
+# family all carries a fresh r5/r6 driver row, so none needs a slot.
+ROWS_ONLY_WINDOW_SLOTS: set[str] = set()
 
 
 def test_driver_window_contract():
     """The driver certifies only the first 50 registry entries. Pin the
-    round-6 rotation contract: every _WINDOW_PRIORITY name (the r5
-    backlog + this round's changed and new queries + sentinels + the
-    stalest refreshers) sits inside the window, and the only rows-only
+    round-7 rotation contract: every _WINDOW_PRIORITY name (the
+    staleness cohorts + this round's changed and new queries +
+    sentinels) sits inside the window, and the only rows-only
     names in any window slot are the declared ones."""
     qs = list(registry.queries())
     os_ = set(registry.oracle_sql())
