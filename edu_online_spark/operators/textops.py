@@ -1528,9 +1528,10 @@ def quality_budget_fill(
     """Best-documents-under-a-budget: fill a GLOBAL token budget from
     the highest-quality documents down — the curation decision "we can
     afford N tokens of training data; take the best N" as one query.
-    Ordering key is text_quality's composite score (two exact integer
-    divisions — cross-engine deterministic), ties broken by hash then
-    doc_id so equal-quality docs admit reproducibly.
+    Ordering key is text_quality's composite score (two
+    correctly-rounded IEEE double divisions of exact integer operands —
+    single rounding step per term, so cross-engine deterministic), ties
+    broken by hash then doc_id so equal-quality docs admit reproducibly.
 
     Scale shape: the same distributed prefix sum as token_budget_cap /
     assign_training_shards, but ordered by QUALITY, not hash — the
@@ -2380,8 +2381,8 @@ ORACLE = {
     """,
     # Single-window form of the same quality-ordered prefix sum the
     # Spark side computes in fixed score-range buckets; the score is
-    # two exact int divisions, ties broken by the documented hash
-    # mirror then doc_id.
+    # two correctly-rounded double divisions of integer operands, ties
+    # broken by the documented hash mirror then doc_id.
     "docs_quality_budget_fill": f"""
         WITH scored AS (
             SELECT doc_id,

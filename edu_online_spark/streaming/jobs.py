@@ -1489,7 +1489,16 @@ def token_budget_gate_job(
     operator, documented as with the other twins: the batch form ranks
     the WHOLE corpus in one global hash order; the stream admits in
     arrival order, hash-ordered within each trigger — a late doc with a
-    high-priority hash cannot evict an already-admitted one.
+    high-priority hash cannot evict an already-admitted one. The
+    asymmetry also cuts the other way: WITHIN a trigger, a rejected
+    doc's tokens still occupy cum_in_batch and can block lower-priority
+    docs of the same trigger, but only ADMITTED tokens persist into
+    used_tokens — so a doc rejected when co-delivered with
+    higher-priority ones could be admitted had it arrived one trigger
+    later, with head-room restored. That permissiveness is intentional:
+    charging rejected tokens to the quota forever would let one
+    oversized early doc permanently starve its source, which is the
+    wrong failure mode for an ingest quota.
     """
     import os
 
@@ -1742,6 +1751,15 @@ def length_quantile_sketch_job(
     )
     sk_path = out_path + ".sk"
 
+    def publish(state: DataFrame, batch_id: int) -> None:
+        report = state.select(
+            "n_docs",
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.25)).alias("p25"),
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.95)).alias("p95"),
+        ).coalesce(1).localCheckpoint(eager=True)
+        sinks.parquet_overwrite_atomic(out_path)(report, batch_id)
+
     def fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
@@ -1757,7 +1775,14 @@ def length_quantile_sketch_job(
             old = spark.read.parquet(sk_path)
             last = old.agg(F.max("last_batch_id")).first()[0]
             if last is not None and last >= batch_id:
-                return  # redelivered trigger: already folded in
+                # Redelivered trigger: the sketch is already folded in,
+                # but the crash window between the state swap and the
+                # report publish means the published report may still be
+                # one batch behind — re-derive it from the COMMITTED
+                # state instead of returning early, or an idle stream
+                # would serve the stale report indefinitely (ADVICE r6).
+                publish(old, batch_id)
+                return
             delta = (
                 old.select("sk", "n_docs")
                 .unionByName(delta)
@@ -1772,13 +1797,7 @@ def length_quantile_sketch_job(
             .localCheckpoint(eager=True)  # pin before the swap retires old
         )
         sinks.parquet_overwrite_atomic(sk_path)(cum, batch_id)
-        report = cum.select(
-            "n_docs",
-            F.kll_sketch_get_quantile_double("sk", F.lit(0.25)).alias("p25"),
-            F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
-            F.kll_sketch_get_quantile_double("sk", F.lit(0.95)).alias("p95"),
-        ).coalesce(1).localCheckpoint(eager=True)
-        sinks.parquet_overwrite_atomic(out_path)(report, batch_id)
+        publish(cum, batch_id)
 
     return (
         docs.writeStream.outputMode("append")
@@ -1890,8 +1909,15 @@ def seen_filter_job(
         seen_prior = F.lit(True)
         for i in range(len(BLOOM_MULTS)):
             seen_prior = seen_prior & F.coalesce(F.col(f"_h{i}"), F.lit(False))
-        # exact within-trigger duplicate detection (trigger-sized)
-        w = Window.partitionBy("k").orderBy("doc_id")
+        # exact within-trigger duplicate detection (trigger-sized);
+        # first occurrence = hash-priority order (the budget-gate
+        # convention), doc_id as the final tiebreak
+        from ..functions.core import hash_bucket
+        from ..operators.textops import BUDGET_HASH_MOD
+
+        w = Window.partitionBy("k").orderBy(
+            hash_bucket("doc_id", BUDGET_HASH_MOD), "doc_id"
+        )
         annotated = (
             keyed.withColumn("rn", F.row_number().over(w))
             .join(hit.select("doc_id", seen_prior.alias("seen_prior")), "doc_id")

@@ -1148,6 +1148,31 @@ def test_length_quantile_sketch_replay_and_recovery(spark, tmp_path):
     assert spark.read.parquet(sk).first()["n_docs"] == 30
 
 
+def test_length_quantile_sketch_replay_republishes_stale_report(
+    spark, tmp_path
+):
+    """ADVICE r6: a crash between the state swap and the report publish
+    leaves the report one batch behind; a fenced replay of the same
+    trigger must re-derive the report from committed state rather than
+    return early (an idle stream would otherwise serve the stale report
+    forever)."""
+    import shutil
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(
+        src, "b1.jsonl",
+        _budget_doc_lines([(i, "s", " ".join(["w"] * 5)) for i in range(20)]),
+    )
+    _run(jobs.length_quantile_sketch_job, spark, src, out, ckpt)
+    # simulate the crash window: state committed, report publish lost
+    shutil.rmtree(out)
+    # fenced replay (fresh checkpoint, same input): state is already
+    # folded (last_batch_id fence) — the report must still reappear
+    _run(jobs.length_quantile_sketch_job, spark, src, out, str(tmp_path / "ck2"))
+    r = spark.read.parquet(out).first()
+    assert r["n_docs"] == 20 and r["p50"] == 5.0
+
+
 def test_seen_filter_flags_reposted_content_across_waves(spark, tmp_path):
     """A wave-2 repost of wave-1 content (under a NEW doc_id) must be
     flagged probably_seen; fresh content must not. Within-trigger
