@@ -54,16 +54,42 @@ from .textops import (
     STRATIFIED_HASH_MOD,
     STRATIFIED_PER_STRATUM,
     WS_RUN_PATTERN,
+    assign_training_shards,
     gopher_quality_rules,
     pack_training_sequences,
+    quality_budget_fill,
+    temperature_mixture_sample,
 )
+
+# Global token budget for the release branch (stage 5b). Sized to BITE
+# at the certification SFs — the deduped corpus carries ~15-20k tokens
+# at sf0.01, so an 8k budget genuinely rejects the low-quality tail
+# (a budget larger than the corpus would make the stage a no-op and
+# certify nothing).
+CURATION_FILL_BUDGET = 8_000
+# Composition-scale shard target: the mixed subset carries ~3-4k tokens
+# at the certification SFs, so the module default (4096) would place
+# every doc in shard 0 and certify nothing about the boundary
+# arithmetic. 512 yields ~6-8 shards whose cut points the card's
+# per-source n_shards genuinely exercises.
+CURATION_SHARD_TOKENS = 512
 
 
 def corpus_end_to_end_curation(
     documents: DataFrame, per_stratum: int = STRATIFIED_PER_STRATUM
 ) -> DataFrame:
     """normalize → PII scrub → Gopher gate → near-dup collapse →
-    stratified sample → pack → per-source release card.
+    {stratified sample → pack} ∥ {quality budget fill → temperature
+    mixture → shard assignment} → per-source release card.
+
+    Two release branches leave the deduped corpus (round 7 added the
+    second): the ANALYSIS branch (stratified sample → packed training
+    sequences — a fixed per-source quota for eyeballing/evals) and the
+    RELEASE branch (the round-6 curation stages chained end-to-end:
+    fill a global token budget from the highest-quality docs down,
+    temperature-rebalance the survivors across sources, lay the mix
+    out into training shards). Composition is where contract breaks
+    hide, so both branches feed ONE certified card.
 
     Output (one row per source, every value an integer count or an
     int-derived sum, so the whole card hash-certifies):
@@ -76,6 +102,14 @@ def corpus_end_to_end_curation(
       n_redactions      PII redactions inside the sampled docs
       n_packs           fixed-budget training packs built from them
       packed_tokens     tokens actually packed
+      n_budget_kept     docs admitted by the global quality budget fill
+      budget_tokens     tokens those docs carry
+      n_mixed           docs surviving the sqrt-temperature mixture
+      mixed_tokens      tokens entering the shard writer
+      n_shards          distinct training shards holding this source's
+                        docs (shards interleave sources by design —
+                        the hash-priority epoch order — so per-source
+                        shard spread is the signal worth auditing)
     """
     # --- stages 1-3: one fused scan projection ----------------------
     norm = F.trim(
@@ -134,6 +168,34 @@ def corpus_end_to_end_curation(
     )
     # --- stage 6: pack the sampled docs -----------------------------
     packs = pack_training_sequences(sampled.select("doc_id", "source", "text"))
+    # --- stage 5b: global quality budget fill over the deduped corpus
+    # quality_budget_fill keys on doc_id only; the semi-join back to
+    # `deduped` re-attaches (source, text) for the downstream stages.
+    # Plain shuffle join on doc_id — the kept set is corpus-sized, not
+    # broadcastable at scale.
+    bkept = (
+        quality_budget_fill(deduped, budget=CURATION_FILL_BUDGET)
+        .filter(F.col("kept"))
+        .select("doc_id", "n_tokens")
+        .join(deduped.select("doc_id", "source", "text"), "doc_id")
+        # consumed by three branches: mixture ranking, shard text
+        # re-join, card aggregate
+        .localCheckpoint(eager=True)
+    )
+    # --- stage 6b: sqrt-temperature source rebalance ----------------
+    # materialized: two consumers (shard text re-join, card aggregate)
+    # would each re-run the ranking windows AND re-plan the normalizer
+    # crossJoin; one checkpoint collapses both
+    mixed = temperature_mixture_sample(
+        bkept.select("doc_id", "source")
+    ).localCheckpoint(eager=True)
+    # --- stage 7b: shard assignment over the mixed subset -----------
+    shards = assign_training_shards(
+        bkept.join(mixed.select("doc_id"), "doc_id").select(
+            "doc_id", "source", "text"
+        ),
+        shard_tokens=CURATION_SHARD_TOKENS,
+    )
     # --- stage 7: per-source release card ---------------------------
     card_raw = documents.groupBy("source").agg(F.count("*").alias("n_raw"))
     card_gate = gated.groupBy("source").agg(F.count("*").alias("n_kept_gopher"))
@@ -149,11 +211,23 @@ def corpus_end_to_end_curation(
         F.count("*").alias("n_packs"),
         F.sum("pack_tokens").alias("packed_tokens"),
     )
+    card_budget = bkept.groupBy("source").agg(
+        F.count("*").alias("n_budget_kept"),
+        F.sum("n_tokens").alias("budget_tokens"),
+    )
+    card_mix = mixed.groupBy("source").agg(F.count("*").alias("n_mixed"))
+    card_shard = shards.groupBy("source").agg(
+        F.sum("n_tokens").alias("mixed_tokens"),
+        F.countDistinct("shard_id").alias("n_shards"),
+    )
     return (
         card_raw.join(card_gate, "source", "left")
         .join(card_dedup, "source", "left")
         .join(card_sample, "source", "left")
         .join(card_pack, "source", "left")
+        .join(card_budget, "source", "left")
+        .join(card_mix, "source", "left")
+        .join(card_shard, "source", "left")
         .select(
             "source",
             "n_raw",
@@ -164,6 +238,11 @@ def corpus_end_to_end_curation(
             F.coalesce("n_redactions", F.lit(0)).alias("n_redactions"),
             F.coalesce("n_packs", F.lit(0)).alias("n_packs"),
             F.coalesce("packed_tokens", F.lit(0)).alias("packed_tokens"),
+            F.coalesce("n_budget_kept", F.lit(0)).alias("n_budget_kept"),
+            F.coalesce("budget_tokens", F.lit(0)).alias("budget_tokens"),
+            F.coalesce("n_mixed", F.lit(0)).alias("n_mixed"),
+            F.coalesce("mixed_tokens", F.lit(0)).alias("mixed_tokens"),
+            F.coalesce("n_shards", F.lit(0)).alias("n_shards"),
         )
     )
 
@@ -193,13 +272,17 @@ QUERIES = {
 from .textops import CHUNK_STRIDE, CHUNK_TOKENS  # noqa: E402
 from .textops import _STOP_LIST as _GOPHER_STOPS  # noqa: E402
 from .textops import (  # noqa: E402
+    BUDGET_HASH_MOD,
     GOPHER_MAX_MEAN_WORD_LEN,
     GOPHER_MAX_TOP_TOKEN_SHARE,
     GOPHER_MAX_WORDS,
     GOPHER_MIN_MEAN_WORD_LEN,
     GOPHER_MIN_STOPWORDS,
     GOPHER_MIN_WORDS,
+    TEMP_SAMPLE_HALF_DIVISOR,
 )
+
+_PRI_SQL = f"((doc_id % 2147483647) * 2654435761) % {BUDGET_HASH_MOD}"
 
 _NORM_SQL = (
     f"trim(regexp_replace(regexp_replace(text, '{CONTROL_CHARS_PATTERN}', "
@@ -307,6 +390,71 @@ ORACLE = {
                    CAST(sum(n_chunk_tokens) AS BIGINT) AS pack_tokens
             FROM win GROUP BY 1, 2
         ),
+        qscored AS (
+            SELECT doc_id, source,
+                   CAST(len(w) AS BIGINT) AS n_tokens,
+                   CASE WHEN length(text) > 0 AND len(w) > 0
+                        THEN (len(list_filter(w,
+                                  x -> x IN ({_GOPHER_STOPS})))::DOUBLE
+                              / len(w))
+                             - (len(regexp_extract_all(text,
+                                    '[.,!?;:]'))::DOUBLE / length(text))
+                   END AS quality_score,
+                   {_PRI_SQL} AS pri
+            FROM deduped
+        ),
+        bkept AS (
+            SELECT doc_id, source, n_tokens FROM (
+                SELECT doc_id, source, n_tokens,
+                       CAST(SUM(n_tokens) OVER (
+                           ORDER BY quality_score DESC NULLS LAST, pri,
+                                    doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS cum_tokens
+                FROM qscored
+            ) WHERE cum_tokens <= {CURATION_FILL_BUDGET}
+        ),
+        minv AS (
+            SELECT source, count(*) AS n_docs FROM bkept GROUP BY source
+        ),
+        mnorm AS (
+            SELECT list_sum(list(sqrt(n_docs::DOUBLE) ORDER BY source))
+                       AS w_total,
+                   (SELECT count(*) // {TEMP_SAMPLE_HALF_DIVISOR}
+                    FROM bkept) AS sample_n
+            FROM minv
+        ),
+        mtargets AS (
+            SELECT i.source,
+                   CAST(floor(n.sample_n
+                              * (sqrt(i.n_docs::DOUBLE) / n.w_total))
+                        AS BIGINT) AS target_n
+            FROM minv i CROSS JOIN mnorm n
+        ),
+        mixed AS (
+            SELECT r.doc_id, r.source FROM (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY {_PRI_SQL}, doc_id) AS rank
+                FROM bkept
+            ) r JOIN mtargets t USING (source)
+            WHERE r.rank <= t.target_n
+        ),
+        mshard AS (
+            SELECT doc_id, source, n_tokens,
+                   CAST((cum_tokens - n_tokens) // {CURATION_SHARD_TOKENS}
+                        AS BIGINT) AS shard_id
+            FROM (
+                SELECT doc_id, source, n_tokens,
+                       CAST(SUM(n_tokens) OVER (
+                           ORDER BY {_PRI_SQL}, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS cum_tokens
+                FROM bkept
+                WHERE doc_id IN (SELECT doc_id FROM mixed)
+            )
+        ),
         card_raw AS (
             SELECT source, count(*) AS n_raw FROM documents GROUP BY source
         ),
@@ -326,6 +474,20 @@ ORACLE = {
             SELECT source, count(*) AS n_packs,
                    CAST(sum(pack_tokens) AS BIGINT) AS packed_tokens
             FROM packs GROUP BY source
+        ),
+        card_budget AS (
+            SELECT source, count(*) AS n_budget_kept,
+                   CAST(sum(n_tokens) AS BIGINT) AS budget_tokens
+            FROM bkept GROUP BY source
+        ),
+        card_mix AS (
+            SELECT source, count(*) AS n_mixed FROM mixed GROUP BY source
+        ),
+        card_shard AS (
+            SELECT source,
+                   CAST(sum(n_tokens) AS BIGINT) AS mixed_tokens,
+                   CAST(count(DISTINCT shard_id) AS BIGINT) AS n_shards
+            FROM mshard GROUP BY source
         )
         SELECT r.source, r.n_raw,
                COALESCE(g.n_kept_gopher, 0) AS n_kept_gopher,
@@ -334,11 +496,19 @@ ORACLE = {
                COALESCE(s.sampled_tokens, 0) AS sampled_tokens,
                COALESCE(s.n_redactions, 0) AS n_redactions,
                COALESCE(p.n_packs, 0) AS n_packs,
-               COALESCE(p.packed_tokens, 0) AS packed_tokens
+               COALESCE(p.packed_tokens, 0) AS packed_tokens,
+               COALESCE(b.n_budget_kept, 0) AS n_budget_kept,
+               COALESCE(b.budget_tokens, 0) AS budget_tokens,
+               COALESCE(m.n_mixed, 0) AS n_mixed,
+               COALESCE(h.mixed_tokens, 0) AS mixed_tokens,
+               COALESCE(h.n_shards, 0) AS n_shards
         FROM card_raw r
         LEFT JOIN card_gate g USING (source)
         LEFT JOIN card_dedup d USING (source)
         LEFT JOIN card_sample s USING (source)
         LEFT JOIN card_pack p USING (source)
+        LEFT JOIN card_budget b USING (source)
+        LEFT JOIN card_mix m USING (source)
+        LEFT JOIN card_shard h USING (source)
     """,
 }

@@ -54,3 +54,34 @@ def test_curation_funnel_stages(spark):
             >= row["n_sampled"]
         )
         assert row["n_packs"] >= 1 and row["packed_tokens"] == row["sampled_tokens"]
+
+
+def test_curation_release_branch(spark):
+    """Round 7: the budget → mixture → shard branch. With a tiny
+    corpus (far under CURATION_FILL_BUDGET) every deduped doc is
+    budget-admitted; the sqrt-temperature mixture then draws
+    total//2 docs; shards partition exactly the mixed token mass."""
+    docs = spark.createDataFrame(
+        [
+            (0, _GOOD, "s1", "en"),
+            (1, _NEAR_DUP, "s1", "en"),
+            (2, "too short", "s1", "en"),
+            (3, _WITH_PII, "s2", "en"),
+        ],
+        ["doc_id", "text", "source", "lang"],
+    )
+    card = {r["source"]: r for r in corpus_end_to_end_curation(docs).collect()}
+    s1, s2 = card["s1"], card["s2"]
+    # budget far above the corpus: everything deduped is admitted
+    assert s1["n_budget_kept"] == s1["n_after_dedup"] == 1
+    assert s2["n_budget_kept"] == s2["n_after_dedup"] == 1
+    assert s1["budget_tokens"] == 25 and s2["budget_tokens"] == 24
+    # mixture: sample_n = 2 // 2 = 1 total; equal sqrt-weights → each
+    # source targets floor(1 * 0.5) = 0 ... the draw is degenerate at
+    # n=2, so just pin the branch invariants
+    total_mixed = s1["n_mixed"] + s2["n_mixed"]
+    assert total_mixed <= 1
+    for row in (s1, s2):
+        assert row["n_mixed"] <= row["n_budget_kept"]
+        assert row["mixed_tokens"] <= row["budget_tokens"]
+        assert (row["n_shards"] >= 1) == (row["n_mixed"] >= 1)

@@ -404,16 +404,26 @@ def test_decoded_meta_single_python_stage(spark, sf_dir):
 def test_curation_pipeline_shapes(spark, sf_dir):
     """The end-to-end curation composition: no cartesian anywhere, no
     Python in the plan (every stage is column expressions or the banded
-    join), and the loser anti-join broadcast."""
+    join), the loser anti-join broadcast, and (round 7) the release
+    branch present — its ONLY nested-loop join is the mixture stage's
+    1-row broadcast normalizer."""
     from edu_online_spark.operators.curation import corpus_end_to_end_curation
 
     df = corpus_end_to_end_curation(load_table(spark, sf_dir, "documents"))
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan
+    # temperature_mixture_sample's 1-row normalizer crossJoin runs
+    # inside the eager `mixed` checkpoint — the deliverable plan keeps
+    # zero nested-loop joins
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # losers anti-join + card joins
+    # release-branch shard prefix sum present downstream of the eager
+    # checkpoints: the per-bucket cumsum + tiny offsets window, plus the
+    # stratified rank window (budget fill's windows run inside bkept's
+    # checkpoint and don't appear in the deliverable plan)
+    assert plan.count("Window") >= 3
 
 
 def test_substring_dedup_and_hashing_plan_shapes(spark, sf_dir):
