@@ -469,25 +469,29 @@ def label_noise_candidates(embeddings: DataFrame) -> DataFrame:
     distance², the nearest OTHER label and its distance², the margin
     (own − other), and `suspect` = margin > 0.
 
-    Scale shape: centroids come from label_centroids (labels×dim
-    partial sums, map-side combined); the per-label centroid ARRAYS are
-    assembled distributively (groupBy label over the tiny labels×dim
-    relation — no driver collect) and broadcast into a corpus×labels
-    crossJoin. That is n·L rows with L = label count (constant, ~10s):
-    linear in the corpus, and the nearest-other window partitions by
-    vec_id over L−1 rows — no skew possible. At 100 TB this is one
-    broadcast scan plus an n·L shuffle with constant L.
+    Scale shape (de-skewed in round 7 after the 10× rehearsal showed
+    4.6× wall at 10× input): centroids come from label_centroids
+    (labels×dim partial sums, map-side combined), are assembled into
+    per-label arrays distributively (groupBy over the tiny labels×dim
+    relation — no driver collect), then collapse to a SINGLE ROW
+    holding the whole L×d centroid matrix, broadcast into the corpus
+    scan. Every vector computes all L distances INSIDE its own row
+    (array expressions over the matrix) and selects own/nearest-other
+    with an array sort over L structs — so the former n·L-row
+    crossJoin, the n·L shuffle, and the per-vec_id ranking window (plus
+    the double scan of the scored relation the own/other split forced)
+    are all gone. One scan, zero data-sized shuffles; at 100 TB this is
+    a map-only pass behind a KB-sized broadcast.
 
     Exactness: the squared-diff folds run over array_sort'd terms
     (same sorted-fold discipline as the cosine/centroid operators —
     DuckDB's list_sum(list_sort(...)) folds the identical sequence);
-    margin is one subtraction of two such doubles; ties in the
-    nearest-other ordering break on label. Bit-identical on any
+    margin is one subtraction of two such doubles; nearest-other picks
+    the lexicographic min of (d2, label) structs — identical to the
+    old window's ORDER BY d2, clabel. Bit-identical on any
     partitioning or engine.
     """
-    from pyspark.sql import Window
-
-    cvec = (
+    cmat = (
         label_centroids(embeddings)
         .groupBy(F.col("label").alias("clabel"))
         .agg(
@@ -496,43 +500,41 @@ def label_noise_candidates(embeddings: DataFrame) -> DataFrame:
                 lambda s: s["centroid_v"],
             ).alias("cent")
         )
+        # one row: the full L×d matrix, KB-sized for constant L
+        .agg(F.array_sort(F.collect_list(F.struct("clabel", "cent"))).alias("cmat"))
     )
     v = F.transform("embedding", lambda x: x.cast("double"))
+    d2_of = lambda cent: F.aggregate(  # noqa: E731
+        F.array_sort(F.zip_with("v", cent, lambda x, c: (x - c) * (x - c))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     scored = (
         embeddings.select("vec_id", "label", v.alias("v"))
-        # broadcast × L centroid rows (L = label count, ~10): linear
-        .crossJoin(F.broadcast(cvec))
+        .crossJoin(F.broadcast(cmat))  # 1-row matrix, map-side only
         .select(
             "vec_id",
             "label",
-            "clabel",
-            F.aggregate(
-                F.array_sort(
-                    F.zip_with("v", "cent", lambda x, c: (x - c) * (x - c))
+            F.transform(
+                "cmat",
+                lambda c: F.struct(
+                    d2_of(c["cent"]).alias("d2"), c["clabel"].alias("clabel")
                 ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("d2"),
+            ).alias("d2s"),
         )
     )
-    own = scored.filter(F.col("clabel") == F.col("label")).select(
-        "vec_id", "label", F.col("d2").alias("own_d2")
-    )
-    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
-    other = (
-        scored.filter(F.col("clabel") != F.col("label"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            F.col("clabel").alias("nearest_other_label"),
-            F.col("d2").alias("nearest_other_d2"),
-        )
-    )
-    return (
-        own.join(other, "vec_id")
-        .withColumn("margin", F.col("own_d2") - F.col("nearest_other_d2"))
-        .withColumn("suspect", F.col("margin") > F.lit(0.0))
+    own = F.filter("d2s", lambda s: s["clabel"] == F.col("label"))[0]["d2"]
+    nearest = F.array_sort(  # struct sort = lexicographic (d2, clabel)
+        F.filter("d2s", lambda s: s["clabel"] != F.col("label"))
+    )[0]
+    return scored.select(
+        "vec_id",
+        "label",
+        own.alias("own_d2"),
+        nearest["clabel"].alias("nearest_other_label"),
+        nearest["d2"].alias("nearest_other_d2"),
+        (own - nearest["d2"]).alias("margin"),
+        (own - nearest["d2"] > F.lit(0.0)).alias("suspect"),
     )
 
 

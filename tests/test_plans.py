@@ -493,9 +493,13 @@ def test_round6_session_trio_plan_shapes(spark, sf_dir):
 
     noise = label_noise_candidates(emb)
     plan = explain_str(noise, "simple")
-    # the only product is the broadcast × L-row centroid relation
+    # the only product is the broadcast × 1-row centroid-matrix join
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # r7 map-side rewrite: the per-vec_id nearest-other ranking window
+    # (an n·L shuffle) must never come back — selection happens inside
+    # each row via array expressions
+    assert "Window" not in plan
     scans = read_schema_columns(noise)
     assert scans and all(
         set(cols) <= {"vec_id", "embedding", "label"} for cols in scans
