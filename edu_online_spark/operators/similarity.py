@@ -755,7 +755,7 @@ def hybrid_search_rrf_lsh_topk(
     ann_recall_report.
     """
     from ..functions import hashing
-    from ..operators.dedup import _shingled, cross_corpus_band_candidates
+    from ..operators.dedup import _shingle_rows, _shingled
 
     items = documents.join(
         embeddings, documents.doc_id == embeddings.vec_id
@@ -778,18 +778,44 @@ def hybrid_search_rrf_lsh_topk(
             & (vq.bucket == vc.bucket)
             & (F.col("qid") != F.col("nid")),
         )
+        # collision multiplicity survives to the union below — the
+        # single post-union dropDuplicates dedups both towers at once
         .select("qid", "nid")
-        .dropDuplicates(["qid", "nid"])
     )
-    # lexical-side candidates: query batch banded against the corpus —
-    # candidates ONLY (exact scoring happens once, below, on the union)
+    # lexical-side candidates: MinHash band collisions, candidates ONLY
+    # (exact scoring happens once, below, on the union). The query
+    # batch IS a corpus subset here (qid < n_queries), so the corpus is
+    # signed and banded exactly ONCE and the query side is a filter of
+    # that relation — the former cross_corpus_band_candidates call
+    # signed both sides independently, and corpus signing was the
+    # measured dominator of this whole query (3.3 s of 7.7 s at sf0.1).
+    # Production with an external query batch reverts to
+    # cross_corpus_band_candidates (and persists the corpus signature
+    # table, as its docstring prescribes).
     texts = items.select("doc_id", "text")
+    sig = hashing.minhash_signatures_df(
+        _shingle_rows(texts, 3), "doc_id", F.col("shingle")
+    ).localCheckpoint(eager=True)  # the signing cost, paid exactly once
+    lex_banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            hashing.band_hashes(
+                F.col("sig"), hashing.DEFAULT_BANDS, hashing.DEFAULT_NUM_HASHES
+            )
+        ).alias("band", "bh"),
+    )  # band explode is a cheap projection — recomputed per side
+    lq = lex_banded.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("qid"), "band", "bh"
+    )
+    lc = lex_banded.select(F.col("doc_id").alias("nid"), "band", "bh")
     lex_cand = (
-        cross_corpus_band_candidates(
-            texts.filter(F.col("doc_id") < n_queries), texts
+        lc.join(
+            F.broadcast(lq),
+            (lq.band == lc.band)
+            & (lq.bh == lc.bh)
+            & (F.col("qid") != F.col("nid")),
         )
-        .select(F.col("new_id").alias("qid"), F.col("corpus_id").alias("nid"))
-        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")  # deduped once, after the union
     )
     cand = (
         vec_cand.unionByName(lex_cand)
