@@ -95,6 +95,14 @@ HEADLINE = [
     "customers_bloom_prefilter",
     "lineitem_price_kll_rollup",
     "multimodal_ahash_neardup",
+    # round 7: novelty curve (shingle-keyed first-occurrence join),
+    # winnowing fingerprints (xxhash64 scale variant — the certified
+    # entry runs the char-fold mirror), mixture-design vocab overlap,
+    # exact length report
+    "docs_ngram_novelty",
+    "docs_winnowing_fingerprints_fast",
+    "source_vocab_overlap",
+    "docs_length_quantiles_exact",
 ]
 
 

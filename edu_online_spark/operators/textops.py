@@ -1602,6 +1602,234 @@ def quality_budget_fill(
     )
 
 
+NOVELTY_SHINGLE_N = 3
+
+
+def ngram_novelty(documents: DataFrame, n: int = NOVELTY_SHINGLE_N) -> DataFrame:
+    """Per-document n-gram novelty against the corpus ordered by
+    doc_id: what fraction of a document's distinct word n-grams appear
+    here FIRST (no earlier doc contains them)? The curation signal
+    behind "is this document adding anything": boilerplate reposts
+    score near 0, genuinely fresh text near 1 — and the novelty curve
+    over ingest order is the standard diminishing-returns diagnostic
+    for corpus growth (RefinedWeb/Gopher-style dedup analyses track
+    exactly this before paying for full near-dup passes).
+
+    Shape: distinct (doc, shingle) rows → min(doc_id) per shingle (the
+    first-occurrence table, map-side combined) → equi-join back on
+    shingle → one count/count aggregate per doc. Everything is keyed
+    by shingle or doc_id — corpus-token-linear, the same scale class
+    as corpus_token_df; no pairwise comparison anywhere. Docs shorter
+    than n tokens have no shingles and drop out (nothing to be novel
+    with). novelty_frac is one double division of two exact BIGINTs.
+    """
+    from ..functions.text import shingle_rows
+
+    sh = shingle_rows(documents, "doc_id", "text", n).dropDuplicates(
+        ["doc_id", "shingle"]
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_shingles")).alias(
+                "novelty_frac"
+            ),
+        )
+    )
+
+
+def source_vocab_overlap(documents: DataFrame) -> DataFrame:
+    """Pairwise source-level vocabulary overlap — the mixture-design
+    diagnostic: before weighting sources into a training mix, know
+    which ones are near-copies of each other (high Jaccard) and which
+    are subsets (high containment). One row per unordered source pair
+    (a < b) with exact distinct-token intersection, per-source
+    vocabulary sizes, Jaccard, and containment-of-the-smaller.
+
+    Shape: distinct (source, token) rows → token-keyed self-join
+    (a.source < b.source) → count per pair. A token present in all S
+    sources contributes S(S-1)/2 pair rows — S is a constant (~20), so
+    the join output is vocabulary-linear, never quadratic in corpus
+    size. Vocabulary sizes are an S-row aggregate, broadcast into the
+    (at most S²-row) pair grid built from itself — zero-overlap pairs
+    surface with n_inter = 0 rather than vanishing. Ratios are single
+    double divisions of exact BIGINTs.
+    """
+    st = (
+        documents.select("source", F.explode(T.tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .dropDuplicates(["source", "token"])
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n_vocab"))
+    inter = (
+        st.alias("a")
+        .join(
+            st.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    grid = (
+        sizes.select(F.col("source").alias("source_a"), F.col("n_vocab").alias("n_a"))
+        .join(
+            sizes.select(
+                F.col("source").alias("source_b"), F.col("n_vocab").alias("n_b")
+            ),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    return (
+        grid.join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+            "n_a",
+            "n_b",
+            (
+                F.coalesce("n_inter", F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce("n_inter", F.lit(0)))
+            ).alias("jaccard"),
+            (
+                F.coalesce("n_inter", F.lit(0)).cast("double")
+                / F.least("n_a", "n_b")
+            ).alias("containment_min"),
+        )
+    )
+
+
+WINNOW_K = 3  # words per gram
+WINNOW_W = 4  # grams per winnowing window
+
+
+def winnowing_fingerprints(
+    documents: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    variant: str = "fast",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word k-gram, slide a
+    w-gram window, keep each window's MINIMUM hash (rightmost position
+    on ties), dedup selections. The guarantee the plain
+    every-nth-fingerprint schemes lack: any shared run of at least
+    w+k-1 words between two documents is caught by at least one
+    common fingerprint, while storing only ~2/(w+1) of the grams.
+
+    Output: one row per selected fingerprint (doc_id, fp_pos, fp) —
+    the inventory substring-plagiarism/overlap detection joins on.
+
+    variant='fast' (default): xxhash64 gram hashes — codegen, the
+    corpus-scale form. variant='poly': the character-fold rolling hash
+    the DuckDB oracle reproduces bit-for-bit (certified separately,
+    the doc_fingerprints pattern). Shape: gram rows via posexplode +
+    lead (codegen), per-doc lead window over gram hashes, rightmost
+    arg-min via a reversed CASE chain — one shuffle on doc_id, output
+    ~2/(w+1) of gram rows. Docs with fewer than w grams emit nothing
+    (their whole text is shorter than one window; the substring-dedup
+    family owns that regime).
+    """
+    from pyspark.sql import Window
+
+    tok = documents.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "t")
+    )
+    ww = Window.partitionBy("doc_id").orderBy("pos")
+    gram_parts = [F.col("t")] + [F.lead("t", i).over(ww) for i in range(1, k)]
+    if variant == "poly":
+        gram_hash = lambda g: F.aggregate(  # noqa: E731
+            F.filter(F.split(g, ""), lambda ch: ch != ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * T.FINGERPRINT_BASE + F.ascii(ch))
+            % T.FINGERPRINT_MOD,
+        )
+    else:
+        gram_hash = F.xxhash64
+    grams = (
+        tok.select(
+            "doc_id",
+            "pos",
+            gram_hash(F.concat_ws(" ", *gram_parts)).alias("h"),
+            gram_parts[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    hs = [F.col("h")] + [F.lead("h", i).over(ww) for i in range(1, w)]
+    m = F.least(*hs)
+    sel = F.lit(None).cast("long")
+    for i in range(w):  # reversed scan → RIGHTMOST position attaining m
+        sel = F.coalesce(sel, F.when(hs[w - 1 - i] == m, F.col("pos") + (w - 1 - i)))
+    return (
+        grams.select(
+            "doc_id",
+            m.alias("fp"),
+            sel.alias("fp_pos"),
+            hs[w - 1].isNotNull().alias("_full"),  # window fits entirely
+        )
+        .filter(F.col("_full"))
+        .select("doc_id", "fp_pos", "fp")
+        .dropDuplicates(["doc_id", "fp_pos"])
+    )
+
+
+def length_quantiles_exact(documents: DataFrame) -> DataFrame:
+    """Per-source EXACT token-length quartiles + p95 via explicit
+    row_number selection — the corpus length report every tokenizer /
+    packing / truncation decision reads, certified with the
+    convention-free pattern COVERAGE.md's round-7 portability rule
+    prescribes: 'the element at sorted position ceil(q·n)' computed
+    with integer arithmetic ((q_num·n + q_den − 1) div q_den), no
+    percentile_disc anywhere, so no discrete-quantile index convention
+    can drift between engine releases.
+
+    Shape: one per-source rank window over doc-grain rows plus one
+    aggregate — two shuffles on source. Ties in n_tokens cannot
+    perturb the selected VALUE (position k of a sorted multiset is
+    value-determined)."""
+    from pyspark.sql import Window
+
+    d = documents.select(
+        "source", T.token_count("text").cast("long").alias("n_tokens")
+    )
+    ws = Window.partitionBy("source").orderBy("n_tokens")
+    ranked = (
+        d.withColumn("rn", F.row_number().over(ws))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("source")))
+    )
+    picks = {
+        "p25_tokens": "(n + 3) div 4",
+        "p50_tokens": "(n + 1) div 2",
+        "p75_tokens": "(3 * n + 3) div 4",
+        "p95_tokens": "(19 * n + 19) div 20",
+    }
+    return ranked.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        *[
+            F.max(
+                F.when(F.col("rn") == F.expr(pos), F.col("n_tokens"))
+            ).alias(name)
+            for name, pos in picks.items()
+        ],
+    )
+
+
 QUERIES = {
     "text_quality": _q(text_quality),
     "text_lang_confusion": _q(lang_confusion),
@@ -1647,6 +1875,22 @@ QUERIES = {
     "docs_curriculum_stages": _q(curriculum_stages),
     "corpus_shard_manifest": _q(shard_manifest),
     "docs_quality_budget_fill": _q(quality_budget_fill),
+    # round 7
+    "docs_ngram_novelty": _q(ngram_novelty),
+    "source_vocab_overlap": _q(source_vocab_overlap),
+    # hash-matched against the DuckDB char-fold mirror (the
+    # doc_fingerprints two-variant pattern; xxhash64 is the scale
+    # default, exercised by tests)
+    "docs_winnowing_fingerprints": _q(
+        lambda d: winnowing_fingerprints(d, variant="poly")
+    ),
+    # the scale default (xxhash64 gram hashes → rows-only check; the
+    # positions selected depend on the hash values, so the two variants
+    # differ row-for-row — the poly twin certifies the selection
+    # ALGORITHM, and the shared-run detection guarantee is test-pinned
+    # for both variants)
+    "docs_winnowing_fingerprints_fast": _q(winnowing_fingerprints),
+    "docs_length_quantiles_exact": _q(length_quantiles_exact),
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), ' +')"
@@ -2433,5 +2677,125 @@ ORACLE = {
                CAST(bit_xor(CAST(doc_id AS BIGINT)) AS BIGINT) AS id_xor
         FROM assigned
         GROUP BY 1
+    """,
+    # Same distinct 3-gram rows, same min-doc_id first-occurrence
+    # table, same count/count per doc; novelty_frac is one double
+    # division of exact BIGINTs.
+    "docs_ngram_novelty": f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                         for i in range(1, len(w) - 1)]))
+                       AS shingle
+            FROM (SELECT doc_id, {_TOKENS} AS w FROM documents)
+            WHERE len(w) >= 3
+        ),
+        first AS (
+            SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+        )
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN f.first_doc = s.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               CAST(sum(CASE WHEN f.first_doc = s.doc_id
+                             THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+                   AS novelty_frac
+        FROM sh s JOIN first f USING (shingle)
+        GROUP BY s.doc_id
+    """,
+    # Same distinct (source, token) relation, same token-keyed pair
+    # counting, same grid of source pairs with zero-overlap rows
+    # preserved; both ratios are single double divisions.
+    "source_vocab_overlap": f"""
+        WITH st AS (
+            SELECT DISTINCT source, t.token
+            FROM (SELECT source, unnest({_TOKENS}) AS token
+                  FROM documents) t
+            WHERE t.token != ''
+        ),
+        sizes AS (
+            SELECT source, count(*) AS n_vocab FROM st GROUP BY source
+        ),
+        inter AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS n_inter
+            FROM st a JOIN st b
+              ON a.token = b.token AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT g.source_a, g.source_b,
+               CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+               CAST(g.n_a AS BIGINT) AS n_a,
+               CAST(g.n_b AS BIGINT) AS n_b,
+               CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                   / (g.n_a + g.n_b - COALESCE(i.n_inter, 0)) AS jaccard,
+               CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                   / least(g.n_a, g.n_b) AS containment_min
+        FROM (
+            SELECT sa.source AS source_a, sb.source AS source_b,
+                   sa.n_vocab AS n_a, sb.n_vocab AS n_b
+            FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+        ) g
+        LEFT JOIN inter i USING (source_a, source_b)
+    """,
+    # Winnowing mirror: the same char-fold gram hashes (list_reduce ≡
+    # the Spark fold — acc starts at the first term either way), the
+    # same w-gram window minima, the same RIGHTMOST-on-ties selection
+    # (list position of the last index attaining the window min), and
+    # the same distinct-(doc, pos) dedup of selections.
+    "docs_winnowing_fingerprints": f"""
+        WITH g AS (
+            SELECT doc_id,
+                   [list_reduce(
+                        [ascii(s[j])::BIGINT
+                         for j in range(1, length(s) + 1)],
+                        (a, b) -> (a * {T.FINGERPRINT_BASE} + b)
+                                      % {T.FINGERPRINT_MOD})
+                    for s in [array_to_string(w[i:i+{WINNOW_K - 1}], ' ')
+                              for i in range(1, len(w) - {WINNOW_K - 2})]]
+                       AS hs
+            FROM (SELECT doc_id, {_TOKENS} AS w FROM documents)
+            WHERE len(w) >= {WINNOW_K}
+        ),
+        wins AS (
+            SELECT doc_id, hs, unnest(range(0, len(hs) - {WINNOW_W} + 1))
+                       AS p
+            FROM g WHERE len(hs) >= {WINNOW_W}
+        )
+        SELECT DISTINCT doc_id,
+               CAST(p + list_max(
+                   [i for i in range(1, {WINNOW_W} + 1)
+                    if hs[p + i] = list_min(hs[p+1:p+{WINNOW_W}])]) - 1
+                   AS BIGINT) AS fp_pos,
+               CAST(list_min(hs[p+1:p+{WINNOW_W}]) AS BIGINT) AS fp
+        FROM wins
+    """,
+    # Same explicit ceil(q·n) integer positions, same row_number
+    # selection — no percentile function anywhere (COVERAGE.md round-7
+    # portability rule).
+    "docs_length_quantiles_exact": f"""
+        WITH d AS (
+            SELECT source, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        ranked AS (
+            SELECT source, n_tokens,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY n_tokens) AS rn,
+                   COUNT(*) OVER (PARTITION BY source) AS n
+            FROM d
+        )
+        SELECT source,
+               CAST(max(n) AS BIGINT) AS n_docs,
+               CAST(max(CASE WHEN rn = (n + 3) // 4
+                             THEN n_tokens END) AS BIGINT) AS p25_tokens,
+               CAST(max(CASE WHEN rn = (n + 1) // 2
+                             THEN n_tokens END) AS BIGINT) AS p50_tokens,
+               CAST(max(CASE WHEN rn = (3 * n + 3) // 4
+                             THEN n_tokens END) AS BIGINT) AS p75_tokens,
+               CAST(max(CASE WHEN rn = (19 * n + 19) // 20
+                             THEN n_tokens END) AS BIGINT) AS p95_tokens
+        FROM ranked
+        GROUP BY source
     """,
 }

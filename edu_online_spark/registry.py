@@ -136,6 +136,11 @@ _WINDOW_PRIORITY = [
     "corpus_end_to_end_curation",
     "embeddings_label_noise",
     # 3: new in round 7 — inserted here as they land
+    "docs_ngram_novelty",
+    "source_vocab_overlap",
+    "docs_winnowing_fingerprints",
+    "docs_winnowing_fingerprints_fast",  # rows-only scale twin (new)
+    "docs_length_quantiles_exact",
     # 4: sentinels
     "quiz_mastery",
     "dedup_minhash_lsh",

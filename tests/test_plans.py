@@ -519,3 +519,38 @@ def test_round6_session_trio_plan_shapes(spark, sf_dir):
         set(cols) <= {"c_custkey"} or set(cols) <= {"o_custkey"}
         for cols in scans
     ), scans
+
+
+def test_round7_textops_plan_shapes(spark, sf_dir):
+    """Novelty, vocab overlap, winnowing, and the exact length report
+    stay declarative: no Python anywhere, no data-sized cartesian (the
+    only non-equi join is the S×S source-size grid), scans pruned to
+    the columns each op reads."""
+    from edu_online_spark.operators.textops import (
+        length_quantiles_exact,
+        ngram_novelty,
+        source_vocab_overlap,
+        winnowing_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    for df, cols in (
+        (ngram_novelty(docs), {"doc_id", "text"}),
+        (winnowing_fingerprints(docs), {"doc_id", "text"}),
+        (winnowing_fingerprints(docs, variant="poly"), {"doc_id", "text"}),
+        (length_quantiles_exact(docs), {"source", "text"}),
+    ):
+        plan = explain_str(df, "simple")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        scans = read_schema_columns(df)
+        assert scans and all(set(c) <= cols for c in scans), scans
+
+    ov = source_vocab_overlap(docs)
+    plan = explain_str(ov, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    scans = read_schema_columns(ov)
+    assert scans and all(set(c) <= {"source", "text"} for c in scans), scans

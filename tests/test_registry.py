@@ -26,6 +26,7 @@ def test_rows_only_set_is_intentional():
         "docs_bpe_encoded",
         "docs_compression_ratio",
         "docs_lm_perplexity",
+        "docs_winnowing_fingerprints_fast",
         "events_user_value_ewma",
         "hybrid_search_rrf_lsh_prod",
         "sim_knn_ivf",
@@ -55,11 +56,14 @@ def test_broken_extension_does_not_kill_core(monkeypatch):
     assert "dedup" in names and "textops" in names  # the rest survived
 
 
-# Round 7 spends every window slot on oracle-backed queries: the
+# Round 7 spends every window slot on oracle-backed queries — the
 # staleness cohorts (full r2 + r3 refresh), the four re-pinned r6 red
-# rows, changed compositions, new queries, and sentinels. The rows-only
-# family all carries a fresh r5/r6 driver row, so none needs a slot.
-ROWS_ONLY_WINDOW_SLOTS: set[str] = set()
+# rows, changed compositions, new queries, and sentinels — except one:
+# the new xxhash64 winnowing twin (rows-only by construction, like
+# text_fingerprints_fast; its selection semantics are certified by the
+# oracle-backed poly entry) needs its first driver row. The rest of
+# the rows-only family carries a fresh r5/r6 row, so none needs a slot.
+ROWS_ONLY_WINDOW_SLOTS: set[str] = {"docs_winnowing_fingerprints_fast"}
 
 
 def test_driver_window_contract():

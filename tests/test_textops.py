@@ -884,3 +884,117 @@ def test_quality_budget_fill_partitioning_invariant(spark):
         map(tuple, quality_budget_fill(docs.repartition(13), 100).collect())
     )
     assert a == b
+
+
+# --------------------------------------------------------------------------
+# round 7: novelty / vocab overlap / winnowing / exact length quantiles
+# --------------------------------------------------------------------------
+
+
+def test_ngram_novelty_planted(spark):
+    from edu_online_spark.operators.textops import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),      # all novel
+            (1, "alpha beta gamma delta epsilon"),      # exact repost
+            (2, "alpha beta gamma zeta eta theta"),     # partial overlap
+            (3, "xy"),                                  # < 3 tokens: no row
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(docs).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0]["novelty_frac"] == 1.0 and out[0]["n_shingles"] == 3
+    assert out[1]["novelty_frac"] == 0.0          # repost adds nothing
+    # doc 2: shingles 'alpha beta gamma' (seen), 3 fresh ones
+    assert out[2]["n_shingles"] == 4 and out[2]["n_novel"] == 3
+
+
+def test_source_vocab_overlap_planted(spark):
+    from edu_online_spark.operators.textops import source_vocab_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d", "s1"),
+            (1, "c d e f", "s2"),    # |V1∩V2| = 2 of 4+4
+            (2, "zz yy", "s3"),      # disjoint from both
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_vocab_overlap(docs).collect()
+    }
+    assert set(out) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    r = out[("s1", "s2")]
+    assert r["n_inter"] == 2 and r["n_a"] == 4 and r["n_b"] == 4
+    assert r["jaccard"] == 2 / 6 and r["containment_min"] == 0.5
+    assert out[("s1", "s3")]["n_inter"] == 0      # zero row preserved
+    assert out[("s1", "s3")]["jaccard"] == 0.0
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The Schleimer guarantee: any shared word run of at least
+    w + k - 1 = 6 words yields at least one COMMON fingerprint value;
+    and the selection keeps far fewer rows than the gram count. Holds
+    for both hash variants (the algorithm, not the hash, provides it).
+    """
+    from edu_online_spark.operators.textops import winnowing_fingerprints
+
+    shared = "one two three four five six"  # 6 words = w + k - 1
+    docs = spark.createDataFrame(
+        [
+            (0, f"prefix padding words {shared} trailing bits here"),
+            (1, f"{shared} completely different ending material now"),
+            (2, "unrelated text with no overlap whatsoever present"),
+        ],
+        ["doc_id", "text"],
+    )
+    for variant in ("poly", "fast"):
+        fp = winnowing_fingerprints(docs, variant=variant)
+        rows = fp.collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+        assert by_doc[0] & by_doc[1], variant   # shared run detected
+        assert not (by_doc[0] & by_doc[2]), variant
+        # density: selections ≪ grams (8-gram docs, window 4)
+        assert all(len(v) <= 4 for v in by_doc.values()), variant
+
+
+def test_winnowing_rightmost_tie_and_invariance(spark):
+    from edu_online_spark.operators.textops import winnowing_fingerprints
+
+    # identical grams everywhere → every window's min is a tie; the
+    # rightmost rule must pick the LAST gram of each window, so
+    # selections are positions w-1, w, ..., G-1
+    docs = spark.createDataFrame([(0, "x x x x x x x x")], ["doc_id", "text"])
+    rows = winnowing_fingerprints(docs, variant="poly").collect()
+    assert sorted(r["fp_pos"] for r in rows) == [3, 4, 5]
+    a = sorted(map(tuple, winnowing_fingerprints(docs).collect()))
+    b = sorted(
+        map(tuple, winnowing_fingerprints(docs.repartition(7)).collect())
+    )
+    assert a == b
+
+
+def test_length_quantiles_exact_positions(spark):
+    from edu_online_spark.operators.textops import length_quantiles_exact
+
+    # source s: lengths 1..20 → p25 = 5th = 5, p50 = 10th = 10,
+    # p75 = 15th = 15, p95 = 19th = 19
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * i), "s") for i in range(1, 21)],
+        ["doc_id", "text", "source"],
+    )
+    r = length_quantiles_exact(docs).collect()[0]
+    assert (r["n_docs"], r["p25_tokens"], r["p50_tokens"],
+            r["p75_tokens"], r["p95_tokens"]) == (20, 5, 10, 15, 19)
+    # odd group: lengths 1..5 → p50 = 3rd = 3
+    docs2 = spark.createDataFrame(
+        [(i, " ".join(["w"] * i), "s") for i in range(1, 6)],
+        ["doc_id", "text", "source"],
+    )
+    r2 = length_quantiles_exact(docs2).collect()[0]
+    assert (r2["p25_tokens"], r2["p50_tokens"], r2["p95_tokens"]) == (2, 3, 5)

@@ -64,6 +64,10 @@ QUERIES = [
     "multimodal_video_fp_neardup",  # cut-structure pairs, same engine
     "lineitem_price_kll_rollup",  # mergeable quantile sketches, scan-shaped
     "docs_quality_budget_fill",   # quality-ordered bucketed prefix sum
+    # round-7 additions: shingle-keyed first-occurrence join (the
+    # heaviest new path) and the winnowing selection (per-doc windows)
+    "docs_ngram_novelty",
+    "docs_winnowing_fingerprints_fast",
 ]
 
 
