@@ -101,6 +101,7 @@ HEADLINE = [
     # exact length report
     "docs_ngram_novelty",
     "docs_winnowing_fingerprints_fast",
+    "docs_winnowing_overlap",
     "source_vocab_overlap",
     "docs_length_quantiles_exact",
 ]

@@ -1789,6 +1789,62 @@ def winnowing_fingerprints(
     )
 
 
+WINNOW_MIN_SHARED = 2   # pairs must share at least this many prints
+WINNOW_MAX_FP_DF = 50   # boilerplate guard: drop prints in > this many docs
+
+
+def winnowing_overlap_pairs(
+    documents: DataFrame,
+    min_shared: int = WINNOW_MIN_SHARED,
+    max_fp_df: int = WINNOW_MAX_FP_DF,
+    variant: str = "fast",
+) -> DataFrame:
+    """Document-overlap detection over the winnowing fingerprints —
+    the MOSS use of the inventory: pairs of documents sharing at least
+    `min_shared` selected fingerprints, i.e. near-certain shared runs
+    of ≥ w+k-1 words each. The boilerplate guard drops fingerprints
+    present in more than `max_fp_df` documents BEFORE pairing
+    (licenses/headers selected everywhere would otherwise pair
+    quadratically within their posting list — the same hot-key
+    exclusion as corpus_boilerplate_ngrams, and at MOSS's own
+    suggestion: ubiquitous prints carry no plagiarism signal).
+
+    Shape: fingerprint inventory → df count per fp (map-side combined)
+    → rare-fp semi-join → fp-keyed self-join (posting lists bounded by
+    max_fp_df, so pair output per fp is ≤ df²/2 with df capped) → pair
+    count. Everything is keyed; no pairwise stage over the corpus.
+    """
+    fps = (
+        winnowing_fingerprints(documents, variant=variant)
+        .select("doc_id", "fp")
+        .dropDuplicates(["doc_id", "fp"])
+        # both sides of the self-join plus the df count read this —
+        # materialize the (expensive) selection once
+        .localCheckpoint(eager=True)
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_fp_df)
+        .select("fp")
+    )
+    kept = fps.join(rare, "fp", "left_semi")
+    return (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def length_quantiles_exact(documents: DataFrame) -> DataFrame:
     """Per-source EXACT token-length quartiles + p95 via explicit
     row_number selection — the corpus length report every tokenizer /
@@ -1890,11 +1946,47 @@ QUERIES = {
     # ALGORITHM, and the shared-run detection guarantee is test-pinned
     # for both variants)
     "docs_winnowing_fingerprints_fast": _q(winnowing_fingerprints),
+    # hash-certified end-to-end through the poly variant (detection is
+    # hash-dependent: which prints exist decides which pairs surface)
+    "docs_winnowing_overlap": _q(
+        lambda d: winnowing_overlap_pairs(d, variant="poly")
+    ),
     "docs_length_quantiles_exact": _q(length_quantiles_exact),
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), ' +')"
 _STOP_LIST = ", ".join(f"'{w}'" for w in T.STOPWORDS_EN)
+
+# Shared winnowing-selection mirror (char-fold gram hashes → w-window
+# minima → rightmost-on-ties → distinct selections), used by both the
+# fingerprint inventory oracle and the overlap-pair oracle.
+_WINNOW_SEL_SQL = f"""WITH g AS (
+            SELECT doc_id,
+                   [list_reduce(
+                        [ascii(s[j])::BIGINT
+                         for j in range(1, length(s) + 1)],
+                        (a, b) -> (a * {T.FINGERPRINT_BASE} + b)
+                                      % {T.FINGERPRINT_MOD})
+                    for s in [array_to_string(w[i:i+{WINNOW_K - 1}], ' ')
+                              for i in range(1, len(w) - {WINNOW_K - 2})]]
+                       AS hs
+            FROM (SELECT doc_id, {_TOKENS} AS w FROM documents)
+            WHERE len(w) >= {WINNOW_K}
+        ),
+        wins AS (
+            SELECT doc_id, hs, unnest(range(0, len(hs) - {WINNOW_W} + 1))
+                       AS p
+            FROM g WHERE len(hs) >= {WINNOW_W}
+        ),
+        winnow_sel AS (
+            SELECT DISTINCT doc_id,
+                   CAST(p + list_max(
+                       [i for i in range(1, {WINNOW_W} + 1)
+                        if hs[p + i] = list_min(hs[p+1:p+{WINNOW_W}])]) - 1
+                       AS BIGINT) AS fp_pos,
+                   CAST(list_min(hs[p+1:p+{WINNOW_W}]) AS BIGINT) AS fp
+            FROM wins
+        )"""
 
 
 def _marker_sql(words) -> str:
@@ -2744,31 +2836,25 @@ ORACLE = {
     # (list position of the last index attaining the window min), and
     # the same distinct-(doc, pos) dedup of selections.
     "docs_winnowing_fingerprints": f"""
-        WITH g AS (
-            SELECT doc_id,
-                   [list_reduce(
-                        [ascii(s[j])::BIGINT
-                         for j in range(1, length(s) + 1)],
-                        (a, b) -> (a * {T.FINGERPRINT_BASE} + b)
-                                      % {T.FINGERPRINT_MOD})
-                    for s in [array_to_string(w[i:i+{WINNOW_K - 1}], ' ')
-                              for i in range(1, len(w) - {WINNOW_K - 2})]]
-                       AS hs
-            FROM (SELECT doc_id, {_TOKENS} AS w FROM documents)
-            WHERE len(w) >= {WINNOW_K}
+        {_WINNOW_SEL_SQL}
+        SELECT doc_id, fp_pos, fp FROM winnow_sel
+    """,
+    # Same rare-fingerprint gate (df cap) and pair counting over the
+    # shared winnowing selection mirror.
+    "docs_winnowing_overlap": f"""
+        {_WINNOW_SEL_SQL},
+        fps AS (SELECT DISTINCT doc_id, fp FROM winnow_sel),
+        rare AS (
+            SELECT fp FROM fps GROUP BY fp
+            HAVING count(*) <= {WINNOW_MAX_FP_DF}
         ),
-        wins AS (
-            SELECT doc_id, hs, unnest(range(0, len(hs) - {WINNOW_W} + 1))
-                       AS p
-            FROM g WHERE len(hs) >= {WINNOW_W}
-        )
-        SELECT DISTINCT doc_id,
-               CAST(p + list_max(
-                   [i for i in range(1, {WINNOW_W} + 1)
-                    if hs[p + i] = list_min(hs[p+1:p+{WINNOW_W}])]) - 1
-                   AS BIGINT) AS fp_pos,
-               CAST(list_min(hs[p+1:p+{WINNOW_W}]) AS BIGINT) AS fp
-        FROM wins
+        kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM kept a JOIN kept b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {WINNOW_MIN_SHARED}
     """,
     # Same explicit ceil(q·n) integer positions, same row_number
     # selection — no percentile function anywhere (COVERAGE.md round-7

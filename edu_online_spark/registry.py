@@ -140,6 +140,7 @@ _WINDOW_PRIORITY = [
     "source_vocab_overlap",
     "docs_winnowing_fingerprints",
     "docs_winnowing_fingerprints_fast",  # rows-only scale twin (new)
+    "docs_winnowing_overlap",
     "docs_length_quantiles_exact",
     # 4: sentinels
     "quiz_mastery",

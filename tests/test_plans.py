@@ -554,3 +554,19 @@ def test_round7_textops_plan_shapes(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     scans = read_schema_columns(ov)
     assert scans and all(set(c) <= {"source", "text"} for c in scans), scans
+
+
+def test_winnowing_overlap_plan_shape(spark, sf_dir):
+    """Overlap pairing stays a keyed fp equi-join behind the df cap —
+    no cartesian, no Python. The fingerprint relation is materialized
+    once (eager checkpoint — its scan pruning is asserted by
+    test_round7_textops_plan_shapes on the un-checkpointed form), so
+    the overlap plan itself must contain no parquet scan at all."""
+    from edu_online_spark.operators.textops import winnowing_overlap_pairs
+
+    df = winnowing_overlap_pairs(load_table(spark, sf_dir, "documents"))
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Scan parquet" not in plan  # reads the checkpointed fps only

@@ -998,3 +998,40 @@ def test_length_quantiles_exact_positions(spark):
     )
     r2 = length_quantiles_exact(docs2).collect()[0]
     assert (r2["p25_tokens"], r2["p50_tokens"], r2["p95_tokens"]) == (2, 3, 5)
+
+
+def test_winnowing_overlap_detects_shared_passage(spark):
+    from edu_online_spark.operators.textops import winnowing_overlap_pairs
+
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    docs = spark.createDataFrame(
+        [
+            (0, f"intro words here {passage} closing remarks now"),
+            (1, f"{passage} totally different continuation text follows"),
+            (2, "nothing in common with the others at all whatsoever"),
+        ],
+        ["doc_id", "text"],
+    )
+    for variant in ("poly", "fast"):
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["n_shared"]
+            for r in winnowing_overlap_pairs(docs, variant=variant).collect()
+        }
+        assert set(pairs) == {(0, 1)}, variant
+        assert pairs[(0, 1)] >= 2, variant
+
+
+def test_winnowing_overlap_boilerplate_guard(spark):
+    """A fingerprint present in more than max_fp_df docs must not pair
+    anything: 10 docs sharing only one ubiquitous passage produce zero
+    pairs at max_fp_df=5."""
+    from edu_online_spark.operators.textops import winnowing_overlap_pairs
+
+    boiler = "standard license header text appears in every file here"
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} unique{i} word{i} tail{i} run{i} end{i}")
+         for i in range(10)],
+        ["doc_id", "text"],
+    )
+    out = winnowing_overlap_pairs(docs, max_fp_df=5, variant="poly").collect()
+    assert out == []
