@@ -1960,3 +1960,146 @@ def seen_filter_job(
         .trigger(**_trigger({}, available_now))
         .start()
     )
+
+
+def winnow_index_job(
+    raw: DataFrame,
+    out_docs: str,
+    checkpoint: str,
+    min_shared: int | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Overlap-on-ingest via a cumulative winnowing fingerprint index —
+    the streaming twin of operators/textops.winnowing_overlap_pairs
+    and the content-OVERLAP member of the ingest-gate family (the
+    Bloom seen-filter catches exact reposts; winnowing catches a
+    document that EMBEDS a previously-ingested passage of w+k-1 words
+    or more inside otherwise-new text, which an exact content key never
+    matches). Every trigger fingerprints its documents (xxhash64 gram
+    hashes — the scale variant; selection algorithm certified by the
+    batch operator's oracle-backed poly twin), counts how many of each
+    doc's prints already exist in the index (`n_prior_hits`), annotates
+    `overlap_suspect` = n_prior_hits >= min_shared, then merges the
+    trigger's prints into the index.
+
+    State is the distinct-fingerprint relation — the INDEX a
+    production plagiarism/contamination checker persists anyway, at
+    the winnowing density of ~2/(w+1) of corpus grams. Unlike the
+    KB-sized sketch states this grows with the corpus; that is the
+    honest cost of overlap (not membership) detection, and the state
+    table is exactly the reusable artifact batch re-checks also read.
+
+    Semantics delta vs the batch operator, documented as with the
+    other twins: the batch form pairs documents symmetrically; the
+    stream annotates each arrival against PRIOR corpus only — two
+    overlapping docs co-delivered in one trigger are each checked
+    against the trigger-LOCAL print counts as well (a print shared
+    within the trigger counts toward both docs' n_prior_hits), so
+    co-delivery cannot hide overlap, but the pair attribution (which
+    doc copied which) is the batch operator's job. Delivery semantics
+    (T7): per-batch-dir OVERWRITE + batch-id fence; print insertion is
+    set union (idempotent), annotation depends on state, so replays
+    re-emit identical bytes through the fence.
+    """
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ..operators.textops import WINNOW_MIN_SHARED, winnowing_fingerprints
+
+    min_shared = WINNOW_MIN_SHARED if min_shared is None else min_shared
+    state_path = out_docs + ".fpindex"
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    parsed = F.from_json(
+        F.col("value"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    docs = (
+        raw.select(parsed.alias("j"))
+        .filter(
+            F.col("j._corrupt").isNull()
+            & F.col("j.doc_id").isNotNull()
+            & F.col("j.text").isNotNull()
+        )
+        .select(
+            F.col("j.doc_id").alias("doc_id"),
+            F.col("j.text").alias("text"),
+            F.col("j.source").alias("source"),
+        )
+    )
+
+    def probe_and_index(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        sinks.recover_sink(state_path)  # promote half-commit BEFORE read
+        if os.path.exists(state_path):
+            idx = spark.read.parquet(state_path)
+            last = idx.agg(F.max("last_batch_id")).first()[0]
+            if last is not None and last >= batch_id:
+                return  # redelivered trigger: already annotated + indexed
+            prior = idx.select("fp")
+        else:
+            prior = spark.createDataFrame([], "fp long")
+        fps = (
+            winnowing_fingerprints(batch.select("doc_id", "text"))
+            .select("doc_id", "fp")
+            # distinct per doc: a print repeated WITHIN one doc is one
+            # print (self-repetition must not self-flag)
+            .dropDuplicates(["doc_id", "fp"])
+            .localCheckpoint(eager=True)  # probe + local df + insert
+        )
+        # trigger-local print df: a print carried by two co-delivered
+        # docs counts toward both (co-delivery cannot hide overlap)
+        local_df = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_local"))
+        hits = (
+            fps.join(F.broadcast(prior.distinct().withColumn("_in", F.lit(1))), "fp", "left")
+            .join(F.broadcast(local_df), "fp")
+            .withColumn(
+                "hit",
+                F.when(
+                    (F.col("_in") == 1) | (F.col("n_local") > 1), 1
+                ).otherwise(0),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("hit").alias("n_prior_hits"))
+        )
+        annotated = (
+            batch.join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                "text",
+                "source",
+                F.coalesce("n_prior_hits", F.lit(0)).alias("n_prior_hits"),
+                (
+                    F.coalesce("n_prior_hits", F.lit(0)) >= min_shared
+                ).alias("overlap_suspect"),
+            )
+            .localCheckpoint(eager=True)  # docs write + index branch
+        )
+        annotated.write.mode("overwrite").parquet(
+            os.path.join(out_docs, f"ingest_batch={batch_id}")
+        )
+        merged = (
+            prior.unionByName(fps.select("fp"))
+            .distinct()  # the index: one row per distinct print
+            .withColumn("last_batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+        sinks.parquet_overwrite_atomic(state_path)(merged, batch_id)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(probe_and_index)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )

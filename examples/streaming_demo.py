@@ -40,7 +40,7 @@ def main() -> None:
         t: f"{work}/topics/{t}"
         for t in (
             "register", "qz", "page", "raw", "docs", "pii", "emb", "link",
-            "scrub", "budget", "shard",
+            "scrub", "budget", "shard", "winnow",
         )
     }
 
@@ -306,6 +306,33 @@ def main() -> None:
     jobs.shard_assign_job(
         file_stream(spark, topics["shard"]),
         out["shard_stream"], ck("shard"), shard_tokens=5, available_now=True,
+    ).awaitTermination(120)
+
+    # round-7: overlap-on-ingest — the winnowing fingerprint index
+    # catches a wave-2 doc that EMBEDS a wave-1 passage inside
+    # otherwise-new text (the case the exact-key seen filter misses).
+    winnow_passage = " ".join(f"p{i}" for i in range(10))
+    produce(topics["winnow"], "b1.jsonl", [
+        json.dumps({"doc_id": 1,
+                    "text": f"original intro {winnow_passage} original end",
+                    "source": "s1"}),
+    ])
+    out["winnow_overlap"] = f"{work}/out/winnow_overlap"
+    jobs.winnow_index_job(
+        file_stream(spark, topics["winnow"]),
+        out["winnow_overlap"], ck("winnow"), available_now=True,
+    ).awaitTermination(120)
+    produce(topics["winnow"], "b2.jsonl", [
+        json.dumps({"doc_id": 2,
+                    "text": f"new framing words {winnow_passage} new ending",
+                    "source": "s1"}),
+        json.dumps({"doc_id": 3,
+                    "text": " ".join(f"fresh{i}" for i in range(12)),
+                    "source": "s1"}),
+    ])
+    jobs.winnow_index_job(
+        file_stream(spark, topics["winnow"]),
+        out["winnow_overlap"], ck("winnow"), available_now=True,
     ).awaitTermination(120)
 
     for name, path in out.items():

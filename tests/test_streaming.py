@@ -1216,3 +1216,57 @@ def test_seen_filter_replay_and_bounded_state(spark, tmp_path):
     _run(jobs.seen_filter_job, spark, src, out, ckpt, m=4096)
     r = {r["doc_id"]: r["probably_seen"] for r in spark.read.parquet(out).collect()}
     assert r[50] is True  # staged bits promoted, repost still caught
+
+
+def test_winnow_index_flags_embedded_passage_across_waves(spark, tmp_path):
+    """A wave-2 doc embedding a wave-1 passage inside otherwise-new
+    text must be flagged (the case the exact-key seen filter cannot
+    catch); genuinely fresh text must not. Co-delivered overlapping
+    docs flag each other via the trigger-local print counts."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    passage = "one two three four five six seven eight nine ten"
+    _write_lines(src, "b1.jsonl", _budget_doc_lines([
+        (1, "s", f"opening words here {passage} and closing material"),
+        (2, "s", "completely unrelated document about other things entirely"),
+    ]) + ["corrupt {"])
+    _run(jobs.winnow_index_job, spark, src, out, ckpt)
+    r1 = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert not r1[1]["overlap_suspect"] and not r1[2]["overlap_suspect"]
+    _write_lines(src, "b2.jsonl", _budget_doc_lines([
+        (10, "s", f"brand new framing text {passage} with different ending"),
+        (11, "s", "still nothing in common with anything previously seen"),
+    ]))
+    _run(jobs.winnow_index_job, spark, src, out, ckpt)
+    r2 = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert r2[10]["overlap_suspect"] and r2[10]["n_prior_hits"] >= 2
+    assert not r2[11]["overlap_suspect"]
+
+
+def test_winnow_index_codelivery_and_replay(spark, tmp_path):
+    """Two overlapping docs in ONE trigger must both flag (trigger-
+    local counts); replay through a fresh checkpoint re-emits identical
+    rows; a half-committed index swap is recovered before read."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    wave = [
+        (1, "s", f"intro {passage} outro words"),
+        (2, "s", f"other start {passage} other end"),
+        (3, "s", "wholly distinct content with no repeated passages anywhere"),
+    ]
+    _write_lines(src, "b1.jsonl", _budget_doc_lines(wave))
+    _run(jobs.winnow_index_job, spark, src, out, ckpt)
+    r = {x["doc_id"]: x for x in spark.read.parquet(out).collect()}
+    assert r[1]["overlap_suspect"] and r[2]["overlap_suspect"]
+    assert not r[3]["overlap_suspect"]
+    before = sorted(map(tuple, spark.read.parquet(out).collect()))
+    _run(jobs.winnow_index_job, spark, src, out, str(tmp_path / "ck2"))
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == before
+    # crash window: staged index promoted, then a repost still flags
+    idx = out + ".fpindex"
+    os.rename(idx, idx + ".__staging__")
+    _write_lines(src, "b2.jsonl", _budget_doc_lines(
+        [(20, "s", f"replayed framing {passage} trailing text")]
+    ))
+    _run(jobs.winnow_index_job, spark, src, out, ckpt)
+    r2 = {x["doc_id"]: x for x in spark.read.parquet(out).collect()}
+    assert r2[20]["overlap_suspect"]
