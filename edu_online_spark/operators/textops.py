@@ -1845,6 +1845,55 @@ def winnowing_overlap_pairs(
     )
 
 
+def winnowing_overlap_cross_corpus(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    min_shared: int = WINNOW_MIN_SHARED,
+    max_fp_df: int = WINNOW_MAX_FP_DF,
+    variant: str = "fast",
+) -> DataFrame:
+    """Delta-vs-corpus winnowing overlap — the production ingest shape
+    (cross_corpus_minhash_pairs' pattern applied to MOSS): a daily
+    delta is checked against a 100 TB corpus WITHOUT corpus-internal
+    or delta-internal pairing — only delta prints ⋈ corpus prints
+    join. The corpus fingerprint relation is exactly what a deployment
+    persists once and reuses per delta (content-addressed: append-only
+    corpus ⇒ append-only print index — the same artifact
+    winnow_index_job accumulates); here it is computed fresh for the
+    honest cold cost, LIBRARY operator (the registry certifies the
+    within-corpus form, `docs_winnowing_overlap`, whose oracle covers
+    the identical selection + pairing arithmetic).
+
+    The df cap is computed over the CORPUS side — boilerplate is a
+    property of the corpus, and judging it from the delta would let a
+    small delta smuggle a ubiquitous print past the guard.
+    Output: (new_id, corpus_id, n_shared) with n_shared ≥ min_shared.
+    """
+    nf = (
+        winnowing_fingerprints(new_docs, variant=variant)
+        .select(F.col("doc_id").alias("new_id"), "fp")
+        .dropDuplicates(["new_id", "fp"])
+    )
+    cf = (
+        winnowing_fingerprints(corpus_docs, variant=variant)
+        .select(F.col("doc_id").alias("corpus_id"), "fp")
+        .dropDuplicates(["corpus_id", "fp"])
+        .localCheckpoint(eager=True)  # df count + probe join
+    )
+    rare = (
+        cf.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_fp_df)
+        .select("fp")
+    )
+    return (
+        nf.join(cf.join(rare, "fp", "left_semi"), "fp")
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def length_quantiles_exact(documents: DataFrame) -> DataFrame:
     """Per-source EXACT token-length quartiles + p95 via explicit
     row_number selection — the corpus length report every tokenizer /

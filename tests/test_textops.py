@@ -1035,3 +1035,40 @@ def test_winnowing_overlap_boilerplate_guard(spark):
     )
     out = winnowing_overlap_pairs(docs, max_fp_df=5, variant="poly").collect()
     assert out == []
+
+
+def test_winnowing_cross_corpus_delta_probe(spark):
+    """Delta-vs-corpus: a delta doc embedding a corpus passage pairs
+    with THAT corpus doc only; corpus-internal duplicates must not
+    produce pairs; the corpus-side df cap drops corpus boilerplate."""
+    from edu_online_spark.operators.textops import (
+        winnowing_overlap_cross_corpus,
+    )
+
+    passage = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    boiler = "footer line repeated across the whole corpus every time"
+    corpus = spark.createDataFrame(
+        [
+            (100, f"corpus framing {passage} corpus ending {boiler}"),
+            (101, f"different body text entirely here {boiler}"),
+            (102, f"more unrelated corpus material words {boiler}"),
+            # corpus-internal near-dup of 100 — must NOT yield pairs
+            (103, f"corpus framing {passage} corpus ending altered"),
+        ],
+        ["doc_id", "text"],
+    )
+    delta = spark.createDataFrame(
+        [
+            (1, f"fresh delta intro {passage} fresh delta outro"),
+            (2, "genuinely new delta content with nothing shared at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = winnowing_overlap_cross_corpus(
+        delta, corpus, max_fp_df=2, variant="poly"
+    ).collect()
+    pairs = {(r["new_id"], r["corpus_id"]) for r in out}
+    assert (1, 100) in pairs and (1, 103) in pairs
+    assert all(n == 1 for n, _ in pairs)  # doc 2 pairs with nothing
+    # boilerplate footer appears in 3 corpus docs > cap 2 → its prints
+    # never pair doc 2 (or anything) despite being corpus-wide
