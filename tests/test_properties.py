@@ -183,3 +183,80 @@ def test_media_stages_quarantine_arbitrary_bytes(spark, blobs):
     assert 1000 in {r["asset_id"] for r in ah}
     assert 1001 in {r["asset_id"] for r in fp}
     assert 1002 in {r["asset_id"] for r in sc}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("aa bb cc dd ee ff gg hh".split()),
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_winnowing_coverage_invariant(spark, token_lists):
+    """The winnowing guarantee, property-tested on arbitrary corpora:
+    per doc, (a) selections are valid gram positions carrying that
+    gram's hash, and (b) consecutive selected positions are never more
+    than w apart (every w-window contains a selection) — the coverage
+    bound the SIGMOD'03 paper proves, over ANY input including
+    all-identical tokens (total ties) and short docs."""
+    from edu_online_spark.operators.textops import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        ["doc_id", "text"],
+    )
+    sel = {}
+    for r in winnowing_fingerprints(docs, variant="poly").collect():
+        sel.setdefault(r["doc_id"], []).append(r["fp_pos"])
+    for i, toks in enumerate(token_lists):
+        n_grams = max(len([t for t in toks if t]) - WINNOW_K + 1, 0)
+        if n_grams < WINNOW_W:
+            assert i not in sel  # shorter than one window: no prints
+            continue
+        ps = sorted(sel[i])
+        assert ps[0] <= WINNOW_W - 1            # first window covered
+        assert ps[-1] >= n_grams - WINNOW_W     # last window covered
+        assert all(0 <= p < n_grams for p in ps)
+        assert all(b - a <= WINNOW_W for a, b in zip(ps, ps[1:])), (ps, toks)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("red blue green gold onyx jade".split()),
+            min_size=3,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_ngram_novelty_conservation(spark, token_lists):
+    """Conservation law: summed n_novel across docs equals the number
+    of DISTINCT shingles in the corpus (every distinct shingle is
+    novel in exactly one doc — its min-doc_id first occurrence), and
+    novelty fractions stay in [0, 1]."""
+    from edu_online_spark.operators.textops import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        ["doc_id", "text"],
+    )
+    rows = ngram_novelty(docs).collect()
+    distinct_shingles = {
+        " ".join(toks[j : j + 3])
+        for toks in token_lists
+        for j in range(len(toks) - 2)
+    }
+    assert sum(r["n_novel"] for r in rows) == len(distinct_shingles)
+    assert all(0.0 <= r["novelty_frac"] <= 1.0 for r in rows)
