@@ -932,9 +932,9 @@ ER_MIN_DICE = 0.5
 # 10^4 for digit-suffixed names (TPC-H: the low-order custkey digits,
 # uniformly distributed), which is what keeps per-block candidate
 # lists bounded as the corpus grows. Trade-off: a typo in the blocked
-# suffix hides the match — production runs a second blocking pass on a
-# different component (phone exchange, sorted-neighborhood), same code
-# shape.
+# suffix hides the match from THIS pass — `link_records_multipass`
+# (below) adds the sorted-neighborhood pass over the reversed record,
+# so a record must dodge two independent keys to stay unlinked.
 ER_BLOCK_NAME_CHARS = 4
 # Safety valve for degenerate keys (every record named "UNKNOWN"): a
 # clean-side block larger than this is excluded from candidate
@@ -1066,6 +1066,152 @@ def link_records(
     w = Window.partitionBy(id_col).orderBy(F.desc("dice"), F.asc("cand_key"))
     return (
         pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(id_col, F.col("cand_key").alias("matched_key"), "dice")
+    )
+
+
+SN_WINDOW = 4        # sorted-neighborhood radius in sort positions
+SN_BUCKET_CHARS = 2  # lexicographic range-bucket width for the rank
+
+
+def sorted_neighborhood_candidates(
+    dirty: DataFrame,
+    clean: DataFrame,
+    id_col: str = "true_key",
+    w: int = SN_WINDOW,
+) -> DataFrame:
+    """Second blocking pass for record linkage — classic
+    sorted-neighborhood (Hernández & Stolfo, SIGMOD 1995), the pass
+    customer_record_linkage's docstring promises for typos in the
+    composite block key: sort BOTH sides on a sliding key and emit
+    every dirty×clean pair within `w` positions of each other. The
+    sort key is the REVERSED record — for suffix-discriminated
+    records (TPC-H names share the 'Customer#' prefix) reversal puts
+    the discriminating characters first, and a typo in the *name*
+    suffix (which breaks the composite block) leaves the reversed key's
+    cents-prefix intact, so the true pair sorts adjacent.
+
+    Distributed shape — NO single-partition global sort: the key space
+    is cut by its first SN_BUCKET_CHARS characters (data-independent
+    lexicographic ranges — the same fixed-range discipline as
+    quality_budget_fill's score buckets), per-bucket counts become
+    broadcast running offsets via a window over the tiny bucket
+    relation, and row_number runs within buckets only. Global rank =
+    offset + within-bucket rank — identical to the single-sort rank,
+    never one task. Pairing is then an equi-join on rank-band
+    (band = rank // w; any pair within w spans at most adjacent bands,
+    so the dirty side explodes to 3 bands) with the |Δrank| ≤ w
+    residual — O(w) candidates per record by construction.
+    """
+    tagged = dirty.select(
+        F.lit(1).alias("_is_dirty"),
+        F.col(id_col).alias("_id"),
+        F.reverse(F.col("d_rec")).alias("_sk"),
+    ).unionByName(
+        clean.select(
+            F.lit(0).alias("_is_dirty"),
+            F.col("cand_key").alias("_id"),
+            F.reverse(F.col("c_rec")).alias("_sk"),
+        )
+    )
+    d = tagged.withColumn("_bkt", F.substring("_sk", 1, SN_BUCKET_CHARS))
+    totals = d.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
+    off_w = Window.orderBy("_bkt").rowsBetween(  # bucket-count rows — tiny
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_bkt", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off")
+    )
+    in_w = Window.partitionBy("_bkt").orderBy("_sk", "_is_dirty", "_id")
+    ranked = (
+        d.join(F.broadcast(offsets), "_bkt")
+        .withColumn("_rank", F.row_number().over(in_w) + F.col("_off"))
+        .withColumn("_band", F.expr(f"_rank div {int(w)}"))
+        # two consumers (dirty/clean split of the same ranked relation)
+        .localCheckpoint(eager=True)
+    )
+    dr = ranked.filter(F.col("_is_dirty") == 1).select(
+        F.col("_id").alias(id_col),
+        F.col("_rank").alias("_dr"),
+        F.explode(
+            F.array(F.col("_band") - 1, F.col("_band"), F.col("_band") + 1)
+        ).alias("_jb"),
+    )
+    cl = ranked.filter(F.col("_is_dirty") == 0).select(
+        F.col("_id").alias("cand_key"),
+        F.col("_rank").alias("_cr"),
+        F.col("_band").alias("_jb"),
+    )
+    return (
+        dr.join(cl, "_jb")
+        .filter(F.abs(F.col("_dr") - F.col("_cr")) <= w)
+        .select(id_col, "cand_key")
+        .dropDuplicates([id_col, "cand_key"])
+    )
+
+
+def link_records_multipass(
+    dirty: DataFrame,
+    clean: DataFrame,
+    min_dice: float = ER_MIN_DICE,
+    id_col: str = "true_key",
+    w: int = SN_WINDOW,
+) -> DataFrame:
+    """Two-pass linkage — the production shape the single-pass
+    docstring trades away: candidates are the UNION of (1) the
+    composite (nation, name-suffix) block join and (2) the
+    sorted-neighborhood pass over the reversed record, so a typo in
+    EITHER the blocked suffix or the record tail still surfaces the
+    true pair (a record must dodge two independent keys to hide).
+    Scoring and best-match selection run ONCE over the deduped
+    candidate union — same Dice arithmetic, same (score desc, key asc)
+    tie-break as the certified single-pass query. LIBRARY operator:
+    the registry certifies the single-pass form; this composes the
+    same certified pieces."""
+    wb = Window.partitionBy("c_nation", "_c_bk")
+    clean_blocked = (
+        clean.withColumn("_c_bk", _block_key(F.col("c_rec")))
+        .withColumn("_bsz", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_bsz") <= ER_MAX_BLOCK_ROWS)
+    )
+    p1 = (
+        dirty.withColumn("_d_bk", _block_key(F.col("d_rec")))
+        .join(
+            F.broadcast(clean_blocked),
+            (F.col("d_nation") == F.col("c_nation"))
+            & (F.col("_d_bk") == F.col("_c_bk")),
+        )
+        .select(id_col, "cand_key")
+    )
+    p2 = sorted_neighborhood_candidates(dirty, clean, id_col=id_col, w=w)
+    cand = p1.unionByName(p2).dropDuplicates([id_col, "cand_key"])
+    scored = (
+        cand.join(dirty, id_col)
+        .join(F.broadcast(clean), "cand_key")
+        .filter(
+            (F.size(_char_bigrams(F.col("d_rec"))) > 0)
+            & (F.size(_char_bigrams(F.col("c_rec"))) > 0)
+        )
+        .withColumn(
+            "dice",
+            2
+            * F.size(
+                F.array_intersect(
+                    _char_bigrams(F.col("d_rec")),
+                    _char_bigrams(F.col("c_rec")),
+                )
+            )
+            / (
+                F.size(_char_bigrams(F.col("d_rec")))
+                + F.size(_char_bigrams(F.col("c_rec")))
+            ),
+        )
+        .filter(F.col("dice") >= min_dice)
+    )
+    wsel = Window.partitionBy(id_col).orderBy(F.desc("dice"), F.asc("cand_key"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wsel))
         .filter(F.col("rk") == 1)
         .select(id_col, F.col("cand_key").alias("matched_key"), "dice")
     )

@@ -1072,3 +1072,69 @@ def test_winnowing_cross_corpus_delta_probe(spark):
     assert all(n == 1 for n, _ in pairs)  # doc 2 pairs with nothing
     # boilerplate footer appears in 3 corpus docs > cap 2 → its prints
     # never pair doc 2 (or anything) despite being corpus-wide
+
+
+def test_sorted_neighborhood_recovers_suffix_typo(spark):
+    """The case the composite block misses by design (docstring of
+    customer_record_linkage): a typo in the blocked name-SUFFIX changes
+    the block key, so pass 1 cannot pair it — the sorted-neighborhood
+    pass on the reversed record (cents prefix intact) must recover it,
+    and the multipass linkage must link it correctly."""
+    from edu_online_spark.operators.analytics import (
+        link_records,
+        link_records_multipass,
+    )
+
+    clean = spark.createDataFrame(
+        [
+            (k, 0, f"Customer#00{k:02d}xyz{k:02d}|{10000 + k * 37}")
+            for k in range(1, 21)
+        ],
+        ["cand_key", "c_nation", "c_rec"],
+    )
+    # dirty twin of key 7 with the LAST name char typo'd: block key
+    # (last 4 of name portion) changes, reversed record still leads
+    # with the identical cents digits
+    base = f"Customer#0007xyz07|{10000 + 7 * 37}"
+    name, cents = base.split("|")
+    typo = name[:-1] + "Q" + "|" + cents
+    dirty = spark.createDataFrame(
+        [(7, 0, typo)], ["true_key", "d_nation", "d_rec"]
+    )
+    single = link_records(dirty, clean).collect()
+    multi = link_records_multipass(dirty, clean).collect()
+    assert single == []                      # pass 1 blind, by design
+    assert len(multi) == 1
+    assert multi[0]["matched_key"] == 7 and multi[0]["dice"] > 0.8
+
+
+def test_multipass_agrees_with_single_pass_when_block_intact(spark):
+    """When the composite block DOES fire, multipass must return the
+    same best matches as the certified single-pass query (the union
+    adds candidates, never changes scoring or tie-breaks)."""
+    from edu_online_spark.operators.analytics import (
+        link_records,
+        link_records_multipass,
+    )
+
+    clean = spark.createDataFrame(
+        [
+            (k, k % 3, f"Customer#00{k:02d}abc{k:02d}|{5000 + k * 91}")
+            for k in range(1, 16)
+        ],
+        ["cand_key", "c_nation", "c_rec"],
+    )
+    # perturb a MIDDLE char (block suffix intact)
+    rows = []
+    for k in (3, 6, 9):
+        rec = f"Customer#00{k:02d}abc{k:02d}|{5000 + k * 91}"
+        rows.append((k, k % 3, rec[:10] + "Z" + rec[11:]))
+    dirty = spark.createDataFrame(rows, ["true_key", "d_nation", "d_rec"])
+    single = {r["true_key"]: r for r in link_records(dirty, clean).collect()}
+    multi = {
+        r["true_key"]: r for r in link_records_multipass(dirty, clean).collect()
+    }
+    assert set(single) == set(multi) == {3, 6, 9}
+    for k in single:
+        assert single[k]["matched_key"] == multi[k]["matched_key"] == k
+        assert abs(single[k]["dice"] - multi[k]["dice"]) < 1e-12
