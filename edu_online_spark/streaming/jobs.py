@@ -1982,12 +1982,21 @@ def winnow_index_job(
     `overlap_suspect` = n_prior_hits >= min_shared, then merges the
     trigger's prints into the index.
 
-    State is the distinct-fingerprint relation — the INDEX a
-    production plagiarism/contamination checker persists anyway, at
-    the winnowing density of ~2/(w+1) of corpus grams. Unlike the
-    KB-sized sketch states this grows with the corpus; that is the
-    honest cost of overlap (not membership) detection, and the state
-    table is exactly the reusable artifact batch re-checks also read.
+    State is the distinct-fingerprint INDEX a production plagiarism /
+    contamination checker persists anyway, at the winnowing density of
+    ~2/(w+1) of corpus grams. Unlike the KB-sized sketch states this
+    grows with the corpus — so unlike the sketch jobs it is NOT a
+    swap-rewritten single file: the index is an APPEND-ONLY parquet
+    dir partitioned by ingest_batch (one overwrite-idempotent subdir
+    per trigger, O(trigger prints) written — never an O(corpus)
+    rewrite), and the probe reads it with `ingest_batch < batch_id`,
+    a partition-PRUNED scan that also makes replays exact for free: a
+    redelivered trigger excludes its own partition, recomputes the
+    identical annotation from the identical prior state, and
+    re-overwrites both its output dirs byte-for-byte. No fence row, no
+    staged swap, nothing to recover — idempotence is structural.
+    (A long-running deployment compacts old batch partitions offline;
+    compaction only merges files, the relation is unchanged.)
 
     Semantics delta vs the batch operator, documented as with the
     other twins: the batch form pairs documents symmetrically; the
@@ -1996,10 +2005,7 @@ def winnow_index_job(
     against the trigger-LOCAL print counts as well (a print shared
     within the trigger counts toward both docs' n_prior_hits), so
     co-delivery cannot hide overlap, but the pair attribution (which
-    doc copied which) is the batch operator's job. Delivery semantics
-    (T7): per-batch-dir OVERWRITE + batch-id fence; print insertion is
-    set union (idempotent), annotation depends on state, so replays
-    re-emit identical bytes through the fence.
+    doc copied which) is the batch operator's job.
     """
     import os
 
@@ -2008,7 +2014,7 @@ def winnow_index_job(
     from ..operators.textops import WINNOW_MIN_SHARED, winnowing_fingerprints
 
     min_shared = WINNOW_MIN_SHARED if min_shared is None else min_shared
-    state_path = out_docs + ".fpindex"
+    index_path = out_docs + ".fpindex"
 
     schema = StructType(
         [
@@ -2039,13 +2045,18 @@ def winnow_index_job(
         if batch.isEmpty():
             return
         spark = batch.sparkSession
-        sinks.recover_sink(state_path)  # promote half-commit BEFORE read
-        if os.path.exists(state_path):
-            idx = spark.read.parquet(state_path)
-            last = idx.agg(F.max("last_batch_id")).first()[0]
-            if last is not None and last >= batch_id:
-                return  # redelivered trigger: already annotated + indexed
-            prior = idx.select("fp")
+        has_batches = os.path.isdir(index_path) and any(
+            d.startswith("ingest_batch=") for d in os.listdir(index_path)
+        )
+        if has_batches:
+            # partition-pruned: only batch dirs < batch_id are read, so
+            # a replayed trigger never sees its own prints
+            prior = (
+                spark.read.option("basePath", index_path)
+                .parquet(index_path)
+                .filter(F.col("ingest_batch") < batch_id)
+                .select("fp")
+            )
         else:
             prior = spark.createDataFrame([], "fp long")
         fps = (
@@ -2060,7 +2071,11 @@ def winnow_index_job(
         # docs counts toward both (co-delivery cannot hide overlap)
         local_df = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_local"))
         hits = (
-            fps.join(F.broadcast(prior.distinct().withColumn("_in", F.lit(1))), "fp", "left")
+            # no explicit broadcast on the prior side: the index grows
+            # with the corpus — AQE broadcasts while it measures small
+            # and shuffles on fp once it doesn't; local_df is
+            # trigger-sized and stays a broadcast
+            fps.join(prior.distinct().withColumn("_in", F.lit(1)), "fp", "left")
             .join(F.broadcast(local_df), "fp")
             .withColumn(
                 "hit",
@@ -2087,14 +2102,13 @@ def winnow_index_job(
         annotated.write.mode("overwrite").parquet(
             os.path.join(out_docs, f"ingest_batch={batch_id}")
         )
-        merged = (
-            prior.unionByName(fps.select("fp"))
-            .distinct()  # the index: one row per distinct print
-            .withColumn("last_batch_id", F.lit(batch_id))
-            .coalesce(1)
-            .localCheckpoint(eager=True)
+        # append the trigger's prints as one overwrite-idempotent batch
+        # partition — O(trigger) bytes written, the accumulated index
+        # is never rewritten (cross-batch duplicate prints are fine:
+        # the probe is membership, distinct-ness is per-doc upstream)
+        fps.select("fp").write.mode("overwrite").parquet(
+            os.path.join(index_path, f"ingest_batch={batch_id}")
         )
-        sinks.parquet_overwrite_atomic(state_path)(merged, batch_id)
 
     return (
         docs.writeStream.outputMode("append")

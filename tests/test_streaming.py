@@ -1245,7 +1245,12 @@ def test_winnow_index_flags_embedded_passage_across_waves(spark, tmp_path):
 def test_winnow_index_codelivery_and_replay(spark, tmp_path):
     """Two overlapping docs in ONE trigger must both flag (trigger-
     local counts); replay through a fresh checkpoint re-emits identical
-    rows; a half-committed index swap is recovered before read."""
+    rows (the partition-pruned probe excludes the replayed batch's own
+    partition — idempotence is structural, no fence row); a crash that
+    loses the index batch dir after the docs write is healed by the
+    same replay."""
+    import shutil
+
     src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
     passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     wave = [
@@ -1261,9 +1266,14 @@ def test_winnow_index_codelivery_and_replay(spark, tmp_path):
     before = sorted(map(tuple, spark.read.parquet(out).collect()))
     _run(jobs.winnow_index_job, spark, src, out, str(tmp_path / "ck2"))
     assert sorted(map(tuple, spark.read.parquet(out).collect())) == before
-    # crash window: staged index promoted, then a repost still flags
+    # crash window: the wave-1 index partition is lost AFTER the docs
+    # write — a fresh-checkpoint replay rewrites it byte-identically,
+    # and a subsequent repost is then caught against the healed index
     idx = out + ".fpindex"
-    os.rename(idx, idx + ".__staging__")
+    shutil.rmtree(os.path.join(idx, "ingest_batch=0"))
+    _run(jobs.winnow_index_job, spark, src, out, str(tmp_path / "ck3"))
+    assert os.path.isdir(os.path.join(idx, "ingest_batch=0"))
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == before
     _write_lines(src, "b2.jsonl", _budget_doc_lines(
         [(20, "s", f"replayed framing {passage} trailing text")]
     ))
