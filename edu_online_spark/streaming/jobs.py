@@ -2117,3 +2117,201 @@ def winnow_index_job(
         .trigger(**_trigger({}, available_now))
         .start()
     )
+
+
+def curation_ingest_job(
+    raw: DataFrame,
+    out_docs: str,
+    checkpoint: str,
+    budget: int | None = None,
+    shard_tokens: int | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """The composed ingest pipeline LIVE — quality gate → per-source
+    token-budget admission → global shard assignment in one trigger,
+    the streaming twin of corpus_end_to_end_curation's admission path
+    (its per-stage twins exist separately: doc_ingest, budget gate,
+    shard assign — this job certifies that the stages COMPOSE under
+    state, which is where streaming pipelines actually break: a doc
+    must pass the stateless gate before it may consume budget, and
+    only budget-ADMITTED tokens may advance the shard stream's global
+    offset).
+
+    Per trigger: parse/validate → Gopher rule gate (stateless — reuses
+    the certified batch operator verbatim) → hash-priority budget
+    admission against CUMULATIVE per-source totals → shard id from the
+    CONTINUING global token offset. Rejections are not silent: gated
+    docs write to out_docs + '.rejects' with the firing rule or
+    'budget' as drop_reason — an ingest pipeline that discards
+    unaccountably is undebuggable.
+
+    State: ONE table (out_docs + '.state') holding the per-source
+    used_tokens rows AND the global offset row (source = '' — sources
+    are validated non-empty upstream, so the key cannot collide),
+    swap-committed in a single atomic publish — two separate state
+    tables could commit one and crash before the other, leaving
+    budget and shard accounting divergent. Fence + half-commit
+    recovery as in the component twins (T7): per-batch-dir OVERWRITE
+    docs, deterministic admission given (state, batch), batch-id fence
+    on the state row.
+    """
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ..functions.core import hash_bucket
+    from ..operators.textops import (
+        BUDGET_HASH_MOD,
+        SHARD_TOKEN_TARGET,
+        TOKEN_BUDGET_PER_SOURCE,
+        gopher_quality_rules,
+    )
+
+    budget = TOKEN_BUDGET_PER_SOURCE if budget is None else budget
+    shard_tokens = SHARD_TOKEN_TARGET if shard_tokens is None else shard_tokens
+    state_path = out_docs + ".state"
+    rejects_path = out_docs + ".rejects"
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    parsed = F.from_json(
+        F.col("value"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    docs = (
+        raw.select(parsed.alias("j"))
+        .filter(
+            F.col("j._corrupt").isNull()
+            & F.col("j.doc_id").isNotNull()
+            & F.col("j.text").isNotNull()
+            & F.col("j.source").isNotNull()
+            & (F.col("j.source") != "")  # '' is the global-offset key
+        )
+        .select(
+            F.col("j.doc_id").alias("doc_id"),
+            F.col("j.text").alias("text"),
+            F.col("j.source").alias("source"),
+        )
+    )
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        sinks.recover_sink(state_path)
+        if os.path.exists(state_path):
+            old = spark.read.parquet(state_path)
+            last = old.agg(F.max("last_batch_id")).first()[0]
+            if last is not None and last >= batch_id:
+                return  # redelivered trigger: fully applied already
+            prior = old.select("source", "used_tokens")
+        else:
+            prior = spark.createDataFrame(
+                [], "source string, used_tokens long"
+            )
+        prior = prior.localCheckpoint(eager=True)  # 3 readers below
+        # --- stage 1: stateless quality gate (certified batch op) ----
+        gated = gopher_quality_rules(
+            batch, keep_cols=("source", "text")
+        ).localCheckpoint(eager=True)  # admit branch + rejects branch
+        rule_rejects = gated.filter(~F.col("keep")).select(
+            "doc_id", "source", "drop_reason"
+        )
+        # --- stage 2: budget admission (cumulative per source) -------
+        w = (
+            Window.partitionBy("source")
+            .orderBy(hash_bucket("doc_id", BUDGET_HASH_MOD), "doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = (
+            gated.filter(F.col("keep"))
+            .select(
+                "doc_id",
+                "source",
+                # the gate already counted tokens — reuse, don't rescan
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                "text",
+            )
+            .withColumn("cum_in_batch", F.sum("n_tokens").over(w))
+        )
+        judged = cum.join(
+            prior.hint("broadcast"), "source", "left"
+        ).withColumn(
+            "cum_tokens",
+            F.col("cum_in_batch") + F.coalesce("used_tokens", F.lit(0)),
+        )
+        budget_rejects = judged.filter(F.col("cum_tokens") > budget).select(
+            "doc_id", "source", F.lit("budget").alias("drop_reason")
+        )
+        admitted = (
+            judged.filter(F.col("cum_tokens") <= budget)
+            .select("doc_id", "source", "n_tokens", "text")
+            .localCheckpoint(eager=True)  # shard branch + state branch
+        )
+        # --- stage 3: shard ids from the continuing global offset ----
+        g_prior = prior.filter(F.col("source") == "").select(
+            F.col("used_tokens").alias("g_off")
+        )
+        gw = Window.orderBy(  # trigger-sized window: one trigger's docs
+            hash_bucket("doc_id", BUDGET_HASH_MOD), "doc_id"
+        ).rowsBetween(Window.unboundedPreceding, 0)
+        sharded = (
+            admitted.withColumn("g_cum", F.sum("n_tokens").over(gw))
+            .crossJoin(
+                F.broadcast(
+                    g_prior.unionByName(
+                        spark.createDataFrame([(0,)], "g_off long")
+                    ).agg(F.max("g_off").alias("g_off"))
+                )
+            )
+            .select(
+                "doc_id",
+                "source",
+                "n_tokens",
+                (F.col("g_cum") + F.col("g_off")).alias("global_offset"),
+                F.expr(
+                    f"(g_cum + g_off - n_tokens) div {int(shard_tokens)}"
+                ).alias("shard_id"),
+                "text",
+            )
+            .localCheckpoint(eager=True)
+        )
+        sharded.write.mode("overwrite").parquet(
+            os.path.join(out_docs, f"ingest_batch={batch_id}")
+        )
+        rule_rejects.unionByName(budget_rejects).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(rejects_path, f"ingest_batch={batch_id}"))
+        # --- atomic combined state publish ---------------------------
+        new_totals = (
+            prior.unionByName(
+                admitted.groupBy("source").agg(
+                    F.sum("n_tokens").alias("used_tokens")
+                )
+            )
+            .unionByName(
+                admitted.agg(
+                    F.sum("n_tokens").alias("used_tokens")
+                ).select(F.lit("").alias("source"), "used_tokens")
+            )
+            .groupBy("source")
+            .agg(F.sum("used_tokens").alias("used_tokens"))
+            .withColumn("last_batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+        sinks.parquet_overwrite_atomic(state_path)(new_totals, batch_id)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )

@@ -40,7 +40,7 @@ def main() -> None:
         t: f"{work}/topics/{t}"
         for t in (
             "register", "qz", "page", "raw", "docs", "pii", "emb", "link",
-            "scrub", "budget", "shard", "winnow",
+            "scrub", "budget", "shard", "winnow", "ingest",
         )
     }
 
@@ -333,6 +333,23 @@ def main() -> None:
     jobs.winnow_index_job(
         file_stream(spark, topics["winnow"]),
         out["winnow_overlap"], ck("winnow"), available_now=True,
+    ).awaitTermination(120)
+
+    # round-7b: the composed ingest pipeline — gate → budget → shard in
+    # one trigger; the short doc is gate-rejected (word_count) and the
+    # admitted doc starts the global shard stream at offset 0.
+    good = " ".join(
+        [f"wordy{i:02d}" for i in range(26)] + ["the", "and", "of", "to"]
+    )
+    produce(topics["ingest"], "b1.jsonl", [
+        json.dumps({"doc_id": 1, "text": good, "source": "s1"}),
+        json.dumps({"doc_id": 2, "text": "too short", "source": "s1"}),
+    ])
+    out["curation_ingest"] = f"{work}/out/curation_ingest"
+    jobs.curation_ingest_job(
+        file_stream(spark, topics["ingest"]),
+        out["curation_ingest"], ck("ingest"),
+        budget=100, shard_tokens=25, available_now=True,
     ).awaitTermination(120)
 
     for name, path in out.items():

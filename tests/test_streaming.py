@@ -1280,3 +1280,73 @@ def test_winnow_index_codelivery_and_replay(spark, tmp_path):
     _run(jobs.winnow_index_job, spark, src, out, ckpt)
     r2 = {x["doc_id"]: x for x in spark.read.parquet(out).collect()}
     assert r2[20]["overlap_suspect"]
+
+
+def _gopher_ok_text(seed: int, n: int = 30) -> str:
+    """n distinct ~6-char words + stopwords interleaved: passes every
+    Gopher rule (word count, mean length, top-share, stopwords)."""
+    words = [f"word{seed}x{i}" for i in range(n - 4)]
+    return " ".join(words + ["the", "and", "of", "to"])
+
+
+def test_curation_ingest_composes_gate_budget_shard(spark, tmp_path):
+    """The composed live pipeline: a gate-rejected doc must not consume
+    budget; only budget-admitted tokens advance the global shard
+    offset; wave 2 continues BOTH the per-source budget and the shard
+    stream; every rejection lands in .rejects with its reason."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    good1, good2, good3 = (_gopher_ok_text(i) for i in (1, 2, 3))
+    _write_lines(src, "b1.jsonl", _budget_doc_lines([
+        (1, "s1", good1),            # 30 tokens, admitted
+        (2, "s1", "too short"),      # gate reject: must not touch budget
+        (3, "s2", good2),            # admitted
+    ]) + ["corrupt {"])
+    _run(jobs.curation_ingest_job, spark, src, out, ckpt,
+         budget=58, shard_tokens=40)
+    docs = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(docs) == {1, 3}
+    assert docs[1]["shard_id"] == 0            # offsets start at 0
+    offs = sorted((docs[d]["global_offset"], d) for d in docs)
+    assert offs[-1][0] == 60                   # 30 + 30 admitted tokens
+    rej = {r["doc_id"]: r["drop_reason"]
+           for r in spark.read.parquet(out + ".rejects").collect()}
+    assert rej == {2: "word_count"}
+    # wave 2: s1 has 30/58 used — another 30-token doc busts its budget;
+    # s2's 25-token doc fits (30+25=55 ≤ 58) and its shard id continues
+    # the global stream
+    _write_lines(src, "b2.jsonl", _budget_doc_lines([
+        (10, "s1", good3),                     # budget reject (60 > 58)
+        (11, "s2", _gopher_ok_text(4, 25)),    # 25 tokens, admitted
+    ]))
+    _run(jobs.curation_ingest_job, spark, src, out, ckpt,
+         budget=58, shard_tokens=40)
+    docs2 = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(docs2) == {1, 3, 11}
+    assert docs2[11]["global_offset"] == 85    # 60 + 25: stream continues
+    assert docs2[11]["shard_id"] == 60 // 40   # starts at offset 60 → shard 1
+    rej2 = {r["doc_id"]: r["drop_reason"]
+            for r in spark.read.parquet(out + ".rejects").collect()}
+    assert rej2 == {2: "word_count", 10: "budget"}
+
+
+def test_curation_ingest_replay_idempotent(spark, tmp_path):
+    """Replay through a fresh checkpoint must re-emit identical docs,
+    rejects, and state (single atomic state table fences both the
+    budget rows and the global-offset row together)."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(src, "b1.jsonl", _budget_doc_lines([
+        (1, "s1", _gopher_ok_text(7)),
+        (2, "s2", _gopher_ok_text(8)),
+    ]))
+    _run(jobs.curation_ingest_job, spark, src, out, ckpt,
+         budget=100, shard_tokens=25)
+    before = sorted(map(tuple, spark.read.parquet(out).collect()))
+    state_before = sorted(
+        map(tuple, spark.read.parquet(out + ".state").collect())
+    )
+    _run(jobs.curation_ingest_job, spark, src, out, str(tmp_path / "ck2"),
+         budget=100, shard_tokens=25)
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == before
+    assert sorted(
+        map(tuple, spark.read.parquet(out + ".state").collect())
+    ) == state_before
