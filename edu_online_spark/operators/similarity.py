@@ -332,6 +332,96 @@ def knn_ivf(
     return _topk(scored, k)
 
 
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    clusters: int = IVF_CLUSTERS,
+    iters: int = 3,
+) -> None:
+    """Persist the IVF index — the production ANN artifact (the same
+    build-once-probe-many contract as the dedup family's corpus
+    signature tables and the streaming fingerprint index): centroids
+    as a (cid, dim, v) relation under `path`/centroids, and the
+    corpus inverted lists as (vec_id, embedding) parquet PARTITIONED
+    BY cid under `path`/lists. Cell-partitioned layout is the point:
+    a probe touches only its n_probe cells' files (partition-pruned
+    scan), so query cost is O(probed lists), not O(corpus read).
+    Centroids write first — a crash between the two writes leaves no
+    readable lists dir, and the builder is re-run idempotently
+    (deterministic init → identical index)."""
+    cents = train_ivf_centroids(embeddings, clusters, iters)
+    spark = embeddings.sparkSession
+    cent_rows = [
+        (int(cid), int(dim), float(v))
+        for cid, row in enumerate(cents)
+        for dim, v in enumerate(row)
+    ]
+    spark.createDataFrame(
+        cent_rows, "cid int, dim int, v double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    assign = _nearest_cids_udf(cents, 1)
+    embeddings.select(
+        "vec_id", "embedding", assign(F.col("embedding"))[0].alias("cid")
+    ).write.mode("overwrite").partitionBy("cid").parquet(f"{path}/lists")
+
+
+def load_ivf_centroids(spark: SparkSession, path: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    n_c = max(r["cid"] for r in rows) + 1
+    n_d = max(r["dim"] for r in rows) + 1
+    cents = np.zeros((n_c, n_d), dtype=np.float64)
+    for r in rows:
+        cents[r["cid"], r["dim"]] = r["v"]
+    return cents
+
+
+def knn_ivf_probe(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = TOP_K,
+    n_probe: int = IVF_PROBES,
+) -> DataFrame:
+    """Probe a PERSISTED IVF index (build_ivf_index) with an arbitrary
+    query batch — the deployment read path. Queries assign to their
+    n_probe nearest cells via the broadcast centroid matrix, and the
+    lists scan carries `cid IN (probed cells)` — a filter on the
+    PARTITION column, so Spark reads only those cells' files.
+    Identical scoring/tie-break arithmetic to knn_ivf (same UDF, same
+    exact cosine, same (cosine desc, nid) top-k), so a probe of an
+    index built with the same parameters returns knn_ivf's answers
+    bit-for-bit. Queries present in the corpus are excluded from
+    their own neighbor lists by vec_id, as everywhere in the family.
+    """
+    cents = load_ivf_centroids(spark, index_path)
+    qx = queries.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.explode(
+            _nearest_cids_udf(cents, n_probe)(F.col("embedding"))
+        ).alias("cid"),
+    ).localCheckpoint(eager=True)  # cell-list collect + probe join
+    cells = [r["cid"] for r in qx.select("cid").distinct().collect()]
+    lists = (
+        spark.read.parquet(f"{index_path}/lists")
+        # partition-column filter → only the probed cells' files scan
+        .filter(F.col("cid").isin(cells))
+        .select(
+            F.col("vec_id").alias("nid"),
+            F.col("embedding").alias("nv"),
+            "cid",
+        )
+    )
+    scored = lists.join(
+        F.broadcast(qx), (qx.cid == lists.cid) & (F.col("qid") != F.col("nid"))
+    ).select(
+        "qid",
+        "nid",
+        cosine_similarity(F.col("qv"), F.col("nv")).alias("cosine"),
+    )
+    return _topk(scored, k)
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked query registry
 # ---------------------------------------------------------------------------

@@ -247,3 +247,37 @@ def test_label_noise_partitioning_invariant(spark):
     a = sorted(map(tuple, label_noise_candidates(df).collect()))
     b = sorted(map(tuple, label_noise_candidates(df.repartition(13)).collect()))
     assert a == b
+
+
+def test_ivf_index_persist_and_probe_matches_inline(spark, tmp_path):
+    """A probe of the persisted index must return knn_ivf's answers
+    bit-for-bit (same deterministic centroids, same scoring), and the
+    lists scan must be pruned to the probed cells (partition filter)."""
+    from edu_online_spark.operators.similarity import (
+        IVF_PROBES,
+        build_ivf_index,
+        knn_ivf,
+        knn_ivf_probe,
+    )
+    from edu_online_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx)
+    import os
+
+    assert os.path.isdir(os.path.join(idx, "centroids"))
+    cells = [
+        d for d in os.listdir(os.path.join(idx, "lists"))
+        if d.startswith("cid=")
+    ]
+    assert len(cells) >= 2  # genuinely cell-partitioned layout
+    queries = emb.filter("vec_id < 20")
+    probed = knn_ivf_probe(spark, idx, queries, k=10, n_probe=IVF_PROBES)
+    inline = knn_ivf(emb, k=10, n_queries=20, n_probe=IVF_PROBES)
+    a = sorted(map(tuple, probed.select("qid", "nid", "cosine").collect()))
+    b = sorted(map(tuple, inline.select("qid", "nid", "cosine").collect()))
+    assert a == b
+    # the probe plan carries the partition filter on cid
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "cid" in plan
