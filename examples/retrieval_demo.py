@@ -76,6 +76,20 @@ def main() -> None:
     recall = similarity.ann_recall_report(embs).first().asDict()
     n_q = recall.get("n_queries", embs.count())
 
+    # persisted-index path (round 7): build once, probe the batch —
+    # must reproduce the inline IVF answers exactly
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as idx:
+        similarity.build_ivf_index(embs, idx)
+        probed = similarity.knn_ivf_probe(
+            spark, idx, embs.filter(F.col("vec_id") < 20), k=10
+        )
+        inline = similarity.knn_ivf(embs, k=10, n_queries=20)
+        probe_matches = sorted(
+            map(tuple, probed.select("qid", "nid").collect())
+        ) == sorted(map(tuple, inline.select("qid", "nid").collect()))
+
     print(f"training queries:     {n_queries}")
     print(f"positive pairs:       {n_pos}")
     print(f"hard negatives:       {n_neg} "
@@ -86,6 +100,7 @@ def main() -> None:
           f"(vs exact RRF over {hybrid_prod['n_exact']} top-k rows)")
     print(f"ann recall@{recall['k']}:        {recall['recall']:.2f} "
           f"over {n_q} queries (LSH vs exact)")
+    print(f"persisted IVF probe == inline: {probe_matches}")
 
 
 if __name__ == "__main__":
