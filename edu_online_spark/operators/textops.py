@@ -1845,6 +1845,32 @@ def winnowing_overlap_pairs(
     )
 
 
+def winnowing_overlap_clusters(
+    documents: DataFrame,
+    min_shared: int = WINNOW_MIN_SHARED,
+    max_fp_df: int = WINNOW_MAX_FP_DF,
+    variant: str = "fast",
+) -> DataFrame:
+    """Passage-sharing document CLUSTERS: connected components over
+    the winnowing overlap pairs, through the same candidate-source-
+    agnostic min-label engine every dup family reuses
+    (dedup.near_dup_clusters). Where MinHash clusters group documents
+    that are near-copies AS A WHOLE, these group documents stitched
+    together by SHARED PASSAGES (license pools, quote chains,
+    template families) — the grouping a curation pass reviews before
+    deciding whether a passage pool is boilerplate to scrub
+    (substring_dedup's job) or duplication to collapse. Output:
+    (doc_id, cluster_rep) for every doc in a sharing component."""
+    from .dedup import near_dup_clusters
+
+    return near_dup_clusters(
+        winnowing_overlap_pairs(
+            documents, min_shared=min_shared, max_fp_df=max_fp_df,
+            variant=variant,
+        ).select("doc_a", "doc_b")
+    )
+
+
 def winnowing_overlap_cross_corpus(
     new_docs: DataFrame,
     corpus_docs: DataFrame,

@@ -1138,3 +1138,30 @@ def test_multipass_agrees_with_single_pass_when_block_intact(spark):
     for k in single:
         assert single[k]["matched_key"] == multi[k]["matched_key"] == k
         assert abs(single[k]["dice"] - multi[k]["dice"]) < 1e-12
+
+
+def test_winnowing_overlap_clusters_transitive(spark):
+    """A passage chain A~B (passage 1) and B~C (passage 2) must close
+    into one component even though A and C share nothing directly."""
+    from edu_online_spark.operators.textops import winnowing_overlap_clusters
+
+    p1 = "alpha bravo charlie delta echo foxtrot golf hotel"
+    p2 = "india juliet kilo lima mike november oscar papa"
+    docs = spark.createDataFrame(
+        [
+            (1, f"first framing {p1} first ending material"),
+            (2, f"{p1} middle document bridging text {p2}"),
+            (3, f"third framing {p2} third ending material"),
+            (4, "entirely unrelated content with no shared passages here"),
+        ],
+        ["doc_id", "text"],
+    )
+    # min_shared=1: the coverage guarantee promises >=1 common print
+    # per shared run of w+k-1 words (2 would need longer passages)
+    out = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in winnowing_overlap_clusters(
+            docs, min_shared=1, variant="poly"
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1}  # transitive closure; doc 4 absent
