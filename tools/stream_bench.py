@@ -1,0 +1,119 @@
+"""Streaming throughput benchmark — the reference comparison bench.py
+cannot make: the reference engine CAPS its ingest at a configured
+100 rec/s/partition (BASELINE.md "ingest cap" rows — its real-time
+budget on the course-ware cluster), so matching-or-beating its
+single-node throughput means demonstrating sustained rec/s well above
+those caps through the SAME job semantics.
+
+Measures end-to-end micro-batch throughput (parse → operator → state →
+sink, availableNow over pre-produced files — so scheduling, state
+commits, and sink writes are all inside the measured window) for:
+  register_totals    the reference's flagship A2 job (TSV decode →
+                     running per-platform counts → keyed upsert)
+  quiz_mastery       the heaviest reference job (A3-A9 composite state)
+  curation_ingest    the round-7 composed LLM pipeline (gate → budget
+                     → shard, three state machines in one trigger)
+
+Usage: python tools/stream_bench.py [n_rows] [n_files]
+Prints one JSON line per job: {"job", "rows", "secs", "rows_per_sec"}.
+Defaults: 200k rows across 20 files (10k-row micro-batches).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from edu_online_spark.session import get_spark  # noqa: E402
+from edu_online_spark.streaming import jobs  # noqa: E402
+from edu_online_spark.streaming.sources import file_stream  # noqa: E402
+
+
+def _produce(d: str, name: str, lines: list[str]) -> None:
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.rename(tmp, os.path.join(d, name))
+
+
+def _run(job_fn, spark, src, out, ckpt, **kw):
+    # one file per trigger: every micro-batch pays its own state
+    # commit + sink publish, the reference-comparable cadence (its
+    # 3-second batches) — NOT one availableNow mega-batch
+    q = job_fn(
+        file_stream(spark, src, max_files_per_trigger=1),
+        out,
+        ckpt,
+        available_now=True,
+        **kw,
+    )
+    q.awaitTermination(600)
+
+
+def bench_job(spark, work, name, job_fn, make_line, n_rows, n_files, **kw):
+    src = os.path.join(work, name, "src")
+    per = n_rows // n_files
+    for f in range(n_files):
+        _produce(
+            src,
+            f"b{f:04d}.log",
+            [make_line(f * per + i) for i in range(per)],
+        )
+    out = os.path.join(work, name, "out")
+    ckpt = os.path.join(work, name, "ck")
+    t0 = time.monotonic()
+    _run(job_fn, spark, src, out, ckpt, **kw)
+    secs = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "job": name,
+                "rows": per * n_files,
+                "secs": round(secs, 2),
+                "rows_per_sec": int(per * n_files / secs),
+            }
+        )
+    )
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    spark = get_spark()
+    work = tempfile.mkdtemp(prefix="stream-bench-")
+    try:
+        bench_job(
+            spark, work, "register_totals", jobs.register_totals_job,
+            lambda i: f"{8000 + i}\t{i % 3 + 1}\t2026-08-13 10:{(i // 6000) % 60:02d}:{(i // 100) % 60:02d}",
+            n_rows, n_files,
+        )
+        bench_job(
+            spark, work, "quiz_mastery", jobs.quiz_mastery_job,
+            lambda i: (
+                f"{1000 + i % 500}\t{500 + i % 7}\t{i % 11}\tq{i % 30}\t"
+                f"{i % 2}\t2026-08-13 10:{(i // 6000) % 60:02d}:{(i // 100) % 60:02d}"
+            ),
+            n_rows, n_files,
+        )
+        words = " ".join(f"w{j}xyz{j}" for j in range(24)) + " the and of to"
+        bench_job(
+            spark, work, "curation_ingest", jobs.curation_ingest_job,
+            lambda i: json.dumps(
+                {"doc_id": i, "text": words, "source": f"s{i % 8}"}
+            ),
+            n_rows // 10, n_files,  # doc rows are ~30 tokens each
+            budget=1 << 60,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
