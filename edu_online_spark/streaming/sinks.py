@@ -86,8 +86,17 @@ def parquet_upsert(path: str, key_cols: list[str], num_buckets: int = DEFAULT_UP
             merged = old.join(
                 keyed.select(*key_cols), key_cols, "left_anti"
             ).unionByName(keyed)
+            # cluster by bucket before writing: partitionBy alone emits
+            # one file per (task × bucket) — up to shuffle.partitions ×
+            # num_buckets tiny files per trigger, which the NEXT
+            # trigger's merge then re-reads (measured: the file churn,
+            # not the merge, dominated per-trigger cost ~8×). One
+            # bucket-hashed shuffle of the touched rows → ~1 file per
+            # bucket dir, steady-state.
             # reads the live dir, writes the staging dir — no overlap
-            merged.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
+            merged.repartition(num_buckets, "_bucket").write.mode(
+                "overwrite"
+            ).partitionBy("_bucket").parquet(staging)
             touched = {f"_bucket={b}" for b in buckets}
             for entry in os.listdir(path):
                 src = os.path.join(path, entry)
@@ -99,7 +108,9 @@ def parquet_upsert(path: str, key_cols: list[str], num_buckets: int = DEFAULT_UP
                     _link_tree(src, os.path.join(staging, entry))
             _swap_into_place(path, staging, retired)
         else:
-            keyed.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
+            keyed.repartition(num_buckets, "_bucket").write.mode(
+                "overwrite"
+            ).partitionBy("_bucket").parquet(staging)
             os.rename(staging, path)
 
     return write
