@@ -2315,3 +2315,47 @@ def curation_ingest_job(
         .trigger(**_trigger({}, available_now))
         .start()
     )
+
+
+def compact_winnow_index(spark: SparkSession, index_path: str) -> int:
+    """Offline compaction for winnow_index_job's append-only
+    fingerprint index: fold every ingest_batch partition into ONE
+    distinct-print partition at `ingest_batch=-1` (strictly below any
+    real batch id, so the probe's `ingest_batch < batch_id` filter
+    always includes it), then drop the folded batch dirs. Run between
+    job restarts — the relation is unchanged, only its file count.
+
+    Crash-safe by the same structural argument as the job: the
+    compacted partition is written (overwrite-idempotent) BEFORE any
+    source dir is removed, and duplicate prints across partitions are
+    harmless to the membership probe — a crash at any point leaves a
+    correct, merely-uncompacted index, and re-running converges.
+    Returns the number of batch partitions folded away.
+    """
+    import os
+    import shutil
+
+    if not os.path.isdir(index_path):
+        return 0
+    batch_dirs = [
+        d
+        for d in os.listdir(index_path)
+        if d.startswith("ingest_batch=") and d != "ingest_batch=-1"
+    ]
+    if not batch_dirs:
+        return 0
+    merged = (
+        spark.read.option("basePath", index_path)
+        .parquet(index_path)
+        .select("fp")
+        .distinct()
+        # pin the full read before the overwrite below touches any
+        # input file (ingest_batch=-1, if present, is also an input)
+        .localCheckpoint(eager=True)
+    )
+    merged.write.mode("overwrite").parquet(
+        os.path.join(index_path, "ingest_batch=-1")
+    )
+    for d in batch_dirs:
+        shutil.rmtree(os.path.join(index_path, d))
+    return len(batch_dirs)

@@ -1350,3 +1350,33 @@ def test_curation_ingest_replay_idempotent(spark, tmp_path):
     assert sorted(
         map(tuple, spark.read.parquet(out + ".state").collect())
     ) == state_before
+
+
+def test_winnow_index_compaction_preserves_annotations(spark, tmp_path):
+    """Compacting the append-only print index must not change any
+    future annotation: fold two waves' partitions into ingest_batch=-1,
+    then a wave-3 repost must still flag exactly as it would have."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    passage = "uno due tre quattro cinque sei sette otto nove dieci"
+    _write_lines(src, "b1.jsonl", _budget_doc_lines(
+        [(1, "s", f"first framing {passage} first ending")]
+    ))
+    _run(jobs.winnow_index_job, spark, src, out, ckpt)
+    _write_lines(src, "b2.jsonl", _budget_doc_lines(
+        [(2, "s", "second wave totally unrelated content entirely new")]
+    ))
+    _run(jobs.winnow_index_job, spark, src, out, ckpt)
+    idx = out + ".fpindex"
+    folded = jobs.compact_winnow_index(spark, idx)
+    assert folded == 2
+    dirs = [d for d in os.listdir(idx) if d.startswith("ingest_batch=")]
+    assert dirs == ["ingest_batch=-1"]
+    _write_lines(src, "b3.jsonl", _budget_doc_lines([
+        (30, "s", f"third framing {passage} third ending"),
+        (31, "s", "still nothing previously seen anywhere in this text"),
+    ]))
+    _run(jobs.winnow_index_job, spark, src, out, ckpt)
+    r = {x["doc_id"]: x for x in spark.read.parquet(out).collect()}
+    assert r[30]["overlap_suspect"] and not r[31]["overlap_suspect"]
+    # idempotent: a second compaction folds the new batch dir too
+    assert jobs.compact_winnow_index(spark, idx) == 1
