@@ -570,3 +570,31 @@ def test_winnowing_overlap_plan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Scan parquet" not in plan  # reads the checkpointed fps only
+
+
+def test_multipass_linkage_plan_shape(spark, sf_dir):
+    """The sorted-neighborhood pass must stay keyed: bucketed rank
+    windows (never a single global sort partition over records), a
+    band equi-join for the neighborhood pairing, and no cartesian or
+    data-sized nested loop anywhere in the two-pass union."""
+    from pyspark.sql import functions as F
+
+    from edu_online_spark.operators.analytics import link_records_multipass
+
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long").cast("string")
+    clean = c.select(
+        F.col("c_custkey").alias("cand_key"),
+        F.col("c_nationkey").alias("c_nation"),
+        F.concat(F.col("c_name"), F.lit("|"), cents).alias("c_rec"),
+    )
+    dirty = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("true_key"),
+        F.col("c_nationkey").alias("d_nation"),
+        F.concat(F.col("c_name"), F.lit("|9"), cents).alias("d_rec"),
+    )
+    df = link_records_multipass(dirty, clean)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
