@@ -614,10 +614,15 @@ def label_noise_candidates(embeddings: DataFrame) -> DataFrame:
         )
     )
     own = F.filter("d2s", lambda s: s["clabel"] == F.col("label"))[0]["d2"]
-    nearest = F.array_sort(  # struct sort = lexicographic (d2, clabel)
-        F.filter("d2s", lambda s: s["clabel"] != F.col("label"))
-    )[0]
-    return scored.select(
+    others = F.filter("d2s", lambda s: s["clabel"] != F.col("label"))
+    nearest = F.array_sort(others)[0]  # struct sort = lexicographic (d2, clabel)
+    return scored.filter(
+        # a single-label corpus has no "other" centroid and therefore no
+        # candidates — the oracle's own⋈other inner join emits zero rows
+        # there, and [0] on the empty array would otherwise fabricate
+        # one NULL row per vector (ADVICE r7)
+        F.size(others) > 0
+    ).select(
         "vec_id",
         "label",
         own.alias("own_d2"),

@@ -1967,6 +1967,7 @@ def winnow_index_job(
     out_docs: str,
     checkpoint: str,
     min_shared: int | None = None,
+    max_fp_df: int | None = None,
     available_now: bool = False,
 ) -> StreamingQuery:
     """Overlap-on-ingest via a cumulative winnowing fingerprint index —
@@ -2005,15 +2006,27 @@ def winnow_index_job(
     against the trigger-LOCAL print counts as well (a print shared
     within the trigger counts toward both docs' n_prior_hits), so
     co-delivery cannot hide overlap, but the pair attribution (which
-    doc copied which) is the batch operator's job.
+    doc copied which) is the batch operator's job. The batch twin's
+    `max_fp_df` boilerplate guard applies here too (ADVICE r7): a
+    print whose document frequency across the seen corpus — prior
+    index rows are one-per-(doc, fp), so the per-fp row count IS the
+    prior df, plus this trigger's local df — exceeds the cap is
+    dropped before hit counting, so a corpus-ubiquitous passage
+    (license header) cannot push every subsequent document past
+    min_shared.
     """
     import os
 
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-    from ..operators.textops import WINNOW_MIN_SHARED, winnowing_fingerprints
+    from ..operators.textops import (
+        WINNOW_MAX_FP_DF,
+        WINNOW_MIN_SHARED,
+        winnowing_fingerprints,
+    )
 
     min_shared = WINNOW_MIN_SHARED if min_shared is None else min_shared
+    max_fp_df = WINNOW_MAX_FP_DF if max_fp_df is None else max_fp_df
     index_path = out_docs + ".fpindex"
 
     schema = StructType(
@@ -2070,17 +2083,26 @@ def winnow_index_job(
         # trigger-local print df: a print carried by two co-delivered
         # docs counts toward both (co-delivery cannot hide overlap)
         local_df = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_local"))
+        # prior df per fp: index rows are one-per-(doc, fp), so the row
+        # count is the document frequency (map-side combined agg — the
+        # same linear pass the old membership distinct cost)
+        prior_df = prior.groupBy("fp").agg(F.count(F.lit(1)).alias("n_prior"))
         hits = (
             # no explicit broadcast on the prior side: the index grows
             # with the corpus — AQE broadcasts while it measures small
             # and shuffles on fp once it doesn't; local_df is
             # trigger-sized and stays a broadcast
-            fps.join(prior.distinct().withColumn("_in", F.lit(1)), "fp", "left")
+            fps.join(prior_df, "fp", "left")
             .join(F.broadcast(local_df), "fp")
+            .withColumn("n_prior", F.coalesce("n_prior", F.lit(0)))
+            # boilerplate guard (the batch twin's max_fp_df, ADVICE r7):
+            # ubiquitous prints carry no overlap signal — drop BEFORE
+            # hit counting, judged over the whole seen corpus
+            .filter(F.col("n_prior") + F.col("n_local") <= max_fp_df)
             .withColumn(
                 "hit",
                 F.when(
-                    (F.col("_in") == 1) | (F.col("n_local") > 1), 1
+                    (F.col("n_prior") > 0) | (F.col("n_local") > 1), 1
                 ).otherwise(0),
             )
             .groupBy("doc_id")

@@ -236,6 +236,17 @@ def test_label_noise_flags_planted_mislabel(spark):
         assert r["margin"] == r["own_d2"] - r["nearest_other_d2"]
 
 
+def test_label_noise_single_label_corpus_is_empty(spark):
+    """ADVICE r7: with only one label there is no 'other' centroid, so
+    no candidates exist — must match the oracle's own⋈other inner join
+    (zero rows), not one NULL row per vector."""
+    from edu_online_spark.operators.similarity import label_noise_candidates
+
+    rows = [(i, [float(i), 1.0], 7) for i in range(6)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    assert label_noise_candidates(df).count() == 0
+
+
 def test_label_noise_partitioning_invariant(spark):
     from edu_online_spark.operators.similarity import label_noise_candidates
 

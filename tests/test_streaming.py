@@ -1282,6 +1282,37 @@ def test_winnow_index_codelivery_and_replay(spark, tmp_path):
     assert r2[20]["overlap_suspect"]
 
 
+def test_winnow_index_boilerplate_guard(spark, tmp_path):
+    """ADVICE r7: a corpus-ubiquitous passage (license header in more
+    than max_fp_df docs) must stop contributing hits — both for docs
+    co-delivered with it and for every later arrival — while genuine
+    low-df overlap keeps flagging."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    license_ = "licensed under the apache license version two point zero terms"
+    quote = "to be or not to be that is the question here"
+    wave1 = [
+        (i, "s", f"doc number {i} unique frame {license_} distinct tail {i} words")
+        for i in range(1, 5)  # 4 docs > max_fp_df=3 → ubiquitous
+    ] + [
+        (10, "s", f"first quoting text {quote} with original commentary"),
+        (11, "s", f"second borrowing {quote} inside different analysis"),
+    ]
+    _write_lines(src, "b1.jsonl", _budget_doc_lines(wave1))
+    _run(jobs.winnow_index_job, spark, src, out, ckpt, max_fp_df=3)
+    r1 = {x["doc_id"]: x for x in spark.read.parquet(out).collect()}
+    for i in range(1, 5):  # license prints dropped by the guard
+        assert not r1[i]["overlap_suspect"], i
+    assert r1[10]["overlap_suspect"] and r1[11]["overlap_suspect"]
+    _write_lines(src, "b2.jsonl", _budget_doc_lines([
+        (20, "s", f"late arrival framed {license_} with fresh surroundings"),
+        (21, "s", f"third user of {quote} in yet another setting"),
+    ]))
+    _run(jobs.winnow_index_job, spark, src, out, ckpt, max_fp_df=3)
+    r2 = {x["doc_id"]: x for x in spark.read.parquet(out).collect()}
+    assert not r2[20]["overlap_suspect"]  # prior df 4 > 3 → no signal
+    assert r2[21]["overlap_suspect"]      # quote df 2 ≤ 3 → real overlap
+
+
 def _gopher_ok_text(seed: int, n: int = 30) -> str:
     """n distinct ~6-char words + stopwords interleaved: passes every
     Gopher rule (word count, mean length, top-share, stopwords)."""

@@ -41,7 +41,13 @@ _BAD = (
 
 
 def audit(sf_dir: str) -> dict[str, list[tuple[str, str]]]:
-    sys.path.insert(0, ".")
+    # repo root derived from this file, not the process CWD — the tool
+    # (and tests importing it) must work from any directory
+    import os
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     from edu_online_spark import registry
 
     con = duckdb.connect()
