@@ -973,25 +973,10 @@ def _char_bigrams(col: F.Column) -> F.Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def customer_record_linkage(customer: DataFrame) -> DataFrame:
-    """Entity resolution: link dirtied customer records back to their
-    canonical rows — blocking + pairwise similarity + best-match
-    selection, the standard three-stage linkage pipeline.
-
-    The dirty side is a deterministic perturbation of every
-    ER_PERTURB_MODth customer (one account-balance digit overwritten
-    in the exact-cents rendering), so ground
-    truth is known and the oracle can mirror the whole pipeline.
-    Blocking is the composite (c_nationkey, last-4-of-name) key — see
-    ER_BLOCK_NAME_CHARS for the scale rationale — with clean-side
-    mega-blocks capped; the match score is Dice over distinct
-    character bigrams of name|phone — integer set sizes, one double
-    division, so scores hash-certify. Best match per dirty record by
-    (score desc, custkey asc); `is_correct` makes the linkage accuracy
-    itself part of the certified output.
-    """
-    from pyspark.sql import Window
-
+def _linkage_sides(customer: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The deterministic (dirty, clean) sides both linkage queries
+    share: every ER_PERTURB_MODth customer gets a twin whose first
+    cents digit is overwritten with '9'."""
     cents = (
         F.round(F.col("c_acctbal") * 100).cast("long").cast("string")
     )
@@ -1013,6 +998,27 @@ def customer_record_linkage(customer: DataFrame) -> DataFrame:
         F.col("c_nationkey").alias("c_nation"),
         F.concat(F.col("c_name"), F.lit("|"), F.col("cents")).alias("c_rec"),
     )
+    return dirty, clean
+
+
+def customer_record_linkage(customer: DataFrame) -> DataFrame:
+    """Entity resolution: link dirtied customer records back to their
+    canonical rows — blocking + pairwise similarity + best-match
+    selection, the standard three-stage linkage pipeline.
+
+    The dirty side is a deterministic perturbation of every
+    ER_PERTURB_MODth customer (one account-balance digit overwritten
+    in the exact-cents rendering), so ground
+    truth is known and the oracle can mirror the whole pipeline.
+    Blocking is the composite (c_nationkey, last-4-of-name) key — see
+    ER_BLOCK_NAME_CHARS for the scale rationale — with clean-side
+    mega-blocks capped; the match score is Dice over distinct
+    character bigrams of name|phone — integer set sizes, one double
+    division, so scores hash-certify. Best match per dirty record by
+    (score desc, custkey asc); `is_correct` makes the linkage accuracy
+    itself part of the certified output.
+    """
+    dirty, clean = _linkage_sides(customer)
     return link_records(dirty, clean, id_col="true_key").select(
         "true_key",
         "matched_key",
@@ -1217,6 +1223,27 @@ def link_records_multipass(
     )
 
 
+def customer_record_linkage_multipass(customer: DataFrame) -> DataFrame:
+    """Certified form of the two-pass linkage (round-8 registry slot
+    for the r7 library op): the same deterministic perturbation and
+    output shape as customer_record_linkage, with candidates drawn
+    from BOTH the composite block join and the sorted-neighborhood
+    pass. On this corpus the typo sits in the cents field — the
+    composite (nation, name-suffix) block key survives — so accuracy
+    matches the single-pass query; what the oracle certifies is that
+    the widened candidate set changes NO best-match decision (the
+    union is a superset, and Dice + (score desc, key asc) selection is
+    order-independent), which is exactly the regression a second
+    blocking pass must not introduce."""
+    dirty, clean = _linkage_sides(customer)
+    return link_records_multipass(dirty, clean, id_col="true_key").select(
+        "true_key",
+        "matched_key",
+        "dice",
+        (F.col("matched_key") == F.col("true_key")).alias("is_correct"),
+    )
+
+
 def _q(fn, *tables):
     def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(*[load_table(spark, sf_dir, t) for t in tables])
@@ -1264,6 +1291,9 @@ QUERIES = {
     "events_daily_trend": _q(daily_trend_fit, "events"),
     "events_type_transitions": _q(event_type_transitions, "events"),
     "customer_record_linkage": _q(customer_record_linkage, "customer"),
+    "customer_record_linkage_multipass": _q(
+        customer_record_linkage_multipass, "customer"
+    ),
     "events_seasonal_residuals": _q(seasonal_residuals, "events"),
 }
 
@@ -1655,6 +1685,104 @@ ORACLE = {
         SELECT true_key, cand_key AS matched_key, dice,
                cand_key = true_key AS is_correct
         FROM ranked WHERE rk = 1
+    """,
+    # Two-pass mirror: pass 1 is the single-pass block join (clean-side
+    # mega-blocks capped); pass 2 ranks BOTH sides globally on the
+    # reversed record (ORDER BY sk, is_dirty, id — identical to the
+    # Spark bucket-offset rank, since the bucket is a prefix of sk) and
+    # pairs within |Δrank| ≤ w; scoring/selection run once over the
+    # deduped union with the single-pass Dice + tie order.
+    "customer_record_linkage_multipass": f"""
+        WITH base AS (
+            SELECT c_custkey, c_name, c_nationkey,
+                   CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR)
+                       AS cents
+            FROM customer
+        ),
+        dirty AS (
+            SELECT c_custkey AS true_key, c_nationkey AS d_nation,
+                   c_name || '|9' || substring(cents, 2) AS d_rec
+            FROM base WHERE c_custkey % {ER_PERTURB_MOD} = 0
+        ),
+        clean AS (
+            SELECT c_custkey AS cand_key, c_nationkey AS c_nation,
+                   c_name || '|' || cents AS c_rec
+            FROM base
+        ),
+        capped AS (
+            SELECT cand_key, c_nation, c_rec,
+                   substring(split_part(c_rec, '|', 1),
+                             greatest(length(split_part(c_rec, '|', 1))
+                                          - {ER_BLOCK_NAME_CHARS - 1}, 1),
+                             {ER_BLOCK_NAME_CHARS}) AS c_bk
+            FROM clean
+            QUALIFY COUNT(*) OVER (PARTITION BY c_nation,
+                       substring(split_part(c_rec, '|', 1),
+                                 greatest(length(split_part(c_rec, '|', 1))
+                                              - {ER_BLOCK_NAME_CHARS - 1}, 1),
+                                 {ER_BLOCK_NAME_CHARS}))
+                    <= {ER_MAX_BLOCK_ROWS}
+        ),
+        dirty_bk AS (
+            SELECT *,
+                   substring(split_part(d_rec, '|', 1),
+                             greatest(length(split_part(d_rec, '|', 1))
+                                          - {ER_BLOCK_NAME_CHARS - 1}, 1),
+                             {ER_BLOCK_NAME_CHARS}) AS d_bk
+            FROM dirty
+        ),
+        p1 AS (
+            SELECT true_key, cand_key
+            FROM dirty_bk JOIN capped ON d_nation = c_nation AND d_bk = c_bk
+        ),
+        tagged AS (
+            SELECT 1 AS is_dirty, true_key AS id, reverse(d_rec) AS sk
+            FROM dirty
+            UNION ALL
+            SELECT 0 AS is_dirty, cand_key AS id, reverse(c_rec) AS sk
+            FROM clean
+        ),
+        rnk AS (
+            SELECT is_dirty, id,
+                   ROW_NUMBER() OVER (ORDER BY sk, is_dirty, id) AS r
+            FROM tagged
+        ),
+        p2 AS (
+            SELECT d.id AS true_key, c.id AS cand_key
+            FROM rnk d JOIN rnk c
+              ON d.is_dirty = 1 AND c.is_dirty = 0
+             AND abs(d.r - c.r) <= {SN_WINDOW}
+        ),
+        cand AS (
+            SELECT DISTINCT true_key, cand_key
+            FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+        ),
+        grams AS (
+            SELECT cand.true_key, cand.cand_key,
+                   list_distinct([substring(d_rec, i, 2)
+                                  for i in range(1, length(d_rec))]) AS db,
+                   list_distinct([substring(c_rec, i, 2)
+                                  for i in range(1, length(c_rec))]) AS cb
+            FROM cand
+            JOIN dirty USING (true_key)
+            JOIN clean USING (cand_key)
+        ),
+        pairs AS (
+            SELECT true_key, cand_key,
+                   2 * len(list_intersect(db, cb)) / (len(db) + len(cb))
+                       AS dice
+            FROM grams
+            WHERE len(db) > 0 AND len(cb) > 0
+        ),
+        sel AS (
+            SELECT true_key, cand_key, dice,
+                   ROW_NUMBER() OVER (PARTITION BY true_key
+                       ORDER BY dice DESC, cand_key) AS rk
+            FROM pairs WHERE dice >= {ER_MIN_DICE}
+        )
+        SELECT true_key, cand_key AS matched_key, dice,
+               cand_key = true_key AS is_correct
+        FROM sel WHERE rk = 1
     """,
     # Rational support/confidence/lift: long counts, double division at
     # the end, lift's cross-product in integer arithmetic first.

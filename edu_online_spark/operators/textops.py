@@ -2027,15 +2027,29 @@ QUERIES = {
         lambda d: winnowing_overlap_pairs(d, variant="poly")
     ),
     "docs_length_quantiles_exact": _q(length_quantiles_exact),
+    # round 8: the two r7 library ops promoted to certified slots
+    "docs_winnowing_clusters": _q(
+        lambda d: winnowing_overlap_clusters(d, variant="poly")
+    ),
+    "docs_winnowing_cross_corpus": _q(
+        # deterministic new/corpus split, same contract as
+        # dedup_cross_corpus: every 10th doc is the arriving delta
+        lambda d: winnowing_overlap_cross_corpus(
+            d.filter(F.col("doc_id") % 10 == 0),
+            d.filter(F.col("doc_id") % 10 != 0),
+            variant="poly",
+        )
+    ),
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), ' +')"
 _STOP_LIST = ", ".join(f"'{w}'" for w in T.STOPWORDS_EN)
 
 # Shared winnowing-selection mirror (char-fold gram hashes → w-window
-# minima → rightmost-on-ties → distinct selections), used by both the
-# fingerprint inventory oracle and the overlap-pair oracle.
-_WINNOW_SEL_SQL = f"""WITH g AS (
+# minima → rightmost-on-ties → distinct selections), used by the
+# fingerprint inventory, overlap-pair, cluster, and cross-corpus
+# oracles. CTE body only — callers prepend WITH / WITH RECURSIVE.
+_WINNOW_SEL_SQL = f"""g AS (
             SELECT doc_id,
                    [list_reduce(
                         [ascii(s[j])::BIGINT
@@ -2061,6 +2075,24 @@ _WINNOW_SEL_SQL = f"""WITH g AS (
                        AS BIGINT) AS fp_pos,
                    CAST(list_min(hs[p+1:p+{WINNOW_W}]) AS BIGINT) AS fp
             FROM wins
+        )"""
+
+# Selection → rare-fp gate → pair counting, shared by the overlap-pair
+# and cluster oracles. CTE body only, like _WINNOW_SEL_SQL.
+_WINNOW_PAIR_CTES = f"""{_WINNOW_SEL_SQL},
+        fps AS (SELECT DISTINCT doc_id, fp FROM winnow_sel),
+        rare AS (
+            SELECT fp FROM fps GROUP BY fp
+            HAVING count(*) <= {WINNOW_MAX_FP_DF}
+        ),
+        kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)),
+        wpairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM kept a JOIN kept b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= {WINNOW_MIN_SHARED}
         )"""
 
 
@@ -2911,23 +2943,54 @@ ORACLE = {
     # (list position of the last index attaining the window min), and
     # the same distinct-(doc, pos) dedup of selections.
     "docs_winnowing_fingerprints": f"""
-        {_WINNOW_SEL_SQL}
+        WITH {_WINNOW_SEL_SQL}
         SELECT doc_id, fp_pos, fp FROM winnow_sel
     """,
     # Same rare-fingerprint gate (df cap) and pair counting over the
     # shared winnowing selection mirror.
     "docs_winnowing_overlap": f"""
-        {_WINNOW_SEL_SQL},
-        fps AS (SELECT DISTINCT doc_id, fp FROM winnow_sel),
-        rare AS (
-            SELECT fp FROM fps GROUP BY fp
-            HAVING count(*) <= {WINNOW_MAX_FP_DF}
+        WITH {_WINNOW_PAIR_CTES}
+        SELECT doc_a, doc_b, n_shared FROM wpairs
+    """,
+    # Clusters: the same recursive transitive closure + min-reachable-id
+    # labeling as dedup_near_dup_clusters, over the winnowing overlap
+    # pairs instead of the MinHash pairs.
+    "docs_winnowing_clusters": f"""
+        WITH RECURSIVE {_WINNOW_PAIR_CTES},
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM wpairs
+            UNION SELECT doc_b, doc_a FROM wpairs
         ),
-        kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(count(*) AS BIGINT) AS n_shared
-        FROM kept a JOIN kept b
-          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        reach(src, dst) AS (
+            SELECT src, src FROM edges
+            UNION SELECT src, dst FROM edges
+            UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS doc_id, min(dst) AS cluster_rep
+        FROM reach GROUP BY src
+    """,
+    # Cross-corpus: same selection mirror, split AFTER selection (a
+    # doc's fingerprints do not depend on which side it lands on), df
+    # cap judged over the CORPUS side only — exactly the Spark
+    # operator's contract.
+    "docs_winnowing_cross_corpus": f"""
+        WITH {_WINNOW_SEL_SQL},
+        nf AS (
+            SELECT DISTINCT doc_id AS new_id, fp FROM winnow_sel
+            WHERE doc_id % 10 = 0
+        ),
+        cf AS (
+            SELECT DISTINCT doc_id AS corpus_id, fp FROM winnow_sel
+            WHERE doc_id % 10 <> 0
+        ),
+        rare AS (
+            SELECT fp FROM cf GROUP BY fp
+            HAVING count(*) <= {WINNOW_MAX_FP_DF}
+        )
+        SELECT n.new_id, c.corpus_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM nf n
+        JOIN (SELECT cf.corpus_id, cf.fp FROM cf JOIN rare USING (fp)) c
+          ON n.fp = c.fp
         GROUP BY 1, 2
         HAVING count(*) >= {WINNOW_MIN_SHARED}
     """,

@@ -69,83 +69,76 @@ def _extended_modules():
 # round 2).
 _PREFIX_TAIL_BOUNDARY = "tpch"
 
-# Round-7 window rotation. The driver certifies only the first 50
+# Round-8 window rotation. The driver certifies only the first 50
 # entries per round, so the window is rotated each round toward the
 # queries whose certification is most valuable NOW:
 #   1. the STALENESS_BOUND_ROUNDS=5 contract (tests/test_registry.py)
-#      trips first: the r2 cohort displaced by round-6 insertions
-#      (driver row age hits the bound exactly this round), then the
-#      ENTIRE round-3 cohort (31 rows — they hit the bound in round 8,
-#      and round 8's window must absorb the 44-row round-4 cohort, so
-#      they cannot wait);
-#   2. queries whose implementation or oracle changed this round (the
-#      four r6 red rows: explicit-CAST oracle outputs on the three
-#      prefix-sum budget ops; the de-quantiled seasonal residuals),
-#      plus the extended curation composition and the de-skewed label
-#      noise op;
-#   3. new round-7 queries, inserted as they land;
-#   4. long-standing sentinels re-certified every round.
+#      trips first: the FULL 44-row round-4 cohort hits the bound at
+#      round 8 (VERDICT r7 #1 — mechanical and non-negotiable), so it
+#      owns 44 of the 50 slots;
+#   2. the two queries whose 10× growth curves this round's perf work
+#      touches (re-certification after an implementation change);
+#   3. the four r7 library ops promoted to certified registry slots
+#      (VERDICT r7 #5), with freshly written oracles.
+# Sentinels sit this round out (all r7-certified); round 9 must lead
+# with the 43-row round-5 cohort.
 # Names are validated against the assembled registry — a typo or a
 # renamed query fails loudly rather than silently ceding its slot.
 _WINDOW_PRIORITY = [
-    # 1a: round-2 cohort — staleness bound trips THIS round
-    "daily_revenue_ma7",
-    "events_profile",
-    "events_props_k_stats",
-    "events_stratified_sample",
-    # 1b: full round-3 cohort — bound trips in round 8, which is
-    # already fully booked by the 44-row round-4 cohort
-    "benchmark_contamination",
-    "chunks_packed",
-    "corpus_boilerplate_ngrams",
-    "corpus_token_df",
-    "corpus_vocabulary_topk",
-    "dedup_containment",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_near_dup_clusters",
-    "dedup_neardup_curated",
-    "dedup_ngram_jaccard",
-    "docs_quality_tiered_sample",
-    "docs_train_val_test",
-    "documents_chunked",
-    "documents_curated",
-    "events_k_anonymity",
-    "ip_region_counts",
-    "register_windowed_counts",
-    "sim_embedding_norms",
-    "text_boilerplate_fraction",
-    "text_char_diversity",
-    "text_fingerprints",
-    "text_lang_confusion",
-    "text_normalized",
-    "text_quality",
-    "text_repetition_scores",
-    "text_tfidf_top_terms",
-    "text_token_stats",
-    "text_top_bigrams",
-    "xmodal_label_lang_crosstab",
-    "xmodal_norm_extremes",
-    # 2: changed in round 7 — the four r6 red rows (oracle output CASTs
-    # / the row_number median rewrite), the extended end-to-end
-    # curation chain, and the de-skewed label-noise op
-    "events_seasonal_residuals",
-    "docs_token_budget_cap",
+    # 1: full round-4 cohort — staleness bound trips THIS round
+    "ann_all_pairs_recall",
+    "ann_recall_report",
+    "basket_part_pairs",
+    "corpus_dataset_card",
+    "corpus_drift_report",
+    "corpus_mixture_plan",
+    "corpus_snapshot_diff",
+    "corpus_token_countmin",
+    "customer_rfm",
+    "data_quality_checks",
+    "dedup_cross_corpus",
+    "dedup_semantic_keep",
+    "docs_gopher_quality",
+    "docs_length_histogram",
+    "docs_stratified_sample",
+    "docs_vocab_encoded",
+    "events_cohort_retention",
+    "events_daily_anomalies",
+    "events_distinct_users_approx",
+    "events_funnel",
+    "events_hll_rollup",
+    "events_scd2_status",
+    "events_theta_overlap",
+    "events_time_grain_rollup",
+    "events_value_percentiles",
+    "hybrid_search_rrf",
+    "lineitem_price_quantiles_approx",
+    "multimodal_audio_features",
+    "multimodal_decoded_meta",
+    "multimodal_frame_sample",
+    "multimodal_media_summary",
+    "multimodal_payload_dedup",
+    "multimodal_resized",
+    "purchase_training_examples",
+    "text_pii_redacted",
+    "text_pii_source_stats",
+    "text_url_domains",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q15_top_supplier",
+    # 2: implementation changed this round (10× growth-curve work) —
+    # re-certify on the new shape
     "docs_quality_budget_fill",
-    "corpus_shard_manifest",
-    "corpus_end_to_end_curation",
-    "embeddings_label_noise",
-    # 3: new in round 7 — inserted here as they land
-    "docs_ngram_novelty",
-    "source_vocab_overlap",
-    "docs_winnowing_fingerprints",
-    "docs_winnowing_fingerprints_fast",  # rows-only scale twin (new)
-    "docs_winnowing_overlap",
-    "docs_length_quantiles_exact",
-    # 4: sentinels
-    "quiz_mastery",
-    "dedup_minhash_lsh",
-    "sim_knn_bruteforce",
+    "retrieval_negative_samples",
+    # 3: round-7 library ops promoted to certified slots (new oracles)
+    "docs_winnowing_clusters",
+    "docs_winnowing_cross_corpus",
+    "customer_record_linkage_multipass",
+    "sim_knn_ivf_probe_recall",
 ]
 
 

@@ -26,6 +26,9 @@ REPRESENTATIVE = [
     "purchase_attribution",
     "customer_record_linkage",
     "corpus_end_to_end_curation",
+    # round 8: promoted library ops
+    "customer_record_linkage_multipass",
+    "docs_winnowing_clusters",
 ]
 
 

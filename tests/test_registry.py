@@ -56,22 +56,20 @@ def test_broken_extension_does_not_kill_core(monkeypatch):
     assert "dedup" in names and "textops" in names  # the rest survived
 
 
-# Round 7 spends every window slot on oracle-backed queries — the
-# staleness cohorts (full r2 + r3 refresh), the four re-pinned r6 red
-# rows, changed compositions, new queries, and sentinels — except one:
-# the new xxhash64 winnowing twin (rows-only by construction, like
-# text_fingerprints_fast; its selection semantics are certified by the
-# oracle-backed poly entry) needs its first driver row. The rest of
-# the rows-only family carries a fresh r5/r6 row, so none needs a slot.
-ROWS_ONLY_WINDOW_SLOTS: set[str] = {"docs_winnowing_fingerprints_fast"}
+# Round 8 spends every window slot on oracle-backed queries: the
+# 44-row round-4 staleness cohort, the two perf-reworked queries, and
+# the four promoted r7 library ops (all with fresh oracles). Every
+# rows-only query carries a fresh r5-r7 driver row, so none needs a
+# slot this round.
+ROWS_ONLY_WINDOW_SLOTS: set[str] = set()
 
 
 def test_driver_window_contract():
     """The driver certifies only the first 50 registry entries. Pin the
-    round-7 rotation contract: every _WINDOW_PRIORITY name (the
-    staleness cohorts + this round's changed and new queries +
-    sentinels) sits inside the window, and the only rows-only
-    names in any window slot are the declared ones."""
+    round-8 rotation contract: every _WINDOW_PRIORITY name (the
+    staleness cohort + this round's changed and new queries) sits
+    inside the window, and the only rows-only names in any window
+    slot are the declared ones."""
     qs = list(registry.queries())
     os_ = set(registry.oracle_sql())
     first50 = qs[:50]
