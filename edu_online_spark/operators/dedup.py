@@ -956,16 +956,24 @@ def retrieval_negative_samples(
     negatives on every run, engine, and partitioning — resampling
     noise between replays would silently change the training set.
 
-    Near-dups of the query are excluded by EXACT shingle Jaccard
-    against the bounded query batch (an actual positive sampled as a
-    negative is the classic retrieval-training bug), the query itself
-    likewise. LSH banding would NOT do here: its false-negative rate
-    (~(1-j⁴)¹⁶ ≈ 35% at j=0.5) means a genuine near-duplicate could
-    slip through as a hard negative — precisely the bug this exclusion
-    exists to prevent. Exactness is affordable because one side is the
-    query batch, not the corpus: the sparse shingle co-occurrence join
-    (same shape as ngram_jaccard_pairs) costs query-shingles ×
-    posting-list, linear in corpus size for a fixed batch.
+    Near-dups of the query are excluded by EXACT shingle Jaccard (an
+    actual positive sampled as a negative is the classic
+    retrieval-training bug), the query itself likewise. LSH banding
+    would NOT do here: its false-negative rate (~(1-j⁴)¹⁶ ≈ 35% at
+    j=0.5) means a genuine near-duplicate could slip through as a hard
+    negative — precisely the bug this exclusion exists to prevent.
+    Exactness is affordable because it runs over CANDIDATE PAIRS ONLY
+    (round 8 — SCALE.md §4-r7b showed 6.1× wall at 10×): the exclusion
+    is consumed solely by the anti-join against the residue-class
+    candidates, so Jaccard is computed for those ~queries ×
+    NEG_CAND_FACTOR·k pairs — explode each candidate pair with its
+    query's shingles, equi-join on (negative_id, shingle), count.
+    O(candidates × shingles/doc), corpus-linear. The previous
+    all-co-occurring-pairs join (qsh ⋈ csh on shingle) was quadratic
+    through its posting lists — the query batch AND the posting lists
+    both grow with the corpus (35M intermediate pairs at sf1 vs 4M
+    rows on this path) — and computed Jaccard for pairs the anti-join
+    could never see.
 
     Candidate generation is a hash-residue-class equi-join, NOT a
     crossJoin: the corpus is deterministically partitioned into
@@ -1009,6 +1017,14 @@ def retrieval_negative_samples(
         .crossJoin(F.broadcast(n_classes))
         .select("negative_id", residue("negative_id").alias("g"))
     )
+    # candidate pairs feed the exclusion check AND the final ranking —
+    # materialize once (narrow id pairs, O(queries·k) rows)
+    cand = (
+        q.join(c, "g")
+        .filter(F.col("query_id") != F.col("negative_id"))
+        .select("query_id", "negative_id")
+        .localCheckpoint(eager=True)
+    )
     sh = _shingle_rows(documents).dropDuplicates(["doc_id", "shingle"])
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     qsh = sh.filter(F.col("doc_id") % NEG_QUERY_MOD == 0).select(
@@ -1016,8 +1032,8 @@ def retrieval_negative_samples(
     )
     csh = sh.select(F.col("doc_id").alias("negative_id"), "shingle")
     inter = (
-        qsh.join(csh, "shingle")
-        .filter(F.col("query_id") != F.col("negative_id"))
+        cand.join(qsh, "query_id")  # candidate pair × query shingles
+        .join(csh, ["negative_id", "shingle"])
         .groupBy("query_id", "negative_id")
         .agg(F.count("*").alias("n_inter"))
     )
@@ -1039,10 +1055,8 @@ def retrieval_negative_samples(
         )
         .select("query_id", "negative_id")
     )
-    cand = (
-        q.join(c, "g")
-        .filter(F.col("query_id") != F.col("negative_id"))
-        .join(near, ["query_id", "negative_id"], "left_anti")
+    ranked = (
+        cand.join(near, ["query_id", "negative_id"], "left_anti")
         .withColumn(
             "h",
             hash_bucket(
@@ -1053,7 +1067,7 @@ def retrieval_negative_samples(
     )
     w = Window.partitionBy("query_id").orderBy("h", "negative_id")
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        ranked.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "negative_id", "rank")
     )

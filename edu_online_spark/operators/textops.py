@@ -1519,7 +1519,18 @@ def shard_manifest(
 
 
 QUALITY_FILL_BUDGET = 30_000  # global token budget for the registry query
-QUALITY_BUCKETS = 64          # fixed score ranges for the ordered prefix sum
+# Fixed score ranges for the ordered prefix sum. Width matters for
+# PARALLELISM, not correctness: bucket = floor((1-q)/width) is
+# monotonically non-increasing in q for ANY bucket count, so the
+# concatenated (bucket, score desc, h, doc_id) ordering — and thus
+# every cum_tokens value — is identical at any Q. Real corpora
+# concentrate: at 64 buckets the sf1 rehearsal put 92% of documents in
+# THREE buckets (scores cluster near 0), capping the cumsum stage at
+# ~3 tasks and driving the 5.5× wall at 10× (SCALE.md §4-r7b). 8192
+# slices of width ~0.00024 spread the same corpus over ~10² buckets
+# and keep per-bucket window work bounded as depth grows; the offsets
+# relation stays ≤ used-buckets rows — broadcast-tiny either way.
+QUALITY_BUCKETS = 8192
 
 
 def quality_budget_fill(
@@ -1541,6 +1552,29 @@ def quality_budget_fill(
     per-bucket token totals become running offsets, and the heavy
     cumsum runs within buckets. Degenerate empty docs score NULL and
     sort last (they consume budget only after every scored doc).
+
+    Round-8 refinement (SCALE.md §4-r7b showed 5.5× wall at 10×): real
+    score distributions have ATOMS — at sf1, 30% of the corpus scores
+    exactly 0.0 (no stopwords and no punctuation) — and an atom defeats
+    any score quantization, serializing its whole cumsum onto one task.
+    Within an equal-score run, though, the ordering key CONTINUES with
+    (h, doc_id), and hash ranges cut that order contiguously. So:
+    buckets whose min score equals their max score (detected with one
+    tiny bucket-level aggregate — data-dependent but deterministic, and
+    exact by construction) are sub-cut into BUDGET_PREFIX_BUCKETS hash
+    ranges; heterogeneous buckets keep sub = 0. The offsets walk
+    (bucket, sub) in lexicographic order, which is exactly the global
+    ordering either way.
+
+    The scored per-doc relation (5 narrow columns, no text) is
+    materialized once (eager localCheckpoint) and feeds all three
+    consumers (bucket stats, totals, final cumsum). Without it the
+    score expression tree — big enough that the shuffle-write
+    projection drops out of whole-stage codegen into interpreted eval,
+    which shares NO subexpressions, re-splitting the text per
+    reference — is recomputed per consumer: measured 5.1 s → 1.65 s at
+    sf1 (SCALE.md §4-r8). O(corpus-rows) narrow bytes, the same
+    reuse-vs-recompute trade the winnowing family makes.
     """
     from pyspark.sql import Window
 
@@ -1572,24 +1606,41 @@ def quality_budget_fill(
                 ),
             )
         ),
+    ).localCheckpoint(eager=True)  # one scan feeds all three consumers
+    # constant-score buckets (incl. the all-NULL bucket) → h-range
+    # sub-cut is order-exact; ~score-bucket-count rows, broadcast
+    bstats = d.groupBy("bucket").agg(
+        F.min("quality_score").alias("_qmin"),
+        F.max("quality_score").alias("_qmax"),
     )
-    totals = d.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
-    off_w = Window.orderBy("bucket").rowsBetween(  # <=65 rows — tiny
+    per_h = BUDGET_HASH_MOD // BUDGET_PREFIX_BUCKETS + 1
+    d = d.join(F.broadcast(bstats), "bucket").withColumn(
+        "sub",
+        F.when(
+            F.col("_qmin").eqNullSafe(F.col("_qmax")),
+            (F.col("h") / per_h).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    totals = d.groupBy("bucket", "sub").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    off_w = Window.orderBy("bucket", "sub").rowsBetween(  # tiny relation
         Window.unboundedPreceding, -1
     )
     offsets = totals.select(
         "bucket",
+        "sub",
         F.coalesce(F.sum("bucket_tokens").over(off_w), F.lit(0)).alias(
             "offset"
         ),
     )
     cum_w = (
-        Window.partitionBy("bucket")
+        Window.partitionBy("bucket", "sub")
         .orderBy(F.desc_nulls_last("quality_score"), "h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        d.join(F.broadcast(offsets), "bucket")
+        d.join(F.broadcast(offsets), ["bucket", "sub"])
         .select(
             "doc_id",
             "n_tokens",
