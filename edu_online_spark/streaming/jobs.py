@@ -2185,6 +2185,7 @@ def curation_ingest_job(
     from ..functions.core import hash_bucket
     from ..operators.textops import (
         BUDGET_HASH_MOD,
+        BUDGET_PREFIX_BUCKETS,
         SHARD_TOKEN_TARGET,
         TOKEN_BUDGET_PER_SOURCE,
         gopher_quality_rules,
@@ -2277,14 +2278,47 @@ def curation_ingest_job(
             .localCheckpoint(eager=True)  # shard branch + state branch
         )
         # --- stage 3: shard ids from the continuing global offset ----
+        # Same bucketed prefix sum as the batch twin
+        # (assign_training_shards, textops.py): a partition-less
+        # Window.orderBy would funnel the whole trigger through ONE
+        # task — tolerable at micro-batch sizes, a throughput ceiling
+        # under availableNow catch-up where one trigger is the whole
+        # backlog. Cut the hash-priority space into ordered ranges:
+        # per-bucket totals (≤ BUDGET_PREFIX_BUCKETS rows) → running
+        # offsets via a window over that tiny relation → the heavy
+        # cumsum runs per bucket. Identical (h, doc_id) order and
+        # all-integer arithmetic ⇒ bit-identical to the single-window
+        # form this replaces.
         g_prior = prior.filter(F.col("source") == "").select(
             F.col("used_tokens").alias("g_off")
         )
-        gw = Window.orderBy(  # trigger-sized window: one trigger's docs
-            hash_bucket("doc_id", BUDGET_HASH_MOD), "doc_id"
-        ).rowsBetween(Window.unboundedPreceding, 0)
+        per_bucket = BUDGET_HASH_MOD // BUDGET_PREFIX_BUCKETS + 1
+        keyed = admitted.withColumn(
+            "h", hash_bucket("doc_id", BUDGET_HASH_MOD)
+        ).withColumn("bucket", (F.col("h") / per_bucket).cast("int"))
+        off_w = Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, -1
+        )  # ≤ BUDGET_PREFIX_BUCKETS rows — tiny by construction
+        offsets = (
+            keyed.groupBy("bucket")
+            .agg(F.sum("n_tokens").alias("bucket_tokens"))
+            .select(
+                "bucket",
+                F.coalesce(
+                    F.sum("bucket_tokens").over(off_w), F.lit(0)
+                ).alias("offset"),
+            )
+        )
+        cum_w = (
+            Window.partitionBy("bucket")
+            .orderBy("h", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
         sharded = (
-            admitted.withColumn("g_cum", F.sum("n_tokens").over(gw))
+            keyed.join(F.broadcast(offsets), "bucket")
+            .withColumn(
+                "g_cum", F.sum("n_tokens").over(cum_w) + F.col("offset")
+            )
             .crossJoin(
                 F.broadcast(
                     g_prior.unionByName(
