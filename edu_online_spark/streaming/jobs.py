@@ -2084,14 +2084,20 @@ def winnow_index_job(
         # docs counts toward both (co-delivery cannot hide overlap)
         local_df = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_local"))
         # prior df per fp: index rows are one-per-(doc, fp), so the row
-        # count is the document frequency (map-side combined agg — the
-        # same linear pass the old membership distinct cost)
-        prior_df = prior.groupBy("fp").agg(F.count(F.lit(1)).alias("n_prior"))
+        # count is the document frequency. Filter the index by the
+        # TRIGGER'S fps (broadcast semi-join, map-side) BEFORE
+        # aggregating — a bare groupBy would shuffle the whole
+        # accumulated index every trigger, an O(corpus) per-trigger
+        # exchange; semi-joined first, the scan stays linear but the
+        # exchange (and the aggregate) are trigger-sized forever
+        prior_df = (
+            prior.join(
+                F.broadcast(fps.select("fp").distinct()), "fp", "left_semi"
+            )
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n_prior"))
+        )
         hits = (
-            # no explicit broadcast on the prior side: the index grows
-            # with the corpus — AQE broadcasts while it measures small
-            # and shuffles on fp once it doesn't; local_df is
-            # trigger-sized and stays a broadcast
             fps.join(prior_df, "fp", "left")
             .join(F.broadcast(local_df), "fp")
             .withColumn("n_prior", F.coalesce("n_prior", F.lit(0)))
@@ -2126,8 +2132,9 @@ def winnow_index_job(
         )
         # append the trigger's prints as one overwrite-idempotent batch
         # partition — O(trigger) bytes written, the accumulated index
-        # is never rewritten (cross-batch duplicate prints are fine:
-        # the probe is membership, distinct-ness is per-doc upstream)
+        # is never rewritten. Rows are one-per-(doc, fp) — per-doc
+        # distinct upstream, cross-doc multiplicity kept on purpose:
+        # the probe reads the per-fp row count as the print's df
         fps.select("fp").write.mode("overwrite").parquet(
             os.path.join(index_path, f"ingest_batch={batch_id}")
         )
@@ -2376,16 +2383,23 @@ def curation_ingest_job(
 def compact_winnow_index(spark: SparkSession, index_path: str) -> int:
     """Offline compaction for winnow_index_job's append-only
     fingerprint index: fold every ingest_batch partition into ONE
-    distinct-print partition at `ingest_batch=-1` (strictly below any
-    real batch id, so the probe's `ingest_batch < batch_id` filter
-    always includes it), then drop the folded batch dirs. Run between
-    job restarts — the relation is unchanged, only its file count.
+    partition at `ingest_batch=-1` (strictly below any real batch id,
+    so the probe's `ingest_batch < batch_id` filter always includes
+    it), then drop the folded batch dirs. Run between job restarts —
+    the relation is unchanged, only its file count.
+
+    Row MULTIPLICITY is preserved, not distinct-ed: index rows are
+    one-per-(doc, fp), and the probe's boilerplate guard (max_fp_df,
+    ADVICE r7) reads the per-fp row count as the print's document
+    frequency — a distinct() here would reset every ubiquitous
+    print's df to 1 and silently disable the guard for the compacted
+    corpus.
 
     Crash-safe by the same structural argument as the job: the
     compacted partition is written (overwrite-idempotent) BEFORE any
-    source dir is removed, and duplicate prints across partitions are
-    harmless to the membership probe — a crash at any point leaves a
-    correct, merely-uncompacted index, and re-running converges.
+    source dir is removed — a crash at any point leaves a correct,
+    merely-uncompacted index, and re-running converges. (Overwrite of
+    ingest_batch=-1 replaces, never doubles, its prior rows.)
     Returns the number of batch partitions folded away.
     """
     import os
@@ -2403,13 +2417,17 @@ def compact_winnow_index(spark: SparkSession, index_path: str) -> int:
     merged = (
         spark.read.option("basePath", index_path)
         .parquet(index_path)
-        .select("fp")
-        .distinct()
+        .select("fp")  # multiplicity kept: per-fp row count IS the df
         # pin the full read before the overwrite below touches any
         # input file (ingest_batch=-1, if present, is also an input)
         .localCheckpoint(eager=True)
     )
-    merged.write.mode("overwrite").parquet(
+    # coalesce to ~4M prints (~32 MB) per file — without this the
+    # write inherits one output file per input file and the
+    # compaction removes directories but not the footer/listing
+    # overhead that motivated it
+    n_files = max(1, min(256, merged.count() // 4_000_000 + 1))
+    merged.coalesce(n_files).write.mode("overwrite").parquet(
         os.path.join(index_path, "ingest_batch=-1")
     )
     for d in batch_dirs:

@@ -1313,6 +1313,40 @@ def test_winnow_index_boilerplate_guard(spark, tmp_path):
     assert r2[21]["overlap_suspect"]      # quote df 2 ≤ 3 → real overlap
 
 
+def test_compact_winnow_index_preserves_df_guard(spark, tmp_path):
+    """Compaction folds batch partitions but must PRESERVE per-fp row
+    multiplicity: the probe reads the per-fp row count as the print's
+    document frequency, so a distinct() compaction would reset every
+    ubiquitous print's df to 1 — silently re-enabling boilerplate
+    false positives for the whole compacted corpus."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    license_ = "licensed under the apache license version two point zero terms"
+    quote = "to be or not to be that is the question here"
+    wave1 = [
+        (i, "s", f"doc number {i} unique frame {license_} distinct tail {i} words")
+        for i in range(1, 5)  # 4 docs > max_fp_df=3 → ubiquitous
+    ] + [
+        (10, "s", f"first quoting text {quote} with original commentary"),
+        (11, "s", f"second borrowing {quote} inside different analysis"),
+    ]
+    _write_lines(src, "b1.jsonl", _budget_doc_lines(wave1))
+    _run(jobs.winnow_index_job, spark, src, out, ckpt, max_fp_df=3)
+    idx = out + ".fpindex"
+    folded = jobs.compact_winnow_index(spark, idx)
+    assert folded == 1
+    assert os.listdir(idx) == ["ingest_batch=-1"]
+    # idempotent: nothing left to fold
+    assert jobs.compact_winnow_index(spark, idx) == 0
+    _write_lines(src, "b2.jsonl", _budget_doc_lines([
+        (20, "s", f"late arrival framed {license_} with fresh surroundings"),
+        (21, "s", f"third user of {quote} in yet another setting"),
+    ]))
+    _run(jobs.winnow_index_job, spark, src, out, ckpt, max_fp_df=3)
+    r2 = {x["doc_id"]: x for x in spark.read.parquet(out).collect()}
+    assert not r2[20]["overlap_suspect"]  # license df 4 > 3 survived compaction
+    assert r2[21]["overlap_suspect"]      # quote df 2 ≤ 3 → real overlap
+
+
 def _gopher_ok_text(seed: int, n: int = 30) -> str:
     """n distinct ~6-char words + stopwords interleaved: passes every
     Gopher rule (word count, mean length, top-share, stopwords)."""

@@ -13,6 +13,10 @@ commits, and sink writes are all inside the measured window) for:
   quiz_mastery       the heaviest reference job (A3-A9 composite state)
   curation_ingest    the round-7 composed LLM pipeline (gate → budget
                      → shard, three state machines in one trigger)
+  winnow_index       the round-7 fingerprint-index job — reported as a
+                     TRIGGER-LATENCY profile (batch 1 vs batch N, then
+                     compact_winnow_index, then the post-compaction
+                     tail) because its state grows with the corpus
 
 Usage: python tools/stream_bench.py [n_rows] [n_files]
 Prints one JSON line per job: {"job", "rows", "secs", "rows_per_sec"}.
@@ -83,6 +87,90 @@ def bench_job(spark, work, name, job_fn, make_line, n_rows, n_files, **kw):
     )
 
 
+def bench_winnow_index(spark, work, n_docs, n_files, tail_files=3):
+    """Trigger-latency profile for the append-only fingerprint index
+    (winnow_index_job) — the one streaming state in the repo that
+    GROWS with the corpus, so the number to watch is not rec/s but
+    how per-trigger cost moves as batch partitions accumulate:
+    batch 1 vs batch N, then compact_winnow_index, then `tail_files`
+    more triggers to show the post-compaction cost. Emits three JSON
+    lines: the accumulation run (first/median/last trigger ms), the
+    compaction itself, and the post-compaction tail run."""
+    name = "winnow_index"
+    src = os.path.join(work, name, "src")
+    per = n_docs // n_files
+
+    def line(i: int) -> str:
+        # distinct 40-word docs: every doc contributes fresh prints, so
+        # the index grows linearly — the worst (= honest) growth case
+        words = " ".join(f"tok{i}w{j}" for j in range(40))
+        return json.dumps({"doc_id": i, "text": words, "source": f"s{i % 8}"})
+
+    for f in range(n_files):
+        _produce(src, f"b{f:04d}.log", [line(f * per + i) for i in range(per)])
+    out = os.path.join(work, name, "out")
+    ckpt = os.path.join(work, name, "ck")
+
+    def run_wave() -> list[tuple[int, int, float]]:
+        q = jobs.winnow_index_job(
+            file_stream(spark, src, max_files_per_trigger=1),
+            out,
+            ckpt,
+            available_now=True,
+        )
+        q.awaitTermination(600)
+        return sorted(
+            (p.batchId, p.numInputRows, p.batchDuration / 1000.0)
+            for p in q.recentProgress
+            if p.numInputRows > 0
+        )
+
+    t0 = time.monotonic()
+    prog = run_wave()
+    secs = time.monotonic() - t0
+    durs = [d for _, _, d in prog]
+    print(
+        json.dumps(
+            {
+                "job": name,
+                "rows": per * n_files,
+                "secs": round(secs, 2),
+                "rows_per_sec": int(per * n_files / secs),
+                "batches": len(prog),
+                "trigger_s_first": round(durs[0], 2),
+                "trigger_s_median": round(sorted(durs)[len(durs) // 2], 2),
+                "trigger_s_last": round(durs[-1], 2),
+            }
+        )
+    )
+    t0 = time.monotonic()
+    folded = jobs.compact_winnow_index(spark, out + ".fpindex")
+    print(
+        json.dumps(
+            {
+                "job": name + "_compact",
+                "folded_partitions": folded,
+                "secs": round(time.monotonic() - t0, 2),
+            }
+        )
+    )
+    for f in range(tail_files):
+        i0 = (n_files + f) * per
+        _produce(src, f"b{n_files + f:04d}.log", [line(i0 + i) for i in range(per)])
+    prog = run_wave()
+    durs = [d for _, _, d in prog]
+    print(
+        json.dumps(
+            {
+                "job": name + "_postcompact",
+                "batches": len(prog),
+                "trigger_s_first": round(durs[0], 2),
+                "trigger_s_last": round(durs[-1], 2),
+            }
+        )
+    )
+
+
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 20
@@ -111,6 +199,7 @@ def main() -> None:
             n_rows // 10, n_files,  # doc rows are ~30 tokens each
             budget=1 << 60,
         )
+        bench_winnow_index(spark, work, n_rows // 10, n_files)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
