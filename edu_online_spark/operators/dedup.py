@@ -1073,6 +1073,90 @@ def retrieval_negative_samples(
     )
 
 
+def source_dup_matrix(documents: DataFrame) -> DataFrame:
+    """Cross-source exact-duplicate matrix: for every source pair
+    (a < b), how many distinct texts appear in BOTH, how many
+    cross-source duplicate doc pairs that implies, and the Jaccard of
+    the two sources' distinct-text sets. The crawl-triage report a
+    100 TB ingest runs before dedup: a source pair with high text
+    overlap means one crawler is re-fetching another's corpus, and
+    the cheaper fix is upstream (drop the source) rather than
+    downstream (pay the dedup).
+
+    Plan shape: per-(hash, source) counts first (the only pass over
+    the corpus — texts shrink to 32-byte sha2 keys before any
+    shuffle), then a hash-keyed self-join whose per-key fan-out is
+    bounded by the SOURCE count (≤ S rows per hash per side, S
+    constant), then an S×S-grid left join so zero-overlap pairs are
+    preserved (absence of duplication is the report's good news — it
+    must appear as a 0, not a missing row). `sizes` is S rows —
+    broadcast both times.
+
+    Round-9 registry candidate (`source_dup_matrix`); oracle ready in
+    ORACLE_R9 below — not registered this round: the round-8 window
+    has no free slots and an unseen query would trip the staleness
+    bound (tests/test_registry.py).
+    """
+    per = (
+        documents.select(F.sha2("text", 256).alias("h"), "source")
+        .groupBy("h", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sizes = per.groupBy("source").agg(
+        F.sum("n").cast("long").alias("docs"),
+        F.count(F.lit(1)).cast("long").alias("texts"),
+    )
+    grid = (
+        sizes.alias("ga")
+        .join(
+            F.broadcast(sizes.alias("gb")),
+            F.col("ga.source") < F.col("gb.source"),
+        )
+        .select(
+            F.col("ga.source").alias("source_a"),
+            F.col("gb.source").alias("source_b"),
+            F.col("ga.docs").alias("docs_a"),
+            F.col("gb.docs").alias("docs_b"),
+            F.col("ga.texts").alias("texts_a"),
+            F.col("gb.texts").alias("texts_b"),
+        )
+    )
+    overlaps = (
+        per.alias("a")
+        .join(per.alias("b"), "h")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared_texts"),
+            F.sum(F.col("a.n") * F.col("b.n")).cast("long").alias("dup_pairs"),
+        )
+    )
+    return (
+        grid.join(overlaps, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "docs_a",
+            "docs_b",
+            F.coalesce("shared_texts", F.lit(0)).cast("long").alias(
+                "shared_texts"
+            ),
+            F.coalesce("dup_pairs", F.lit(0)).cast("long").alias("dup_pairs"),
+            (
+                F.coalesce("shared_texts", F.lit(0)).cast("double")
+                / (
+                    F.col("texts_a")
+                    + F.col("texts_b")
+                    - F.coalesce("shared_texts", F.lit(0))
+                )
+            ).alias("text_jaccard"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked query registry
 # ---------------------------------------------------------------------------
@@ -1541,5 +1625,41 @@ ORACLE = {
                     ORDER BY h, negative_id) AS INTEGER) AS rank
         FROM cand
         QUALIFY rank <= {NEG_SAMPLE_K}
+    """,
+}
+
+# Round-9 promotion queue: oracles written and type-audited NOW (the
+# round-7 rule — every oracle passes tools/oracle_type_audit.py before
+# it lands), registered when the round-9 window's free slots open.
+ORACLE_R9 = {
+    "source_dup_matrix": """
+        WITH per AS (
+            SELECT text, source, count(*) AS n
+            FROM documents GROUP BY text, source
+        ),
+        sizes AS (
+            SELECT source, CAST(sum(n) AS BIGINT) AS docs,
+                   CAST(count(*) AS BIGINT) AS texts
+            FROM per GROUP BY source
+        ),
+        ovl AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS shared_texts,
+                   CAST(sum(a.n * b.n) AS BIGINT) AS dup_pairs
+            FROM per a JOIN per b
+              ON a.text = b.text AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT ga.source AS source_a, gb.source AS source_b,
+               ga.docs AS docs_a, gb.docs AS docs_b,
+               CAST(COALESCE(o.shared_texts, 0) AS BIGINT) AS shared_texts,
+               CAST(COALESCE(o.dup_pairs, 0) AS BIGINT) AS dup_pairs,
+               CAST(COALESCE(o.shared_texts, 0) AS DOUBLE)
+                   / (ga.texts + gb.texts - COALESCE(o.shared_texts, 0))
+                   AS text_jaccard
+        FROM sizes ga
+        JOIN sizes gb ON ga.source < gb.source
+        LEFT JOIN ovl o
+          ON o.source_a = ga.source AND o.source_b = gb.source
     """,
 }

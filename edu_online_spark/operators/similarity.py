@@ -602,6 +602,22 @@ def label_noise_candidates(embeddings: DataFrame) -> DataFrame:
     scored = (
         embeddings.select("vec_id", "label", v.alias("v"))
         .crossJoin(F.broadcast(cmat))  # 1-row matrix, map-side only
+        # a single-label corpus has no "other" centroid and therefore
+        # no candidates — the oracle's own⋈other inner join emits zero
+        # rows there, and [0] on the empty others array below would
+        # otherwise fabricate one NULL row per vector (ADVICE r7).
+        # Judged on the RAW matrix (label comparisons only) BEFORE the
+        # distance transform: a size(filter(...)) over d2s would be
+        # predicate-pushed below the projection, re-inlining the whole
+        # L×d fold into the filter and re-evaluating it per row
+        # (measured 0.33 → 1.25 s at sf0.1 — the interpreted-eval
+        # recomputation class from SCALE.md §4-r8)
+        .filter(
+            F.size(
+                F.filter("cmat", lambda c: c["clabel"] != F.col("label"))
+            )
+            > 0
+        )
         .select(
             "vec_id",
             "label",
@@ -616,13 +632,7 @@ def label_noise_candidates(embeddings: DataFrame) -> DataFrame:
     own = F.filter("d2s", lambda s: s["clabel"] == F.col("label"))[0]["d2"]
     others = F.filter("d2s", lambda s: s["clabel"] != F.col("label"))
     nearest = F.array_sort(others)[0]  # struct sort = lexicographic (d2, clabel)
-    return scored.filter(
-        # a single-label corpus has no "other" centroid and therefore no
-        # candidates — the oracle's own⋈other inner join emits zero rows
-        # there, and [0] on the empty array would otherwise fabricate
-        # one NULL row per vector (ADVICE r7)
-        F.size(others) > 0
-    ).select(
+    return scored.select(
         "vec_id",
         "label",
         own.alias("own_d2"),

@@ -255,6 +255,58 @@ def benchmark_contamination(
     )
 
 
+CONTAM_MAX_RATE = 0.2
+
+
+def decontamination_stats(
+    documents: DataFrame,
+    bench_source: str = BENCH_SOURCE,
+    n: int = 3,
+    max_rate: float = CONTAM_MAX_RATE,
+) -> DataFrame:
+    """The REMOVAL step downstream of `benchmark_contamination`: drop
+    training documents whose benchmark-shingle contamination rate
+    reaches `max_rate` and report the per-source cost — docs flagged,
+    docs kept, and the flagged token share (the number a data lead
+    reads before approving the cut). The report form keeps the output
+    small; the kept corpus itself is the same left-join + filter
+    without the aggregate.
+
+    Documents too short to shingle (< n words) carry no contamination
+    evidence and are KEPT (rate coalesced to 0) — absence of evidence,
+    not evidence. Cost is one contamination scan + a per-source
+    aggregate; rates are exact-integer divisions, so the threshold
+    comparison agrees bit-for-bit across engines.
+
+    Round-9 registry candidate (`docs_decontamination_stats`); oracle
+    ready in ORACLE_R9 below.
+    """
+    rates = benchmark_contamination(documents, bench_source, n)
+    train = documents.filter(F.col("source") != bench_source)
+    scored = train.join(rates, "doc_id", "left").select(
+        "source",
+        F.coalesce("contamination_rate", F.lit(0.0)).alias("rate"),
+        T.token_count("text").cast("long").alias("n_tokens"),
+    )
+    flagged = F.col("rate") >= max_rate
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(flagged.cast("long")).cast("long").alias("n_flagged"),
+            F.sum((~flagged).cast("long")).cast("long").alias("n_kept"),
+            F.sum(F.when(flagged, F.col("n_tokens")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("flagged_tokens"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .withColumn(
+            "flagged_token_share",
+            F.col("flagged_tokens").cast("double") / F.col("total_tokens"),
+        )
+    )
+
+
 def chunk_documents(
     documents: DataFrame, chunk_tokens: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
 ) -> DataFrame:
@@ -1514,6 +1566,83 @@ def shard_manifest(
             ),
             F.max("cum_tokens").alias("last_offset"),
             F.bit_xor(F.col("doc_id").cast("long")).alias("id_xor"),
+        )
+    )
+
+
+def assign_training_shards_incremental(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    shard_tokens: int = SHARD_TOKEN_TARGET,
+) -> DataFrame:
+    """Append a delta batch to an EXISTING shard layout without
+    re-sharding: the standing corpus' epoch layout (and every shard
+    file already written from it) stays untouched, and the delta is
+    laid out in its own hash-priority order starting at the standing
+    corpus' total token mass — the batch twin of the streaming
+    global-offset continuation in `curation_ingest_job` (one corpus
+    grows across many ingest runs; re-running `assign_training_shards`
+    on the union would reshuffle every existing doc into different
+    shards and invalidate the already-written files).
+
+    The standing corpus contributes ONE number (sum of token counts —
+    a map-side-combined aggregate, no window, no ordering); only the
+    delta runs the bucketed prefix sum (same shape as
+    `assign_training_shards`). A shard straddling the boundary
+    receives both old and new docs — by the same starting-offset rule
+    the reader already handles for long documents.
+
+    Round-9 registry candidate (`corpus_shards_incremental`, delta =
+    `doc_id % 10 == 0` per the cross-corpus convention); oracle ready
+    in ORACLE_R9 below.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.core import hash_bucket
+
+    base = corpus.agg(
+        F.coalesce(F.sum(T.token_count("text").cast("long")), F.lit(0)).alias(
+            "base_tokens"
+        )
+    )
+    per_bucket = BUDGET_HASH_MOD // BUDGET_PREFIX_BUCKETS + 1
+    d = new_docs.select(
+        "doc_id",
+        "source",
+        T.token_count("text").cast("long").alias("n_tokens"),
+        hash_bucket("doc_id", BUDGET_HASH_MOD).alias("h"),
+    ).withColumn("bucket", (F.col("h") / per_bucket).cast("int"))
+    totals = d.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    off_w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # ≤ BUDGET_PREFIX_BUCKETS rows
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(off_w), F.lit(0)).alias(
+            "offset"
+        ),
+    )
+    cum_w = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(base))  # 1-row global-offset normalizer
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (
+                F.sum("n_tokens").over(cum_w)
+                + F.col("offset")
+                + F.col("base_tokens")
+            ).alias("cum_tokens"),
+        )
+        .withColumn(
+            "shard_id",
+            F.expr(f"(cum_tokens - n_tokens) div {int(shard_tokens)}"),
         )
     )
 
@@ -3072,5 +3201,78 @@ ORACLE = {
                              THEN n_tokens END) AS BIGINT) AS p95_tokens
         FROM ranked
         GROUP BY source
+    """,
+}
+
+# Round-9 promotion queue (see dedup.ORACLE_R9): oracle written and
+# type-audited now, registered when the round-9 window opens.
+ORACLE_R9 = {
+    "docs_decontamination_stats": f"""
+        WITH sh AS (
+            SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ')
+                                   for i in range(1, len(w) - 1)]) AS shingle
+            FROM (SELECT doc_id, {_TOKENS} AS w FROM documents)
+            WHERE len(w) >= 3
+        ),
+        bench AS (
+            SELECT DISTINCT shingle FROM sh
+            WHERE doc_id IN (SELECT doc_id FROM documents
+                             WHERE source = '{BENCH_SOURCE}')
+        ),
+        rates AS (
+            SELECT t.doc_id,
+                   CAST(sum(CASE WHEN b.shingle IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*) AS rate
+            FROM sh t LEFT JOIN bench b ON t.shingle = b.shingle
+            WHERE t.doc_id NOT IN (SELECT doc_id FROM documents
+                                   WHERE source = '{BENCH_SOURCE}')
+            GROUP BY t.doc_id
+        ),
+        scored AS (
+            SELECT d.source,
+                   COALESCE(r.rate, 0.0) AS rate,
+                   CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+            FROM documents d LEFT JOIN rates r USING (doc_id)
+            WHERE d.source != '{BENCH_SOURCE}'
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN rate >= {CONTAM_MAX_RATE}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+               CAST(sum(CASE WHEN rate < {CONTAM_MAX_RATE}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN rate >= {CONTAM_MAX_RATE}
+                             THEN n_tokens ELSE 0 END) AS BIGINT)
+                   AS flagged_tokens,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(CASE WHEN rate >= {CONTAM_MAX_RATE}
+                             THEN n_tokens ELSE 0 END) AS DOUBLE)
+                   / sum(n_tokens) AS flagged_token_share
+        FROM scored
+        GROUP BY source
+    """,
+    "corpus_shards_incremental": f"""
+        WITH base AS (
+            SELECT CAST(COALESCE(SUM(len({_TOKENS})), 0) AS BIGINT)
+                       AS base_tokens
+            FROM documents WHERE doc_id % 10 != 0
+        ),
+        assigned AS (
+            SELECT doc_id, source, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       ORDER BY pri, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS d_cum
+            FROM (SELECT doc_id, source,
+                         CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+                         ((doc_id % 2147483647) * 2654435761)
+                             % {BUDGET_HASH_MOD} AS pri
+                  FROM documents WHERE doc_id % 10 = 0)
+        )
+        SELECT a.doc_id, a.source, a.n_tokens,
+               CAST(a.d_cum + b.base_tokens AS BIGINT) AS cum_tokens,
+               CAST((a.d_cum + b.base_tokens - a.n_tokens)
+                        // {SHARD_TOKEN_TARGET} AS BIGINT) AS shard_id
+        FROM assigned a, base b
     """,
 }

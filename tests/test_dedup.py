@@ -371,3 +371,47 @@ def test_split_leakage_compare_safe_split_never_leaks(spark):
         assert m["n_train"] + m["n_val"] + m["n_test"] == n
     # the cluster was actually found
     assert out["plain"]["n_clustered_docs"] >= 6
+
+
+def test_source_dup_matrix_counts_and_grid(spark):
+    """Planted cross-source duplication: sources a/b share texts
+    (with multiplicity — dup_pairs is the product count), a/c share
+    nothing (the zero row must still appear), and text_jaccard is the
+    distinct-text set Jaccard."""
+    from edu_online_spark.operators.dedup import source_dup_matrix
+
+    rows = [
+        (1, "shared one", "a"), (2, "shared one", "a"),  # twice in a
+        (3, "shared one", "b"),                          # once in b → 2 pairs
+        (4, "shared two", "a"), (5, "shared two", "b"),  # 1 pair
+        (6, "only in a", "a"),
+        (7, "only in b", "b"),
+        (8, "only in c", "c"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {(r["source_a"], r["source_b"]): r
+           for r in source_dup_matrix(docs).collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert ab["shared_texts"] == 2 and ab["dup_pairs"] == 3
+    assert ab["docs_a"] == 4 and ab["docs_b"] == 3
+    # a has 3 distinct texts, b has 3, shared 2 → 2/(3+3-2)
+    assert abs(ab["text_jaccard"] - 0.5) < 1e-12
+    ac = out[("a", "c")]
+    assert ac["shared_texts"] == 0 and ac["dup_pairs"] == 0
+    assert ac["text_jaccard"] == 0.0
+
+
+def test_source_dup_matrix_matches_r9_oracle(spark, sf_dir):
+    """The queued round-9 oracle already hash-matches at sf0.001 —
+    promotion next round is a registry edit, not new arithmetic."""
+    from edu_online_spark.operators.dedup import ORACLE_R9, source_dup_matrix
+    from edu_online_spark.sources import load_table
+    from tools.parity import compare, run_oracle
+
+    problems = compare(
+        "source_dup_matrix",
+        source_dup_matrix(load_table(spark, sf_dir, "documents")),
+        run_oracle(ORACLE_R9["source_dup_matrix"], sf_dir),
+    )
+    assert not problems, problems

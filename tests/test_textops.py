@@ -3,6 +3,8 @@ boundaries and contamination determinism."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from edu_online_spark.operators.textops import CHUNK_STRIDE, CHUNK_TOKENS, chunk_documents
 
 
@@ -1165,3 +1167,110 @@ def test_winnowing_overlap_clusters_transitive(spark):
         ).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1}  # transitive closure; doc 4 absent
+
+
+def test_incremental_shards_continue_the_global_stream(spark):
+    """Delta docs continue the standing corpus' token stream: the
+    first delta doc starts exactly at the corpus' total token mass,
+    the delta's internal order is its own hash-priority order (the
+    same docs sharded with an empty corpus, shifted by the base), and
+    a corpus re-shard is never implied."""
+    from edu_online_spark.operators.textops import (
+        assign_training_shards,
+        assign_training_shards_incremental,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "s", " ".join(f"c{i}_{j}" for j in range(7))) for i in range(1, 21)],
+        ["doc_id", "source", "text"],
+    )
+    delta = spark.createDataFrame(
+        [(100 + i, "s", " ".join(f"d{i}_{j}" for j in range(5))) for i in range(12)],
+        ["doc_id", "source", "text"],
+    )
+    base_tokens = 20 * 7
+    out = assign_training_shards_incremental(delta, corpus, shard_tokens=64)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 12
+    assert min(r["cum_tokens"] - r["n_tokens"] for r in rows.values()) == base_tokens
+    # naive replica: shard the delta standalone, then shift by the base
+    solo = {
+        r["doc_id"]: r
+        for r in assign_training_shards(delta, shard_tokens=64).collect()
+    }
+    for did, r in rows.items():
+        assert r["cum_tokens"] == solo[did]["cum_tokens"] + base_tokens
+        assert r["shard_id"] == (r["cum_tokens"] - r["n_tokens"]) // 64
+    # empty corpus degenerates to the plain assignment
+    empty = corpus.filter("doc_id < 0")
+    out0 = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in assign_training_shards_incremental(
+            delta, empty, shard_tokens=64
+        ).collect()
+    }
+    assert out0 == {d: r["cum_tokens"] for d, r in solo.items()}
+
+
+def test_incremental_shards_match_r9_oracle(spark, sf_dir):
+    """The queued round-9 oracle hash-matches at sf0.001."""
+    from edu_online_spark.operators.textops import (
+        ORACLE_R9,
+        assign_training_shards_incremental,
+    )
+    from edu_online_spark.sources import load_table
+    from tools.parity import compare, run_oracle
+
+    docs = load_table(spark, sf_dir, "documents")
+    problems = compare(
+        "corpus_shards_incremental",
+        assign_training_shards_incremental(
+            docs.filter(F.col("doc_id") % 10 == 0),
+            docs.filter(F.col("doc_id") % 10 != 0),
+        ),
+        run_oracle(ORACLE_R9["corpus_shards_incremental"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_decontamination_stats_flags_and_keeps(spark):
+    """Planted contamination: a training doc repeating a benchmark
+    passage is flagged, clean docs are kept, and a too-short doc
+    (no shingles → no evidence) is kept with rate 0."""
+    from edu_online_spark.operators.textops import decontamination_stats
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, bench_text, "bench"),
+        # 7/8 of its shingles are benchmark shingles → flagged at 0.2
+        (2, bench_text + " extra", "s1"),
+        (3, " ".join(f"clean{j}" for j in range(10)), "s1"),
+        (4, "too short", "s1"),  # < 3 words → kept, rate 0
+        (5, " ".join(f"other{j}" for j in range(10)), "s2"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["source"]: r
+           for r in decontamination_stats(docs, bench_source="bench").collect()}
+    assert set(out) == {"s1", "s2"}
+    assert out["s1"]["n_docs"] == 3
+    assert out["s1"]["n_flagged"] == 1 and out["s1"]["n_kept"] == 2
+    assert out["s1"]["flagged_tokens"] == 9  # doc 2 has 9 tokens
+    assert out["s2"]["n_flagged"] == 0
+    assert out["s2"]["flagged_token_share"] == 0.0
+
+
+def test_decontamination_stats_match_r9_oracle(spark, sf_dir):
+    """The queued round-9 oracle hash-matches at sf0.001."""
+    from edu_online_spark.operators.textops import (
+        ORACLE_R9,
+        decontamination_stats,
+    )
+    from edu_online_spark.sources import load_table
+    from tools.parity import compare, run_oracle
+
+    problems = compare(
+        "docs_decontamination_stats",
+        decontamination_stats(load_table(spark, sf_dir, "documents")),
+        run_oracle(ORACLE_R9["docs_decontamination_stats"], sf_dir),
+    )
+    assert not problems, problems
