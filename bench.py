@@ -104,6 +104,11 @@ HEADLINE = [
     "docs_winnowing_overlap",
     "source_vocab_overlap",
     "docs_length_quantiles_exact",
+    # round 8: the four library-op promotions (now registry queries)
+    "docs_winnowing_clusters",
+    "docs_winnowing_cross_corpus",
+    "customer_record_linkage_multipass",
+    "sim_knn_ivf_probe_recall",
 ]
 
 
