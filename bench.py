@@ -133,18 +133,25 @@ def main() -> None:
             timings[name] = min(timings.get(name, t), t)
             print(f"# run{r + 1} {name}: {t:.3f}s ({n} rows)", file=sys.stderr)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs": runs,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs": runs,
+        "sf": sf,
+    }
+    # the driver captures a bounded TAIL of stdout, which truncated the
+    # head of the (long) JSON line in round 8 and silently dropped the
+    # first per-query rows — also persist the artifact losslessly next
+    # to this script so the committed repo always has the full record
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_LOCAL.json"),
+        "w",
+    ) as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

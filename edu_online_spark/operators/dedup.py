@@ -1092,10 +1092,8 @@ def source_dup_matrix(documents: DataFrame) -> DataFrame:
     must appear as a 0, not a missing row). `sizes` is S rows —
     broadcast both times.
 
-    Round-9 registry candidate (`source_dup_matrix`); oracle ready in
-    ORACLE_R9 below — not registered this round: the round-8 window
-    has no free slots and an unseen query would trip the staleness
-    bound (tests/test_registry.py).
+    Registered as `source_dup_matrix` (round 9), hash-checked against
+    the DuckDB mirror in ORACLE.
     """
     per = (
         documents.select(F.sha2("text", 256).alias("h"), "source")
@@ -1207,6 +1205,8 @@ QUERIES = {
     "docs_leakage_safe_split": _q(leakage_safe_split, "documents"),
     "docs_memorization_risk": _q(memorization_risk, "documents"),
     "split_leakage_compare": _q(split_leakage_compare, "documents"),
+    # round 9: queued library op promoted to a certified slot
+    "source_dup_matrix": _q(source_dup_matrix, "documents"),
 }
 
 # Exact Jaccard in DuckDB: build distinct 3-shingle lists with a list
@@ -1628,10 +1628,9 @@ ORACLE = {
     """,
 }
 
-# Round-9 promotion queue: oracles written and type-audited NOW (the
-# round-7 rule — every oracle passes tools/oracle_type_audit.py before
-# it lands), registered when the round-9 window's free slots open.
-ORACLE_R9 = {
+# Round-9 promotion (queued + type-audited in round 8 per the round-7
+# rule — every oracle passes tools/oracle_type_audit.py before landing).
+ORACLE.update({
     "source_dup_matrix": """
         WITH per AS (
             SELECT text, source, count(*) AS n
@@ -1662,4 +1661,4 @@ ORACLE_R9 = {
         LEFT JOIN ovl o
           ON o.source_a = ga.source AND o.source_b = gb.source
     """,
-}
+})

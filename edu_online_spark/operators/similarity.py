@@ -592,6 +592,24 @@ def label_noise_candidates(embeddings: DataFrame) -> DataFrame:
         )
         # one row: the full L×d matrix, KB-sized for constant L
         .agg(F.array_sort(F.collect_list(F.struct("clabel", "cent"))).alias("cmat"))
+        # a single-label corpus has no "other" centroid and therefore
+        # no candidates — the oracle's own⋈other inner join emits zero
+        # rows there, and [0] on the empty others array below would
+        # otherwise fabricate one NULL row per vector (ADVICE r7).
+        # Every row's label is IN the matrix (the centroids are built
+        # from these same rows), so "some other label exists" ⟺
+        # |labels| ≥ 2 — judged HERE, once, on the 1-row broadcast
+        # side: an L<2 matrix empties the broadcast, the crossJoin
+        # emits nothing, and the probe side carries no guard at all.
+        # Round-9 forensics (BASELINE.md r9): the r8 per-row guard
+        # read as a 0.33→0.78 s bench regression, but noop-
+        # materialized A/B showed every placement — including the
+        # unguarded r7 shape — costs the same ~1.27 s true wall; the
+        # bench's count() action had been pruning the entire centroid
+        # build out of the r7 plan, and ANY cmat-referencing guard
+        # stops that pruning. The bench number measured the guard's
+        # observability, not its cost.
+        .filter(F.size("cmat") >= 2)
     )
     v = F.transform("embedding", lambda x: x.cast("double"))
     d2_of = lambda cent: F.aggregate(  # noqa: E731
@@ -602,22 +620,6 @@ def label_noise_candidates(embeddings: DataFrame) -> DataFrame:
     scored = (
         embeddings.select("vec_id", "label", v.alias("v"))
         .crossJoin(F.broadcast(cmat))  # 1-row matrix, map-side only
-        # a single-label corpus has no "other" centroid and therefore
-        # no candidates — the oracle's own⋈other inner join emits zero
-        # rows there, and [0] on the empty others array below would
-        # otherwise fabricate one NULL row per vector (ADVICE r7).
-        # Judged on the RAW matrix (label comparisons only) BEFORE the
-        # distance transform: a size(filter(...)) over d2s would be
-        # predicate-pushed below the projection, re-inlining the whole
-        # L×d fold into the filter and re-evaluating it per row
-        # (measured 0.33 → 1.25 s at sf0.1 — the interpreted-eval
-        # recomputation class from SCALE.md §4-r8)
-        .filter(
-            F.size(
-                F.filter("cmat", lambda c: c["clabel"] != F.col("label"))
-            )
-            > 0
-        )
         .select(
             "vec_id",
             "label",

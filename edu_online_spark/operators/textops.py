@@ -278,8 +278,8 @@ def decontamination_stats(
     aggregate; rates are exact-integer divisions, so the threshold
     comparison agrees bit-for-bit across engines.
 
-    Round-9 registry candidate (`docs_decontamination_stats`); oracle
-    ready in ORACLE_R9 below.
+    Registered as `docs_decontamination_stats` (round 9), hash-checked
+    against the DuckDB mirror in ORACLE.
     """
     rates = benchmark_contamination(documents, bench_source, n)
     train = documents.filter(F.col("source") != bench_source)
@@ -1572,8 +1572,9 @@ def shard_manifest(
 
 def assign_training_shards_incremental(
     new_docs: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     shard_tokens: int = SHARD_TOKEN_TARGET,
+    base_tokens: int | None = None,
 ) -> DataFrame:
     """Append a delta batch to an EXISTING shard layout without
     re-sharding: the standing corpus' epoch layout (and every shard
@@ -1592,19 +1593,34 @@ def assign_training_shards_incremental(
     receives both old and new docs — by the same starting-offset rule
     the reader already handles for long documents.
 
-    Round-9 registry candidate (`corpus_shards_incremental`, delta =
-    `doc_id % 10 == 0` per the cross-corpus convention); oracle ready
-    in ORACLE_R9 below.
+    ADVICE r9: even that one aggregate is a full-corpus scan PER
+    delta, and the caller usually already knows the number — the
+    streaming twin (`curation_ingest_job`) persists used_tokens as
+    state, and a batch pipeline can read the previous run's
+    max(cum_tokens). Pass it as `base_tokens` to skip the scan
+    entirely (then `corpus` may be None); the corpus aggregate is the
+    fallback for first runs / callers without a manifest.
+
+    Registered as `corpus_shards_incremental` (round 9, delta =
+    `doc_id % 10 == 0` per the cross-corpus convention), hash-checked
+    against the DuckDB mirror in ORACLE.
     """
     from pyspark.sql import Window
 
     from ..functions.core import hash_bucket
 
-    base = corpus.agg(
-        F.coalesce(F.sum(T.token_count("text").cast("long")), F.lit(0)).alias(
-            "base_tokens"
+    if base_tokens is not None:
+        base = new_docs.sparkSession.range(1).select(
+            F.lit(int(base_tokens)).cast("long").alias("base_tokens")
         )
-    )
+    elif corpus is not None:
+        base = corpus.agg(
+            F.coalesce(
+                F.sum(T.token_count("text").cast("long")), F.lit(0)
+            ).alias("base_tokens")
+        )
+    else:
+        raise ValueError("pass either a standing corpus or base_tokens")
     per_bucket = BUDGET_HASH_MOD // BUDGET_PREFIX_BUCKETS + 1
     d = new_docs.select(
         "doc_id",
@@ -2218,6 +2234,17 @@ QUERIES = {
             d.filter(F.col("doc_id") % 10 == 0),
             d.filter(F.col("doc_id") % 10 != 0),
             variant="poly",
+        )
+    ),
+    # round 9: the two queued library ops promoted to certified slots
+    # (oracles written and type-audited in round 8)
+    "docs_decontamination_stats": _q(decontamination_stats),
+    "corpus_shards_incremental": _q(
+        # deterministic delta/corpus split, same contract as
+        # dedup_cross_corpus: every 10th doc is the arriving delta
+        lambda d: assign_training_shards_incremental(
+            d.filter(F.col("doc_id") % 10 == 0),
+            d.filter(F.col("doc_id") % 10 != 0),
         )
     ),
 }
@@ -3204,9 +3231,9 @@ ORACLE = {
     """,
 }
 
-# Round-9 promotion queue (see dedup.ORACLE_R9): oracle written and
-# type-audited now, registered when the round-9 window opens.
-ORACLE_R9 = {
+# Round-9 promotions (queued + type-audited in round 8, registered when
+# the round-9 window's free slots opened).
+ORACLE.update({
     "docs_decontamination_stats": f"""
         WITH sh AS (
             SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ')
@@ -3275,4 +3302,4 @@ ORACLE_R9 = {
                         // {SHARD_TOKEN_TARGET} AS BIGINT) AS shard_id
         FROM assigned a, base b
     """,
-}
+})

@@ -69,76 +69,74 @@ def _extended_modules():
 # round 2).
 _PREFIX_TAIL_BOUNDARY = "tpch"
 
-# Round-8 window rotation. The driver certifies only the first 50
+# Round-9 window rotation. The driver certifies only the first 50
 # entries per round, so the window is rotated each round toward the
 # queries whose certification is most valuable NOW:
 #   1. the STALENESS_BOUND_ROUNDS=5 contract (tests/test_registry.py)
-#      trips first: the FULL 44-row round-4 cohort hits the bound at
-#      round 8 (VERDICT r7 #1 — mechanical and non-negotiable), so it
-#      owns 44 of the 50 slots;
-#   2. the two queries whose 10× growth curves this round's perf work
-#      touches (re-certification after an implementation change);
-#   3. the four r7 library ops promoted to certified registry slots
-#      (VERDICT r7 #5), with freshly written oracles.
-# Sentinels sit this round out (all r7-certified); round 9 must lead
-# with the 43-row round-5 cohort.
+#      trips first: the FULL 43-row round-5 cohort hits the bound at
+#      round 9 (VERDICT r8 #1 — mechanical and non-negotiable), so it
+#      owns 43 of the 50 slots. Seven of those are declared rows-only
+#      (ROWS_ONLY_WINDOW_SLOTS in tests/test_registry.py) — their
+#      driver row is the weak row-count check, which is still what
+#      resets their staleness clock;
+#   2. the three r8 library ops promoted to certified registry slots
+#      (VERDICT r8 #2), with oracles written and type-audited in r8;
+#   3. the round-9 additions (tokenizer fertility, winnowing
+#      source matrix) — new queries MUST take a window slot the round
+#      they land or they trip the staleness contract at birth.
+# Round 10 must lead with the round-6 staleness cohort.
 # Names are validated against the assembled registry — a typo or a
 # renamed query fails loudly rather than silently ceding its slot.
 _WINDOW_PRIORITY = [
-    # 1: full round-4 cohort — staleness bound trips THIS round
-    "ann_all_pairs_recall",
-    "ann_recall_report",
-    "basket_part_pairs",
-    "corpus_dataset_card",
-    "corpus_drift_report",
-    "corpus_mixture_plan",
-    "corpus_snapshot_diff",
-    "corpus_token_countmin",
-    "customer_rfm",
-    "data_quality_checks",
-    "dedup_cross_corpus",
-    "dedup_semantic_keep",
-    "docs_gopher_quality",
-    "docs_length_histogram",
-    "docs_stratified_sample",
-    "docs_vocab_encoded",
-    "events_cohort_retention",
-    "events_daily_anomalies",
-    "events_distinct_users_approx",
-    "events_funnel",
-    "events_hll_rollup",
-    "events_scd2_status",
-    "events_theta_overlap",
-    "events_time_grain_rollup",
-    "events_value_percentiles",
-    "hybrid_search_rrf",
-    "lineitem_price_quantiles_approx",
-    "multimodal_audio_features",
-    "multimodal_decoded_meta",
-    "multimodal_frame_sample",
-    "multimodal_media_summary",
-    "multimodal_payload_dedup",
-    "multimodal_resized",
-    "purchase_training_examples",
-    "text_pii_redacted",
-    "text_pii_source_stats",
-    "text_url_domains",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_profit_by_nation",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q15_top_supplier",
-    # 2: implementation changed this round (10× growth-curve work) —
-    # re-certify on the new shape
-    "docs_quality_budget_fill",
-    "retrieval_negative_samples",
-    # 3: round-7 library ops promoted to certified slots (new oracles)
-    "docs_winnowing_clusters",
-    "docs_winnowing_cross_corpus",
-    "customer_record_linkage_multipass",
-    "sim_knn_ivf_probe_recall",
+    # 1: full round-5 cohort — staleness bound trips THIS round
+    "ann_all_pairs_topk",  # rows-only
+    "archival_daily_counts",
+    "basket_association_rules",
+    "corpus_bpe_merges",  # rows-only
+    "customer_record_linkage",
+    "customers_without_orders",
+    "daily_event_pivot",
+    "docs_compression_ratio",  # rows-only
+    "docs_lm_perplexity",  # rows-only
+    "docs_quality_calibrated",
+    "embeddings_label_centroids",
+    "events_daily_trend",
+    "events_deterministic_sample",
+    "events_distinct_users",
+    "events_region_enrich",
+    "events_session_stats",
+    "events_sessionize",
+    "events_type_transitions",
+    "events_user_value_ewma",  # rows-only
+    "events_value_winsorized",
+    "hybrid_search_rrf_lsh",
+    "lineitem_price_quantiles",
+    "multimodal_audio_fingerprint",
+    "multimodal_image_ahash",
+    "multimodal_video_scenecuts",
+    "orders_rollup",
+    "page_flow",
+    "page_props_decode",
+    "part_topk_per_brand",
+    "purchase_attribution",
+    "purchase_status_asof",
+    "quiz_mastery_approx",
+    "register_cumulative_daily",
+    "register_platform_counts",
+    "register_sliding_counts",
+    "text_fingerprints_fast",  # rows-only
+    "text_knn_minhash",  # rows-only
+    "tpch_q1_pricing_summary",
+    "tpch_q3_top_orders",
+    "tpch_q5_region_revenue",
+    "tpch_q6_forecast_revenue",
+    "users_purchase_no_error",
+    "users_view_and_purchase",
+    # 2: round-8 library ops promoted to certified slots (oracles
+    # type-audited in r8)
+    "source_dup_matrix",
+    "corpus_shards_incremental",
+    "docs_decontamination_stats",
 ]
 
 

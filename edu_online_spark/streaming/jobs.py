@@ -2395,18 +2395,65 @@ def compact_winnow_index(spark: SparkSession, index_path: str) -> int:
     print's df to 1 and silently disable the guard for the compacted
     corpus.
 
-    Crash-safe by the same structural argument as the job: the
-    compacted partition is written (overwrite-idempotent) BEFORE any
-    source dir is removed — a crash at any point leaves a correct,
-    merely-uncompacted index, and re-running converges. (Overwrite of
-    ingest_batch=-1 replaces, never doubles, its prior rows.)
+    Crash-safe against RE-RUNS, not just single-run interruption
+    (ADVICE r8): because per-fp row multiplicity IS the document
+    frequency, the old write-minus-1-then-delete order had a doubling
+    window — a crash after the overwrite but mid-delete left folded
+    rows in BOTH ingest_batch=-1 and the surviving batch dirs, and a
+    re-run baked the doubled dfs in (inflated dfs trip max_fp_df and
+    silently disable overlap detection). The fix is a three-step
+    commit protocol:
+
+      1. write the fold to `_staging_compact` (underscore-prefixed —
+         invisible to Spark's file listing, so the probe never reads
+         a half-written fold);
+      2. atomically publish `_compaction_manifest.json` naming the
+         folded batch dirs (os.replace of a tmp file — manifest
+         present ⟹ staging is COMPLETE);
+      3. delete the folded dirs, then rename staging onto
+         ingest_batch=-1 (rename-last), then remove the manifest.
+
+    A crash before 2 leaves the original index bit-intact (staging is
+    hidden; re-run overwrites it). A crash anywhere inside 3 is
+    finished — never re-read — by the next run: the manifest says
+    which dirs are already inside the fold, so they are deleted
+    without being merged again, and the staging dir (whose only exit
+    is the rename) tells recovery whether the swap still needs to
+    happen. No interleaving double-counts or drops a row.
     Returns the number of batch partitions folded away.
     """
+    import json
     import os
     import shutil
 
     if not os.path.isdir(index_path):
         return 0
+    staging = os.path.join(index_path, "_staging_compact")
+    manifest = os.path.join(index_path, "_compaction_manifest.json")
+    minus1 = os.path.join(index_path, "ingest_batch=-1")
+
+    def _finish(folded: list[str]) -> int:
+        # Commit protocol, shared by the normal path and crash
+        # recovery. Precondition: manifest on disk and the complete
+        # fold in staging (or already renamed onto ingest_batch=-1).
+        for d in folded:
+            p = os.path.join(index_path, d)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+        if os.path.isdir(staging):
+            if os.path.isdir(minus1):
+                shutil.rmtree(minus1)  # pre-fold rows — already in staging
+            os.rename(staging, minus1)  # THE commit point
+        os.remove(manifest)
+        return len(folded)
+
+    if os.path.exists(manifest):
+        # interrupted previous run: its staging fold is complete (the
+        # manifest is written only after the staging write returns) —
+        # finish its deletes + rename without re-reading anything
+        with open(manifest) as f:
+            return _finish(json.load(f)["folded"])
+
     batch_dirs = [
         d
         for d in os.listdir(index_path)
@@ -2418,8 +2465,7 @@ def compact_winnow_index(spark: SparkSession, index_path: str) -> int:
         spark.read.option("basePath", index_path)
         .parquet(index_path)
         .select("fp")  # multiplicity kept: per-fp row count IS the df
-        # pin the full read before the overwrite below touches any
-        # input file (ingest_batch=-1, if present, is also an input)
+        # pin the full read once; count() and the write below share it
         .localCheckpoint(eager=True)
     )
     # coalesce to ~4M prints (~32 MB) per file — without this the
@@ -2427,9 +2473,9 @@ def compact_winnow_index(spark: SparkSession, index_path: str) -> int:
     # compaction removes directories but not the footer/listing
     # overhead that motivated it
     n_files = max(1, min(256, merged.count() // 4_000_000 + 1))
-    merged.coalesce(n_files).write.mode("overwrite").parquet(
-        os.path.join(index_path, "ingest_batch=-1")
-    )
-    for d in batch_dirs:
-        shutil.rmtree(os.path.join(index_path, d))
-    return len(batch_dirs)
+    merged.coalesce(n_files).write.mode("overwrite").parquet(staging)
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"folded": sorted(batch_dirs)}, f)
+    os.replace(tmp, manifest)  # atomic publish: fold is now committed
+    return _finish(sorted(batch_dirs))

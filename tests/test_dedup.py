@@ -403,15 +403,14 @@ def test_source_dup_matrix_counts_and_grid(spark):
 
 
 def test_source_dup_matrix_matches_r9_oracle(spark, sf_dir):
-    """The queued round-9 oracle already hash-matches at sf0.001 —
-    promotion next round is a registry edit, not new arithmetic."""
-    from edu_online_spark.operators.dedup import ORACLE_R9, source_dup_matrix
+    """The round-9 registered oracle hash-matches at sf0.001."""
+    from edu_online_spark.operators.dedup import ORACLE, source_dup_matrix
     from edu_online_spark.sources import load_table
     from tools.parity import compare, run_oracle
 
     problems = compare(
         "source_dup_matrix",
         source_dup_matrix(load_table(spark, sf_dir, "documents")),
-        run_oracle(ORACLE_R9["source_dup_matrix"], sf_dir),
+        run_oracle(ORACLE["source_dup_matrix"], sf_dir),
     )
     assert not problems, problems

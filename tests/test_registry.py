@@ -56,12 +56,21 @@ def test_broken_extension_does_not_kill_core(monkeypatch):
     assert "dedup" in names and "textops" in names  # the rest survived
 
 
-# Round 8 spends every window slot on oracle-backed queries: the
-# 44-row round-4 staleness cohort, the two perf-reworked queries, and
-# the four promoted r7 library ops (all with fresh oracles). Every
-# rows-only query carries a fresh r5-r7 driver row, so none needs a
-# slot this round.
-ROWS_ONLY_WINDOW_SLOTS: set[str] = set()
+# Round 9 rotates to the 43-row round-5 staleness cohort, which
+# contains seven rows-only queries (LSH/iterative/libm-dependent —
+# their semantics are pytest-pinned; the driver row is the weak
+# row-count check that resets their staleness clock). The remaining
+# slots go to the three promoted r8 library ops and the round-9
+# additions, all oracle-backed.
+ROWS_ONLY_WINDOW_SLOTS: set[str] = {
+    "ann_all_pairs_topk",
+    "corpus_bpe_merges",
+    "docs_compression_ratio",
+    "docs_lm_perplexity",
+    "events_user_value_ewma",
+    "text_fingerprints_fast",
+    "text_knn_minhash",
+}
 
 
 def test_driver_window_contract():

@@ -1347,6 +1347,92 @@ def test_compact_winnow_index_preserves_df_guard(spark, tmp_path):
     assert r2[21]["overlap_suspect"]      # quote df 2 ≤ 3 → real overlap
 
 
+def test_compact_winnow_index_rerun_after_crash_never_doubles_df(
+    spark, tmp_path
+):
+    """ADVICE r8: per-fp row count IS the document frequency, so a
+    compaction crash must never let a RE-RUN double rows (inflated dfs
+    trip max_fp_df and silently disable overlap detection). Simulate
+    the three interruption points of the commit protocol — after the
+    staging write + manifest publish, mid-delete, and after the
+    rename-but-before-manifest-removal — and assert the re-run
+    converges to the exact original per-fp multiset every time."""
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    license_ = "licensed under the apache license version two point zero terms"
+    _write_lines(src, "b1.jsonl", _budget_doc_lines([
+        (i, "s", f"doc number {i} unique frame {license_} distinct tail {i} words")
+        for i in range(1, 4)
+    ]))
+    _run(jobs.winnow_index_job, spark, src, out, ckpt)
+    _write_lines(src, "b2.jsonl", _budget_doc_lines([
+        (10, "s", f"late arrival framed {license_} with fresh surroundings"),
+    ]))
+    _run(jobs.winnow_index_job, spark, src, out, ckpt)
+    idx = out + ".fpindex"
+
+    def fp_counts(path):
+        return {
+            r["fp"]: r["n"]
+            for r in spark.read.option("basePath", path).parquet(path)
+            .groupBy("fp").agg(F.count("*").alias("n")).collect()
+        }
+
+    want = fp_counts(idx)
+    batch_dirs = sorted(
+        d for d in os.listdir(idx)
+        if d.startswith("ingest_batch=") and d != "ingest_batch=-1"
+    )
+    assert len(batch_dirs) == 2
+
+    def staged_copy(tag):
+        """A copy of the index frozen at 'staging written, manifest
+        published' — the exact state compact_winnow_index leaves if it
+        dies at its commit point."""
+        p = str(tmp_path / tag)
+        shutil.copytree(idx, p)
+        (
+            spark.read.option("basePath", p).parquet(p).select("fp")
+            .write.parquet(os.path.join(p, "_staging_compact"))
+        )
+        with open(os.path.join(p, "_compaction_manifest.json"), "w") as f:
+            json.dump({"folded": batch_dirs}, f)
+        return p
+
+    # crash point 1: nothing deleted yet
+    p1 = staged_copy("crash1")
+    assert jobs.compact_winnow_index(spark, p1) == 2
+    assert fp_counts(p1) == want
+    assert sorted(os.listdir(p1)) == ["ingest_batch=-1"]
+
+    # crash point 2: one folded dir already deleted
+    p2 = staged_copy("crash2")
+    shutil.rmtree(os.path.join(p2, batch_dirs[0]))
+    assert jobs.compact_winnow_index(spark, p2) == 2
+    assert fp_counts(p2) == want
+    assert sorted(os.listdir(p2)) == ["ingest_batch=-1"]
+
+    # crash point 3: rename done, manifest still on disk
+    p3 = staged_copy("crash3")
+    for d in batch_dirs:
+        shutil.rmtree(os.path.join(p3, d))
+    os.rename(
+        os.path.join(p3, "_staging_compact"),
+        os.path.join(p3, "ingest_batch=-1"),
+    )
+    assert jobs.compact_winnow_index(spark, p3) == 2
+    assert fp_counts(p3) == want
+    assert sorted(os.listdir(p3)) == ["ingest_batch=-1"]
+
+    # and a clean run on the pristine index still folds + preserves df
+    assert jobs.compact_winnow_index(spark, idx) == 2
+    assert fp_counts(idx) == want
+
+
 def _gopher_ok_text(seed: int, n: int = 30) -> str:
     """n distinct ~6-char words + stopwords interleaved: passes every
     Gopher rule (word count, mean length, top-share, stopwords)."""

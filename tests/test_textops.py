@@ -1210,12 +1210,24 @@ def test_incremental_shards_continue_the_global_stream(spark):
         ).collect()
     }
     assert out0 == {d: r["cum_tokens"] for d, r in solo.items()}
+    # ADVICE r9: a caller carrying the corpus total forward (manifest /
+    # streaming state) skips the corpus scan and gets identical output
+    carried = assign_training_shards_incremental(
+        delta, shard_tokens=64, base_tokens=base_tokens
+    )
+    assert {r["doc_id"]: tuple(r) for r in carried.collect()} == {
+        d: tuple(r) for d, r in rows.items()
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="base_tokens"):
+        assign_training_shards_incremental(delta, shard_tokens=64)
 
 
 def test_incremental_shards_match_r9_oracle(spark, sf_dir):
-    """The queued round-9 oracle hash-matches at sf0.001."""
+    """The round-9 registered oracle hash-matches at sf0.001."""
     from edu_online_spark.operators.textops import (
-        ORACLE_R9,
+        ORACLE,
         assign_training_shards_incremental,
     )
     from edu_online_spark.sources import load_table
@@ -1228,7 +1240,7 @@ def test_incremental_shards_match_r9_oracle(spark, sf_dir):
             docs.filter(F.col("doc_id") % 10 == 0),
             docs.filter(F.col("doc_id") % 10 != 0),
         ),
-        run_oracle(ORACLE_R9["corpus_shards_incremental"], sf_dir),
+        run_oracle(ORACLE["corpus_shards_incremental"], sf_dir),
     )
     assert not problems, problems
 
@@ -1260,9 +1272,9 @@ def test_decontamination_stats_flags_and_keeps(spark):
 
 
 def test_decontamination_stats_match_r9_oracle(spark, sf_dir):
-    """The queued round-9 oracle hash-matches at sf0.001."""
+    """The round-9 registered oracle hash-matches at sf0.001."""
     from edu_online_spark.operators.textops import (
-        ORACLE_R9,
+        ORACLE,
         decontamination_stats,
     )
     from edu_online_spark.sources import load_table
@@ -1271,6 +1283,6 @@ def test_decontamination_stats_match_r9_oracle(spark, sf_dir):
     problems = compare(
         "docs_decontamination_stats",
         decontamination_stats(load_table(spark, sf_dir, "documents")),
-        run_oracle(ORACLE_R9["docs_decontamination_stats"], sf_dir),
+        run_oracle(ORACLE["docs_decontamination_stats"], sf_dir),
     )
     assert not problems, problems

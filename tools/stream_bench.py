@@ -111,6 +111,15 @@ def bench_winnow_index(spark, work, n_docs, n_files, tail_files=3):
     out = os.path.join(work, name, "out")
     ckpt = os.path.join(work, name, "ck")
 
+    # recentProgress is a ring buffer capped at numRecentProgressUpdates
+    # (default 100): with n_files above that, trigger_s_first would
+    # silently report a LATER batch and flatten the growth profile this
+    # bench exists to measure (ADVICE r8). Size the buffer to the run.
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates",
+        str(max(n_files + tail_files + 16, 100)),
+    )
+
     def run_wave() -> list[tuple[int, int, float]]:
         q = jobs.winnow_index_job(
             file_stream(spark, src, max_files_per_trigger=1),
@@ -129,6 +138,9 @@ def bench_winnow_index(spark, work, n_docs, n_files, tail_files=3):
     prog = run_wave()
     secs = time.monotonic() - t0
     durs = [d for _, _, d in prog]
+    if not durs:  # no batch reported input rows — surface it, don't crash
+        print(json.dumps({"job": name, "error": "no data-bearing batches"}))
+        return
     print(
         json.dumps(
             {
@@ -159,6 +171,10 @@ def bench_winnow_index(spark, work, n_docs, n_files, tail_files=3):
         _produce(src, f"b{n_files + f:04d}.log", [line(i0 + i) for i in range(per)])
     prog = run_wave()
     durs = [d for _, _, d in prog]
+    if not durs:
+        print(json.dumps({"job": name + "_postcompact",
+                          "error": "no data-bearing batches"}))
+        return
     print(
         json.dumps(
             {
