@@ -109,6 +109,13 @@ HEADLINE = [
     "docs_winnowing_cross_corpus",
     "customer_record_linkage_multipass",
     "sim_knn_ivf_probe_recall",
+    # round 9: the three r8-queued promotions + the two new source
+    # diagnostics (passage-overlap matrix, tokenizer fertility)
+    "source_dup_matrix",
+    "corpus_shards_incremental",
+    "docs_decontamination_stats",
+    "source_winnow_overlap_matrix",
+    "source_token_fertility",
 ]
 
 

@@ -2116,6 +2116,181 @@ def winnowing_overlap_cross_corpus(
     )
 
 
+def source_winnow_overlap_matrix(
+    documents: DataFrame,
+    max_fp_df: int = WINNOW_MAX_FP_DF,
+    variant: str = "fast",
+) -> DataFrame:
+    """Source-pair PASSAGE-overlap matrix: the winnowing analogue of
+    `dedup.source_dup_matrix`. Exact-text overlap between two crawl
+    sources only catches byte-identical re-fetches; shared winnowing
+    fingerprints catch sources that carry the same PASSAGES inside
+    different framing (mirrors with injected boilerplate, partial
+    scrapes, syndicated articles). For every source pair (a < b):
+    each side's distinct rare-fingerprint count, the count shared by
+    both, and the Jaccard of the two fingerprint sets — the
+    source-level triage number read before paying for document-level
+    winnowing dedup across that pair.
+
+    Plan shape mirrors source_dup_matrix: the winnowing selection is
+    the only corpus-sized pass; fingerprints collapse to distinct
+    (source, fp) rows (per-fp fan-out in the pair join is then ≤ S
+    per side, S = source count); ubiquitous prints (document-df >
+    max_fp_df) are dropped FIRST — license headers shared by every
+    source are noise, not signal, and would otherwise dominate every
+    pair's overlap count. The S-row sizes relation broadcasts into an
+    S×S grid left join so zero-overlap pairs surface as 0 rows.
+    Sources with no surviving fingerprints (every doc shorter than
+    one winnowing window) carry no overlap evidence and are absent.
+
+    variant='poly' is the DuckDB-certified form (registered round 9
+    as `source_winnow_overlap_matrix`); 'fast' (xxhash64) is the
+    corpus-scale default, same selection algorithm.
+    """
+    fps = (
+        winnowing_fingerprints(documents, variant=variant)
+        .select("doc_id", "fp")
+        .dropDuplicates(["doc_id", "fp"])
+        # the df count and the semi-join back both read this —
+        # materialize the (expensive) selection once, the
+        # winnowing_overlap_pairs pattern
+        .localCheckpoint(eager=True)
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_fp_df)
+        .select("fp")
+    )
+    src_fp = (
+        fps.join(rare, "fp", "left_semi")
+        .join(documents.select("doc_id", "source"), "doc_id")
+        .select("source", "fp")
+        .distinct()
+        # three consumers: sizes and both sides of the pair join
+        .localCheckpoint(eager=True)
+    )
+    sizes = src_fp.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("fps")
+    )
+    grid = (
+        sizes.alias("ga")
+        .join(
+            F.broadcast(sizes.alias("gb")),
+            F.col("ga.source") < F.col("gb.source"),
+        )
+        .select(
+            F.col("ga.source").alias("source_a"),
+            F.col("gb.source").alias("source_b"),
+            F.col("ga.fps").alias("fps_a"),
+            F.col("gb.fps").alias("fps_b"),
+        )
+    )
+    overlaps = (
+        src_fp.alias("a")
+        .join(src_fp.alias("b"), "fp")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+    )
+    return (
+        grid.join(overlaps, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "fps_a",
+            "fps_b",
+            F.coalesce("shared_fps", F.lit(0)).cast("long").alias("shared_fps"),
+            (
+                F.coalesce("shared_fps", F.lit(0)).cast("double")
+                / (
+                    F.col("fps_a")
+                    + F.col("fps_b")
+                    - F.coalesce("shared_fps", F.lit(0))
+                )
+            ).alias("fp_jaccard"),
+        )
+    )
+
+
+FERTILITY_VOCAB_SIZE = 64
+
+
+def source_token_fertility(
+    documents: DataFrame, vocab_size: int = FERTILITY_VOCAB_SIZE
+) -> DataFrame:
+    """Per-source tokenizer-fertility report: how many subword tokens
+    each source pays per whitespace word (fertility), and what share
+    of its words fall outside the corpus top-`vocab_size` vocabulary
+    (oov_rate) — the mixture-design diagnostic that says which
+    sources will consume more of a fixed TOKEN budget than their word
+    mass suggests, and which will shatter into fallback bytes. Both
+    ratios use the engine's certified token accountants: whitespace
+    words (`token_count`) and the BPE-ish regex tokenizer
+    (`bpe_token_count` — letter runs / digit runs / single symbols,
+    RE2-compatible so DuckDB evaluates the identical pattern).
+
+    Scale shape: the word/subword counts are ONE scan aggregate (JVM
+    regexp_count, no explode); only the OOV rate explodes tokens, and
+    its vocabulary side is the bounded top-k (TakeOrderedAndProject,
+    never a global sort — the encode_documents rule) broadcast into
+    the token stream. Ratios are single IEEE divisions of exact longs
+    (deterministic cross-engine); word-less sources report 0.0 rather
+    than a division by zero, whose NULL-vs-Infinity handling differs
+    between engines.
+
+    Registered round 9 as `source_token_fertility`, hash-checked
+    against the DuckDB mirror in ORACLE.
+    """
+    base = (
+        documents.select(
+            "source",
+            T.token_count("text").cast("long").alias("w"),
+            T.bpe_token_count("text").cast("long").alias("s"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("n_words"),
+            F.sum("s").cast("long").alias("n_subword_tokens"),
+        )
+    )
+    tok = documents.select(
+        "source", F.explode(T.tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(vocab_size)
+        .select("token", F.lit(1).alias("_v"))
+    )
+    oov = (
+        tok.join(F.broadcast(top), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("_v").isNull().cast("long"))
+            .cast("long")
+            .alias("n_oov_words")
+        )
+    )
+    ratio = lambda num: F.when(  # noqa: E731
+        F.col("n_words") > 0, num.cast("double") / F.col("n_words")
+    ).otherwise(F.lit(0.0))
+    return base.join(oov, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_subword_tokens",
+        F.coalesce("n_oov_words", F.lit(0)).cast("long").alias("n_oov_words"),
+        ratio(F.col("n_subword_tokens")).alias("fertility"),
+        ratio(F.coalesce("n_oov_words", F.lit(0))).alias("oov_rate"),
+    )
+
+
 def length_quantiles_exact(documents: DataFrame) -> DataFrame:
     """Per-source EXACT token-length quartiles + p95 via explicit
     row_number selection — the corpus length report every tokenizer /
@@ -2247,6 +2422,14 @@ QUERIES = {
             d.filter(F.col("doc_id") % 10 != 0),
         )
     ),
+    # round 9 additions: source-pair passage overlap (the winnowing
+    # analogue of source_dup_matrix; poly variant certified, the
+    # doc_fingerprints two-variant pattern) and per-source tokenizer
+    # fertility
+    "source_winnow_overlap_matrix": _q(
+        lambda d: source_winnow_overlap_matrix(d, variant="poly")
+    ),
+    "source_token_fertility": _q(source_token_fertility),
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), ' +')"
@@ -3301,5 +3484,78 @@ ORACLE.update({
                CAST((a.d_cum + b.base_tokens - a.n_tokens)
                         // {SHARD_TOKEN_TARGET} AS BIGINT) AS shard_id
         FROM assigned a, base b
+    """,
+})
+
+# Round-9 additions (type-audited before landing, per the round-7 rule).
+ORACLE.update({
+    "source_winnow_overlap_matrix": f"""
+        WITH {_WINNOW_SEL_SQL},
+        fps AS (SELECT DISTINCT doc_id, fp FROM winnow_sel),
+        rare AS (
+            SELECT fp FROM fps GROUP BY fp
+            HAVING count(*) <= {WINNOW_MAX_FP_DF}
+        ),
+        sfp AS (
+            SELECT DISTINCT d.source, f.fp
+            FROM fps f JOIN rare USING (fp)
+            JOIN documents d USING (doc_id)
+        ),
+        sizes AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS fps
+            FROM sfp GROUP BY source
+        ),
+        ovl AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS shared_fps
+            FROM sfp a JOIN sfp b ON a.fp = b.fp AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT ga.source AS source_a, gb.source AS source_b,
+               ga.fps AS fps_a, gb.fps AS fps_b,
+               CAST(COALESCE(o.shared_fps, 0) AS BIGINT) AS shared_fps,
+               CAST(COALESCE(o.shared_fps, 0) AS DOUBLE)
+                   / (ga.fps + gb.fps - COALESCE(o.shared_fps, 0))
+                   AS fp_jaccard
+        FROM sizes ga JOIN sizes gb ON ga.source < gb.source
+        LEFT JOIN ovl o
+          ON o.source_a = ga.source AND o.source_b = gb.source
+    """,
+    "source_token_fertility": f"""
+        WITH t AS (
+            SELECT source, unnest(w) AS token
+            FROM (SELECT source, {_TOKENS} AS w FROM documents)
+        ),
+        tn AS (SELECT source, token FROM t WHERE token != ''),
+        vocab AS (
+            SELECT token FROM tn GROUP BY token
+            ORDER BY count(*) DESC, token LIMIT {FERTILITY_VOCAB_SIZE}
+        ),
+        oov AS (
+            SELECT tn.source,
+                   CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov_words
+            FROM tn LEFT JOIN vocab v ON tn.token = v.token
+            GROUP BY tn.source
+        ),
+        base AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len({_TOKENS})) AS BIGINT) AS n_words,
+                   CAST(sum(len(regexp_extract_all(
+                        text, '{T.BPE_TOKEN_PATTERN}'))) AS BIGINT)
+                       AS n_subword_tokens
+            FROM documents GROUP BY source
+        )
+        SELECT b.source, b.n_docs, b.n_words, b.n_subword_tokens,
+               CAST(COALESCE(o.n_oov_words, 0) AS BIGINT) AS n_oov_words,
+               CASE WHEN b.n_words > 0
+                    THEN CAST(b.n_subword_tokens AS DOUBLE) / b.n_words
+                    ELSE 0.0 END AS fertility,
+               CASE WHEN b.n_words > 0
+                    THEN CAST(COALESCE(o.n_oov_words, 0) AS DOUBLE)
+                             / b.n_words
+                    ELSE 0.0 END AS oov_rate
+        FROM base b LEFT JOIN oov o USING (source)
     """,
 })

@@ -137,6 +137,10 @@ _WINDOW_PRIORITY = [
     "source_dup_matrix",
     "corpus_shards_incremental",
     "docs_decontamination_stats",
+    # 3: round-9 additions — a new query takes a window slot the round
+    # it lands or it trips the staleness contract at birth
+    "source_winnow_overlap_matrix",
+    "source_token_fertility",
 ]
 
 

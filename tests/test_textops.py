@@ -1286,3 +1286,94 @@ def test_decontamination_stats_match_r9_oracle(spark, sf_dir):
         run_oracle(ORACLE["docs_decontamination_stats"], sf_dir),
     )
     assert not problems, problems
+
+
+def test_source_winnow_overlap_matrix_planted(spark):
+    """Planted source-pair passage overlap: s1 and s2 carry the same
+    10-word passage inside different framing → shared fingerprints;
+    s3 is unrelated → its pairs surface as 0 rows (grid left join);
+    a passage in MORE than max_fp_df docs is boilerplate and must not
+    count toward any pair."""
+    from edu_online_spark.operators.textops import (
+        source_winnow_overlap_matrix,
+    )
+
+    passage = "uno due tre quattro cinque sei sette otto nove dieci"
+    boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, f"first framing {passage} first ending words", "s1"),
+        (2, f"second intro {passage} second outro text", "s2"),
+        (3, "entirely unrelated content with no shared passages here", "s3"),
+        # boilerplate in 3 docs across all sources > max_fp_df=2
+        (4, f"s1 filler {boiler} more filler", "s1"),
+        (5, f"s2 filler {boiler} other filler", "s2"),
+        (6, f"s3 filler {boiler} third filler", "s3"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_winnow_overlap_matrix(
+            docs, max_fp_df=2, variant="poly"
+        ).collect()
+    }
+    assert set(out) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    s12 = out[("s1", "s2")]
+    assert s12["shared_fps"] >= 1  # winnowing guarantee on the passage
+    assert s12["fp_jaccard"] > 0.0
+    # the boilerplate passage (df 3 > 2) contributes to NO pair: every
+    # s3 pair shares nothing
+    assert out[("s1", "s3")]["shared_fps"] == 0
+    assert out[("s2", "s3")]["shared_fps"] == 0
+    assert out[("s1", "s3")]["fp_jaccard"] == 0.0
+
+
+def test_source_token_fertility_planted(spark):
+    """Fertility = subword tokens per whitespace word; OOV judged
+    against the corpus top-k vocabulary with (count desc, token asc)
+    ties; a word-less source reports 0.0 ratios, never a division
+    artifact."""
+    from edu_online_spark.operators.textops import source_token_fertility
+
+    rows = [
+        (1, "hello world", "a"),       # 2 words → 2 subwords
+        (2, "don't stop", "b"),        # 2 words → don / ' / t / stop = 4
+        (3, "", "c"),                  # empty: the 1-token '' artifact
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        r["source"]: r
+        for r in source_token_fertility(docs, vocab_size=1).collect()
+    }
+    assert out["a"]["n_words"] == 2 and out["a"]["n_subword_tokens"] == 2
+    assert out["a"]["fertility"] == 1.0
+    assert out["b"]["n_subword_tokens"] == 4 and out["b"]["fertility"] == 2.0
+    # top-1 vocab: all tokens count 1 → lexicographic first = "don't"
+    assert out["b"]["n_oov_words"] == 1 and out["b"]["oov_rate"] == 0.5
+    assert out["a"]["n_oov_words"] == 2 and out["a"]["oov_rate"] == 1.0
+    # empty text: token_count's [''] artifact gives 1 word, 0 subwords,
+    # no OOV rows; ratios stay finite
+    assert out["c"]["n_words"] == 1 and out["c"]["n_subword_tokens"] == 0
+    assert out["c"]["fertility"] == 0.0 and out["c"]["n_oov_words"] == 0
+
+
+def test_round9_additions_match_oracle(spark, sf_dir):
+    """Both round-9 additions hash-match their DuckDB mirrors at
+    sf0.001."""
+    from edu_online_spark.operators.textops import (
+        ORACLE,
+        source_token_fertility,
+        source_winnow_overlap_matrix,
+    )
+    from edu_online_spark.sources import load_table
+    from tools.parity import compare, run_oracle
+
+    docs = load_table(spark, sf_dir, "documents")
+    for name, df in [
+        (
+            "source_winnow_overlap_matrix",
+            source_winnow_overlap_matrix(docs, variant="poly"),
+        ),
+        ("source_token_fertility", source_token_fertility(docs)),
+    ]:
+        problems = compare(name, df, run_oracle(ORACLE[name], sf_dir))
+        assert not problems, (name, problems)
