@@ -220,6 +220,23 @@ def minhash_lsh_pairs(
     )
 
 
+def _banded_sigs(
+    docs: DataFrame, n: int, num_hashes: int, bands: int
+) -> DataFrame:
+    """(doc_id, band, bh): the LSH banding of each doc's MinHash
+    signature — the collision key both the inline cross-corpus join
+    and the persisted index store."""
+    sig = hashing.minhash_signatures_df(
+        _shingle_rows(docs, n), "doc_id", F.col("shingle"), num_hashes
+    )
+    return sig.select(
+        "doc_id",
+        F.posexplode(hashing.band_hashes(F.col("sig"), bands, num_hashes)).alias(
+            "band", "bh"
+        ),
+    )
+
+
 def cross_corpus_band_candidates(
     new_docs: DataFrame,
     corpus_docs: DataFrame,
@@ -235,22 +252,11 @@ def cross_corpus_band_candidates(
     twice). Returns distinct (new_id, corpus_id), eagerly materialized
     (candidate sets always feed multiple branches)."""
 
-    def banded_sigs(docs: DataFrame) -> DataFrame:
-        sig = hashing.minhash_signatures_df(
-            _shingle_rows(docs, n), "doc_id", F.col("shingle"), num_hashes
-        )
-        return sig.select(
-            "doc_id",
-            F.posexplode(hashing.band_hashes(F.col("sig"), bands, num_hashes)).alias(
-                "band", "bh"
-            ),
-        )
-
     return (
-        banded_sigs(new_docs)
+        _banded_sigs(new_docs, n, num_hashes, bands)
         .alias("a")
         .join(
-            banded_sigs(corpus_docs).alias("b"),
+            _banded_sigs(corpus_docs, n, num_hashes, bands).alias("b"),
             (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")),
         )
         .select(F.col("a.doc_id").alias("new_id"), F.col("b.doc_id").alias("corpus_id"))
@@ -299,6 +305,125 @@ def cross_corpus_minhash_pairs(
             "left_semi",
         ),
         n,
+    )
+    j = hashing.jaccard(F.col("sa.sh"), F.col("sb.sh"))
+    return (
+        cand.join(sh_new.alias("sa"), cand.new_id == F.col("sa.doc_id"))
+        .join(sh_corp.alias("sb"), cand.corpus_id == F.col("sb.doc_id"))
+        .select("new_id", "corpus_id", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+MINHASH_INDEX_BUCKETS = 64
+_MINHASH_INDEX_FORMAT_VERSION = 1
+
+
+def build_minhash_index(
+    corpus_docs: DataFrame,
+    path: str,
+    n: int = 3,
+    num_hashes: int = hashing.DEFAULT_NUM_HASHES,
+    bands: int = hashing.DEFAULT_BANDS,
+) -> None:
+    """Persist the corpus side of cross-corpus MinHash dedup — the
+    build-once-probe-many artifact `cross_corpus_minhash_pairs`'s
+    docstring promises a production pipeline would keep (same contract
+    as the IVF index and the streaming fingerprint index). Two
+    relations under `path`:
+
+      bands/     (doc_id, band, bh) — the LSH collision keys a delta's
+                 banded signatures equi-join against.
+      shingles/  (doc_id, sh) PARTITIONED BY bucket = pmod(doc_id, 64)
+                 — the exact-verification material. Bucket layout is
+                 the point (the IVF `cid IN (...)` pattern): a probe
+                 re-reads ONLY the buckets its candidate corpus ids
+                 live in, so verification cost is O(candidate buckets),
+                 not O(corpus re-shingle) — the inline form re-signs
+                 and re-shingles 100 TB per daily delta.
+
+    Content-addressed and append-only in production (an appended batch
+    writes its own band/shingle rows; nothing is rewritten). Shingles
+    write FIRST: the probe's entry relation is bands/, so a crash
+    between the writes leaves no readable index rather than a
+    bands-without-verification-material torso; the builder re-runs
+    idempotently (mode=overwrite, deterministic content).
+    """
+    sh = _shingled(corpus_docs, n).withColumn(
+        "bucket", F.pmod(F.col("doc_id"), F.lit(MINHASH_INDEX_BUCKETS)).cast("int")
+    )
+    sh.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/shingles")
+    _banded_sigs(corpus_docs, n, num_hashes, bands).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/bands")
+
+
+def cross_corpus_minhash_probe(
+    new_docs: DataFrame,
+    index_path: str,
+    n: int = 3,
+    threshold: float = JACCARD_THRESHOLD,
+    num_hashes: int = hashing.DEFAULT_NUM_HASHES,
+    bands: int = hashing.DEFAULT_BANDS,
+) -> DataFrame:
+    """The probe half of build_minhash_index: near-dup pairs between a
+    delta and the PERSISTED corpus index, bit-identical to
+    `cross_corpus_minhash_pairs(new_docs, corpus)` run inline (same
+    band keys, same stored shingle sets, same exact-Jaccard verify —
+    pytest-pinned equality), without touching corpus text: only the
+    delta is signed, candidates come from the delta⋈bands equi-join,
+    and verification reads the ≤64-bucket subset of shingles/ holding
+    candidate ids (bounded collect of bucket ids — the sinks.py
+    partition-pruning idiom — then a partition-column isin filter).
+
+    Round-10 registry candidate (`dedup_cross_corpus_probe`, same
+    delta convention and the same oracle as dedup_cross_corpus);
+    queued in ORACLE_R10 — the round-9 window is full and a query
+    registered without a slot trips the staleness contract.
+    """
+    spark = new_docs.sparkSession
+    idx_bands = spark.read.parquet(f"{index_path}/bands")
+    cand = (
+        _banded_sigs(new_docs, n, num_hashes, bands)
+        .alias("a")
+        .join(
+            idx_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_id"), F.col("b.doc_id").alias("corpus_id")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sh_new = _shingled(
+        new_docs.join(
+            cand.select(F.col("new_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        ),
+        n,
+    )
+    buckets = [
+        r["bucket"]
+        for r in cand.select(
+            F.pmod(F.col("corpus_id"), F.lit(MINHASH_INDEX_BUCKETS))
+            .cast("int")
+            .alias("bucket")
+        )
+        .distinct()
+        .collect()  # ≤ MINHASH_INDEX_BUCKETS rows — bounded by design
+    ]
+    sh_corp = (
+        spark.read.option("basePath", f"{index_path}/shingles")
+        .parquet(f"{index_path}/shingles")
+        .filter(F.col("bucket").isin(buckets))  # partition-pruned scan
+        .join(
+            cand.select(F.col("corpus_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+        .select("doc_id", "sh")
     )
     j = hashing.jaccard(F.col("sa.sh"), F.col("sb.sh"))
     return (
@@ -1213,6 +1338,47 @@ def _q_cross_corpus_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-or-reuse the persisted corpus signature index for the
+    registry's deterministic corpus split (doc_id % 10 != 0) — the
+    similarity._ivf_index caching pattern: content-keyed /tmp path,
+    staged build, rename-committed so concurrent builders can race
+    safely and a re-run is free."""
+    import hashlib
+    import os
+    import shutil
+
+    key = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|b{MINHASH_INDEX_BUCKETS}"
+        f"|v{_MINHASH_INDEX_FORMAT_VERSION}".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/edu_online_spark_minhash_index/{key}"
+    if not os.path.exists(path):
+        staging = f"{path}.__staging__.{os.getpid()}"
+        build_minhash_index(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % 10 != 0
+            ),
+            staging,
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            os.rename(staging, path)
+        except OSError:  # concurrent writer won the rename race
+            shutil.rmtree(staging, ignore_errors=True)
+    return path
+
+
+def _q_cross_corpus_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver runner for the round-10 candidate: the persisted-index
+    probe over the standard delta split. Output contract: identical
+    rows to dedup_cross_corpus (same oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cross_corpus_minhash_probe(
+        docs.filter(F.col("doc_id") % 10 == 0), _minhash_index(spark, sf_dir)
+    )
+
+
 QUERIES = {
     "dedup_exact": _q(exact_dedup, "documents"),
     "dedup_ngram_jaccard": _q(ngram_jaccard_pairs, "documents"),
@@ -1653,6 +1819,23 @@ ORACLE = {
                     ORDER BY h, negative_id) AS INTEGER) AS rank
         FROM cand
         QUALIFY rank <= {NEG_SAMPLE_K}
+    """,
+}
+
+# Round-10 promotion queue (the established pattern: library op +
+# tests + ready oracle now, window slot next round). The probe's
+# contract is bit-equality with the inline cross-corpus pairs, so its
+# oracle IS the dedup_cross_corpus oracle.
+ORACLE_R10 = {
+    "dedup_cross_corpus_probe": f"""
+        WITH {_SHINGLES_CTE}
+        SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+               len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / len(list_distinct(list_concat(a.sh, b.sh)))
+                      >= {JACCARD_THRESHOLD}
     """,
 }
 

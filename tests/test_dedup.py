@@ -414,3 +414,67 @@ def test_source_dup_matrix_matches_r9_oracle(spark, sf_dir):
         run_oracle(ORACLE["source_dup_matrix"], sf_dir),
     )
     assert not problems, problems
+
+
+def test_minhash_index_probe_equals_inline(spark, sf_dir, tmp_path):
+    """The persisted-index probe must reproduce the inline
+    cross-corpus pairs bit-for-bit: same band keys, same stored
+    shingle sets, same exact-Jaccard arithmetic."""
+    import os
+
+    from edu_online_spark.operators.dedup import (
+        build_minhash_index,
+        cross_corpus_minhash_pairs,
+        cross_corpus_minhash_probe,
+    )
+    from edu_online_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    idx = str(tmp_path / "mhidx")
+    build_minhash_index(corpus, idx)
+    # bucket-partitioned verification layout (the IVF cid pattern)
+    buckets = [
+        d for d in os.listdir(f"{idx}/shingles") if d.startswith("bucket=")
+    ]
+    assert buckets, "shingles/ must be bucket-partitioned"
+    inline = sorted(map(tuple, cross_corpus_minhash_pairs(new, corpus).collect()))
+    probed = sorted(map(tuple, cross_corpus_minhash_probe(new, idx).collect()))
+    assert probed == inline and probed  # identical, and non-trivial
+
+
+def test_minhash_index_probe_empty_delta(spark, sf_dir, tmp_path):
+    """A delta with no collisions probes to an empty result without
+    touching a single shingle bucket (bounded bucket collect on an
+    empty candidate set)."""
+    from edu_online_spark.operators.dedup import (
+        build_minhash_index,
+        cross_corpus_minhash_probe,
+    )
+    from edu_online_spark.sources import load_table
+
+    corpus = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 != 0
+    )
+    idx = str(tmp_path / "mhidx")
+    build_minhash_index(corpus, idx)
+    alien = spark.createDataFrame(
+        [(999999, "zzz qqq vvv kkk jjj xxx uuu www yyy nnn mmm ppp", "s")],
+        ["doc_id", "text", "source"],
+    )
+    assert cross_corpus_minhash_probe(alien, idx).count() == 0
+
+
+def test_cross_corpus_probe_matches_r10_oracle(spark, sf_dir):
+    """The queued round-10 oracle hash-matches at sf0.001 — promotion
+    next round is a registry edit, not new arithmetic."""
+    from edu_online_spark.operators.dedup import ORACLE_R10, _q_cross_corpus_probe
+    from tools.parity import compare, run_oracle
+
+    problems = compare(
+        "dedup_cross_corpus_probe",
+        _q_cross_corpus_probe(spark, sf_dir),
+        run_oracle(ORACLE_R10["dedup_cross_corpus_probe"], sf_dir),
+    )
+    assert not problems, problems
