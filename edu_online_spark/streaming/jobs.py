@@ -2479,3 +2479,231 @@ def compact_winnow_index(spark: SparkSession, index_path: str) -> int:
         json.dump({"folded": sorted(batch_dirs)}, f)
     os.replace(tmp, manifest)  # atomic publish: fold is now committed
     return _finish(sorted(batch_dirs))
+
+
+def minhash_dedup_job(
+    raw: DataFrame,
+    out_docs: str,
+    checkpoint: str,
+    threshold: float | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Near-dup-on-ingest via a cumulative MinHash signature index —
+    the streaming twin of `dedup.cross_corpus_minhash_pairs` and the
+    WHOLE-DOCUMENT member of the ingest-gate family (the Bloom seen
+    filter catches exact reposts, the winnowing index catches embedded
+    passages; this catches a re-crawl that is a near-copy of a
+    previously-ingested document under small edits, which neither of
+    the other two flags). Every trigger signs its documents, probes
+    the accumulated index for band collisions, verifies candidates
+    with exact Jaccard against the index's STORED shingle sets, and
+    appends its own signature + shingle rows.
+
+    The state it grows is exactly the artifact
+    `dedup.build_minhash_index` builds offline — bands (doc_id, band,
+    bh) plus bucket-partitioned shingle sets — maintained
+    incrementally: one overwrite-idempotent `ingest_batch=N` partition
+    per trigger under each relation, probe reads `ingest_batch <
+    batch_id` (partition-pruned, so replays are structurally exact:
+    a redelivered trigger excludes its own rows and recomputes the
+    identical annotation). Shingle reads are additionally pruned by
+    `bucket IN (candidate buckets)` — the bounded ≤64-bucket collect
+    idiom — so per-trigger verification reads O(candidates), never
+    O(corpus). The delta side of the collision join is
+    trigger-sized and broadcast; the index scan stays map-side.
+
+    Dedup attribution is the canonical min-keeps rule shared with
+    near_dup_clusters: a doc is flagged if it near-dups any PRIOR
+    document, or a co-delivered document with a SMALLER doc_id — the
+    first arrival of a duplicate family stays clean, every later
+    arrival is flagged with its duplicate count. Output columns:
+    (doc_id, text, source, n_prior_dups, n_local_dups,
+    near_dup_suspect).
+    """
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ..functions import hashing
+    from ..operators.dedup import (
+        JACCARD_THRESHOLD,
+        MINHASH_INDEX_BUCKETS,
+        _banded_sigs,
+        _shingled,
+    )
+
+    threshold = JACCARD_THRESHOLD if threshold is None else threshold
+    index_path = out_docs + ".sigindex"
+    bands_path = os.path.join(index_path, "bands")
+    shingles_path = os.path.join(index_path, "shingles")
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    parsed = F.from_json(
+        F.col("value"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    docs = (
+        raw.select(parsed.alias("j"))
+        .filter(
+            F.col("j._corrupt").isNull()
+            & F.col("j.doc_id").isNotNull()
+            & F.col("j.text").isNotNull()
+        )
+        .select(
+            F.col("j.doc_id").alias("doc_id"),
+            F.col("j.text").alias("text"),
+            F.col("j.source").alias("source"),
+        )
+    )
+
+    def probe_and_index(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        sigs = _banded_sigs(
+            batch.select("doc_id", "text"),
+            3,
+            hashing.DEFAULT_NUM_HASHES,
+            hashing.DEFAULT_BANDS,
+        ).localCheckpoint(eager=True)  # probe join + local pairs + append
+        sh_delta = _shingled(batch.select("doc_id", "text")).localCheckpoint(
+            eager=True
+        )  # verify both candidate kinds + append
+        has_prior = os.path.isdir(bands_path) and any(
+            d.startswith("ingest_batch=") for d in os.listdir(bands_path)
+        )
+        if has_prior:
+            prior_bands = (
+                spark.read.option("basePath", bands_path)
+                .parquet(bands_path)
+                .filter(F.col("ingest_batch") < batch_id)
+            )
+            cand_prior = (
+                prior_bands.join(
+                    F.broadcast(sigs.alias("a")),
+                    (F.col("a.band") == prior_bands.band)
+                    & (F.col("a.bh") == prior_bands.bh),
+                )
+                .select(
+                    F.col("a.doc_id").alias("new_id"),
+                    prior_bands.doc_id.alias("corpus_id"),
+                )
+                .distinct()
+                .localCheckpoint(eager=True)  # bucket collect + verify
+            )
+            buckets = [
+                r["bucket"]
+                for r in cand_prior.select(
+                    F.pmod(F.col("corpus_id"), F.lit(MINHASH_INDEX_BUCKETS))
+                    .cast("int")
+                    .alias("bucket")
+                )
+                .distinct()
+                .collect()  # ≤ MINHASH_INDEX_BUCKETS rows
+            ]
+            sh_prior = (
+                spark.read.option("basePath", shingles_path)
+                .parquet(shingles_path)
+                .filter(
+                    (F.col("ingest_batch") < batch_id)
+                    & F.col("bucket").isin(buckets)
+                )
+                .join(
+                    cand_prior.select(F.col("corpus_id").alias("doc_id"))
+                    .distinct(),
+                    "doc_id",
+                    "left_semi",
+                )
+                .select("doc_id", "sh")
+            )
+            j = hashing.jaccard(F.col("sa.sh"), F.col("sb.sh"))
+            prior_dups = (
+                cand_prior.join(
+                    sh_delta.alias("sa"), cand_prior.new_id == F.col("sa.doc_id")
+                )
+                .join(
+                    sh_prior.alias("sb"),
+                    cand_prior.corpus_id == F.col("sb.doc_id"),
+                )
+                .filter(j >= threshold)
+                .groupBy(F.col("new_id").alias("doc_id"))
+                .agg(F.count(F.lit(1)).alias("n_prior_dups"))
+            )
+        else:
+            prior_dups = spark.createDataFrame(
+                [], "doc_id long, n_prior_dups long"
+            )
+        # co-delivered near-dups: min-keeps — only the LARGER id of a
+        # verified pair is flagged, so a duplicate family's first
+        # arrival stays canonical even inside one trigger
+        local_cand = (
+            sigs.alias("a")
+            .join(
+                sigs.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.doc_id") > F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("new_id"),
+                F.col("b.doc_id").alias("kept_id"),
+            )
+            .distinct()
+        )
+        jl = hashing.jaccard(F.col("sa.sh"), F.col("sb.sh"))
+        local_dups = (
+            local_cand.join(
+                sh_delta.alias("sa"), local_cand.new_id == F.col("sa.doc_id")
+            )
+            .join(sh_delta.alias("sb"), local_cand.kept_id == F.col("sb.doc_id"))
+            .filter(jl >= threshold)
+            .groupBy(F.col("new_id").alias("doc_id"))
+            .agg(F.count(F.lit(1)).alias("n_local_dups"))
+        )
+        annotated = (
+            batch.join(prior_dups, "doc_id", "left")
+            .join(local_dups, "doc_id", "left")
+            .select(
+                "doc_id",
+                "text",
+                "source",
+                F.coalesce("n_prior_dups", F.lit(0)).alias("n_prior_dups"),
+                F.coalesce("n_local_dups", F.lit(0)).alias("n_local_dups"),
+                (
+                    F.coalesce("n_prior_dups", F.lit(0))
+                    + F.coalesce("n_local_dups", F.lit(0))
+                    > 0
+                ).alias("near_dup_suspect"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        annotated.write.mode("overwrite").parquet(
+            os.path.join(out_docs, f"ingest_batch={batch_id}")
+        )
+        # append the trigger's index rows — O(trigger) written, the
+        # accumulated index is never rewritten; both relations carry
+        # the SAME batch partition so the probe's < batch_id filter
+        # keeps them consistent under replay
+        sigs.write.mode("overwrite").parquet(
+            os.path.join(bands_path, f"ingest_batch={batch_id}")
+        )
+        sh_delta.withColumn(
+            "bucket",
+            F.pmod(F.col("doc_id"), F.lit(MINHASH_INDEX_BUCKETS)).cast("int"),
+        ).write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(shingles_path, f"ingest_batch={batch_id}")
+        )
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(probe_and_index)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )

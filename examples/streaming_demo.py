@@ -40,7 +40,7 @@ def main() -> None:
         t: f"{work}/topics/{t}"
         for t in (
             "register", "qz", "page", "raw", "docs", "pii", "emb", "link",
-            "scrub", "budget", "shard", "winnow", "ingest",
+            "scrub", "budget", "shard", "winnow", "ingest", "neardup",
         )
     }
 
@@ -350,6 +350,32 @@ def main() -> None:
         file_stream(spark, topics["ingest"]),
         out["curation_ingest"], ck("ingest"),
         budget=100, shard_tokens=25, available_now=True,
+    ).awaitTermination(120)
+
+    # round-9: near-dup-on-ingest against the cumulative MinHash
+    # signature index — wave 2's light edit of wave 1's doc is flagged
+    # (n_prior_dups=1), the co-delivered near-pair keeps its min id
+    # clean, fresh text stays clean.
+    base_words = [f"nd{i}" for i in range(30)]
+    edited = list(base_words); edited[3] = "edited3"
+    produce(topics["neardup"], "b1.jsonl", [
+        json.dumps({"doc_id": 1, "text": " ".join(base_words),
+                    "source": "s1"}),
+    ])
+    out["neardup_ingest"] = f"{work}/out/neardup_ingest"
+    jobs.minhash_dedup_job(
+        file_stream(spark, topics["neardup"]),
+        out["neardup_ingest"], ck("neardup"), available_now=True,
+    ).awaitTermination(120)
+    produce(topics["neardup"], "b2.jsonl", [
+        json.dumps({"doc_id": 2, "text": " ".join(edited), "source": "s1"}),
+        json.dumps({"doc_id": 3,
+                    "text": " ".join(f"fresh{i}" for i in range(30)),
+                    "source": "s1"}),
+    ])
+    jobs.minhash_dedup_job(
+        file_stream(spark, topics["neardup"]),
+        out["neardup_ingest"], ck("neardup"), available_now=True,
     ).awaitTermination(120)
 
     for name, path in out.items():

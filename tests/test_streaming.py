@@ -1531,3 +1531,74 @@ def test_winnow_index_compaction_preserves_annotations(spark, tmp_path):
     assert r[30]["overlap_suspect"] and not r[31]["overlap_suspect"]
     # idempotent: a second compaction folds the new batch dir too
     assert jobs.compact_winnow_index(spark, idx) == 1
+
+
+def _near_copy_text(seed: str, n: int = 30, edit: int = -1) -> str:
+    """n distinct seed-words; edit >= 0 swaps one word — shingle
+    Jaccard stays far above the 0.5 LSH/verify threshold."""
+    words = [f"{seed}{i}" for i in range(n)]
+    if edit >= 0:
+        words[edit] = f"edited{edit}"
+    return " ".join(words)
+
+
+def test_minhash_dedup_flags_later_near_copy(spark, tmp_path):
+    """Near-dup-on-ingest: a wave-2 re-crawl that is a light edit of a
+    wave-1 document is flagged against the PERSISTED signature index;
+    the original and an unrelated doc stay clean. The streamed
+    prior-pair verdicts agree with the batch cross-corpus twin."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    w1 = [(1, "s", _near_copy_text("alpha")),
+          (2, "s", _near_copy_text("bravo"))]
+    _write_lines(src, "b1.jsonl", _budget_doc_lines(w1))
+    _run(jobs.minhash_dedup_job, spark, src, out, ckpt)
+    r1 = {x["doc_id"]: x for x in spark.read.parquet(out).collect()}
+    assert not r1[1]["near_dup_suspect"] and not r1[2]["near_dup_suspect"]
+
+    w2 = [(10, "s", _near_copy_text("alpha", edit=3)),  # near-copy of 1
+          (11, "s", _near_copy_text("charlie"))]        # fresh
+    _write_lines(src, "b2.jsonl", _budget_doc_lines(w2))
+    _run(jobs.minhash_dedup_job, spark, src, out, ckpt)
+    r2 = {x["doc_id"]: x for x in spark.read.parquet(out).collect()}
+    assert r2[10]["near_dup_suspect"] and r2[10]["n_prior_dups"] == 1
+    assert not r2[11]["near_dup_suspect"]
+    assert not r2[1]["near_dup_suspect"]  # wave-1 rows unchanged
+
+    # twin agreement: the batch operator on (wave2, wave1) finds the
+    # same single prior pair
+    from edu_online_spark.operators.dedup import cross_corpus_minhash_pairs
+
+    new = spark.createDataFrame(
+        [(d, t, s) for d, s, t in w2], ["doc_id", "text", "source"]
+    )
+    corpus = spark.createDataFrame(
+        [(d, t, s) for d, s, t in w1], ["doc_id", "text", "source"]
+    )
+    batch_pairs = {
+        (r["new_id"], r["corpus_id"])
+        for r in cross_corpus_minhash_pairs(new, corpus).collect()
+    }
+    assert batch_pairs == {(10, 1)}
+
+
+def test_minhash_dedup_codelivery_min_keeps(spark, tmp_path):
+    """Two near-identical docs in ONE trigger: the smaller doc_id is
+    the canonical survivor (clean), the larger is flagged as a local
+    dup — co-delivery cannot hide duplication, and the attribution
+    matches near_dup_clusters' min-rep rule. A replay through the
+    same checkpoint changes nothing."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(src, "b1.jsonl", _budget_doc_lines([
+        (20, "s", _near_copy_text("delta")),
+        (21, "s", _near_copy_text("delta", edit=5)),
+        (22, "s", _near_copy_text("echo")),
+    ]) + ["corrupt {"])
+    _run(jobs.minhash_dedup_job, spark, src, out, ckpt)
+    r = {x["doc_id"]: x for x in spark.read.parquet(out).collect()}
+    assert set(r) == {20, 21, 22}  # corrupt line dropped
+    assert not r[20]["near_dup_suspect"]          # canonical min id
+    assert r[21]["near_dup_suspect"] and r[21]["n_local_dups"] == 1
+    assert not r[22]["near_dup_suspect"]
+    before = sorted(map(tuple, spark.read.parquet(out).collect()))
+    _run(jobs.minhash_dedup_job, spark, src, out, ckpt)  # no new data
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == before
