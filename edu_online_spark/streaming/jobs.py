@@ -2422,22 +2422,41 @@ def compact_winnow_index(spark: SparkSession, index_path: str) -> int:
     happen. No interleaving double-counts or drops a row.
     Returns the number of batch partitions folded away.
     """
+    # multiplicity kept: per-fp row count IS the df
+    return _compact_batch_dirs(
+        spark, index_path, lambda df: df.select("fp")
+    )
+
+
+def _compact_batch_dirs(
+    spark: SparkSession,
+    path: str,
+    project,
+    partition_by: str | None = None,
+    rows_per_file: int = 4_000_000,
+) -> int:
+    """The staging + manifest + rename-last fold protocol behind
+    compact_winnow_index (where its crash analysis is documented),
+    shared by every append-only ingest_batch-partitioned index.
+    `project` selects the columns to keep; `partition_by` preserves a
+    sub-partitioning (e.g. the signature index's shingle buckets)
+    inside the folded ingest_batch=-1 dir."""
     import json
     import os
     import shutil
 
-    if not os.path.isdir(index_path):
+    if not os.path.isdir(path):
         return 0
-    staging = os.path.join(index_path, "_staging_compact")
-    manifest = os.path.join(index_path, "_compaction_manifest.json")
-    minus1 = os.path.join(index_path, "ingest_batch=-1")
+    staging = os.path.join(path, "_staging_compact")
+    manifest = os.path.join(path, "_compaction_manifest.json")
+    minus1 = os.path.join(path, "ingest_batch=-1")
 
     def _finish(folded: list[str]) -> int:
         # Commit protocol, shared by the normal path and crash
         # recovery. Precondition: manifest on disk and the complete
         # fold in staging (or already renamed onto ingest_batch=-1).
         for d in folded:
-            p = os.path.join(index_path, d)
+            p = os.path.join(path, d)
             if os.path.isdir(p):
                 shutil.rmtree(p)
         if os.path.isdir(staging):
@@ -2456,29 +2475,61 @@ def compact_winnow_index(spark: SparkSession, index_path: str) -> int:
 
     batch_dirs = [
         d
-        for d in os.listdir(index_path)
+        for d in os.listdir(path)
         if d.startswith("ingest_batch=") and d != "ingest_batch=-1"
     ]
     if not batch_dirs:
         return 0
     merged = (
-        spark.read.option("basePath", index_path)
-        .parquet(index_path)
-        .select("fp")  # multiplicity kept: per-fp row count IS the df
+        project(spark.read.option("basePath", path).parquet(path))
         # pin the full read once; count() and the write below share it
         .localCheckpoint(eager=True)
     )
-    # coalesce to ~4M prints (~32 MB) per file — without this the
-    # write inherits one output file per input file and the
-    # compaction removes directories but not the footer/listing
-    # overhead that motivated it
-    n_files = max(1, min(256, merged.count() // 4_000_000 + 1))
-    merged.coalesce(n_files).write.mode("overwrite").parquet(staging)
+    if partition_by:
+        # one task (≈ one file) per partition value — coalesce would
+        # multiply files by task count under partitionBy
+        out = merged.repartition(partition_by).write.mode("overwrite")
+        out.partitionBy(partition_by).parquet(staging)
+    else:
+        # bound file count (~32 MB each) — without this the write
+        # inherits one output file per input file and the compaction
+        # removes directories but not the footer/listing overhead
+        # that motivated it
+        n_files = max(1, min(256, merged.count() // rows_per_file + 1))
+        merged.coalesce(n_files).write.mode("overwrite").parquet(staging)
     tmp = manifest + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"folded": sorted(batch_dirs)}, f)
     os.replace(tmp, manifest)  # atomic publish: fold is now committed
     return _finish(sorted(batch_dirs))
+
+
+def compact_minhash_index(spark: SparkSession, index_path: str) -> int:
+    """Offline compaction for minhash_dedup_job's append-only
+    signature index — the winnow compaction's twin, one fold per
+    relation (bands, then shingles), each independently crash-safe
+    under the shared staging + manifest + rename-last protocol. The
+    shingle fold preserves the bucket sub-partitioning the probe's
+    `bucket IN (...)` pruning reads. Rows here are identity-keyed
+    (doc_id), so unlike the winnow index there is no multiplicity
+    semantics to protect — but the doubling hazard is the same: a
+    duplicated band row would re-surface the same candidate pair
+    twice and a duplicated shingle row would double-join the verify.
+    Returns the total number of batch partitions folded away."""
+    import os
+
+    folded = _compact_batch_dirs(
+        spark,
+        os.path.join(index_path, "bands"),
+        lambda df: df.select("doc_id", "band", "bh"),
+    )
+    folded += _compact_batch_dirs(
+        spark,
+        os.path.join(index_path, "shingles"),
+        lambda df: df.select("doc_id", "sh", "bucket"),
+        partition_by="bucket",
+    )
+    return folded
 
 
 def minhash_dedup_job(

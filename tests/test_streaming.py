@@ -1602,3 +1602,38 @@ def test_minhash_dedup_codelivery_min_keeps(spark, tmp_path):
     before = sorted(map(tuple, spark.read.parquet(out).collect()))
     _run(jobs.minhash_dedup_job, spark, src, out, ckpt)  # no new data
     assert sorted(map(tuple, spark.read.parquet(out).collect())) == before
+
+
+def test_compact_minhash_index_preserves_annotations(spark, tmp_path):
+    """Folding the signature index's batch partitions must not change
+    any future verdict: compact after two waves, then a wave-3
+    near-copy of a wave-1 doc must still flag exactly as it would
+    have, and re-compaction folds the new batch dir."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(src, "b1.jsonl", _budget_doc_lines([
+        (1, "s", _near_copy_text("golf")),
+    ]))
+    _run(jobs.minhash_dedup_job, spark, src, out, ckpt)
+    _write_lines(src, "b2.jsonl", _budget_doc_lines([
+        (2, "s", _near_copy_text("hotel")),
+    ]))
+    _run(jobs.minhash_dedup_job, spark, src, out, ckpt)
+    idx = out + ".sigindex"
+    folded = jobs.compact_minhash_index(spark, idx)
+    assert folded == 4  # 2 batch dirs x 2 relations
+    for rel in ("bands", "shingles"):
+        dirs = [d for d in os.listdir(os.path.join(idx, rel))
+                if d.startswith("ingest_batch=")]
+        assert dirs == ["ingest_batch=-1"], (rel, dirs)
+    # idempotent: nothing left to fold
+    assert jobs.compact_minhash_index(spark, idx) == 0
+    _write_lines(src, "b3.jsonl", _budget_doc_lines([
+        (30, "s", _near_copy_text("golf", edit=7)),   # near-copy of 1
+        (31, "s", _near_copy_text("india")),
+    ]))
+    _run(jobs.minhash_dedup_job, spark, src, out, ckpt)
+    r = {x["doc_id"]: x for x in spark.read.parquet(out).collect()}
+    assert r[30]["near_dup_suspect"] and r[30]["n_prior_dups"] == 1
+    assert not r[31]["near_dup_suspect"]
+    # a second compaction folds the wave-3 partitions too
+    assert jobs.compact_minhash_index(spark, idx) == 2
