@@ -2432,15 +2432,16 @@ def _compact_batch_dirs(
     spark: SparkSession,
     path: str,
     project,
-    partition_by: str | None = None,
+    cluster_by: tuple[str, ...] = (),
     rows_per_file: int = 4_000_000,
 ) -> int:
     """The staging + manifest + rename-last fold protocol behind
     compact_winnow_index (where its crash analysis is documented),
     shared by every append-only ingest_batch-partitioned index.
-    `project` selects the columns to keep; `partition_by` preserves a
-    sub-partitioning (e.g. the signature index's shingle buckets)
-    inside the folded ingest_batch=-1 dir."""
+    `project` selects the columns to keep; `cluster_by` repartitions
+    and sorts the fold on the named columns (e.g. the signature
+    index's shingle buckets) so predicate pushdown on them prunes
+    row groups of the folded file(s)."""
     import json
     import os
     import shutil
@@ -2485,18 +2486,21 @@ def _compact_batch_dirs(
         # pin the full read once; count() and the write below share it
         .localCheckpoint(eager=True)
     )
-    if partition_by:
-        # one task (≈ one file) per partition value — coalesce would
-        # multiply files by task count under partitionBy
-        out = merged.repartition(partition_by).write.mode("overwrite")
-        out.partitionBy(partition_by).parquet(staging)
+    # bound file count (~32 MB each) — without this the write
+    # inherits one output file per input file and the compaction
+    # removes directories but not the footer/listing overhead
+    # that motivated it
+    n_files = max(1, min(256, merged.count() // rows_per_file + 1))
+    if cluster_by:
+        # partition on the FIRST cluster column only (a composite hash
+        # would scatter each value across every file and defeat the
+        # pushdown), sort on all of them for tight row-group stats
+        out = merged.repartition(n_files, cluster_by[0]).sortWithinPartitions(
+            *cluster_by
+        )
     else:
-        # bound file count (~32 MB each) — without this the write
-        # inherits one output file per input file and the compaction
-        # removes directories but not the footer/listing overhead
-        # that motivated it
-        n_files = max(1, min(256, merged.count() // rows_per_file + 1))
-        merged.coalesce(n_files).write.mode("overwrite").parquet(staging)
+        out = merged.coalesce(n_files)
+    out.write.mode("overwrite").parquet(staging)
     tmp = manifest + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"folded": sorted(batch_dirs)}, f)
@@ -2509,8 +2513,9 @@ def compact_minhash_index(spark: SparkSession, index_path: str) -> int:
     signature index — the winnow compaction's twin, one fold per
     relation (bands, then shingles), each independently crash-safe
     under the shared staging + manifest + rename-last protocol. The
-    shingle fold preserves the bucket sub-partitioning the probe's
-    `bucket IN (...)` pruning reads. Rows here are identity-keyed
+    shingle fold re-clusters (repartition + sort) on bucket so the
+    probe's `bucket IN (...)` predicate pushdown keeps pruning row
+    groups after the fold. Rows here are identity-keyed
     (doc_id), so unlike the winnow index there is no multiplicity
     semantics to protect — but the doubling hazard is the same: a
     duplicated band row would re-surface the same candidate pair
@@ -2527,7 +2532,7 @@ def compact_minhash_index(spark: SparkSession, index_path: str) -> int:
         spark,
         os.path.join(index_path, "shingles"),
         lambda df: df.select("doc_id", "sh", "bucket"),
-        partition_by="bucket",
+        cluster_by=("bucket", "doc_id"),
     )
     return folded
 
@@ -2559,9 +2564,21 @@ def minhash_dedup_job(
     a redelivered trigger excludes its own rows and recomputes the
     identical annotation). Shingle reads are additionally pruned by
     `bucket IN (candidate buckets)` — the bounded ≤64-bucket collect
-    idiom — so per-trigger verification reads O(candidates), never
-    O(corpus). The delta side of the collision join is
-    trigger-sized and broadcast; the index scan stays map-side.
+    idiom — and SKIPPED outright on the common no-candidate trigger,
+    so per-trigger verification reads O(candidates), never O(corpus).
+    The delta side of the collision join is trigger-sized and
+    broadcast; the index scan stays map-side.
+
+    Layout note vs the offline artifact: build_minhash_index
+    partitions shingles BY bucket (64 dirs total — right for one bulk
+    write); a stream writing 64 bucket dirs per trigger would explode
+    the file count (measured: 64 files/trigger, and the probe's
+    partition discovery grew linearly — 1.8 s at just 10 triggers), so
+    here bucket is a SORTED DATA COLUMN inside one file per trigger —
+    the `bucket IN (...)` predicate pushes down to parquet row-group
+    stats instead of directory pruning, which is the same IO skip at
+    one footer per batch. compact_minhash_index folds old batch dirs
+    and re-clusters by bucket.
 
     Dedup attribution is the canonical min-keeps rule shared with
     near_dup_clusters: a doc is flagged if it near-dups any PRIOR
@@ -2658,9 +2675,14 @@ def minhash_dedup_job(
                 .distinct()
                 .collect()  # ≤ MINHASH_INDEX_BUCKETS rows
             ]
+        else:
+            buckets = []
+        if buckets:
             sh_prior = (
                 spark.read.option("basePath", shingles_path)
                 .parquet(shingles_path)
+                # ingest_batch is a partition dir; bucket is a sorted
+                # data column — the isin pushes to row-group stats
                 .filter(
                     (F.col("ingest_batch") < batch_id)
                     & F.col("bucket").isin(buckets)
@@ -2687,6 +2709,8 @@ def minhash_dedup_job(
                 .agg(F.count(F.lit(1)).alias("n_prior_dups"))
             )
         else:
+            # no band collision → no candidate → the shingle store is
+            # not even opened (the common all-fresh trigger)
             prior_dups = spark.createDataFrame(
                 [], "doc_id long, n_prior_dups long"
             )
@@ -2741,15 +2765,18 @@ def minhash_dedup_job(
         # accumulated index is never rewritten; both relations carry
         # the SAME batch partition so the probe's < batch_id filter
         # keeps them consistent under replay
-        sigs.write.mode("overwrite").parquet(
+        sigs.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(bands_path, f"ingest_batch={batch_id}")
         )
+        # ONE sorted file per trigger (a 64-dir-per-trigger partitionBy
+        # here exploded the file count and made probe discovery grow
+        # with trigger count — see the layout note above)
         sh_delta.withColumn(
             "bucket",
             F.pmod(F.col("doc_id"), F.lit(MINHASH_INDEX_BUCKETS)).cast("int"),
-        ).write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(shingles_path, f"ingest_batch={batch_id}")
-        )
+        ).repartition(1).sortWithinPartitions("bucket", "doc_id").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(shingles_path, f"ingest_batch={batch_id}"))
 
     return (
         docs.writeStream.outputMode("append")

@@ -187,6 +187,96 @@ def bench_winnow_index(spark, work, n_docs, n_files, tail_files=3):
     )
 
 
+def bench_minhash_dedup(spark, work, n_docs, n_files, tail_files=3):
+    """Trigger-latency profile for minhash_dedup_job's signature index
+    — the winnow bench's twin (the other corpus-growing streaming
+    state): accumulation run, compact_minhash_index, post-compaction
+    tail. Distinct docs, so the index grows linearly and every trigger
+    pays the honest probe cost."""
+    name = "minhash_dedup"
+    src = os.path.join(work, name, "src")
+    per = n_docs // n_files
+
+    def line(i: int) -> str:
+        words = " ".join(f"mh{i}w{j}" for j in range(40))
+        return json.dumps({"doc_id": i, "text": words, "source": f"s{i % 8}"})
+
+    for f in range(n_files):
+        _produce(src, f"b{f:04d}.log", [line(f * per + i) for i in range(per)])
+    out = os.path.join(work, name, "out")
+    ckpt = os.path.join(work, name, "ck")
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates",
+        str(max(n_files + tail_files + 16, 100)),
+    )
+
+    def run_wave() -> list[tuple[int, int, float]]:
+        q = jobs.minhash_dedup_job(
+            file_stream(spark, src, max_files_per_trigger=1),
+            out,
+            ckpt,
+            available_now=True,
+        )
+        q.awaitTermination(600)
+        return sorted(
+            (p.batchId, p.numInputRows, p.batchDuration / 1000.0)
+            for p in q.recentProgress
+            if p.numInputRows > 0
+        )
+
+    t0 = time.monotonic()
+    prog = run_wave()
+    secs = time.monotonic() - t0
+    durs = [d for _, _, d in prog]
+    if not durs:
+        print(json.dumps({"job": name, "error": "no data-bearing batches"}))
+        return
+    print(
+        json.dumps(
+            {
+                "job": name,
+                "rows": per * n_files,
+                "secs": round(secs, 2),
+                "rows_per_sec": int(per * n_files / secs),
+                "batches": len(prog),
+                "trigger_s_first": round(durs[0], 2),
+                "trigger_s_median": round(sorted(durs)[len(durs) // 2], 2),
+                "trigger_s_last": round(durs[-1], 2),
+            }
+        )
+    )
+    t0 = time.monotonic()
+    folded = jobs.compact_minhash_index(spark, out + ".sigindex")
+    print(
+        json.dumps(
+            {
+                "job": name + "_compact",
+                "folded_partitions": folded,
+                "secs": round(time.monotonic() - t0, 2),
+            }
+        )
+    )
+    for f in range(tail_files):
+        i0 = (n_files + f) * per
+        _produce(src, f"b{n_files + f:04d}.log", [line(i0 + i) for i in range(per)])
+    prog = run_wave()
+    durs = [d for _, _, d in prog]
+    if not durs:
+        print(json.dumps({"job": name + "_postcompact",
+                          "error": "no data-bearing batches"}))
+        return
+    print(
+        json.dumps(
+            {
+                "job": name + "_postcompact",
+                "batches": len(prog),
+                "trigger_s_first": round(durs[0], 2),
+                "trigger_s_last": round(durs[-1], 2),
+            }
+        )
+    )
+
+
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 20
@@ -216,6 +306,7 @@ def main() -> None:
             budget=1 << 60,
         )
         bench_winnow_index(spark, work, n_rows // 10, n_files)
+        bench_minhash_dedup(spark, work, n_rows // 10, n_files)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
