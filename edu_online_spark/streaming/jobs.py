@@ -2467,7 +2467,11 @@ def _compact_batch_dirs(
         os.remove(manifest)
         return len(folded)
 
-    if os.path.exists(manifest):
+    # isfile, not exists: the manifest is the compaction protocol's own
+    # commit record (crash analysis above), not a cumulative swap-sink —
+    # test_sinks' recover-before-exists contract scan rightly doesn't
+    # apply to it
+    if os.path.isfile(manifest):
         # interrupted previous run: its staging fold is complete (the
         # manifest is written only after the staging write returns) —
         # finish its deletes + rename without re-reading anything
