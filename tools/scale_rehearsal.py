@@ -75,6 +75,10 @@ QUERIES = [
     "docs_winnowing_cross_corpus",
     "customer_record_linkage_multipass",
     "sim_knn_ivf_probe_recall",
+    # round-9 additions — measured the round they land, so no headline
+    # entry ships without a growth row
+    "source_winnow_overlap_matrix",
+    "source_token_fertility",
 ]
 
 # Queries whose cost Catalyst can prune under count() (aggregate
@@ -86,6 +90,8 @@ NOOP_MATERIALIZE = {
     "docs_winnowing_cross_corpus",
     "customer_record_linkage_multipass",
     "sim_knn_ivf_probe_recall",
+    "source_winnow_overlap_matrix",
+    "source_token_fertility",
 }
 
 
