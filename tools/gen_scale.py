@@ -166,6 +166,16 @@ def gen_lineitem(n: int, seed: int = 19) -> pa.Table:
     )
 
 
+def _write(table: pa.Table, path: str, row_group_rows: int) -> None:
+    """Many small row groups, not one: a single-row-group file caps
+    Spark's scan parallelism at 1-2 tasks regardless of cores, so sf1
+    wall-clock growth measured SERIALIZED map cost rather than the
+    cluster-shaped cost (the §4-r8 rehearsal caveat). ~32 row groups
+    per table lets local[32] parallelize the scans and makes the
+    wall-clock column meaningful alongside the shuffle bytes."""
+    pq.write_table(table, path, row_group_size=row_group_rows)
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_rehearsal/sf1"
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -173,15 +183,15 @@ def main() -> None:
 
     os.makedirs(out_dir, exist_ok=True)
     docs = gen_documents(5000 * mult)
-    pq.write_table(docs, f"{out_dir}/documents.parquet")
+    _write(docs, f"{out_dir}/documents.parquet", max(docs.num_rows // 32, 1))
     emb = gen_embeddings(2000 * mult)
-    pq.write_table(emb, f"{out_dir}/embeddings.parquet")
+    _write(emb, f"{out_dir}/embeddings.parquet", max(emb.num_rows // 32, 1))
     cust = gen_customer(15000 * mult)
-    pq.write_table(cust, f"{out_dir}/customer.parquet")
+    _write(cust, f"{out_dir}/customer.parquet", max(cust.num_rows // 32, 1))
     orders = gen_orders(150000 * mult, 15000 * mult)
-    pq.write_table(orders, f"{out_dir}/orders.parquet")
+    _write(orders, f"{out_dir}/orders.parquet", max(orders.num_rows // 32, 1))
     li = gen_lineitem(600000 * mult)
-    pq.write_table(li, f"{out_dir}/lineitem.parquet")
+    _write(li, f"{out_dir}/lineitem.parquet", max(li.num_rows // 32, 1))
     print(
         f"wrote {docs.num_rows} documents, {emb.num_rows} embeddings, "
         f"{cust.num_rows} customers, {orders.num_rows} orders, "

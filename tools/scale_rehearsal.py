@@ -132,8 +132,16 @@ def main() -> None:
     for scale, sf_dir in [("sf0.1", "/root/testdata/sf0.1"), ("sf1", sf1_dir)]:
         # fresh session per scale so REST stage totals are per-scale deltas;
         # the engine default disables the UI — the rehearsal needs its REST
-        # stage metrics, so re-enable it here only
-        spark = get_spark(extra={"spark.ui.enabled": "true"})
+        # stage metrics, so re-enable it here only. maxPartitionBytes drops
+        # to 1 MB so the rehearsal's single-digit-MB parquet files split
+        # into multiple scan tasks (at 128 MB each file is ONE split and
+        # wall-clock growth measures serialized map cost — the §4-r8
+        # caveat; gen_scale.py now writes ~32 row groups per table so the
+        # byte-range splits align to real work)
+        spark = get_spark(extra={
+            "spark.ui.enabled": "true",
+            "spark.sql.files.maxPartitionBytes": str(1 << 20),
+        })
         # JVM/codegen warmup so the first measured query doesn't absorb
         # session start cost (which would swamp the scaling signal)
         spark.read.parquet(f"{sf_dir}/documents.parquet").count()
