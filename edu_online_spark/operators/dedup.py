@@ -1348,8 +1348,13 @@ def _minhash_index(spark: SparkSession, sf_dir: str) -> str:
     import os
     import shutil
 
+    # The key covers every parameter the index content depends on
+    # (ADVICE r9: n/num_hashes/bands were once covered only by the
+    # format version, so retuning DEFAULT_NUM_HASHES without a version
+    # bump silently served a stale index to the oracle-parity path).
     key = hashlib.sha1(
         f"{os.path.abspath(sf_dir)}|b{MINHASH_INDEX_BUCKETS}"
+        f"|n3|h{hashing.DEFAULT_NUM_HASHES}|bd{hashing.DEFAULT_BANDS}"
         f"|v{_MINHASH_INDEX_FORMAT_VERSION}".encode()
     ).hexdigest()[:12]
     path = f"/tmp/edu_online_spark_minhash_index/{key}"
@@ -1401,6 +1406,9 @@ QUERIES = {
     "split_leakage_compare": _q(split_leakage_compare, "documents"),
     # round 9: queued library op promoted to a certified slot
     "source_dup_matrix": _q(source_dup_matrix, "documents"),
+    # round 10: the persisted-index probe, queued + type-audited in
+    # round 9 (ORACLE_R10); bit-equal to dedup_cross_corpus by contract
+    "dedup_cross_corpus_probe": _q_cross_corpus_probe,
 }
 
 # Exact Jaccard in DuckDB: build distinct 3-shingle lists with a list
@@ -1822,10 +1830,12 @@ ORACLE = {
     """,
 }
 
-# Round-10 promotion queue (the established pattern: library op +
-# tests + ready oracle now, window slot next round). The probe's
-# contract is bit-equality with the inline cross-corpus pairs, so its
-# oracle IS the dedup_cross_corpus oracle.
+# Promoted round 10 (queued + type-audited in round 9 per the
+# established pattern: library op + tests + ready oracle one round,
+# window slot the next). The probe's contract is bit-equality with the
+# inline cross-corpus pairs, so its oracle IS the dedup_cross_corpus
+# oracle. Kept as a named dict so the round-9 promotion tests keep
+# reading it; merged into ORACLE below.
 ORACLE_R10 = {
     "dedup_cross_corpus_probe": f"""
         WITH {_SHINGLES_CTE}
@@ -1838,6 +1848,7 @@ ORACLE_R10 = {
                       >= {JACCARD_THRESHOLD}
     """,
 }
+ORACLE.update(ORACLE_R10)
 
 # Round-9 promotion (queued + type-audited in round 8 per the round-7
 # rule — every oracle passes tools/oracle_type_audit.py before landing).

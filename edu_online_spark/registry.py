@@ -69,78 +69,80 @@ def _extended_modules():
 # round 2).
 _PREFIX_TAIL_BOUNDARY = "tpch"
 
-# Round-9 window rotation. The driver certifies only the first 50
-# entries per round, so the window is rotated each round toward the
-# queries whose certification is most valuable NOW:
-#   1. the STALENESS_BOUND_ROUNDS=5 contract (tests/test_registry.py)
-#      trips first: the FULL 43-row round-5 cohort hits the bound at
-#      round 9 (VERDICT r8 #1 — mechanical and non-negotiable), so it
-#      owns 43 of the 50 slots. Seven of those are declared rows-only
+# Round-10 window rotation (plan precomputed in COVERAGE.md at the
+# end of round 9 and re-verified mechanically this round):
+#   1. the STALENESS_BOUND_ROUNDS=5 contract trips first: the FULL
+#      41-row round-6 cohort hits the bound at round 10, so it owns
+#      41 of the 50 slots. Five of those are declared rows-only
 #      (ROWS_ONLY_WINDOW_SLOTS in tests/test_registry.py) — their
 #      driver row is the weak row-count check, which is still what
 #      resets their staleness clock;
-#   2. the three r8 library ops promoted to certified registry slots
-#      (VERDICT r8 #2), with oracles written and type-audited in r8;
-#   3. the round-9 additions (tokenizer fertility, winnowing
-#      source matrix) — new queries MUST take a window slot the round
-#      they land or they trip the staleness contract at birth.
-# Round 10 must lead with the round-6 staleness cohort.
+#   2. the round-9 library op promoted to a certified slot
+#      (`dedup_cross_corpus_probe`, oracle queued + type-audited in
+#      round 9), plus any round-10 additions — a new query takes a
+#      window slot the round it lands or it trips the staleness
+#      contract at birth;
+#   3. fillers drawn from the round-7 cohort (47 queries hit the bound
+#      at round 11 — one more than the window holds, so every filler
+#      certified now is a slot bought back next round).
+# Round 11 must lead with the remaining round-7 staleness cohort.
 # Names are validated against the assembled registry — a typo or a
 # renamed query fails loudly rather than silently ceding its slot.
 _WINDOW_PRIORITY = [
-    # 1: full round-5 cohort — staleness bound trips THIS round
-    "ann_all_pairs_topk",  # rows-only
-    "archival_daily_counts",
-    "basket_association_rules",
-    "corpus_bpe_merges",  # rows-only
-    "customer_record_linkage",
-    "customers_without_orders",
-    "daily_event_pivot",
-    "docs_compression_ratio",  # rows-only
-    "docs_lm_perplexity",  # rows-only
-    "docs_quality_calibrated",
-    "embeddings_label_centroids",
-    "events_daily_trend",
-    "events_deterministic_sample",
-    "events_distinct_users",
-    "events_region_enrich",
-    "events_session_stats",
-    "events_sessionize",
-    "events_type_transitions",
-    "events_user_value_ewma",  # rows-only
-    "events_value_winsorized",
-    "hybrid_search_rrf_lsh",
-    "lineitem_price_quantiles",
-    "multimodal_audio_fingerprint",
-    "multimodal_image_ahash",
-    "multimodal_video_scenecuts",
-    "orders_rollup",
-    "page_flow",
-    "page_props_decode",
-    "part_topk_per_brand",
-    "purchase_attribution",
-    "purchase_status_asof",
-    "quiz_mastery_approx",
-    "register_cumulative_daily",
-    "register_platform_counts",
-    "register_sliding_counts",
-    "text_fingerprints_fast",  # rows-only
-    "text_knn_minhash",  # rows-only
-    "tpch_q1_pricing_summary",
-    "tpch_q3_top_orders",
-    "tpch_q5_region_revenue",
-    "tpch_q6_forecast_revenue",
-    "users_purchase_no_error",
-    "users_view_and_purchase",
-    # 2: round-8 library ops promoted to certified slots (oracles
-    # type-audited in r8)
-    "source_dup_matrix",
-    "corpus_shards_incremental",
-    "docs_decontamination_stats",
-    # 3: round-9 additions — a new query takes a window slot the round
-    # it lands or it trips the staleness contract at birth
-    "source_winnow_overlap_matrix",
-    "source_token_fertility",
+    # 1: full round-6 cohort — staleness bound trips THIS round
+    "corpus_repeated_spans",
+    "customers_bloom_prefilter",
+    "dedup_simhash",  # rows-only
+    "dedup_substring_cross_corpus",
+    "docs_bpe_encoded",  # rows-only
+    "docs_curriculum_stages",
+    "docs_feature_hashed",
+    "docs_hashed_knn",
+    "docs_leakage_safe_split",
+    "docs_memorization_risk",
+    "docs_mixture_temperature",
+    "docs_substring_dedup",
+    "embeddings_quantized_int8",
+    "events_hourly_heatmap",
+    "hybrid_search_rrf_lsh_prod",  # rows-only
+    "lineitem_price_kll_rollup",
+    "multimodal_ahash_clusters",
+    "multimodal_ahash_neardup",
+    "multimodal_video_fp_neardup",
+    "nation_participation",
+    "orders_cube",
+    "orders_date_features",
+    "orders_grouping_sets",
+    "orders_priciest_per_priority",
+    "part_price_rank_family",
+    "purchase_view_window_counts",
+    "purchases_minutely_gapfill",
+    "sim_knn_ivf",  # rows-only
+    "sim_knn_lsh",  # rows-only
+    "split_leakage_compare",
+    "tpch_q12_priority_by_flag",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q16_dormant_customers",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_heavy_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_rich_punctual_orders",
+    "tpch_q4_priority_waiting",
+    # 2: round-9 library op promoted to a certified slot, plus
+    #    round-10 additions (each takes a slot the round it lands)
+    "dedup_cross_corpus_probe",
+    # 3: fillers from the round-7 cohort (round-11 pressure relief)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "benchmark_contamination",
+    "corpus_end_to_end_curation",
+    "docs_winnowing_overlap",
+    "embeddings_label_noise",
+    "text_quality",
 ]
 
 

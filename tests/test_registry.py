@@ -56,20 +56,19 @@ def test_broken_extension_does_not_kill_core(monkeypatch):
     assert "dedup" in names and "textops" in names  # the rest survived
 
 
-# Round 9 rotates to the 43-row round-5 staleness cohort, which
-# contains seven rows-only queries (LSH/iterative/libm-dependent —
+# Round 10 rotates to the 41-row round-6 staleness cohort, which
+# contains five rows-only queries (LSH/iterative/hash-defined —
 # their semantics are pytest-pinned; the driver row is the weak
 # row-count check that resets their staleness clock). The remaining
-# slots go to the three promoted r8 library ops and the round-9
-# additions, all oracle-backed.
+# slots go to the promoted round-9 library op
+# (dedup_cross_corpus_probe) and fillers from the round-7 cohort,
+# all oracle-backed.
 ROWS_ONLY_WINDOW_SLOTS: set[str] = {
-    "ann_all_pairs_topk",
-    "corpus_bpe_merges",
-    "docs_compression_ratio",
-    "docs_lm_perplexity",
-    "events_user_value_ewma",
-    "text_fingerprints_fast",
-    "text_knn_minhash",
+    "dedup_simhash",
+    "docs_bpe_encoded",
+    "hybrid_search_rrf_lsh_prod",
+    "sim_knn_ivf",
+    "sim_knn_lsh",
 }
 
 
