@@ -1996,8 +1996,13 @@ def winnow_index_job(
     identical annotation from the identical prior state, and
     re-overwrites both its output dirs byte-for-byte. No fence row, no
     staged swap, nothing to recover — idempotence is structural.
-    (A long-running deployment compacts old batch partitions offline;
-    compaction only merges files, the relation is unchanged.)
+    (A long-running deployment compacts old batch partitions offline
+    with compact_winnow_index, passing this job's checkpoint dir so
+    only COMMITTED triggers fold — an uncommitted trigger's dir must
+    stay a real partition for the `< batch_id` filter to exclude it on
+    replay. Folds made without the gate are caught by the probe's
+    `_folded_through` subtract guard below; compaction only merges
+    files, the relation is unchanged.)
 
     Semantics delta vs the batch operator, documented as with the
     other twins: the batch form pairs documents symmetrically; the
@@ -2058,6 +2063,10 @@ def winnow_index_job(
         if batch.isEmpty():
             return
         spark = batch.sparkSession
+        # finish any compaction that crashed inside its commit step —
+        # until then, folded rows exist only in the hidden staging dir
+        # and the prior-df count below would undercount
+        _recover_compaction(index_path)
         has_batches = os.path.isdir(index_path) and any(
             d.startswith("ingest_batch=") for d in os.listdir(index_path)
         )
@@ -2097,6 +2106,22 @@ def winnow_index_job(
             .groupBy("fp")
             .agg(F.count(F.lit(1)).alias("n_prior"))
         )
+        if _folded_through(index_path) >= batch_id:
+            # Replay after an UNGATED compaction folded this trigger's
+            # own prints into ingest_batch=-1 (checkpoint-gated
+            # compaction can never reach here: a replayable batch is
+            # uncommitted, so it is never folded). The index stores no
+            # doc ids, but our folded contribution per fp is exactly
+            # n_local — one row per (doc, fp), deterministic recompute
+            # — so subtract it back out (ADVICE r9 medium).
+            prior_df = (
+                prior_df.join(F.broadcast(local_df), "fp")
+                .select(
+                    "fp",
+                    (F.col("n_prior") - F.col("n_local")).alias("n_prior"),
+                )
+                .filter(F.col("n_prior") > 0)
+            )
         hits = (
             fps.join(prior_df, "fp", "left")
             .join(F.broadcast(local_df), "fp")
@@ -2380,7 +2405,9 @@ def curation_ingest_job(
     )
 
 
-def compact_winnow_index(spark: SparkSession, index_path: str) -> int:
+def compact_winnow_index(
+    spark: SparkSession, index_path: str, checkpoint: str | None = None
+) -> int:
     """Offline compaction for winnow_index_job's append-only
     fingerprint index: fold every ingest_batch partition into ONE
     partition at `ingest_batch=-1` (strictly below any real batch id,
@@ -2420,12 +2447,106 @@ def compact_winnow_index(spark: SparkSession, index_path: str) -> int:
     without being merged again, and the staging dir (whose only exit
     is the rename) tells recovery whether the swap still needs to
     happen. No interleaving double-counts or drops a row.
+
+    Crash-safe against REPLAYS too (ADVICE r9): pass the job's
+    `checkpoint` dir and only batch dirs the stream has COMMITTED are
+    folded. Without the gate, folding the dir of a trigger whose
+    commit never landed moves that trigger's own prints into
+    ingest_batch=-1 — which always passes the probe's
+    `ingest_batch < batch_id` replay filter — so the redelivered
+    trigger would count its own prints as prior df (the probe's
+    `_folded_through` subtract guard is the backstop for folds made
+    without the gate). Gating also refuses dirs a crashed write left
+    partial, whose row counts are not yet the true dfs.
     Returns the number of batch partitions folded away.
     """
     # multiplicity kept: per-fp row count IS the df
     return _compact_batch_dirs(
-        spark, index_path, lambda df: df.select("fp")
+        spark,
+        index_path,
+        lambda df: df.select("fp"),
+        max_batch_id=None if checkpoint is None
+        else _committed_through(checkpoint),
     )
+
+
+def _committed_through(checkpoint: str) -> int:
+    """Largest batch id the stream checkpoint has COMMITTED (the
+    trigger's `commits/<id>` record landed after its writes), or -1.
+    A batch that will be REPLAYED on restart — offsets written, commit
+    missing — is by definition above this value, so a compaction gated
+    on it can never fold a replayable trigger's own rows into the
+    ingest_batch=-1 partition (ADVICE r9 high: an ungated fold lets a
+    redelivered trigger join against its own folded rows and
+    self-match at Jaccard 1.0)."""
+    import os
+
+    commits = os.path.join(checkpoint, "commits")
+    if not os.path.isdir(commits):
+        return -1
+    return max(
+        (int(f) for f in os.listdir(commits) if f.isdigit()), default=-1
+    )
+
+
+def _folded_through(path: str) -> int:
+    """Largest batch id ever folded into this index's ingest_batch=-1
+    partition (from the `_folded_through.json` sidecar the fold writes
+    into its staging dir; -1 for an uncompacted index or a pre-sidecar
+    fold). The winnow probe compares this against its own batch id to
+    detect the replay-after-UNGATED-compaction case."""
+    import json
+    import os
+
+    p = os.path.join(path, "ingest_batch=-1", "_folded_through.json")
+    if not os.path.isfile(p):
+        return -1
+    with open(p) as f:
+        return json.load(f)["folded_through"]
+
+
+def _finish_compaction(path: str, folded: list[str]) -> int:
+    """The commit step of the fold protocol, shared by the normal path
+    and crash recovery. Precondition: manifest on disk and the
+    complete fold in staging (or already renamed onto
+    ingest_batch=-1): delete the folded dirs, rename staging onto
+    ingest_batch=-1 (THE commit point), remove the manifest."""
+    import os
+    import shutil
+
+    staging = os.path.join(path, "_staging_compact")
+    manifest = os.path.join(path, "_compaction_manifest.json")
+    minus1 = os.path.join(path, "ingest_batch=-1")
+    for d in folded:
+        p = os.path.join(path, d)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+    if os.path.isdir(staging):
+        if os.path.isdir(minus1):
+            shutil.rmtree(minus1)  # pre-fold rows — already in staging
+        os.rename(staging, minus1)  # THE commit point
+    os.remove(manifest)
+    return len(folded)
+
+
+def _recover_compaction(path: str) -> int:
+    """Finish a compaction interrupted inside its commit step. The
+    manifest is published only after the staging write returns, so
+    manifest-on-disk ⟹ the fold is complete; until the rename lands,
+    rows deleted from folded batch dirs exist ONLY in the hidden
+    staging dir and a probe reading the index mid-recovery would
+    undercount prior document frequencies. Both streaming probes call
+    this (no-op isfile check per trigger) before listing the index, so
+    the stream itself closes the crash window instead of waiting for
+    the next offline compaction run."""
+    import json
+    import os
+
+    manifest = os.path.join(path, "_compaction_manifest.json")
+    if not os.path.isfile(manifest):
+        return 0
+    with open(manifest) as f:
+        return _finish_compaction(path, json.load(f)["folded"])
 
 
 def _compact_batch_dirs(
@@ -2434,6 +2555,7 @@ def _compact_batch_dirs(
     project,
     cluster_by: tuple[str, ...] = (),
     rows_per_file: int = 4_000_000,
+    max_batch_id: int | None = None,
 ) -> int:
     """The staging + manifest + rename-last fold protocol behind
     compact_winnow_index (where its crash analysis is documented),
@@ -2441,31 +2563,23 @@ def _compact_batch_dirs(
     `project` selects the columns to keep; `cluster_by` repartitions
     and sorts the fold on the named columns (e.g. the signature
     index's shingle buckets) so predicate pushdown on them prunes
-    row groups of the folded file(s)."""
+    row groups of the folded file(s).
+
+    `max_batch_id` gates WHICH batch dirs fold (ADVICE r9): only dirs
+    with id <= max_batch_id are merged and deleted; later dirs —
+    uncommitted triggers that a restart may replay, or dirs a crashed
+    write left partial — are left untouched for a later run. The fold
+    records the largest id it has ever absorbed in a
+    `_folded_through.json` sidecar (hidden from Spark's file listing)
+    inside ingest_batch=-1, carried forward across folds, so probes
+    can detect a fold that DOES contain their own batch."""
     import json
     import os
-    import shutil
 
     if not os.path.isdir(path):
         return 0
     staging = os.path.join(path, "_staging_compact")
     manifest = os.path.join(path, "_compaction_manifest.json")
-    minus1 = os.path.join(path, "ingest_batch=-1")
-
-    def _finish(folded: list[str]) -> int:
-        # Commit protocol, shared by the normal path and crash
-        # recovery. Precondition: manifest on disk and the complete
-        # fold in staging (or already renamed onto ingest_batch=-1).
-        for d in folded:
-            p = os.path.join(path, d)
-            if os.path.isdir(p):
-                shutil.rmtree(p)
-        if os.path.isdir(staging):
-            if os.path.isdir(minus1):
-                shutil.rmtree(minus1)  # pre-fold rows — already in staging
-            os.rename(staging, minus1)  # THE commit point
-        os.remove(manifest)
-        return len(folded)
 
     # isfile, not exists: the manifest is the compaction protocol's own
     # commit record (crash analysis above), not a cumulative swap-sink —
@@ -2475,18 +2589,26 @@ def _compact_batch_dirs(
         # interrupted previous run: its staging fold is complete (the
         # manifest is written only after the staging write returns) —
         # finish its deletes + rename without re-reading anything
-        with open(manifest) as f:
-            return _finish(json.load(f)["folded"])
+        return _recover_compaction(path)
 
-    batch_dirs = [
-        d
+    batch_ids = {
+        d: int(d.split("=", 1)[1])
         for d in os.listdir(path)
         if d.startswith("ingest_batch=") and d != "ingest_batch=-1"
+    }
+    batch_dirs = [
+        d
+        for d, i in batch_ids.items()
+        if max_batch_id is None or i <= max_batch_id
     ]
     if not batch_dirs:
         return 0
+    scan = spark.read.option("basePath", path).parquet(path)
+    if max_batch_id is not None:
+        # partition-pruned: ungated dirs stay out of the fold AND on disk
+        scan = scan.filter(F.col("ingest_batch") <= max_batch_id)
     merged = (
-        project(spark.read.option("basePath", path).parquet(path))
+        project(scan)
         # pin the full read once; count() and the write below share it
         .localCheckpoint(eager=True)
     )
@@ -2505,14 +2627,29 @@ def _compact_batch_dirs(
     else:
         out = merged.coalesce(n_files)
     out.write.mode("overwrite").parquet(staging)
+    # record the largest batch id this fold absorbs (carried forward
+    # from any previous fold's sidecar) BEFORE the manifest publish,
+    # so the rename can never commit a fold without its provenance
+    with open(os.path.join(staging, "_folded_through.json"), "w") as f:
+        json.dump(
+            {
+                "folded_through": max(
+                    [batch_ids[d] for d in batch_dirs]
+                    + [_folded_through(path)]
+                )
+            },
+            f,
+        )
     tmp = manifest + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"folded": sorted(batch_dirs)}, f)
     os.replace(tmp, manifest)  # atomic publish: fold is now committed
-    return _finish(sorted(batch_dirs))
+    return _finish_compaction(path, sorted(batch_dirs))
 
 
-def compact_minhash_index(spark: SparkSession, index_path: str) -> int:
+def compact_minhash_index(
+    spark: SparkSession, index_path: str, checkpoint: str | None = None
+) -> int:
     """Offline compaction for minhash_dedup_job's append-only
     signature index — the winnow compaction's twin, one fold per
     relation (bands, then shingles), each independently crash-safe
@@ -2524,19 +2661,31 @@ def compact_minhash_index(spark: SparkSession, index_path: str) -> int:
     semantics to protect — but the doubling hazard is the same: a
     duplicated band row would re-surface the same candidate pair
     twice and a duplicated shingle row would double-join the verify.
-    Returns the total number of batch partitions folded away."""
+
+    Pass the job's `checkpoint` dir so only COMMITTED batch dirs fold
+    (ADVICE r9): an ungated fold moves an uncommitted trigger's own
+    band/shingle rows into ingest_batch=-1, where the redelivered
+    trigger's `ingest_batch < batch_id` filter no longer excludes
+    them — it would candidate-join its own documents and self-match
+    at Jaccard 1.0 (the probe's own-doc anti-join is the unconditional
+    backstop). Returns the total number of batch partitions folded."""
     import os
 
+    max_b = (
+        None if checkpoint is None else _committed_through(checkpoint)
+    )
     folded = _compact_batch_dirs(
         spark,
         os.path.join(index_path, "bands"),
         lambda df: df.select("doc_id", "band", "bh"),
+        max_batch_id=max_b,
     )
     folded += _compact_batch_dirs(
         spark,
         os.path.join(index_path, "shingles"),
         lambda df: df.select("doc_id", "sh", "bucket"),
         cluster_by=("bucket", "doc_id"),
+        max_batch_id=max_b,
     )
     return folded
 
@@ -2566,7 +2715,12 @@ def minhash_dedup_job(
     per trigger under each relation, probe reads `ingest_batch <
     batch_id` (partition-pruned, so replays are structurally exact:
     a redelivered trigger excludes its own rows and recomputes the
-    identical annotation). Shingle reads are additionally pruned by
+    identical annotation; after offline compaction the partition
+    filter alone no longer suffices — folded rows live at
+    ingest_batch=-1 — so compact_minhash_index is gated on the
+    checkpoint's committed batches and the probe additionally
+    anti-joins candidates against the trigger's own doc ids, ADVICE
+    r9). Shingle reads are additionally pruned by
     `bucket IN (candidate buckets)` — the bounded ≤64-bucket collect
     idiom — and SKIPPED outright on the common no-candidate trigger,
     so per-trigger verification reads O(candidates), never O(corpus).
@@ -2647,6 +2801,10 @@ def minhash_dedup_job(
         sh_delta = _shingled(batch.select("doc_id", "text")).localCheckpoint(
             eager=True
         )  # verify both candidate kinds + append
+        # finish any compaction that crashed inside its commit step
+        # before reading either relation (see _recover_compaction)
+        _recover_compaction(bands_path)
+        _recover_compaction(shingles_path)
         has_prior = os.path.isdir(bands_path) and any(
             d.startswith("ingest_batch=") for d in os.listdir(bands_path)
         )
@@ -2665,6 +2823,23 @@ def minhash_dedup_job(
                 .select(
                     F.col("a.doc_id").alias("new_id"),
                     prior_bands.doc_id.alias("corpus_id"),
+                )
+                # a document is never a prior near-dup of ITSELF: drop
+                # candidates whose corpus side is one of this trigger's
+                # own doc ids. Prior batches can only contain them via
+                # replay-after-ungated-compaction (own rows folded into
+                # ingest_batch=-1, which passes the < batch_id filter —
+                # ADVICE r9 high: self-match at Jaccard 1.0) or an
+                # at-least-once redelivery of the same doc id across
+                # triggers (an exact repost — the Bloom seen-filter
+                # job's case, not a near-dup). Trigger-sized broadcast
+                # anti-join, unconditional.
+                .join(
+                    F.broadcast(
+                        batch.select(F.col("doc_id").alias("corpus_id"))
+                    ),
+                    "corpus_id",
+                    "left_anti",
                 )
                 .distinct()
                 .localCheckpoint(eager=True)  # bucket collect + verify

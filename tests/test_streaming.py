@@ -1637,3 +1637,134 @@ def test_compact_minhash_index_preserves_annotations(spark, tmp_path):
     assert not r[31]["near_dup_suspect"]
     # a second compaction folds the wave-3 partitions too
     assert jobs.compact_minhash_index(spark, idx) == 2
+
+
+def _uncommit_last_batch(ckpt: str) -> None:
+    """Simulate a crash AFTER a trigger's writes but BEFORE its
+    checkpoint commit landed: delete the newest commits/<id> record
+    (and its local-fs checksum twin) so a restart replays that batch
+    with the same batch id and the same source file list."""
+    commits = os.path.join(ckpt, "commits")
+    last = max(int(f) for f in os.listdir(commits) if f.isdigit())
+    os.remove(os.path.join(commits, str(last)))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def test_minhash_replay_after_compaction_does_not_self_match(
+    spark, tmp_path
+):
+    """ADVICE r9 high: a redelivered trigger whose rows were folded
+    into ingest_batch=-1 by an UNGATED offline compaction used to join
+    against its own folded band/shingle rows and self-match at
+    Jaccard 1.0 — two non-duplicate docs both came back
+    near_dup_suspect=true with n_prior_dups=1. The probe's own-doc
+    anti-join must keep the replayed annotation identical to the
+    original."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(src, "b1.jsonl", _budget_doc_lines([
+        (1, "s", _near_copy_text("juliet")),
+        (2, "s", _near_copy_text("kilo")),
+    ]))
+    _run(jobs.minhash_dedup_job, spark, src, out, ckpt)
+    before = sorted(map(tuple, spark.read.parquet(out).collect()))
+    # crash-before-commit, then the documented between-restarts
+    # compaction — run WITHOUT the checkpoint gate
+    _uncommit_last_batch(ckpt)
+    assert jobs.compact_minhash_index(spark, out + ".sigindex") == 2
+    # restart replays batch 0 against the folded index
+    _run(jobs.minhash_dedup_job, spark, src, out, ckpt)
+    r = {x["doc_id"]: x for x in spark.read.parquet(out).collect()}
+    assert not r[1]["near_dup_suspect"] and r[1]["n_prior_dups"] == 0
+    assert not r[2]["near_dup_suspect"] and r[2]["n_prior_dups"] == 0
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == before
+
+
+def test_minhash_compaction_checkpoint_gate_skips_uncommitted(
+    spark, tmp_path
+):
+    """The primary ADVICE r9 fix: compaction gated on the stream
+    checkpoint refuses to fold a batch whose commit never landed (the
+    batch a restart will replay), and folds it normally once the
+    replay commits."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(src, "b1.jsonl", _budget_doc_lines([
+        (1, "s", _near_copy_text("lima")),
+    ]))
+    _run(jobs.minhash_dedup_job, spark, src, out, ckpt)
+    _uncommit_last_batch(ckpt)
+    idx = out + ".sigindex"
+    # gated: batch 0 is uncommitted -> nothing folds, dirs intact
+    assert jobs.compact_minhash_index(spark, idx, checkpoint=ckpt) == 0
+    assert os.path.isdir(os.path.join(idx, "bands", "ingest_batch=0"))
+    # replay recommits batch 0; the gate now folds both relations
+    _run(jobs.minhash_dedup_job, spark, src, out, ckpt)
+    assert jobs.compact_minhash_index(spark, idx, checkpoint=ckpt) == 2
+
+
+def test_winnow_replay_after_compaction_does_not_self_flag(
+    spark, tmp_path
+):
+    """ADVICE r9 medium: the winnow twin of the minhash replay hazard.
+    The fingerprint index stores no doc ids, so the guard is the
+    `_folded_through` sidecar: when an ungated fold absorbed this
+    trigger's own prints, the probe subtracts its deterministic local
+    contribution (n_local per fp) back out of the prior df — the
+    replayed annotation must be byte-identical to the original, both
+    for fresh docs (which would otherwise self-flag every print) and
+    for a co-delivered overlapping pair (whose folded df must not
+    double)."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    quote = "to be or not to be that is the question here"
+    _write_lines(src, "b1.jsonl", _budget_doc_lines([
+        (1, "s", _near_copy_text("mike")),
+        (2, "s", _near_copy_text("november")),
+        (10, "s", f"first quoting text {quote} with original commentary"),
+        (11, "s", f"second borrowing {quote} inside different analysis"),
+    ]))
+    _run(jobs.winnow_index_job, spark, src, out, ckpt)
+    before = sorted(map(tuple, spark.read.parquet(out).collect()))
+    r1 = {x["doc_id"]: x for x in spark.read.parquet(out).collect()}
+    assert not r1[1]["overlap_suspect"] and not r1[2]["overlap_suspect"]
+    assert r1[10]["overlap_suspect"] and r1[11]["overlap_suspect"]
+    _uncommit_last_batch(ckpt)
+    idx = out + ".fpindex"
+    assert jobs.compact_winnow_index(spark, idx) == 1  # ungated fold
+    _run(jobs.winnow_index_job, spark, src, out, ckpt)  # replay batch 0
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == before
+
+
+def test_winnow_compaction_checkpoint_gate_skips_uncommitted(
+    spark, tmp_path
+):
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(src, "b1.jsonl", _budget_doc_lines([
+        (1, "s", _near_copy_text("oscar")),
+    ]))
+    _run(jobs.winnow_index_job, spark, src, out, ckpt)
+    _uncommit_last_batch(ckpt)
+    idx = out + ".fpindex"
+    assert jobs.compact_winnow_index(spark, idx, checkpoint=ckpt) == 0
+    assert os.path.isdir(os.path.join(idx, "ingest_batch=0"))
+    _run(jobs.winnow_index_job, spark, src, out, ckpt)
+    assert jobs.compact_winnow_index(spark, idx, checkpoint=ckpt) == 1
+
+
+def test_folded_through_sidecar_carries_across_folds(spark, tmp_path):
+    """The sidecar must record the max batch id over ALL folds, not
+    just the last one, and survive being re-folded."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(src, "b1.jsonl", _budget_doc_lines([
+        (1, "s", _near_copy_text("papa")),
+    ]))
+    _run(jobs.winnow_index_job, spark, src, out, ckpt)
+    idx = out + ".fpindex"
+    assert jobs.compact_winnow_index(spark, idx) == 1
+    assert jobs._folded_through(idx) == 0
+    _write_lines(src, "b2.jsonl", _budget_doc_lines([
+        (2, "s", _near_copy_text("quebec")),
+    ]))
+    _run(jobs.winnow_index_job, spark, src, out, ckpt)
+    assert jobs.compact_winnow_index(spark, idx) == 1
+    assert jobs._folded_through(idx) == 1

@@ -156,7 +156,7 @@ def bench_winnow_index(spark, work, n_docs, n_files, tail_files=3):
         )
     )
     t0 = time.monotonic()
-    folded = jobs.compact_winnow_index(spark, out + ".fpindex")
+    folded = jobs.compact_winnow_index(spark, out + ".fpindex", checkpoint=ckpt)
     print(
         json.dumps(
             {
@@ -246,7 +246,7 @@ def bench_minhash_dedup(spark, work, n_docs, n_files, tail_files=3):
         )
     )
     t0 = time.monotonic()
-    folded = jobs.compact_minhash_index(spark, out + ".sigindex")
+    folded = jobs.compact_minhash_index(spark, out + ".sigindex", checkpoint=ckpt)
     print(
         json.dumps(
             {
