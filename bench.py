@@ -116,6 +116,14 @@ HEADLINE = [
     "docs_decontamination_stats",
     "source_winnow_overlap_matrix",
     "source_token_fertility",
+    # round 10: persisted-index probe promotion + the four new ops
+    # (value-ordered pareto cumulative, interval-overlap backlog,
+    # per-source dup inflation, cluster size profile)
+    "dedup_cross_corpus_probe",
+    "lineitem_supplier_pareto",
+    "orders_open_backlog",
+    "docs_dup_inflation",
+    "dedup_cluster_size_profile",
 ]
 
 

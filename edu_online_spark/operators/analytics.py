@@ -1244,6 +1244,167 @@ def customer_record_linkage_multipass(customer: DataFrame) -> DataFrame:
     )
 
 
+def supplier_pareto(lineitem: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """Pareto / ABC classification of suppliers by revenue: rank every
+    supplier by lineitem revenue, accumulate the revenue share in rank
+    order, and class A = suppliers inside the first 80% of revenue,
+    B = 80-95%, C = the tail. The inventory-analysis staple (which
+    20% of suppliers carry 80% of spend) the relational tail otherwise
+    lacks — a value-ORDERED cumulative, where the budget/shard family
+    is hash-ordered.
+
+    Scale shape: the per-supplier aggregate is the only corpus-sized
+    shuffle. The global rank-order cumulative is NOT a bare
+    Window.orderBy (one task holds every supplier at 100 TB — the
+    exact ceiling the curation shard stage removed): suppliers are
+    range-partitioned on the (revenue desc, suppkey) sort key,
+    per-partition decimal cumsums run in parallel, and the ≤ n_buckets
+    per-partition totals become broadcast prefix offsets. Partition
+    boundaries affect parallelism only — the composed cumsum follows
+    the same unique global order, so the output is bit-identical to
+    the single-window form (the assign_training_shards argument,
+    value-ordered instead of hash-ordered).
+
+    Decimal discipline: revenue sums and the cumulative are
+    decimal-exact (order-free); doubles appear only in the final
+    share divisions of already-exact operands, so any engine agrees
+    bit-for-bit (the tpch q1 convention)."""
+    rev_dec = F.col("rev_dec")
+    rev = (
+        lineitem.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (
+                    F.lit(1).cast("decimal(3,2)")
+                    - F.col("l_discount").cast("decimal(4,2)")
+                )
+            ).alias("rev_dec")
+        )
+        # range partitioning ON the sort key: each partition holds a
+        # contiguous rank range, so a per-partition cumsum + a prefix
+        # offset equals the global cumsum
+        .repartitionByRange(n_buckets, F.desc("rev_dec"), F.col("l_suppkey"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # offsets + cumsum share the sort
+    )
+    per_part = rev.groupBy("pid").agg(
+        F.sum("rev_dec").alias("p_dec"), F.count(F.lit(1)).alias("p_n")
+    )
+    off_w = (
+        Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # ≤ n_buckets rows — tiny by construction
+    offsets = per_part.select(
+        "pid",
+        F.coalesce(F.sum("p_dec").over(off_w), F.lit(0).cast("decimal(22,2)"))
+        .alias("off_dec"),
+        F.coalesce(F.sum("p_n").over(off_w), F.lit(0)).alias("off_n"),
+    )
+    total = per_part.agg(
+        F.sum("p_dec").cast("double").alias("total_rev")
+    )
+    rank_w = Window.partitionBy("pid").orderBy(
+        F.desc("rev_dec"), F.col("l_suppkey")
+    )
+    cum_w = rank_w.rowsBetween(Window.unboundedPreceding, 0)
+    cum_share = F.col("cum_double") / F.col("total_rev")
+    return (
+        rev.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "cum_double",
+            (F.sum("rev_dec").over(cum_w) + F.col("off_dec")).cast("double"),
+        )
+        .withColumn(
+            "pareto_rank",
+            F.row_number().over(rank_w) + F.col("off_n"),
+        )
+        .select(
+            "l_suppkey",
+            rev_dec.cast("double").alias("revenue"),
+            (rev_dec.cast("double") / F.col("total_rev")).alias("share"),
+            cum_share.alias("cum_share"),
+            F.col("pareto_rank").cast("long").alias("pareto_rank"),
+            F.when(cum_share <= 0.80, "A")
+            .when(cum_share <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+
+
+def orders_open_backlog(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Daily open-order backlog: how many orders are placed but not
+    yet fully shipped on each day — the interval-overlap count (an
+    order is open from o_orderdate through its LAST lineitem ship
+    date). The operations-dashboard shape the engine otherwise lacks:
+    counting concurrent intervals per day.
+
+    Scale shape: the naive form joins every order span against every
+    overlapping calendar day (spans × avg-duration row blowup, then a
+    day-keyed shuffle). This is the delta-encoding instead: each span
+    contributes +1 at its open day and -1 at close+1, the per-day
+    delta aggregate is calendar-BOUNDED (one row per distinct day no
+    matter the corpus size), and the running sum over that tiny
+    relation is the backlog. The only corpus-sized operations are the
+    per-order max-shipdate aggregate and one order⋈lineitem-agg join;
+    the unpartitioned cumsum window is over the day spine — the
+    gap-fill/ma7 calendar-bounded argument.
+
+    Orders with no lineitems never open (inner join — nothing ever
+    ships, so no close event exists to balance them; documented
+    rather than inferred)."""
+    spans = (
+        orders.select(
+            "o_orderkey", F.to_date("o_orderdate").alias("open_day")
+        )
+        .join(
+            lineitem.groupBy("l_orderkey").agg(
+                F.max(F.to_date("l_shipdate")).alias("close_day")
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select("open_day", "close_day")
+    )
+    deltas = (
+        spans.select(
+            F.col("open_day").alias("day"),
+            F.lit(1).alias("d"),
+            F.lit(1).alias("op"),
+            F.lit(0).alias("cl"),
+        )
+        .unionByName(
+            spans.select(
+                F.date_add("close_day", 1).alias("day"),
+                F.lit(-1).alias("d"),
+                F.lit(0).alias("op"),
+                F.lit(0).alias("cl"),
+            )
+        )
+        .unionByName(
+            spans.select(
+                F.col("close_day").alias("day"),
+                F.lit(0).alias("d"),
+                F.lit(0).alias("op"),
+                F.lit(1).alias("cl"),
+            )
+        )
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum("d").alias("delta"),
+        F.sum("op").alias("n_opened"),
+        F.sum("cl").alias("n_closed"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("day", "yyyyMMdd").alias("day"),
+        F.col("n_opened").cast("long").alias("n_opened"),
+        F.col("n_closed").cast("long").alias("n_closed"),
+        F.sum("delta").over(w).cast("long").alias("backlog"),
+    )
+
+
 def _q(fn, *tables):
     def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(*[load_table(spark, sf_dir, t) for t in tables])
@@ -1295,6 +1456,9 @@ QUERIES = {
         customer_record_linkage_multipass, "customer"
     ),
     "events_seasonal_residuals": _q(seasonal_residuals, "events"),
+    # round 10: value-ordered cumulative (ABC) + interval-overlap count
+    "lineitem_supplier_pareto": _q(supplier_pareto, "lineitem"),
+    "orders_open_backlog": _q(orders_open_backlog, "orders", "lineitem"),
 }
 
 _PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -1874,5 +2038,62 @@ ORACLE = {
                    AS value_winsorized,
                (e.value < th.p_lo OR e.value > th.p_hi) AS was_clipped
         FROM events e JOIN th USING (event_type)
+    """,
+    # Decimal-exact revenue + cumulative, doubles only in the final
+    # divisions of already-exact operands (the tpch q1 convention);
+    # DuckDB's single window mirrors the range-bucketed two-stage
+    # cumsum because both follow the same unique (rev desc, suppkey)
+    # order.
+    "lineitem_supplier_pareto": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec
+            FROM lineitem GROUP BY 1
+        ),
+        t AS (SELECT CAST(SUM(rev_dec) AS DOUBLE) AS total_rev FROM rev),
+        r AS (
+            SELECT l_suppkey, rev_dec,
+                   ROW_NUMBER() OVER w AS pareto_rank,
+                   CAST(SUM(rev_dec) OVER
+                        (w ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_double
+            FROM rev
+            WINDOW w AS (ORDER BY rev_dec DESC, l_suppkey)
+        )
+        SELECT l_suppkey,
+               CAST(rev_dec AS DOUBLE) AS revenue,
+               CAST(rev_dec AS DOUBLE) / total_rev AS share,
+               cum_double / total_rev AS cum_share,
+               CAST(pareto_rank AS BIGINT) AS pareto_rank,
+               CASE WHEN cum_double / total_rev <= 0.80 THEN 'A'
+                    WHEN cum_double / total_rev <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM r, t
+    """,
+    # Same delta encoding: +1 at open, -1 at close+1, cumsum over the
+    # calendar-bounded day spine.
+    "orders_open_backlog": """
+        WITH spans AS (
+            SELECT CAST(o.o_orderdate AS DATE) AS open_day,
+                   MAX(CAST(l.l_shipdate AS DATE)) AS close_day
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, 1
+        ),
+        deltas AS (
+            SELECT open_day AS day, 1 AS d, 1 AS op, 0 AS cl FROM spans
+            UNION ALL SELECT close_day + 1, -1, 0, 0 FROM spans
+            UNION ALL SELECT close_day, 0, 0, 1 FROM spans
+        ),
+        daily AS (
+            SELECT day, SUM(d) AS delta, SUM(op) AS n_opened,
+                   SUM(cl) AS n_closed
+            FROM deltas GROUP BY 1
+        )
+        SELECT strftime(day, '%Y%m%d') AS day,
+               CAST(n_opened AS BIGINT) AS n_opened,
+               CAST(n_closed AS BIGINT) AS n_closed,
+               CAST(SUM(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS backlog
+        FROM daily
     """,
 }

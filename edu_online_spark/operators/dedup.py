@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import hashing
+from ..functions import text as text_fns
 from ..functions.text import tokens
 from ..functions.vectors import cosine_similarity
 from ..sources import load_table
@@ -1308,6 +1309,109 @@ def source_dup_matrix(documents: DataFrame) -> DataFrame:
     )
 
 
+def dup_inflation(documents: DataFrame) -> DataFrame:
+    """Per-source token inflation from exact duplicates: how much of a
+    source's token mass is repeated text. For each source — docs,
+    distinct texts, total tokens, tokens counting each distinct text
+    once, the duplicate doc/token excess, and the inflation factor
+    (total/unique). The budget-planning twin of source_dup_matrix:
+    the matrix says WHO shares text ACROSS sources; this says how much
+    each source's own mass shrinks under exact dedup — the first
+    number a mixture plan needs, since duplicated tokens concentrate
+    training probability without adding information.
+
+    Plan shape: texts shrink to 32-byte sha2 keys + an integer token
+    count before the only corpus-sized exchange (the source_dup_matrix
+    discipline); the per-(source, hash) relation aggregates straight
+    down to S rows. All counts are integers; the single double is an
+    exact bigint/bigint division any engine evaluates identically."""
+    per = (
+        documents.select(
+            "source",
+            F.sha2("text", 256).alias("h"),
+            text_fns.token_count("text").alias("nt"),
+        )
+        .groupBy("source", "h")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("nt").alias("nt"))
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("docs"),
+            F.count(F.lit(1)).cast("long").alias("texts"),
+            F.sum(F.col("n") * F.col("nt")).cast("long").alias("tokens_total"),
+            F.sum("nt").cast("long").alias("tokens_unique"),
+        )
+        .select(
+            "source",
+            "docs",
+            "texts",
+            (F.col("docs") - F.col("texts")).alias("dup_docs"),
+            "tokens_total",
+            "tokens_unique",
+            (F.col("tokens_total") - F.col("tokens_unique")).alias(
+                "dup_tokens"
+            ),
+            (
+                F.col("tokens_total").cast("double") / F.col("tokens_unique")
+            ).alias("inflation"),
+        )
+    )
+
+
+def cluster_size_profile(
+    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Near-duplicate cluster size histogram — the corpus-health
+    summary on top of the cluster closure: for each cluster size, how
+    many clusters, how many docs they hold, and how many of those are
+    redundant (size - 1 per cluster, the docs exact survivorship
+    would drop). The singleton row (size 1: docs in no near-dup pair)
+    is computed from the corpus total so the histogram partitions the
+    whole corpus — a dedup run's expected yield is readable straight
+    off the n_dup_docs column.
+
+    Plan shape: everything downstream of the (already certified)
+    LSH-pairs → connected-components closure is two tiny aggregates of
+    the cluster relation; the corpus total and the clustered total are
+    single-row aggregates combined via the broadcast 1-row normalizer
+    idiom — no second corpus pass beyond the doc_id projection."""
+    clusters = near_dup_clusters(
+        minhash_lsh_pairs(documents, threshold=threshold)
+    )
+    per = clusters.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    hist = per.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+    clustered = per.agg(
+        F.coalesce(F.sum("cluster_size"), F.lit(0)).alias("n_clustered")
+    )
+    singletons = (
+        documents.agg(F.count(F.lit(1)).alias("n_total"))
+        .crossJoin(F.broadcast(clustered))  # 1 row × 1 row
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("n_total") - F.col("n_clustered"))
+            .cast("long")
+            .alias("n_clusters"),
+        )
+    )
+    return (
+        hist.select(F.col("cluster_size").cast("long"), "n_clusters")
+        .unionByName(singletons)
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias(
+                "n_dup_docs"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked query registry
 # ---------------------------------------------------------------------------
@@ -1409,6 +1513,9 @@ QUERIES = {
     # round 10: the persisted-index probe, queued + type-audited in
     # round 9 (ORACLE_R10); bit-equal to dedup_cross_corpus by contract
     "dedup_cross_corpus_probe": _q_cross_corpus_probe,
+    # round 10: duplication diagnostics on top of the certified cores
+    "docs_dup_inflation": _q(dup_inflation, "documents"),
+    "dedup_cluster_size_profile": _q(cluster_size_profile, "documents"),
 }
 
 # Exact Jaccard in DuckDB: build distinct 3-shingle lists with a list
@@ -1849,6 +1956,64 @@ ORACLE_R10 = {
     """,
 }
 ORACLE.update(ORACLE_R10)
+
+# Round-10 additions. dup_inflation is pure integer arithmetic over
+# sha2 groups (the one double is an exact bigint/bigint division);
+# the cluster profile reuses the recursive-CC mirror the closure
+# queries are certified against, with the singleton row folded in so
+# the histogram partitions the corpus.
+ORACLE.update({
+    "docs_dup_inflation": """
+        WITH per AS (
+            SELECT source, text,
+                   len(regexp_split_to_array(trim(text), ' +')) AS nt,
+                   count(*) AS n
+            FROM documents GROUP BY 1, 2, 3
+        )
+        SELECT source,
+               CAST(SUM(n) AS BIGINT) AS docs,
+               CAST(COUNT(*) AS BIGINT) AS texts,
+               CAST(SUM(n) - COUNT(*) AS BIGINT) AS dup_docs,
+               CAST(SUM(n * nt) AS BIGINT) AS tokens_total,
+               CAST(SUM(nt) AS BIGINT) AS tokens_unique,
+               CAST(SUM(n * nt) - SUM(nt) AS BIGINT) AS dup_tokens,
+               CAST(SUM(n * nt) AS DOUBLE) / SUM(nt) AS inflation
+        FROM per GROUP BY source
+    """,
+    "dedup_cluster_size_profile": f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT src, src FROM edges
+            UNION SELECT src, dst FROM edges
+            UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        labels AS (
+            SELECT src AS doc_id, min(dst) AS cluster_rep
+            FROM reach GROUP BY src
+        ),
+        per AS (
+            SELECT cluster_rep, count(*) AS cluster_size
+            FROM labels GROUP BY 1
+        ),
+        hist AS (
+            SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters
+            FROM per GROUP BY 1
+            UNION ALL
+            SELECT 1,
+                   (SELECT count(*) FROM documents)
+                   - COALESCE((SELECT SUM(cluster_size) FROM per), 0)
+        )
+        SELECT cluster_size, n_clusters,
+               CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+               CAST((cluster_size - 1) * n_clusters AS BIGINT) AS n_dup_docs
+        FROM hist
+    """,
+})
 
 # Round-9 promotion (queued + type-audited in round 8 per the round-7
 # rule — every oracle passes tools/oracle_type_audit.py before landing).

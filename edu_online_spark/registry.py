@@ -134,15 +134,17 @@ _WINDOW_PRIORITY = [
     # 2: round-9 library op promoted to a certified slot, plus
     #    round-10 additions (each takes a slot the round it lands)
     "dedup_cross_corpus_probe",
+    # 2 (cont.): round-10 additions — each takes a slot the round it
+    #    lands (staleness-at-birth rule)
+    "lineitem_supplier_pareto",
+    "orders_open_backlog",
+    "docs_dup_inflation",
+    "dedup_cluster_size_profile",
     # 3: fillers from the round-7 cohort (round-11 pressure relief)
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "benchmark_contamination",
     "corpus_end_to_end_curation",
-    "docs_winnowing_overlap",
     "embeddings_label_noise",
-    "text_quality",
 ]
 
 

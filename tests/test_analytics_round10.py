@@ -1,0 +1,82 @@
+"""Round-10 analytics operators: value-ordered Pareto/ABC cumulative
+and the interval-overlap daily backlog — semantics pinned on hand-built
+fixtures (oracle parity covers the real tables)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from edu_online_spark.operators.analytics import (
+    orders_open_backlog,
+    supplier_pareto,
+)
+
+
+def _lineitem(spark, rows):
+    return spark.createDataFrame(
+        rows, "l_orderkey long, l_suppkey long, l_extendedprice double, "
+        "l_discount double, l_shipdate string"
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp_ntz"))
+
+
+def test_supplier_pareto_classes_and_cumulative(spark):
+    """Revenues 50/30/15/5 → cumulative shares 0.50/0.80/0.95/1.00:
+    the 80%% boundary supplier is still A and the 95%% boundary still
+    B (<=, not <), ranks follow (revenue desc, suppkey asc)."""
+    li = _lineitem(spark, [
+        (1, 10, 50.0, 0.0, "1995-01-01"),
+        (2, 20, 60.0, 0.5, "1995-01-02"),   # 30
+        (3, 30, 15.0, 0.0, "1995-01-03"),
+        (4, 40, 5.0, 0.0, "1995-01-04"),
+    ])
+    out = {r["l_suppkey"]: r for r in supplier_pareto(li).collect()}
+    assert [out[s]["pareto_rank"] for s in (10, 20, 30, 40)] == [1, 2, 3, 4]
+    assert out[10]["abc_class"] == "A" and out[10]["cum_share"] == 0.50
+    assert out[20]["abc_class"] == "A" and out[20]["cum_share"] == 0.80
+    assert out[30]["abc_class"] == "B" and out[30]["cum_share"] == 0.95
+    assert out[40]["abc_class"] == "C" and out[40]["cum_share"] == 1.00
+    assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-12
+
+
+def test_supplier_pareto_bucket_invariance(spark):
+    """Partition boundaries affect parallelism only: the range-bucketed
+    two-stage cumsum must be bit-identical across bucket counts
+    (including the degenerate single-window form n_buckets=1)."""
+    li = _lineitem(spark, [
+        (i, i % 7, float(100 - i), 0.01 * (i % 5), f"1995-01-{i % 28 + 1:02d}")
+        for i in range(1, 60)
+    ])
+    rows = {
+        b: sorted(map(tuple, supplier_pareto(li, n_buckets=b).collect()))
+        for b in (1, 3, 16)
+    }
+    assert rows[1] == rows[3] == rows[16]
+
+
+def test_orders_open_backlog_interval_semantics(spark):
+    """A: open d1..d2, B: open-and-close d1, C: open d3..d4, D: no
+    lineitems (never opens). Backlog counts an order through its close
+    day; the close+1 delta day appears with a 0/0 open/close row."""
+    orders = spark.createDataFrame(
+        [(1, "2000-01-01"), (2, "2000-01-01"), (3, "2000-01-03"),
+         (4, "2000-01-01")],
+        "o_orderkey long, o_orderdate string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp_ntz"))
+    li = _lineitem(spark, [
+        (1, 1, 1.0, 0.0, "2000-01-01"),
+        (1, 1, 1.0, 0.0, "2000-01-02"),   # A closes d2
+        (2, 1, 1.0, 0.0, "2000-01-01"),   # B closes d1
+        (3, 1, 1.0, 0.0, "2000-01-04"),   # C closes d4
+    ])
+    out = {r["day"]: r for r in orders_open_backlog(orders, li).collect()}
+    expect = {
+        "20000101": (2, 1, 2),  # A+B open, B closes, both still open today
+        "20000102": (0, 1, 1),  # A closes but counts through today
+        "20000103": (1, 0, 1),  # B's +1-day delta and C's open cancel
+        "20000104": (0, 1, 1),  # C closes
+        "20000105": (0, 0, 0),  # C's close+1 delta
+    }
+    assert {
+        d: (r["n_opened"], r["n_closed"], r["backlog"])
+        for d, r in out.items()
+    } == expect

@@ -478,3 +478,53 @@ def test_cross_corpus_probe_matches_r10_oracle(spark, sf_dir):
         run_oracle(ORACLE_R10["dedup_cross_corpus_probe"], sf_dir),
     )
     assert not problems, problems
+
+
+def test_dup_inflation_counts(spark):
+    """Hand-built: s1 has 'a b c' x3 + 'd e' x1 (11 tokens total, 5
+    unique-text tokens -> inflation 2.2); s2 is duplicate-free
+    (inflation exactly 1.0)."""
+    from edu_online_spark.operators.dedup import dup_inflation
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "a b c", "s1"), (3, "a b c", "s1"),
+         (4, "d e", "s1"), (5, "f g h i", "s2")],
+        ["doc_id", "text", "source"],
+    )
+    out = {r["source"]: r for r in dup_inflation(docs).collect()}
+    s1 = out["s1"]
+    assert (s1["docs"], s1["texts"], s1["dup_docs"]) == (4, 2, 2)
+    assert (s1["tokens_total"], s1["tokens_unique"], s1["dup_tokens"]) == (
+        11, 5, 6,
+    )
+    assert s1["inflation"] == 11 / 5
+    assert out["s2"]["dup_docs"] == 0 and out["s2"]["inflation"] == 1.0
+
+
+def test_cluster_size_profile_partitions_corpus(spark):
+    """A 3-family, a 2-family, and two singletons: histogram rows
+    (3,1), (2,1), (1,2); n_docs column partitions the corpus (sums to
+    7) and n_dup_docs is the exact survivorship yield (3)."""
+    from edu_online_spark.operators.dedup import cluster_size_profile
+
+    def fam(seed, n=30, edit=-1):
+        words = [f"{seed}{i}" for i in range(n)]
+        if edit >= 0:
+            words[edit] = f"edited{edit}"
+        return " ".join(words)
+
+    docs = spark.createDataFrame(
+        [(1, fam("a"), "s"), (2, fam("a", edit=3), "s"),
+         (3, fam("a", edit=7), "s"),
+         (10, fam("b"), "s"), (11, fam("b", edit=5), "s"),
+         (20, fam("c"), "s"), (21, fam("d"), "s")],
+        ["doc_id", "text", "source"],
+    )
+    rows = {
+        r["cluster_size"]: r for r in cluster_size_profile(docs).collect()
+    }
+    assert {(k, v["n_clusters"]) for k, v in rows.items()} == {
+        (3, 1), (2, 1), (1, 2),
+    }
+    assert sum(r["n_docs"] for r in rows.values()) == 7
+    assert sum(r["n_dup_docs"] for r in rows.values()) == 3

@@ -29,6 +29,12 @@ REPRESENTATIVE = [
     # round 8: promoted library ops
     "customer_record_linkage_multipass",
     "docs_winnowing_clusters",
+    # round 10: promoted probe + new ops
+    "dedup_cross_corpus_probe",
+    "lineitem_supplier_pareto",
+    "orders_open_backlog",
+    "docs_dup_inflation",
+    "dedup_cluster_size_profile",
 ]
 
 
