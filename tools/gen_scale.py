@@ -150,17 +150,33 @@ def gen_orders(n_orders: int, n_cust: int, seed: int = 17) -> pa.Table:
     )
 
 
-def gen_lineitem(n: int, seed: int = 19) -> pa.Table:
-    """Minimal lineitem twin — only the columns the sketch rollup
-    reads (l_returnflag, l_extendedprice); rehearsal runs name their
-    queries explicitly, so the narrow schema is safe here."""
+def gen_lineitem(
+    n: int, n_orders: int = 0, n_supp: int = 0, seed: int = 19
+) -> pa.Table:
+    """Lineitem twin for the rehearsal queries that read it. Round 10
+    widens it (l_orderkey/l_suppkey/l_discount/l_shipdate for the
+    pareto + backlog growth rows); the new columns draw from the SAME
+    rng AFTER the original draws, so l_returnflag/l_extendedprice stay
+    byte-identical to every earlier rehearsal corpus — prior growth
+    rows remain comparable."""
     rng = np.random.default_rng(seed)
     flags = rng.choice(["A", "N", "R"], size=n, p=[0.25, 0.5, 0.25])
+    prices = np.round(rng.uniform(900.0, 105000.0, size=n), 2)
+    okeys = rng.integers(0, max(n_orders, 1), size=n)
+    skeys = rng.integers(0, max(n_supp, 1), size=n)
+    discounts = np.round(rng.uniform(0.0, 0.1, size=n), 2)
+    ship_days = rng.integers(0, 500, size=n)
+    base = np.datetime64("2025-01-01", "s")
     return pa.table(
         {
             "l_returnflag": pa.array(flags.tolist(), type=pa.string()),
-            "l_extendedprice": pa.array(
-                np.round(rng.uniform(900.0, 105000.0, size=n), 2)
+            "l_extendedprice": pa.array(prices),
+            "l_orderkey": pa.array(okeys.astype(np.int64)),
+            "l_suppkey": pa.array(skeys.astype(np.int64)),
+            "l_discount": pa.array(discounts),
+            "l_shipdate": pa.array(
+                base + ship_days.astype("timedelta64[D]").astype("timedelta64[s]"),
+                type=pa.timestamp("us"),
             ),
         }
     )
@@ -190,7 +206,7 @@ def main() -> None:
     _write(cust, f"{out_dir}/customer.parquet", max(cust.num_rows // 32, 1))
     orders = gen_orders(150000 * mult, 15000 * mult)
     _write(orders, f"{out_dir}/orders.parquet", max(orders.num_rows // 32, 1))
-    li = gen_lineitem(600000 * mult)
+    li = gen_lineitem(600000 * mult, 150000 * mult, 1000 * mult)
     _write(li, f"{out_dir}/lineitem.parquet", max(li.num_rows // 32, 1))
     print(
         f"wrote {docs.num_rows} documents, {emb.num_rows} embeddings, "

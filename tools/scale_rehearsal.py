@@ -79,6 +79,12 @@ QUERIES = [
     # entry ships without a growth row
     "source_winnow_overlap_matrix",
     "source_token_fertility",
+    # round-10 additions — measured the round they land
+    "dedup_cross_corpus_probe",
+    "lineitem_supplier_pareto",
+    "orders_open_backlog",
+    "docs_dup_inflation",
+    "dedup_cluster_size_profile",
 ]
 
 # Queries whose cost Catalyst can prune under count() (aggregate
@@ -92,6 +98,11 @@ NOOP_MATERIALIZE = {
     "sim_knn_ivf_probe_recall",
     "source_winnow_overlap_matrix",
     "source_token_fertility",
+    "dedup_cross_corpus_probe",
+    "lineitem_supplier_pareto",
+    "orders_open_backlog",
+    "docs_dup_inflation",
+    "dedup_cluster_size_profile",
 }
 
 
