@@ -1396,6 +1396,65 @@ def orders_open_backlog(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
+BURST_WINDOW_S = 60
+BURST_MIN_EVENTS = 5
+
+
+def burst_flags(events: DataFrame) -> DataFrame:
+    """Per-user burst detection: events that arrive with at least
+    BURST_MIN_EVENTS events from the same user inside the trailing
+    BURST_WINDOW_S seconds — the rate-anomaly / bot-signal shape
+    (a RANGE frame over event time, where sessionize is a gap rule
+    and the sliding-window jobs are processing-time buckets).
+
+    Time is integer MICROSECOND epochs (`unix_micros` here, DuckDB's
+    `epoch_us` in the mirror): the testdata carries sub-second
+    precision, and a seconds truncation would make the frame boundary
+    engine-dependent; integer micros make the RANGE predicate exact
+    everywhere. Ties (equal timestamps) are frame-included regardless
+    of row order, so the count is deterministic without a tiebreak.
+
+    Scale shape: one shuffle on user_id; the RANGE window runs
+    per-user in parallel (no global order). Output is only the
+    flagged events.
+
+    Queued for round 11 (`events_burst_flags`, ORACLE_R11)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_us")
+        .rangeBetween(-(BURST_WINDOW_S * 1_000_000 - 1), 0)
+    )
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("epoch_us"),
+        )
+        .withColumn("n_burst", F.count(F.lit(1)).over(w).cast("long"))
+        .filter(F.col("n_burst") >= BURST_MIN_EVENTS)
+        .select("event_id", "user_id", "n_burst")
+    )
+
+
+# Round-11 promotion queue (the ORACLE_R10 pattern: library op + tests
+# + ready oracle now, window slot next round).
+ORACLE_R11 = {
+    "events_burst_flags": f"""
+        SELECT event_id, user_id, CAST(n_burst AS BIGINT) AS n_burst
+        FROM (
+            SELECT event_id, user_id,
+                   count(*) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN {BURST_WINDOW_S * 1_000_000 - 1}
+                           PRECEDING AND CURRENT ROW
+                   ) AS n_burst
+            FROM events
+        )
+        WHERE n_burst >= {BURST_MIN_EVENTS}
+    """,
+}
+
+
 def _q(fn, *tables):
     def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(*[load_table(spark, sf_dir, t) for t in tables])

@@ -1359,6 +1359,68 @@ def dup_inflation(documents: DataFrame) -> DataFrame:
     )
 
 
+YIELD_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def threshold_yield_curve(
+    documents: DataFrame, thresholds: tuple[float, ...] = YIELD_THRESHOLDS
+) -> DataFrame:
+    """Dedup tuning report: near-duplicate yield at EVERY candidate
+    threshold from one corpus pass — for each threshold, how many
+    pairs survive and how many documents are touched. The question a
+    pipeline owner actually asks ("what does moving the knob from 0.8
+    to 0.7 cost me?") answered without re-running dedup per setting.
+
+    Plan shape: LSH pairs are generated ONCE at the loosest threshold
+    (the certified minhash path — every tighter threshold's pair set
+    is a subset by definition, so one pass covers the whole curve),
+    then the pairs relation (output-sized, far smaller than the
+    corpus) is joined against the broadcast threshold dim twice: once
+    for pair counts, once for per-doc max-jaccard counts. The
+    theta-join (jaccard >= threshold) is a BroadcastNestedLoop over a
+    |thresholds|-row build side — the 1-row/S-row normalizer idiom,
+    bounded by construction. Zero-yield thresholds are preserved via
+    the left join (a clean corpus must report 0s, not vanish).
+
+    Queued for round 11 (`dedup_threshold_yield_curve`, ORACLE_R11) —
+    the round-10 window is full and a query registered without a slot
+    trips the staleness contract at birth.
+    """
+    spark = documents.sparkSession
+    th = spark.createDataFrame(
+        [(float(t),) for t in sorted(thresholds)], "threshold double"
+    )
+    pairs = minhash_lsh_pairs(
+        documents, threshold=min(thresholds)
+    ).localCheckpoint(eager=True)  # pair counts + per-doc max share it
+    pair_counts = (
+        pairs.join(F.broadcast(th), F.col("jaccard") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    doc_max = (
+        pairs.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id"), "jaccard"
+        )
+        .groupBy("doc_id")
+        .agg(F.max("jaccard").alias("mj"))
+    )
+    doc_counts = (
+        doc_max.join(F.broadcast(th), F.col("mj") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    return (
+        th.join(pair_counts, "threshold", "left")
+        .join(doc_counts, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        )
+    )
+
+
 def cluster_size_profile(
     documents: DataFrame, threshold: float = JACCARD_THRESHOLD
 ) -> DataFrame:
@@ -1956,6 +2018,41 @@ ORACLE_R10 = {
     """,
 }
 ORACLE.update(ORACLE_R10)
+
+# Round-11 promotion queue (library op + tests + ready oracle now,
+# window slot next round — the round-10 window is full). Same pair
+# arithmetic the LSH output is certified against; the threshold dim is
+# constructed from identical double literals on both sides.
+ORACLE_R11 = {
+    "dedup_threshold_yield_curve": f"""
+        WITH pairs AS ({_JACCARD_PAIRS_SQL}),
+        th AS (
+            SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold
+        ),
+        pc AS (
+            SELECT t.threshold, count(*) AS n_pairs
+            FROM th t JOIN pairs p ON p.jaccard >= t.threshold
+            GROUP BY 1
+        ),
+        dm AS (
+            SELECT doc_id, max(jaccard) AS mj
+            FROM (SELECT doc_a AS doc_id, jaccard FROM pairs
+                  UNION ALL SELECT doc_b, jaccard FROM pairs)
+            GROUP BY 1
+        ),
+        dc AS (
+            SELECT t.threshold, count(*) AS n_docs
+            FROM th t JOIN dm ON dm.mj >= t.threshold
+            GROUP BY 1
+        )
+        SELECT t.threshold,
+               CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(dc.n_docs, 0) AS BIGINT) AS n_docs
+        FROM th t
+        LEFT JOIN pc ON pc.threshold = t.threshold
+        LEFT JOIN dc ON dc.threshold = t.threshold
+    """,
+}
 
 # Round-10 additions. dup_inflation is pure integer arithmetic over
 # sha2 groups (the one double is an exact bigint/bigint division);

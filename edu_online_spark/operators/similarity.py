@@ -472,6 +472,106 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def split_centroid_shift(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid displacement between the deterministic
+    even/odd vec_id halves of the corpus — the embedding-drift check a
+    pipeline runs on a train/validation split (or two snapshot
+    builds): a label whose two half-corpus centroids sit far apart is
+    heterogeneous or drifting, and its eval numbers will not transfer.
+
+    Determinism is the label_centroids discipline end-to-end: per
+    (label, dim, half) means fold SORTED value lists left-to-right
+    (bit-identical on any partitioning; DuckDB's
+    list_sum(list_sort(...)) folds the identical sequence), the
+    squared per-dim deltas are double ops on identical operands, the
+    per-label sum folds the sorted delta list the same way, and sqrt
+    is IEEE-correctly-rounded in both engines. Labels present in only
+    one half drop out of the inner join on both sides identically.
+
+    Scale shape: one shuffle of (label, dim, half) partial cells
+    (labels x dims x 2 rows — corpus-independent after the map-side
+    combine of the certification fold's value lists; the production
+    variant uses a plain parallel mean and tolerates ±ulp, the same
+    trade label_centroids documents).
+
+    Queued for round 11 (`embeddings_split_centroid_shift`,
+    ORACLE_R11)."""
+    rows = embeddings.select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("in_a"),
+        F.posexplode("embedding").alias("dim", "v"),
+    )
+    cells = rows.groupBy("label", "dim", "in_a").agg(
+        F.count("*").alias("n"),
+        F.array_sort(F.collect_list(F.col("v").cast("double"))).alias("vals"),
+    )
+    means = cells.select(
+        "label",
+        "dim",
+        "in_a",
+        "n",
+        (F.aggregate("vals", F.lit(0.0), lambda a, x: a + x) / F.col("n")).alias(
+            "m"
+        ),
+    )
+    a, b = means.filter(F.col("in_a")), means.filter(~F.col("in_a"))
+    d = a.alias("a").join(
+        b.alias("b"),
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.dim") == F.col("b.dim")),
+    ).select(
+        F.col("a.label").alias("label"),
+        ((F.col("a.m") - F.col("b.m")) * (F.col("a.m") - F.col("b.m"))).alias(
+            "d2"
+        ),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+    )
+    return d.groupBy("label").agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.sqrt(
+            F.aggregate(
+                F.array_sort(F.collect_list("d2")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("centroid_shift"),
+    )
+
+
+# Round-11 promotion queue (the ORACLE_R10 pattern: library op + tests
+# + ready oracle now, window slot next round).
+ORACLE_R11 = {
+    "embeddings_split_centroid_shift": """
+        WITH rows AS (
+            SELECT label, (vec_id % 2 = 0) AS in_a,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER)
+                       AS dim,
+                   unnest(embedding)::DOUBLE AS v
+            FROM embeddings
+        ),
+        m AS (
+            SELECT label, dim, in_a, count(*) AS n,
+                   list_sum(list_sort(list(v))) / count(*) AS m
+            FROM rows GROUP BY 1, 2, 3
+        ),
+        d AS (
+            SELECT a.label, (a.m - b.m) * (a.m - b.m) AS d2,
+                   a.n AS n_a, b.n AS n_b
+            FROM m a JOIN m b
+              ON a.label = b.label AND a.dim = b.dim
+             AND a.in_a AND NOT b.in_a
+        )
+        SELECT label,
+               CAST(MAX(n_a) AS BIGINT) AS n_a,
+               CAST(MAX(n_b) AS BIGINT) AS n_b,
+               sqrt(list_sum(list_sort(list(d2)))) AS centroid_shift
+        FROM d GROUP BY label
+    """,
+}
+
+
 def label_lang_crosstab(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
     """Cross-modal join: document language × embedding cluster label —
     the text↔vector consistency check a curation pipeline runs before

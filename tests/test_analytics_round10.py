@@ -80,3 +80,41 @@ def test_orders_open_backlog_interval_semantics(spark):
         d: (r["n_opened"], r["n_closed"], r["backlog"])
         for d, r in out.items()
     } == expect
+
+
+def test_burst_flags_matches_r11_oracle(spark, sf_dir):
+    """Queued round-11 oracle hash-matches at sf0.001 (integer-micros
+    RANGE frame agrees across engines)."""
+    from edu_online_spark.operators.analytics import ORACLE_R11, burst_flags
+    from edu_online_spark.sources import load_table
+    from tools.parity import compare, run_oracle
+
+    problems = compare(
+        "events_burst_flags",
+        burst_flags(load_table(spark, sf_dir, "events")),
+        run_oracle(ORACLE_R11["events_burst_flags"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_burst_flags_fixture_semantics(spark):
+    """5 events in 59s flag (count reaches 5 at the 5th), 5 events
+    spread over >60s do not; the window is per-user."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from edu_online_spark.operators.analytics import burst_flags
+
+    def ev(eid, uid, second):
+        return (eid, uid, f"2024-01-01 00:{second // 60:02d}:{second % 60:02d}")
+
+    events = spark.createDataFrame(
+        # user 1: five events inside 59s -> 5th event flags
+        [ev(i, 1, 10 + i * 12) for i in range(5)]
+        # user 2: five events 20s apart (80s span) -> never 5 in 60s
+        + [ev(10 + i, 2, i * 20) for i in range(5)],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = burst_flags(events).collect()
+    assert [(r["event_id"], r["user_id"], r["n_burst"]) for r in out] == [
+        (4, 1, 5)
+    ]

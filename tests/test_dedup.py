@@ -528,3 +528,41 @@ def test_cluster_size_profile_partitions_corpus(spark):
     }
     assert sum(r["n_docs"] for r in rows.values()) == 7
     assert sum(r["n_dup_docs"] for r in rows.values()) == 3
+
+
+def test_threshold_yield_curve_matches_r11_oracle(spark, sf_dir):
+    """The queued round-11 oracle hash-matches at sf0.001 — promotion
+    next round is a registry edit, not new arithmetic."""
+    from edu_online_spark.operators.dedup import (
+        ORACLE_R11,
+        threshold_yield_curve,
+    )
+    from edu_online_spark.sources import load_table
+    from tools.parity import compare, run_oracle
+
+    problems = compare(
+        "dedup_threshold_yield_curve",
+        threshold_yield_curve(load_table(spark, sf_dir, "documents")),
+        run_oracle(ORACLE_R11["dedup_threshold_yield_curve"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_threshold_yield_curve_is_monotone(spark, sf_dir):
+    """Tightening the threshold can only shed pairs and docs, and the
+    loosest point must agree with the certified LSH pair count."""
+    from edu_online_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        threshold_yield_curve,
+    )
+    from edu_online_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sorted(
+        threshold_yield_curve(docs).collect(), key=lambda r: r["threshold"]
+    )
+    assert [r["threshold"] for r in rows] == [0.5, 0.6, 0.7, 0.8, 0.9]
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["n_pairs"] >= hi["n_pairs"]
+        assert lo["n_docs"] >= hi["n_docs"]
+    assert rows[0]["n_pairs"] == minhash_lsh_pairs(docs).count()

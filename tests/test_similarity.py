@@ -292,3 +292,41 @@ def test_ivf_index_persist_and_probe_matches_inline(spark, tmp_path):
     # the probe plan carries the partition filter on cid
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "cid" in plan
+
+
+def test_split_centroid_shift_matches_r11_oracle(spark, sf_dir):
+    """Queued round-11 oracle hash-matches at sf0.001 (sorted-fold
+    means, squared deltas, sorted-fold sum, IEEE sqrt)."""
+    from edu_online_spark.operators.similarity import (
+        ORACLE_R11,
+        split_centroid_shift,
+    )
+    from edu_online_spark.sources import load_table
+    from tools.parity import compare, run_oracle
+
+    problems = compare(
+        "embeddings_split_centroid_shift",
+        split_centroid_shift(load_table(spark, sf_dir, "embeddings")),
+        run_oracle(ORACLE_R11["embeddings_split_centroid_shift"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_split_centroid_shift_fixture(spark):
+    """Two orthogonal unit clusters per half: label 0's halves sit at
+    (1,0) vs (0,1) -> shift sqrt(2); label 1 identical halves ->
+    shift 0."""
+    from edu_online_spark.operators.similarity import split_centroid_shift
+
+    rows = [
+        (0, [1.0, 0.0], 0), (2, [1.0, 0.0], 0),   # even half, label 0
+        (1, [0.0, 1.0], 0), (3, [0.0, 1.0], 0),   # odd half, label 0
+        (10, [0.5, 0.5], 1), (11, [0.5, 0.5], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    out = {r["label"]: r for r in split_centroid_shift(emb).collect()}
+    assert out[0]["n_a"] == 2 and out[0]["n_b"] == 2
+    assert abs(out[0]["centroid_shift"] - 2**0.5) < 1e-12
+    assert out[1]["centroid_shift"] == 0.0

@@ -56,8 +56,22 @@ def audit(sf_dir: str) -> dict[str, list[tuple[str, str]]]:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
+    # queued promotion oracles (ORACLE_R<N+1> dicts) are audited the
+    # round they are WRITTEN, not the round they enter the registry —
+    # the round-7 rule
+    queued: dict[str, str] = {}
+    for mod_name in ("dedup", "analytics", "similarity", "textops"):
+        try:
+            mod = __import__(
+                f"edu_online_spark.operators.{mod_name}", fromlist=["_"]
+            )
+        except ImportError:
+            continue
+        for attr in dir(mod):
+            if attr.startswith("ORACLE_R") and attr[8:].isdigit():
+                queued.update(getattr(mod, attr))
     flagged: dict[str, list[tuple[str, str]]] = {}
-    for name, sql in registry.oracle_sql().items():
+    for name, sql in {**registry.oracle_sql(), **queued}.items():
         cols = con.execute(f"DESCRIBE {sql}").fetchall()
         hits = [
             (c, ty)
