@@ -1400,7 +1400,11 @@ BURST_WINDOW_S = 60
 BURST_MIN_EVENTS = 5
 
 
-def burst_flags(events: DataFrame) -> DataFrame:
+def burst_flags(
+    events: DataFrame,
+    window_s: int = BURST_WINDOW_S,
+    min_events: int = BURST_MIN_EVENTS,
+) -> DataFrame:
     """Per-user burst detection: events that arrive with at least
     BURST_MIN_EVENTS events from the same user inside the trailing
     BURST_WINDOW_S seconds — the rate-anomaly / bot-signal shape
@@ -1422,7 +1426,7 @@ def burst_flags(events: DataFrame) -> DataFrame:
     w = (
         Window.partitionBy("user_id")
         .orderBy("epoch_us")
-        .rangeBetween(-(BURST_WINDOW_S * 1_000_000 - 1), 0)
+        .rangeBetween(-(window_s * 1_000_000 - 1), 0)
     )
     return (
         events.select(
@@ -1431,7 +1435,7 @@ def burst_flags(events: DataFrame) -> DataFrame:
             F.unix_micros(F.col("ts").cast("timestamp")).alias("epoch_us"),
         )
         .withColumn("n_burst", F.count(F.lit(1)).over(w).cast("long"))
-        .filter(F.col("n_burst") >= BURST_MIN_EVENTS)
+        .filter(F.col("n_burst") >= min_events)
         .select("event_id", "user_id", "n_burst")
     )
 

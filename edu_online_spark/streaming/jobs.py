@@ -2964,3 +2964,145 @@ def minhash_dedup_job(
         .trigger(**_trigger({}, available_now))
         .start()
     )
+
+
+def burst_flags_job(
+    raw: DataFrame,
+    out: str,
+    checkpoint: str,
+    window_s: int | None = None,
+    min_events: int | None = None,
+    late_s: int = 300,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Burst-on-ingest: the streaming twin of
+    `operators/analytics.burst_flags` — flag each arriving event whose
+    user has >= min_events events inside the trailing window_s seconds
+    of EVENT time. The rate-anomaly gate of the ingest family (the
+    seen filter catches exact reposts, the near-dup gates catch
+    content; this catches a client or bot hammering the pipe, judged
+    on the event-time axis so a delayed flush doesn't fake a burst).
+
+    State is the per-user set of event times still inside any FUTURE
+    event's trailing frame: rows (user_id, epoch_us) with epoch_us >
+    max_seen - (window_s + late_s) — KB-to-MB sized for real rates,
+    swap-rewritten atomically per trigger (the budget-gate state
+    pattern, with its last_batch_id replay fence). An accepted event's
+    frame lower bound (epoch - window) is >= the retention horizon by
+    construction, so the trailing count over state ∪ batch is EXACT
+    for every event no later than late_s behind the stream's max seen
+    time; older stragglers are dropped from the output (and from
+    state) rather than undercounted — the same watermark trade the
+    windowed-aggregation jobs document.
+
+    Semantics delta vs the batch operator, documented as with the
+    other twins: fed the same events in event-time order (any trigger
+    slicing), the outputs are row-identical — the parity test replays
+    the events table in two waves and compares. Out-of-order delivery
+    beyond late_s is where they diverge: the batch form (global sort)
+    still counts such events; the stream has already published the
+    trigger their frame belonged to.
+    """
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ..operators.analytics import BURST_MIN_EVENTS, BURST_WINDOW_S
+
+    window_s = BURST_WINDOW_S if window_s is None else window_s
+    min_events = BURST_MIN_EVENTS if min_events is None else min_events
+    state_path = out + ".state"
+    win_us = window_s * 1_000_000
+    late_us = late_s * 1_000_000
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("ts", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    parsed = F.from_json(
+        F.col("value"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    events = (
+        raw.select(parsed.alias("j"))
+        .filter(
+            F.col("j._corrupt").isNull()
+            & F.col("j.event_id").isNotNull()
+            & F.col("j.user_id").isNotNull()
+            & F.to_timestamp(F.col("j.ts")).isNotNull()
+        )
+        .select(
+            F.col("j.event_id").alias("event_id"),
+            F.col("j.user_id").alias("user_id"),
+            F.unix_micros(F.to_timestamp(F.col("j.ts"))).alias("epoch_us"),
+        )
+    )
+
+    def flag(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        sinks.recover_sink(state_path)
+        if os.path.exists(state_path):
+            old = spark.read.parquet(state_path)
+            last = old.agg(F.max("last_batch_id")).first()[0]
+            if last is not None and last >= batch_id:
+                return  # redelivered trigger: output dir already exact
+            prior = old.select("user_id", "epoch_us").localCheckpoint(
+                eager=True  # count pass + state merge share it
+            )
+            wm_row = prior.agg(
+                (F.max("epoch_us") - late_us).alias("wm")
+            ).first()
+            wm = wm_row["wm"] if wm_row["wm"] is not None else None
+        else:
+            prior = spark.createDataFrame([], "user_id long, epoch_us long")
+            wm = None
+        fresh = (
+            batch if wm is None else batch.filter(F.col("epoch_us") >= wm)
+        ).localCheckpoint(eager=True)  # count pass + state merge
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("epoch_us")
+            .rangeBetween(-(win_us - 1), 0)
+        )
+        flagged = (
+            prior.select(
+                "user_id", "epoch_us", F.lit(None).cast("long").alias("event_id")
+            )
+            .unionByName(fresh.select("user_id", "epoch_us", "event_id"))
+            .withColumn("n_burst", F.count(F.lit(1)).over(w).cast("long"))
+            # prior rows fed the frames; only the trigger's own events
+            # are output rows
+            .filter(F.col("event_id").isNotNull())
+            .filter(F.col("n_burst") >= min_events)
+            .select("event_id", "user_id", "n_burst")
+        )
+        flagged.write.mode("overwrite").parquet(
+            os.path.join(out, f"ingest_batch={batch_id}")
+        )
+        merged = prior.unionByName(fresh.select("user_id", "epoch_us"))
+        horizon = merged.agg(
+            (F.max("epoch_us") - (win_us + late_us)).alias("h")
+        )
+        new_state = (
+            merged.crossJoin(F.broadcast(horizon))  # 1-row normalizer
+            .filter(F.col("epoch_us") > F.col("h"))
+            .select("user_id", "epoch_us")
+            .withColumn("last_batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .localCheckpoint(eager=True)  # materialize before the swap
+        )
+        sinks.parquet_overwrite_atomic(state_path)(new_state, batch_id)
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(flag)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )

@@ -40,7 +40,7 @@ def main() -> None:
         t: f"{work}/topics/{t}"
         for t in (
             "register", "qz", "page", "raw", "docs", "pii", "emb", "link",
-            "scrub", "budget", "shard", "winnow", "ingest", "neardup",
+            "scrub", "budget", "shard", "winnow", "ingest", "neardup", "burst",
         )
     }
 
@@ -376,6 +376,28 @@ def main() -> None:
     jobs.minhash_dedup_job(
         file_stream(spark, topics["neardup"]),
         out["neardup_ingest"], ck("neardup"), available_now=True,
+    ).awaitTermination(120)
+
+    # round 10: burst-on-ingest (event-time rate anomaly; wave 2
+    # completes a 3-in-60s burst for user 7 across the trigger boundary)
+    produce(topics["burst"], "b1.jsonl", [
+        json.dumps({"event_id": 1, "user_id": 7, "ts": "2026-08-13 10:00:00"}),
+        json.dumps({"event_id": 2, "user_id": 7, "ts": "2026-08-13 10:00:20"}),
+        json.dumps({"event_id": 3, "user_id": 8, "ts": "2026-08-13 10:00:25"}),
+        "corrupt {",
+    ])
+    out["burst_flags"] = f"{work}/out/burst_flags"
+    jobs.burst_flags_job(
+        file_stream(spark, topics["burst"]),
+        out["burst_flags"], ck("burst"), min_events=3, available_now=True,
+    ).awaitTermination(120)
+    produce(topics["burst"], "b2.jsonl", [
+        json.dumps({"event_id": 4, "user_id": 7, "ts": "2026-08-13 10:00:40"}),
+        json.dumps({"event_id": 5, "user_id": 8, "ts": "2026-08-13 10:02:30"}),
+    ])
+    jobs.burst_flags_job(
+        file_stream(spark, topics["burst"]),
+        out["burst_flags"], ck("burst"), min_events=3, available_now=True,
     ).awaitTermination(120)
 
     for name, path in out.items():

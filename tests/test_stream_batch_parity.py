@@ -121,3 +121,74 @@ def test_quiz_mastery_streaming_equals_batch(spark, sf_dir, tmp_path):
     assert set(streamed) == set(batch)
     mismatched = [k for k in batch if streamed[k] != batch[k]]
     assert not mismatched, f"{len(mismatched)} keys differ, e.g. {mismatched[:3]}"
+
+
+def test_burst_flags_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Event-time-ordered replay of the events table in two waves: the
+    streaming burst gate must flag row-identically to the batch RANGE
+    window (cross-trigger frames carried by the state table). Params
+    widened (1h window, min 2) so the sf0.001 corpus yields a
+    non-trivial flag set."""
+    import json
+
+    from edu_online_spark.operators.analytics import burst_flags
+
+    events = load_table(spark, sf_dir, "events")
+    rows = (
+        events.select("event_id", "user_id", F.col("ts").cast("string"))
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    lines = [
+        json.dumps(
+            {"event_id": r["event_id"], "user_id": r["user_id"], "ts": r["ts"]}
+        )
+        for r in rows
+    ] + ["corrupt {"]
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    half = len(lines) // 2
+    _replay(
+        jobs.burst_flags_job, spark, src, out, ckpt,
+        [lines[:half], lines[half:]],
+        window_s=3600, min_events=2,
+    )
+    streamed = {
+        (r["event_id"], r["user_id"], r["n_burst"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r["event_id"], r["user_id"], r["n_burst"])
+        for r in burst_flags(events, window_s=3600, min_events=2).collect()
+    }
+    assert streamed == batch and len(batch) > 50
+
+
+def test_burst_flags_stream_drops_stragglers_only(spark, tmp_path):
+    """An event later than late_s behind the stream's max seen time is
+    dropped (not undercounted); one inside the lateness bound still
+    counts into its frame."""
+    import json
+
+    def line(eid, uid, ts):
+        return json.dumps({"event_id": eid, "user_id": uid, "ts": ts})
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    w1 = [line(1, 7, "2024-01-01 10:00:00"),
+          line(2, 7, "2024-01-01 10:00:30")]
+    # wave 2: event 3 is 10s behind max seen (inside late_s=60 -> kept;
+    # its TRAILING frame sees events 1 and itself, n=2); event 4 is
+    # 10 min behind (dropped, not undercounted)
+    w2 = [line(3, 7, "2024-01-01 10:00:20"),
+          line(4, 7, "2024-01-01 09:50:00")]
+    _replay(
+        jobs.burst_flags_job, spark, src, out, ckpt, [w1, w2],
+        window_s=60, min_events=2, late_s=60,
+    )
+    out_rows = {(r["event_id"], r["n_burst"])
+                for r in spark.read.parquet(out).collect()}
+    # event 2 flagged in wave 1 (frame: 1+2); the already-published
+    # wave-1 row does NOT retro-count the late event 3 — the documented
+    # divergence from the batch global sort
+    assert out_rows == {(2, 2), (3, 2)}
