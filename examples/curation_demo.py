@@ -187,6 +187,48 @@ def main() -> None:
           f"masses {[r['shard_token_mass'] for r in man[:6]]}...; "
           f"xor checksums stable")
 
+    # round-10 tail: duplication diagnostics — what dedup will yield
+    # BEFORE paying for it (per-source inflation, threshold curve,
+    # cluster size histogram)
+    from edu_online_spark.operators.dedup import (
+        cluster_size_profile,
+        dup_inflation,
+        threshold_yield_curve,
+    )
+
+    raw_docs = load_table(spark, sf_dir, "documents")
+    infl = sorted(
+        dup_inflation(raw_docs).collect(), key=lambda r: -r["inflation"]
+    )
+    print(
+        "dup inflation:        "
+        + "; ".join(
+            f"{r['source']} {r['inflation']:.2f}x"
+            f" ({r['dup_tokens']} dup tok)" for r in infl[:3]
+        )
+    )
+    curve = sorted(
+        threshold_yield_curve(raw_docs).collect(), key=lambda r: r["threshold"]
+    )
+    print(
+        "dedup yield curve:    "
+        + "; ".join(
+            f"j>={r['threshold']:.1f}: {r['n_pairs']}p/{r['n_docs']}d"
+            for r in curve
+        )
+    )
+    prof = sorted(
+        cluster_size_profile(raw_docs).collect(), key=lambda r: r["cluster_size"]
+    )
+    print(
+        "cluster profile:      "
+        + "; ".join(
+            f"size {r['cluster_size']}: {r['n_clusters']} clusters"
+            for r in prof
+        )
+        + f"; {sum(r['n_dup_docs'] for r in prof)} redundant docs"
+    )
+
 
 if __name__ == "__main__":
     main()

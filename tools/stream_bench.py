@@ -305,6 +305,19 @@ def main() -> None:
             n_rows // 10, n_files,  # doc rows are ~30 tokens each
             budget=1 << 60,
         )
+        bench_job(
+            spark, work, "burst_flags", jobs.burst_flags_job,
+            # 100 events/s of stream time, 500 users: trailing-60s
+            # frames stay ~12 events/user; the state table is horizon-
+            # trimmed (window+late) so per-trigger cost is flat in the
+            # TOTAL events seen — only the horizon population matters
+            lambda i: json.dumps({
+                "event_id": i, "user_id": i % 500,
+                "ts": f"2026-08-13 {10 + i // 360000:02d}:"
+                      f"{(i // 6000) % 60:02d}:{(i // 100) % 60:02d}",
+            }),
+            n_rows, n_files,
+        )
         bench_winnow_index(spark, work, n_rows // 10, n_files)
         bench_minhash_dedup(spark, work, n_rows // 10, n_files)
     finally:
