@@ -1440,9 +1440,69 @@ def burst_flags(
     )
 
 
+def weekly_active_users(events: DataFrame) -> DataFrame:
+    """Exact trailing-7-day distinct users per active day — the
+    engagement metric dashboards usually approximate (the HLL rollup
+    is this engine's sketch path; this is the exact path). Spark
+    windows cannot express COUNT(DISTINCT) OVER RANGE, and a naive
+    per-day re-scan is O(days x corpus); instead each distinct
+    (day, user) pair is EXPLODED to the <= 7 report days whose
+    trailing week contains it, and a plain distinct count per report
+    day finishes the job.
+
+    Scale shape: the corpus collapses to distinct (day, user) pairs in
+    one map-side-combined exchange; the explode multiplies that
+    relation by at most 7 (constant); the final distinct-count is the
+    second exchange. Report days are restricted to days with >= 1
+    event (the spine the gap-fill op would fill; absence is reported
+    by absence here).
+
+    Queued for round 11 (`events_weekly_active_users`, ORACLE_R11)."""
+    day_user = (
+        events.select(
+            F.to_date("ts").alias("day"), "user_id"
+        ).distinct()
+    )
+    active_days = day_user.select("day").distinct()
+    contributes = day_user.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add("day", 6))
+        ).alias("report_day"),
+        "user_id",
+    )
+    return (
+        contributes.join(
+            active_days.withColumnRenamed("day", "report_day"),
+            "report_day",
+            "left_semi",  # only days that actually had events report
+        )
+        .groupBy("report_day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .select(
+            F.date_format("report_day", "yyyyMMdd").alias("day"),
+            F.col("wau").cast("long").alias("wau"),
+        )
+    )
+
+
 # Round-11 promotion queue (the ORACLE_R10 pattern: library op + tests
 # + ready oracle now, window slot next round).
 ORACLE_R11 = {
+    "events_weekly_active_users": """
+        WITH day_user AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        active AS (SELECT DISTINCT day FROM day_user),
+        contributes AS (
+            SELECT day + CAST(off AS INTEGER) AS report_day, user_id
+            FROM day_user, (SELECT unnest(range(7)) AS off)
+        )
+        SELECT strftime(c.report_day, '%Y%m%d') AS day,
+               CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau
+        FROM contributes c
+        WHERE c.report_day IN (SELECT day FROM active)
+        GROUP BY 1
+    """,
     "events_burst_flags": f"""
         SELECT event_id, user_id, CAST(n_burst AS BIGINT) AS n_burst
         FROM (

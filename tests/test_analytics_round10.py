@@ -118,3 +118,37 @@ def test_burst_flags_fixture_semantics(spark):
     assert [(r["event_id"], r["user_id"], r["n_burst"]) for r in out] == [
         (4, 1, 5)
     ]
+
+
+def test_weekly_active_users_matches_r11_oracle(spark, sf_dir):
+    """Queued round-11 oracle hash-matches at sf0.001."""
+    from edu_online_spark.operators.analytics import (
+        ORACLE_R11,
+        weekly_active_users,
+    )
+    from edu_online_spark.sources import load_table
+    from tools.parity import compare, run_oracle
+
+    problems = compare(
+        "events_weekly_active_users",
+        weekly_active_users(load_table(spark, sf_dir, "events")),
+        run_oracle(ORACLE_R11["events_weekly_active_users"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_weekly_active_users_fixture(spark):
+    """u1 active d1+d3, u2 active d1 only: WAU(d1)=2, WAU(d3)=2 (u1
+    once despite two active days in the week); a day 10 days later
+    reports only its own user; non-event days don't report."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from edu_online_spark.operators.analytics import weekly_active_users
+
+    events = spark.createDataFrame(
+        [(1, 1, "2024-03-01 10:00:00"), (2, 2, "2024-03-01 11:00:00"),
+         (3, 1, "2024-03-03 09:00:00"), (4, 3, "2024-03-11 09:00:00")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {r["day"]: r["wau"] for r in weekly_active_users(events).collect()}
+    assert out == {"20240301": 2, "20240303": 2, "20240311": 1}
