@@ -182,6 +182,31 @@ def gen_lineitem(
     )
 
 
+def gen_events(n: int, n_users: int, seed: int = 23) -> pa.Table:
+    """Events twin for the event-time operators (burst windows, WAU):
+    (event_id, ts, user_id, event_type, value) over one year at
+    microsecond precision — the shape the driver table has."""
+    rng = np.random.default_rng(seed)
+    base = np.datetime64("2024-01-01", "us")
+    offs = np.sort(rng.integers(0, 365 * 86400 * 1_000_000, size=n))
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(base + offs.astype("timedelta64[us]"),
+                           type=pa.timestamp("us")),
+            "user_id": pa.array(
+                rng.integers(0, n_users, size=n).astype(np.int64)
+            ),
+            "event_type": pa.array(
+                rng.choice(["view", "click", "purchase", "signup", "error"],
+                           size=n).tolist(),
+                type=pa.string(),
+            ),
+            "value": pa.array(np.round(rng.uniform(0, 500, size=n), 2)),
+        }
+    )
+
+
 def _write(table: pa.Table, path: str, row_group_rows: int) -> None:
     """Many small row groups, not one: a single-row-group file caps
     Spark's scan parallelism at 1-2 tasks regardless of cores, so sf1
@@ -208,10 +233,12 @@ def main() -> None:
     _write(orders, f"{out_dir}/orders.parquet", max(orders.num_rows // 32, 1))
     li = gen_lineitem(600000 * mult, 150000 * mult, 1000 * mult)
     _write(li, f"{out_dir}/lineitem.parquet", max(li.num_rows // 32, 1))
+    ev = gen_events(100000 * mult, 10000 * mult)
+    _write(ev, f"{out_dir}/events.parquet", max(ev.num_rows // 32, 1))
     print(
         f"wrote {docs.num_rows} documents, {emb.num_rows} embeddings, "
         f"{cust.num_rows} customers, {orders.num_rows} orders, "
-        f"{li.num_rows} lineitems -> {out_dir}"
+        f"{li.num_rows} lineitems, {ev.num_rows} events -> {out_dir}"
     )
 
 
