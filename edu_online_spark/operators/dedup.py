@@ -1363,7 +1363,9 @@ YIELD_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
 
 
 def threshold_yield_curve(
-    documents: DataFrame, thresholds: tuple[float, ...] = YIELD_THRESHOLDS
+    documents: DataFrame,
+    thresholds: tuple[float, ...] = YIELD_THRESHOLDS,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup tuning report: near-duplicate yield at EVERY candidate
     threshold from one corpus pass — for each threshold, how many
@@ -1390,9 +1392,11 @@ def threshold_yield_curve(
     th = spark.createDataFrame(
         [(float(t),) for t in sorted(thresholds)], "threshold double"
     )
-    pairs = minhash_lsh_pairs(
-        documents, threshold=min(thresholds)
-    ).localCheckpoint(eager=True)  # pair counts + per-doc max share it
+    if pairs is None:
+        # pass a precomputed (doc_a, doc_b, jaccard) relation (>= the
+        # loosest threshold) to share one LSH pass across diagnostics
+        pairs = minhash_lsh_pairs(documents, threshold=min(thresholds))
+    pairs = pairs.localCheckpoint(eager=True)  # counts + per-doc max share it
     pair_counts = (
         pairs.join(F.broadcast(th), F.col("jaccard") >= F.col("threshold"))
         .groupBy("threshold")
@@ -1422,7 +1426,9 @@ def threshold_yield_curve(
 
 
 def cluster_size_profile(
-    documents: DataFrame, threshold: float = JACCARD_THRESHOLD
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate cluster size histogram — the corpus-health
     summary on top of the cluster closure: for each cluster size, how
@@ -1438,9 +1444,11 @@ def cluster_size_profile(
     the cluster relation; the corpus total and the clustered total are
     single-row aggregates combined via the broadcast 1-row normalizer
     idiom — no second corpus pass beyond the doc_id projection."""
-    clusters = near_dup_clusters(
-        minhash_lsh_pairs(documents, threshold=threshold)
-    )
+    if pairs is None:
+        # pass a precomputed pairs relation to share one LSH pass
+        # across diagnostics (curation_demo does)
+        pairs = minhash_lsh_pairs(documents, threshold=threshold)
+    clusters = near_dup_clusters(pairs)
     per = clusters.groupBy("cluster_rep").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -2027,7 +2035,11 @@ ORACLE_R11 = {
     "dedup_threshold_yield_curve": f"""
         WITH pairs AS ({_JACCARD_PAIRS_SQL}),
         th AS (
-            SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold
+            -- DOUBLE[] cast: a bare decimal list binds the column as
+            -- DECIMAL(2,1), which the driver's typed-row hash would
+            -- see as a different type than Spark's double literals
+            SELECT unnest(CAST([0.5, 0.6, 0.7, 0.8, 0.9] AS DOUBLE[]))
+                AS threshold
         ),
         pc AS (
             SELECT t.threshold, count(*) AS n_pairs

@@ -2505,28 +2505,75 @@ def _folded_through(path: str) -> int:
         return json.load(f)["folded_through"]
 
 
+# How long a commit-lock holder may be presumed alive. A holder only
+# deletes folded dirs + renames one dir, so seconds suffice locally;
+# the margin covers a slow filesystem. After this, a waiter treats the
+# lock as a crashed holder's leftover and steals it (re-running the
+# commit step serially is idempotent — only CONCURRENT entry is unsafe).
+_COMPACTION_LOCK_STEAL_S = 300.0
+
+
 def _finish_compaction(path: str, folded: list[str]) -> int:
     """The commit step of the fold protocol, shared by the normal path
     and crash recovery. Precondition: manifest on disk and the
     complete fold in staging (or already renamed onto
     ingest_batch=-1): delete the folded dirs, rename staging onto
-    ingest_batch=-1 (THE commit point), remove the manifest."""
+    ingest_batch=-1 (THE commit point), remove the manifest.
+
+    SERIALIZED via an atomic mkdir lock: with probe-side recovery
+    (below), a streaming trigger and an offline compactor can both
+    reach this step for the same index — unserialized, a loser
+    interleaving `rmtree(minus1)` with the winner's rename deletes the
+    just-committed fold. The lock holder does the work; a waiter spins
+    until the manifest disappears (commit done) and steals the lock
+    only past _COMPACTION_LOCK_STEAL_S (a crashed holder — re-entry is
+    safe serially because every sub-step is idempotent)."""
+    import json
     import os
     import shutil
+    import time
 
     staging = os.path.join(path, "_staging_compact")
     manifest = os.path.join(path, "_compaction_manifest.json")
     minus1 = os.path.join(path, "ingest_batch=-1")
-    for d in folded:
-        p = os.path.join(path, d)
-        if os.path.isdir(p):
-            shutil.rmtree(p)
-    if os.path.isdir(staging):
-        if os.path.isdir(minus1):
-            shutil.rmtree(minus1)  # pre-fold rows — already in staging
-        os.rename(staging, minus1)  # THE commit point
-    os.remove(manifest)
-    return len(folded)
+    lock = os.path.join(path, "_compaction_commit.lock")
+
+    t0 = time.monotonic()
+    while True:
+        try:
+            os.mkdir(lock)  # atomic claim
+            break
+        except FileExistsError:
+            if not os.path.isfile(manifest):
+                return 0  # the holder finished the commit
+            if time.monotonic() - t0 > _COMPACTION_LOCK_STEAL_S:
+                try:
+                    os.rmdir(lock)  # crashed holder's leftover
+                except OSError:
+                    pass
+                t0 = time.monotonic()
+                continue
+            time.sleep(0.05)
+    try:
+        if not os.path.isfile(manifest):
+            return 0  # finished between our check and the claim
+        with open(manifest) as f:
+            folded = json.load(f)["folded"]  # authoritative list
+        for d in folded:
+            p = os.path.join(path, d)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+        if os.path.isdir(staging):
+            if os.path.isdir(minus1):
+                shutil.rmtree(minus1)  # pre-fold rows — already in staging
+            os.rename(staging, minus1)  # THE commit point
+        os.remove(manifest)
+        return len(folded)
+    finally:
+        try:
+            os.rmdir(lock)
+        except OSError:
+            pass
 
 
 def _recover_compaction(path: str) -> int:
@@ -2538,15 +2585,14 @@ def _recover_compaction(path: str) -> int:
     undercount prior document frequencies. Both streaming probes call
     this (no-op isfile check per trigger) before listing the index, so
     the stream itself closes the crash window instead of waiting for
-    the next offline compaction run."""
-    import json
+    the next offline compaction run. Concurrent entry (trigger vs
+    offline compactor) is serialized inside _finish_compaction."""
     import os
 
     manifest = os.path.join(path, "_compaction_manifest.json")
     if not os.path.isfile(manifest):
         return 0
-    with open(manifest) as f:
-        return _finish_compaction(path, json.load(f)["folded"])
+    return _finish_compaction(path, [])  # list re-read under the lock
 
 
 def _compact_batch_dirs(
@@ -2595,6 +2641,14 @@ def _compact_batch_dirs(
         d: int(d.split("=", 1)[1])
         for d in os.listdir(path)
         if d.startswith("ingest_batch=") and d != "ingest_batch=-1"
+        # never fold a dir whose write did not COMMIT (_SUCCESS is the
+        # committer's marker): a crashed trigger's partial dir holds a
+        # prefix of its rows, and folding a prefix both bakes wrong dfs
+        # into ingest_batch=-1 and breaks the winnow probe's
+        # subtract-guard arithmetic, which assumes a fold absorbed a
+        # batch completely or not at all. The replay will overwrite the
+        # partial dir; a later compaction folds it then.
+        and os.path.isfile(os.path.join(path, d, "_SUCCESS"))
     }
     batch_dirs = [
         d
@@ -2603,10 +2657,20 @@ def _compact_batch_dirs(
     ]
     if not batch_dirs:
         return 0
-    scan = spark.read.option("basePath", path).parquet(path)
-    if max_batch_id is not None:
-        # partition-pruned: ungated dirs stay out of the fold AND on disk
-        scan = scan.filter(F.col("ingest_batch") <= max_batch_id)
+    # read EXACTLY the fold's inputs — the existing minus1 partition
+    # plus the dirs that will be deleted. An isin over the partition
+    # column (not a bare <=) keeps skipped dirs (uncommitted, ungated)
+    # out of the fold so their rows cannot be double-counted when the
+    # dir survives the delete.
+    scan = (
+        spark.read.option("basePath", path)
+        .parquet(path)
+        .filter(
+            F.col("ingest_batch").isin(
+                [-1] + [batch_ids[d] for d in batch_dirs]
+            )
+        )
+    )
     merged = (
         project(scan)
         # pin the full read once; count() and the write below share it
@@ -2718,9 +2782,11 @@ def minhash_dedup_job(
     identical annotation; after offline compaction the partition
     filter alone no longer suffices — folded rows live at
     ingest_batch=-1 — so compact_minhash_index is gated on the
-    checkpoint's committed batches and the probe additionally
-    anti-joins candidates against the trigger's own doc ids, ADVICE
-    r9). Shingle reads are additionally pruned by
+    checkpoint's committed batches, and when the fold's sidecar shows
+    it absorbed this very batch (ungated compaction + replay) the
+    probe additionally anti-joins candidates against the trigger's
+    own doc ids, ADVICE r9; on the committed path a same-doc-id
+    redelivery keeps flagging as an exact repost). Shingle reads are additionally pruned by
     `bucket IN (candidate buckets)` — the bounded ≤64-bucket collect
     idiom — and SKIPPED outright on the common no-candidate trigger,
     so per-trigger verification reads O(candidates), never O(corpus).
@@ -2824,26 +2890,28 @@ def minhash_dedup_job(
                     F.col("a.doc_id").alias("new_id"),
                     prior_bands.doc_id.alias("corpus_id"),
                 )
-                # a document is never a prior near-dup of ITSELF: drop
-                # candidates whose corpus side is one of this trigger's
-                # own doc ids. Prior batches can only contain them via
-                # replay-after-ungated-compaction (own rows folded into
-                # ingest_batch=-1, which passes the < batch_id filter —
-                # ADVICE r9 high: self-match at Jaccard 1.0) or an
-                # at-least-once redelivery of the same doc id across
-                # triggers (an exact repost — the Bloom seen-filter
-                # job's case, not a near-dup). Trigger-sized broadcast
-                # anti-join, unconditional.
-                .join(
+                .distinct()
+                .localCheckpoint(eager=True)  # bucket collect + verify
+            )
+            if _folded_through(bands_path) >= batch_id:
+                # Replay after an UNGATED compaction folded this
+                # trigger's own band rows into ingest_batch=-1, which
+                # passes the < batch_id filter (ADVICE r9 high: every
+                # doc self-matches at Jaccard 1.0). A document is never
+                # a prior near-dup of ITSELF, so drop candidates whose
+                # corpus side is one of this trigger's own doc ids —
+                # trigger-sized broadcast anti-join. Deliberately
+                # CONDITIONAL (the winnow twin's guard): on the
+                # committed path a same-doc-id redelivery across
+                # triggers is a legitimate exact repost and keeps
+                # flagging as before.
+                cand_prior = cand_prior.join(
                     F.broadcast(
                         batch.select(F.col("doc_id").alias("corpus_id"))
                     ),
                     "corpus_id",
                     "left_anti",
-                )
-                .distinct()
-                .localCheckpoint(eager=True)  # bucket collect + verify
-            )
+                ).localCheckpoint(eager=True)
             buckets = [
                 r["bucket"]
                 for r in cand_prior.select(

@@ -193,10 +193,13 @@ def main() -> None:
     from edu_online_spark.operators.dedup import (
         cluster_size_profile,
         dup_inflation,
+        minhash_lsh_pairs,
         threshold_yield_curve,
     )
 
     raw_docs = load_table(spark, sf_dir, "documents")
+    # one LSH pass feeds both the yield curve and the cluster profile
+    shared_pairs = minhash_lsh_pairs(raw_docs).localCheckpoint(eager=True)
     infl = sorted(
         dup_inflation(raw_docs).collect(), key=lambda r: -r["inflation"]
     )
@@ -208,7 +211,7 @@ def main() -> None:
         )
     )
     curve = sorted(
-        threshold_yield_curve(raw_docs).collect(), key=lambda r: r["threshold"]
+        threshold_yield_curve(raw_docs, pairs=shared_pairs).collect(), key=lambda r: r["threshold"]
     )
     print(
         "dedup yield curve:    "
@@ -218,7 +221,7 @@ def main() -> None:
         )
     )
     prof = sorted(
-        cluster_size_profile(raw_docs).collect(), key=lambda r: r["cluster_size"]
+        cluster_size_profile(raw_docs, pairs=shared_pairs).collect(), key=lambda r: r["cluster_size"]
     )
     print(
         "cluster profile:      "

@@ -1768,3 +1768,26 @@ def test_folded_through_sidecar_carries_across_folds(spark, tmp_path):
     _run(jobs.winnow_index_job, spark, src, out, ckpt)
     assert jobs.compact_winnow_index(spark, idx) == 1
     assert jobs._folded_through(idx) == 1
+
+
+def test_minhash_committed_same_id_redelivery_still_flags(spark, tmp_path):
+    """The own-doc anti-join must be CONDITIONAL on the replay-after-
+    ungated-fold state: a same-doc-id redelivery across COMMITTED
+    triggers is a legitimate exact repost and keeps flagging against
+    the prior copy (the pre-round-10 behavior)."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(src, "b1.jsonl", _budget_doc_lines([
+        (1, "s", _near_copy_text("romeo")),
+    ]))
+    _run(jobs.minhash_dedup_job, spark, src, out, ckpt)
+    # committed; the same doc id arrives again in a later trigger
+    _write_lines(src, "b2.jsonl", _budget_doc_lines([
+        (1, "s", _near_copy_text("romeo")),
+    ]))
+    _run(jobs.minhash_dedup_job, spark, src, out, ckpt)
+    from pyspark.sql import functions as F
+
+    r = {x["ingest_batch"]: x
+         for x in spark.read.parquet(out).filter(F.col("doc_id") == 1).collect()}
+    assert not r[0]["near_dup_suspect"]
+    assert r[1]["near_dup_suspect"] and r[1]["n_prior_dups"] == 1

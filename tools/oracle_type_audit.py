@@ -37,6 +37,9 @@ _BAD = (
     "UBIGINT",
     "TINYINT",
     "SMALLINT",  # Spark emits these only from explicit casts we never use
+    "DECIMAL",  # a bare SQL decimal literal binds DECIMAL(p,s); the
+    # Spark side always produces double — portable oracles CAST to
+    # DOUBLE (caught live: the yield-curve threshold dim, round 10)
 )
 
 
