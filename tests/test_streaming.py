@@ -1791,3 +1791,29 @@ def test_minhash_committed_same_id_redelivery_still_flags(spark, tmp_path):
          for x in spark.read.parquet(out).filter(F.col("doc_id") == 1).collect()}
     assert not r[0]["near_dup_suspect"]
     assert r[1]["near_dup_suspect"] and r[1]["n_prior_dups"] == 1
+
+
+def test_compaction_recovery_steals_stale_lock(spark, tmp_path, monkeypatch):
+    """A crashed commit-step holder leaves the lock dir behind; the
+    next recovery must steal it past the timeout and finish the fold
+    (serial re-entry of the commit step is idempotent)."""
+    import json
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_lines(src, "b1.jsonl", _budget_doc_lines([
+        (1, "s", _near_copy_text("sierra")),
+    ]))
+    _run(jobs.winnow_index_job, spark, src, out, ckpt)
+    idx = out + ".fpindex"
+    # drive the fold to the manifest-published point, then simulate a
+    # holder that died with the lock taken
+    monkeypatch.setattr(jobs, "_COMPACTION_LOCK_STEAL_S", 0.2)
+    assert jobs.compact_winnow_index(spark, idx) == 1
+    # re-create a mid-commit state by hand: stale lock + manifest for
+    # an (already absent) dir — recovery must steal and clean up
+    os.mkdir(os.path.join(idx, "_compaction_commit.lock"))
+    with open(os.path.join(idx, "_compaction_manifest.json"), "w") as f:
+        json.dump({"folded": []}, f)
+    assert jobs._recover_compaction(idx) == 0  # nothing left to fold
+    assert not os.path.exists(os.path.join(idx, "_compaction_manifest.json"))
+    assert not os.path.exists(os.path.join(idx, "_compaction_commit.lock"))
