@@ -1073,6 +1073,70 @@ def vocabulary_topk(documents: DataFrame, k: int = 50) -> DataFrame:
     )
 
 
+COVERAGE_TOPNS = (100, 1_000, 10_000)
+
+
+def vocab_coverage_curve(
+    documents: DataFrame, top_ns: tuple[int, ...] = COVERAGE_TOPNS
+) -> DataFrame:
+    """What fraction of the corpus token mass the top-N vocabulary
+    terms cover, at several N — the tokenizer/vocab-size design
+    diagnostic (the coverage a BPE vocab truncated at N would retain
+    against whole-word tokens; vocabulary_topk shows WHO the head is,
+    this shows how heavy it is).
+
+    Scale shape: one wordcount exchange (map-side combined), then the
+    HEAD of the distribution via TakeOrderedAndProject at max(top_ns)
+    rows (bounded per-partition heaps — never a global sort of the
+    vocabulary), ranked by a single window over those <= max-N rows
+    (driver-bounded, constant). The total token mass is a 1-row
+    aggregate joined by the broadcast-normalizer idiom; coverage is
+    an exact bigint/bigint divide. Deterministic head tie-break
+    (cnt desc, token asc) — replay-stable even across engines where
+    rank-boundary ties exist.
+
+    Queued for round 11 (`corpus_vocab_coverage`, ORACLE_R11)."""
+    from pyspark.sql import Window
+
+    counts = _token_rows(documents).groupBy("token").agg(
+        F.count("*").alias("cnt")
+    )
+    top_n = max(top_ns)
+    head = (
+        counts.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(top_n)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("cnt"), F.asc("token"))
+            ),
+        )
+    )
+    total = counts.agg(
+        F.sum("cnt").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+    )
+    ns = documents.sparkSession.createDataFrame(
+        [(int(n),) for n in sorted(top_ns)], "top_n long"
+    )
+    return (
+        head.join(F.broadcast(ns), F.col("rank") <= F.col("top_n"))
+        .groupBy("top_n")
+        .agg(F.sum("cnt").cast("long").alias("covered_tokens"))
+        .crossJoin(F.broadcast(total))  # 1-row normalizer
+        .select(
+            "top_n",
+            "covered_tokens",
+            "total_tokens",
+            "vocab_size",
+            (
+                F.col("covered_tokens").cast("double")
+                / F.col("total_tokens")
+            ).alias("coverage"),
+        )
+    )
+
+
 def repetition_scores(documents: DataFrame) -> DataFrame:
     """Per-document repetition metrics — the Gopher/C4-style quality
     heuristic that drops boilerplate and degenerate pages: the share of
@@ -2433,6 +2497,44 @@ QUERIES = {
 }
 
 _TOKENS = "regexp_split_to_array(trim(text), ' +')"
+
+# Round-11 promotion queue (the ORACLE_R10 pattern: library op + tests
+# + ready oracle now, window slot next round). BIGINT[] cast on the
+# top_n dim for the same reason the yield-curve dim casts DOUBLE[]
+# (bare literals bind narrow types the typed-row hash would reject).
+ORACLE_R11 = {
+    "corpus_vocab_coverage": """
+        WITH tok AS (
+            SELECT unnest(__TOKENS__) AS token FROM documents
+        ),
+        counts AS (
+            SELECT token, count(*) AS cnt
+            FROM tok WHERE token <> '' GROUP BY token
+        ),
+        total AS (
+            SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab_size
+            FROM counts
+        ),
+        head AS (
+            SELECT cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank
+            FROM counts
+            QUALIFY rank <= __COV_MAX_N__
+        ),
+        ns AS (
+            SELECT unnest(CAST([__COV_NS__] AS BIGINT[])) AS top_n
+        )
+        SELECT n.top_n,
+               CAST(SUM(h.cnt) AS BIGINT) AS covered_tokens,
+               t.total_tokens, t.vocab_size,
+               CAST(SUM(h.cnt) AS DOUBLE) / t.total_tokens AS coverage
+        FROM ns n JOIN head h ON h.rank <= n.top_n, total t
+        GROUP BY 1, 3, 4
+    """.replace("__TOKENS__", _TOKENS)
+       .replace("__COV_MAX_N__", str(max(COVERAGE_TOPNS)))
+       .replace("__COV_NS__", ", ".join(str(n) for n in sorted(COVERAGE_TOPNS))),
+}
 _STOP_LIST = ", ".join(f"'{w}'" for w in T.STOPWORDS_EN)
 
 # Shared winnowing-selection mirror (char-fold gram hashes → w-window

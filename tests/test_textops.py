@@ -1377,3 +1377,39 @@ def test_round9_additions_match_oracle(spark, sf_dir):
     ]:
         problems = compare(name, df, run_oracle(ORACLE[name], sf_dir))
         assert not problems, (name, problems)
+
+
+def test_vocab_coverage_matches_r11_oracle(spark, sf_dir):
+    """Queued round-11 oracle hash-matches at sf0.001."""
+    from edu_online_spark.operators.textops import (
+        ORACLE_R11,
+        vocab_coverage_curve,
+    )
+    from edu_online_spark.sources import load_table
+    from tools.parity import compare, run_oracle
+
+    problems = compare(
+        "corpus_vocab_coverage",
+        vocab_coverage_curve(load_table(spark, sf_dir, "documents")),
+        run_oracle(ORACLE_R11["corpus_vocab_coverage"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_vocab_coverage_fixture(spark):
+    """Corpus 'a a a b b c': top-1 covers 3/6, top-2 covers 5/6,
+    top-3 covers all; vocab_size 3 on every row."""
+    from edu_online_spark.operators.textops import vocab_coverage_curve
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c", "s")], ["doc_id", "text", "source"]
+    )
+    out = {
+        r["top_n"]: r
+        for r in vocab_coverage_curve(docs, top_ns=(1, 2, 3)).collect()
+    }
+    assert out[1]["covered_tokens"] == 3 and out[1]["coverage"] == 0.5
+    assert out[2]["covered_tokens"] == 5 and out[2]["coverage"] == 5 / 6
+    assert out[3]["coverage"] == 1.0
+    assert all(r["vocab_size"] == 3 and r["total_tokens"] == 6
+               for r in out.values())
