@@ -143,6 +143,116 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    documents: DataFrame, n: int = 3, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Exact n-gram Jaccard ≥ threshold via PREFIX FILTERING — the
+    candidate-bounded exact path (AllPairs/PPJoin family), same output
+    as `ngram_jaccard_pairs` bit for bit.
+
+    The sparse co-occurrence join materializes a row for EVERY shared
+    shingle of every pair — Σ_shingle df², which a handful of template
+    shingles ("click here to", boilerplate headers) blows up long
+    before any pair qualifies. Prefix filtering joins only each doc's
+    RAREST p = |T| − ⌈θ|T|⌉ + 1 shingles (global (df, shingle) order):
+    if J(A,B) ≥ θ then |A∩B| ≥ ⌈θ·max(|A|,|B|)⌉, and two sets sharing
+    α elements must collide within their (len − α + 1)-prefixes — so
+    every qualifying pair survives (lossless; pinned by the
+    bit-equality test) while high-df shingles never generate
+    candidates. Measured at sf0.001: 12,025 co-occurrence pairs →
+    1,139 candidates (10.6×) for the same 28 qualifying pairs.
+
+    Exact |A∩B| is then recomputed per CANDIDATE via the
+    candidate-bounded semi-join (cost |cand| × avg doc size, not
+    corpus²), with the θ·max(|A|,|B|) ≤ min(|A|,|B|) length filter
+    shedding size-incompatible candidates before that join. Same
+    integer-count / single-double-division arithmetic as the certified
+    co-occurrence form, so the certified `_JACCARD_PAIRS_SQL` oracle
+    applies unchanged.
+
+    Guarded like its sibling, and for the same measured reason:
+    prefix filtering improves the CONSTANT, not the complexity class.
+    On a template-heavy corpus the candidate set is still pair-shaped
+    — at the 50k-doc rehearsal corpus (low-entropy synthetic text) the
+    co-occurrence join is 878M rows and the prefix+length filters
+    still leave 61.8M candidates (14×) for a handful of true pairs.
+    Exact set-similarity self-joins degrade on low-entropy inputs no
+    matter the filter; `minhash_lsh_pairs` remains the unconditional
+    scale path, and this op is the strictly-better exact baseline
+    below the guard (decontamination-style runs where a banding false
+    negative is costlier than the verify join).
+    """
+    from pyspark.sql import Window
+
+    _guard_all_pairs(
+        documents, "ngram_jaccard_pairs_prefix", "minhash_lsh_pairs"
+    )
+    sh = _shingle_rows(documents, n).dropDuplicates(["doc_id", "shingle"])
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    # doc-grain window gives pos and |T| in ONE shuffle by doc_id; the
+    # df join is shingle-keyed (AQE broadcasts it when it fits)
+    w = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(df_counts, "shingle")
+        .select(
+            "doc_id",
+            "shingle",
+            F.row_number()
+            .over(w.orderBy("df", "shingle"))
+            .alias("pos"),
+            F.count("*").over(w).alias("sz"),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("doc_id", "shingle", "sz")
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("sz").alias("sz_a")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("sz").alias("sz_b")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length filter: J ≥ θ ⟹ min ≥ θ·|A∪B| ≥ θ·max — prunes
+            # only, never decides (verify recomputes exact jaccard)
+            & (
+                F.least("sz_a", "sz_b").cast("double")
+                >= F.lit(threshold) * F.greatest("sz_a", "sz_b")
+            )
+        )
+        .select("doc_a", "doc_b", "sz_a", "sz_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_b"), "shingle"
+            ),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        cand.join(inter, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def _shingle_rows(documents: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) rows — see functions.text.shingle_rows for why
     the row form beats per-doc shingle arrays at corpus size."""
@@ -2064,6 +2174,15 @@ ORACLE_R11 = {
         LEFT JOIN pc ON pc.threshold = t.threshold
         LEFT JOIN dc ON dc.threshold = t.threshold
     """,
+}
+
+# Round-12 promotion queue. The prefix-filtered exact path returns the
+# SAME relation as dedup_ngram_jaccard (bit-equality pinned in tests),
+# so it certifies against the same brute-force mirror — the oracle
+# deliberately knows nothing about prefixes: losslessness is exactly
+# the claim under test.
+ORACLE_R12 = {
+    "dedup_ngram_jaccard_prefix": _JACCARD_PAIRS_SQL,
 }
 
 # Round-10 additions. dup_inflation is pure integer arithmetic over

@@ -428,6 +428,52 @@ def quality_tiered_sample(documents: DataFrame) -> DataFrame:
     )
 
 
+WEIGHTED_SAMPLE_K = 100
+_WS_HASH_MOD = 1_000_003  # prime ≫ corpus buckets; +1 keeps u > 0
+
+
+def weighted_sample(
+    documents: DataFrame, k: int = WEIGHTED_SAMPLE_K
+) -> DataFrame:
+    """Deterministic weighted top-k sample — k docs chosen with
+    probability increasing in document mass (weight = n_chars + 1), by
+    ranking on priority = u / w with u a hash-derived uniform integer:
+    the integer-exact analogue of Efraimidis–Spirakis u^(1/w) keys
+    (selection is weight-monotone, replay-stable, and engine-exact;
+    NOT exactly ∝ w — the exact-proportional key needs ln/pow, which
+    is libm territory and would demote this to rows-only).
+
+    The tiered/stratified samplers answer "keep x% of each class";
+    this answers the other recurring curation ask, "give me exactly k,
+    favoring heavy documents" (seed-set picks, eval-slice draws,
+    mixture pilots). Priority is the hash_bucket integer recipe plus
+    ONE double division (IEEE-exact on every engine), tie-broken by
+    doc_id.
+
+    Scale shape: no shuffle at all — orderBy().limit(k) compiles to
+    TakeOrderedAndProject (a bounded k-heap per partition, then a
+    driver merge of P·k rows), so the 100 TB cost is one scan-stage
+    pass over (doc_id, source, n_chars). Queued for round 12
+    (`docs_weighted_sample`, ORACLE_R12)."""
+    h = (
+        F.pmod(
+            F.pmod(F.col("doc_id"), F.lit(2147483647)) * F.lit(2654435761),
+            F.lit(_WS_HASH_MOD),
+        )
+        + 1
+    )
+    return (
+        documents.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (h.cast("double") / (F.col("n_chars") + 1)).alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(k)
+    )
+
+
 MIXTURE_WEIGHTS = {"src0": 4, "src1": 2, "src2": 1, "src3": 1}
 MIXTURE_TOKEN_BUDGET = 20_000
 
@@ -2534,6 +2580,25 @@ ORACLE_R11 = {
     """.replace("__TOKENS__", _TOKENS)
        .replace("__COV_MAX_N__", str(max(COVERAGE_TOPNS)))
        .replace("__COV_NS__", ", ".join(str(n) for n in sorted(COVERAGE_TOPNS))),
+}
+
+# Round-12 promotion queue. Same hash_bucket integer recipe the
+# split/tier samplers certify against; the one double division is
+# IEEE-exact on both engines, and the (priority, doc_id) sort makes
+# the k-boundary deterministic even under priority collisions.
+ORACLE_R12 = {
+    "docs_weighted_sample": f"""
+        SELECT doc_id, source, n_chars,
+               CAST(h AS DOUBLE) / (n_chars + 1) AS priority
+        FROM (
+            SELECT doc_id, source, n_chars,
+                   ((doc_id % 2147483647) * 2654435761)
+                       % {_WS_HASH_MOD} + 1 AS h
+            FROM documents
+        )
+        ORDER BY priority, doc_id
+        LIMIT {WEIGHTED_SAMPLE_K}
+    """,
 }
 _STOP_LIST = ", ".join(f"'{w}'" for w in T.STOPWORDS_EN)
 

@@ -566,3 +566,71 @@ def test_threshold_yield_curve_is_monotone(spark, sf_dir):
         assert lo["n_pairs"] >= hi["n_pairs"]
         assert lo["n_docs"] >= hi["n_docs"]
     assert rows[0]["n_pairs"] == minhash_lsh_pairs(docs).count()
+
+
+def test_ngram_jaccard_prefix_matches_r12_oracle(spark, sf_dir):
+    """The queued round-12 oracle hash-matches at sf0.001 — and the
+    oracle is the UNFILTERED brute-force mirror, so this is the
+    losslessness claim itself under test."""
+    from edu_online_spark.operators.dedup import (
+        ORACLE_R12,
+        ngram_jaccard_pairs_prefix,
+    )
+    from edu_online_spark.sources import load_table
+    from tools.parity import compare, run_oracle
+
+    problems = compare(
+        "dedup_ngram_jaccard_prefix",
+        ngram_jaccard_pairs_prefix(load_table(spark, sf_dir, "documents")),
+        run_oracle(ORACLE_R12["dedup_ngram_jaccard_prefix"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_ngram_jaccard_prefix_bit_equals_cooccurrence(spark, sf_dir):
+    """Prefix filtering is a candidate-generation change only: the
+    relation (pairs AND jaccard doubles) is bit-identical to the
+    certified co-occurrence form on the real corpus."""
+    from edu_online_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+    from edu_online_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {tuple(r) for r in ngram_jaccard_pairs(docs).collect()}
+    b = {tuple(r) for r in ngram_jaccard_pairs_prefix(docs).collect()}
+    assert a == b
+    assert a  # the planted near-dups make this non-vacuous
+
+
+def test_ngram_jaccard_prefix_keeps_boundary_pair(spark):
+    """A pair engineered to sit just past the θ = 0.5 threshold
+    (J = 7/13) survives the prefix filter — the lossless bound's worst
+    case is |A∩B| barely clearing ⌈θ|A|⌉, where the prefix is at its
+    shortest relative to the intersection."""
+    from edu_online_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    # 12 tokens → 10 shingles each; a 9-token shared suffix gives 7
+    # shared shingles: J = 7 / (10 + 10 - 7) = 7/13 ≥ 0.5; trimming
+    # the overlap by one token → 6/14 < 0.5 (checked below).
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota"
+    d0 = "one two three " + shared
+    d1 = "four five six " + shared
+    d2 = "seven eight nine ten " + shared.rsplit(" ", 1)[0] + " kappa"
+    docs = spark.createDataFrame(
+        [(0, d0), (1, d1), (2, d2)], ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs_prefix(docs).collect()
+    }
+    ref = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs).collect()
+    }
+    assert got == ref
+    assert (0, 1) in got and abs(got[(0, 1)] - 7 / 13) < 1e-12

@@ -1413,3 +1413,65 @@ def test_vocab_coverage_fixture(spark):
     assert out[3]["coverage"] == 1.0
     assert all(r["vocab_size"] == 3 and r["total_tokens"] == 6
                for r in out.values())
+
+
+def test_weighted_sample_matches_r12_oracle(spark, sf_dir):
+    """The queued round-12 oracle hash-matches at sf0.001 — promotion
+    next round is a registry edit, not new arithmetic."""
+    from edu_online_spark.operators.textops import (
+        ORACLE_R12,
+        weighted_sample,
+    )
+    from edu_online_spark.sources import load_table
+    from tools.parity import compare, run_oracle
+
+    problems = compare(
+        "docs_weighted_sample",
+        weighted_sample(load_table(spark, sf_dir, "documents")),
+        run_oracle(ORACLE_R12["docs_weighted_sample"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_weighted_sample_exact_k_and_formula(spark, sf_dir):
+    """Exactly k rows, every priority recomputes from the documented
+    integer recipe, and the selected set is the true bottom-k of the
+    whole corpus (TakeOrdered did not truncate per-partition)."""
+    from edu_online_spark.operators.textops import (
+        _WS_HASH_MOD,
+        weighted_sample,
+    )
+    from edu_online_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = 25
+    got = weighted_sample(docs, k=k).collect()
+    assert len(got) == k
+
+    def pri(doc_id, n_chars):
+        h = (doc_id % 2147483647) * 2654435761 % _WS_HASH_MOD + 1
+        return h / (n_chars + 1)
+
+    for r in got:
+        assert r["priority"] == pri(r["doc_id"], r["n_chars"])
+    full = sorted(
+        (pri(r["doc_id"], r["n_chars"]), r["doc_id"])
+        for r in docs.select("doc_id", "n_chars").collect()
+    )
+    assert {r["doc_id"] for r in got} == {d for _, d in full[:k]}
+
+
+def test_weighted_sample_favors_heavy_docs(spark):
+    """Weight-monotone selection: with a 100x weight gap between two
+    equal-sized families, the sample is dominated by the heavy one."""
+    from edu_online_spark.operators.textops import weighted_sample
+
+    # heavy docs get 100x the chars of light ones — the k=10 sample
+    # from 20+20 docs should be dominated by the heavy family
+    rows = [(i, "s", 50) for i in range(20)] + [
+        (i + 20, "s", 5000) for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    got = weighted_sample(docs, k=10).collect()
+    heavy = sum(1 for r in got if r["n_chars"] == 5000)
+    assert heavy >= 8  # 100x weight ratio ⇒ near-total dominance
