@@ -540,6 +540,64 @@ def split_centroid_shift(embeddings: DataFrame) -> DataFrame:
     )
 
 
+RADEMACHER_M = 8
+_RP = 2147483647
+_RK = 2654435761
+
+
+def rademacher_sketch(embeddings: DataFrame, m: int = RADEMACHER_M) -> DataFrame:
+    """Rademacher (±1) random projection to m coordinates — the
+    Johnson–Lindenstrauss compression step: distances are preserved in
+    expectation at m/D the storage, so downstream candidate
+    generation (coarse ANN pre-filters, drift monitors, cheap
+    clustering) can run on an 8-double sketch instead of the 64-float
+    vector. Complements the SRP-LSH path above: LSH keeps only the
+    projection's SIGN per plane (a bucket key); this keeps the value
+    (a metric sketch).
+
+    The sign matrix is never materialized: s(m, j) derives from the
+    engine's integer hash recipe, with one deliberate upgrade — after
+    the multiplicative mix, the state is SQUARED mod 2^31−1 before
+    taking bit 15. Rows of the implied matrix differ by a constant
+    index offset (idx = m·D + j), and any LINEAR hash maps a constant
+    offset to a constant shift in state space, leaving row pairs
+    nearly (anti-)correlated (measured max |s_a·s_b| = 52–62 of 64
+    — a broken projection); the quadratic step breaks the shift
+    structure (measured max 12 ≈ the √D random expectation).
+
+    Determinism: signs are exact integers; each product flips a
+    float's sign bit (exact in any width); the fold runs
+    left-to-right over the fixed coordinate order seeded 0.0, which
+    DuckDB's first-element-seeded list_reduce reproduces bit for bit
+    (0.0 + v0 ≡ v0). One corpus-linear scan stage, zero shuffle —
+    n·m output rows. Queued for round 12 (`embeddings_rademacher_sketch`,
+    ORACLE_R12)."""
+
+    def sign(idx):
+        h = F.pmod(F.pmod(idx, F.lit(_RP)) * F.lit(_RK), F.lit(_RP))
+        return 1 - 2 * F.pmod(F.shiftright(F.pmod(h * h, F.lit(_RP)), 15), 2)
+
+    d = F.size("embedding")
+    return embeddings.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("m"),
+        "embedding",
+    ).select(
+        "vec_id",
+        F.col("m").cast("long").alias("m"),
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                F.sequence(F.lit(0), d - 1),
+                lambda x, j: x.cast("double")
+                * sign(F.col("m") * d + j),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("value"),
+    )
+
+
 # Round-11 promotion queue (the ORACLE_R10 pattern: library op + tests
 # + ready oracle now, window slot next round).
 ORACLE_R11 = {
@@ -568,6 +626,27 @@ ORACLE_R11 = {
                CAST(MAX(n_b) AS BIGINT) AS n_b,
                sqrt(list_sum(list_sort(list(d2)))) AS centroid_shift
         FROM d GROUP BY label
+    """,
+}
+
+# Round-12 promotion queue. The sign recipe is spelled out arithmetic
+# (mix, square, bit 15) so the mirror shares no code with the op; the
+# fold seeds 0.0 on the Spark side and first-element on the DuckDB
+# side, which are bit-identical (0.0 + v0 ≡ v0).
+ORACLE_R12 = {
+    "embeddings_rademacher_sketch": f"""
+        SELECT vec_id, CAST(ms.m AS BIGINT) AS m,
+               list_reduce(
+                   [CAST(embedding[j + 1] AS DOUBLE)
+                    * (1 - 2 * ((
+                          ((((ms.m * len(embedding) + j) % {_RP})
+                             * {_RK}) % {_RP})
+                          * ((((ms.m * len(embedding) + j) % {_RP})
+                             * {_RK}) % {_RP})
+                          % {_RP}) // 32768 % 2))
+                    for j in range(len(embedding))],
+                   (a, b) -> a + b) AS value
+        FROM embeddings, (SELECT unnest(range({RADEMACHER_M})) AS m) ms
     """,
 }
 

@@ -330,3 +330,87 @@ def test_split_centroid_shift_fixture(spark):
     assert out[0]["n_a"] == 2 and out[0]["n_b"] == 2
     assert abs(out[0]["centroid_shift"] - 2**0.5) < 1e-12
     assert out[1]["centroid_shift"] == 0.0
+
+
+def test_rademacher_sketch_matches_r12_oracle(spark, sf_dir):
+    """The queued round-12 oracle hash-matches at sf0.001 — promotion
+    next round is a registry edit, not new arithmetic."""
+    from edu_online_spark.operators.similarity import (
+        ORACLE_R12,
+        rademacher_sketch,
+    )
+    from edu_online_spark.sources import load_table
+    from tools.parity import compare, run_oracle
+
+    problems = compare(
+        "embeddings_rademacher_sketch",
+        rademacher_sketch(load_table(spark, sf_dir, "embeddings")),
+        run_oracle(ORACLE_R12["embeddings_rademacher_sketch"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_rademacher_sign_rows_decorrelated():
+    """The docstring's design claim: the quadratic step keeps implied
+    sign-matrix rows near-orthogonal (a linear hash left them at
+    |dot| 52-62 of 64 — a broken projection)."""
+    from edu_online_spark.operators.similarity import (
+        RADEMACHER_M,
+        _RK,
+        _RP,
+    )
+
+    D = 64
+
+    def sign(idx):
+        h = (idx % _RP) * _RK % _RP
+        return 1 - 2 * ((h * h % _RP) >> 15 & 1)
+
+    rows = [[sign(m * D + j) for j in range(D)] for m in range(RADEMACHER_M)]
+    dots = [
+        abs(sum(a * b for a, b in zip(rows[x], rows[y])))
+        for x in range(RADEMACHER_M)
+        for y in range(x + 1, RADEMACHER_M)
+    ]
+    assert max(dots) <= 24  # ~3 sigma for random +-1 rows at D=64
+    assert all(abs(sum(r)) <= 24 for r in rows)
+
+
+def test_rademacher_sketch_preserves_distances(spark, sf_dir):
+    """JL sanity on the real corpus: median pairwise distance ratio
+    (sketch / original, 1/sqrt(m) scaling) lands near 1 and the
+    spread is the loose m=8 band, so the sketch is usable as a
+    coarse distance pre-filter."""
+    import math
+
+    import numpy as np
+
+    from edu_online_spark.operators.similarity import (
+        RADEMACHER_M,
+        rademacher_sketch,
+    )
+    from edu_online_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter("vec_id < 40")
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in emb.collect()
+    }
+    sk = rademacher_sketch(emb).collect()
+    sketches = {}
+    for r in sk:
+        sketches.setdefault(r["vec_id"], [0.0] * RADEMACHER_M)[r["m"]] = r[
+            "value"
+        ]
+    ratios = []
+    ids = sorted(vecs)
+    for i in range(0, len(ids), 2):
+        a, b = ids[i], ids[(i + 7) % len(ids)]
+        if a == b:
+            continue
+        d0 = float(np.linalg.norm(vecs[a] - vecs[b]))
+        d1 = math.dist(sketches[a], sketches[b]) / math.sqrt(RADEMACHER_M)
+        ratios.append(d1 / d0)
+    ratios.sort()
+    med = ratios[len(ratios) // 2]
+    assert 0.6 <= med <= 1.4, ratios
