@@ -455,23 +455,31 @@ def weighted_sample(
     driver merge of P·k rows), so the 100 TB cost is one scan-stage
     pass over (doc_id, source, n_chars). Queued for round 12
     (`docs_weighted_sample`, ORACLE_R12)."""
-    h = (
-        F.pmod(
-            F.pmod(F.col("doc_id"), F.lit(2147483647)) * F.lit(2654435761),
-            F.lit(_WS_HASH_MOD),
-        )
-        + 1
-    )
     return (
         documents.select(
             "doc_id",
             "source",
             "n_chars",
-            (h.cast("double") / (F.col("n_chars") + 1)).alias("priority"),
+            ws_priority("doc_id", "n_chars").alias("priority"),
         )
         .orderBy("priority", "doc_id")
         .limit(k)
     )
+
+
+def ws_priority(doc_id, n_chars):
+    """The weighted-sample priority expression (shared with the
+    streaming seed-set job so batch/stream parity is structural):
+    hash-uniform integer in [1, mod] ÷ (n_chars + 1), ONE IEEE double
+    division — smaller is better, heavier docs draw smaller keys."""
+    h = (
+        F.pmod(
+            F.pmod(F.col(doc_id), F.lit(2147483647)) * F.lit(2654435761),
+            F.lit(_WS_HASH_MOD),
+        )
+        + 1
+    )
+    return h.cast("double") / (F.col(n_chars) + 1)
 
 
 MIXTURE_WEIGHTS = {"src0": 4, "src1": 2, "src2": 1, "src3": 1}

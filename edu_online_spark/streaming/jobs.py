@@ -3034,6 +3034,121 @@ def minhash_dedup_job(
     )
 
 
+def weighted_sample_job(
+    raw: DataFrame,
+    out: str,
+    checkpoint: str,
+    k: int | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Seed-set-on-ingest: the streaming twin of
+    `operators/textops.weighted_sample` — maintain the global
+    weighted top-k document sample (weight = n_chars + 1, the shared
+    `ws_priority` hash-priority recipe) live as documents arrive, so
+    the curation pipeline always has a current k-doc seed set
+    (mixture pilots, eval-slice draws) without a batch pass.
+
+    Correctness rests on top-k-by-priority being an ASSOCIATIVE,
+    IDEMPOTENT merge: topk(topk(A) ∪ B) = topk(A ∪ B) under the
+    (priority, doc_id) total order, so any trigger slicing of the
+    same documents converges to the batch answer — the parity test
+    replays the documents table in waves and compares against
+    `weighted_sample` row for row. A re-ingested doc_id keeps its
+    lexicographically-least (priority, source, n_chars) observation
+    (deterministic min-struct, not an arbitrary dropDuplicates pick).
+
+    State IS the answer: k rows (+ last_batch_id replay fence),
+    swap-rewritten atomically per trigger; each trigger also writes
+    the current seed set to ingest_batch=N so consumers read the
+    newest committed snapshot. Per-trigger cost is |batch| + k rows —
+    the 100 TB shape is a scan of the trigger's micro-batch plus a
+    k-row sort, with no corpus-sized state or exchange anywhere.
+    Redelivered triggers (crash before checkpoint commit) hit the
+    fence and return: the merge's idempotence makes replays exact
+    even across the fence's edge cases (re-merging already-folded
+    docs is a no-op by construction).
+    """
+    import os
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ..operators.textops import WEIGHTED_SAMPLE_K, ws_priority
+
+    k = WEIGHTED_SAMPLE_K if k is None else k
+    state_path = out + ".state"
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    parsed = F.from_json(
+        F.col("value"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    docs = (
+        raw.select(parsed.alias("j"))
+        .filter(
+            F.col("j._corrupt").isNull()
+            & F.col("j.text").isNotNull()
+            & F.col("j.doc_id").try_cast("long").isNotNull()
+        )
+        .select(
+            F.col("j.doc_id").try_cast("long").alias("doc_id"),
+            F.coalesce(F.col("j.source"), F.lit("unknown")).alias("source"),
+            F.length("j.text").cast("long").alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            ws_priority("doc_id", "n_chars").alias("priority"),
+        )
+    )
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        sinks.recover_sink(state_path)
+        if os.path.exists(state_path):
+            old = spark.read.parquet(state_path)
+            last = old.agg(F.max("last_batch_id")).first()[0]
+            if last is not None and last >= batch_id:
+                return  # redelivered trigger: output dir already exact
+            prior = old.select("doc_id", "source", "n_chars", "priority")
+        else:
+            prior = spark.createDataFrame(
+                [], "doc_id long, source string, n_chars long, priority double"
+            )
+        top = (
+            prior.unionByName(batch)
+            .groupBy("doc_id")
+            .agg(F.min(F.struct("priority", "source", "n_chars")).alias("s"))
+            .select("doc_id", "s.priority", "s.source", "s.n_chars")
+            .orderBy("priority", "doc_id")
+            .limit(k)
+            .select("doc_id", "source", "n_chars", "priority")
+            .coalesce(1)
+            .localCheckpoint(eager=True)  # snapshot + state share it
+        )
+        top.write.mode("overwrite").parquet(
+            os.path.join(out, f"ingest_batch={batch_id}")
+        )
+        new_state = top.withColumn("last_batch_id", F.lit(batch_id))
+        sinks.parquet_overwrite_atomic(state_path)(new_state, batch_id)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )
+
+
 def burst_flags_job(
     raw: DataFrame,
     out: str,

@@ -41,6 +41,7 @@ def main() -> None:
         for t in (
             "register", "qz", "page", "raw", "docs", "pii", "emb", "link",
             "scrub", "budget", "shard", "winnow", "ingest", "neardup", "burst",
+            "seed",
         )
     }
 
@@ -399,6 +400,34 @@ def main() -> None:
         file_stream(spark, topics["burst"]),
         out["burst_flags"], ck("burst"), min_events=3, available_now=True,
     ).awaitTermination(120)
+
+    # round 10b: seed-set-on-ingest (weighted top-k sample maintained
+    # across triggers; doc 1 re-ingested longer in wave 2 keeps its
+    # lighter wave-2 observation — min-struct, not last-writer)
+    produce(topics["seed"], "b1.jsonl", [
+        json.dumps({"doc_id": "1", "text": "tiny doc", "source": "s1"}),
+        json.dumps({"doc_id": "2", "text": "a somewhat longer document body", "source": "s1"}),
+        "corrupt {",
+    ])
+    seed_base = f"{work}/out/seed_sample"
+    jobs.weighted_sample_job(
+        file_stream(spark, topics["seed"]),
+        seed_base, ck("seed"), k=2, available_now=True,
+    ).awaitTermination(120)
+    produce(topics["seed"], "b2.jsonl", [
+        json.dumps({"doc_id": "1", "text": "tiny doc grown into a much longer revision " * 3, "source": "s1"}),
+        json.dumps({"doc_id": "3", "text": "third document, medium length here", "source": "s2"}),
+    ])
+    jobs.weighted_sample_job(
+        file_stream(spark, topics["seed"]),
+        seed_base, ck("seed"), k=2, available_now=True,
+    ).awaitTermination(120)
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(seed_base)
+        if d.startswith("ingest_batch=")
+    )
+    out["seed_sample"] = f"{seed_base}/ingest_batch={last}"
 
     for name, path in out.items():
         df = spark.read.parquet(path)

@@ -192,3 +192,70 @@ def test_burst_flags_stream_drops_stragglers_only(spark, tmp_path):
     # wave-1 row does NOT retro-count the late event 3 — the documented
     # divergence from the batch global sort
     assert out_rows == {(2, 2), (3, 2)}
+
+
+def test_weighted_sample_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Replay the documents table in two waves: the final streamed
+    seed set equals the batch weighted_sample row for row (top-k by
+    priority is an associative idempotent merge, so trigger slicing
+    can't change the answer)."""
+    import json
+
+    from edu_online_spark.operators.textops import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select("doc_id", "text", "source").collect()
+    lines = [
+        json.dumps(
+            {"doc_id": str(r["doc_id"]), "text": r["text"], "source": r["source"]}
+        )
+        for r in rows
+    ] + ["corrupt {"]
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    half = len(lines) // 2
+    _replay(
+        jobs.weighted_sample_job, spark, src, out, ckpt,
+        [lines[:half], lines[half:]], k=25,
+    )
+    batches = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out)
+        if d.startswith("ingest_batch=")
+    )
+    final = os.path.join(out, f"ingest_batch={batches[-1]}")
+    streamed = {
+        (r["doc_id"], r["source"], r["n_chars"], r["priority"])
+        for r in spark.read.parquet(final).collect()
+    }
+    batch = {
+        (r["doc_id"], r["source"], r["n_chars"], r["priority"])
+        for r in weighted_sample(docs, k=25).collect()
+    }
+    assert streamed == batch and len(batch) == 25
+
+
+def test_weighted_sample_stream_keeps_least_observation(spark, tmp_path):
+    """A re-ingested doc_id keeps its lexicographically-least
+    (priority, source, n_chars) observation — deterministic under
+    redelivery, not an arbitrary first/last-writer pick."""
+    import json
+
+    def line(doc_id, text, source):
+        return json.dumps({"doc_id": str(doc_id), "text": text, "source": source})
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    # doc 1 arrives short (high priority value), then long (low value):
+    # the long observation wins regardless of arrival order
+    w1 = [line(1, "tiny", "s"), line(2, "another document", "s")]
+    w2 = [line(1, "x" * 500, "s"), line(3, "third", "s")]
+    _replay(jobs.weighted_sample_job, spark, src, out, ckpt, [w1, w2], k=10)
+    batches = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out)
+        if d.startswith("ingest_batch=")
+    )
+    final = spark.read.parquet(os.path.join(out, f"ingest_batch={batches[-1]}"))
+    got = {r["doc_id"]: r["n_chars"] for r in final.collect()}
+    assert got[1] == 500 and set(got) == {1, 2, 3}
