@@ -260,3 +260,76 @@ def test_ngram_novelty_conservation(spark, token_lists):
     }
     assert sum(r["n_novel"] for r in rows) == len(distinct_shingles)
     assert all(0.0 <= r["novelty_frac"] <= 1.0 for r in rows)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            # 6-word vocab forces heavy shingle sharing — the
+            # adversarial regime for prefix filtering (many ties in
+            # the global df order, high-df shingles everywhere)
+            st.sampled_from("red blue green gold onyx jade".split()),
+            min_size=3,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_prefix_jaccard_lossless_on_arbitrary_corpora(spark, token_lists):
+    """The prefix-filter losslessness claim, property-tested: on ANY
+    corpus (including total-tie df orders and all-identical docs) the
+    prefix-filtered exact join returns the SAME pair relation as the
+    certified co-occurrence form — jaccard doubles included."""
+    from edu_online_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        ["doc_id", "text"],
+    )
+    ref = {tuple(r) for r in ngram_jaccard_pairs(docs).collect()}
+    got = {tuple(r) for r in ngram_jaccard_pairs_prefix(docs).collect()}
+    assert got == ref
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40),
+            st.integers(min_value=0, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_weighted_sample_is_true_global_bottom_k(spark, rows):
+    """For ANY (doc_id, n_chars) corpus the selected set is exactly
+    the bottom-k of the (priority, doc_id) total order computed
+    independently in Python ints/floats — TakeOrdered never truncates
+    per-partition, and the JVM arithmetic matches the documented
+    recipe over the whole domain (collisions included)."""
+    from edu_online_spark.operators.textops import (
+        _WS_HASH_MOD,
+        weighted_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, "s", n) for d, n in rows], ["doc_id", "source", "n_chars"]
+    )
+    k = 7
+    got = [
+        (r["priority"], r["doc_id"])
+        for r in weighted_sample(docs, k=k).collect()
+    ]
+
+    def pri(d, n):
+        return ((d % 2147483647) * 2654435761 % _WS_HASH_MOD + 1) / (n + 1)
+
+    want = sorted((pri(d, n), d) for d, n in rows)[:k]
+    assert sorted(got) == want
