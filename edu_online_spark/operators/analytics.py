@@ -1440,6 +1440,94 @@ def burst_flags(
     )
 
 
+INTER_ARRIVAL_MIN_EVENTS = 3
+
+
+def inter_arrival_profile(
+    events: DataFrame, min_events: int = INTER_ARRIVAL_MIN_EVENTS
+) -> DataFrame:
+    """Per-user inter-arrival profile: gap count, lower-median gap,
+    mean gap, and CV² (squared coefficient of variation — the
+    burstiness index: ≈0 metronome, ≈1 Poisson, ≫1 bursty). The
+    distributional companion to `burst_flags`: the gate fires on a
+    single window, this profiles the user's whole arrival process —
+    the feature a bot/automation classifier actually consumes.
+
+    Determinism: gaps are exact integer microseconds from a
+    (epoch_us, event_id)-ordered lag (the tiebreak makes equal
+    timestamps deterministic); the median is the lower-median ELEMENT
+    of the sorted gap list (integer, no interpolation); mean and CV²
+    fold the SORTED gap list left-to-right in double (the
+    centroid/shift discipline — identical operand sequence on both
+    engines), and gap² is computed inside the fold on the
+    double-widened element so DuckDB's mirror lists the identical
+    products. All-zero-gap users (every event same-timestamped) get
+    NULL CV² explicitly on both sides rather than an engine-shaped
+    NaN/inf.
+
+    Scale shape: one shuffle on user_id (lag window + grouped
+    collect); per-user state is that user's gap list — bounded by the
+    per-user event count, the same envelope every sessionization op
+    in this module already carries. Output is one row per qualifying
+    user. Queued for round 12 (`events_inter_arrival_profile`,
+    ORACLE_R12)."""
+    w = Window.partitionBy("user_id").orderBy("epoch_us", "event_id")
+    gaps = (
+        events.select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("epoch_us"),
+        )
+        .select(
+            "user_id",
+            (
+                F.col("epoch_us") - F.lag("epoch_us").over(w)
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    per = gaps.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.array_sort(F.collect_list("gap_us")).alias("gs"),
+    )
+    folded = per.filter(F.col("n_gaps") >= min_events - 1).select(
+        "user_id",
+        "n_gaps",
+        F.element_at(
+            # floor-div, not cast-of-true-division: DuckDB CASTs
+            # round-to-nearest while Spark truncates — floor is the
+            # one spelling both engines agree on
+            "gs",
+            F.floor((F.col("n_gaps") - 1) / 2).cast("int") + 1,
+        ).alias("median_gap_us"),
+        (
+            F.aggregate(
+                "gs", F.lit(0.0), lambda a, x: a + x.cast("double")
+            )
+            / F.col("n_gaps")
+        ).alias("mean_gap_us"),
+        (
+            F.aggregate(
+                "gs",
+                F.lit(0.0),
+                lambda a, x: a + x.cast("double") * x.cast("double"),
+            )
+            / F.col("n_gaps")
+        ).alias("m2"),
+    )
+    return folded.select(
+        "user_id",
+        "n_gaps",
+        "median_gap_us",
+        "mean_gap_us",
+        F.when(
+            F.col("mean_gap_us") > 0,
+            (F.col("m2") - F.col("mean_gap_us") * F.col("mean_gap_us"))
+            / (F.col("mean_gap_us") * F.col("mean_gap_us")),
+        ).alias("cv2"),
+    )
+
+
 def weekly_active_users(events: DataFrame) -> DataFrame:
     """Exact trailing-7-day distinct users per active day — the
     engagement metric dashboards usually approximate (the HLL rollup
@@ -1515,6 +1603,46 @@ ORACLE_R11 = {
             FROM events
         )
         WHERE n_burst >= {BURST_MIN_EVENTS}
+    """,
+}
+
+# Round-12 promotion queue. Sorted-fold double discipline for the
+# mean/m2 folds (DuckDB's first-element-seeded list_reduce ≡ Spark's
+# 0.0 seed); integer floor-div for the lower-median index (a cast of
+# the true division would round on one engine and truncate on the
+# other); all-zero-gap users get an explicit NULL CV² on both sides.
+ORACLE_R12 = {
+    "events_inter_arrival_profile": f"""
+        WITH g AS (
+            SELECT user_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ) AS gap_us
+            FROM events
+        ),
+        per AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                   list_sort(list(gap_us)) AS gs
+            FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+        ),
+        folded AS (
+            SELECT user_id, n_gaps,
+                   gs[CAST((n_gaps - 1) // 2 AS INTEGER) + 1]
+                       AS median_gap_us,
+                   list_reduce([CAST(x AS DOUBLE) for x in gs],
+                               (a, b) -> a + b) / n_gaps AS mean_gap_us,
+                   list_reduce([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                for x in gs],
+                               (a, b) -> a + b) / n_gaps AS m2
+            FROM per
+            WHERE n_gaps >= {INTER_ARRIVAL_MIN_EVENTS - 1}
+        )
+        SELECT user_id, n_gaps, median_gap_us, mean_gap_us,
+               CASE WHEN mean_gap_us > 0
+                    THEN (m2 - mean_gap_us * mean_gap_us)
+                         / (mean_gap_us * mean_gap_us)
+               END AS cv2
+        FROM folded
     """,
 }
 

@@ -152,3 +152,51 @@ def test_weekly_active_users_fixture(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     out = {r["day"]: r["wau"] for r in weekly_active_users(events).collect()}
     assert out == {"20240301": 2, "20240303": 2, "20240311": 1}
+
+
+def test_inter_arrival_profile_matches_r12_oracle(spark, sf_dir):
+    """The queued round-12 oracle hash-matches at sf0.001 — promotion
+    next round is a registry edit, not new arithmetic."""
+    from edu_online_spark.operators.analytics import (
+        ORACLE_R12,
+        inter_arrival_profile,
+    )
+    from edu_online_spark.sources import load_table
+    from tools.parity import compare, run_oracle
+
+    problems = compare(
+        "events_inter_arrival_profile",
+        inter_arrival_profile(load_table(spark, sf_dir, "events")),
+        run_oracle(ORACLE_R12["events_inter_arrival_profile"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_inter_arrival_profile_semantics(spark):
+    """Crafted arrival processes land where the index says they
+    should: a metronome at CV2=0, a bursty user well above 1, an
+    all-same-timestamp user at NULL (explicit, not NaN), and the
+    lower-median element for an even gap count."""
+    rows = []
+    # user 1: metronome — 5 events exactly 10s apart
+    for i in range(5):
+        rows.append((100 + i, 1, f"2024-01-01 10:00:{10*i:02d}"))
+    # user 2: burst of 4 in 3s then a 1h silence then 1 more
+    for i, s in enumerate((0, 1, 2, 3)):
+        rows.append((200 + i, 2, f"2024-01-01 10:00:0{s}"))
+    rows.append((204, 2, "2024-01-01 11:00:03"))
+    # user 3: three events on the same microsecond
+    rows += [(300, 3, "2024-01-01 10:00:00")] * 3
+    # user 4: below the min-events floor
+    rows += [(400, 4, "2024-01-01 10:00:00"), (401, 4, "2024-01-01 10:00:05")]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    from edu_online_spark.operators.analytics import inter_arrival_profile
+
+    out = {r["user_id"]: r for r in inter_arrival_profile(ev).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["cv2"] == 0.0 and out[1]["median_gap_us"] == 10_000_000
+    # user 2 gaps: [1s, 1s, 1s, 3600s] -> lower median = gs[2] = 1s,
+    # heavily bursty
+    assert out[2]["median_gap_us"] == 1_000_000
+    assert out[2]["cv2"] > 1.0
+    assert out[3]["cv2"] is None and out[3]["median_gap_us"] == 0
