@@ -3039,6 +3039,7 @@ def weighted_sample_job(
     out: str,
     checkpoint: str,
     k: int | None = None,
+    retain_snapshots: int = 8,
     available_now: bool = False,
 ) -> StreamingQuery:
     """Seed-set-on-ingest: the streaming twin of
@@ -3060,7 +3061,9 @@ def weighted_sample_job(
     State IS the answer: k rows (+ last_batch_id replay fence),
     swap-rewritten atomically per trigger; each trigger also writes
     the current seed set to ingest_batch=N so consumers read the
-    newest committed snapshot. Per-trigger cost is |batch| + k rows —
+    newest committed snapshot, and only the newest retain_snapshots
+    snapshot dirs are kept (each is a complete answer, so pruning
+    history loses nothing; 0 disables pruning). Per-trigger cost is |batch| + k rows —
     the 100 TB shape is a scan of the trigger's micro-batch plus a
     k-row sort, with no corpus-sized state or exchange anywhere.
     Redelivered triggers (crash before checkpoint commit) hit the
@@ -3139,6 +3142,25 @@ def weighted_sample_job(
         )
         new_state = top.withColumn("last_batch_id", F.lit(batch_id))
         sinks.parquet_overwrite_atomic(state_path)(new_state, batch_id)
+        # snapshot retention: each dir is only k rows, but "tiny
+        # forever" is still unbounded — keep the newest
+        # retain_snapshots dirs (every one a COMPLETE answer; pruning
+        # history can't affect state or replays, which the fence
+        # answers before this point). Prune AFTER the state swap so a
+        # crash between write and prune leaves extras, never a gap.
+        if retain_snapshots > 0:
+            import shutil
+
+            stale = sorted(
+                int(d.split("=")[1])
+                for d in os.listdir(out)
+                if d.startswith("ingest_batch=")
+            )[:-retain_snapshots]
+            for b in stale:
+                shutil.rmtree(
+                    os.path.join(out, f"ingest_batch={b}"),
+                    ignore_errors=True,
+                )
 
     return (
         docs.writeStream.outputMode("append")

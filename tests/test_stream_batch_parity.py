@@ -259,3 +259,49 @@ def test_weighted_sample_stream_keeps_least_observation(spark, tmp_path):
     final = spark.read.parquet(os.path.join(out, f"ingest_batch={batches[-1]}"))
     got = {r["doc_id"]: r["n_chars"] for r in final.collect()}
     assert got[1] == 500 and set(got) == {1, 2, 3}
+
+
+def test_weighted_sample_stream_retention_and_many_triggers(spark, tmp_path):
+    """Six waves: only retain_snapshots snapshot dirs survive, and the
+    newest is STILL the exact global bottom-k of everything ever
+    ingested — retention prunes history, never state."""
+    import json
+
+    from edu_online_spark.operators.textops import _WS_HASH_MOD
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    waves = [
+        [
+            json.dumps(
+                {"doc_id": str(w * 10 + i), "text": "x" * (20 + w * 7 + i), "source": "s"}
+            )
+            for i in range(4)
+        ]
+        for w in range(6)
+    ]
+    _replay(
+        jobs.weighted_sample_job, spark, src, out, ckpt, waves,
+        k=5, retain_snapshots=3,
+    )
+    dirs = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out)
+        if d.startswith("ingest_batch=")
+    )
+    assert len(dirs) == 3 and dirs[-1] == 5
+    final = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            os.path.join(out, f"ingest_batch={dirs[-1]}")
+        ).collect()
+    }
+
+    def pri(d, n):
+        return ((d % 2147483647) * 2654435761 % _WS_HASH_MOD + 1) / (n + 1)
+
+    alldocs = [
+        (w * 10 + i, 20 + w * 7 + i) for w in range(6) for i in range(4)
+    ]
+    want = {d for _, d in sorted((pri(d, n), d) for d, n in alldocs)[:5]}
+    assert final == want
