@@ -634,3 +634,46 @@ def test_ngram_jaccard_prefix_keeps_boundary_pair(spark):
     }
     assert got == ref
     assert (0, 1) in got and abs(got[(0, 1)] - 7 / 13) < 1e-12
+
+
+def test_minhash_index_cache_key_covers_tuning_params(monkeypatch, tmp_path):
+    """Pins the ADVICE-r9 fix at dedup._minhash_index: the /tmp cache
+    key must move when DEFAULT_NUM_HASHES / DEFAULT_BANDS / the bucket
+    count change, so retuning never serves a stale index to the
+    oracle-parity path. The build step is stubbed out — only the key
+    derivation is under test."""
+    import os
+
+    from edu_online_spark.functions import hashing
+    from edu_online_spark.operators import dedup
+
+    built = []
+
+    def fake_build(docs, path, **kw):
+        built.append(path)
+        os.makedirs(path, exist_ok=True)
+
+    from unittest.mock import MagicMock
+
+    monkeypatch.setattr(dedup, "build_minhash_index", fake_build)
+    monkeypatch.setattr(
+        dedup, "load_table", lambda spark, sf_dir, name: MagicMock()
+    )
+    monkeypatch.setattr(dedup, "F", MagicMock())  # no live SparkContext needed
+
+    sf_dir = str(tmp_path)
+    base = dedup._minhash_index(None, sf_dir)
+    assert dedup._minhash_index(None, sf_dir) == base  # stable + cached
+    assert len(built) == 1  # second call reused the committed dir
+
+    monkeypatch.setattr(hashing, "DEFAULT_NUM_HASHES", 9999)
+    after_hashes = dedup._minhash_index(None, sf_dir)
+    assert after_hashes != base
+
+    monkeypatch.setattr(hashing, "DEFAULT_NUM_HASHES", 9999 - 1)
+    monkeypatch.setattr(hashing, "DEFAULT_BANDS", 7777)
+    assert dedup._minhash_index(None, sf_dir) not in (base, after_hashes)
+
+    monkeypatch.setattr(dedup, "MINHASH_INDEX_BUCKETS", 3)
+    paths = {base, after_hashes, dedup._minhash_index(None, sf_dir)}
+    assert len(paths) == 3
