@@ -124,7 +124,26 @@ HEADLINE = [
     "orders_open_backlog",
     "docs_dup_inflation",
     "dedup_cluster_size_profile",
+    # round 11: the five ORACLE_R11 promotions + the two zero-shuffle
+    # R12-queue ops pulled forward (threshold curve pays its own LSH
+    # pass standalone — the composed-diagnostics sharing numbers live
+    # in BASELINE.md)
+    "dedup_threshold_yield_curve",
+    "events_burst_flags",
+    "events_weekly_active_users",
+    "embeddings_split_centroid_shift",
+    "corpus_vocab_coverage",
+    "docs_weighted_sample",
+    "embeddings_rademacher_sketch",
 ]
+
+# Ambient-drift calibration (VERDICT r10 #6): one pinned, plan-stable
+# query re-run CALIBRATION_RUNS times after warm-up. Its median
+# round-over-round ratio estimates box drift (the ±16%/−9.5%/+6.5%
+# swings of rounds 8-10 were ambient, re-litigated each verdict); the
+# headline totals can be read against it instead of against zero.
+CALIBRATION_QUERY = "tpch_q1_pricing_summary"
+CALIBRATION_RUNS = 5
 
 
 def main() -> None:
@@ -138,6 +157,25 @@ def main() -> None:
     warm = spark.read.parquet(f"{sf_dir}/region.parquet")
     warm.groupBy("r_name").agg(F.sum(warm.r_regionkey.cast("decimal(10,2)"))).collect()
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # calibration: median of CALIBRATION_RUNS re-runs of one pinned
+    # plan, measured after warm-up and before the headline loop so the
+    # estimate is not contaminated by whatever the loop caches in the
+    # OS page cache mid-flight
+    cal_fn = qs[CALIBRATION_QUERY]
+    cal_times: list[float] = []
+    for _ in range(CALIBRATION_RUNS):
+        t0 = time.perf_counter()
+        cal_fn(spark, sf_dir).count()
+        cal_times.append(round(time.perf_counter() - t0, 3))
+    cal_times.sort()
+    calibration = {
+        "query": CALIBRATION_QUERY,
+        "runs": CALIBRATION_RUNS,
+        "median_sec": cal_times[len(cal_times) // 2],
+        "min_sec": cal_times[0],
+        "all_sec": cal_times,
+    }
+    print(f"# calibration {CALIBRATION_QUERY}: {cal_times}", file=sys.stderr)
     for r in range(runs):
         for name in HEADLINE:
             fn = qs[name]
@@ -155,6 +193,7 @@ def main() -> None:
         "queries": timings,
         "runs": runs,
         "sf": sf,
+        "calibration": calibration,
     }
     # the driver captures a bounded TAIL of stdout, which truncated the
     # head of the (long) JSON line in round 8 and silently dropped the

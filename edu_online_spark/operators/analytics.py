@@ -2339,3 +2339,12 @@ ORACLE = {
         FROM daily
     """,
 }
+
+# Round 11: promoted on schedule (library + tests + audited oracles
+# held through round 10; the window slot is this round's registry
+# edit). events_inter_arrival_profile stays in ORACLE_R12.
+ORACLE.update(ORACLE_R11)
+QUERIES.update({
+    "events_burst_flags": _q(burst_flags, "events"),
+    "events_weekly_active_users": _q(weekly_active_users, "events"),
+})

@@ -1725,6 +1725,8 @@ QUERIES = {
     # round 10: duplication diagnostics on top of the certified cores
     "docs_dup_inflation": _q(dup_inflation, "documents"),
     "dedup_cluster_size_profile": _q(cluster_size_profile, "documents"),
+    # round 11: ORACLE_R11 promotion (queued + type-audited in round 10)
+    "dedup_threshold_yield_curve": _q(threshold_yield_curve, "documents"),
 }
 
 # Exact Jaccard in DuckDB: build distinct 3-shingle lists with a list
@@ -2204,6 +2206,9 @@ ORACLE_R11 = {
         LEFT JOIN dc ON dc.threshold = t.threshold
     """,
 }
+# Round 11: promoted on schedule (the op held a library+tests slot
+# through round 10; the window slot is this round's registry edit).
+ORACLE.update(ORACLE_R11)
 
 # Round-12 promotion queue. The prefix-filtered exact path returns the
 # SAME relation as dedup_ngram_jaccard (bit-equality pinned in tests),

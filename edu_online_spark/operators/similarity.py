@@ -1564,3 +1564,13 @@ ORACLE = {
         FROM own o JOIN oth t ON o.vec_id = t.vec_id AND t.rn = 1
     """,
 }
+
+# Round 11: ORACLE_R11 promoted on schedule, and the Rademacher
+# sketch pulled forward from the R12 queue into one of the window's
+# two free slots (zero-shuffle, sub-second — VERDICT r10 item #2).
+ORACLE.update(ORACLE_R11)
+ORACLE.update(ORACLE_R12)
+QUERIES.update({
+    "embeddings_split_centroid_shift": _q(split_centroid_shift),
+    "embeddings_rademacher_sketch": _q(rademacher_sketch),
+})

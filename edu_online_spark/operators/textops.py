@@ -3734,3 +3734,13 @@ ORACLE.update({
         FROM base b LEFT JOIN oov o USING (source)
     """,
 })
+
+# Round 11: ORACLE_R11 promoted on schedule, and the weighted top-k
+# sample pulled forward from the R12 queue into the window's second
+# free slot (zero-shuffle TakeOrderedAndProject — VERDICT r10 item #2).
+ORACLE.update(ORACLE_R11)
+ORACLE.update(ORACLE_R12)
+QUERIES.update({
+    "corpus_vocab_coverage": _q(vocab_coverage_curve),
+    "docs_weighted_sample": _q(weighted_sample),
+})

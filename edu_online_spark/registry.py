@@ -69,82 +69,81 @@ def _extended_modules():
 # round 2).
 _PREFIX_TAIL_BOUNDARY = "tpch"
 
-# Round-10 window rotation (plan precomputed in COVERAGE.md at the
-# end of round 9 and re-verified mechanically this round):
-#   1. the STALENESS_BOUND_ROUNDS=5 contract trips first: the FULL
-#      41-row round-6 cohort hits the bound at round 10, so it owns
-#      41 of the 50 slots. Five of those are declared rows-only
-#      (ROWS_ONLY_WINDOW_SLOTS in tests/test_registry.py) — their
-#      driver row is the weak row-count check, which is still what
-#      resets their staleness clock;
-#   2. the round-9 library op promoted to a certified slot
-#      (`dedup_cross_corpus_probe`, oracle queued + type-audited in
-#      round 9), plus any round-10 additions — a new query takes a
-#      window slot the round it lands or it trips the staleness
-#      contract at birth;
-#   3. fillers drawn from the round-7 cohort (47 queries hit the bound
-#      at round 11 — one more than the window holds, so every filler
-#      certified now is a slot bought back next round).
-# Round 11 must lead with the remaining round-7 staleness cohort.
+# Round-11 window rotation (plan precomputed in COVERAGE.md at the
+# end of round 10 and applied mechanically this round — VERDICT r10
+# item #1):
+#   1. the STALENESS_BOUND_ROUNDS=5 contract trips first: exactly 43
+#      queries have round 7 as their newest driver row after r10 (the
+#      round-7 cohort minus the four fillers r10 pre-certified) and
+#      hit the one-round-margin rotation point at round 11. One is
+#      declared rows-only (`docs_winnowing_fingerprints_fast`,
+#      ROWS_ONLY_WINDOW_SLOTS in tests/test_registry.py) — its driver
+#      row is the weak row-count check, which is still what resets
+#      its staleness clock;
+#   2. the five ORACLE_R11 promotions (library + tests + audited
+#      oracles landed in round 10) — a new query takes a window slot
+#      the round it lands or it trips the staleness contract at birth;
+#   3. the two remaining free slots go to the zero-shuffle R12-queue
+#      ops pulled forward (VERDICT r10 item #2); the rest of the R12
+#      queue (`dedup_ngram_jaccard_prefix`,
+#      `events_inter_arrival_profile`) stays queued for round 12.
 # Names are validated against the assembled registry — a typo or a
 # renamed query fails loudly rather than silently ceding its slot.
 _WINDOW_PRIORITY = [
-    # 1: full round-6 cohort — staleness bound trips THIS round
-    "corpus_repeated_spans",
-    "customers_bloom_prefilter",
-    "dedup_simhash",  # rows-only
-    "dedup_substring_cross_corpus",
-    "docs_bpe_encoded",  # rows-only
-    "docs_curriculum_stages",
-    "docs_feature_hashed",
-    "docs_hashed_knn",
-    "docs_leakage_safe_split",
-    "docs_memorization_risk",
-    "docs_mixture_temperature",
-    "docs_substring_dedup",
-    "embeddings_quantized_int8",
-    "events_hourly_heatmap",
-    "hybrid_search_rrf_lsh_prod",  # rows-only
-    "lineitem_price_kll_rollup",
-    "multimodal_ahash_clusters",
-    "multimodal_ahash_neardup",
-    "multimodal_video_fp_neardup",
-    "nation_participation",
-    "orders_cube",
-    "orders_date_features",
-    "orders_grouping_sets",
-    "orders_priciest_per_priority",
-    "part_price_rank_family",
-    "purchase_view_window_counts",
-    "purchases_minutely_gapfill",
-    "sim_knn_ivf",  # rows-only
-    "sim_knn_lsh",  # rows-only
-    "split_leakage_compare",
-    "tpch_q12_priority_by_flag",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_share",
-    "tpch_q16_dormant_customers",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_heavy_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_rich_punctual_orders",
-    "tpch_q4_priority_waiting",
-    # 2: round-9 library op promoted to a certified slot, plus
-    #    round-10 additions (each takes a slot the round it lands)
-    "dedup_cross_corpus_probe",
-    # 2 (cont.): round-10 additions — each takes a slot the round it
-    #    lands (staleness-at-birth rule)
-    "lineitem_supplier_pareto",
-    "orders_open_backlog",
-    "docs_dup_inflation",
-    "dedup_cluster_size_profile",
-    # 3: fillers from the round-7 cohort (round-11 pressure relief)
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "corpus_end_to_end_curation",
-    "embeddings_label_noise",
+    # 1: full round-7 staleness cohort — bound trips at round 12
+    "benchmark_contamination",
+    "chunks_packed",
+    "corpus_boilerplate_ngrams",
+    "corpus_shard_manifest",
+    "corpus_token_df",
+    "corpus_vocabulary_topk",
+    "daily_revenue_ma7",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_near_dup_clusters",
+    "dedup_neardup_curated",
+    "dedup_ngram_jaccard",
+    "docs_length_quantiles_exact",
+    "docs_ngram_novelty",
+    "docs_quality_tiered_sample",
+    "docs_token_budget_cap",
+    "docs_train_val_test",
+    "docs_winnowing_fingerprints",
+    "docs_winnowing_fingerprints_fast",  # rows-only
+    "docs_winnowing_overlap",
+    "documents_chunked",
+    "documents_curated",
+    "events_k_anonymity",
+    "events_profile",
+    "events_props_k_stats",
+    "events_seasonal_residuals",
+    "events_stratified_sample",
+    "ip_region_counts",
+    "sim_embedding_norms",
+    "sim_knn_bruteforce",
+    "source_vocab_overlap",
+    "text_boilerplate_fraction",
+    "text_char_diversity",
+    "text_fingerprints",
+    "text_lang_confusion",
+    "text_normalized",
+    "text_quality",
+    "text_repetition_scores",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "text_top_bigrams",
+    "xmodal_label_lang_crosstab",
+    "xmodal_norm_extremes",
+    # 2: ORACLE_R11 promotions — each takes a slot the round it lands
+    #    (staleness-at-birth rule)
+    "dedup_threshold_yield_curve",
+    "events_burst_flags",
+    "embeddings_split_centroid_shift",
+    "events_weekly_active_users",
+    "corpus_vocab_coverage",
+    # 3: R12-queue ops pulled forward into the two free slots
+    "docs_weighted_sample",
+    "embeddings_rademacher_sketch",
 ]
 
 

@@ -56,19 +56,15 @@ def test_broken_extension_does_not_kill_core(monkeypatch):
     assert "dedup" in names and "textops" in names  # the rest survived
 
 
-# Round 10 rotates to the 41-row round-6 staleness cohort, which
-# contains five rows-only queries (LSH/iterative/hash-defined —
-# their semantics are pytest-pinned; the driver row is the weak
-# row-count check that resets their staleness clock). The remaining
-# slots go to the promoted round-9 library op
-# (dedup_cross_corpus_probe) and fillers from the round-7 cohort,
-# all oracle-backed.
+# Round 11 rotates to the 43-row round-7 staleness cohort, which
+# contains one rows-only query (docs_winnowing_fingerprints_fast —
+# xxhash64 is Spark-specific, so its semantics are pytest-pinned; the
+# driver row is the weak row-count check that resets its staleness
+# clock). The remaining seven slots go to the five ORACLE_R11
+# promotions plus the two R12-queue ops pulled forward, all
+# oracle-backed.
 ROWS_ONLY_WINDOW_SLOTS: set[str] = {
-    "dedup_simhash",
-    "docs_bpe_encoded",
-    "hybrid_search_rrf_lsh_prod",
-    "sim_knn_ivf",
-    "sim_knn_lsh",
+    "docs_winnowing_fingerprints_fast",
 }
 
 
