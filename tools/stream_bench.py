@@ -277,6 +277,64 @@ def bench_minhash_dedup(spark, work, n_docs, n_files, tail_files=3):
     )
 
 
+def bench_weighted_sample(spark, work, n_docs, n_files):
+    """Throughput + trigger-latency profile for weighted_sample_job
+    (seed-set-on-ingest) — the round-10 streaming job without a
+    BASELINE.md row (VERDICT r10 #7). State is k rows by construction,
+    so unlike the index jobs the per-trigger cost must be FLAT in the
+    total corpus seen; first/median/last trigger durations make that
+    claim measurable rather than argued."""
+    name = "weighted_sample"
+    src = os.path.join(work, name, "src")
+    per = n_docs // n_files
+
+    def line(i: int) -> str:
+        # variable-length docs so the weight distribution is non-trivial
+        words = " ".join(f"ws{i}w{j}" for j in range(10 + i % 50))
+        return json.dumps({"doc_id": str(i), "text": words, "source": f"s{i % 8}"})
+
+    for f in range(n_files):
+        _produce(src, f"b{f:04d}.log", [line(f * per + i) for i in range(per)])
+    out = os.path.join(work, name, "out")
+    ckpt = os.path.join(work, name, "ck")
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates",
+        str(max(n_files + 16, 100)),
+    )
+    q = jobs.weighted_sample_job(
+        file_stream(spark, src, max_files_per_trigger=1),
+        out,
+        ckpt,
+        available_now=True,
+    )
+    t0 = time.monotonic()
+    q.awaitTermination(600)
+    secs = time.monotonic() - t0
+    durs = sorted(
+        (p.batchId, p.batchDuration / 1000.0)
+        for p in q.recentProgress
+        if p.numInputRows > 0
+    )
+    ds = [d for _, d in durs]
+    if not ds:
+        print(json.dumps({"job": name, "error": "no data-bearing batches"}))
+        return
+    print(
+        json.dumps(
+            {
+                "job": name,
+                "rows": per * n_files,
+                "secs": round(secs, 2),
+                "rows_per_sec": int(per * n_files / secs),
+                "batches": len(ds),
+                "trigger_s_first": round(ds[0], 2),
+                "trigger_s_median": round(sorted(ds)[len(ds) // 2], 2),
+                "trigger_s_last": round(ds[-1], 2),
+            }
+        )
+    )
+
+
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 20
@@ -318,6 +376,7 @@ def main() -> None:
             }),
             n_rows, n_files,
         )
+        bench_weighted_sample(spark, work, n_rows // 10, n_files)
         bench_winnow_index(spark, work, n_rows // 10, n_files)
         bench_minhash_dedup(spark, work, n_rows // 10, n_files)
     finally:
