@@ -1647,6 +1647,92 @@ ORACLE_R12 = {
 }
 
 
+def fulfillment_latency(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Per-priority EXACT order→ship latency quantiles (p50/p90/p99 in
+    days, plus max) — the fulfillment-SLA distribution every ops
+    dashboard reads, certified with the convention-free selection rule
+    (`the element at sorted position ceil(q·n)`, integer arithmetic).
+
+    Scale shape: unlike the per-source length quantiles (row_number
+    window = one sort per group, single-reducer per group), latency in
+    DAYS is a BOUNDED INTEGER DOMAIN, so the quantile is computed from
+    the (priority, days) HISTOGRAM: the orderkey-co-partitioned join
+    feeds a map-side-combined count whose output is |priorities| ×
+    |distinct days| rows (hundreds), and the cumulative-sum window
+    runs over that tiny relation — no corpus-sized sort anywhere, the
+    same plan at 100 TB. Selection: the first histogram bin whose
+    cumulative count reaches ceil(q·n) holds the order statistic.
+
+    Queued for round 13 (`orders_fulfillment_latency`, ORACLE_R13)."""
+    base = (
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .join(
+            lineitem.select("l_orderkey", "l_shipdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff("l_shipdate", "o_orderdate").cast("long").alias("days"),
+        )
+    )
+    hist = base.groupBy("priority", "days").agg(F.count(F.lit(1)).alias("cnt"))
+    h = hist.withColumn(
+        "cum", F.sum("cnt").over(Window.partitionBy("priority").orderBy("days"))
+    ).withColumn("n", F.sum("cnt").over(Window.partitionBy("priority")))
+    picks = {
+        "p50_days": "(n + 1) div 2",
+        "p90_days": "(9 * n + 9) div 10",
+        "p99_days": "(99 * n + 99) div 100",
+    }
+    return h.groupBy("priority").agg(
+        F.max("n").cast("long").alias("n_items"),
+        *[
+            F.min(F.when(F.col("cum") >= F.expr(pos), F.col("days")))
+            .cast("long")
+            .alias(name)
+            for name, pos in picks.items()
+        ],
+        F.max("days").cast("long").alias("max_days"),
+    )
+
+
+def dau_wau_stickiness(events: DataFrame) -> DataFrame:
+    """Per-day DAU/WAU stickiness ratio — the engagement metric read
+    off the weekly_active_users machinery: of the users active in the
+    trailing week, what fraction showed up today. One corpus scan:
+    distinct (day, user) pairs (the only corpus-sized exchange), each
+    exploded to its ≤7 contributing report days, then ONE aggregate
+    computes both counts (WAU = distinct users in the window, DAU =
+    distinct users whose own day IS the report day); report days with
+    no own-day activity are dropped by the dau > 0 filter — the same
+    active-day spine the WAU op uses, without a second pass. The
+    ratio is one exact bigint/bigint IEEE division.
+
+    Queued for round 13 (`events_dau_wau_stickiness`, ORACLE_R13)."""
+    day_user = events.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    contributes = day_user.select(
+        "user_id",
+        "day",
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias(
+            "report_day"
+        ),
+    )
+    agg = contributes.groupBy("report_day").agg(
+        F.countDistinct("user_id").cast("long").alias("wau"),
+        F.countDistinct(
+            F.when(F.col("day") == F.col("report_day"), F.col("user_id"))
+        )
+        .cast("long")
+        .alias("dau"),
+    )
+    return agg.filter(F.col("dau") > 0).select(
+        F.date_format("report_day", "yyyyMMdd").alias("day"),
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+    )
+
+
 def _q(fn, *tables):
     def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(*[load_table(spark, sf_dir, t) for t in tables])
@@ -2348,3 +2434,61 @@ QUERIES.update({
     "events_burst_flags": _q(burst_flags, "events"),
     "events_weekly_active_users": _q(weekly_active_users, "events"),
 })
+
+# Round-13 promotion queue (library op + tests + audited oracle now,
+# window slot in round 13 per the COVERAGE.md deferral arithmetic).
+# The latency mirror uses the same histogram-selection arithmetic as
+# the op — the selection rule, not the engine's quantile convention —
+# and date_diff('day', start, end) ≡ Spark's datediff(end, start).
+ORACLE_R13 = {
+    "orders_fulfillment_latency": """
+        WITH base AS (
+            SELECT o_orderpriority AS priority,
+                   date_diff('day', o_orderdate, l_shipdate) AS days
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        hist AS (
+            SELECT priority, days, count(*) AS cnt
+            FROM base GROUP BY 1, 2
+        ),
+        h AS (
+            SELECT priority, days, cnt,
+                   SUM(cnt) OVER (
+                       PARTITION BY priority ORDER BY days
+                   ) AS cum,
+                   SUM(cnt) OVER (PARTITION BY priority) AS n
+            FROM hist
+        )
+        SELECT priority,
+               CAST(MAX(n) AS BIGINT) AS n_items,
+               CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN days END)
+                    AS BIGINT) AS p50_days,
+               CAST(MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN days END)
+                    AS BIGINT) AS p90_days,
+               CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN days END)
+                    AS BIGINT) AS p99_days,
+               CAST(MAX(days) AS BIGINT) AS max_days
+        FROM h GROUP BY priority
+    """,
+    "events_dau_wau_stickiness": """
+        WITH day_user AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        contributes AS (
+            SELECT user_id, day, day + CAST(off AS INTEGER) AS report_day
+            FROM day_user, (SELECT unnest(range(7)) AS off)
+        ),
+        agg AS (
+            SELECT report_day,
+                   count(DISTINCT user_id) AS wau,
+                   count(DISTINCT CASE WHEN day = report_day
+                                       THEN user_id END) AS dau
+            FROM contributes GROUP BY 1
+        )
+        SELECT strftime(report_day, '%Y%m%d') AS day,
+               CAST(dau AS BIGINT) AS dau,
+               CAST(wau AS BIGINT) AS wau,
+               CAST(dau AS DOUBLE) / wau AS stickiness
+        FROM agg WHERE dau > 0
+    """,
+}

@@ -1621,6 +1621,61 @@ def cluster_size_profile(
     )
 
 
+def savings_by_source(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    pairs: DataFrame | None = None,
+    clusters: DataFrame | None = None,
+) -> DataFrame:
+    """Per-source dedup survivorship report — what exact survivorship
+    (keep each near-dup cluster's canonical min-doc_id member) would
+    delete, in docs and characters, attributed to the source that
+    contributed the redundant copy. The cluster-size histogram says
+    how much redundancy exists; this says WHERE it comes from and what
+    storage/compute it costs — the number a pipeline owner reads
+    before deciding which feed to throttle.
+
+    Plan shape: downstream of the certified LSH-pairs → connected-
+    components closure, the losers (cluster members that are not their
+    cluster_rep) are a tiny relation; one left-semi join marks them on
+    the corpus scan and two map-side-combined per-source aggregates
+    (all docs / losers only) meet in a |sources|-row left join. Accepts
+    precomputed `pairs` or `clusters` so composed diagnostics share
+    one LSH pass (BASELINE.md round-11 quantifies the saving).
+
+    Queued for round 13 (`dedup_savings_by_source`, ORACLE_R13)."""
+    if clusters is None:
+        if pairs is None:
+            pairs = minhash_lsh_pairs(documents, threshold=threshold)
+        clusters = near_dup_clusters(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select(
+        "doc_id"
+    )
+    loser_stats = (
+        documents.join(losers, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_redundant"),
+            F.sum("n_chars").cast("long").alias("chars_removed"),
+        )
+    )
+    base = documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+    )
+    return base.join(loser_stats, "source", "left").select(
+        "source",
+        "n_docs",
+        "chars_total",
+        F.coalesce("n_redundant", F.lit(0)).cast("long").alias("n_redundant"),
+        F.coalesce("chars_removed", F.lit(0)).cast("long").alias("chars_removed"),
+        (
+            F.coalesce("chars_removed", F.lit(0)).cast("double")
+            / F.col("chars_total")
+        ).alias("savings_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked query registry
 # ---------------------------------------------------------------------------
@@ -2311,3 +2366,46 @@ ORACLE.update({
           ON o.source_a = ga.source AND o.source_b = gb.source
     """,
 })
+
+# Round-13 promotion queue. The mirror reuses the recursive-CC labels
+# the closure queries are certified against; losers (member != rep)
+# feed per-source aggregates that meet in a |sources|-row left join,
+# with COALESCE so clean sources report explicit zeros.
+ORACLE_R13 = {
+    "dedup_savings_by_source": f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT src, src FROM edges
+            UNION SELECT src, dst FROM edges
+            UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        labels AS (
+            SELECT src AS doc_id, min(dst) AS cluster_rep
+            FROM reach GROUP BY src
+        ),
+        losers AS (SELECT doc_id FROM labels WHERE doc_id != cluster_rep),
+        ls AS (
+            SELECT source, count(*) AS n_redundant,
+                   SUM(n_chars) AS chars_removed
+            FROM documents
+            WHERE doc_id IN (SELECT doc_id FROM losers)
+            GROUP BY source
+        ),
+        base AS (
+            SELECT source, count(*) AS n_docs, SUM(n_chars) AS chars_total
+            FROM documents GROUP BY source
+        )
+        SELECT b.source,
+               CAST(b.n_docs AS BIGINT) AS n_docs,
+               CAST(b.chars_total AS BIGINT) AS chars_total,
+               CAST(COALESCE(ls.n_redundant, 0) AS BIGINT) AS n_redundant,
+               CAST(COALESCE(ls.chars_removed, 0) AS BIGINT) AS chars_removed,
+               CAST(COALESCE(ls.chars_removed, 0) AS DOUBLE) / b.chars_total
+                   AS savings_ratio
+        FROM base b LEFT JOIN ls USING (source)
+    """,
+}

@@ -1191,6 +1191,67 @@ def vocab_coverage_curve(
     )
 
 
+def bigram_simpson(documents: DataFrame) -> DataFrame:
+    """Per-source bigram concentration report — Simpson's index over
+    the word-bigram distribution (Σ cᵢ² / total², the probability two
+    random bigrams coincide) plus the top-1 bigram share and distinct
+    counts. The diversity/templatedness diagnostic: scraped template
+    corpora show high concentration (few bigrams dominate) long before
+    per-doc repetition scores flag any single page — entropy is the
+    textbook measure but needs ln(); Simpson is its RATIONAL twin
+    (exact bigint squares + one IEEE division), so the result is
+    engine-exact and hash-checkable.
+
+    Plan: per-doc bigram rows (posexplode + lead window, codegen'd,
+    one doc_id shuffle) → (source, bigram) counts (map-side combined —
+    the heavy hitters collapse locally, so the exchange carries the
+    distinct-bigram relation, not the corpus) → per-source rollup.
+    Overflow note: Σ cᵢ² ≤ total² fits bigint while total < 3×10⁹
+    bigrams per source; at 100 TB promote the square to decimal(38,0)
+    — flagged here rather than silently wrapped.
+
+    Queued for round 13 (`corpus_bigram_simpson`, ORACLE_R13)."""
+    from pyspark.sql import Window
+
+    tok = documents.select(
+        "source", "doc_id", F.posexplode(T.tokens("text")).alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.select(
+            "source",
+            F.concat_ws(" ", F.col("t"), F.lead("t", 1).over(w)).alias("bigram"),
+            F.lead("t", 1).over(w).alias("_next"),
+        )
+        .filter(F.col("_next").isNotNull())
+        .drop("_next")
+    )
+    counts = bg.groupBy("source", "bigram").agg(F.count("*").alias("cnt"))
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("total_bigrams"),
+            F.count(F.lit(1)).cast("long").alias("distinct_bigrams"),
+            F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("simpson_num"),
+            F.max("cnt").cast("long").alias("top1_cnt"),
+        )
+        .select(
+            "source",
+            "total_bigrams",
+            "distinct_bigrams",
+            "simpson_num",
+            "top1_cnt",
+            (
+                F.col("simpson_num").cast("double")
+                / (F.col("total_bigrams") * F.col("total_bigrams"))
+            ).alias("simpson"),
+            (F.col("top1_cnt").cast("double") / F.col("total_bigrams")).alias(
+                "top1_share"
+            ),
+        )
+    )
+
+
 def repetition_scores(documents: DataFrame) -> DataFrame:
     """Per-document repetition metrics — the Gopher/C4-style quality
     heuristic that drops boilerplate and degenerate pages: the share of
@@ -3744,3 +3805,34 @@ QUERIES.update({
     "corpus_vocab_coverage": _q(vocab_coverage_curve),
     "docs_weighted_sample": _q(weighted_sample),
 })
+
+# Round-13 promotion queue. Same bigram construction as the certified
+# text_top_bigrams mirror (inclusive w[i:i+1] slices over the token
+# array), per-source; Simpson numerator and total are exact bigints,
+# each ratio ONE IEEE division of exact integers (bigint*bigint
+# product stays bigint on both engines at rehearsal scale).
+ORACLE_R13 = {
+    "corpus_bigram_simpson": f"""
+        WITH bg AS (
+            SELECT source,
+                   unnest([array_to_string(w[i:i+1], ' ')
+                           for i in range(1, len(w))]) AS bigram
+            FROM (SELECT source, {_TOKENS} AS w FROM documents)
+            WHERE len(w) >= 2
+        ),
+        c AS (
+            SELECT source, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(SUM(cnt) AS BIGINT) AS total_bigrams,
+               CAST(COUNT(*) AS BIGINT) AS distinct_bigrams,
+               CAST(SUM(cnt * cnt) AS BIGINT) AS simpson_num,
+               CAST(MAX(cnt) AS BIGINT) AS top1_cnt,
+               CAST(SUM(cnt * cnt) AS DOUBLE)
+                   / CAST(CAST(SUM(cnt) AS BIGINT)
+                          * CAST(SUM(cnt) AS BIGINT) AS DOUBLE) AS simpson,
+               CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT)
+                   AS top1_share
+        FROM c GROUP BY source
+    """,
+}

@@ -85,6 +85,14 @@ QUERIES = [
     "orders_open_backlog",
     "docs_dup_inflation",
     "dedup_cluster_size_profile",
+    # round-11 promotions — measured the round they land
+    "dedup_threshold_yield_curve",
+    "events_burst_flags",
+    "events_weekly_active_users",
+    "embeddings_split_centroid_shift",
+    "corpus_vocab_coverage",
+    "docs_weighted_sample",
+    "embeddings_rademacher_sketch",
 ]
 
 # Queries whose cost Catalyst can prune under count() (aggregate
@@ -103,6 +111,13 @@ NOOP_MATERIALIZE = {
     "orders_open_backlog",
     "docs_dup_inflation",
     "dedup_cluster_size_profile",
+    "dedup_threshold_yield_curve",
+    "events_burst_flags",
+    "events_weekly_active_users",
+    "embeddings_split_centroid_shift",
+    "corpus_vocab_coverage",
+    "docs_weighted_sample",
+    "embeddings_rademacher_sketch",
 }
 
 
