@@ -3311,3 +3311,163 @@ def burst_flags_job(
         .trigger(**_trigger({}, available_now))
         .start()
     )
+
+
+def stickiness_job(
+    raw: DataFrame,
+    out: str,
+    checkpoint: str,
+    late_days: int = 2,
+    retain_snapshots: int = 8,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Stickiness-on-ingest: the streaming twin of
+    `operators/analytics.dau_wau_stickiness` — keep the per-day
+    DAU/WAU engagement ratio live as events arrive, so the dashboard
+    reads a current snapshot instead of re-scanning the corpus
+    (the same state-IS-the-answer shape as weighted_sample_job, with
+    burst_flags_job's event-time horizon trade).
+
+    State is the DISTINCT (day, user_id) relation still inside any
+    publishable report day's trailing week: rows with
+    day >= max_day_seen − (6 + late_days) — bounded by
+    users × (7 + late_days) regardless of event volume (new events
+    for an already-seen pair are absorbed by the DISTINCT, so a
+    hot-user firehose adds nothing). Swap-rewritten atomically per
+    trigger with the standard last_batch_id replay fence.
+
+    Each trigger publishes the snapshot of report days
+    >= max_day_seen − late_days to ingest_batch=N (newest
+    retain_snapshots dirs kept): exactly the days whose trailing-week
+    window is COMPLETE given the state horizon — for report day d the
+    oldest contributing pair day is d−6 >= max_day − 6 − late_days,
+    which the horizon retains by construction. Days older than
+    late_days behind the stream's max seen day stop being published
+    (their last published value was complete); events arriving more
+    than late_days late are dropped from state rather than silently
+    undercounting a window — the watermark trade every event-time job
+    in this module documents.
+
+    Fed the same events in event-time order (any trigger slicing),
+    the final snapshot's rows equal `dau_wau_stickiness` restricted
+    to the publishable days — the parity test replays the events
+    table in waves with late_days spanning the fixture and compares
+    row for row.
+    """
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    state_path = out + ".state"
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("ts", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    parsed = F.from_json(
+        F.col("value"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    events = (
+        raw.select(parsed.alias("j"))
+        .filter(
+            F.col("j._corrupt").isNull()
+            & F.col("j.user_id").isNotNull()
+            & F.to_timestamp(F.col("j.ts")).isNotNull()
+        )
+        .select(
+            F.to_date(F.to_timestamp(F.col("j.ts"))).alias("day"),
+            F.col("j.user_id").alias("user_id"),
+        )
+    )
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        sinks.recover_sink(state_path)
+        if os.path.exists(state_path):
+            old = spark.read.parquet(state_path)
+            last = old.agg(F.max("last_batch_id")).first()[0]
+            if last is not None and last >= batch_id:
+                return  # redelivered trigger: output dir already exact
+            prior = old.select("day", "user_id")
+        else:
+            prior = spark.createDataFrame([], "day date, user_id long")
+        merged = (
+            prior.unionByName(batch.select("day", "user_id"))
+            .distinct()
+            .localCheckpoint(eager=True)  # snapshot + trim share it
+        )
+        maxd = merged.agg(F.max("day").alias("max_day"))
+        state = (
+            merged.crossJoin(F.broadcast(maxd))  # 1-row normalizer
+            .filter(F.col("day") >= F.date_sub("max_day", 6 + late_days))
+            .select("day", "user_id", "max_day")
+        )
+        contributes = state.select(
+            "user_id",
+            "day",
+            "max_day",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add("day", 6))
+            ).alias("report_day"),
+        )
+        snap = (
+            contributes.groupBy("report_day")
+            .agg(
+                F.countDistinct("user_id").cast("long").alias("wau"),
+                F.countDistinct(
+                    F.when(F.col("day") == F.col("report_day"), F.col("user_id"))
+                )
+                .cast("long")
+                .alias("dau"),
+                F.max("max_day").alias("max_day"),
+            )
+            .filter(
+                (F.col("dau") > 0)
+                & (F.col("report_day") >= F.date_sub("max_day", late_days))
+                & (F.col("report_day") <= F.col("max_day"))
+            )
+            .select(
+                F.date_format("report_day", "yyyyMMdd").alias("day"),
+                "dau",
+                "wau",
+                (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+            )
+            .coalesce(1)
+        )
+        snap.write.mode("overwrite").parquet(
+            os.path.join(out, f"ingest_batch={batch_id}")
+        )
+        new_state = (
+            state.select("day", "user_id")
+            .withColumn("last_batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .localCheckpoint(eager=True)  # materialize before the swap
+        )
+        sinks.parquet_overwrite_atomic(state_path)(new_state, batch_id)
+        if retain_snapshots > 0:
+            import shutil
+
+            stale = sorted(
+                int(d.split("=")[1])
+                for d in os.listdir(out)
+                if d.startswith("ingest_batch=")
+            )[:-retain_snapshots]
+            for b in stale:
+                shutil.rmtree(
+                    os.path.join(out, f"ingest_batch={b}"),
+                    ignore_errors=True,
+                )
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )

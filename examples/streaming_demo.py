@@ -41,7 +41,7 @@ def main() -> None:
         for t in (
             "register", "qz", "page", "raw", "docs", "pii", "emb", "link",
             "scrub", "budget", "shard", "winnow", "ingest", "neardup", "burst",
-            "seed",
+            "seed", "stick",
         )
     }
 
@@ -428,6 +428,36 @@ def main() -> None:
         if d.startswith("ingest_batch=")
     )
     out["seed_sample"] = f"{seed_base}/ingest_batch={last}"
+
+    # round 11: stickiness-on-ingest (live DAU/WAU; wave 2 adds a new
+    # day whose trailing week still counts wave 1's users, plus a
+    # same-day returner — the snapshot publishes days within late_days
+    # of the stream's max seen day)
+    produce(topics["stick"], "b1.jsonl", [
+        json.dumps({"event_id": 1, "user_id": 1, "ts": "2026-08-10 09:00:00"}),
+        json.dumps({"event_id": 2, "user_id": 2, "ts": "2026-08-10 10:00:00"}),
+        json.dumps({"event_id": 3, "user_id": 2, "ts": "2026-08-10 11:00:00"}),
+        "corrupt {",
+    ])
+    stick_base = f"{work}/out/stickiness"
+    jobs.stickiness_job(
+        file_stream(spark, topics["stick"]),
+        stick_base, ck("stick"), late_days=3, available_now=True,
+    ).awaitTermination(120)
+    produce(topics["stick"], "b2.jsonl", [
+        json.dumps({"event_id": 4, "user_id": 1, "ts": "2026-08-12 09:30:00"}),
+        json.dumps({"event_id": 5, "user_id": 3, "ts": "2026-08-12 09:45:00"}),
+    ])
+    jobs.stickiness_job(
+        file_stream(spark, topics["stick"]),
+        stick_base, ck("stick"), late_days=3, available_now=True,
+    ).awaitTermination(120)
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(stick_base)
+        if d.startswith("ingest_batch=")
+    )
+    out["stickiness"] = f"{stick_base}/ingest_batch={last}"
 
     for name, path in out.items():
         df = spark.read.parquet(path)

@@ -305,3 +305,91 @@ def test_weighted_sample_stream_retention_and_many_triggers(spark, tmp_path):
     ]
     want = {d for _, d in sorted((pri(d, n), d) for d, n in alldocs)[:5]}
     assert final == want
+
+
+def test_stickiness_streaming_equals_batch(spark, sf_dir, tmp_path):
+    """Two-wave replay of the events table: with late_days spanning
+    the fixture, every active day is publishable and the final
+    snapshot must equal the batch dau_wau_stickiness row for row."""
+    import json
+
+    from edu_online_spark.operators.analytics import dau_wau_stickiness
+
+    events = load_table(spark, sf_dir, "events")
+    rows = (
+        events.select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        )
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    lines = [
+        json.dumps(
+            {"event_id": r["event_id"], "user_id": r["user_id"], "ts": r["ts"]}
+        )
+        for r in rows
+    ] + ["corrupt {"]
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    half = len(lines) // 2
+    _replay(
+        jobs.stickiness_job, spark, src, out, ckpt,
+        [lines[:half], lines[half:]], late_days=100_000,
+    )
+    batches = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out)
+        if d.startswith("ingest_batch=")
+    )
+    final = os.path.join(out, f"ingest_batch={batches[-1]}")
+    streamed = {
+        r["day"]: (r["dau"], r["wau"], r["stickiness"])
+        for r in spark.read.parquet(final).collect()
+    }
+    batch = {
+        r["day"]: (r["dau"], r["wau"], r["stickiness"])
+        for r in dau_wau_stickiness(events).collect()
+    }
+    assert streamed == batch and len(batch) > 5
+
+
+def test_stickiness_stream_horizon_and_publishable_window(spark, tmp_path):
+    """late_days=0: only the stream's newest seen day is published,
+    its trailing week still counts earlier in-horizon pairs, and a
+    pair older than max_day - 6 is trimmed from state (the watermark
+    trade, observable: it stops contributing to later windows)."""
+    import json
+
+    def line(eid, uid, day):
+        return json.dumps(
+            {"event_id": eid, "user_id": uid, "ts": f"{day} 12:00:00"}
+        )
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    w1 = [line(1, 1, "2024-01-01"), line(2, 2, "2024-01-01")]
+    # wave 2: user 3 late on 01-01 (inside horizon), user 1 on 01-05
+    w2 = [line(3, 3, "2024-01-01"), line(4, 1, "2024-01-05")]
+    # wave 3: jump to 01-20 — every earlier pair leaves the horizon
+    w3 = [line(5, 9, "2024-01-20")]
+    _replay(
+        jobs.stickiness_job, spark, src, out, ckpt, [w1, w2, w3],
+        late_days=0,
+    )
+    snaps = {}
+    for d in os.listdir(out):
+        if d.startswith("ingest_batch="):
+            b = int(d.split("=")[1])
+            snaps[b] = {
+                r["day"]: (r["dau"], r["wau"])
+                for r in spark.read.parquet(os.path.join(out, d)).collect()
+            }
+    bs = sorted(snaps)
+    # trigger 2: only 01-05 publishable; its trailing week counts the
+    # three 01-01 users (late user 3 included) + own-day user 1
+    assert snaps[bs[1]] == {"20240105": (1, 3)}
+    # trigger 3: 01-20's week contains only user 9 — the 01-01/01-05
+    # pairs were horizon-trimmed and no longer contribute
+    assert snaps[bs[2]] == {"20240120": (1, 1)}

@@ -335,6 +335,73 @@ def bench_weighted_sample(spark, work, n_docs, n_files):
     )
 
 
+def bench_stickiness(spark, work, n_rows, n_files):
+    """Throughput + trigger-latency profile for stickiness_job (live
+    DAU/WAU). State is the distinct (day, user) relation inside the
+    7+late_days horizon — bounded by population × horizon, NOT event
+    volume, so per-trigger cost must be flat as the stream ages;
+    first/median/last trigger durations make that measurable. The
+    workload advances event time ~1 day per trigger over 2,000 users,
+    so the horizon population saturates after ~9 triggers."""
+    name = "stickiness"
+    src = os.path.join(work, name, "src")
+    per = n_rows // n_files
+
+    def line(i: int) -> str:
+        day = 1 + (i // per)  # ~one day per trigger file
+        sec = (i % per) % 86_400
+        return json.dumps({
+            "event_id": i, "user_id": i % 2_000,
+            "ts": f"2026-07-{day:02d} {sec // 3600:02d}:"
+                  f"{(sec // 60) % 60:02d}:{sec % 60:02d}",
+        })
+
+    for f in range(n_files):
+        _produce(src, f"b{f:04d}.log", [line(f * per + i) for i in range(per)])
+    out = os.path.join(work, name, "out")
+    ckpt = os.path.join(work, name, "ck")
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates",
+        str(max(n_files + 16, 100)),
+    )
+    q = jobs.stickiness_job(
+        file_stream(spark, src, max_files_per_trigger=1),
+        out,
+        ckpt,
+        available_now=True,
+    )
+    t0 = time.monotonic()
+    q.awaitTermination(600)
+    secs = time.monotonic() - t0
+    ds = sorted(
+        p.batchDuration / 1000.0
+        for p in q.recentProgress
+        if p.numInputRows > 0
+    )
+    if not ds:
+        print(json.dumps({"job": name, "error": "no data-bearing batches"}))
+        return
+    order = [
+        p.batchDuration / 1000.0
+        for p in sorted(q.recentProgress, key=lambda p: p.batchId)
+        if p.numInputRows > 0
+    ]
+    print(
+        json.dumps(
+            {
+                "job": name,
+                "rows": per * n_files,
+                "secs": round(secs, 2),
+                "rows_per_sec": int(per * n_files / secs),
+                "batches": len(ds),
+                "trigger_s_first": round(order[0], 2),
+                "trigger_s_median": round(ds[len(ds) // 2], 2),
+                "trigger_s_last": round(order[-1], 2),
+            }
+        )
+    )
+
+
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 20
@@ -377,6 +444,7 @@ def main() -> None:
             n_rows, n_files,
         )
         bench_weighted_sample(spark, work, n_rows // 10, n_files)
+        bench_stickiness(spark, work, n_rows, n_files)
         bench_winnow_index(spark, work, n_rows // 10, n_files)
         bench_minhash_dedup(spark, work, n_rows // 10, n_files)
     finally:
