@@ -598,3 +598,49 @@ def test_multipass_linkage_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_sample_zero_shuffle_topk(spark, sf_dir):
+    """The weighted top-k sample must stay a bounded TakeOrdered over a
+    pruned 3-column scan — zero exchanges; a regression to a global
+    sort or a shuffle would change the 100 TB cost class."""
+    from edu_online_spark.operators.textops import weighted_sample
+
+    df = weighted_sample(load_table(spark, sf_dir, "documents"))
+    plan = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange") == 0, plan
+    scans = read_schema_columns(df)
+    assert scans and all(len(cols) <= 3 for cols in scans), scans
+
+
+def test_rademacher_sketch_zero_shuffle_scan(spark, sf_dir):
+    """The JL sketch is one scan stage: no exchange, no join, and the
+    scan reads only (vec_id, embedding)."""
+    from edu_online_spark.operators.similarity import rademacher_sketch
+
+    df = rademacher_sketch(load_table(spark, sf_dir, "embeddings"))
+    plan = explain_str(df, "simple")
+    assert plan.count("Exchange") == 0, plan
+    assert "Join" not in plan, plan
+    scans = read_schema_columns(df)
+    assert scans and all(len(cols) <= 2 for cols in scans), scans
+
+
+def test_fulfillment_latency_histogram_selection(spark, sf_dir):
+    """The exact-quantile plan must be histogram-shaped: the only sort
+    feeding a window runs over the (priority, days) count relation —
+    no corpus-grain global sort — and the orderkey join must not
+    degrade to a nested loop."""
+    from edu_online_spark.operators.analytics import fulfillment_latency
+
+    df = fulfillment_latency(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # partial aggregation must sit below the histogram exchange so the
+    # corpus collapses map-side before any shuffle
+    assert "partial" in plan.lower()
