@@ -1733,6 +1733,75 @@ def dau_wau_stickiness(events: DataFrame) -> DataFrame:
     )
 
 
+def supplier_revenue_gini(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Per-nation Gini coefficient of supplier revenue — the
+    concentration/inequality report sourcing teams read next to the
+    Pareto cumulative (supplier_pareto says who the head is; this is
+    the one-number inequality summary per market). Computed with the
+    sorted-rank identity G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) —
+    RATIONAL arithmetic over exact decimal revenue sums (no variance,
+    no logs), one double cast per term at the end, so the result is
+    engine-exact. Tied revenues are rank-ambiguous but Σ i·x₍ᵢ₎ is
+    invariant under permuting equal values; the (revenue, suppkey)
+    tie-break makes the plan deterministic anyway.
+
+    Scale shape: the ONLY corpus-sized exchange is the per-supplier
+    revenue aggregate (map-side combined on l_suppkey); everything
+    after runs on the supplier-grain relation (|suppliers| rows —
+    thousands, not billions), so the per-nation rank window is a sort
+    of a tiny relation, not a corpus sort. Suppliers with no lineitems
+    are out of scope by the inner join (the dormant-supplier report is
+    tpch_q16's job); a zero-sales-inclusive variant is a left join +
+    coalesce away.
+
+    Queued for round 14 (`supplier_revenue_gini`, ORACLE_R14)."""
+    rev = (
+        lineitem.select(
+            "l_suppkey",
+            (
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (
+                    F.lit(1).cast("decimal(3,2)")
+                    - F.col("l_discount").cast("decimal(4,2)")
+                )
+            ).alias("r"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("r").alias("revenue"))
+    )
+    per = rev.join(
+        supplier.select("s_suppkey", "s_nationkey"),
+        rev.l_suppkey == F.col("s_suppkey"),
+    ).join(F.broadcast(nation.select("n_nationkey", "n_name")),
+           F.col("s_nationkey") == F.col("n_nationkey"))
+    w = Window.partitionBy("nation").orderBy("revenue", "s_suppkey")
+    ranked = per.select(
+        F.col("n_name").alias("nation"), "s_suppkey", "revenue"
+    ).withColumn("i", F.row_number().over(w))
+    return (
+        ranked.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("revenue").alias("_sum_rev"),
+            F.sum(F.col("i") * F.col("revenue")).alias("_sum_i_rev"),
+        )
+        .select(
+            "nation",
+            "n_suppliers",
+            F.col("_sum_rev").cast("double").alias("total_revenue"),
+            (
+                (
+                    F.lit(2) * F.col("_sum_i_rev")
+                    - (F.col("n_suppliers") + F.lit(1)) * F.col("_sum_rev")
+                ).cast("double")
+                / (F.col("n_suppliers") * F.col("_sum_rev")).cast("double")
+            ).alias("gini"),
+        )
+    )
+
+
 def _q(fn, *tables):
     def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(*[load_table(spark, sf_dir, t) for t in tables])
@@ -2490,5 +2559,39 @@ ORACLE_R13 = {
                CAST(wau AS BIGINT) AS wau,
                CAST(dau AS DOUBLE) / wau AS stickiness
         FROM agg WHERE dau > 0
+    """,
+}
+
+# Round-14 promotion queue. The mirror repeats the sorted-rank Gini
+# identity over the same decimal-exact revenue sums; the rank window
+# shares the (revenue, suppkey) tie-break, and SUM(i * revenue) is
+# permutation-invariant over tied revenues, so the decimals agree
+# exactly and the double casts round identically.
+ORACLE_R14 = {
+    "supplier_revenue_gini": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (CAST(1 AS DECIMAL(3,2))
+                          - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+            FROM lineitem GROUP BY 1
+        ),
+        ranked AS (
+            SELECT n.n_name AS nation, s.s_suppkey, r.revenue,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.n_name
+                       ORDER BY r.revenue, s.s_suppkey
+                   ) AS i
+            FROM rev r
+            JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+        )
+        SELECT nation,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM(revenue) AS DOUBLE) AS total_revenue,
+               CAST(2 * SUM(i * revenue)
+                    - (COUNT(*) + 1) * SUM(revenue) AS DOUBLE)
+                   / CAST(COUNT(*) * SUM(revenue) AS DOUBLE) AS gini
+        FROM ranked GROUP BY nation
     """,
 }

@@ -1676,6 +1676,68 @@ def savings_by_source(
     )
 
 
+def cluster_lang_purity(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    pairs: DataFrame | None = None,
+    clusters: DataFrame | None = None,
+) -> DataFrame:
+    """Language composition of each near-dup cluster — the
+    cross-lingual contamination probe: a cluster whose members span
+    languages is a translation pair, a mojibake re-encode, or a
+    lang-ID error, and every one of those needs different handling
+    than a same-language repost (dedup policy usually keeps ONE
+    member per language family, not one per cluster). Per cluster:
+    size, distinct languages, the majority language and its share —
+    ratio rational-exact (bigint/bigint), majority tie-broken
+    (count desc, lang asc) so the row is deterministic.
+
+    Plan shape: downstream of the certified closure the cluster
+    relation is tiny (collision-bounded); one join tags members with
+    lang, two small aggregates and a row_number window over
+    cluster-grain rows finish it. Accepts precomputed pairs/clusters
+    like the other composed diagnostics.
+
+    Queued for round 14 (`dedup_cluster_lang_purity`, ORACLE_R14)."""
+    from pyspark.sql import Window
+
+    if clusters is None:
+        if pairs is None:
+            pairs = minhash_lsh_pairs(documents, threshold=threshold)
+        clusters = near_dup_clusters(pairs)
+    tagged = clusters.join(documents.select("doc_id", "lang"), "doc_id")
+    per_lang = tagged.groupBy("cluster_rep", "lang").agg(
+        F.count(F.lit(1)).alias("lang_cnt")
+    )
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.desc("lang_cnt"), F.asc("lang")
+    )
+    top = (
+        per_lang.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_rep",
+            F.col("lang").alias("top_lang"),
+            F.col("lang_cnt").cast("long").alias("top_lang_cnt"),
+        )
+    )
+    sizes = per_lang.groupBy("cluster_rep").agg(
+        F.sum("lang_cnt").cast("long").alias("cluster_size"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+    )
+    return sizes.join(top, "cluster_rep").select(
+        "cluster_rep",
+        "cluster_size",
+        "n_langs",
+        "top_lang",
+        "top_lang_cnt",
+        (F.col("top_lang_cnt").cast("double") / F.col("cluster_size")).alias(
+            "top_lang_share"
+        ),
+        (F.col("n_langs") > 1).alias("cross_lang"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked query registry
 # ---------------------------------------------------------------------------
@@ -2407,5 +2469,56 @@ ORACLE_R13 = {
                CAST(COALESCE(ls.chars_removed, 0) AS DOUBLE) / b.chars_total
                    AS savings_ratio
         FROM base b LEFT JOIN ls USING (source)
+    """,
+}
+
+# Round-14 promotion queue. Recursive-CC labels again; the majority
+# language repeats the (count desc, lang asc) tie-break via the same
+# ROW_NUMBER idiom, and the share is one exact bigint division.
+ORACLE_R14 = {
+    "dedup_cluster_lang_purity": f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT src, src FROM edges
+            UNION SELECT src, dst FROM edges
+            UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        labels AS (
+            SELECT src AS doc_id, min(dst) AS cluster_rep
+            FROM reach GROUP BY src
+        ),
+        per_lang AS (
+            SELECT l.cluster_rep, d.lang, count(*) AS lang_cnt
+            FROM labels l JOIN documents d USING (doc_id)
+            GROUP BY 1, 2
+        ),
+        top AS (
+            SELECT cluster_rep, lang AS top_lang, lang_cnt AS top_lang_cnt,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cluster_rep
+                       ORDER BY lang_cnt DESC, lang ASC
+                   ) AS rn
+            FROM per_lang
+        ),
+        sizes AS (
+            SELECT cluster_rep,
+                   SUM(lang_cnt) AS cluster_size,
+                   COUNT(*) AS n_langs
+            FROM per_lang GROUP BY 1
+        )
+        SELECT s.cluster_rep,
+               CAST(s.cluster_size AS BIGINT) AS cluster_size,
+               CAST(s.n_langs AS BIGINT) AS n_langs,
+               t.top_lang,
+               CAST(t.top_lang_cnt AS BIGINT) AS top_lang_cnt,
+               CAST(t.top_lang_cnt AS DOUBLE) / s.cluster_size
+                   AS top_lang_share,
+               s.n_langs > 1 AS cross_lang
+        FROM sizes s JOIN top t
+          ON s.cluster_rep = t.cluster_rep AND t.rn = 1
     """,
 }

@@ -1,0 +1,122 @@
+"""Round-14 promotion queue: library ops + audited oracles, landed two
+rounds ahead of their window slot (the deferral arithmetic in
+COVERAGE.md means r12/r13 are spoken for). Oracle parity at sf0.001
+plus fixture tests for the semantics the hash alone can't explain."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from edu_online_spark.sources import load_table
+from tools.parity import compare, run_oracle
+
+
+# -- supplier_revenue_gini ------------------------------------------------
+
+
+def test_supplier_revenue_gini_matches_r14_oracle(spark, sf_dir):
+    from edu_online_spark.operators.analytics import (
+        ORACLE_R14,
+        supplier_revenue_gini,
+    )
+
+    problems = compare(
+        "supplier_revenue_gini",
+        supplier_revenue_gini(
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "supplier"),
+            load_table(spark, sf_dir, "nation"),
+        ),
+        run_oracle(ORACLE_R14["supplier_revenue_gini"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_gini_fixture_known_values():
+    """Hand-checkable distributions: perfectly equal revenue -> G = 0;
+    one supplier holding everything of value -> G -> (n-1)/n under the
+    sorted-rank identity (here with epsilon-free integers: revenues
+    [0.01, 0.01, 99.98] give a near-1 concentration, computed exactly)."""
+    import datetime
+
+    from edu_online_spark.session import get_spark
+    from edu_online_spark.operators.analytics import supplier_revenue_gini
+
+    spark = get_spark()
+
+    def li(suppkey, price):
+        return (suppkey, price, 0.0)
+
+    lineitem = spark.createDataFrame(
+        # nation EQ: three suppliers, equal revenue
+        [li(1, 10.0), li(2, 10.0), li(3, 10.0)]
+        # nation SKEW: two tiny, one dominant
+        + [li(11, 0.01), li(12, 0.01), li(13, 99.98)],
+        "l_suppkey long, l_extendedprice double, l_discount double",
+    )
+    supplier = spark.createDataFrame(
+        [(k, 0) for k in (1, 2, 3)] + [(k, 1) for k in (11, 12, 13)],
+        "s_suppkey long, s_nationkey long",
+    )
+    nation = spark.createDataFrame(
+        [(0, "EQ"), (1, "SKEW")], "n_nationkey long, n_name string"
+    )
+    rows = {
+        r["nation"]: r
+        for r in supplier_revenue_gini(lineitem, supplier, nation).collect()
+    }
+    assert rows["EQ"]["gini"] == 0.0
+    # sorted x = [0.01, 0.01, 99.98], sum=100, sum_i_x = 0.01+0.02+299.94
+    # G = (2*299.97 - 4*100) / (3*100) = 199.94/300
+    assert abs(rows["SKEW"]["gini"] - 199.94 / 300) < 1e-12
+    assert rows["SKEW"]["n_suppliers"] == 3
+    # tie-permutation invariance: equal revenues give the same sum_i_x
+    # whatever rank order the engine assigns (G=0 is the proof above)
+
+
+# -- dedup_cluster_lang_purity --------------------------------------------
+
+
+def test_cluster_lang_purity_matches_r14_oracle(spark, sf_dir):
+    from edu_online_spark.operators.dedup import (
+        ORACLE_R14,
+        cluster_lang_purity,
+    )
+
+    problems = compare(
+        "dedup_cluster_lang_purity",
+        cluster_lang_purity(load_table(spark, sf_dir, "documents")),
+        run_oracle(ORACLE_R14["dedup_cluster_lang_purity"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_cluster_lang_purity_consistency(spark, sf_dir):
+    """Cross-op invariants against the certified closure outputs:
+    cluster membership mass matches the size profile, shares are the
+    exact rational, and the precomputed-pairs path is identical."""
+    from edu_online_spark.operators.dedup import (
+        cluster_lang_purity,
+        cluster_size_profile,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).localCheckpoint(eager=True)
+    out = cluster_lang_purity(docs, pairs=pairs).collect()
+    prof = {
+        r["cluster_size"]: r["n_clusters"]
+        for r in cluster_size_profile(docs, pairs=pairs).collect()
+        if r["cluster_size"] > 1
+    }
+    sizes: dict[int, int] = {}
+    for r in out:
+        sizes[r["cluster_size"]] = sizes.get(r["cluster_size"], 0) + 1
+        assert 1 <= r["top_lang_cnt"] <= r["cluster_size"]
+        assert r["top_lang_share"] == r["top_lang_cnt"] / r["cluster_size"]
+        assert r["cross_lang"] == (r["n_langs"] > 1)
+        # majority share can't fall below an even split
+        assert r["top_lang_cnt"] * r["n_langs"] >= r["cluster_size"]
+    assert sizes == prof
+    inline = sorted(map(tuple, cluster_lang_purity(docs).collect()))
+    assert inline == sorted(map(tuple, out))

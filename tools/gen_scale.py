@@ -182,6 +182,30 @@ def gen_lineitem(
     )
 
 
+def gen_supplier(n: int, seed: int = 29) -> pa.Table:
+    """Supplier dim in the driver table's shape (s_suppkey, s_name,
+    s_nationkey, s_acctbal) — round 11 adds it (plus the copied
+    scale-constant nation dim) so supplier_revenue_gini gets a second
+    scale point. lineitem's l_suppkey has drawn over 1000×mult keys
+    since round 10, so the join lines up without touching any earlier
+    rng stream — prior growth rows stay byte-identical."""
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "s_suppkey": pa.array(np.arange(n, dtype=np.int64)),
+            "s_name": pa.array(
+                [f"Supplier#{i:09d}" for i in range(n)], type=pa.string()
+            ),
+            "s_nationkey": pa.array(
+                rng.integers(0, 25, size=n).astype(np.int32)
+            ),
+            "s_acctbal": pa.array(
+                np.round(rng.uniform(-999.99, 9999.99, size=n), 2)
+            ),
+        }
+    )
+
+
 def gen_events(n: int, n_users: int, seed: int = 23) -> pa.Table:
     """Events twin for the event-time operators (burst windows, WAU):
     (event_id, ts, user_id, event_type, value) over one year at
@@ -235,10 +259,17 @@ def main() -> None:
     _write(li, f"{out_dir}/lineitem.parquet", max(li.num_rows // 32, 1))
     ev = gen_events(100000 * mult, 10000 * mult)
     _write(ev, f"{out_dir}/events.parquet", max(ev.num_rows // 32, 1))
+    supp = gen_supplier(1000 * mult)
+    _write(supp, f"{out_dir}/supplier.parquet", max(supp.num_rows // 32, 1))
+    # nation is scale-constant (25 rows) — copy the driver dim verbatim
+    # so names/keys match what every oracle joins against
+    nation = pq.read_table("/root/testdata/sf0.1/nation.parquet")
+    pq.write_table(nation, f"{out_dir}/nation.parquet")
     print(
         f"wrote {docs.num_rows} documents, {emb.num_rows} embeddings, "
         f"{cust.num_rows} customers, {orders.num_rows} orders, "
-        f"{li.num_rows} lineitems, {ev.num_rows} events -> {out_dir}"
+        f"{li.num_rows} lineitems, {ev.num_rows} events, "
+        f"{supp.num_rows} suppliers, {nation.num_rows} nations -> {out_dir}"
     )
 
 
