@@ -232,6 +232,41 @@ def main() -> None:
         + f"; {sum(r['n_dup_docs'] for r in prof)} redundant docs"
     )
 
+    # round-11 tail: the same shared pairs pass also feeds the
+    # survivorship cost report and the cross-lingual cluster probe
+    # (four consumers, ONE LSH pass — the composed-diagnostics path
+    # BASELINE.md quantifies)
+    from edu_online_spark.operators.dedup import (
+        cluster_lang_purity,
+        near_dup_clusters,
+        savings_by_source,
+    )
+
+    shared_clusters = near_dup_clusters(shared_pairs).localCheckpoint(
+        eager=True
+    )
+    sav = sorted(
+        savings_by_source(raw_docs, clusters=shared_clusters).collect(),
+        key=lambda r: -r["chars_removed"],
+    )
+    print(
+        "dedup savings:        "
+        + "; ".join(
+            f"{r['source']} -{r['n_redundant']}d/-{r['chars_removed']}ch"
+            f" ({r['savings_ratio']:.4f})" for r in sav[:3]
+        )
+    )
+    pur = cluster_lang_purity(raw_docs, clusters=shared_clusters).collect()
+    n_cross = sum(1 for r in pur if r["cross_lang"])
+    print(
+        f"cluster lang purity:  {len(pur)} clusters, {n_cross} cross-lang; "
+        + "; ".join(
+            f"rep {r['cluster_rep']}: {r['n_langs']} langs"
+            f" top={r['top_lang']}@{r['top_lang_share']:.2f}"
+            for r in sorted(pur, key=lambda r: (-r["n_langs"], r["cluster_rep"]))[:2]
+        )
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -333,3 +333,235 @@ def test_weighted_sample_is_true_global_bottom_k(spark, rows):
 
     want = sorted((pri(d, n), d) for d, n in rows)[:k]
     assert sorted(got) == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["1-URGENT", "2-HIGH"]),
+            st.integers(min_value=0, max_value=120),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_fulfillment_latency_is_true_order_statistics(spark, items):
+    """For ANY (priority, days) multiset the histogram selection must
+    return the element at sorted position ceil(q·n) — compared against
+    a Python sorted-list reference, ties and duplicate days included
+    (the regime where a cumulative-sum off-by-one would hide)."""
+    import datetime
+
+    from edu_online_spark.operators.analytics import fulfillment_latency
+
+    d0 = datetime.date(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(i, d0, p) for i, (p, _) in enumerate(items)],
+        "o_orderkey long, o_orderdate date, o_orderpriority string",
+    )
+    lineitem = spark.createDataFrame(
+        [(i, d0 + datetime.timedelta(days=d)) for i, (_, d) in enumerate(items)],
+        "l_orderkey long, l_shipdate date",
+    )
+    got = {
+        r["priority"]: r
+        for r in fulfillment_latency(orders, lineitem).collect()
+    }
+    by_p: dict[str, list[int]] = {}
+    for p, d in items:
+        by_p.setdefault(p, []).append(d)
+    assert set(got) == set(by_p)
+    for p, days in by_p.items():
+        days.sort()
+        n = len(days)
+
+        def pick(num, den):
+            return days[(num * n + den - 1) // den - 1]
+
+        r = got[p]
+        assert r["n_items"] == n
+        assert r["p50_days"] == pick(1, 2)
+        assert r["p90_days"] == pick(9, 10)
+        assert r["p99_days"] == pick(99, 100)
+        assert r["max_days"] == days[-1]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=1_000_000),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_gini_matches_rational_reference(spark, prices):
+    """For ANY positive integer revenue multiset the Gini equals the
+    sorted-rank identity computed in exact Python rationals, and sits
+    in [0, (n-1)/n] — the attainable range of the identity."""
+    from fractions import Fraction
+
+    from edu_online_spark.operators.analytics import supplier_revenue_gini
+
+    lineitem = spark.createDataFrame(
+        [(k, float(p), 0.0) for k, p in enumerate(prices)],
+        "l_suppkey long, l_extendedprice double, l_discount double",
+    )
+    supplier = spark.createDataFrame(
+        [(k, 0) for k in range(len(prices))],
+        "s_suppkey long, s_nationkey long",
+    )
+    nation = spark.createDataFrame(
+        [(0, "N")], "n_nationkey long, n_name string"
+    )
+    [r] = supplier_revenue_gini(lineitem, supplier, nation).collect()
+    xs = sorted(prices)
+    n = len(xs)
+    ref = Fraction(
+        2 * sum((i + 1) * x for i, x in enumerate(xs)) - (n + 1) * sum(xs),
+        n * sum(xs),
+    )
+    assert abs(r["gini"] - float(ref)) < 1e-12
+    assert 0 <= r["gini"] <= (n - 1) / n + 1e-12
+    assert r["n_suppliers"] == n
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # day offset
+            st.integers(min_value=0, max_value=5),   # user
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_stickiness_matches_rolling_distinct_reference(spark, pairs):
+    """For ANY (day, user) activity set: DAU/WAU per active day equals
+    a Python rolling-window reference — sparse calendars with gaps
+    longer than a week included (the regime where a window-frame
+    formulation would silently bridge gaps)."""
+    import datetime
+
+    from edu_online_spark.operators.analytics import dau_wau_stickiness
+
+    d0 = datetime.date(2024, 3, 1)
+    events = spark.createDataFrame(
+        [
+            (i, u, datetime.datetime.combine(
+                d0 + datetime.timedelta(days=d), datetime.time(12, 0)))
+            for i, (d, u) in enumerate(sorted(pairs))
+        ],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    got = {
+        r["day"]: (r["dau"], r["wau"], r["stickiness"])
+        for r in dau_wau_stickiness(events).collect()
+    }
+    active = sorted({d for d, _ in pairs})
+    want = {}
+    for d in active:
+        dau = {u for dd, u in pairs if dd == d}
+        wau = {u for dd, u in pairs if d - 6 <= dd <= d}
+        key = (d0 + datetime.timedelta(days=d)).strftime("%Y%m%d")
+        want[key] = (len(dau), len(wau), len(dau) / len(wau))
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["sA", "sB"]),
+            st.lists(
+                st.sampled_from("aa bb cc dd".split()),
+                min_size=0,
+                max_size=10,
+            ),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_bigram_simpson_matches_counter_reference(spark, docs_in):
+    """For ANY corpus the per-source Simpson report equals a Python
+    Counter reference — short docs (0 or 1 tokens, zero bigrams) must
+    drop out of the report entirely, not divide by zero."""
+    from collections import Counter
+
+    from edu_online_spark.operators.textops import bigram_simpson
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks), src) for i, (src, toks) in enumerate(docs_in)],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in bigram_simpson(docs).collect()}
+    ref: dict[str, Counter] = {}
+    for src, toks in docs_in:
+        c = ref.setdefault(src, Counter())
+        for a, b in zip(toks, toks[1:]):
+            c[f"{a} {b}"] += 1
+    ref = {s: c for s, c in ref.items() if c}
+    assert set(got) == set(ref)
+    for s, c in ref.items():
+        total = sum(c.values())
+        r = got[s]
+        assert r["total_bigrams"] == total
+        assert r["distinct_bigrams"] == len(c)
+        assert r["simpson_num"] == sum(v * v for v in c.values())
+        assert r["top1_cnt"] == max(c.values())
+        assert r["simpson"] == r["simpson_num"] / (total * total)
+        assert r["top1_share"] == r["top1_cnt"] / total
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=2, max_value=4),  # cluster size
+            st.lists(st.sampled_from(["en", "zh", "es"]),
+                     min_size=4, max_size=4),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_cluster_lang_purity_matches_counter_reference(spark, spec):
+    """For ANY cluster assignment + language tagging (fed through the
+    explicit `clusters` input, so the property isolates the purity
+    aggregation from LSH): majority language, counts, and the
+    cross_lang flag match a Python reference with the documented
+    (count desc, lang asc) tie-break."""
+    from collections import Counter
+
+    from edu_online_spark.operators.dedup import cluster_lang_purity
+
+    doc_rows, cluster_rows, next_id = [], [], 0
+    ref_members: dict[int, list[str]] = {}
+    for size, langs in spec:
+        rep = next_id
+        for j in range(size):
+            doc_rows.append((next_id, langs[j % len(langs)], "t"))
+            cluster_rows.append((next_id, rep))
+            next_id += 1
+        ref_members[rep] = [langs[j % len(langs)] for j in range(size)]
+    docs = spark.createDataFrame(
+        doc_rows, "doc_id long, lang string, text string"
+    )
+    clusters = spark.createDataFrame(
+        cluster_rows, "doc_id long, cluster_rep long"
+    )
+    got = {
+        r["cluster_rep"]: r
+        for r in cluster_lang_purity(docs, clusters=clusters).collect()
+    }
+    assert set(got) == set(ref_members)
+    for rep, langs in ref_members.items():
+        c = Counter(langs)
+        top_lang = min(c, key=lambda l: (-c[l], l))
+        r = got[rep]
+        assert r["cluster_size"] == len(langs)
+        assert r["n_langs"] == len(c)
+        assert (r["top_lang"], r["top_lang_cnt"]) == (top_lang, c[top_lang])
+        assert r["cross_lang"] == (len(c) > 1)
