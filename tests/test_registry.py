@@ -129,3 +129,47 @@ def test_rotation_staleness_bound():
         f"queries neither in the current window nor driver-certified in "
         f"the last {STALENESS_BOUND_ROUNDS} rounds: {stale}"
     )
+
+
+def test_rotation_planner_reproduces_round12_plan():
+    """tools/rotation_plan.py must reproduce the committed round-12
+    arithmetic (COVERAGE.md 'Round-12 rotation plan'): the hard cohort
+    is EXACTLY the 50 round-8 rows (zero free slots, none rows-only),
+    the two R12-queue promotions are flagged as slotless, and the
+    staleness audit holds through round 13."""
+    from tools.rotation_plan import plan
+
+    p = plan(12)
+    assert p["free_slots"] == 0
+    assert p["rows_only_slots"] == []
+    assert set(p["queued_promotions"]) == {
+        "dedup_ngram_jaccard_prefix",
+        "events_inter_arrival_profile",
+    }
+    assert p["audit_ok"]
+    expected = {
+        "ann_all_pairs_recall", "ann_recall_report", "basket_part_pairs",
+        "corpus_dataset_card", "corpus_drift_report", "corpus_mixture_plan",
+        "corpus_snapshot_diff", "corpus_token_countmin",
+        "customer_record_linkage_multipass", "customer_rfm",
+        "data_quality_checks", "dedup_cross_corpus", "dedup_semantic_keep",
+        "docs_gopher_quality", "docs_length_histogram",
+        "docs_quality_budget_fill", "docs_stratified_sample",
+        "docs_vocab_encoded", "docs_winnowing_clusters",
+        "docs_winnowing_cross_corpus", "events_cohort_retention",
+        "events_daily_anomalies", "events_distinct_users_approx",
+        "events_funnel", "events_hll_rollup", "events_scd2_status",
+        "events_theta_overlap", "events_time_grain_rollup",
+        "events_value_percentiles", "hybrid_search_rrf",
+        "lineitem_price_quantiles_approx", "multimodal_audio_features",
+        "multimodal_decoded_meta", "multimodal_frame_sample",
+        "multimodal_media_summary", "multimodal_payload_dedup",
+        "multimodal_resized", "purchase_training_examples",
+        "retrieval_negative_samples", "sim_knn_ivf_probe_recall",
+        "text_pii_redacted", "text_pii_source_stats", "text_url_domains",
+        "tpch_q10_returned_items", "tpch_q11_important_parts",
+        "tpch_q15_top_supplier", "tpch_q2_min_cost_supplier",
+        "tpch_q7_volume_shipping", "tpch_q8_market_share",
+        "tpch_q9_profit_by_nation",
+    }
+    assert set(p["hard_cohort"]) == expected and len(p["window"]) == 50
