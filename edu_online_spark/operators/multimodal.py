@@ -492,6 +492,78 @@ def image_ahash(assets: DataFrame) -> DataFrame:
     return images.mapInPandas(ahash_batch, AHASH_SCHEMA)
 
 
+WHASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("whash", StringType()),
+        StructField("bits_set", IntegerType()),
+        StructField("dc", LongType()),
+    ]
+)
+
+
+def whash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas SPECTRAL perceptual hash: 2-D Walsh–Hadamard
+    transform of the same 8×8 integer grayscale grid aHash samples,
+    one sign bit per coefficient (row-major over (u, v)). The
+    classical pHash takes a DCT and thresholds low-frequency
+    coefficients; the Hadamard basis is its INTEGER-EXACT sibling
+    (entries ±1, H[i,j] = (−1)^popcount(i AND j)), so every
+    coefficient is an exact int64 and the DuckDB mirror reproduces
+    each bit from the payload generator's formula — no cosines, no
+    floats, no tolerance. Sign bits of the sequency spectrum capture
+    coarse structure (which half/quadrant is brighter, checkerboard
+    energy) that survives brightness scaling better than aHash's
+    mean threshold; the DC coefficient (total gray mass — bit 0 is
+    always set for non-black images) is emitted separately as a
+    tie-break/verify column."""
+    ks = np.arange(AHASH_GRID)
+    ij = ks[:, None] & ks[None, :]
+    H = 1 - 2 * (np.unpackbits(ij.astype(np.uint8)[..., None], axis=-1)
+                 .sum(axis=-1) & 1).astype(np.int64)
+    for pdf in batches:
+        ids, ws, hs, hashes, nbits, dcs = [], [], [], [], [], []
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            img = _decode_bmp_pixels(bytes(payload))
+            if img is None:
+                continue
+            h, w = img.shape[:2]
+            sample = img[(ks * h) // AHASH_GRID][:, (ks * w) // AHASH_GRID]
+            gray = sample.astype(np.int64).sum(axis=2) // 3
+            coef = H @ gray @ H
+            bits = (coef.reshape(-1) > 0).astype(np.uint8)
+            ids.append(asset_id)
+            ws.append(w)
+            hs.append(h)
+            hashes.append("".join("1" if b else "0" for b in bits))
+            nbits.append(int(bits.sum()))
+            dcs.append(int(coef[0, 0]))
+        yield pd.DataFrame(
+            {
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "whash": hashes,
+                "bits_set": pd.Series(nbits, dtype="int32"),
+                "dc": pd.Series(dcs, dtype="int64"),
+            }
+        )
+
+
+def image_whash(assets: DataFrame) -> DataFrame:
+    """Walsh–Hadamard spectral hash over image assets — the second,
+    structurally different perceptual key next to aHash (spatial mean
+    threshold vs sequency-domain signs): two independent 64-bit views
+    of the same pixels make banded near-dup blocking far more
+    selective, the same reason MinHash and SimHash coexist on text.
+
+    Queued for round 14 (`multimodal_image_whash`, ORACLE_R14)."""
+    images = assets.filter(F.col("media_type") == "image")
+    return images.mapInPandas(whash_batch, WHASH_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Audio fingerprint: span-threshold bits over decoded PCM
 # ---------------------------------------------------------------------------
@@ -1354,3 +1426,69 @@ ORACLE["multimodal_video_fp_neardup"] = f"""
     SELECT asset_a, asset_b, hamming FROM scored
     WHERE hamming <= {AHASH_HAMMING_MAX}
 """
+
+
+def q_image_whash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runner for the queued spectral-hash query (round-14 window)."""
+    return image_whash(_media(spark, sf_dir))
+
+
+# Round-14 promotion queue. The mirror re-derives the SAME 8×8 gray
+# grid as the certified aHash oracle (identical imgs/g/gray CTEs),
+# then computes each Walsh–Hadamard coefficient as the ±1-signed sum
+# with the sign from bit_count parity — integer end to end, so every
+# one of the 64 sign bits (and the DC mass) must match exactly.
+ORACLE_R14 = {
+    "multimodal_image_whash": f"""
+        WITH imgs AS (
+            SELECT doc_id AS asset_id,
+                   (doc_id % {IMG_W_MOD}) + 1 AS w,
+                   ((doc_id * 7) % {IMG_H_MOD}) + 1 AS h,
+                   ((3 * ((doc_id % {IMG_W_MOD}) + 1) + 3) // 4) * 4 AS row_sz
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        g AS (
+            SELECT asset_id, w, h, k,
+                   (h - 1 - (((k // {AHASH_GRID}) * h) // {AHASH_GRID}))
+                       * row_sz
+                   + 3 * (((k % {AHASH_GRID}) * w) // {AHASH_GRID}) AS base
+            FROM imgs, (SELECT unnest(range(0, {AHASH_GRID * AHASH_GRID}))
+                        AS k) ks
+        ),
+        gray AS (
+            SELECT asset_id, w, h, k,
+                   (((asset_id * 13 + base * 7) % 256)
+                    + ((asset_id * 13 + (base + 1) * 7) % 256)
+                    + ((asset_id * 13 + (base + 2) * 7) % 256)) // 3 AS gv
+            FROM g
+        ),
+        uv AS (
+            SELECT u, v
+            FROM (SELECT unnest(range(0, {AHASH_GRID})) AS u),
+                 (SELECT unnest(range(0, {AHASH_GRID})) AS v)
+        ),
+        coef AS (
+            SELECT gray.asset_id, uv.u, uv.v,
+                   SUM((1 - 2 * ((bit_count(uv.u & (gray.k // {AHASH_GRID}))
+                                  + bit_count(uv.v & (gray.k % {AHASH_GRID})))
+                                 % 2)) * gray.gv) AS c
+            FROM gray, uv
+            GROUP BY 1, 2, 3
+        ),
+        dims AS (
+            SELECT asset_id, min(w) AS width, min(h) AS height
+            FROM gray GROUP BY 1
+        )
+        SELECT c.asset_id,
+               CAST(d.width AS INTEGER) AS width,
+               CAST(d.height AS INTEGER) AS height,
+               string_agg(CASE WHEN c.c > 0 THEN '1' ELSE '0' END, ''
+                          ORDER BY c.u * {AHASH_GRID} + c.v) AS whash,
+               CAST(SUM(CASE WHEN c.c > 0 THEN 1 ELSE 0 END) AS INTEGER)
+                   AS bits_set,
+               CAST(MAX(CASE WHEN c.u = 0 AND c.v = 0 THEN c.c END)
+                    AS BIGINT) AS dc
+        FROM coef c JOIN dims d USING (asset_id)
+        GROUP BY c.asset_id, d.width, d.height
+    """,
+}

@@ -120,3 +120,57 @@ def test_cluster_lang_purity_consistency(spark, sf_dir):
     assert sizes == prof
     inline = sorted(map(tuple, cluster_lang_purity(docs).collect()))
     assert inline == sorted(map(tuple, out))
+
+
+# -- multimodal_image_whash -----------------------------------------------
+
+
+def test_image_whash_matches_r14_oracle(spark, sf_dir):
+    """Every Walsh-Hadamard sign bit and the DC mass reproduce from
+    the payload generator's formulas — a stride/flip/orientation bug
+    anywhere in the decode or transform flips bits and fails here."""
+    from edu_online_spark.operators.multimodal import (
+        ORACLE_R14,
+        q_image_whash,
+    )
+
+    problems = compare(
+        "multimodal_image_whash",
+        q_image_whash(spark, sf_dir),
+        run_oracle(ORACLE_R14["multimodal_image_whash"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_whash_transform_properties(spark, sf_dir):
+    """Transform sanity against the certified aHash stage: same assets
+    and dimensions; DC equals 64x the grid mean's numerator (the exact
+    gray total); a uniform synthetic image has ONLY the DC bit set
+    (every AC coefficient exactly 0 -> '0' bits)."""
+    from edu_online_spark.operators.multimodal import (
+        _bmp_bytes,
+        image_whash,
+        q_image_ahash,
+        q_image_whash,
+    )
+
+    wh = {r["asset_id"]: r for r in q_image_whash(spark, sf_dir).collect()}
+    ah = {r["asset_id"]: r for r in q_image_ahash(spark, sf_dir).collect()}
+    assert set(wh) == set(ah)
+    for a, r in wh.items():
+        assert (r["width"], r["height"]) == (ah[a]["width"], ah[a]["height"])
+        assert r["whash"][0] == "1" and r["dc"] > 0  # DC = total gray mass
+        assert r["bits_set"] == r["whash"].count("1")
+
+    # uniform image: constant gray g -> coef = g * sum(H_row) * sum(H_col),
+    # zero unless u=v=0. Build a flat-color BMP via the generator's
+    # header with a constant-pixel body.
+    raw = bytearray(_bmp_bytes(3))
+    raw[54:] = bytes([200] * (len(raw) - 54))  # constant channels
+    assets = spark.createDataFrame(
+        [(1, "image", raw)], "asset_id long, media_type string, payload binary"
+    )
+    [u] = image_whash(assets).collect()
+    assert u["whash"] == "1" + "0" * 63
+    assert u["bits_set"] == 1
+    assert u["dc"] == 200 * 64
