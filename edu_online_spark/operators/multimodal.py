@@ -1492,3 +1492,92 @@ ORACLE_R14 = {
         GROUP BY c.asset_id, d.width, d.height
     """,
 }
+
+
+def image_whash_neardup(
+    assets: DataFrame, max_hamming: int = AHASH_HAMMING_MAX
+) -> DataFrame:
+    """Spectral near-dup pairs: images whose Walsh–Hadamard sign
+    spectrum differs in ≤ max_hamming of 64 bits — same pigeonhole
+    blocking engine as the aHash path (bitstring_neardup_pairs), run
+    over the frequency-domain key instead of the spatial one.
+
+    Queued for round 14 (`multimodal_whash_neardup`, ORACLE_R14)."""
+    return bitstring_neardup_pairs(
+        image_whash(assets).select("asset_id", "whash"), "whash", max_hamming
+    )
+
+
+def image_consensus_neardup(
+    assets: DataFrame, max_hamming: int = AHASH_HAMMING_MAX
+) -> DataFrame:
+    """CONSENSUS perceptual near-dup: pairs flagged by BOTH the
+    spatial (aHash) and spectral (wHash) keys — the precision move two
+    independent 64-bit views buy (a pair that survives two unrelated
+    projections of the pixels is far likelier a true visual duplicate
+    than one that collides on a single mean-threshold hash; same
+    logic as requiring MinHash candidates to verify on exact
+    Jaccard). Output carries both hamming distances for audit.
+
+    Scale shape: two banded pair relations (each collision-bounded,
+    bytes never shuffle) meeting in an equi-join on the pair key —
+    output-sized work end to end. Pairs are canonical (asset_a <
+    asset_b) on both sides, so the join needs no normalization.
+
+    Queued for round 14 (`multimodal_consensus_neardup`, ORACLE_R14)."""
+    ah = image_ahash_neardup(assets, max_hamming).withColumnRenamed(
+        "hamming", "hamming_spatial"
+    )
+    wh = image_whash_neardup(assets, max_hamming).withColumnRenamed(
+        "hamming", "hamming_spectral"
+    )
+    return ah.join(wh, ["asset_a", "asset_b"]).select(
+        "asset_a", "asset_b", "hamming_spatial", "hamming_spectral"
+    )
+
+
+def q_whash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_whash_neardup(_media(spark, sf_dir))
+
+
+def q_consensus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_consensus_neardup(_media(spark, sf_dir))
+
+
+# Same CTE-chaining discipline as the certified ahash_neardup mirror:
+# the whash oracle feeds the pigeonhole + char-fold hamming form, and
+# the consensus mirror joins the two pair relations on the canonical
+# pair key.
+ORACLE_R14["multimodal_whash_neardup"] = f"""
+    WITH wh AS ({ORACLE_R14["multimodal_image_whash"]}),
+    ch AS (
+        SELECT asset_id, whash, i AS chunk,
+               substring(whash, i * 16 + 1, 16) AS cv
+        FROM wh CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ks
+    ),
+    cand AS (
+        SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b,
+               a.whash AS ha, b.whash AS hb
+        FROM ch a JOIN ch b
+          ON a.chunk = b.chunk AND a.cv = b.cv
+         AND a.asset_id < b.asset_id
+    ),
+    scored AS (
+        SELECT asset_a, asset_b,
+               CAST(list_sum([CASE WHEN ha[i] = hb[i] THEN 0 ELSE 1 END
+                              for i in range(1, 65)]) AS INTEGER)
+                   AS hamming
+        FROM cand
+    )
+    SELECT asset_a, asset_b, hamming FROM scored
+    WHERE hamming <= {AHASH_HAMMING_MAX}
+"""
+
+ORACLE_R14["multimodal_consensus_neardup"] = f"""
+    WITH sp AS ({ORACLE["multimodal_ahash_neardup"]}),
+    sq AS ({ORACLE_R14["multimodal_whash_neardup"]})
+    SELECT sp.asset_a, sp.asset_b,
+           sp.hamming AS hamming_spatial,
+           sq.hamming AS hamming_spectral
+    FROM sp JOIN sq USING (asset_a, asset_b)
+"""

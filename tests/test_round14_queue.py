@@ -174,3 +174,55 @@ def test_whash_transform_properties(spark, sf_dir):
     assert u["whash"] == "1" + "0" * 63
     assert u["bits_set"] == 1
     assert u["dc"] == 200 * 64
+
+
+def test_whash_neardup_matches_r14_oracle(spark, sf_dir):
+    from edu_online_spark.operators.multimodal import (
+        ORACLE_R14,
+        q_whash_neardup,
+    )
+
+    problems = compare(
+        "multimodal_whash_neardup",
+        q_whash_neardup(spark, sf_dir),
+        run_oracle(ORACLE_R14["multimodal_whash_neardup"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_consensus_neardup_matches_r14_oracle_and_is_intersection(
+    spark, sf_dir
+):
+    """The consensus relation hash-matches its mirror AND is exactly
+    the pair-key intersection of the two single-key relations with
+    their hammings carried through."""
+    from edu_online_spark.operators.multimodal import (
+        ORACLE_R14,
+        q_ahash_neardup,
+        q_consensus_neardup,
+        q_whash_neardup,
+    )
+
+    problems = compare(
+        "multimodal_consensus_neardup",
+        q_consensus_neardup(spark, sf_dir),
+        run_oracle(ORACLE_R14["multimodal_consensus_neardup"], sf_dir),
+    )
+    assert not problems, problems
+
+    cons = {
+        (r["asset_a"], r["asset_b"]): (
+            r["hamming_spatial"], r["hamming_spectral"])
+        for r in q_consensus_neardup(spark, sf_dir).collect()
+    }
+    ah = {
+        (r["asset_a"], r["asset_b"]): r["hamming"]
+        for r in q_ahash_neardup(spark, sf_dir).collect()
+    }
+    wh = {
+        (r["asset_a"], r["asset_b"]): r["hamming"]
+        for r in q_whash_neardup(spark, sf_dir).collect()
+    }
+    assert set(cons) == set(ah) & set(wh)
+    for k, (hs, hq) in cons.items():
+        assert (hs, hq) == (ah[k], wh[k])
