@@ -3471,3 +3471,139 @@ def stickiness_job(
         .trigger(**_trigger({}, available_now))
         .start()
     )
+
+
+def latency_quantiles_job(
+    raw: DataFrame,
+    orders: DataFrame,
+    out: str,
+    checkpoint: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Live fulfillment-SLA quantiles: the streaming twin of
+    `operators/analytics.fulfillment_latency` — maintain the
+    (priority, latency-days) HISTOGRAM as lineitem shipments arrive
+    and publish the exact p50/p90/p99/max per priority every trigger.
+
+    Why this streams exactly: the batch op's whole design is that
+    latency in days is a BOUNDED INTEGER DOMAIN, so its sufficient
+    statistic is a tiny count histogram — and counts are an
+    associative, commutative merge. State is |priorities| × |distinct
+    days| rows (hundreds) regardless of how many billions of
+    lineitems flow past; every trigger folds the micro-batch's
+    map-side-combined counts into it, and any trigger slicing of the
+    same rows yields the batch answer exactly (the parity test
+    replays the lineitem table in waves). The replay fence makes the
+    fold idempotent under redelivery — additive state would otherwise
+    double-count, so unlike the top-k/distinct twins the fence is
+    CORRECTNESS here, not just efficiency.
+
+    The orders side (orderkey → orderdate, priority) is a STATIC
+    dimension joined per trigger — the stream-static join every
+    enrichment job in this module uses. At 100 TB the dim join runs
+    orderkey-co-partitioned (or against a bucketed orders table);
+    locally Spark broadcasts it.
+
+    Output per trigger: one row per priority (n_items, p50/p90/p99,
+    max), snapshot-written to ingest_batch=N like the seed-set and
+    stickiness jobs (each snapshot is a complete answer).
+    """
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    state_path = out + ".state"
+
+    schema = StructType(
+        [
+            StructField("l_orderkey", LongType()),
+            StructField("l_shipdate", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    parsed = F.from_json(
+        F.col("value"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    ship = (
+        raw.select(parsed.alias("j"))
+        .filter(
+            F.col("j._corrupt").isNull()
+            & F.col("j.l_orderkey").isNotNull()
+            & F.to_date(F.col("j.l_shipdate")).isNotNull()
+        )
+        .select(
+            F.col("j.l_orderkey").alias("l_orderkey"),
+            F.to_date(F.col("j.l_shipdate")).alias("l_shipdate"),
+        )
+    )
+    dim = orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        sinks.recover_sink(state_path)
+        if os.path.exists(state_path):
+            old = spark.read.parquet(state_path)
+            last = old.agg(F.max("last_batch_id")).first()[0]
+            if last is not None and last >= batch_id:
+                return  # redelivered trigger: additive state must not re-fold
+            prior = old.select("priority", "days", "cnt")
+        else:
+            prior = spark.createDataFrame(
+                [], "priority string, days long, cnt long"
+            )
+        delta = (
+            batch.join(dim, batch.l_orderkey == dim.o_orderkey)
+            .select(
+                F.col("o_orderpriority").alias("priority"),
+                F.datediff("l_shipdate", "o_orderdate").cast("long").alias(
+                    "days"
+                ),
+            )
+            .groupBy("priority", "days")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        hist = (
+            prior.unionByName(delta)
+            .groupBy("priority", "days")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .localCheckpoint(eager=True)  # snapshot + state share it
+        )
+        h = hist.withColumn(
+            "cum",
+            F.sum("cnt").over(Window.partitionBy("priority").orderBy("days")),
+        ).withColumn("n", F.sum("cnt").over(Window.partitionBy("priority")))
+        picks = {
+            "p50_days": "(n + 1) div 2",
+            "p90_days": "(9 * n + 9) div 10",
+            "p99_days": "(99 * n + 99) div 100",
+        }
+        snap = h.groupBy("priority").agg(
+            F.max("n").cast("long").alias("n_items"),
+            *[
+                F.min(F.when(F.col("cum") >= F.expr(pos), F.col("days")))
+                .cast("long")
+                .alias(name)
+                for name, pos in picks.items()
+            ],
+            F.max("days").cast("long").alias("max_days"),
+        )
+        snap.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, f"ingest_batch={batch_id}")
+        )
+        new_state = (
+            hist.withColumn("last_batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .localCheckpoint(eager=True)  # materialize before the swap
+        )
+        sinks.parquet_overwrite_atomic(state_path)(new_state, batch_id)
+
+    return (
+        ship.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )

@@ -393,3 +393,104 @@ def test_stickiness_stream_horizon_and_publishable_window(spark, tmp_path):
     # trigger 3: 01-20's week contains only user 9 — the 01-01/01-05
     # pairs were horizon-trimmed and no longer contribute
     assert snaps[bs[2]] == {"20240120": (1, 1)}
+
+
+def test_latency_quantiles_streaming_equals_batch(spark, sf_dir, tmp_path):
+    """Two-wave replay of the lineitem table against the static orders
+    dim: the final snapshot must equal the batch fulfillment_latency
+    row for row (histogram counts are an associative merge, so any
+    trigger slicing converges exactly)."""
+    import json
+
+    from edu_online_spark.operators.analytics import fulfillment_latency
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    lines = [
+        json.dumps(
+            {
+                "l_orderkey": r["l_orderkey"],
+                "l_shipdate": r["l_shipdate"].strftime("%Y-%m-%d"),
+            }
+        )
+        for r in lineitem.select("l_orderkey", "l_shipdate").collect()
+    ] + ["corrupt {"]
+    assert len(lines) > 500
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    half = len(lines) // 2
+
+    def job(raw, out_, ckpt_, available_now=False):
+        return jobs.latency_quantiles_job(
+            raw, orders, out_, ckpt_, available_now=available_now
+        )
+
+    _replay(job, spark, src, out, ckpt, [lines[:half], lines[half:]])
+    batches = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out)
+        if d.startswith("ingest_batch=")
+    )
+    final = os.path.join(out, f"ingest_batch={batches[-1]}")
+    cols = ["n_items", "p50_days", "p90_days", "p99_days", "max_days"]
+    streamed = {
+        r["priority"]: tuple(r[c] for c in cols)
+        for r in spark.read.parquet(final).collect()
+    }
+    batch = {
+        r["priority"]: tuple(r[c] for c in cols)
+        for r in fulfillment_latency(orders, lineitem).collect()
+    }
+    assert streamed == batch and len(batch) >= 3
+
+
+def test_latency_quantiles_replay_fence_prevents_double_count(
+    spark, sf_dir, tmp_path
+):
+    """Additive histogram state makes the fence a CORRECTNESS guard:
+    re-running the job over the same source with the same checkpoint
+    must leave the snapshot byte-identical (no re-fold), and n_items
+    must equal the ingested row count exactly once."""
+    import json
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rows = lineitem.select("l_orderkey", "l_shipdate").limit(200).collect()
+    lines = [
+        json.dumps(
+            {
+                "l_orderkey": r["l_orderkey"],
+                "l_shipdate": r["l_shipdate"].strftime("%Y-%m-%d"),
+            }
+        )
+        for r in rows
+    ]
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+
+    def job(raw, out_, ckpt_, available_now=False):
+        return jobs.latency_quantiles_job(
+            raw, orders, out_, ckpt_, available_now=available_now
+        )
+
+    _replay(job, spark, src, out, ckpt, [lines])
+    # run again with NO new files: availableNow re-start over the same
+    # checkpoint delivers nothing new; state must not change
+    q = job(
+        __import__(
+            "edu_online_spark.streaming.sources", fromlist=["file_stream"]
+        ).file_stream(spark, src),
+        out,
+        ckpt,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    batches = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out)
+        if d.startswith("ingest_batch=")
+    )
+    final = spark.read.parquet(
+        os.path.join(out, f"ingest_batch={batches[-1]}")
+    )
+    assert sum(r["n_items"] for r in final.collect()) == len(rows)

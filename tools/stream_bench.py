@@ -402,6 +402,72 @@ def bench_stickiness(spark, work, n_rows, n_files):
     )
 
 
+def bench_latency_quantiles(spark, work, n_rows, n_files):
+    """Throughput + trigger-latency profile for latency_quantiles_job
+    (live SLA quantiles). State is the (priority, days) histogram —
+    DOMAIN-bounded (hundreds of rows however many lineitems flow), so
+    the per-trigger cost must be flat; the stream-static dim join is
+    the per-trigger cost driver."""
+    name = "latency_quantiles"
+    src = os.path.join(work, name, "src")
+    per = n_rows // n_files
+    n_orders = 100_000
+    orders = spark.range(n_orders).selectExpr(
+        "id AS o_orderkey",
+        "date_add(DATE '2026-01-01', CAST(id % 90 AS INT)) AS o_orderdate",
+        "concat(CAST(id % 5 + 1 AS STRING), '-PRI') AS o_orderpriority",
+    )
+
+    def line(i: int) -> str:
+        okey = i % n_orders
+        ship = 1 + (okey % 90 + i % 60) // 30  # days after a base month
+        return json.dumps({
+            "l_orderkey": okey,
+            "l_shipdate": f"2026-{4 + ship % 3:02d}-{1 + i % 28:02d}",
+        })
+
+    for f in range(n_files):
+        _produce(src, f"b{f:04d}.log", [line(f * per + i) for i in range(per)])
+    out = os.path.join(work, name, "out")
+    ckpt = os.path.join(work, name, "ck")
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates",
+        str(max(n_files + 16, 100)),
+    )
+    q = jobs.latency_quantiles_job(
+        file_stream(spark, src, max_files_per_trigger=1),
+        orders,
+        out,
+        ckpt,
+        available_now=True,
+    )
+    t0 = time.monotonic()
+    q.awaitTermination(600)
+    secs = time.monotonic() - t0
+    order = [
+        p.batchDuration / 1000.0
+        for p in sorted(q.recentProgress, key=lambda p: p.batchId)
+        if p.numInputRows > 0
+    ]
+    if not order:
+        print(json.dumps({"job": name, "error": "no data-bearing batches"}))
+        return
+    print(
+        json.dumps(
+            {
+                "job": name,
+                "rows": per * n_files,
+                "secs": round(secs, 2),
+                "rows_per_sec": int(per * n_files / secs),
+                "batches": len(order),
+                "trigger_s_first": round(order[0], 2),
+                "trigger_s_median": round(sorted(order)[len(order) // 2], 2),
+                "trigger_s_last": round(order[-1], 2),
+            }
+        )
+    )
+
+
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 20
@@ -445,6 +511,7 @@ def main() -> None:
         )
         bench_weighted_sample(spark, work, n_rows // 10, n_files)
         bench_stickiness(spark, work, n_rows, n_files)
+        bench_latency_quantiles(spark, work, n_rows, n_files)
         bench_winnow_index(spark, work, n_rows // 10, n_files)
         bench_minhash_dedup(spark, work, n_rows // 10, n_files)
     finally:
