@@ -41,7 +41,7 @@ def main() -> None:
         for t in (
             "register", "qz", "page", "raw", "docs", "pii", "emb", "link",
             "scrub", "budget", "shard", "winnow", "ingest", "neardup", "burst",
-            "seed", "stick",
+            "seed", "stick", "sla",
         )
     }
 
@@ -458,6 +458,43 @@ def main() -> None:
         if d.startswith("ingest_batch=")
     )
     out["stickiness"] = f"{stick_base}/ingest_batch={last}"
+
+    # round 11b: live SLA quantiles (domain-bounded histogram state;
+    # wave 2 folds two more shipments into order 1's priority bucket
+    # and the published p50 moves exactly as the batch selection rule
+    # dictates)
+    lq_orders = spark.createDataFrame(
+        [(1, "2026-08-01", "1-URGENT"), (2, "2026-08-02", "1-URGENT"),
+         (3, "2026-08-03", "2-HIGH")],
+        "o_orderkey long, o_orderdate string, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "CAST(o_orderdate AS DATE) AS o_orderdate",
+        "o_orderpriority",
+    )
+    produce(topics["sla"], "b1.jsonl", [
+        json.dumps({"l_orderkey": 1, "l_shipdate": "2026-08-03"}),
+        json.dumps({"l_orderkey": 3, "l_shipdate": "2026-08-10"}),
+        "corrupt {",
+    ])
+    sla_base = f"{work}/out/latency_quantiles"
+    jobs.latency_quantiles_job(
+        file_stream(spark, topics["sla"]),
+        lq_orders, sla_base, ck("sla"), available_now=True,
+    ).awaitTermination(120)
+    produce(topics["sla"], "b2.jsonl", [
+        json.dumps({"l_orderkey": 1, "l_shipdate": "2026-08-07"}),
+        json.dumps({"l_orderkey": 2, "l_shipdate": "2026-08-12"}),
+    ])
+    jobs.latency_quantiles_job(
+        file_stream(spark, topics["sla"]),
+        lq_orders, sla_base, ck("sla"), available_now=True,
+    ).awaitTermination(120)
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(sla_base)
+        if d.startswith("ingest_batch=")
+    )
+    out["latency_quantiles"] = f"{sla_base}/ingest_batch={last}"
 
     for name, path in out.items():
         df = spark.read.parquet(path)
