@@ -1802,6 +1802,45 @@ def supplier_revenue_gini(
     )
 
 
+def customer_balance_deciles(customer: DataFrame) -> DataFrame:
+    """Per-segment EXACT account-balance deciles (d1..d9 plus n and
+    min/max) — the credit-risk banding report, third application of
+    the histogram-selection discipline (fulfillment latency, token
+    length): balances are money, a CENTS-GRANULAR domain capped at
+    ~1.1M distinct values however many customers exist, so the exact
+    order statistic reads off a (segment, balance) count relation
+    whose exchange is DOMAIN-bounded at 100 TB — never a row-grain
+    per-group sort. The selected values are untouched doubles (no
+    arithmetic), so cross-engine equality is bit-trivial; only the
+    ceil(k·n/10) index arithmetic has to agree, and it is the same
+    integer form the certified quantile ops use.
+
+    Queued for round 14 (`customer_balance_deciles`, ORACLE_R14)."""
+    hist = customer.groupBy("c_mktsegment", "c_acctbal").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    h = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+        ),
+    ).withColumn("n", F.sum("cnt").over(Window.partitionBy("c_mktsegment")))
+    picks = {
+        f"d{k}": f"({k} * n + 9) div 10" for k in range(1, 10)
+    }
+    return h.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.min("c_acctbal").alias("min_bal"),
+        *[
+            F.min(
+                F.when(F.col("cum") >= F.expr(pos), F.col("c_acctbal"))
+            ).alias(name)
+            for name, pos in picks.items()
+        ],
+        F.max("c_acctbal").alias("max_bal"),
+    )
+
+
 def _q(fn, *tables):
     def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(*[load_table(spark, sf_dir, t) for t in tables])
@@ -2595,3 +2634,38 @@ ORACLE_R14 = {
         FROM ranked GROUP BY nation
     """,
 }
+
+# Round-14 queue, third analytics member: same histogram-selection
+# mirror as the latency oracle, decile index arithmetic spelled as
+# (k*n + 9) // 10 = ceil(k*n/10) on both sides; the selected balances
+# are raw doubles, so value equality needs no tolerance.
+ORACLE_R14.update({
+    "customer_balance_deciles": """
+        WITH hist AS (
+            SELECT c_mktsegment, c_acctbal, count(*) AS cnt
+            FROM customer GROUP BY 1, 2
+        ),
+        h AS (
+            SELECT c_mktsegment, c_acctbal, cnt,
+                   SUM(cnt) OVER (
+                       PARTITION BY c_mktsegment ORDER BY c_acctbal
+                   ) AS cum,
+                   SUM(cnt) OVER (PARTITION BY c_mktsegment) AS n
+            FROM hist
+        )
+        SELECT c_mktsegment AS segment,
+               CAST(MAX(n) AS BIGINT) AS n_customers,
+               MIN(c_acctbal) AS min_bal,
+               MIN(CASE WHEN cum >= (1 * n + 9) // 10 THEN c_acctbal END) AS d1,
+               MIN(CASE WHEN cum >= (2 * n + 9) // 10 THEN c_acctbal END) AS d2,
+               MIN(CASE WHEN cum >= (3 * n + 9) // 10 THEN c_acctbal END) AS d3,
+               MIN(CASE WHEN cum >= (4 * n + 9) // 10 THEN c_acctbal END) AS d4,
+               MIN(CASE WHEN cum >= (5 * n + 9) // 10 THEN c_acctbal END) AS d5,
+               MIN(CASE WHEN cum >= (6 * n + 9) // 10 THEN c_acctbal END) AS d6,
+               MIN(CASE WHEN cum >= (7 * n + 9) // 10 THEN c_acctbal END) AS d7,
+               MIN(CASE WHEN cum >= (8 * n + 9) // 10 THEN c_acctbal END) AS d8,
+               MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN c_acctbal END) AS d9,
+               MAX(c_acctbal) AS max_bal
+        FROM h GROUP BY c_mktsegment
+    """,
+})

@@ -226,3 +226,49 @@ def test_consensus_neardup_matches_r14_oracle_and_is_intersection(
     assert set(cons) == set(ah) & set(wh)
     for k, (hs, hq) in cons.items():
         assert (hs, hq) == (ah[k], wh[k])
+
+
+# -- customer_balance_deciles ----------------------------------------------
+
+
+def test_balance_deciles_matches_r14_oracle(spark, sf_dir):
+    from edu_online_spark.operators.analytics import (
+        ORACLE_R14,
+        customer_balance_deciles,
+    )
+
+    problems = compare(
+        "customer_balance_deciles",
+        customer_balance_deciles(load_table(spark, sf_dir, "customer")),
+        run_oracle(ORACLE_R14["customer_balance_deciles"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_balance_deciles_are_order_statistics(spark, sf_dir):
+    """Deciles must be the exact sorted-position elements: monotone,
+    bracketed by min/max, and equal to a Python sorted-list reference
+    per segment (ceil(k*n/10) indexing, duplicates included)."""
+    from edu_online_spark.operators.analytics import customer_balance_deciles
+
+    cust = load_table(spark, sf_dir, "customer")
+    got = {
+        r["segment"]: r
+        for r in customer_balance_deciles(cust).collect()
+    }
+    by_seg: dict[str, list[float]] = {}
+    for r in cust.select("c_mktsegment", "c_acctbal").collect():
+        by_seg.setdefault(r["c_mktsegment"], []).append(r["c_acctbal"])
+    assert set(got) == set(by_seg)
+    for seg, vals in by_seg.items():
+        vals.sort()
+        n = len(vals)
+        r = got[seg]
+        assert r["n_customers"] == n
+        assert r["min_bal"] == vals[0] and r["max_bal"] == vals[-1]
+        prev = r["min_bal"]
+        for k in range(1, 10):
+            want = vals[(k * n + 9) // 10 - 1]
+            assert r[f"d{k}"] == want
+            assert r[f"d{k}"] >= prev
+            prev = r[f"d{k}"]
