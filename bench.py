@@ -135,15 +135,32 @@ HEADLINE = [
     "corpus_vocab_coverage",
     "docs_weighted_sample",
     "embeddings_rademacher_sketch",
+    # round 12 promotions. NOTE (rider carried from VERDICT r10 /
+    # BASELINE §4-r10c): dedup_ngram_jaccard_prefix is benched at
+    # sf0.1 ONLY — prefix filtering improves the exact path's CONSTANT
+    # (10-14× fewer candidates), not its complexity class; on
+    # low-entropy corpora the candidate set is still pair-shaped, and
+    # _guard_all_pairs raises above 50k docs by design.
+    "dedup_ngram_jaccard_prefix",
+    "events_inter_arrival_profile",
 ]
 
-# Ambient-drift calibration (VERDICT r10 #6): one pinned, plan-stable
-# query re-run CALIBRATION_RUNS times after warm-up. Its median
-# round-over-round ratio estimates box drift (the ±16%/−9.5%/+6.5%
-# swings of rounds 8-10 were ambient, re-litigated each verdict); the
-# headline totals can be read against it instead of against zero.
-CALIBRATION_QUERY = "tpch_q1_pricing_summary"
-CALIBRATION_RUNS = 5
+# Ambient-drift calibration (VERDICT r10 #6): pinned, plan-stable
+# queries re-run a fixed number of times after warm-up. Each pin's
+# median round-over-round ratio estimates box drift (the ±16%/−9.5%/
+# +6.5% swings of rounds 8-10 were ambient, re-litigated each
+# verdict); the headline totals can be read against them instead of
+# against zero. TWO pins because contention has two axes (VERDICT r11
+# #3): the scan-agg pin (tpch_q1, whole-stage-codegen scan+agg, no
+# wide shuffle, no Python boundary) moved +1% in the round-11 driver
+# capture while the heavy LSH/winnowing queries moved +21% — a light
+# pin cannot see shuffle/Arrow contention. dedup_minhash_lsh exercises
+# exactly that profile: posexplode fan-out, a banded self-join's wide
+# Exchange, and Arrow-batched pandas_udf signatures.
+CALIBRATION_PINS = [
+    ("tpch_q1_pricing_summary", 5),   # scan-agg / codegen axis
+    ("dedup_minhash_lsh", 3),         # shuffle / Arrow-boundary axis
+]
 
 
 def main() -> None:
@@ -157,25 +174,30 @@ def main() -> None:
     warm = spark.read.parquet(f"{sf_dir}/region.parquet")
     warm.groupBy("r_name").agg(F.sum(warm.r_regionkey.cast("decimal(10,2)"))).collect()
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    # calibration: median of CALIBRATION_RUNS re-runs of one pinned
-    # plan, measured after warm-up and before the headline loop so the
-    # estimate is not contaminated by whatever the loop caches in the
-    # OS page cache mid-flight
-    cal_fn = qs[CALIBRATION_QUERY]
-    cal_times: list[float] = []
-    for _ in range(CALIBRATION_RUNS):
-        t0 = time.perf_counter()
-        cal_fn(spark, sf_dir).count()
-        cal_times.append(round(time.perf_counter() - t0, 3))
-    cal_times.sort()
-    calibration = {
-        "query": CALIBRATION_QUERY,
-        "runs": CALIBRATION_RUNS,
-        "median_sec": cal_times[len(cal_times) // 2],
-        "min_sec": cal_times[0],
-        "all_sec": cal_times,
-    }
-    print(f"# calibration {CALIBRATION_QUERY}: {cal_times}", file=sys.stderr)
+    # calibration: median of N re-runs of each pinned plan, measured
+    # after warm-up and before the headline loop so the estimates are
+    # not contaminated by whatever the loop caches in the OS page
+    # cache mid-flight. The first pin's fields stay at the top level
+    # (rounds 10-11 artifacts are read through them); both pins land
+    # under "pins".
+    pins = []
+    for cal_query, cal_runs in CALIBRATION_PINS:
+        cal_fn = qs[cal_query]
+        cal_times: list[float] = []
+        for _ in range(cal_runs):
+            t0 = time.perf_counter()
+            cal_fn(spark, sf_dir).count()
+            cal_times.append(round(time.perf_counter() - t0, 3))
+        cal_times.sort()
+        pins.append({
+            "query": cal_query,
+            "runs": cal_runs,
+            "median_sec": cal_times[len(cal_times) // 2],
+            "min_sec": cal_times[0],
+            "all_sec": cal_times,
+        })
+        print(f"# calibration {cal_query}: {cal_times}", file=sys.stderr)
+    calibration = dict(pins[0], pins=pins)
     for r in range(runs):
         for name in HEADLINE:
             fn = qs[name]

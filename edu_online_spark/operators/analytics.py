@@ -1791,12 +1791,17 @@ def supplier_revenue_gini(
             "nation",
             "n_suppliers",
             F.col("_sum_rev").cast("double").alias("total_revenue"),
-            (
+            # guard (ADVICE r11): the identity needs a strictly
+            # positive total — an all-zero nation would divide by
+            # zero and a negative total (returns-heavy input) would
+            # silently sign-flip the index, so both get NULL
+            F.when(
+                F.col("_sum_rev") > 0,
                 (
                     F.lit(2) * F.col("_sum_i_rev")
                     - (F.col("n_suppliers") + F.lit(1)) * F.col("_sum_rev")
                 ).cast("double")
-                / (F.col("n_suppliers") * F.col("_sum_rev")).cast("double")
+                / (F.col("n_suppliers") * F.col("_sum_rev")).cast("double"),
             ).alias("gini"),
         )
     )
@@ -2543,6 +2548,14 @@ QUERIES.update({
     "events_weekly_active_users": _q(weekly_active_users, "events"),
 })
 
+# Round 12: promoted on schedule (library + sorted-fold parity tests
+# held through rounds 10-11; the window slot is this round's registry
+# edit).
+ORACLE.update(ORACLE_R12)
+QUERIES.update({
+    "events_inter_arrival_profile": _q(inter_arrival_profile, "events"),
+})
+
 # Round-13 promotion queue (library op + tests + audited oracle now,
 # window slot in round 13 per the COVERAGE.md deferral arithmetic).
 # The latency mirror uses the same histogram-selection arithmetic as
@@ -2628,9 +2641,11 @@ ORACLE_R14 = {
         SELECT nation,
                CAST(COUNT(*) AS BIGINT) AS n_suppliers,
                CAST(SUM(revenue) AS DOUBLE) AS total_revenue,
-               CAST(2 * SUM(i * revenue)
-                    - (COUNT(*) + 1) * SUM(revenue) AS DOUBLE)
-                   / CAST(COUNT(*) * SUM(revenue) AS DOUBLE) AS gini
+               CASE WHEN SUM(revenue) > 0 THEN
+                   CAST(2 * SUM(i * revenue)
+                        - (COUNT(*) + 1) * SUM(revenue) AS DOUBLE)
+                       / CAST(COUNT(*) * SUM(revenue) AS DOUBLE)
+               END AS gini
         FROM ranked GROUP BY nation
     """,
 }

@@ -1844,6 +1844,11 @@ QUERIES = {
     "dedup_cluster_size_profile": _q(cluster_size_profile, "documents"),
     # round 11: ORACLE_R11 promotion (queued + type-audited in round 10)
     "dedup_threshold_yield_curve": _q(threshold_yield_curve, "documents"),
+    # round 12: ORACLE_R12 promotion (queued + type-audited in round 10;
+    # riders carried from VERDICT r10: _guard_all_pairs stays, bench at
+    # sf0.1 only, candidate-quadratic note copied next to its BASELINE
+    # entry)
+    "dedup_ngram_jaccard_prefix": _q(ngram_jaccard_pairs_prefix, "documents"),
 }
 
 # Exact Jaccard in DuckDB: build distinct 3-shingle lists with a list
@@ -2335,6 +2340,9 @@ ORACLE.update(ORACLE_R11)
 ORACLE_R12 = {
     "dedup_ngram_jaccard_prefix": _JACCARD_PAIRS_SQL,
 }
+# Round 12: promoted on schedule (library + bit-equality tests held
+# through rounds 10-11; the window slot is this round's registry edit).
+ORACLE.update(ORACLE_R12)
 
 # Round-10 additions. dup_inflation is pure integer arithmetic over
 # sha2 groups (the one double is an exact bigint/bigint division);

@@ -69,81 +69,81 @@ def _extended_modules():
 # round 2).
 _PREFIX_TAIL_BOUNDARY = "tpch"
 
-# Round-11 window rotation (plan precomputed in COVERAGE.md at the
-# end of round 10 and applied mechanically this round — VERDICT r10
-# item #1):
-#   1. the STALENESS_BOUND_ROUNDS=5 contract trips first: exactly 43
-#      queries have round 7 as their newest driver row after r10 (the
-#      round-7 cohort minus the four fillers r10 pre-certified) and
-#      hit the one-round-margin rotation point at round 11. One is
-#      declared rows-only (`docs_winnowing_fingerprints_fast`,
-#      ROWS_ONLY_WINDOW_SLOTS in tests/test_registry.py) — its driver
-#      row is the weak row-count check, which is still what resets
-#      its staleness clock;
-#   2. the five ORACLE_R11 promotions (library + tests + audited
-#      oracles landed in round 10) — a new query takes a window slot
-#      the round it lands or it trips the staleness contract at birth;
-#   3. the two remaining free slots go to the zero-shuffle R12-queue
-#      ops pulled forward (VERDICT r10 item #2); the rest of the R12
-#      queue (`dedup_ngram_jaccard_prefix`,
-#      `events_inter_arrival_profile`) stays queued for round 12.
+# Round-12 window rotation (plan precomputed by tools/rotation_plan.py
+# at the end of round 11 — `python tools/rotation_plan.py 12` — and
+# applied mechanically this round, VERDICT r11 items #1-#2):
+#   1. the ENTIRE window is the hard cohort: exactly 50 queries (the
+#      round-8 certification cohort) have round 8 as their newest
+#      driver row after r11 and trip STALENESS_BOUND_ROUNDS when
+#      CORRECTNESS_r13 lands unless re-certified now. Zero free slots,
+#      zero rows-only names — every slot is hash-checked;
+#   2. the two ORACLE_R12 promotions (`dedup_ngram_jaccard_prefix`,
+#      `events_inter_arrival_profile`; library + tests + audited
+#      oracles held since round 10) take slots the round they land
+#      (staleness-at-birth rule), displacing the two tail fillers the
+#      COVERAGE.md deferral arithmetic prescribes —
+#      `basket_part_pairs` and `customer_rfm` — which sit exactly AT
+#      the bound after r12 ((12+1)-8 = 5 = bound, not past it) and are
+#      carried at the TOP of the round-13 hard cohort (pinned by
+#      tests/test_registry.py::test_rotation_planner_round13_plan).
 # Names are validated against the assembled registry — a typo or a
 # renamed query fails loudly rather than silently ceding its slot.
 _WINDOW_PRIORITY = [
-    # 1: full round-7 staleness cohort — bound trips at round 12
-    "benchmark_contamination",
-    "chunks_packed",
-    "corpus_boilerplate_ngrams",
-    "corpus_shard_manifest",
-    "corpus_token_df",
-    "corpus_vocabulary_topk",
-    "daily_revenue_ma7",
-    "dedup_containment",
-    "dedup_embedding_cosine",
-    "dedup_near_dup_clusters",
-    "dedup_neardup_curated",
-    "dedup_ngram_jaccard",
-    "docs_length_quantiles_exact",
-    "docs_ngram_novelty",
-    "docs_quality_tiered_sample",
-    "docs_token_budget_cap",
-    "docs_train_val_test",
-    "docs_winnowing_fingerprints",
-    "docs_winnowing_fingerprints_fast",  # rows-only
-    "docs_winnowing_overlap",
-    "documents_chunked",
-    "documents_curated",
-    "events_k_anonymity",
-    "events_profile",
-    "events_props_k_stats",
-    "events_seasonal_residuals",
-    "events_stratified_sample",
-    "ip_region_counts",
-    "sim_embedding_norms",
-    "sim_knn_bruteforce",
-    "source_vocab_overlap",
-    "text_boilerplate_fraction",
-    "text_char_diversity",
-    "text_fingerprints",
-    "text_lang_confusion",
-    "text_normalized",
-    "text_quality",
-    "text_repetition_scores",
-    "text_tfidf_top_terms",
-    "text_token_stats",
-    "text_top_bigrams",
-    "xmodal_label_lang_crosstab",
-    "xmodal_norm_extremes",
-    # 2: ORACLE_R11 promotions — each takes a slot the round it lands
-    #    (staleness-at-birth rule)
-    "dedup_threshold_yield_curve",
-    "events_burst_flags",
-    "embeddings_split_centroid_shift",
-    "events_weekly_active_users",
-    "corpus_vocab_coverage",
-    # 3: R12-queue ops pulled forward into the two free slots
-    "docs_weighted_sample",
-    "embeddings_rademacher_sketch",
+    # 1: round-8 staleness cohort minus the two displaced fillers —
+    #    bound trips at round 13
+    "dedup_cross_corpus",
+    "dedup_semantic_keep",
+    "retrieval_negative_samples",
+    "ann_recall_report",
+    "ann_all_pairs_recall",
+    "sim_knn_ivf_probe_recall",
+    "hybrid_search_rrf",
+    "docs_vocab_encoded",
+    "corpus_mixture_plan",
+    "docs_gopher_quality",
+    "corpus_dataset_card",
+    "docs_stratified_sample",
+    "corpus_snapshot_diff",
+    "corpus_drift_report",
+    "docs_quality_budget_fill",
+    "docs_winnowing_clusters",
+    "docs_winnowing_cross_corpus",
+    "text_pii_source_stats",
+    "text_pii_redacted",
+    "text_url_domains",
+    "multimodal_decoded_meta",
+    "multimodal_media_summary",
+    "multimodal_frame_sample",
+    "multimodal_resized",
+    "multimodal_audio_features",
+    "multimodal_payload_dedup",
+    "events_hll_rollup",
+    "events_theta_overlap",
+    "corpus_token_countmin",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q15_top_supplier",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_profit_by_nation",
+    "tpch_q11_important_parts",
+    "events_distinct_users_approx",
+    "events_funnel",
+    "events_daily_anomalies",
+    "events_cohort_retention",
+    "lineitem_price_quantiles_approx",
+    "data_quality_checks",
+    "docs_length_histogram",
+    "events_time_grain_rollup",
+    "events_value_percentiles",
+    "customer_record_linkage_multipass",
+    "events_scd2_status",
+    "purchase_training_examples",
+    # 2: ORACLE_R12 promotions — each takes a slot the round it lands
+    #    (staleness-at-birth rule); these displace basket_part_pairs
+    #    and customer_rfm per the deferral arithmetic
+    "dedup_ngram_jaccard_prefix",
+    "events_inter_arrival_profile",
 ]
 
 

@@ -56,16 +56,11 @@ def test_broken_extension_does_not_kill_core(monkeypatch):
     assert "dedup" in names and "textops" in names  # the rest survived
 
 
-# Round 11 rotates to the 43-row round-7 staleness cohort, which
-# contains one rows-only query (docs_winnowing_fingerprints_fast —
-# xxhash64 is Spark-specific, so its semantics are pytest-pinned; the
-# driver row is the weak row-count check that resets its staleness
-# clock). The remaining seven slots go to the five ORACLE_R11
-# promotions plus the two R12-queue ops pulled forward, all
-# oracle-backed.
-ROWS_ONLY_WINDOW_SLOTS: set[str] = {
-    "docs_winnowing_fingerprints_fast",
-}
+# Round 12 rotates to the 50-row round-8 staleness cohort with the two
+# ORACLE_R12 promotions displacing `basket_part_pairs` / `customer_rfm`
+# (carried at the top of the round-13 hard cohort). Every round-12
+# window slot is oracle-backed — zero rows-only names this round.
+ROWS_ONLY_WINDOW_SLOTS: set[str] = set()
 
 
 def test_driver_window_contract():
@@ -131,45 +126,40 @@ def test_rotation_staleness_bound():
     )
 
 
-def test_rotation_planner_reproduces_round12_plan():
-    """tools/rotation_plan.py must reproduce the committed round-12
-    arithmetic (COVERAGE.md 'Round-12 rotation plan'): the hard cohort
-    is EXACTLY the 50 round-8 rows (zero free slots, none rows-only),
-    the two R12-queue promotions are flagged as slotless, and the
-    staleness audit holds through round 13."""
+def test_rotation_planner_reproduces_round13_plan():
+    """tools/rotation_plan.py must reproduce the committed round-13
+    arithmetic (COVERAGE.md 'Round-13 rotation plan'): the hard cohort
+    is EXACTLY the two fillers the round-12 promotions displaced
+    (certified r8, deadline r13 — certifying AT the deadline is legal
+    under the exact-deadline model the planner adopted in round 12),
+    the 48 filler slots go to the round-9 cohort by registry order
+    with exactly two names deferred to their round-14 deadline, the
+    four R13-queue promotions are flagged as slotless, and the greedy
+    forward-schedule audit holds through both queued promotion batches
+    (4 at r13, 6 at r14)."""
     from tools.rotation_plan import plan
 
-    p = plan(12)
-    assert p["free_slots"] == 0
-    assert p["rows_only_slots"] == []
+    p = plan(13)
+    assert p["hard_cohort"] == ["basket_part_pairs", "customer_rfm"]
+    assert p["rows_only_slots"] == [
+        "text_knn_minhash", "ann_all_pairs_topk", "text_fingerprints_fast",
+        "docs_lm_perplexity", "docs_compression_ratio", "corpus_bpe_merges",
+        "events_user_value_ewma",
+    ]
+    assert p["deferred_to_bound"] == [
+        "purchase_attribution", "purchase_status_asof",
+    ]
     assert set(p["queued_promotions"]) == {
-        "dedup_ngram_jaccard_prefix",
-        "events_inter_arrival_profile",
+        "dedup_savings_by_source",
+        "corpus_bigram_simpson",
+        "orders_fulfillment_latency",
+        "events_dau_wau_stickiness",
     }
-    assert p["audit_ok"]
-    expected = {
-        "ann_all_pairs_recall", "ann_recall_report", "basket_part_pairs",
-        "corpus_dataset_card", "corpus_drift_report", "corpus_mixture_plan",
-        "corpus_snapshot_diff", "corpus_token_countmin",
-        "customer_record_linkage_multipass", "customer_rfm",
-        "data_quality_checks", "dedup_cross_corpus", "dedup_semantic_keep",
-        "docs_gopher_quality", "docs_length_histogram",
-        "docs_quality_budget_fill", "docs_stratified_sample",
-        "docs_vocab_encoded", "docs_winnowing_clusters",
-        "docs_winnowing_cross_corpus", "events_cohort_retention",
-        "events_daily_anomalies", "events_distinct_users_approx",
-        "events_funnel", "events_hll_rollup", "events_scd2_status",
-        "events_theta_overlap", "events_time_grain_rollup",
-        "events_value_percentiles", "hybrid_search_rrf",
-        "lineitem_price_quantiles_approx", "multimodal_audio_features",
-        "multimodal_decoded_meta", "multimodal_frame_sample",
-        "multimodal_media_summary", "multimodal_payload_dedup",
-        "multimodal_resized", "purchase_training_examples",
-        "retrieval_negative_samples", "sim_knn_ivf_probe_recall",
-        "text_pii_redacted", "text_pii_source_stats", "text_url_domains",
-        "tpch_q10_returned_items", "tpch_q11_important_parts",
-        "tpch_q15_top_supplier", "tpch_q2_min_cost_supplier",
-        "tpch_q7_volume_shipping", "tpch_q8_market_share",
-        "tpch_q9_profit_by_nation",
-    }
-    assert set(p["hard_cohort"]) == expected and len(p["window"]) == 50
+    assert p["audit_ok"], p["audit_notes"]
+    assert len(p["window"]) == 50 and len(set(p["window"])) == 50
+    # every filler is a round-9-certified row buying its slot back one
+    # round before its deadline
+    from tools.rotation_plan import last_seen_history
+    import os
+    seen, _ = last_seen_history(os.path.join(os.path.dirname(__file__), ".."))
+    assert all(seen.get(n) == 9 for n in p["fillers"])

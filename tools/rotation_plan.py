@@ -1,32 +1,53 @@
 """Mechanical driver-window rotation planner.
 
 The registry outgrew casual slot arithmetic at round 12 (a 50-slot
-window over 200 queries cycles with zero organic slack, and every new
-op pushes a deferral to someone's hard staleness bound), so the plan
-COVERAGE.md used to compute by hand in each round's close-out is now a
-tool: read the CORRECTNESS_r*.json history the driver writes, assume
+window over 200+ queries cycles with zero organic slack, and every new
+op pushes a deferral toward someone's hard staleness bound), so the
+plan COVERAGE.md used to compute by hand in each round's close-out is
+a tool: read the CORRECTNESS_r*.json history the driver writes, assume
 the current `_WINDOW_PRIORITY` lands this round, and emit the
-next-round window under the same policy every prior rotation used:
+next-round window.
 
-  1. HARD COHORT first — every query whose newest (effective) driver
-     row would trip STALENESS_BOUND_ROUNDS when the round after next
-     lands. If the cohort alone exceeds the window, the contract is
-     already unsatisfiable and the tool fails loudly.
-  2. Remaining slots fill by ascending effective last-seen round,
-     tie-broken by registry order — the oldest rows buy their slots
-     back first (exactly how rounds 8-11 chose fillers).
+Deadline model (round 12 rewrite — the round-11 planner was one round
+MORE conservative than the contract it enforced, which made round 13
+read as unsatisfiable when it is not): the staleness test
+(tests/test_registry.py::test_rotation_staleness_bound) fails a query
+during round N's judging iff it is NOT in the in-tree window and
+(N + 1) - last_seen > STALENESS_BOUND_ROUNDS. A query last certified
+at round L therefore must next be certified at some round
+R <= L + BOUND — being in round L+BOUND's window both exempts it while
+that round is judged and refreshes its driver row when the round's
+CORRECTNESS file lands. `deadline(L) = L + BOUND`, and certifying AT
+the deadline is legal; the old planner required L + BOUND - 1.
+
+Policy:
+  1. HARD COHORT first — every query whose deadline IS next_round
+     (or earlier, which would already be a miss). If the cohort alone
+     exceeds the window, the contract is unsatisfiable: fail loudly.
+  2. Remaining slots fill by ascending deadline, tie-broken by
+     registry order — the most-urgent rows buy their slots back first.
+     Names that don't fit are DEFERRED (reported) and become the next
+     round's hard cohort when their deadline arrives.
   3. Queued promotions (ORACLE_R<next> dicts whose names are not yet
      registry queries) are REPORTED with a reminder that each takes a
-     slot the round it lands; placing them means displacing tail
-     fillers deliberately (the deferral arithmetic in COVERAGE.md).
+     slot the round it lands (staleness at birth); placing them means
+     displacing tail fillers deliberately (the deferral arithmetic in
+     COVERAGE.md).
+  4. AUDIT — instead of the old single-round worst-case check, a
+     greedy forward SIMULATION over the next AUDIT_HORIZON rounds:
+     each simulated round certifies the 50 most-urgent names (queued
+     ORACLE_R<r> promotions join at their landing round with
+     deadline = that round). The audit fails iff any query would miss
+     its deadline under that greedy schedule — i.e. iff the contract
+     is structurally unsatisfiable, not merely tight.
 
 Usage:
     python tools/rotation_plan.py            # plan the next round
     python tools/rotation_plan.py 13         # plan a specific round
 
 Prints the slot list (rows-only names flagged — they must match
-tests/test_registry.py's ROWS_ONLY_WINDOW_SLOTS when applied) plus a
-staleness audit of the whole registry under the proposed plan.
+tests/test_registry.py's ROWS_ONLY_WINDOW_SLOTS when applied), the
+deferred names with their deadlines, plus the simulation audit.
 """
 
 from __future__ import annotations
@@ -40,6 +61,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 WINDOW = 50
 BOUND = 5  # tests/test_registry.py STALENESS_BOUND_ROUNDS
+AUDIT_HORIZON = 6  # simulated rounds; > one full registry cycle
 
 
 def last_seen_history(root: str) -> tuple[dict[str, int], int]:
@@ -54,9 +76,9 @@ def last_seen_history(root: str) -> tuple[dict[str, int], int]:
     return seen, latest
 
 
-def queued_promotions(next_round: int) -> list[str]:
-    """Names in any operator module's ORACLE_R<next_round> dict that
-    are not registry queries yet — the promotions that will want slots."""
+def queued_promotions(round_: int) -> list[str]:
+    """Names in any operator module's ORACLE_R<round_> dict that are
+    not registry queries yet — the promotions that will want slots."""
     import importlib
 
     from edu_online_spark import registry
@@ -70,10 +92,45 @@ def queued_promotions(next_round: int) -> list[str]:
             )
         except ImportError:
             continue
-        for name in getattr(m, f"ORACLE_R{next_round}", {}):
+        for name in getattr(m, f"ORACLE_R{round_}", {}):
             if name not in registered:
                 out.append(name)
     return out
+
+
+def _simulate(deadlines: dict[str, int], order: dict[str, int],
+              start_round: int, horizon: int) -> tuple[bool, list[str]]:
+    """Greedy forward schedule: each round certifies the WINDOW
+    most-urgent names; promotions join at their landing round with
+    deadline = that round (staleness at birth). Returns (ok, notes);
+    ok is False iff some name would miss its deadline even under the
+    greedy most-urgent-first schedule."""
+    dl = dict(deadlines)
+    ord_ = dict(order)
+    notes: list[str] = []
+    for r in range(start_round, start_round + horizon):
+        for name in queued_promotions(r):
+            if name not in dl:
+                dl[name] = r
+                ord_[name] = len(ord_)
+        urgent = sorted(dl, key=lambda n: (dl[n], ord_[n]))
+        window = urgent[:WINDOW]
+        missed = [n for n in dl if dl[n] < r or (dl[n] == r and n not in window)]
+        if missed:
+            notes.append(
+                f"round {r}: {len(missed)} would miss their deadline "
+                f"(first: {missed[:4]})"
+            )
+            return False, notes
+        deferred_past = [n for n in urgent[WINDOW:] if dl[n] == r + 1]
+        if deferred_past:
+            notes.append(
+                f"round {r}: {len(deferred_past)} deadline-{r + 1} names "
+                f"deferred to their bound"
+            )
+        for n in window:
+            dl[n] = r + BOUND
+    return True, notes
 
 
 def plan(next_round: int | None = None, root: str | None = None) -> dict:
@@ -98,31 +155,34 @@ def plan(next_round: int | None = None, root: str | None = None) -> dict:
             f"birth): {missing}"
         )
 
-    # hard cohort: stale when CORRECTNESS_{next_round+1} would land
-    # ((next_round + 1 + 1) - last_seen > BOUND unless re-certified now)
+    deadlines = {n: effective[n] + BOUND for n in names}
     hard = sorted(
-        (n for n in names if (next_round + 2) - effective[n] > BOUND),
-        key=lambda n: (effective[n], order[n]),
+        (n for n in names if deadlines[n] <= next_round),
+        key=lambda n: (deadlines[n], order[n]),
     )
     if len(hard) > WINDOW:
         raise SystemExit(
-            f"UNSATISFIABLE: {len(hard)} queries hit the hard bound at "
+            f"UNSATISFIABLE: {len(hard)} queries hit their deadline at "
             f"round {next_round} but the window holds {WINDOW}"
         )
     fillers = sorted(
         (n for n in names if n not in set(hard)),
-        key=lambda n: (effective[n], order[n]),
+        key=lambda n: (deadlines[n], order[n]),
     )[: WINDOW - len(hard)]
     window = hard + fillers
+    in_window = set(window)
     rows_only = [n for n in window if n not in oracles]
+    next_deadline = min(
+        (deadlines[n] for n in names if n not in in_window), default=None
+    )
+    deferred_to_bound = sorted(
+        (n for n in names
+         if n not in in_window and deadlines[n] == next_round + 1),
+        key=lambda n: order[n],
+    )
 
-    # audit: with this window, does the whole registry stay in bound
-    # through the round AFTER next_round?
-    post = dict(effective)
-    for n in window:
-        post[n] = next_round
-    worst = min(post.values())
-    audit_ok = (next_round + 2) - worst <= BOUND
+    audit_ok, audit_notes = _simulate(deadlines, order, next_round,
+                                      AUDIT_HORIZON)
     return {
         "next_round": next_round,
         "hard_cohort": hard,
@@ -130,8 +190,11 @@ def plan(next_round: int | None = None, root: str | None = None) -> dict:
         "window": window,
         "rows_only_slots": rows_only,
         "free_slots": WINDOW - len(hard),
+        "deferred_to_bound": deferred_to_bound,
+        "next_unwindowed_deadline": next_deadline,
         "queued_promotions": queued_promotions(next_round),
         "audit_ok": audit_ok,
+        "audit_notes": audit_notes,
     }
 
 
@@ -140,20 +203,29 @@ def main() -> None:
     p = plan(next_round)
     print(
         f"# round-{p['next_round']} window: {len(p['hard_cohort'])} "
-        f"hard-cohort + {len(p['fillers'])} fillers "
+        f"hard-cohort (deadline == round) + {len(p['fillers'])} fillers "
         f"({p['free_slots']} slots were free before filling)"
     )
     for n in p["window"]:
         flag = "  # rows-only" if n in p["rows_only_slots"] else ""
         print(f'    "{n}",{flag}')
+    if p["deferred_to_bound"]:
+        print(
+            f"# deferred to their round-{p['next_round'] + 1} deadline "
+            f"(MUST be in that window): " + ", ".join(p["deferred_to_bound"])
+        )
     if p["queued_promotions"]:
         print(
             f"# queued ORACLE_R{p['next_round']} promotions needing slots "
             f"(displace tail fillers deliberately): "
             + ", ".join(p["queued_promotions"])
         )
-    print(f"# staleness audit through round {p['next_round'] + 1}: "
-          + ("OK" if p["audit_ok"] else "FAIL"))
+    for note in p["audit_notes"]:
+        print(f"# audit: {note}")
+    print(
+        f"# greedy-schedule audit over the next {AUDIT_HORIZON} rounds: "
+        + ("OK" if p["audit_ok"] else "FAIL")
+    )
 
 
 if __name__ == "__main__":
