@@ -3479,6 +3479,7 @@ def latency_quantiles_job(
     out: str,
     checkpoint: str,
     available_now: bool = False,
+    retain_snapshots: int = 8,
 ) -> StreamingQuery:
     """Live fulfillment-SLA quantiles: the streaming twin of
     `operators/analytics.fulfillment_latency` — maintain the
@@ -3599,6 +3600,23 @@ def latency_quantiles_job(
             .localCheckpoint(eager=True)  # materialize before the swap
         )
         sinks.parquet_overwrite_atomic(state_path)(new_state, batch_id)
+        # snapshot retention (ADVICE r11): every ingest_batch=N dir is a
+        # COMPLETE answer, so a long-running stream keeps only the
+        # newest retain_snapshots of them — same pruning loop as the
+        # seed-set and stickiness jobs
+        if retain_snapshots > 0:
+            import shutil
+
+            stale = sorted(
+                int(d.split("=")[1])
+                for d in os.listdir(out)
+                if d.startswith("ingest_batch=")
+            )[:-retain_snapshots]
+            for b in stale:
+                shutil.rmtree(
+                    os.path.join(out, f"ingest_batch={b}"),
+                    ignore_errors=True,
+                )
 
     return (
         ship.writeStream.outputMode("append")

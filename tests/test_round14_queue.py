@@ -74,6 +74,38 @@ def test_gini_fixture_known_values():
     # whatever rank order the engine assigns (G=0 is the proof above)
 
 
+def test_supplier_revenue_gini_nonpositive_total_is_null():
+    """ADVICE r11 guard: a nation whose suppliers aggregate to zero
+    revenue must yield NULL (not a division error), and a NEGATIVE
+    total (returns-heavy input) must yield NULL rather than a
+    silently sign-flipped index. The oracle mirror carries the same
+    CASE WHEN total > 0 guard."""
+    from edu_online_spark.session import get_spark
+    from edu_online_spark.operators.analytics import supplier_revenue_gini
+
+    spark = get_spark()
+    lineitem = spark.createDataFrame(
+        # ZERO: one supplier, zero-priced items; NEG: net-negative
+        # revenue via a >1 discount factor stand-in (price < 0)
+        [(1, 0.0, 0.0), (11, -10.0, 0.0), (21, 10.0, 0.0)],
+        "l_suppkey long, l_extendedprice double, l_discount double",
+    )
+    supplier = spark.createDataFrame(
+        [(1, 0), (11, 1), (21, 2)], "s_suppkey long, s_nationkey long"
+    )
+    nation = spark.createDataFrame(
+        [(0, "ZERO"), (1, "NEG"), (2, "POS")],
+        "n_nationkey long, n_name string",
+    )
+    rows = {
+        r["nation"]: r
+        for r in supplier_revenue_gini(lineitem, supplier, nation).collect()
+    }
+    assert rows["ZERO"]["gini"] is None
+    assert rows["NEG"]["gini"] is None
+    assert rows["POS"]["gini"] == 0.0  # single supplier, positive total
+
+
 # -- dedup_cluster_lang_purity --------------------------------------------
 
 

@@ -494,3 +494,62 @@ def test_latency_quantiles_replay_fence_prevents_double_count(
         os.path.join(out, f"ingest_batch={batches[-1]}")
     )
     assert sum(r["n_items"] for r in final.collect()) == len(rows)
+
+
+def test_latency_quantiles_snapshot_retention(spark, sf_dir, tmp_path):
+    """ADVICE r11: the latency job prunes stale ingest_batch dirs like
+    the seed-set and stickiness jobs — four waves with
+    retain_snapshots=2 leave exactly the two newest dirs, and the
+    newest is STILL the exact histogram over everything ever ingested
+    (retention prunes history, never state)."""
+    import json
+
+    from edu_online_spark.operators.analytics import fulfillment_latency
+    from edu_online_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rows = lineitem.select("l_orderkey", "l_shipdate").limit(400).collect()
+    lines = [
+        json.dumps(
+            {
+                "l_orderkey": r["l_orderkey"],
+                "l_shipdate": r["l_shipdate"].strftime("%Y-%m-%d"),
+            }
+        )
+        for r in rows
+    ]
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    per = len(lines) // 4
+
+    def job(raw, out_, ckpt_, available_now=False):
+        return jobs.latency_quantiles_job(
+            raw, orders, out_, ckpt_, available_now=available_now,
+            retain_snapshots=2,
+        )
+
+    _replay(
+        job, spark, src, out, ckpt,
+        [lines[i * per:(i + 1) * per] for i in range(3)] + [lines[3 * per:]],
+    )
+    dirs = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out)
+        if d.startswith("ingest_batch=")
+    )
+    assert len(dirs) == 2
+    cols = ["n_items", "p50_days", "p90_days", "p99_days", "max_days"]
+    streamed = {
+        r["priority"]: tuple(r[c] for c in cols)
+        for r in spark.read.parquet(
+            os.path.join(out, f"ingest_batch={dirs[-1]}")
+        ).collect()
+    }
+    # batch over exactly the replayed rows
+    li_replayed = spark.createDataFrame(rows)
+    batch = {
+        r["priority"]: tuple(r[c] for c in cols)
+        for r in fulfillment_latency(orders, li_replayed).collect()
+    }
+    assert streamed == batch

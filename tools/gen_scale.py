@@ -20,6 +20,7 @@ numpy end to end — two runs produce byte-identical corpora.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
@@ -262,8 +263,13 @@ def main() -> None:
     supp = gen_supplier(1000 * mult)
     _write(supp, f"{out_dir}/supplier.parquet", max(supp.num_rows // 32, 1))
     # nation is scale-constant (25 rows) — copy the driver dim verbatim
-    # so names/keys match what every oracle joins against
-    nation = pq.read_table("/root/testdata/sf0.1/nation.parquet")
+    # so names/keys match what every oracle joins against; resolved
+    # through the same env var bench.py uses so generation works on
+    # any layout (ADVICE r11)
+    nation_src = os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    nation = pq.read_table(f"{nation_src}/nation.parquet")
     pq.write_table(nation, f"{out_dir}/nation.parquet")
     print(
         f"wrote {docs.num_rows} documents, {emb.num_rows} embeddings, "

@@ -341,17 +341,21 @@ def bench_stickiness(spark, work, n_rows, n_files):
     7+late_days horizon — bounded by population × horizon, NOT event
     volume, so per-trigger cost must be flat as the stream ages;
     first/median/last trigger durations make that measurable. The
-    workload advances event time ~1 day per trigger over 2,000 users,
-    so the horizon population saturates after ~9 triggers."""
+    workload advances event time ~1 day per trigger, so the horizon
+    population saturates after ~9 triggers. The user population scales
+    with the workload (n_rows/100: 2,000 users at the standard 200k
+    rows, 20,000 at the 10× 2M-row step — VERDICT r11 #7) so a larger
+    run grows the state bound too, not just the volume."""
     name = "stickiness"
     src = os.path.join(work, name, "src")
     per = n_rows // n_files
+    n_users = max(2_000, n_rows // 100)
 
     def line(i: int) -> str:
         day = 1 + (i // per)  # ~one day per trigger file
         sec = (i % per) % 86_400
         return json.dumps({
-            "event_id": i, "user_id": i % 2_000,
+            "event_id": i, "user_id": i % n_users,
             "ts": f"2026-07-{day:02d} {sec // 3600:02d}:"
                   f"{(sec // 60) % 60:02d}:{sec % 60:02d}",
         })
@@ -471,49 +475,63 @@ def bench_latency_quantiles(spark, work, n_rows, n_files):
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    subset = set(sys.argv[3:])  # optional: bench only the named jobs
+
+    def want(name: str) -> bool:
+        return not subset or name in subset
+
     spark = get_spark()
     work = tempfile.mkdtemp(prefix="stream-bench-")
     try:
-        bench_job(
-            spark, work, "register_totals", jobs.register_totals_job,
-            lambda i: f"{8000 + i}\t{i % 3 + 1}\t2026-08-13 10:{(i // 6000) % 60:02d}:{(i // 100) % 60:02d}",
-            n_rows, n_files,
-        )
-        bench_job(
-            spark, work, "quiz_mastery", jobs.quiz_mastery_job,
-            lambda i: (
-                f"{1000 + i % 500}\t{500 + i % 7}\t{i % 11}\tq{i % 30}\t"
-                f"{i % 2}\t2026-08-13 10:{(i // 6000) % 60:02d}:{(i // 100) % 60:02d}"
-            ),
-            n_rows, n_files,
-        )
+        if want("register_totals"):
+            bench_job(
+                spark, work, "register_totals", jobs.register_totals_job,
+                lambda i: f"{8000 + i}\t{i % 3 + 1}\t2026-08-13 10:{(i // 6000) % 60:02d}:{(i // 100) % 60:02d}",
+                n_rows, n_files,
+            )
+        if want("quiz_mastery"):
+            bench_job(
+                spark, work, "quiz_mastery", jobs.quiz_mastery_job,
+                lambda i: (
+                    f"{1000 + i % 500}\t{500 + i % 7}\t{i % 11}\tq{i % 30}\t"
+                    f"{i % 2}\t2026-08-13 10:{(i // 6000) % 60:02d}:{(i // 100) % 60:02d}"
+                ),
+                n_rows, n_files,
+            )
         words = " ".join(f"w{j}xyz{j}" for j in range(24)) + " the and of to"
-        bench_job(
-            spark, work, "curation_ingest", jobs.curation_ingest_job,
-            lambda i: json.dumps(
-                {"doc_id": i, "text": words, "source": f"s{i % 8}"}
-            ),
-            n_rows // 10, n_files,  # doc rows are ~30 tokens each
-            budget=1 << 60,
-        )
-        bench_job(
-            spark, work, "burst_flags", jobs.burst_flags_job,
-            # 100 events/s of stream time, 500 users: trailing-60s
-            # frames stay ~12 events/user; the state table is horizon-
-            # trimmed (window+late) so per-trigger cost is flat in the
-            # TOTAL events seen — only the horizon population matters
-            lambda i: json.dumps({
-                "event_id": i, "user_id": i % 500,
-                "ts": f"2026-08-13 {10 + i // 360000:02d}:"
-                      f"{(i // 6000) % 60:02d}:{(i // 100) % 60:02d}",
-            }),
-            n_rows, n_files,
-        )
-        bench_weighted_sample(spark, work, n_rows // 10, n_files)
-        bench_stickiness(spark, work, n_rows, n_files)
-        bench_latency_quantiles(spark, work, n_rows, n_files)
-        bench_winnow_index(spark, work, n_rows // 10, n_files)
-        bench_minhash_dedup(spark, work, n_rows // 10, n_files)
+        if want("curation_ingest"):
+            bench_job(
+                spark, work, "curation_ingest", jobs.curation_ingest_job,
+                lambda i: json.dumps(
+                    {"doc_id": i, "text": words, "source": f"s{i % 8}"}
+                ),
+                n_rows // 10, n_files,  # doc rows are ~30 tokens each
+                budget=1 << 60,
+            )
+        if want("burst_flags"):
+            bench_job(
+                spark, work, "burst_flags", jobs.burst_flags_job,
+                # 100 events/s of stream time, 500 users: trailing-60s
+                # frames stay ~12 events/user; the state table is horizon-
+                # trimmed (window+late) so per-trigger cost is flat in the
+                # TOTAL events seen — only the horizon population matters
+                lambda i: json.dumps({
+                    "event_id": i, "user_id": i % 500,
+                    "ts": f"2026-08-13 {10 + i // 360000:02d}:"
+                          f"{(i // 6000) % 60:02d}:{(i // 100) % 60:02d}",
+                }),
+                n_rows, n_files,
+            )
+        if want("weighted_sample"):
+            bench_weighted_sample(spark, work, n_rows // 10, n_files)
+        if want("stickiness"):
+            bench_stickiness(spark, work, n_rows, n_files)
+        if want("latency_quantiles"):
+            bench_latency_quantiles(spark, work, n_rows, n_files)
+        if want("winnow_index"):
+            bench_winnow_index(spark, work, n_rows // 10, n_files)
+        if want("minhash_dedup"):
+            bench_minhash_dedup(spark, work, n_rows // 10, n_files)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
