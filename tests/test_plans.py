@@ -644,3 +644,33 @@ def test_fulfillment_latency_histogram_selection(spark, sf_dir):
     # partial aggregation must sit below the histogram exchange so the
     # corpus collapses map-side before any shuffle
     assert "partial" in plan.lower()
+
+
+def test_inter_arrival_profile_single_exchange(spark, sf_dir):
+    """The per-user arrival profile must be ONE user_id exchange
+    (lag window + grouped sorted-fold reuse the same partitioning):
+    a second exchange would mean the groupBy lost the window's
+    partitioning; any join or Python stage would change the cost
+    class."""
+    from edu_online_spark.operators.analytics import inter_arrival_profile
+
+    df = inter_arrival_profile(load_table(spark, sf_dir, "events"))
+    plan = explain_str(df, "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ngram_jaccard_prefix_no_cartesian(spark, sf_dir):
+    """The prefix-filtered exact path is deliberately join-heavy (df
+    ranking + candidate + verify), but every join must stay an
+    equi-join on shingle/doc keys — a CartesianProduct or broadcast
+    nested loop would mean the prefix key fell out of a join
+    condition; and the whole pipeline stays JVM-side."""
+    from edu_online_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    df = ngram_jaccard_pairs_prefix(load_table(spark, sf_dir, "documents"))
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
