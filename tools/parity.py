@@ -6,6 +6,7 @@ order-insensitive values (exact for ints/strings/timestamps; exact-first
 with a reported max-abs-diff for floats so near-misses are visible).
 
 Usage: python tools/parity.py [sf_dir] [query ...]
+       python tools/parity.py [sf_dir] --window   # the driver's 50-slot window
 """
 
 from __future__ import annotations
@@ -76,9 +77,16 @@ def main() -> int:
     from edu_online_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[2:]
     spark = get_spark()
     qs, oracles = registry.queries(), registry.oracle_sql()
+    # --window = the driver's 50-certification-slot window (the first
+    # 50 registry entries) — the pre-rotation-commit rehearsal every
+    # round runs
+    only = set(args)
+    if "--window" in only:
+        only.discard("--window")
+        only |= set(list(qs)[:50])
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
