@@ -163,3 +163,32 @@ def test_rotation_planner_reproduces_round13_plan():
     import os
     seen, _ = last_seen_history(os.path.join(os.path.dirname(__file__), ".."))
     assert all(seen.get(n) == 9 for n in p["fillers"])
+
+
+def test_deferral_at_deadline_never_trips_staleness():
+    """The round-12 displacement rides on one claim: certifying a
+    query exactly AT deadline = last_seen + STALENESS_BOUND_ROUNDS is
+    legal. Replay the staleness test's own expression over the
+    simulated timeline for the two displaced rows (last certified r8,
+    window slot r13): at every judging point — r12 landing with the
+    r12 window in-tree, then r13 landing with the r13 window in-tree
+    — the query must either sit in the in-tree window or be within
+    the bound. This is the exact-deadline model the round-12 planner
+    rewrite adopted, proven against the contract expression rather
+    than argued."""
+    last_seen = 8
+    # (latest_round_landed, query_in_current_intree_window)
+    timeline = [
+        (11, False),  # round-12 session, pre-rotation: r11 files, r11 window
+        (11, False),  # post-rotation-commit: r12 window excludes the row
+        (12, False),  # r12 lands; judging round 12 — row NOT in window
+        (12, True),   # round-13 session after ITS rotation commit
+        (13, True),   # r13 lands; judging round 13 — row IS in window
+    ]
+    for latest, in_window in timeline:
+        stale = (not in_window) and (
+            (latest + 1) - last_seen > STALENESS_BOUND_ROUNDS
+        )
+        assert not stale, (latest, in_window)
+    # one round later than the deadline WOULD trip — the bound is tight
+    assert (13 + 1) - last_seen > STALENESS_BOUND_ROUNDS
