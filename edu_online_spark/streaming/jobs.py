@@ -3625,3 +3625,147 @@ def latency_quantiles_job(
         .trigger(**_trigger({}, available_now))
         .start()
     )
+
+
+def balance_deciles_job(
+    raw: DataFrame,
+    out: str,
+    checkpoint: str,
+    available_now: bool = False,
+    retain_snapshots: int = 8,
+) -> StreamingQuery:
+    """Live credit-risk banding: the streaming twin of
+    `operators/analytics.customer_balance_deciles` — maintain the
+    (segment, balance) HISTOGRAM as customer records arrive and
+    publish the exact per-segment deciles (d1..d9 plus n and min/max)
+    every trigger. Third member of the histogram-selection family
+    (fulfillment latency, token length, now balances), and the third
+    proof that the discipline streams for free: the batch op's whole
+    design is that balances are a CENTS-GRANULAR domain capped at
+    ~1.1M distinct values, so the sufficient statistic is a bounded
+    count relation and counts merge associatively.
+
+    State is |segments| × |distinct balances| rows regardless of how
+    many customers flow past; every trigger folds the micro-batch's
+    map-side-combined counts into it, and any trigger slicing of the
+    same rows yields the batch answer exactly (wave-replay parity
+    test). Like the latency job — and unlike the idempotent top-k /
+    DISTINCT twins — the state fold is ADDITIVE, so the last_batch_id
+    replay fence is a CORRECTNESS guard, not an optimization:
+    a redelivered trigger must not re-fold.
+
+    Output per trigger: one row per segment, snapshot-written to
+    ingest_batch=N (newest retain_snapshots dirs kept — every
+    snapshot is a complete answer).
+    """
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    state_path = out + ".state"
+
+    schema = StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_mktsegment", StringType()),
+            StructField("c_acctbal", DoubleType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    parsed = F.from_json(
+        F.col("value"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    cust = (
+        raw.select(parsed.alias("j"))
+        .filter(
+            F.col("j._corrupt").isNull()
+            & F.col("j.c_mktsegment").isNotNull()
+            & F.col("j.c_acctbal").isNotNull()
+        )
+        .select(
+            F.col("j.c_mktsegment").alias("c_mktsegment"),
+            F.col("j.c_acctbal").alias("c_acctbal"),
+        )
+    )
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        sinks.recover_sink(state_path)
+        if os.path.exists(state_path):
+            old = spark.read.parquet(state_path)
+            last = old.agg(F.max("last_batch_id")).first()[0]
+            if last is not None and last >= batch_id:
+                return  # redelivered trigger: additive state must not re-fold
+            prior = old.select("c_mktsegment", "c_acctbal", "cnt")
+        else:
+            prior = spark.createDataFrame(
+                [], "c_mktsegment string, c_acctbal double, cnt long"
+            )
+        delta = batch.groupBy("c_mktsegment", "c_acctbal").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        hist = (
+            prior.unionByName(delta)
+            .groupBy("c_mktsegment", "c_acctbal")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .localCheckpoint(eager=True)  # snapshot + state share it
+        )
+        h = hist.withColumn(
+            "cum",
+            F.sum("cnt").over(
+                Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+            ),
+        ).withColumn(
+            "n", F.sum("cnt").over(Window.partitionBy("c_mktsegment"))
+        )
+        picks = {f"d{k}": f"({k} * n + 9) div 10" for k in range(1, 10)}
+        snap = h.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+            F.max("n").cast("long").alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            *[
+                F.min(
+                    F.when(F.col("cum") >= F.expr(pos), F.col("c_acctbal"))
+                ).alias(name)
+                for name, pos in picks.items()
+            ],
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        snap.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, f"ingest_batch={batch_id}")
+        )
+        new_state = (
+            hist.withColumn("last_batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .localCheckpoint(eager=True)  # materialize before the swap
+        )
+        sinks.parquet_overwrite_atomic(state_path)(new_state, batch_id)
+        if retain_snapshots > 0:
+            import shutil
+
+            stale = sorted(
+                int(d.split("=")[1])
+                for d in os.listdir(out)
+                if d.startswith("ingest_batch=")
+            )[:-retain_snapshots]
+            for b in stale:
+                shutil.rmtree(
+                    os.path.join(out, f"ingest_batch={b}"),
+                    ignore_errors=True,
+                )
+
+    return (
+        cust.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )

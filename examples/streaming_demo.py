@@ -41,7 +41,7 @@ def main() -> None:
         for t in (
             "register", "qz", "page", "raw", "docs", "pii", "emb", "link",
             "scrub", "budget", "shard", "winnow", "ingest", "neardup", "burst",
-            "seed", "stick", "sla",
+            "seed", "stick", "sla", "deciles",
         )
     }
 
@@ -495,6 +495,40 @@ def main() -> None:
         if d.startswith("ingest_batch=")
     )
     out["latency_quantiles"] = f"{sla_base}/ingest_batch={last}"
+
+    # round 12: live credit-risk banding (third histogram-selection
+    # twin; wave 2 adds two low balances to SEG-A and the published
+    # median drops exactly as the ceil(k*n/10) selection dictates)
+    produce(topics["deciles"], "b1.jsonl", [
+        json.dumps({"c_custkey": 1, "c_mktsegment": "SEG-A",
+                    "c_acctbal": 100.0}),
+        json.dumps({"c_custkey": 2, "c_mktsegment": "SEG-A",
+                    "c_acctbal": 300.0}),
+        json.dumps({"c_custkey": 3, "c_mktsegment": "SEG-B",
+                    "c_acctbal": 50.0}),
+        "corrupt {",
+    ])
+    dec_base = f"{work}/out/balance_deciles"
+    jobs.balance_deciles_job(
+        file_stream(spark, topics["deciles"]),
+        dec_base, ck("deciles"), available_now=True,
+    ).awaitTermination(120)
+    produce(topics["deciles"], "b2.jsonl", [
+        json.dumps({"c_custkey": 4, "c_mktsegment": "SEG-A",
+                    "c_acctbal": 10.0}),
+        json.dumps({"c_custkey": 5, "c_mktsegment": "SEG-A",
+                    "c_acctbal": 20.0}),
+    ])
+    jobs.balance_deciles_job(
+        file_stream(spark, topics["deciles"]),
+        dec_base, ck("deciles"), available_now=True,
+    ).awaitTermination(120)
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(dec_base)
+        if d.startswith("ingest_batch=")
+    )
+    out["balance_deciles"] = f"{dec_base}/ingest_batch={last}"
 
     for name, path in out.items():
         df = spark.read.parquet(path)

@@ -553,3 +553,109 @@ def test_latency_quantiles_snapshot_retention(spark, sf_dir, tmp_path):
         for r in fulfillment_latency(orders, li_replayed).collect()
     }
     assert streamed == batch
+
+
+def test_balance_deciles_streaming_equals_batch(spark, sf_dir, tmp_path):
+    """Third histogram-selection streaming twin: replay the customer
+    table in two waves through balance_deciles_job; the final snapshot
+    must equal the batch customer_balance_deciles row for row
+    (histogram counts are an associative merge, so any trigger slicing
+    converges exactly). A corrupt line must be dropped, not crash."""
+    import json
+
+    from edu_online_spark.operators.analytics import customer_balance_deciles
+    from edu_online_spark.sources import load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    lines = [
+        json.dumps(
+            {
+                "c_custkey": r["c_custkey"],
+                "c_mktsegment": r["c_mktsegment"],
+                "c_acctbal": r["c_acctbal"],
+            }
+        )
+        for r in customer.select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        ).collect()
+    ] + ["corrupt {"]
+    assert len(lines) > 100
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    half = len(lines) // 2
+    _replay(
+        jobs.balance_deciles_job, spark, src, out, ckpt,
+        [lines[:half], lines[half:]],
+    )
+    batches = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out)
+        if d.startswith("ingest_batch=")
+    )
+    final = os.path.join(out, f"ingest_batch={batches[-1]}")
+    cols = ["n_customers", "min_bal"] + [f"d{k}" for k in range(1, 10)] + ["max_bal"]
+    streamed = {
+        r["segment"]: tuple(r[c] for c in cols)
+        for r in spark.read.parquet(final).collect()
+    }
+    batch = {
+        r["segment"]: tuple(r[c] for c in cols)
+        for r in customer_balance_deciles(customer).collect()
+    }
+    assert streamed == batch and len(batch) >= 3
+
+
+def test_balance_deciles_replay_fence_prevents_double_count(
+    spark, sf_dir, tmp_path
+):
+    """Additive histogram state: re-running over the same source with
+    the same checkpoint must leave the snapshot byte-identical (no
+    re-fold) and n_customers counted exactly once."""
+    import json
+
+    from edu_online_spark.sources import load_table
+    from edu_online_spark.streaming.sources import file_stream
+
+    customer = load_table(spark, sf_dir, "customer")
+    rows = customer.select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    ).limit(300).collect()
+    lines = [
+        json.dumps(
+            {
+                "c_custkey": r["c_custkey"],
+                "c_mktsegment": r["c_mktsegment"],
+                "c_acctbal": r["c_acctbal"],
+            }
+        )
+        for r in rows
+    ]
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    _replay(jobs.balance_deciles_job, spark, src, out, ckpt, [lines])
+    total = sum(
+        r["n_customers"]
+        for r in spark.read.parquet(out + ".state")
+        .groupBy("c_mktsegment")
+        .count()
+        .withColumnRenamed("count", "n_customers")
+        .collect()
+    )
+    # state histogram sums to the ingested row count exactly once
+    state_n = (
+        spark.read.parquet(out + ".state").agg(F.sum("cnt")).first()[0]
+    )
+    assert state_n == len(rows), (state_n, len(rows))
+    # availableNow restart over the same checkpoint with no new files:
+    # the fence must keep the state unchanged
+    q = jobs.balance_deciles_job(
+        file_stream(spark, src, max_files_per_trigger=1),
+        out,
+        ckpt,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    state_n2 = (
+        spark.read.parquet(out + ".state").agg(F.sum("cnt")).first()[0]
+    )
+    assert state_n2 == len(rows), (state_n2, len(rows))

@@ -472,6 +472,65 @@ def bench_latency_quantiles(spark, work, n_rows, n_files):
     )
 
 
+def bench_balance_deciles(spark, work, n_rows, n_files):
+    """Throughput + trigger-latency profile for balance_deciles_job
+    (live credit-risk banding). State is the (segment, balance)
+    histogram — cents-granular DOMAIN-bounded (caps at ~1.1M distinct
+    balances x |segments| however many customers flow), so per-trigger
+    cost must be flat; this workload drives the domain to saturation
+    (balances cycle the full cents range) to measure the worst case."""
+    name = "balance_deciles"
+    src = os.path.join(work, name, "src")
+    per = n_rows // n_files
+
+    def line(i: int) -> str:
+        return json.dumps({
+            "c_custkey": i,
+            "c_mktsegment": f"SEG{i % 5}",
+            "c_acctbal": round(-999.99 + ((i * 7919) % 1_100_000) / 100.0, 2),
+        })
+
+    for f in range(n_files):
+        _produce(src, f"b{f:04d}.log", [line(f * per + i) for i in range(per)])
+    out = os.path.join(work, name, "out")
+    ckpt = os.path.join(work, name, "ck")
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates",
+        str(max(n_files + 16, 100)),
+    )
+    q = jobs.balance_deciles_job(
+        file_stream(spark, src, max_files_per_trigger=1),
+        out,
+        ckpt,
+        available_now=True,
+    )
+    t0 = time.monotonic()
+    q.awaitTermination(600)
+    secs = time.monotonic() - t0
+    order = [
+        p.batchDuration / 1000.0
+        for p in sorted(q.recentProgress, key=lambda p: p.batchId)
+        if p.numInputRows > 0
+    ]
+    if not order:
+        print(json.dumps({"job": name, "error": "no data-bearing batches"}))
+        return
+    print(
+        json.dumps(
+            {
+                "job": name,
+                "rows": per * n_files,
+                "secs": round(secs, 2),
+                "rows_per_sec": int(per * n_files / secs),
+                "batches": len(order),
+                "trigger_s_first": round(order[0], 2),
+                "trigger_s_median": round(sorted(order)[len(order) // 2], 2),
+                "trigger_s_last": round(order[-1], 2),
+            }
+        )
+    )
+
+
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 20
@@ -528,6 +587,8 @@ def main() -> None:
             bench_stickiness(spark, work, n_rows, n_files)
         if want("latency_quantiles"):
             bench_latency_quantiles(spark, work, n_rows, n_files)
+        if want("balance_deciles"):
+            bench_balance_deciles(spark, work, n_rows, n_files)
         if want("winnow_index"):
             bench_winnow_index(spark, work, n_rows // 10, n_files)
         if want("minhash_dedup"):
