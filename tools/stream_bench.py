@@ -18,9 +18,11 @@ commits, and sink writes are all inside the measured window) for:
                      compact_winnow_index, then the post-compaction
                      tail) because its state grows with the corpus
 
-Usage: python tools/stream_bench.py [n_rows] [n_files]
+Usage: python tools/stream_bench.py [n_rows] [n_files] [job ...]
 Prints one JSON line per job: {"job", "rows", "secs", "rows_per_sec"}.
-Defaults: 200k rows across 20 files (10k-row micro-batches).
+Defaults: 200k rows across 20 files (10k-row micro-batches), all jobs;
+naming jobs (e.g. `2000000 20 stickiness latency_quantiles`) runs the
+10×-step subset the second-decade rows are measured from.
 """
 
 from __future__ import annotations
