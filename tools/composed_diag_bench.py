@@ -10,8 +10,8 @@ at sf1 and sf10 (tools/gen_scale.py rehearsal corpora) it measures
   1. the shared `minhash_lsh_pairs` pass (eagerly checkpointed),
   2. the MARGINAL cost of each consumer on top of it
      (threshold_yield_curve, cluster_size_profile via the shared
-     pairs; near_dup_clusters + savings_by_source via the shared
-     clusters),
+     pairs; near_dup_clusters + savings_by_source +
+     cluster_lang_purity via the shared clusters),
 
 and prints per-scale rows plus the 10× growth ratio of the marginal
 (diagnostics-only) cost — the number the production guidance rides
@@ -38,6 +38,7 @@ from edu_online_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     from edu_online_spark.operators.dedup import (
+        cluster_lang_purity,
         cluster_size_profile,
         minhash_lsh_pairs,
         near_dup_clusters,
@@ -82,11 +83,18 @@ def main() -> None:
         ).mode("overwrite").save()
         row["savings_sec"] = round(time.perf_counter() - t0, 2)
 
+        t0 = time.perf_counter()
+        cluster_lang_purity(docs, clusters=clusters).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        row["lang_purity_sec"] = round(time.perf_counter() - t0, 2)
+
         row["marginal_sec"] = round(
             row["yield_curve_sec"]
             + row["size_profile_sec"]
             + row["clusters_sec"]
-            + row["savings_sec"],
+            + row["savings_sec"]
+            + row["lang_purity_sec"],
             2,
         )
         row["composed_total_sec"] = round(
