@@ -143,6 +143,16 @@ HEADLINE = [
     # _guard_all_pairs raises above 50k docs by design.
     "dedup_ngram_jaccard_prefix",
     "events_inter_arrival_profile",
+    # round 13 promotions. savings_by_source standalone pays its own
+    # LSH-pairs pass here; its composed marginal cost when sharing one
+    # pairs pass with the sibling diagnostics is 0.87 s on 500k docs
+    # (BASELINE.md §4-r12 composed-diagnostics row) — read the
+    # standalone number as a certification vehicle, the composed
+    # number as the deployment shape.
+    "corpus_bigram_simpson",
+    "orders_fulfillment_latency",
+    "events_dau_wau_stickiness",
+    "dedup_savings_by_source",
 ]
 
 # Ambient-drift calibration (VERDICT r10 #6): pinned, plan-stable
@@ -219,13 +229,18 @@ def main() -> None:
     }
     # the driver captures a bounded TAIL of stdout, which truncated the
     # head of the (long) JSON line in round 8 and silently dropped the
-    # first per-query rows — also persist the artifact losslessly next
-    # to this script so the committed repo always has the full record
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_LOCAL.json"),
-        "w",
-    ) as f:
+    # first per-query rows — also persist the artifact losslessly.
+    # VERDICT r12 #3: the driver's per-round capture kept dirtying the
+    # COMMITTED BENCH_LOCAL.json, so the DEFAULT is now a gitignored
+    # scratch file (full record still on disk, clean working tree);
+    # deliberate builder refreshes set
+    # SPARK_GRAFT_BENCH_OUT=BENCH_LOCAL.json and commit the result.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_SCRATCH.json")
+    if not os.path.isabs(out_path):
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), out_path
+        )
+    with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps(payload))
 

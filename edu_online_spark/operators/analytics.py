@@ -2613,6 +2613,14 @@ ORACLE_R13 = {
         FROM agg WHERE dau > 0
     """,
 }
+# Round 13: promoted on schedule (library + fixture tests + audited
+# oracles held through rounds 11-12; the window slot is this round's
+# registry edit, per the COVERAGE.md deferral arithmetic).
+ORACLE.update(ORACLE_R13)
+QUERIES.update({
+    "orders_fulfillment_latency": _q(fulfillment_latency, "orders", "lineitem"),
+    "events_dau_wau_stickiness": _q(dau_wau_stickiness, "events"),
+})
 
 # Round-14 promotion queue. The mirror repeats the sorted-rank Gini
 # identity over the same decimal-exact revenue sums; the rank window

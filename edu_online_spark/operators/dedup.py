@@ -2479,6 +2479,13 @@ ORACLE_R13 = {
         FROM base b LEFT JOIN ls USING (source)
     """,
 }
+# Round 13: promoted on schedule (library + composed-diagnostics tests
+# held through rounds 11-12; the window slot is this round's registry
+# edit, per the COVERAGE.md deferral arithmetic).
+ORACLE.update(ORACLE_R13)
+QUERIES.update({
+    "dedup_savings_by_source": _q(savings_by_source, "documents"),
+})
 
 # Round-14 promotion queue. Recursive-CC labels again; the majority
 # language repeats the (count desc, lang asc) tie-break via the same

@@ -3836,3 +3836,11 @@ ORACLE_R13 = {
         FROM c GROUP BY source
     """,
 }
+
+# Round 13: promoted on schedule (library + fixture tests + audited
+# oracle held through rounds 12; the window slot is this round's
+# registry edit, per the COVERAGE.md deferral arithmetic).
+ORACLE.update(ORACLE_R13)
+QUERIES.update({
+    "corpus_bigram_simpson": _q(bigram_simpson),
+})

@@ -69,81 +69,91 @@ def _extended_modules():
 # round 2).
 _PREFIX_TAIL_BOUNDARY = "tpch"
 
-# Round-12 window rotation (plan precomputed by tools/rotation_plan.py
-# at the end of round 11 — `python tools/rotation_plan.py 12` — and
-# applied mechanically this round, VERDICT r11 items #1-#2):
-#   1. the ENTIRE window is the hard cohort: exactly 50 queries (the
-#      round-8 certification cohort) have round 8 as their newest
-#      driver row after r11 and trip STALENESS_BOUND_ROUNDS when
-#      CORRECTNESS_r13 lands unless re-certified now. Zero free slots,
-#      zero rows-only names — every slot is hash-checked;
-#   2. the two ORACLE_R12 promotions (`dedup_ngram_jaccard_prefix`,
-#      `events_inter_arrival_profile`; library + tests + audited
-#      oracles held since round 10) take slots the round they land
-#      (staleness-at-birth rule), displacing the two tail fillers the
-#      COVERAGE.md deferral arithmetic prescribes —
-#      `basket_part_pairs` and `customer_rfm` — which sit exactly AT
-#      the bound after r12 ((12+1)-8 = 5 = bound, not past it) and are
-#      carried at the TOP of the round-13 hard cohort (pinned by
-#      tests/test_registry.py::test_rotation_planner_round13_plan).
+# Round-13 window rotation (plan precomputed by tools/rotation_plan.py
+# at the end of round 12 — `python tools/rotation_plan.py 13` — and
+# applied VERBATIM from COVERAGE.md "Round-13 window, fully
+# precomputed", VERDICT r12 items #1-#2):
+#   1. hard cohort (deadline = 13): exactly the two fillers the
+#      round-12 promotions displaced — `basket_part_pairs`,
+#      `customer_rfm` (last certified r8; certifying AT the deadline
+#      is legal under the exact-deadline model, proven by
+#      tests/test_registry.py::test_deferral_at_deadline_never_trips_staleness).
+#      They HEAD the window;
+#   2. fillers: the round-9 cohort by registry order, deferring
+#      `purchase_attribution` and `purchase_status_asof` to their
+#      round-14 deadline. Seven filler slots are rows-only by design
+#      (LSH/iterative/libm-dependent) — declared in
+#      tests/test_registry.py::ROWS_ONLY_WINDOW_SLOTS;
+#   3. the four ORACLE_R13 promotions (`corpus_bigram_simpson`,
+#      `orders_fulfillment_latency`, `events_dau_wau_stickiness`,
+#      `dedup_savings_by_source`; library + tests + audited oracles
+#      held since round 11/12, re-rehearsed 4/4 at sf0.01 in round
+#      12) take slots the round they land (staleness-at-birth rule),
+#      displacing the last four cohort-9 fillers by registry order
+#      (`customer_record_linkage`, `events_sessionize`,
+#      `events_session_stats`, `events_region_enrich`), which defer
+#      to their round-14 deadline; r14 debt = those 4 + the 2
+#      planner-deferred purchase rows = 6, as the greedy audit
+#      simulated.
 # Names are validated against the assembled registry — a typo or a
 # renamed query fails loudly rather than silently ceding its slot.
 _WINDOW_PRIORITY = [
-    # 1: round-8 staleness cohort minus the two displaced fillers —
-    #    bound trips at round 13
-    "dedup_cross_corpus",
-    "dedup_semantic_keep",
-    "retrieval_negative_samples",
-    "ann_recall_report",
-    "ann_all_pairs_recall",
-    "sim_knn_ivf_probe_recall",
-    "hybrid_search_rrf",
-    "docs_vocab_encoded",
-    "corpus_mixture_plan",
-    "docs_gopher_quality",
-    "corpus_dataset_card",
-    "docs_stratified_sample",
-    "corpus_snapshot_diff",
-    "corpus_drift_report",
-    "docs_quality_budget_fill",
-    "docs_winnowing_clusters",
-    "docs_winnowing_cross_corpus",
-    "text_pii_source_stats",
-    "text_pii_redacted",
-    "text_url_domains",
-    "multimodal_decoded_meta",
-    "multimodal_media_summary",
-    "multimodal_frame_sample",
-    "multimodal_resized",
-    "multimodal_audio_features",
-    "multimodal_payload_dedup",
-    "events_hll_rollup",
-    "events_theta_overlap",
-    "corpus_token_countmin",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q15_top_supplier",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_profit_by_nation",
-    "tpch_q11_important_parts",
-    "events_distinct_users_approx",
-    "events_funnel",
-    "events_daily_anomalies",
-    "events_cohort_retention",
-    "lineitem_price_quantiles_approx",
-    "data_quality_checks",
-    "docs_length_histogram",
-    "events_time_grain_rollup",
-    "events_value_percentiles",
-    "customer_record_linkage_multipass",
-    "events_scd2_status",
-    "purchase_training_examples",
-    # 2: ORACLE_R12 promotions — each takes a slot the round it lands
-    #    (staleness-at-birth rule); these displace basket_part_pairs
-    #    and customer_rfm per the deferral arithmetic
-    "dedup_ngram_jaccard_prefix",
-    "events_inter_arrival_profile",
+    # 1: hard cohort at its r13 deadline — must head the window
+    "basket_part_pairs",
+    "customer_rfm",
+    # 2: round-9 cohort fillers by registry order (each buying its
+    #    slot back one round before its r14 deadline)
+    "register_platform_counts",
+    "register_windowed_counts",
+    "register_sliding_counts",
+    "register_cumulative_daily",
+    "quiz_mastery",
+    "quiz_mastery_approx",
+    "page_props_decode",
+    "page_flow",
+    "archival_daily_counts",
+    "source_dup_matrix",
+    "embeddings_label_centroids",
+    "hybrid_search_rrf_lsh",
+    "docs_quality_calibrated",
+    "docs_decontamination_stats",
+    "corpus_shards_incremental",
+    "source_winnow_overlap_matrix",
+    "source_token_fertility",
+    "multimodal_image_ahash",
+    "multimodal_audio_fingerprint",
+    "multimodal_video_scenecuts",
+    "text_knn_minhash",  # rows-only
+    "ann_all_pairs_topk",  # rows-only
+    "text_fingerprints_fast",  # rows-only
+    "docs_lm_perplexity",  # rows-only
+    "docs_compression_ratio",  # rows-only
+    "corpus_bpe_merges",  # rows-only
+    "tpch_q1_pricing_summary",
+    "tpch_q3_top_orders",
+    "tpch_q5_region_revenue",
+    "tpch_q6_forecast_revenue",
+    "part_topk_per_brand",
+    "users_purchase_no_error",
+    "users_view_and_purchase",
+    "orders_rollup",
+    "customers_without_orders",
+    "daily_event_pivot",
+    "events_distinct_users",
+    "lineitem_price_quantiles",
+    "events_deterministic_sample",
+    "events_user_value_ewma",  # rows-only
+    "basket_association_rules",
+    "events_value_winsorized",
+    "events_daily_trend",
+    "events_type_transitions",
+    # 3: ORACLE_R13 promotions — each takes a slot the round it lands
+    #    (staleness-at-birth rule); these displace the last four
+    #    cohort-9 fillers per the deferral arithmetic
+    "corpus_bigram_simpson",
+    "orders_fulfillment_latency",
+    "events_dau_wau_stickiness",
+    "dedup_savings_by_source",
 ]
 
 

@@ -56,11 +56,20 @@ def test_broken_extension_does_not_kill_core(monkeypatch):
     assert "dedup" in names and "textops" in names  # the rest survived
 
 
-# Round 12 rotates to the 50-row round-8 staleness cohort with the two
-# ORACLE_R12 promotions displacing `basket_part_pairs` / `customer_rfm`
-# (carried at the top of the round-13 hard cohort). Every round-12
-# window slot is oracle-backed — zero rows-only names this round.
-ROWS_ONLY_WINDOW_SLOTS: set[str] = set()
+# Round 13 rotates to the 2-row hard cohort (basket_part_pairs /
+# customer_rfm AT their deadline) + 44 round-9 fillers + the four
+# ORACLE_R13 promotions. Seven cohort-9 filler slots are rows-only by
+# design (LSH neighbor sets / iterative / libm-dependent), exactly as
+# the round-12 rotation plan precomputed.
+ROWS_ONLY_WINDOW_SLOTS: set[str] = {
+    "text_knn_minhash",
+    "ann_all_pairs_topk",
+    "text_fingerprints_fast",
+    "docs_lm_perplexity",
+    "docs_compression_ratio",
+    "corpus_bpe_merges",
+    "events_user_value_ewma",
+}
 
 
 def test_driver_window_contract():
@@ -126,43 +135,66 @@ def test_rotation_staleness_bound():
     )
 
 
-def test_rotation_planner_reproduces_round13_plan():
-    """tools/rotation_plan.py must reproduce the committed round-13
-    arithmetic (COVERAGE.md 'Round-13 rotation plan'): the hard cohort
-    is EXACTLY the two fillers the round-12 promotions displaced
-    (certified r8, deadline r13 — certifying AT the deadline is legal
-    under the exact-deadline model the planner adopted in round 12),
-    the 48 filler slots go to the round-9 cohort by registry order
-    with exactly two names deferred to their round-14 deadline, the
-    four R13-queue promotions are flagged as slotless, and the greedy
-    forward-schedule audit holds through both queued promotion batches
-    (4 at r13, 6 at r14)."""
+def test_rotation_planner_reproduces_round14_plan():
+    """tools/rotation_plan.py must reproduce the committed round-14
+    arithmetic (COVERAGE.md 'Round-14 rotation plan', pre-staged per
+    VERDICT r12 #8 with the r13 registry edit in-tree): the hard
+    cohort is EXACTLY the six round-13 deferrals (the four cohort-9
+    fillers the R13 promotions displaced + the two planner-deferred
+    purchase rows, all certified r9, deadline r14), the 44 filler
+    slots carry five rows-only names, exactly six names defer to
+    their round-15 deadline, the six R14-queue promotions are flagged
+    as slotless, and the greedy forward-schedule audit holds through
+    the queued batch."""
     from tools.rotation_plan import plan
 
-    p = plan(13)
-    assert p["hard_cohort"] == ["basket_part_pairs", "customer_rfm"]
+    p = plan(14)
+    assert p["hard_cohort"] == [
+        "customer_record_linkage",
+        "events_sessionize",
+        "events_session_stats",
+        "events_region_enrich",
+        "purchase_attribution",
+        "purchase_status_asof",
+    ]
     assert p["rows_only_slots"] == [
-        "text_knn_minhash", "ann_all_pairs_topk", "text_fingerprints_fast",
-        "docs_lm_perplexity", "docs_compression_ratio", "corpus_bpe_merges",
-        "events_user_value_ewma",
+        "dedup_simhash", "sim_knn_lsh", "sim_knn_ivf",
+        "hybrid_search_rrf_lsh_prod", "docs_bpe_encoded",
     ]
     assert p["deferred_to_bound"] == [
-        "purchase_attribution", "purchase_status_asof",
+        "events_hourly_heatmap", "orders_date_features",
+        "lineitem_supplier_pareto", "orders_open_backlog",
+        "purchase_view_window_counts", "purchases_minutely_gapfill",
     ]
     assert set(p["queued_promotions"]) == {
-        "dedup_savings_by_source",
-        "corpus_bigram_simpson",
-        "orders_fulfillment_latency",
-        "events_dau_wau_stickiness",
+        "dedup_cluster_lang_purity",
+        "multimodal_image_whash",
+        "multimodal_whash_neardup",
+        "multimodal_consensus_neardup",
+        "supplier_revenue_gini",
+        "customer_balance_deciles",
     }
     assert p["audit_ok"], p["audit_notes"]
     assert len(p["window"]) == 50 and len(set(p["window"])) == 50
-    # every filler is a round-9-certified row buying its slot back one
-    # round before its deadline
+    # the entire hard cohort is round-9-certified rows AT their bound
     from tools.rotation_plan import last_seen_history
     import os
     seen, _ = last_seen_history(os.path.join(os.path.dirname(__file__), ".."))
-    assert all(seen.get(n) == 9 for n in p["fillers"])
+    assert all(seen.get(n) == 9 for n in p["hard_cohort"])
+
+
+def test_rotation_planner_refuses_to_plan_past_its_model():
+    """ADVICE r12: plan() credits the in-tree window with landing at
+    next_round - 1, which is only true for the round the in-tree
+    window models. Planning further ahead must fail loudly, not emit
+    a silently mis-dated schedule."""
+    import pytest
+    from tools.rotation_plan import plan, last_seen_history
+    import os
+
+    _, latest = last_seen_history(os.path.join(os.path.dirname(__file__), ".."))
+    with pytest.raises(SystemExit, match="more than one round ahead"):
+        plan(latest + 3)
 
 
 def test_deferral_at_deadline_never_trips_staleness():

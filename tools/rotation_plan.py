@@ -140,6 +140,18 @@ def plan(next_round: int | None = None, root: str | None = None) -> dict:
     seen, latest = last_seen_history(root)
     if next_round is None:
         next_round = latest + 2  # current round lands as latest+1
+    # ADVICE r12: the model below credits the IN-TREE window with
+    # landing at next_round - 1. That is only true for the round the
+    # in-tree window actually models (newest CORRECTNESS + 1); planning
+    # further ahead would silently mis-date those certifications, so
+    # fail loudly instead.
+    if next_round > latest + 2:
+        raise SystemExit(
+            f"plan({next_round}) is more than one round ahead of the "
+            f"newest CORRECTNESS file (r{latest}): the in-tree window "
+            f"would be mis-credited with landing at r{next_round - 1}. "
+            f"Re-run once the intervening CORRECTNESS files exist."
+        )
     landing = next_round - 1  # the round whose window is now in-tree
 
     names = list(registry.queries())
