@@ -474,22 +474,36 @@ def bench_latency_quantiles(spark, work, n_rows, n_files):
     )
 
 
-def bench_balance_deciles(spark, work, n_rows, n_files):
+def bench_balance_deciles(spark, work, n_rows, n_files, saturate=False):
     """Throughput + trigger-latency profile for balance_deciles_job
     (live credit-risk banding). State is the (segment, balance)
     histogram — cents-granular DOMAIN-bounded (caps at ~1.1M distinct
     balances x |segments| however many customers flow), so per-trigger
-    cost must be flat; this workload drives the domain to saturation
-    (balances cycle the full cents range) to measure the worst case."""
-    name = "balance_deciles"
+    cost must be flat. Two generators:
+
+    - default: every row a FRESH (segment, balance) pair (balances
+      cycle the full cents range) — the pre-saturation worst case,
+      state growing linearly toward the domain ceiling;
+    - saturate=True (VERDICT r12 #5): a REALISTIC repeated-balance
+      population — whole-dollar balances over an 11k-value range ×
+      5 segments = 55k possible state rows, which the first triggers
+      fill; every later trigger folds into the already-full
+      histogram, so the trigger profile must flatten POST-SATURATION
+      (the domain-bound argument, measured)."""
+    name = "balance_deciles_sat" if saturate else "balance_deciles"
     src = os.path.join(work, name, "src")
     per = n_rows // n_files
 
     def line(i: int) -> str:
+        bal = (
+            float((i * 7919) % 11_000 - 999)          # repeats fast
+            if saturate
+            else round(-999.99 + ((i * 7919) % 1_100_000) / 100.0, 2)
+        )
         return json.dumps({
             "c_custkey": i,
             "c_mktsegment": f"SEG{i % 5}",
-            "c_acctbal": round(-999.99 + ((i * 7919) % 1_100_000) / 100.0, 2),
+            "c_acctbal": bal,
         })
 
     for f in range(n_files):
@@ -536,7 +550,7 @@ def bench_balance_deciles(spark, work, n_rows, n_files):
 KNOWN_JOBS = {
     "register_totals", "quiz_mastery", "minhash_dedup", "winnow_index",
     "curation_ingest", "burst_flags", "weighted_sample", "stickiness",
-    "latency_quantiles", "balance_deciles",
+    "latency_quantiles", "balance_deciles", "balance_deciles_sat",
 }
 
 
@@ -607,6 +621,8 @@ def main() -> None:
             bench_latency_quantiles(spark, work, n_rows, n_files)
         if want("balance_deciles"):
             bench_balance_deciles(spark, work, n_rows, n_files)
+        if want("balance_deciles_sat"):
+            bench_balance_deciles(spark, work, n_rows, n_files, saturate=True)
         if want("winnow_index"):
             bench_winnow_index(spark, work, n_rows // 10, n_files)
         if want("minhash_dedup"):
