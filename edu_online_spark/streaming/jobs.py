@@ -3769,3 +3769,178 @@ def balance_deciles_job(
         .trigger(**_trigger({}, available_now))
         .start()
     )
+
+
+def revenue_gini_job(
+    raw: DataFrame,
+    out: str,
+    checkpoint: str,
+    supplier_dim: DataFrame = None,
+    available_now: bool = False,
+    retain_snapshots: int = 8,
+) -> StreamingQuery:
+    """Live market-concentration monitor: the streaming twin of
+    `operators/analytics.supplier_revenue_gini` — maintain per-supplier
+    revenue sums as shipment lines arrive and publish the per-nation
+    Gini coefficient (sorted-rank identity) every trigger. Lands the
+    round before its batch op promotes, the same playbook as the
+    latency-quantiles and balance-deciles twins.
+
+    Two-layer shape: the corpus-sized work per trigger is one
+    map-side-combined (suppkey → decimal revenue) aggregate over the
+    micro-batch plus a broadcast join against the STATIC supplier→
+    nation dim (stream-static, the reference's dimension-decode
+    pattern); the state it folds into is POPULATION-bounded — one row
+    per supplier that ever shipped, regardless of line volume — and
+    the per-trigger Gini is a rank window over that tiny relation.
+    Revenue sums are exact decimals, so any trigger slicing of the
+    same rows equals the batch answer bit-for-bit (wave-replay parity
+    pinned). The fold is ADDITIVE, so the last_batch_id replay fence
+    is a CORRECTNESS guard: a redelivered trigger must not re-fold
+    (restart-no-double-count pinned).
+
+    Output per trigger: one row per nation (n_suppliers,
+    total_revenue, gini — NULL on a non-positive total, the batch
+    op's guard), snapshot-written to ingest_batch=N with the newest
+    `retain_snapshots` kept."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DecimalType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    if supplier_dim is None:
+        raise ValueError(
+            "revenue_gini_job needs the static supplier→nation dim "
+            "(columns s_suppkey, nation)"
+        )
+    state_path = out + ".state"
+    REV = "decimal(28,4)"
+
+    schema = StructType(
+        [
+            StructField("l_suppkey", LongType()),
+            StructField("l_extendedprice", DecimalType(12, 2)),
+            StructField("l_discount", DecimalType(4, 2)),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    parsed = F.from_json(
+        F.col("value"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    lines = (
+        raw.select(parsed.alias("j"))
+        .filter(
+            F.col("j._corrupt").isNull()
+            & F.col("j.l_suppkey").isNotNull()
+            & F.col("j.l_extendedprice").isNotNull()
+            & F.col("j.l_discount").isNotNull()
+        )
+        .select(
+            F.col("j.l_suppkey").alias("l_suppkey"),
+            (
+                F.col("j.l_extendedprice")
+                * (F.lit(1).cast("decimal(3,2)") - F.col("j.l_discount"))
+            ).alias("r"),
+        )
+    )
+    dim = supplier_dim.select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"), "nation"
+    )
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        sinks.recover_sink(state_path)
+        if os.path.exists(state_path):
+            old = spark.read.parquet(state_path)
+            last = old.agg(F.max("last_batch_id")).first()[0]
+            if last is not None and last >= batch_id:
+                return  # redelivered trigger: additive state must not re-fold
+            prior = old.select(
+                "nation", "s_suppkey", F.col("revenue").cast(REV).alias("revenue")
+            )
+        else:
+            prior = spark.createDataFrame(
+                [], f"nation string, s_suppkey long, revenue {REV}"
+            )
+        delta = (
+            batch.groupBy("l_suppkey")
+            .agg(F.sum("r").alias("revenue"))
+            .join(
+                F.broadcast(dim),
+                F.col("l_suppkey") == F.col("s_suppkey"),
+            )
+            .select(
+                "nation",
+                "s_suppkey",
+                F.col("revenue").cast(REV).alias("revenue"),
+            )
+        )
+        state = (
+            prior.unionByName(delta)
+            .groupBy("nation", "s_suppkey")
+            .agg(F.sum("revenue").cast(REV).alias("revenue"))
+            .localCheckpoint(eager=True)  # snapshot + state share it
+        )
+        w = Window.partitionBy("nation").orderBy("revenue", "s_suppkey")
+        ranked = state.withColumn("i", F.row_number().over(w))
+        snap = (
+            ranked.groupBy("nation")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+                F.sum("revenue").alias("_sum_rev"),
+                F.sum(F.col("i") * F.col("revenue")).alias("_sum_i_rev"),
+            )
+            .select(
+                "nation",
+                "n_suppliers",
+                F.col("_sum_rev").cast("double").alias("total_revenue"),
+                F.when(
+                    F.col("_sum_rev") > 0,
+                    (
+                        F.lit(2) * F.col("_sum_i_rev")
+                        - (F.col("n_suppliers") + F.lit(1)) * F.col("_sum_rev")
+                    ).cast("double")
+                    / (F.col("n_suppliers") * F.col("_sum_rev")).cast(
+                        "double"
+                    ),
+                ).alias("gini"),
+            )
+        )
+        snap.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, f"ingest_batch={batch_id}")
+        )
+        new_state = (
+            state.withColumn("last_batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .localCheckpoint(eager=True)  # materialize before the swap
+        )
+        sinks.parquet_overwrite_atomic(state_path)(new_state, batch_id)
+        if retain_snapshots > 0:
+            import shutil
+
+            stale = sorted(
+                int(d.split("=")[1])
+                for d in os.listdir(out)
+                if d.startswith("ingest_batch=")
+            )[:-retain_snapshots]
+            for b in stale:
+                shutil.rmtree(
+                    os.path.join(out, f"ingest_batch={b}"),
+                    ignore_errors=True,
+                )
+
+    return (
+        lines.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )

@@ -41,7 +41,7 @@ def main() -> None:
         for t in (
             "register", "qz", "page", "raw", "docs", "pii", "emb", "link",
             "scrub", "budget", "shard", "winnow", "ingest", "neardup", "burst",
-            "seed", "stick", "sla", "deciles",
+            "seed", "stick", "sla", "deciles", "gini",
         )
     }
 
@@ -529,6 +529,45 @@ def main() -> None:
         if d.startswith("ingest_batch=")
     )
     out["balance_deciles"] = f"{dec_base}/ingest_batch={last}"
+
+    # round 13: live per-nation revenue concentration (revenue_gini_job)
+    # — stream-static broadcast against the supplier→nation dim; the
+    # additive decimal fold under the replay fence. Wave 1: NAT-A gets
+    # two equal suppliers (gini 0), NAT-B one supplier (gini 0). Wave 2
+    # concentrates NAT-A: supplier 1 triples its revenue, so the final
+    # snapshot shows NAT-A gini > 0 while NAT-B stays 0.
+    gini_dim = spark.createDataFrame(
+        [(1, "NAT-A"), (2, "NAT-A"), (3, "NAT-B")],
+        "s_suppkey long, nation string",
+    )
+    produce(topics["gini"], "g1.jsonl", [
+        json.dumps({"l_suppkey": 1, "l_extendedprice": "100.00",
+                    "l_discount": "0.00"}),
+        json.dumps({"l_suppkey": 2, "l_extendedprice": "100.00",
+                    "l_discount": "0.00"}),
+        json.dumps({"l_suppkey": 3, "l_extendedprice": "50.00",
+                    "l_discount": "0.00"}),
+        "corrupt {",
+    ])
+    gini_base = f"{work}/out/revenue_gini"
+    jobs.revenue_gini_job(
+        file_stream(spark, topics["gini"]),
+        gini_base, ck("gini"), supplier_dim=gini_dim, available_now=True,
+    ).awaitTermination(120)
+    produce(topics["gini"], "g2.jsonl", [
+        json.dumps({"l_suppkey": 1, "l_extendedprice": "200.00",
+                    "l_discount": "0.00"}),
+    ])
+    jobs.revenue_gini_job(
+        file_stream(spark, topics["gini"]),
+        gini_base, ck("gini"), supplier_dim=gini_dim, available_now=True,
+    ).awaitTermination(120)
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(gini_base)
+        if d.startswith("ingest_batch=")
+    )
+    out["revenue_gini"] = f"{gini_base}/ingest_batch={last}"
 
     for name, path in out.items():
         df = spark.read.parquet(path)

@@ -654,3 +654,114 @@ def test_balance_deciles_replay_fence_prevents_double_count(
         spark.read.parquet(out + ".state").agg(F.sum("cnt")).first()[0]
     )
     assert state_n2 == len(rows), (state_n2, len(rows))
+
+
+def test_revenue_gini_streaming_equals_batch(spark, sf_dir, tmp_path):
+    """Live inequality monitor: replay the lineitem table in two waves
+    through revenue_gini_job (stream-static broadcast against the
+    supplier→nation dim); the final snapshot must equal the batch
+    supplier_revenue_gini row for row — revenue sums are exact
+    decimals, so the additive fold converges bit-for-bit under any
+    trigger slicing. A corrupt line must be dropped, not crash."""
+    import json
+
+    from edu_online_spark.operators.analytics import supplier_revenue_gini
+    from edu_online_spark.sources import load_table
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    dim = supplier.join(
+        nation, supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    lines = [
+        json.dumps(
+            {
+                "l_suppkey": r["l_suppkey"],
+                "l_extendedprice": str(r["l_extendedprice"]),
+                "l_discount": str(r["l_discount"]),
+            }
+        )
+        for r in lineitem.select(
+            "l_suppkey", "l_extendedprice", "l_discount"
+        ).collect()
+    ] + ["corrupt {"]
+    assert len(lines) > 100
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    half = len(lines) // 2
+    _replay(
+        jobs.revenue_gini_job, spark, src, out, ckpt,
+        [lines[:half], lines[half:]], supplier_dim=dim,
+    )
+    batches = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out)
+        if d.startswith("ingest_batch=")
+    )
+    final = os.path.join(out, f"ingest_batch={batches[-1]}")
+    cols = ["n_suppliers", "total_revenue", "gini"]
+    streamed = {
+        r["nation"]: tuple(r[c] for c in cols)
+        for r in spark.read.parquet(final).collect()
+    }
+    batch = {
+        r["nation"]: tuple(r[c] for c in cols)
+        for r in supplier_revenue_gini(lineitem, supplier, nation).collect()
+    }
+    assert streamed == batch
+    # state is population-bounded: one row per supplier that shipped
+    n_state = spark.read.parquet(out + ".state").count()
+    n_sup = (
+        lineitem.select("l_suppkey").distinct().count()
+    )
+    assert n_state == n_sup
+
+
+def test_revenue_gini_replay_fence_prevents_double_count(
+    spark, sf_dir, tmp_path
+):
+    """The revenue fold is ADDITIVE, so the last_batch_id fence is a
+    correctness guard: an availableNow restart over the same
+    checkpoint with no new files must leave every supplier's revenue
+    (and therefore the snapshot Gini) unchanged."""
+    import json
+
+    from edu_online_spark.sources import load_table
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    dim = supplier.join(
+        nation, supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    rows = lineitem.select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    ).limit(300).collect()
+    lines = [
+        json.dumps(
+            {
+                "l_suppkey": r["l_suppkey"],
+                "l_extendedprice": str(r["l_extendedprice"]),
+                "l_discount": str(r["l_discount"]),
+            }
+        )
+        for r in rows
+    ]
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    _replay(
+        jobs.revenue_gini_job, spark, src, out, ckpt, [lines],
+        supplier_dim=dim,
+    )
+    total = spark.read.parquet(out + ".state").agg(F.sum("revenue")).first()[0]
+    q = jobs.revenue_gini_job(
+        file_stream(spark, src, max_files_per_trigger=1),
+        out,
+        ckpt,
+        supplier_dim=dim,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    total2 = spark.read.parquet(out + ".state").agg(F.sum("revenue")).first()[0]
+    assert total2 == total, (total2, total)

@@ -474,6 +474,70 @@ def bench_latency_quantiles(spark, work, n_rows, n_files):
     )
 
 
+def bench_revenue_gini(spark, work, n_rows, n_files):
+    """Throughput + trigger-latency profile for revenue_gini_job (live
+    per-nation supplier-revenue concentration). State is POPULATION-
+    bounded — one row per supplier that ever shipped (10k here, over
+    25 nations) no matter how many lines flow — so per-trigger cost
+    must be flat once the supplier population has been seen; the
+    generator cycles the full population in the first file."""
+    name = "revenue_gini"
+    src = os.path.join(work, name, "src")
+    per = n_rows // n_files
+    n_sup = 10_000
+
+    def line(i: int) -> str:
+        return json.dumps({
+            "l_suppkey": (i * 7919) % n_sup,
+            "l_extendedprice": f"{100 + (i % 90000) / 100.0:.2f}",
+            "l_discount": f"0.{i % 10:02d}",
+        })
+
+    for f in range(n_files):
+        _produce(src, f"g{f:04d}.log", [line(f * per + i) for i in range(per)])
+    dim = spark.range(n_sup).selectExpr(
+        "id as s_suppkey", "concat('NAT', id % 25) as nation"
+    )
+    out = os.path.join(work, name, "out")
+    ckpt = os.path.join(work, name, "ck")
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates",
+        str(max(n_files + 16, 100)),
+    )
+    q = jobs.revenue_gini_job(
+        file_stream(spark, src, max_files_per_trigger=1),
+        out,
+        ckpt,
+        supplier_dim=dim,
+        available_now=True,
+    )
+    t0 = time.monotonic()
+    q.awaitTermination(600)
+    secs = time.monotonic() - t0
+    order = [
+        p.batchDuration / 1000.0
+        for p in sorted(q.recentProgress, key=lambda p: p.batchId)
+        if p.numInputRows > 0
+    ]
+    if not order:
+        print(json.dumps({"job": name, "error": "no data-bearing batches"}))
+        return
+    print(
+        json.dumps(
+            {
+                "job": name,
+                "rows": per * n_files,
+                "secs": round(secs, 2),
+                "rows_per_sec": int(per * n_files / secs),
+                "batches": len(order),
+                "trigger_s_first": round(order[0], 2),
+                "trigger_s_median": round(sorted(order)[len(order) // 2], 2),
+                "trigger_s_last": round(order[-1], 2),
+            }
+        )
+    )
+
+
 def bench_balance_deciles(spark, work, n_rows, n_files, saturate=False):
     """Throughput + trigger-latency profile for balance_deciles_job
     (live credit-risk banding). State is the (segment, balance)
@@ -551,6 +615,7 @@ KNOWN_JOBS = {
     "register_totals", "quiz_mastery", "minhash_dedup", "winnow_index",
     "curation_ingest", "burst_flags", "weighted_sample", "stickiness",
     "latency_quantiles", "balance_deciles", "balance_deciles_sat",
+    "revenue_gini",
 }
 
 
@@ -623,6 +688,8 @@ def main() -> None:
             bench_balance_deciles(spark, work, n_rows, n_files)
         if want("balance_deciles_sat"):
             bench_balance_deciles(spark, work, n_rows, n_files, saturate=True)
+        if want("revenue_gini"):
+            bench_revenue_gini(spark, work, n_rows, n_files)
         if want("winnow_index"):
             bench_winnow_index(spark, work, n_rows // 10, n_files)
         if want("minhash_dedup"):
