@@ -2823,3 +2823,122 @@ ORACLE_R14.update({
         FROM h GROUP BY c_mktsegment
     """,
 })
+
+
+def supplier_revenue_hhi(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Per-nation Herfindahl–Hirschman index of supplier revenue —
+    the regulator's concentration number next to the Gini's
+    inequality number (HHI answers "could one supplier's failure
+    take the market down", Gini answers "how unequal is the split";
+    sourcing teams read both). HHI = Σ sᵢ² over revenue shares =
+    Σ rᵢ² / (Σ r)². Revenue sums are exact decimals; each rᵢ is cast
+    to double ONCE and squared per-row (deterministic), and the
+    per-nation Σ rᵢ² uses the module's sorted-fold discipline
+    (collect + array_sort + left fold — the identical operand
+    sequence on both engines), so the one division at the end is
+    engine-exact. top1_share = max(rᵢ)/Σr, both exact before their
+    single casts.
+
+    Scale shape: identical to supplier_revenue_gini — the only
+    corpus-sized exchange is the map-side-combined per-supplier
+    revenue aggregate; the fold/max/total all run on the
+    supplier-grain relation (thousands of rows), so the collected
+    per-nation list is |suppliers in nation|, never corpus-sized.
+
+    Queued for round 15 (`supplier_revenue_hhi`, ORACLE_R15)."""
+    rev = (
+        lineitem.select(
+            "l_suppkey",
+            (
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (
+                    F.lit(1).cast("decimal(3,2)")
+                    - F.col("l_discount").cast("decimal(4,2)")
+                )
+            ).alias("r"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("r").alias("revenue"))
+    )
+    per = (
+        rev.join(
+            supplier.select("s_suppkey", "s_nationkey"),
+            rev.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "revenue",
+            (
+                F.col("revenue").cast("double")
+                * F.col("revenue").cast("double")
+            ).alias("r2"),
+        )
+    )
+    agg = per.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("revenue").alias("_sum_rev"),
+        F.max("revenue").alias("_max_rev"),
+        F.aggregate(
+            F.array_sort(F.collect_list("r2")), F.lit(0.0), lambda a, x: a + x
+        ).alias("_sum_r2"),
+    )
+    total = F.col("_sum_rev").cast("double")
+    return agg.select(
+        "nation",
+        "n_suppliers",
+        total.alias("total_revenue"),
+        # same positivity guard as the Gini op: an all-zero nation
+        # would divide by zero, a returns-negative total would make
+        # shares meaningless — both report NULL
+        F.when(F.col("_sum_rev") > 0, F.col("_sum_r2") / (total * total))
+        .alias("hhi"),
+        F.when(
+            F.col("_sum_rev") > 0,
+            F.col("_max_rev").cast("double") / total,
+        ).alias("top1_share"),
+    )
+
+
+# Round-15 promotion queue. The mirror repeats the decimal-exact
+# revenue sums, squares each supplier's double-cast revenue per-row,
+# and folds the SORTED square list (list_sum(list_sort(...)) — the
+# centroid discipline), so hhi/top1_share divisions see identical
+# operands on both engines.
+ORACLE_R15 = {
+    "supplier_revenue_hhi": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (CAST(1 AS DECIMAL(3,2))
+                          - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+            FROM lineitem GROUP BY 1
+        ),
+        per AS (
+            SELECT n.n_name AS nation, r.revenue,
+                   CAST(r.revenue AS DOUBLE) * CAST(r.revenue AS DOUBLE)
+                       AS r2
+            FROM rev r
+            JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+        )
+        SELECT nation,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM(revenue) AS DOUBLE) AS total_revenue,
+               CASE WHEN SUM(revenue) > 0 THEN
+                   list_sum(list_sort(list(r2)))
+                       / (CAST(SUM(revenue) AS DOUBLE)
+                          * CAST(SUM(revenue) AS DOUBLE))
+               END AS hhi,
+               CASE WHEN SUM(revenue) > 0 THEN
+                   CAST(MAX(revenue) AS DOUBLE)
+                       / CAST(SUM(revenue) AS DOUBLE)
+               END AS top1_share
+        FROM per GROUP BY nation
+    """,
+}

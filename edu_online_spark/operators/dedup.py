@@ -2537,3 +2537,120 @@ ORACLE_R14 = {
           ON s.cluster_rep = t.cluster_rep AND t.rn = 1
     """,
 }
+
+
+def minhash_calibration(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = hashing.DEFAULT_NUM_HASHES,
+    bands: int = hashing.DEFAULT_BANDS,
+) -> DataFrame:
+    """MinHash estimator calibration: over the LSH candidate pairs,
+    compare the SIGNATURE-estimated Jaccard (matching positions ÷
+    num_hashes) against the exact shingle Jaccard, binned by exact
+    decile. This is the report that justifies the signature length
+    the whole dedup family runs on: E[est] = j with σ = √(j(1−j)/k),
+    so k=64 puts ±0.06 around the 0.5 threshold — and this op shows
+    the REALIZED error on your corpus instead of the formula
+    (a skewed shingle distribution or a hash-quality problem shows up
+    here first, as bias rather than spread).
+
+    Output: one row per exact-Jaccard decile bin — n_pairs,
+    mean_est (Σ matching positions ÷ (k·n), exact integer arithmetic
+    until one division), mean_exact, mean_abs_err, max_abs_err.
+
+    Engine-defined (the signature positions depend on this engine's
+    xxhash64 seeds), so rows-only by design: the pytest pins assert
+    the estimator contract itself — identical docs read est=1, the
+    per-bin |est−exact| stays inside the binomial envelope, every est
+    sits on the k-grid. Scale shape: identical to minhash_lsh_pairs
+    (band equi-join candidates, collision-bounded; exact side
+    re-shingles only the semi-join-reduced candidate docs).
+
+    Queued for round 15 (rows-only registration,
+    `dedup_minhash_calibration`)."""
+    sig = hashing.minhash_signatures_df(
+        _shingle_rows(documents, n), "doc_id", F.col("shingle"), num_hashes
+    )
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            hashing.band_hashes(F.col("sig"), bands, num_hashes)
+        ).alias("band", "bh"),
+    ).persist()
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # two consumers (est + exact joins)
+    )
+    banded.unpersist()
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("sa.sig"),
+            F.col("sb.sig"),
+            lambda x, y: (x == y).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    est_pairs = (
+        cand.join(sig.alias("sa"), cand.doc_a == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), cand.doc_b == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", matches.alias("n_match"))
+    )
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b")))
+        .distinct()
+    )
+    sh = _shingled(documents.join(cand_ids, "doc_id", "left_semi"), n)
+    j = hashing.jaccard(F.col("ja.sh"), F.col("jb.sh"))
+    pairs = (
+        est_pairs.join(sh.alias("ja"), est_pairs.doc_a == F.col("ja.doc_id"))
+        .join(sh.alias("jb"), est_pairs.doc_b == F.col("jb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match",
+            (F.col("n_match") / F.lit(num_hashes)).alias("est"),
+            j.alias("jaccard"),
+        )
+    )
+    return (
+        pairs.withColumn(
+            "j_bin",
+            F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("int"),
+        )
+        .groupBy("j_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            (
+                F.sum("n_match").cast("double")
+                / (F.count(F.lit(1)) * F.lit(num_hashes))
+            ).alias("mean_est"),
+            F.avg("jaccard").alias("mean_exact"),
+            F.avg(F.abs(F.col("est") - F.col("jaccard"))).alias(
+                "mean_abs_err"
+            ),
+            F.max(F.abs(F.col("est") - F.col("jaccard"))).alias(
+                "max_abs_err"
+            ),
+        )
+    )
+
+
+# Round-15 rows-only registration queue (no oracle by design — the
+# estimator is engine-defined; see minhash_calibration's docstring for
+# the pytest pins that stand in for the hash check). The rotation
+# planner reads this list so the r15 slot arithmetic sees the
+# registration coming.
+QUEUED_ROWS_ONLY_R15 = ["dedup_minhash_calibration"]

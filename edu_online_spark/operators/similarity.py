@@ -1574,3 +1574,96 @@ QUERIES.update({
     "embeddings_split_centroid_shift": _q(split_centroid_shift),
     "embeddings_rademacher_sketch": _q(rademacher_sketch),
 })
+
+
+def norm_deciles(embeddings: DataFrame) -> DataFrame:
+    """Per-label squared-norm deciles — embedding hygiene at a glance:
+    a retrieval/classification corpus whose vectors are supposed to be
+    unit-normalized shows every decile at ~1.0; dead (near-zero)
+    vectors drag d1 down, un-normalized imports inflate d9/max, and a
+    label whose norm band differs from its siblings usually means its
+    vectors came from a different encoder run. Reported as norm² (the
+    sorted-fold sum of per-element squares) so both engines compare
+    the identical doubles — sqrt adds nothing diagnostic.
+
+    Determinism: each row's norm² folds its SORTED square list (array
+    order is row-local, but sorting makes the operand sequence
+    canonical — the centroid discipline); the deciles are order
+    statistics picked by row_number over (norm², vec_id), i.e. exact
+    ELEMENTS at ranks ceil(k·n/10), no interpolation.
+
+    Scale shape: one scan computes norm² per row (no shuffle), one
+    exchange on label for the rank window — and labels are a small
+    domain, so the per-label sort is |label partition|, not corpus
+    memory. Output is |labels| rows.
+
+    Queued for round 15 (`embeddings_norm_deciles`, ORACLE_R15)."""
+    n2 = embeddings.select(
+        "vec_id",
+        "label",
+        F.aggregate(
+            F.array_sort(
+                F.transform(
+                    "embedding",
+                    lambda x: x.cast("double") * x.cast("double"),
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("norm2"),
+    )
+    w = Window.partitionBy("label").orderBy("norm2", "vec_id")
+    ranked = n2.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("label"))
+    )
+    picks = {f"d{k}": f"({k} * n + 9) div 10" for k in range(1, 10)}
+    return ranked.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        F.min("norm2").alias("min_norm2"),
+        *[
+            F.min(F.when(F.col("rn") >= F.expr(pos), F.col("norm2"))).alias(
+                name
+            )
+            for name, pos in picks.items()
+        ],
+        F.max("norm2").alias("max_norm2"),
+    )
+
+
+# Round-15 promotion queue. The mirror folds the identical sorted
+# square list per row (list_sum(list_sort(...)) over float→double
+# casts — exact), and repeats the ceil(k·n/10) order-statistic
+# selection via the same ROW_NUMBER idiom, so every reported value is
+# an exact element both engines computed identically.
+ORACLE_R15 = {
+    "embeddings_norm_deciles": """
+        WITH n2 AS (
+            SELECT vec_id, label,
+                   list_sum(list_sort([(x::DOUBLE) * (x::DOUBLE)
+                                       for x in embedding])) AS norm2
+            FROM embeddings
+        ),
+        ranked AS (
+            SELECT label, norm2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY label ORDER BY norm2, vec_id
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY label) AS n
+            FROM n2
+        )
+        SELECT label,
+               CAST(MAX(n) AS BIGINT) AS n_vecs,
+               MIN(norm2) AS min_norm2,
+               MIN(CASE WHEN rn >= (1 * n + 9) // 10 THEN norm2 END) AS d1,
+               MIN(CASE WHEN rn >= (2 * n + 9) // 10 THEN norm2 END) AS d2,
+               MIN(CASE WHEN rn >= (3 * n + 9) // 10 THEN norm2 END) AS d3,
+               MIN(CASE WHEN rn >= (4 * n + 9) // 10 THEN norm2 END) AS d4,
+               MIN(CASE WHEN rn >= (5 * n + 9) // 10 THEN norm2 END) AS d5,
+               MIN(CASE WHEN rn >= (6 * n + 9) // 10 THEN norm2 END) AS d6,
+               MIN(CASE WHEN rn >= (7 * n + 9) // 10 THEN norm2 END) AS d7,
+               MIN(CASE WHEN rn >= (8 * n + 9) // 10 THEN norm2 END) AS d8,
+               MIN(CASE WHEN rn >= (9 * n + 9) // 10 THEN norm2 END) AS d9,
+               MAX(norm2) AS max_norm2
+        FROM ranked GROUP BY label
+    """,
+}

@@ -3844,3 +3844,76 @@ ORACLE.update(ORACLE_R13)
 QUERIES.update({
     "corpus_bigram_simpson": _q(bigram_simpson),
 })
+
+
+def shingle_df_spectrum(
+    documents: DataFrame, n: int = NOVELTY_SHINGLE_N
+) -> DataFrame:
+    """Shingle document-frequency spectrum: for each df value (how
+    many documents contain a given word n-gram), how many distinct
+    shingles have exactly that df, and what share of the shingle
+    vocabulary they are. The corpus-level boilerplate diagnostic the
+    span-scrub and novelty ops both presuppose: a healthy corpus has
+    a long df=1 tail and a thin high-df head; a template-heavy crawl
+    shows mass piling up at high df — and the spectrum is how you
+    pick the df threshold above which spans count as boilerplate
+    (C4-style repeated-line removal, generalized to n-grams), instead
+    of guessing it.
+
+    Scale shape: per-doc distinct shingles (`shingle_rows` + local
+    dropDuplicates — corpus-token-linear, same class as
+    corpus_token_df), one map-side-combined count per shingle, then a
+    second count over the df column whose output is |distinct df
+    values| rows (dozens) — the window computing `share` runs over
+    that tiny relation only. share is one exact BIGINT/BIGINT IEEE
+    division.
+
+    Queued for round 15 (`corpus_shingle_df_spectrum`, ORACLE_R15)."""
+    from pyspark.sql import Window
+
+    from ..functions.text import shingle_rows
+
+    sh = shingle_rows(documents, "doc_id", "text", n).dropDuplicates(
+        ["doc_id", "shingle"]
+    )
+    dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    spec = dfs.groupBy("df").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    return spec.select(
+        "df",
+        "n_shingles",
+        (
+            F.col("n_shingles").cast("double")
+            / F.sum("n_shingles").over(Window.partitionBy())
+        ).alias("share"),
+    )
+
+
+# Round-15 promotion queue. The mirror reuses the novelty oracle's
+# inclusive-slice shingle construction (list_distinct per doc = the
+# Spark side's per-doc dropDuplicates); df and n_shingles are exact
+# bigints, share one IEEE division of exact integers.
+ORACLE_R15 = {
+    "corpus_shingle_df_spectrum": f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                         for i in range(1, len(w) - 1)]))
+                       AS shingle
+            FROM (SELECT doc_id, {_TOKENS} AS w FROM documents)
+            WHERE len(w) >= 3
+        ),
+        dfs AS (
+            SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+        ),
+        spec AS (
+            SELECT df, count(*) AS n_shingles FROM dfs GROUP BY df
+        )
+        SELECT CAST(df AS BIGINT) AS df,
+               CAST(n_shingles AS BIGINT) AS n_shingles,
+               CAST(n_shingles AS DOUBLE) / CAST(SUM(n_shingles) OVER ()
+                                                 AS DOUBLE) AS share
+        FROM spec
+    """,
+}

@@ -674,3 +674,100 @@ def test_ngram_jaccard_prefix_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fulfillment_latency_histogram_plan(spark, sf_dir):
+    """The latency quantiles must read off the (priority, days)
+    HISTOGRAM: one equi-join (no cartesian/nested-loop), the
+    map-side-combined count before the cumulative window, everything
+    JVM-side. A corpus-sized sort would show as an extra exchange."""
+    from edu_online_spark.operators.analytics import fulfillment_latency
+
+    df = fulfillment_latency(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Exchange") <= 3, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dau_wau_stickiness_single_spine_plan(spark, sf_dir):
+    """One corpus scan, no join: the distinct (day,user) spine feeds
+    the ≤7-day explode and ONE aggregate computes both counts."""
+    from edu_online_spark.operators.analytics import dau_wau_stickiness
+
+    df = dau_wau_stickiness(load_table(spark, sf_dir, "events"))
+    plan = explain_str(df, "simple")
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bigram_simpson_no_join_plan(spark, sf_dir):
+    """Explode → two map-side-combined aggregates; no join anywhere,
+    and the whole pipeline is JVM-side."""
+    from edu_online_spark.operators.textops import bigram_simpson
+
+    df = bigram_simpson(load_table(spark, sf_dir, "documents"))
+    plan = explain_str(df, "simple")
+    assert "Join" not in plan, plan
+    assert "partial" in plan.lower(), plan  # map-side combine present
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_savings_by_source_keyed_joins_plan(spark, sf_dir):
+    """Downstream of the LSH pairs the savings report is loser-marking
+    plus two per-source aggregates — every join an equi-join, no
+    cartesian, JVM-side end to end."""
+    from edu_online_spark.operators.dedup import savings_by_source
+
+    df = savings_by_source(load_table(spark, sf_dir, "documents"))
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_r15_queue_plan_shapes(spark, sf_dir):
+    """The round-15 queue holds its plan discipline while it waits
+    (the Gini-guard lesson): spectrum = explode + two aggs, no join;
+    HHI = the Gini op's join tree (one broadcast on nation, no
+    cartesian); norm deciles = ONE label exchange (rank window and
+    count share the partitioning); calibration = banded equi-joins
+    only. All JVM-side."""
+    from edu_online_spark.operators.analytics import supplier_revenue_hhi
+    from edu_online_spark.operators.dedup import minhash_calibration
+    from edu_online_spark.operators.similarity import norm_deciles
+    from edu_online_spark.operators.textops import shingle_df_spectrum
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    spectrum = explain_str(shingle_df_spectrum(docs), "simple")
+    assert "Join" not in spectrum, spectrum
+    assert "BatchEvalPython" not in spectrum and "ArrowEvalPython" not in spectrum
+
+    hhi = explain_str(
+        supplier_revenue_hhi(
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "supplier"),
+            load_table(spark, sf_dir, "nation"),
+        ),
+        "simple",
+    )
+    assert "CartesianProduct" not in hhi and "BroadcastNestedLoopJoin" not in hhi
+    assert "BroadcastHashJoin" in hhi, hhi
+    assert "BatchEvalPython" not in hhi and "ArrowEvalPython" not in hhi
+
+    nd = explain_str(
+        norm_deciles(load_table(spark, sf_dir, "embeddings")), "simple"
+    )
+    assert nd.count("Exchange") == 1, nd
+    assert "Join" not in nd, nd
+    assert "BatchEvalPython" not in nd and "ArrowEvalPython" not in nd
+
+    cal = explain_str(minhash_calibration(docs), "simple")
+    assert "CartesianProduct" not in cal, cal
+    assert "BroadcastNestedLoopJoin" not in cal, cal
+    assert "BatchEvalPython" not in cal and "ArrowEvalPython" not in cal

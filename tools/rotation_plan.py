@@ -77,8 +77,10 @@ def last_seen_history(root: str) -> tuple[dict[str, int], int]:
 
 
 def queued_promotions(round_: int) -> list[str]:
-    """Names in any operator module's ORACLE_R<round_> dict that are
-    not registry queries yet — the promotions that will want slots."""
+    """Names in any operator module's ORACLE_R<round_> dict — plus its
+    QUEUED_ROWS_ONLY_R<round_> list (rows-only ops have no oracle but
+    still take a window slot the round they register) — that are not
+    registry queries yet: the promotions that will want slots."""
     import importlib
 
     from edu_online_spark import registry
@@ -92,7 +94,10 @@ def queued_promotions(round_: int) -> list[str]:
             )
         except ImportError:
             continue
-        for name in getattr(m, f"ORACLE_R{round_}", {}):
+        queued = list(getattr(m, f"ORACLE_R{round_}", {})) + list(
+            getattr(m, f"QUEUED_ROWS_ONLY_R{round_}", [])
+        )
+        for name in queued:
             if name not in registered:
                 out.append(name)
     return out
