@@ -93,7 +93,46 @@ QUERIES = [
     "corpus_vocab_coverage",
     "docs_weighted_sample",
     "embeddings_rademacher_sketch",
+    # round-13 promotions — measured the round they land
+    "corpus_bigram_simpson",
+    "orders_fulfillment_latency",
+    "events_dau_wau_stickiness",
+    "dedup_savings_by_source",
+    # round-15 queue — measured the round the LIBRARY op lands (two
+    # rounds before the registry slot), resolved via LIBRARY below
+    "corpus_shingle_df_spectrum",
+    "supplier_revenue_hhi",
+    "embeddings_norm_deciles",
+    "dedup_minhash_calibration",
 ]
+
+
+def _library():
+    """Queued ops that are not registry queries yet: name → callable
+    with the registry (spark, sf_dir) signature, so growth rows exist
+    BEFORE the promotion round."""
+    from edu_online_spark.operators.analytics import supplier_revenue_hhi
+    from edu_online_spark.operators.dedup import minhash_calibration
+    from edu_online_spark.operators.similarity import norm_deciles
+    from edu_online_spark.operators.textops import shingle_df_spectrum
+    from edu_online_spark.sources import load_table
+
+    return {
+        "corpus_shingle_df_spectrum": lambda s, d: shingle_df_spectrum(
+            load_table(s, d, "documents")
+        ),
+        "supplier_revenue_hhi": lambda s, d: supplier_revenue_hhi(
+            load_table(s, d, "lineitem"),
+            load_table(s, d, "supplier"),
+            load_table(s, d, "nation"),
+        ),
+        "embeddings_norm_deciles": lambda s, d: norm_deciles(
+            load_table(s, d, "embeddings")
+        ),
+        "dedup_minhash_calibration": lambda s, d: minhash_calibration(
+            load_table(s, d, "documents")
+        ),
+    }
 
 # Queries whose cost Catalyst can prune under count() (aggregate
 # expressions and join branches fold away when only the row count is
@@ -118,6 +157,14 @@ NOOP_MATERIALIZE = {
     "corpus_vocab_coverage",
     "docs_weighted_sample",
     "embeddings_rademacher_sketch",
+    "corpus_bigram_simpson",
+    "orders_fulfillment_latency",
+    "events_dau_wau_stickiness",
+    "dedup_savings_by_source",
+    "corpus_shingle_df_spectrum",
+    "supplier_revenue_hhi",
+    "embeddings_norm_deciles",
+    "dedup_minhash_calibration",
 }
 
 
@@ -153,7 +200,8 @@ def main() -> None:
     sf1_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_rehearsal/sf1"
     subset = sys.argv[2:]  # optional: rehearse only the named queries
     run_list = [q for q in QUERIES if not subset or q in subset]
-    qs = queries()
+    qs = dict(_library())
+    qs.update(queries())  # a later registration shadows the library row
     results: dict[tuple[str, str], dict] = {}
     for scale, sf_dir in [("sf0.1", "/root/testdata/sf0.1"), ("sf1", sf1_dir)]:
         # fresh session per scale so REST stage totals are per-scale deltas;
