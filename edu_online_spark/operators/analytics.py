@@ -2942,3 +2942,137 @@ ORACLE_R15 = {
         FROM per GROUP BY nation
     """,
 }
+
+
+def user_activity_gini(events: DataFrame) -> DataFrame:
+    """Per-event-type Gini of user activity plus the top-decile share
+    — "does 1% of users generate 90% of the traffic": the
+    concentration gate a training-data pipeline reads before trusting
+    engagement-weighted sampling, and the bot-farm tripwire (organic
+    populations sit near 0.3-0.6; a scripted swarm pushes both numbers
+    toward 1).
+
+    This is the GINI-VIA-HISTOGRAM formulation — the rank-window
+    identity (supplier_revenue_gini) needs a per-partition sort of
+    every ranked row, which for per-USER activity would mean sorting
+    millions of users per type; activity counts instead live on a tiny
+    integer domain, so the sufficient statistic is the (type, count →
+    n_users) histogram and every rank quantity is an arithmetic
+    series over cumulative counts: users holding count c occupy ranks
+    (cum−n+1..cum), so Σ i·x over the run is c·(2·cum−n+1)·n/2 —
+    EXACT bigints end to end (consecutive-integer sums are always
+    even before the halving), one double division per output column.
+    The same selection arithmetic yields the bottom-90% event mass,
+    hence the top-decile share, with no second pass.
+
+    Scale shape: one map-side-combined (type, user) count, one
+    map-side-combined histogram over it, then the cumulative window
+    runs over |distinct activity counts| rows per type (hundreds) —
+    no corpus-sized or population-sized sort anywhere, the same plan
+    at 100 TB. Queued for round 15 (`events_user_activity_gini`,
+    ORACLE_R15)."""
+    per_user = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    hist = per_user.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("n_u")
+    )
+    w = Window.partitionBy("event_type").orderBy("c")
+    h = hist.withColumn("cum", F.sum("n_u").over(w)).withColumn(
+        "n", F.sum("n_u").over(Window.partitionBy("event_type"))
+    )
+    agg = h.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.sum(F.col("c") * F.col("n_u")).cast("long").alias("total_events"),
+        F.sum(
+            F.col("c")
+            * F.expr("((2 * cum - n_u + 1) * n_u) div 2")
+        )
+        .cast("long")
+        .alias("_sum_i_x"),
+        # bottom-90% event mass: users ranked <= k = (9n) div 10
+        # contribute their full runs below the threshold and a partial
+        # slice of the run where k lands
+        F.sum(
+            F.col("c")
+            * F.greatest(
+                F.lit(0).cast("long"),
+                F.least(
+                    F.col("n_u"),
+                    F.expr("(9 * n) div 10") - (F.col("cum") - F.col("n_u")),
+                ),
+            )
+        )
+        .cast("long")
+        .alias("_bottom90_events"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users",
+        "total_events",
+        F.when(
+            F.col("total_events") > 0,
+            (
+                F.lit(2) * F.col("_sum_i_x")
+                - (F.col("n_users") + F.lit(1)) * F.col("total_events")
+            ).cast("double")
+            / (F.col("n_users") * F.col("total_events")).cast("double"),
+        ).alias("gini"),
+        F.when(
+            F.col("total_events") > 0,
+            (F.col("total_events") - F.col("_bottom90_events")).cast(
+                "double"
+            )
+            / F.col("total_events").cast("double"),
+        ).alias("top_decile_share"),
+    )
+
+
+# Round-15 queue, second analytics member. The mirror repeats the
+# histogram-Gini arithmetic: consecutive-rank sums as arithmetic
+# series over cumulative counts — every quantity an exact bigint,
+# the divisions single.
+ORACLE_R15.update({
+    "events_user_activity_gini": """
+        WITH per_user AS (
+            SELECT event_type, user_id, count(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        hist AS (
+            SELECT event_type, c, count(*) AS n_u
+            FROM per_user GROUP BY 1, 2
+        ),
+        h AS (
+            SELECT event_type, c, n_u,
+                   SUM(n_u) OVER (
+                       PARTITION BY event_type ORDER BY c
+                   ) AS cum,
+                   SUM(n_u) OVER (PARTITION BY event_type) AS n
+            FROM hist
+        ),
+        agg AS (
+            SELECT event_type,
+                   MAX(n) AS n_users,
+                   SUM(c * n_u) AS total_events,
+                   SUM(c * (((2 * cum - n_u + 1) * n_u) // 2))
+                       AS sum_i_x,
+                   SUM(c * GREATEST(0,
+                           LEAST(n_u, (9 * n) // 10 - (cum - n_u))))
+                       AS bottom90_events
+            FROM h GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n_users AS BIGINT) AS n_users,
+               CAST(total_events AS BIGINT) AS total_events,
+               CASE WHEN total_events > 0 THEN
+                   CAST(2 * sum_i_x - (n_users + 1) * total_events
+                        AS DOUBLE)
+                       / CAST(n_users * total_events AS DOUBLE)
+               END AS gini,
+               CASE WHEN total_events > 0 THEN
+                   CAST(total_events - bottom90_events AS DOUBLE)
+                       / CAST(total_events AS DOUBLE)
+               END AS top_decile_share
+        FROM agg
+    """,
+})

@@ -2654,3 +2654,83 @@ def minhash_calibration(
 # planner reads this list so the r15 slot arithmetic sees the
 # registration coming.
 QUEUED_ROWS_ONLY_R15 = ["dedup_minhash_calibration"]
+
+
+def pair_degree_spectrum(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup GRAPH degree spectrum: for each degree d (how many
+    qualified near-dup partners a document has), how many documents
+    sit at that degree — degree 0 included, so the spectrum partitions
+    the corpus. The sixth consumer of the shared LSH-pairs pass, and
+    the structural complement to the cluster-size profile: equal-size
+    clusters can be cliques (template families — every member degree
+    k−1) or chains/stars (drifting revisions, one canonical doc
+    reposted with variations — degree mass at 1 with a high-degree
+    hub), and the remediation differs (drop the family vs keep the
+    hub). The profile can't see that; the spectrum can.
+
+    Scale shape: pairs → symmetrize → one map-side-combined count per
+    doc → a keyed left join marks degree-0 docs on the corpus scan →
+    one count over the degree column, output |distinct degrees| rows;
+    `share` is one exact BIGINT/BIGINT division computed over that
+    tiny relation. Accepts a precomputed `pairs` so composed
+    diagnostics share one LSH pass.
+
+    Queued for round 15 (`dedup_pair_degree_spectrum`, ORACLE_R15)."""
+    from pyspark.sql import Window
+
+    if pairs is None:
+        pairs = minhash_lsh_pairs(documents, threshold=threshold)
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    per_doc = documents.select("doc_id").join(deg, "doc_id", "left").select(
+        F.coalesce(F.col("degree"), F.lit(0).cast("long")).alias("degree")
+    )
+    spec = per_doc.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return spec.select(
+        "degree",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(Window.partitionBy())
+        ).alias("share"),
+    )
+
+
+# Round-15 queue, second dedup member (the hash-checked one — the
+# calibration op above is the rows-only one). The mirror symmetrizes
+# the brute-force exact pairs, counts per-doc degree, and left-joins
+# the corpus so degree-0 docs appear; integers exact, share a single
+# division.
+ORACLE_R15 = {
+    "dedup_pair_degree_spectrum": f"""
+        WITH pairs AS ({_JACCARD_PAIRS_SQL}),
+        deg AS (
+            SELECT doc_id, count(*) AS degree FROM (
+                SELECT doc_a AS doc_id FROM pairs
+                UNION ALL SELECT doc_b FROM pairs
+            ) GROUP BY doc_id
+        ),
+        per_doc AS (
+            SELECT COALESCE(g.degree, 0) AS degree
+            FROM documents d LEFT JOIN deg g USING (doc_id)
+        ),
+        spec AS (
+            SELECT degree, count(*) AS n_docs FROM per_doc GROUP BY degree
+        )
+        SELECT CAST(degree AS BIGINT) AS degree,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER ()
+                                             AS DOUBLE) AS share
+        FROM spec
+    """,
+}

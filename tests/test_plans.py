@@ -771,3 +771,31 @@ def test_r15_queue_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in cal, cal
     assert "BroadcastNestedLoopJoin" not in cal, cal
     assert "BatchEvalPython" not in cal and "ArrowEvalPython" not in cal
+
+
+def test_user_activity_gini_histogram_plan(spark, sf_dir):
+    """Gini-via-histogram must never sort a population: no join, no
+    Python stage, map-side combines present, and the only window runs
+    over the (type, count) histogram — a population-sized rank window
+    would add exchanges past the pinned bound."""
+    from edu_online_spark.operators.analytics import user_activity_gini
+
+    df = user_activity_gini(load_table(spark, sf_dir, "events"))
+    plan = explain_str(df, "simple")
+    assert "Join" not in plan, plan
+    assert "partial" in plan.lower(), plan
+    assert plan.count("Exchange") <= 4, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pair_degree_spectrum_keyed_plan(spark, sf_dir):
+    """Downstream of the banded LSH pairs the spectrum is a keyed
+    degree count + a doc_id left join + a tiny histogram — no
+    cartesian anywhere, JVM-side end to end."""
+    from edu_online_spark.operators.dedup import pair_degree_spectrum
+
+    df = pair_degree_spectrum(load_table(spark, sf_dir, "documents"))
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -206,3 +206,129 @@ def test_minhash_calibration_identical_docs_read_one():
     assert r["n_pairs"] == 1
     assert r["mean_est"] == 1.0 and r["mean_exact"] == 1.0
     assert r["max_abs_err"] == 0.0
+
+
+# -- events_user_activity_gini ------------------------------------------------
+
+
+def test_user_activity_gini_matches_r15_oracle(spark, sf_dir):
+    from edu_online_spark.operators.analytics import (
+        ORACLE_R15,
+        user_activity_gini,
+    )
+
+    problems = compare(
+        "events_user_activity_gini",
+        user_activity_gini(load_table(spark, sf_dir, "events")),
+        run_oracle(ORACLE_R15["events_user_activity_gini"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_user_activity_gini_fixture():
+    """Known concentrations: an equal population reads gini 0; a
+    one-whale population {1,1,1,97} reads the hand-computed 0.72 with
+    top-decile share 0.97 (k = floor(0.9·4) = 3 users below the cut)."""
+    from edu_online_spark.session import get_spark
+    from edu_online_spark.operators.analytics import user_activity_gini
+
+    spark = get_spark()
+    rows = []
+    # type EQ: four users, one event each
+    rows += [(i, u, "EQ") for i, u in enumerate([1, 2, 3, 4])]
+    # type WHALE: three users with 1 event, one with 97
+    rows += [(100 + i, 10 + i, "WHALE") for i in range(3)]
+    rows += [(200 + i, 13, "WHALE") for i in range(97)]
+    ev = spark.createDataFrame(
+        [(e, u, t, f"2024-01-01 10:{e % 60:02d}:00") for e, u, t in rows],
+        "event_id long, user_id long, event_type string, ts string",
+    )
+    out = {r["event_type"]: r for r in user_activity_gini(ev).collect()}
+    eq, wh = out["EQ"], out["WHALE"]
+    assert (eq["n_users"], eq["total_events"]) == (4, 4)
+    assert eq["gini"] == 0.0 and eq["top_decile_share"] == 0.25
+    assert (wh["n_users"], wh["total_events"]) == (4, 100)
+    # sum i·x = 1+2+3+4·97 = 394 -> (2·394 − 5·100)/(4·100)
+    assert wh["gini"] == (2 * 394 - 5 * 100) / 400
+    assert wh["top_decile_share"] == 0.97
+
+
+def test_user_activity_gini_histogram_equals_rank_identity(spark, sf_dir):
+    """The histogram formulation must equal the direct sorted-rank
+    identity computed driver-side over the same per-user counts —
+    the arithmetic-series claim, checked numerically per event type."""
+    from edu_online_spark.operators.analytics import user_activity_gini
+    from pyspark.sql import functions as F  # noqa: F811
+
+    events = load_table(spark, sf_dir, "events")
+    got = {r["event_type"]: r for r in user_activity_gini(events).collect()}
+    per = (
+        events.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    by_type: dict[str, list[int]] = {}
+    for r in per:
+        by_type.setdefault(r["event_type"], []).append(r["c"])
+    for t, counts in by_type.items():
+        xs = sorted(counts)
+        n, sx = len(xs), sum(xs)
+        six = sum((i + 1) * x for i, x in enumerate(xs))
+        expect_gini = (2 * six - (n + 1) * sx) / (n * sx)
+        assert got[t]["gini"] == expect_gini, t
+        k = (9 * n) // 10
+        expect_top = (sx - sum(xs[:k])) / sx
+        assert got[t]["top_decile_share"] == expect_top, t
+
+
+# -- dedup_pair_degree_spectrum ----------------------------------------------
+
+
+def test_pair_degree_spectrum_matches_r15_oracle(spark, sf_dir):
+    from edu_online_spark.operators.dedup import (
+        ORACLE_R15,
+        pair_degree_spectrum,
+    )
+
+    problems = compare(
+        "dedup_pair_degree_spectrum",
+        pair_degree_spectrum(load_table(spark, sf_dir, "documents")),
+        run_oracle(ORACLE_R15["dedup_pair_degree_spectrum"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_pair_degree_spectrum_fixture():
+    """A 3-clique of identical docs (every member degree 2) plus one
+    fresh doc (degree 0): the spectrum partitions the corpus and the
+    shares say so."""
+    from edu_online_spark.session import get_spark
+    from edu_online_spark.operators.dedup import pair_degree_spectrum
+
+    spark = get_spark()
+    same = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, same), (2, same), (3, same),
+         (4, " ".join(f"z{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    rows = {r["degree"]: r for r in pair_degree_spectrum(docs).collect()}
+    assert set(rows) == {0, 2}
+    assert rows[0]["n_docs"] == 1 and rows[2]["n_docs"] == 3
+    assert rows[0]["share"] == 0.25 and rows[2]["share"] == 0.75
+
+
+def test_pair_degree_spectrum_consistency(spark, sf_dir):
+    """Structural invariants against the certified pairs relation:
+    Σ degree·n_docs = 2·|pairs| (every edge contributes two degree
+    units) and Σ n_docs = |documents| (degree 0 included)."""
+    from edu_online_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        pair_degree_spectrum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    spec = pair_degree_spectrum(docs).collect()
+    n_pairs = minhash_lsh_pairs(docs).count()
+    assert sum(r["degree"] * r["n_docs"] for r in spec) == 2 * n_pairs
+    assert sum(r["n_docs"] for r in spec) == docs.count()

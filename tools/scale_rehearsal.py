@@ -104,6 +104,8 @@ QUERIES = [
     "supplier_revenue_hhi",
     "embeddings_norm_deciles",
     "dedup_minhash_calibration",
+    "events_user_activity_gini",
+    "dedup_pair_degree_spectrum",
 ]
 
 
@@ -111,8 +113,14 @@ def _library():
     """Queued ops that are not registry queries yet: name → callable
     with the registry (spark, sf_dir) signature, so growth rows exist
     BEFORE the promotion round."""
-    from edu_online_spark.operators.analytics import supplier_revenue_hhi
-    from edu_online_spark.operators.dedup import minhash_calibration
+    from edu_online_spark.operators.analytics import (
+        supplier_revenue_hhi,
+        user_activity_gini,
+    )
+    from edu_online_spark.operators.dedup import (
+        minhash_calibration,
+        pair_degree_spectrum,
+    )
     from edu_online_spark.operators.similarity import norm_deciles
     from edu_online_spark.operators.textops import shingle_df_spectrum
     from edu_online_spark.sources import load_table
@@ -130,6 +138,12 @@ def _library():
             load_table(s, d, "embeddings")
         ),
         "dedup_minhash_calibration": lambda s, d: minhash_calibration(
+            load_table(s, d, "documents")
+        ),
+        "events_user_activity_gini": lambda s, d: user_activity_gini(
+            load_table(s, d, "events")
+        ),
+        "dedup_pair_degree_spectrum": lambda s, d: pair_degree_spectrum(
             load_table(s, d, "documents")
         ),
     }
@@ -165,6 +179,8 @@ NOOP_MATERIALIZE = {
     "supplier_revenue_hhi",
     "embeddings_norm_deciles",
     "dedup_minhash_calibration",
+    "events_user_activity_gini",
+    "dedup_pair_degree_spectrum",
 }
 
 
