@@ -42,6 +42,7 @@ def main() -> None:
         cluster_size_profile,
         minhash_lsh_pairs,
         near_dup_clusters,
+        pair_degree_spectrum,
         savings_by_source,
         threshold_yield_curve,
     )
@@ -89,12 +90,19 @@ def main() -> None:
         ).mode("overwrite").save()
         row["lang_purity_sec"] = round(time.perf_counter() - t0, 2)
 
+        t0 = time.perf_counter()
+        pair_degree_spectrum(docs, pairs=pairs).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        row["degree_spectrum_sec"] = round(time.perf_counter() - t0, 2)
+
         row["marginal_sec"] = round(
             row["yield_curve_sec"]
             + row["size_profile_sec"]
             + row["clusters_sec"]
             + row["savings_sec"]
-            + row["lang_purity_sec"],
+            + row["lang_purity_sec"]
+            + row["degree_spectrum_sec"],
             2,
         )
         row["composed_total_sec"] = round(
