@@ -2974,6 +2974,15 @@ def user_activity_gini(events: DataFrame) -> DataFrame:
     per_user = events.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
+    return activity_gini_report(per_user)
+
+
+def activity_gini_report(per_user: DataFrame) -> DataFrame:
+    """The histogram→Gini stage of `user_activity_gini`, split out so
+    the streaming twin folds its (type, user, c) state and applies the
+    IDENTICAL report — stream/batch parity by construction, not by
+    parallel maintenance. Input contract: one row per (event_type,
+    user_id) with its long count `c`."""
     hist = per_user.groupBy("event_type", "c").agg(
         F.count(F.lit(1)).cast("long").alias("n_u")
     )

@@ -3944,3 +3944,124 @@ def revenue_gini_job(
         .trigger(**_trigger({}, available_now))
         .start()
     )
+
+
+def activity_gini_job(
+    raw: DataFrame,
+    out: str,
+    checkpoint: str,
+    available_now: bool = False,
+    retain_snapshots: int = 8,
+) -> StreamingQuery:
+    """Live traffic-concentration monitor: the streaming twin of
+    `operators/analytics.user_activity_gini` — maintain per-(type,
+    user) event counts as events arrive and publish the per-type Gini
+    + top-decile share every trigger, via the IDENTICAL
+    `activity_gini_report` stage the batch op runs (parity by shared
+    code, pinned by wave-replay anyway). Lands the round before its
+    batch op promotes — the playbook's fourth instance.
+
+    Shape: per-trigger corpus work is one map-side-combined (type,
+    user) count over the micro-batch; state is POPULATION-bounded
+    (one long per user per type it ever emitted, regardless of event
+    volume) and folds ADDITIVELY under the last_batch_id replay fence
+    (a correctness guard — a redelivered trigger must not re-count).
+    The per-trigger report then runs the histogram-Gini arithmetic
+    over the state's (type, count) histogram — |distinct counts| rows
+    per type, no population sort, the same plan live as at rest.
+
+    Output per trigger: one row per event_type (n_users,
+    total_events, gini, top_decile_share), snapshot-written to
+    ingest_batch=N with the newest `retain_snapshots` kept."""
+    import os
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.analytics import activity_gini_report
+
+    state_path = out + ".state"
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    parsed = F.from_json(
+        F.col("value"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    ev = (
+        raw.select(parsed.alias("j"))
+        .filter(
+            F.col("j._corrupt").isNull()
+            & F.col("j.user_id").isNotNull()
+            & F.col("j.event_type").isNotNull()
+        )
+        .select(
+            F.col("j.event_type").alias("event_type"),
+            F.col("j.user_id").alias("user_id"),
+        )
+    )
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        sinks.recover_sink(state_path)
+        if os.path.exists(state_path):
+            old = spark.read.parquet(state_path)
+            last = old.agg(F.max("last_batch_id")).first()[0]
+            if last is not None and last >= batch_id:
+                return  # redelivered trigger: additive state must not re-fold
+            prior = old.select("event_type", "user_id", "c")
+        else:
+            prior = spark.createDataFrame(
+                [], "event_type string, user_id long, c long"
+            )
+        delta = batch.groupBy("event_type", "user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        state = (
+            prior.unionByName(delta)
+            .groupBy("event_type", "user_id")
+            .agg(F.sum("c").cast("long").alias("c"))
+            .localCheckpoint(eager=True)  # snapshot + state share it
+        )
+        snap = activity_gini_report(state)
+        snap.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, f"ingest_batch={batch_id}")
+        )
+        new_state = (
+            state.withColumn("last_batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .localCheckpoint(eager=True)  # materialize before the swap
+        )
+        sinks.parquet_overwrite_atomic(state_path)(new_state, batch_id)
+        if retain_snapshots > 0:
+            import shutil
+
+            stale = sorted(
+                int(d.split("=")[1])
+                for d in os.listdir(out)
+                if d.startswith("ingest_batch=")
+            )[:-retain_snapshots]
+            for b in stale:
+                shutil.rmtree(
+                    os.path.join(out, f"ingest_batch={b}"),
+                    ignore_errors=True,
+                )
+
+    return (
+        ev.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )

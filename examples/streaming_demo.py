@@ -41,7 +41,7 @@ def main() -> None:
         for t in (
             "register", "qz", "page", "raw", "docs", "pii", "emb", "link",
             "scrub", "budget", "shard", "winnow", "ingest", "neardup", "burst",
-            "seed", "stick", "sla", "deciles", "gini",
+            "seed", "stick", "sla", "deciles", "gini", "act",
         )
     }
 
@@ -568,6 +568,37 @@ def main() -> None:
         if d.startswith("ingest_batch=")
     )
     out["revenue_gini"] = f"{gini_base}/ingest_batch={last}"
+
+    # round 13: live traffic concentration (activity_gini_job) — the
+    # histogram-Gini over per-(type,user) counts. Wave 1: two users,
+    # one event each (gini 0). Wave 2: user 1 fires three more events
+    # of the same type, so the final snapshot shows T-A at the
+    # hand-computed gini for counts {1,4} = 0.3 and top-decile (=top
+    # user here) share 0.8; the corrupt line is dropped.
+    def act_line(e, u, t):
+        return json.dumps({"event_id": e, "user_id": u, "event_type": t})
+
+    produce(topics["act"], "a1.jsonl", [
+        act_line(1, 1, "T-A"), act_line(2, 2, "T-A"), "corrupt {",
+    ])
+    act_base = f"{work}/out/activity_gini"
+    jobs.activity_gini_job(
+        file_stream(spark, topics["act"]),
+        act_base, ck("act"), available_now=True,
+    ).awaitTermination(120)
+    produce(topics["act"], "a2.jsonl", [
+        act_line(3, 1, "T-A"), act_line(4, 1, "T-A"), act_line(5, 1, "T-A"),
+    ])
+    jobs.activity_gini_job(
+        file_stream(spark, topics["act"]),
+        act_base, ck("act"), available_now=True,
+    ).awaitTermination(120)
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(act_base)
+        if d.startswith("ingest_batch=")
+    )
+    out["activity_gini"] = f"{act_base}/ingest_batch={last}"
 
     for name, path in out.items():
         df = spark.read.parquet(path)

@@ -765,3 +765,91 @@ def test_revenue_gini_replay_fence_prevents_double_count(
     q.awaitTermination(120)
     total2 = spark.read.parquet(out + ".state").agg(F.sum("revenue")).first()[0]
     assert total2 == total, (total2, total)
+
+
+def test_activity_gini_streaming_equals_batch(spark, sf_dir, tmp_path):
+    """Live traffic concentration: replay the events table in two
+    waves; the final snapshot equals the batch user_activity_gini row
+    for row (the two modes share activity_gini_report, and the count
+    fold is associative). A corrupt line is dropped, not crashed on."""
+    import json
+
+    from edu_online_spark.operators.analytics import user_activity_gini
+
+    events = load_table(spark, sf_dir, "events")
+    lines = [
+        json.dumps(
+            {
+                "event_id": r["event_id"],
+                "user_id": r["user_id"],
+                "event_type": r["event_type"],
+            }
+        )
+        for r in events.select("event_id", "user_id", "event_type").collect()
+    ] + ["corrupt {"]
+    assert len(lines) > 100
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    half = len(lines) // 2
+    _replay(
+        jobs.activity_gini_job, spark, src, out, ckpt,
+        [lines[:half], lines[half:]],
+    )
+    batches = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out)
+        if d.startswith("ingest_batch=")
+    )
+    final = os.path.join(out, f"ingest_batch={batches[-1]}")
+    cols = ["n_users", "total_events", "gini", "top_decile_share"]
+    streamed = {
+        r["event_type"]: tuple(r[c] for c in cols)
+        for r in spark.read.parquet(final).collect()
+    }
+    batch = {
+        r["event_type"]: tuple(r[c] for c in cols)
+        for r in user_activity_gini(events).collect()
+    }
+    assert streamed == batch
+    # state is population-bounded: one row per (type, user) seen
+    n_state = spark.read.parquet(out + ".state").count()
+    n_tu = events.select("event_type", "user_id").distinct().count()
+    assert n_state == n_tu
+
+
+def test_activity_gini_replay_fence_prevents_double_count(
+    spark, sf_dir, tmp_path
+):
+    """The count fold is ADDITIVE: an availableNow restart over the
+    same checkpoint with no new files must leave total counted events
+    (and therefore the snapshot) unchanged."""
+    import json
+
+    from edu_online_spark.sources import load_table as _lt
+
+    events = _lt(spark, sf_dir, "events")
+    rows = events.select("event_id", "user_id", "event_type").limit(300).collect()
+    lines = [
+        json.dumps(
+            {
+                "event_id": r["event_id"],
+                "user_id": r["user_id"],
+                "event_type": r["event_type"],
+            }
+        )
+        for r in rows
+    ]
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    _replay(jobs.activity_gini_job, spark, src, out, ckpt, [lines])
+    total = spark.read.parquet(out + ".state").agg(F.sum("c")).first()[0]
+    assert total == len(rows)
+    q = jobs.activity_gini_job(
+        file_stream(spark, src, max_files_per_trigger=1),
+        out,
+        ckpt,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    total2 = spark.read.parquet(out + ".state").agg(F.sum("c")).first()[0]
+    assert total2 == len(rows), (total2, len(rows))

@@ -474,6 +474,67 @@ def bench_latency_quantiles(spark, work, n_rows, n_files):
     )
 
 
+def bench_activity_gini(spark, work, n_rows, n_files):
+    """Throughput + trigger-latency profile for activity_gini_job
+    (live traffic concentration). State is POPULATION-bounded — one
+    count per (type, user): 5 types × 20k users here — and the
+    per-trigger report runs over the state's (type, count) histogram,
+    so trigger cost must be flat once the population has been seen."""
+    name = "activity_gini"
+    src = os.path.join(work, name, "src")
+    per = n_rows // n_files
+    n_users = 20_000
+
+    def line(i: int) -> str:
+        return json.dumps({
+            "event_id": i,
+            # zipf-ish skew: low user ids fire far more often
+            "user_id": (i * 7919) % ((i % 97) + 1) % n_users
+            if i % 3 else i % 200,
+            "event_type": f"T{i % 5}",
+        })
+
+    for f in range(n_files):
+        _produce(src, f"a{f:04d}.log", [line(f * per + i) for i in range(per)])
+    out = os.path.join(work, name, "out")
+    ckpt = os.path.join(work, name, "ck")
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates",
+        str(max(n_files + 16, 100)),
+    )
+    q = jobs.activity_gini_job(
+        file_stream(spark, src, max_files_per_trigger=1),
+        out,
+        ckpt,
+        available_now=True,
+    )
+    t0 = time.monotonic()
+    q.awaitTermination(600)
+    secs = time.monotonic() - t0
+    order = [
+        p.batchDuration / 1000.0
+        for p in sorted(q.recentProgress, key=lambda p: p.batchId)
+        if p.numInputRows > 0
+    ]
+    if not order:
+        print(json.dumps({"job": name, "error": "no data-bearing batches"}))
+        return
+    print(
+        json.dumps(
+            {
+                "job": name,
+                "rows": per * n_files,
+                "secs": round(secs, 2),
+                "rows_per_sec": int(per * n_files / secs),
+                "batches": len(order),
+                "trigger_s_first": round(order[0], 2),
+                "trigger_s_median": round(sorted(order)[len(order) // 2], 2),
+                "trigger_s_last": round(order[-1], 2),
+            }
+        )
+    )
+
+
 def bench_revenue_gini(spark, work, n_rows, n_files):
     """Throughput + trigger-latency profile for revenue_gini_job (live
     per-nation supplier-revenue concentration). State is POPULATION-
@@ -615,7 +676,7 @@ KNOWN_JOBS = {
     "register_totals", "quiz_mastery", "minhash_dedup", "winnow_index",
     "curation_ingest", "burst_flags", "weighted_sample", "stickiness",
     "latency_quantiles", "balance_deciles", "balance_deciles_sat",
-    "revenue_gini",
+    "revenue_gini", "activity_gini",
 }
 
 
@@ -690,6 +751,8 @@ def main() -> None:
             bench_balance_deciles(spark, work, n_rows, n_files, saturate=True)
         if want("revenue_gini"):
             bench_revenue_gini(spark, work, n_rows, n_files)
+        if want("activity_gini"):
+            bench_activity_gini(spark, work, n_rows, n_files)
         if want("winnow_index"):
             bench_winnow_index(spark, work, n_rows // 10, n_files)
         if want("minhash_dedup"):
