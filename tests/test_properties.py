@@ -565,3 +565,166 @@ def test_cluster_lang_purity_matches_counter_reference(spark, spec):
         assert r["n_langs"] == len(c)
         assert (r["top_lang"], r["top_lang_cnt"]) == (top_lang, c[top_lang])
         assert r["cross_lang"] == (len(c) > 1)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["tA", "tB"]),          # event type
+            st.integers(min_value=0, max_value=6),  # user
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_activity_gini_matches_rational_reference(spark, tus):
+    """For ANY (type, user) event multiset the histogram-Gini equals
+    the direct sorted-rank identity in exact Python rationals, and the
+    top-decile share equals the sorted-suffix mass above rank
+    floor(0.9n) — the arithmetic-series claim under arbitrary tie
+    structure, which the fixture tests can't sweep."""
+    from collections import Counter
+    from fractions import Fraction
+
+    from edu_online_spark.operators.analytics import user_activity_gini
+
+    events = spark.createDataFrame(
+        [(i, u, t, "2024-01-01 10:00:00") for i, (t, u) in enumerate(tus)],
+        "event_id long, user_id long, event_type string, ts string",
+    )
+    got = {r["event_type"]: r for r in user_activity_gini(events).collect()}
+    per = Counter(tus)  # (type, user) -> count
+    types = {t for t, _ in per}
+    assert set(got) == types
+    for t in types:
+        xs = sorted(c for (tt, _), c in per.items() if tt == t)
+        n, sx = len(xs), sum(xs)
+        ref = Fraction(
+            2 * sum((i + 1) * x for i, x in enumerate(xs)) - (n + 1) * sx,
+            n * sx,
+        )
+        r = got[t]
+        assert (r["n_users"], r["total_events"]) == (n, sx), t
+        assert r["gini"] == float(ref), t
+        k = (9 * n) // 10
+        assert r["top_decile_share"] == float(
+            Fraction(sx - sum(xs[:k]), sx)
+        ), t
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=500),  # positive revenues
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_hhi_matches_rational_reference(spark, prices):
+    """For ANY positive revenue multiset: HHI equals Σ(xᵢ/Σx)² in
+    exact rationals (within one double rounding), sits in [1/n, 1],
+    and top1_share equals max/Σ exactly."""
+    from fractions import Fraction
+
+    from edu_online_spark.operators.analytics import supplier_revenue_hhi
+
+    lineitem = spark.createDataFrame(
+        [(k, float(p), 0.0) for k, p in enumerate(prices)],
+        "l_suppkey long, l_extendedprice double, l_discount double",
+    )
+    supplier = spark.createDataFrame(
+        [(k, 0) for k in range(len(prices))],
+        "s_suppkey long, s_nationkey long",
+    )
+    nation = spark.createDataFrame(
+        [(0, "N")], "n_nationkey long, n_name string"
+    )
+    [r] = supplier_revenue_hhi(lineitem, supplier, nation).collect()
+    n, sx = len(prices), sum(prices)
+    ref = sum(Fraction(p, sx) ** 2 for p in prices)
+    assert abs(r["hhi"] - float(ref)) < 1e-12
+    assert 1 / n - 1e-12 <= r["hhi"] <= 1 + 1e-12
+    assert r["top1_share"] == float(Fraction(max(prices), sx))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("aa bb cc dd ee".split()),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_shingle_df_spectrum_conservation(spark, token_lists):
+    """For ANY corpus: the spectrum's Σ n_shingles equals the number
+    of distinct shingles, Σ df·n_shingles equals the total distinct
+    (doc, shingle) incidences, and shares sum to 1 — the partition
+    invariants a Counter reference computes directly."""
+    from collections import Counter
+
+    from edu_online_spark.operators.textops import shingle_df_spectrum
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        "doc_id long, text string",
+    )
+    rows = shingle_df_spectrum(docs).collect()
+    df_counter = Counter()
+    for toks in token_lists:
+        grams = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+        for g in grams:
+            df_counter[g] += 1
+    want = Counter(df_counter.values())  # df -> n_shingles
+    got = {r["df"]: r["n_shingles"] for r in rows}
+    assert got == dict(want)
+    if rows:
+        assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-4, max_value=4, allow_nan=False, width=32
+            ),
+            min_size=2,
+            max_size=2,
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_norm_deciles_are_true_order_statistics(spark, vecs):
+    """For ANY vector set: every reported decile is EXACTLY the
+    element of the sorted norm² list at rank ceil(k·n/10) — computed
+    with the identical per-row sorted-square fold in Python — and
+    min/max bracket them."""
+    from edu_online_spark.operators.similarity import norm_deciles
+
+    emb = spark.createDataFrame(
+        [(i, v, 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    [r] = norm_deciles(emb).collect()
+    import struct
+
+    def f32(x):  # the float32 the array column actually stores
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    norms = sorted(
+        sum(sorted(f32(x) * f32(x) for x in v)) for v in vecs
+    )
+    n = len(norms)
+    assert r["n_vecs"] == n
+    assert r["min_norm2"] == norms[0] and r["max_norm2"] == norms[-1]
+    for k in range(1, 10):
+        pos = (k * n + 9) // 10
+        assert r[f"d{k}"] == norms[pos - 1], (k, n)
