@@ -3085,3 +3085,192 @@ ORACLE_R15.update({
         FROM agg
     """,
 })
+
+
+def daily_mad_anomalies(events: DataFrame, k: int = 3) -> DataFrame:
+    """Robust volume-anomaly screen: flag days whose event count sits
+    more than k median-absolute-deviations from the all-time median.
+    The companion to `daily_anomaly_flags` (trailing-mean × factor):
+    the trailing mean is itself dragged by the anomalies it is
+    supposed to catch (one 10× day inflates the next week's baseline
+    by 2.3×, masking follow-on spikes), while median/MAD have a 50%
+    breakdown point — the screen still works when half the window is
+    garbage, which is exactly the regime a backfill incident creates.
+
+    Exactness: daily counts are integers, so the lower-median (the
+    module's order-statistic selection over the count histogram) is
+    an integer, every |cnt − median| deviation is an integer, the MAD
+    is again an integer median, and the flag is a PURE INTEGER
+    comparison |cnt − median| > k·MAD — no float anywhere in the
+    verdict; robust_z is the one IEEE division, NULL when MAD = 0
+    (a constant series has no scale to score against).
+
+    Scale shape: one map-side-combined shuffle to daily counts; all
+    medians and windows run on the DAY-grain relation, which is
+    calendar-bounded (decades of data < 10⁴ rows) — the single
+    unpartitioned windows here are over that tiny relation, never the
+    corpus. Queued for round 16 (`events_daily_mad_anomalies`,
+    ORACLE_R16)."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    n_days = Window.partitionBy()
+    w_cnt = Window.orderBy("cnt", "day")
+    med = (
+        daily.withColumn("rn", F.row_number().over(w_cnt))
+        .withColumn("n", F.count(F.lit(1)).over(n_days))
+        .select(
+            F.min(
+                F.when(F.col("rn") >= F.expr("(n + 1) div 2"), F.col("cnt"))
+            ).alias("median_cnt")
+        )
+    )
+    dev = daily.crossJoin(F.broadcast(med)).withColumn(
+        "dev", F.abs(F.col("cnt") - F.col("median_cnt"))
+    )
+    w_dev = Window.orderBy("dev", "day")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(w_dev))
+        .withColumn("n", F.count(F.lit(1)).over(n_days))
+        .select(
+            F.min(
+                F.when(F.col("rn") >= F.expr("(n + 1) div 2"), F.col("dev"))
+            ).alias("mad")
+        )
+    )
+    return dev.crossJoin(F.broadcast(mad)).select(
+        "day",
+        "cnt",
+        "median_cnt",
+        "mad",
+        (F.col("dev") > F.lit(k) * F.col("mad")).alias("is_anomaly"),
+        F.when(
+            F.col("mad") > 0,
+            F.col("dev").cast("double") / F.col("mad").cast("double"),
+        ).alias("robust_z"),
+    )
+
+
+WILSON_Z = 1.96  # 95% two-sided; a fixed literal on BOTH engines
+
+
+def supplier_return_rate_wilson(lineitem: DataFrame) -> DataFrame:
+    """Per-supplier return rate with its Wilson 95% score interval —
+    the uncertainty-aware version of "which suppliers have elevated
+    returns": a 3-line supplier at 2/3 returned LOOKS worse than a
+    3000-line supplier at 40% but its lower bound says you know
+    almost nothing, and ranking by `wilson_lb` instead of p̂ is the
+    standard fix (the same estimator behind Reddit's comment sort and
+    any CTR ranker). Counts are exact bigints; p̂ is one division;
+    the interval is one fixed double expression (z = 1.96 literal,
+    sqrt is IEEE exactly-rounded) written with IDENTICAL operand
+    order in the oracle, so both engines produce the same doubles.
+
+    Scale shape: ONE map-side-combined aggregate on l_suppkey (the
+    conditional count rides the same pass); output is supplier-grain.
+    Queued for round 16 (`supplier_return_rate_wilson`, ORACLE_R16)."""
+    agg = lineitem.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_returns"),
+    )
+    z2 = WILSON_Z * WILSON_Z
+    n = F.col("n_lines").cast("double")
+    p = F.col("n_returns").cast("double") / n
+    center = p + F.lit(z2) / (F.lit(2.0) * n)
+    margin = F.lit(WILSON_Z) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + F.lit(z2) / (F.lit(4.0) * n * n)
+    )
+    denom = F.lit(1.0) + F.lit(z2) / n
+    return agg.select(
+        "l_suppkey",
+        "n_lines",
+        "n_returns",
+        p.alias("p_hat"),
+        ((center - margin) / denom).alias("wilson_lb"),
+        ((center + margin) / denom).alias("wilson_ub"),
+    )
+
+
+# Round-16 promotion queue. The MAD mirror repeats the order-statistic
+# selection twice (counts, then deviations) with the same (value, day)
+# tie-break; the verdict is integer-only. The Wilson mirror spells the
+# interval with the IDENTICAL operand order (every +,*,/ and the sqrt
+# are exactly-rounded IEEE ops, so same sequence = same doubles) — and
+# every numeric literal is CAST to DOUBLE first: DuckDB parses `1.96`
+# as DECIMAL(3,2), so a bare `1.96 * 1.96` is the exact decimal 3.8416
+# rather than the double product 3.8415999999999997, a one-ulp oracle
+# mismatch caught live at sf0.01 (the round-13 instance of the
+# round-10 bare-decimal-literal rule).
+ORACLE_R16 = {
+    "events_daily_mad_anomalies": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1
+        ),
+        m AS (
+            SELECT MIN(CASE WHEN rn >= (n + 1) // 2 THEN cnt END)
+                       AS median_cnt
+            FROM (SELECT cnt,
+                         ROW_NUMBER() OVER (ORDER BY cnt, day) AS rn,
+                         COUNT(*) OVER () AS n
+                  FROM daily)
+        ),
+        dev AS (
+            SELECT d.day, d.cnt, m.median_cnt,
+                   ABS(d.cnt - m.median_cnt) AS dev
+            FROM daily d CROSS JOIN m
+        ),
+        md AS (
+            SELECT MIN(CASE WHEN rn >= (n + 1) // 2 THEN dev END) AS mad
+            FROM (SELECT dev,
+                         ROW_NUMBER() OVER (ORDER BY dev, day) AS rn,
+                         COUNT(*) OVER () AS n
+                  FROM dev)
+        )
+        SELECT day,
+               CAST(cnt AS BIGINT) AS cnt,
+               CAST(median_cnt AS BIGINT) AS median_cnt,
+               CAST(mad AS BIGINT) AS mad,
+               dev > 3 * mad AS is_anomaly,
+               CASE WHEN mad > 0
+                    THEN CAST(dev AS DOUBLE) / CAST(mad AS DOUBLE)
+               END AS robust_z
+        FROM dev CROSS JOIN md
+    """,
+    "supplier_return_rate_wilson": """
+        WITH agg AS (
+            SELECT l_suppkey,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_returns
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l_suppkey, n_lines, n_returns,
+               CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE) AS p_hat,
+               ((CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (2.0 * CAST(n_lines AS DOUBLE)))
+                - CAST(1.96 AS DOUBLE) * sqrt(
+                      (CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE))
+                      * (1.0 - CAST(n_returns AS DOUBLE)
+                               / CAST(n_lines AS DOUBLE))
+                      / CAST(n_lines AS DOUBLE)
+                      + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (4.0 * CAST(n_lines AS DOUBLE)
+                                  * CAST(n_lines AS DOUBLE))))
+               / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n_lines AS DOUBLE)) AS wilson_lb,
+               ((CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (2.0 * CAST(n_lines AS DOUBLE)))
+                + CAST(1.96 AS DOUBLE) * sqrt(
+                      (CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE))
+                      * (1.0 - CAST(n_returns AS DOUBLE)
+                               / CAST(n_lines AS DOUBLE))
+                      / CAST(n_lines AS DOUBLE)
+                      + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (4.0 * CAST(n_lines AS DOUBLE)
+                                  * CAST(n_lines AS DOUBLE))))
+               / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / CAST(n_lines AS DOUBLE)) AS wilson_ub
+        FROM agg
+    """,
+}

@@ -3917,3 +3917,180 @@ ORACLE_R15 = {
         FROM spec
     """,
 }
+
+
+BIGRAM_LIFT_TOP_K = 5
+BIGRAM_LIFT_MIN_COUNT = 2
+
+
+def bigram_lift_topk(
+    documents: DataFrame,
+    k: int = BIGRAM_LIFT_TOP_K,
+    min_count: int = BIGRAM_LIFT_MIN_COUNT,
+) -> DataFrame:
+    """Per-source top-k collocations by LIFT — the bigrams that appear
+    far more often than their unigram frequencies predict:
+    lift(a b) = P(ab) / (P(a)·P(b)) = c_ab·N_uni² / (c_a·c_b·N_bi).
+    Raw bigram counts (text_top_bigrams) surface "of the"; lift
+    surfaces the bound phrases — template signatures, entity names,
+    injected boilerplate — which is what a corpus forensics pass
+    actually wants. `min_count` floors the numerator so one-off
+    pairings of two rare tokens (lift → N) don't own the board.
+
+    Determinism: all five counts are exact bigints; the lift is ONE
+    double expression over their casts with identical operand order in
+    the mirror (each *, / exactly rounded → identical doubles), and
+    the top-k rank breaks ties (lift, then bigram text) totally.
+
+    Scale shape: bigram and unigram counts are map-side-combined
+    scans; the two margin joins are keyed equi-joins on (source,
+    token); the rank window sorts each source's QUALIFIED bigram
+    relation (post min_count — collocation-grain, vocab-bounded,
+    never corpus-sized). Queued for round 16
+    (`corpus_bigram_lift_topk`, ORACLE_R16)."""
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "source", F.explode(T.tokens("text")).alias("t")
+    )
+    uni = toks.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n_uni = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_uni")
+    )
+    from ..functions.text import shingle_rows
+
+    # 2-gram rows per doc keep duplicates (counts, not sets); bigrams
+    # must not span document boundaries, so shingle per doc_id then
+    # attribute to the doc's source
+    bi = (
+        shingle_rows(documents, "doc_id", "text", 2)
+        .join(documents.select("doc_id", "source"), "doc_id")
+        .groupBy("source", F.col("shingle").alias("bigram"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    n_bi = bi.groupBy("source").agg(
+        F.sum("c_ab").cast("long").alias("n_bi")
+    )
+    parts = bi.select(
+        "source",
+        "bigram",
+        "c_ab",
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("ta"),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("tb"),
+    )
+    joined = (
+        parts.filter(F.col("c_ab") >= min_count)
+        .join(
+            uni.select(
+                "source", F.col("t").alias("ta"), F.col("c").alias("c_a")
+            ),
+            ["source", "ta"],
+        )
+        .join(
+            uni.select(
+                "source", F.col("t").alias("tb"), F.col("c").alias("c_b")
+            ),
+            ["source", "tb"],
+        )
+        .join(n_uni, "source")
+        .join(n_bi, "source")
+        .select(
+            "source",
+            "bigram",
+            "c_ab",
+            "c_a",
+            "c_b",
+            (
+                F.col("c_ab").cast("double")
+                * F.col("n_uni").cast("double")
+                * F.col("n_uni").cast("double")
+                / (
+                    F.col("c_a").cast("double")
+                    * F.col("c_b").cast("double")
+                    * F.col("n_bi").cast("double")
+                )
+            ).alias("lift"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("lift").desc(), F.col("bigram")
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "source",
+            F.col("rank").cast("long").alias("rank"),
+            "bigram",
+            "c_ab",
+            "c_a",
+            "c_b",
+            "lift",
+        )
+    )
+
+
+# Round-16 promotion queue. The mirror repeats the margin counts over
+# the same tokenization, the same min-count floor, and the lift as the
+# identical double expression (left-to-right products over exact
+# bigint casts), with the same (lift DESC, bigram) total ordering.
+ORACLE_R16 = {
+    "corpus_bigram_lift_topk": f"""
+        WITH toks AS (
+            SELECT source, unnest(w) AS t
+            FROM (SELECT source, {_TOKENS} AS w FROM documents)
+        ),
+        uni AS (
+            SELECT source, t, count(*) AS c_a FROM toks GROUP BY 1, 2
+        ),
+        n_uni AS (
+            SELECT source, count(*) AS n_uni FROM toks GROUP BY 1
+        ),
+        bi AS (
+            SELECT source,
+                   unnest([array_to_string(w[i:i+1], ' ')
+                           for i in range(1, len(w))]) AS bigram
+            FROM (SELECT source, {_TOKENS} AS w FROM documents)
+            WHERE len(w) >= 2
+        ),
+        bic AS (
+            SELECT source, bigram, count(*) AS c_ab
+            FROM bi GROUP BY 1, 2
+        ),
+        n_bi AS (
+            SELECT source, SUM(c_ab) AS n_bi FROM bic GROUP BY 1
+        ),
+        lifted AS (
+            SELECT b.source, b.bigram, b.c_ab, ua.c_a, ub.c_a AS c_b,
+                   CAST(b.c_ab AS DOUBLE)
+                       * CAST(nu.n_uni AS DOUBLE)
+                       * CAST(nu.n_uni AS DOUBLE)
+                       / (CAST(ua.c_a AS DOUBLE)
+                          * CAST(ub.c_a AS DOUBLE)
+                          * CAST(nb.n_bi AS DOUBLE)) AS lift
+            FROM bic b
+            JOIN uni ua ON ua.source = b.source
+                       AND ua.t = split_part(b.bigram, ' ', 1)
+            JOIN uni ub ON ub.source = b.source
+                       AND ub.t = split_part(b.bigram, ' ', 2)
+            JOIN n_uni nu ON nu.source = b.source
+            JOIN n_bi nb ON nb.source = b.source
+            WHERE b.c_ab >= {BIGRAM_LIFT_MIN_COUNT}
+        )
+        SELECT source, CAST(rank AS BIGINT) AS rank, bigram,
+               CAST(c_ab AS BIGINT) AS c_ab,
+               CAST(c_a AS BIGINT) AS c_a,
+               CAST(c_b AS BIGINT) AS c_b,
+               lift
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY lift DESC, bigram
+                   ) AS rank
+            FROM lifted
+        )
+        WHERE rank <= {BIGRAM_LIFT_TOP_K}
+    """,
+}

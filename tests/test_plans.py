@@ -799,3 +799,41 @@ def test_pair_degree_spectrum_keyed_plan(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_r16_queue_plan_shapes(spark, sf_dir):
+    """The round-16 queue's plan discipline: the Wilson interval is
+    ONE map-side-combined exchange and nothing else; the MAD screen's
+    only nested-loop joins are the deliberate 1-ROW scalar broadcasts
+    (median, MAD) onto the calendar-bounded day-grain relation — the
+    corpus is touched by exactly one aggregation; the lift ranking is
+    keyed equi-joins only. All JVM-side."""
+    from edu_online_spark.operators.analytics import (
+        daily_mad_anomalies,
+        supplier_return_rate_wilson,
+    )
+    from edu_online_spark.operators.textops import bigram_lift_topk
+
+    wilson = explain_str(
+        supplier_return_rate_wilson(load_table(spark, sf_dir, "lineitem")),
+        "simple",
+    )
+    assert wilson.count("Exchange") == 1, wilson
+    assert "Join" not in wilson, wilson
+    assert "BatchEvalPython" not in wilson and "ArrowEvalPython" not in wilson
+
+    mad = explain_str(
+        daily_mad_anomalies(load_table(spark, sf_dir, "events")), "simple"
+    )
+    assert "CartesianProduct" not in mad, mad
+    # scalar broadcasts are the ONLY nested-loop joins allowed here
+    assert mad.count("BroadcastNestedLoopJoin") <= 3, mad
+    assert "partial" in mad.lower(), mad
+    assert "BatchEvalPython" not in mad and "ArrowEvalPython" not in mad
+
+    lift = explain_str(
+        bigram_lift_topk(load_table(spark, sf_dir, "documents")), "simple"
+    )
+    assert "CartesianProduct" not in lift, lift
+    assert "BroadcastNestedLoopJoin" not in lift, lift
+    assert "BatchEvalPython" not in lift and "ArrowEvalPython" not in lift

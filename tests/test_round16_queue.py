@@ -1,0 +1,173 @@
+"""Round-16 promotion queue: library ops + audited oracles, landed
+three rounds ahead of their window slot. Oracle parity at sf0.001 plus
+fixtures pinning the semantics the oracle alone can't distinguish."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from edu_online_spark.sources import load_table
+from tools.parity import compare, run_oracle
+
+
+# -- events_daily_mad_anomalies ---------------------------------------------
+
+
+def test_daily_mad_anomalies_matches_r16_oracle(spark, sf_dir):
+    from edu_online_spark.operators.analytics import (
+        ORACLE_R16,
+        daily_mad_anomalies,
+    )
+
+    problems = compare(
+        "events_daily_mad_anomalies",
+        daily_mad_anomalies(load_table(spark, sf_dir, "events")),
+        run_oracle(ORACLE_R16["events_daily_mad_anomalies"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_daily_mad_anomalies_fixture():
+    """Hand-built calendar: counts {8,10,12,10,11,100} → median 10
+    (lower median of six), deviations {2,0,2,0,1,90} → MAD 1; only
+    the 100-day flags (90 > 3·1) at robust_z 90. And the 50%-breakdown
+    claim the trailing-mean op fails: the spike does NOT drag the
+    baseline."""
+    import datetime
+
+    from edu_online_spark.session import get_spark
+    from edu_online_spark.operators.analytics import daily_mad_anomalies
+
+    spark = get_spark()
+    counts = [8, 10, 12, 10, 11, 100]
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (
+                    eid,
+                    datetime.datetime(2024, 5, 1 + d, 12, 0, 0),
+                )
+            )
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz")
+    out = {r["day"].day: r for r in daily_mad_anomalies(ev).collect()}
+    assert all(r["median_cnt"] == 10 and r["mad"] == 1 for r in out.values())
+    assert [out[d].is_anomaly for d in range(1, 7)] == [
+        False, False, False, False, False, True,
+    ]
+    assert out[6]["robust_z"] == 90.0
+
+
+def test_daily_mad_anomalies_zero_mad_semantics():
+    """A constant series with one spike: MAD is 0, so robust_z is NULL
+    (no scale to score against) but ANY nonzero deviation still flags
+    — the integer verdict needs no division."""
+    import datetime
+
+    from edu_online_spark.session import get_spark
+    from edu_online_spark.operators.analytics import daily_mad_anomalies
+
+    spark = get_spark()
+    counts = [10, 10, 10, 10, 100]
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, datetime.datetime(2024, 5, 1 + d, 12)))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz")
+    out = {r["day"].day: r for r in daily_mad_anomalies(ev).collect()}
+    assert all(r["mad"] == 0 for r in out.values())
+    assert out[5]["is_anomaly"] and out[5]["robust_z"] is None
+    assert not any(out[d]["is_anomaly"] for d in range(1, 5))
+
+
+# -- supplier_return_rate_wilson ----------------------------------------------
+
+
+def test_return_rate_wilson_matches_r16_oracle(spark, sf_dir):
+    from edu_online_spark.operators.analytics import (
+        ORACLE_R16,
+        supplier_return_rate_wilson,
+    )
+
+    problems = compare(
+        "supplier_return_rate_wilson",
+        supplier_return_rate_wilson(load_table(spark, sf_dir, "lineitem")),
+        run_oracle(ORACLE_R16["supplier_return_rate_wilson"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_return_rate_wilson_fixture():
+    """The ranking claim the op exists for: a 2-of-3 supplier has a
+    HIGHER p̂ but a LOWER Wilson lower bound than a 1200-of-3000
+    supplier — uncertainty demotes the tiny sample. Bounds bracket p̂
+    and sit in [0, 1]; a zero-return supplier's lb is exactly 0 only
+    when p̂ = 0 ⇒ numerator z²/2n − margin < 0 clipped by nothing
+    (the score interval is naturally in range, no clamp needed)."""
+    from edu_online_spark.session import get_spark
+    from edu_online_spark.operators.analytics import (
+        supplier_return_rate_wilson,
+    )
+
+    spark = get_spark()
+    rows = []
+    rows += [(1, "R" if i < 2 else "N") for i in range(3)]
+    rows += [(2, "R" if i < 1200 else "N") for i in range(3000)]
+    rows += [(3, "N") for _ in range(50)]
+    li = spark.createDataFrame(
+        [(k, 0, 0.0, 0.0, f) for k, f in rows],
+        "l_suppkey long, l_orderkey long, l_extendedprice double,"
+        " l_discount double, l_returnflag string",
+    )
+    out = {r["l_suppkey"]: r for r in
+           supplier_return_rate_wilson(li).collect()}
+    a, b, c = out[1], out[2], out[3]
+    assert a["p_hat"] > b["p_hat"]            # 0.667 vs 0.4
+    assert a["wilson_lb"] < b["wilson_lb"]    # but we trust b more
+    for r in (a, b, c):
+        assert 0.0 <= r["wilson_lb"] <= r["p_hat"] <= r["wilson_ub"] <= 1.0
+    assert c["p_hat"] == 0.0 and c["wilson_lb"] == 0.0
+
+
+# -- corpus_bigram_lift_topk ---------------------------------------------------
+
+
+def test_bigram_lift_matches_r16_oracle(spark, sf_dir):
+    from edu_online_spark.operators.textops import (
+        ORACLE_R16,
+        bigram_lift_topk,
+    )
+
+    problems = compare(
+        "corpus_bigram_lift_topk",
+        bigram_lift_topk(load_table(spark, sf_dir, "documents")),
+        run_oracle(ORACLE_R16["corpus_bigram_lift_topk"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_bigram_lift_fixture():
+    """Hand-computed lift: in docs {"x y a", "x y b", "a b a"} the
+    bound pair "x y" appears 2/6 bigrams while its unigrams are 2/9
+    each → lift = 2·9²/(2·2·6) = 6.75; "a b" falls under the
+    min-count floor; raw-frequency champions don't outrank the bound
+    phrase."""
+    from edu_online_spark.session import get_spark
+    from edu_online_spark.operators.textops import bigram_lift_topk
+
+    spark = get_spark()
+    docs = spark.createDataFrame(
+        [(1, "x y a", "s"), (2, "x y b", "s"), (3, "a b a", "s")],
+        "doc_id long, text string, source string",
+    )
+    rows = bigram_lift_topk(docs).collect()
+    assert rows[0]["source"] == "s" and rows[0]["rank"] == 1
+    assert rows[0]["bigram"] == "x y"
+    assert rows[0]["c_ab"] == 2 and rows[0]["c_a"] == 2 and rows[0]["c_b"] == 2
+    assert rows[0]["lift"] == 2 * 81 / (2 * 2 * 6)
+    # "a b" (c_ab=1) is floored out; nothing else qualifies
+    assert len(rows) == 1

@@ -106,6 +106,10 @@ QUERIES = [
     "dedup_minhash_calibration",
     "events_user_activity_gini",
     "dedup_pair_degree_spectrum",
+    # round-16 queue — measured the round the LIBRARY op lands
+    "events_daily_mad_anomalies",
+    "supplier_return_rate_wilson",
+    "corpus_bigram_lift_topk",
 ]
 
 
@@ -114,6 +118,8 @@ def _library():
     with the registry (spark, sf_dir) signature, so growth rows exist
     BEFORE the promotion round."""
     from edu_online_spark.operators.analytics import (
+        daily_mad_anomalies,
+        supplier_return_rate_wilson,
         supplier_revenue_hhi,
         user_activity_gini,
     )
@@ -122,7 +128,10 @@ def _library():
         pair_degree_spectrum,
     )
     from edu_online_spark.operators.similarity import norm_deciles
-    from edu_online_spark.operators.textops import shingle_df_spectrum
+    from edu_online_spark.operators.textops import (
+        bigram_lift_topk,
+        shingle_df_spectrum,
+    )
     from edu_online_spark.sources import load_table
 
     return {
@@ -144,6 +153,15 @@ def _library():
             load_table(s, d, "events")
         ),
         "dedup_pair_degree_spectrum": lambda s, d: pair_degree_spectrum(
+            load_table(s, d, "documents")
+        ),
+        "events_daily_mad_anomalies": lambda s, d: daily_mad_anomalies(
+            load_table(s, d, "events")
+        ),
+        "supplier_return_rate_wilson": lambda s, d: (
+            supplier_return_rate_wilson(load_table(s, d, "lineitem"))
+        ),
+        "corpus_bigram_lift_topk": lambda s, d: bigram_lift_topk(
             load_table(s, d, "documents")
         ),
     }
@@ -181,6 +199,9 @@ NOOP_MATERIALIZE = {
     "dedup_minhash_calibration",
     "events_user_activity_gini",
     "dedup_pair_degree_spectrum",
+    "events_daily_mad_anomalies",
+    "supplier_return_rate_wilson",
+    "corpus_bigram_lift_topk",
 }
 
 
