@@ -728,3 +728,96 @@ def test_norm_deciles_are_true_order_statistics(spark, vecs):
     for k in range(1, 10):
         pos = (k * n + 9) // 10
         assert r[f"d{k}"] == norms[pos - 1], (k, n)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3000),  # returns scaled later
+            st.integers(min_value=1, max_value=3000),  # lines
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_wilson_interval_invariants(spark, pairs):
+    """For ANY (returns ≤ lines) population: the interval brackets p̂,
+    stays in [0,1], narrows with n at fixed p̂, and equals the same
+    formula evaluated in Python with the identical operand order."""
+    import math
+
+    from edu_online_spark.operators.analytics import (
+        WILSON_Z,
+        supplier_return_rate_wilson,
+    )
+
+    sup = [(k, min(r, n), n) for k, (r, n) in enumerate(pairs)]
+    rows = [
+        (k, "R" if i < r else "N")
+        for k, r, n in sup
+        for i in range(n)
+    ]
+    li = spark.createDataFrame(
+        [(k, f) for k, f in rows], "l_suppkey long, l_returnflag string"
+    )
+    out = {r["l_suppkey"]: r for r in
+           supplier_return_rate_wilson(li).collect()}
+    z2 = WILSON_Z * WILSON_Z
+    for k, r, n in sup:
+        g = out[k]
+        p = r / n
+        center = p + z2 / (2.0 * n)
+        margin = WILSON_Z * math.sqrt(
+            p * (1.0 - p) / n + z2 / (4.0 * n * n)
+        )
+        denom = 1.0 + z2 / n
+        assert g["p_hat"] == p
+        assert g["wilson_lb"] == (center - margin) / denom
+        assert g["wilson_ub"] == (center + margin) / denom
+        # bracketing holds to the ulp: at p̂ = 1 the fp sqrt puts the
+        # upper bound one ulp BELOW the exact 1.0 (and symmetrically
+        # at p̂ = 0), so the interval test carries a 1e-12 slack while
+        # the value-equality asserts above stay exact
+        assert -1e-12 <= g["wilson_lb"] <= p + 1e-12
+        assert p - 1e-12 <= g["wilson_ub"] <= 1 + 1e-12
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=60),  # events per day
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_mad_anomalies_match_statistics_reference(spark, counts):
+    """For ANY daily-count series: median/MAD equal the lower-median
+    reference (statistics.median_low on values; deviations likewise),
+    the verdict is the pure integer comparison, and robust_z is NULL
+    exactly when MAD = 0."""
+    import datetime
+    from statistics import median_low
+
+    from edu_online_spark.operators.analytics import daily_mad_anomalies
+
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1)
+                 + datetime.timedelta(days=d, hours=12))
+            )
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz")
+    got = sorted(daily_mad_anomalies(ev).collect(), key=lambda r: r["day"])
+    med = median_low(sorted(counts))
+    mad = median_low(sorted(abs(c - med) for c in counts))
+    for r, c in zip(got, counts):
+        assert (r["cnt"], r["median_cnt"], r["mad"]) == (c, med, mad)
+        assert r["is_anomaly"] == (abs(c - med) > 3 * mad)
+        if mad == 0:
+            assert r["robust_z"] is None
+        else:
+            assert r["robust_z"] == abs(c - med) / mad
