@@ -266,6 +266,21 @@ def main() -> None:
             for r in sorted(pur, key=lambda r: (-r["n_langs"], r["cluster_rep"]))[:2]
         )
     )
+    # round-13 tail: the SIXTH consumer of the same pairs pass — the
+    # near-dup graph's degree spectrum (clique vs star structure)
+    from edu_online_spark.operators.dedup import pair_degree_spectrum
+
+    spec = sorted(
+        pair_degree_spectrum(raw_docs, pairs=shared_pairs).collect(),
+        key=lambda r: r["degree"],
+    )
+    print(
+        "pair degree spectrum: "
+        + "; ".join(
+            f"deg {r['degree']}: {r['n_docs']}d ({r['share']:.3f})"
+            for r in spec
+        )
+    )
 
 
 if __name__ == "__main__":
