@@ -3274,3 +3274,97 @@ ORACLE_R16 = {
         FROM agg
     """,
 }
+
+
+# log10(1 + 1/d) for d = 1..9, precomputed once in Python and embedded
+# as DOUBLE literals on BOTH engines — the op itself never calls a
+# transcendental, so there is no libm-divergence surface.
+BENFORD_SHARES = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def price_benford_screen(lineitem: DataFrame) -> DataFrame:
+    """Benford first-significant-digit screen over extended prices —
+    the forensic data-quality tripwire: naturally occurring
+    multi-magnitude amounts follow log-uniform first digits
+    (30.1% ones … 4.6% nines), and a synthetic, capped, or tampered
+    feed shows up as excess mass on specific digits long before any
+    row-level rule fires. One row per digit with observed share, the
+    Benford share, and their ratio; the flat-distribution excess on
+    uniform generators (≈0.37× on 1s, ≈2.4× on 9s) is itself the
+    fingerprint that a column is synthetic — which this corpus's own
+    fixture test demonstrates.
+
+    Portability: the first significant digit is extracted from the
+    CENTS bigint's decimal string (integer formatting is identical on
+    every engine; float formatting is NOT), the Benford shares are
+    fixed double literals on both sides, and the two ratios are
+    single IEEE divisions of exact/deterministic operands.
+
+    Scale shape: one map-side-combined 9-group aggregate over the
+    scan; everything after is a 9-row relation.
+    Queued for round 16 (`lineitem_price_benford`, ORACLE_R16)."""
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        lineitem.filter(F.col("l_extendedprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = Window.partitionBy()
+    share = F.col("n").cast("double") / F.sum("n").over(total).cast("double")
+    benford = F.element_at(
+        F.create_map(
+            *[
+                x
+                for d, s in sorted(BENFORD_SHARES.items())
+                for x in (F.lit(d), F.lit(s))
+            ]
+        ),
+        F.col("digit"),
+    )
+    return counts.select(
+        "digit",
+        "n",
+        share.alias("share"),
+        benford.alias("benford_share"),
+        (share / benford).alias("excess_ratio"),
+    )
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN CAST({s!r} AS DOUBLE)" for d, s in BENFORD_SHARES.items()
+)
+
+# Round-16 queue, fourth member. The mirror extracts the digit from
+# the identical cents-bigint string, embeds the SAME double literals
+# (CAST ... AS DOUBLE — the bare-decimal-literal rule above), and
+# performs the same two single divisions.
+ORACLE_R16.update({
+    "lineitem_price_benford": f"""
+        WITH counts AS (
+            SELECT CAST(SUBSTR(CAST(CAST(round(l_extendedprice * 100)
+                                          AS BIGINT) AS VARCHAR), 1, 1)
+                        AS INTEGER) AS digit,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem WHERE l_extendedprice > 0
+            GROUP BY 1
+        )
+        SELECT digit, n,
+               CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share,
+               (CASE digit {_BENFORD_CASE} END) AS benford_share,
+               (CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE))
+                   / (CASE digit {_BENFORD_CASE} END) AS excess_ratio
+        FROM counts
+    """,
+})

@@ -171,3 +171,58 @@ def test_bigram_lift_fixture():
     assert rows[0]["lift"] == 2 * 81 / (2 * 2 * 6)
     # "a b" (c_ab=1) is floored out; nothing else qualifies
     assert len(rows) == 1
+
+
+# -- lineitem_price_benford ----------------------------------------------------
+
+
+def test_price_benford_matches_r16_oracle(spark, sf_dir):
+    from edu_online_spark.operators.analytics import (
+        ORACLE_R16,
+        price_benford_screen,
+    )
+
+    problems = compare(
+        "lineitem_price_benford",
+        price_benford_screen(load_table(spark, sf_dir, "lineitem")),
+        run_oracle(ORACLE_R16["lineitem_price_benford"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_price_benford_fixture():
+    """A genuinely log-uniform population (powers spanning magnitudes)
+    reads excess ≈ 1 on digit 1; a uniform synthetic band (the
+    testdata generator's own shape) shows the flat-distribution
+    fingerprint — deficit on 1s, excess on high digits. Digits from
+    sub-dollar prices still resolve via the cents string."""
+    from edu_online_spark.session import get_spark
+    from edu_online_spark.operators.analytics import price_benford_screen
+
+    spark = get_spark()
+    # log-uniform-ish: 1*10^k .. 9*10^k across 4 magnitudes weighted
+    # by Benford masses is overkill — instead pin the MECHANICS:
+    # exact digit extraction and shares on a tiny known multiset
+    li = spark.createDataFrame(
+        [(float(p),) for p in
+         [1.00, 19.99, 123.45, 0.42, 0.042, 955.00, 9.11, 2.50]],
+        "l_extendedprice double",
+    )
+    rows = {r["digit"]: r for r in price_benford_screen(li).collect()}
+    # cents strings: 100,1999,12345,42,4,95500,911,250 -> first digits
+    # 1,1,1,4,4,9,9,2
+    assert {d: r["n"] for d, r in rows.items()} == {1: 3, 2: 1, 4: 2, 9: 2}
+    assert rows[1]["share"] == 3 / 8
+    assert rows[1]["benford_share"] == 0.3010299956639812
+    assert rows[1]["excess_ratio"] == (3 / 8) / 0.3010299956639812
+    # and the uniform-band fingerprint on the real generator: digit-9
+    # mass beats Benford, digit-1 mass undershoots
+    from edu_online_spark.sources import load_table as _lt
+
+    real = {
+        r["digit"]: r
+        for r in price_benford_screen(
+            _lt(spark, "/root/testdata/sf0.001", "lineitem")
+        ).collect()
+    }
+    assert real[1]["excess_ratio"] < 0.75 < 1.0 < real[9]["excess_ratio"]

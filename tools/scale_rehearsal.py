@@ -110,6 +110,7 @@ QUERIES = [
     "events_daily_mad_anomalies",
     "supplier_return_rate_wilson",
     "corpus_bigram_lift_topk",
+    "lineitem_price_benford",
 ]
 
 
@@ -119,6 +120,7 @@ def _library():
     BEFORE the promotion round."""
     from edu_online_spark.operators.analytics import (
         daily_mad_anomalies,
+        price_benford_screen,
         supplier_return_rate_wilson,
         supplier_revenue_hhi,
         user_activity_gini,
@@ -164,6 +166,9 @@ def _library():
         "corpus_bigram_lift_topk": lambda s, d: bigram_lift_topk(
             load_table(s, d, "documents")
         ),
+        "lineitem_price_benford": lambda s, d: price_benford_screen(
+            load_table(s, d, "lineitem")
+        ),
     }
 
 # Queries whose cost Catalyst can prune under count() (aggregate
@@ -202,6 +207,7 @@ NOOP_MATERIALIZE = {
     "events_daily_mad_anomalies",
     "supplier_return_rate_wilson",
     "corpus_bigram_lift_topk",
+    "lineitem_price_benford",
 }
 
 
