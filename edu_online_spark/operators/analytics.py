@@ -3114,6 +3114,14 @@ def daily_mad_anomalies(events: DataFrame, k: int = 3) -> DataFrame:
     daily = events.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
+    return mad_report(daily, k)
+
+
+def mad_report(daily: DataFrame, k: int = 3) -> DataFrame:
+    """The median/MAD stage of `daily_mad_anomalies`, split out so the
+    streaming twin folds its (day, cnt) state and applies the
+    IDENTICAL screen — stream/batch parity by construction. Input
+    contract: one row per day with its long count `cnt`."""
     n_days = Window.partitionBy()
     w_cnt = Window.orderBy("cnt", "day")
     med = (

@@ -4065,3 +4065,120 @@ def activity_gini_job(
         .trigger(**_trigger({}, available_now))
         .start()
     )
+
+
+def daily_mad_job(
+    raw: DataFrame,
+    out: str,
+    checkpoint: str,
+    k: int = 3,
+    available_now: bool = False,
+    retain_snapshots: int = 8,
+) -> StreamingQuery:
+    """Live robust volume tripwire: the streaming twin of
+    `operators/analytics.daily_mad_anomalies` — maintain per-day event
+    counts as events arrive and re-screen the WHOLE calendar against
+    median/MAD every trigger, via the IDENTICAL `mad_report` stage the
+    batch op runs (parity by shared code; wave-replay pinned anyway).
+    This is the screen an ingest pipeline actually wants live: the
+    trailing-mean variant goes blind for a week after each incident,
+    while the median baseline barely moves — so a backfill burst
+    today is flagged today AND yesterday's verdicts stay correct.
+
+    Shape: per-trigger corpus work is one map-side-combined daily
+    count over the micro-batch; state is CALENDAR-bounded (one long
+    per day ever seen — decades < 10⁴ rows) and folds ADDITIVELY
+    under the last_batch_id replay fence. The re-screen recomputes
+    every day's verdict per trigger because the median/MAD BASELINE
+    shifts as data arrives — the whole output is |days| rows, so the
+    full-snapshot publish is the cheap and correct choice (the same
+    argument as the quantile twins).
+
+    Output per trigger: one row per day (cnt, median_cnt, mad,
+    is_anomaly, robust_z), snapshot-written to ingest_batch=N with
+    the newest `retain_snapshots` kept."""
+    import os
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.analytics import mad_report
+
+    state_path = out + ".state"
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    parsed = F.from_json(
+        F.col("value"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    ev = (
+        raw.select(parsed.alias("j"))
+        .filter(
+            F.col("j._corrupt").isNull()
+            & F.to_date(F.col("j.ts")).isNotNull()
+        )
+        .select(F.to_date(F.col("j.ts")).alias("day"))
+    )
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        sinks.recover_sink(state_path)
+        if os.path.exists(state_path):
+            old = spark.read.parquet(state_path)
+            last = old.agg(F.max("last_batch_id")).first()[0]
+            if last is not None and last >= batch_id:
+                return  # redelivered trigger: additive state must not re-fold
+            prior = old.select("day", "cnt")
+        else:
+            prior = spark.createDataFrame([], "day date, cnt long")
+        delta = batch.groupBy("day").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        state = (
+            prior.unionByName(delta)
+            .groupBy("day")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .localCheckpoint(eager=True)  # snapshot + state share it
+        )
+        snap = mad_report(state, k)
+        snap.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, f"ingest_batch={batch_id}")
+        )
+        new_state = (
+            state.withColumn("last_batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .localCheckpoint(eager=True)  # materialize before the swap
+        )
+        sinks.parquet_overwrite_atomic(state_path)(new_state, batch_id)
+        if retain_snapshots > 0:
+            import shutil
+
+            stale = sorted(
+                int(d.split("=")[1])
+                for d in os.listdir(out)
+                if d.startswith("ingest_batch=")
+            )[:-retain_snapshots]
+            for b in stale:
+                shutil.rmtree(
+                    os.path.join(out, f"ingest_batch={b}"),
+                    ignore_errors=True,
+                )
+
+    return (
+        ev.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )

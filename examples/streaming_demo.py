@@ -41,7 +41,7 @@ def main() -> None:
         for t in (
             "register", "qz", "page", "raw", "docs", "pii", "emb", "link",
             "scrub", "budget", "shard", "winnow", "ingest", "neardup", "burst",
-            "seed", "stick", "sla", "deciles", "gini", "act",
+            "seed", "stick", "sla", "deciles", "gini", "act", "madd",
         )
     }
 
@@ -599,6 +599,37 @@ def main() -> None:
         if d.startswith("ingest_batch=")
     )
     out["activity_gini"] = f"{act_base}/ingest_batch={last}"
+
+    # round 13: live robust volume tripwire (daily_mad_job). Wave 1:
+    # three organic days (2, 3, 4 events). Wave 2: a 9-event backfill
+    # burst on day 4 — final counts {2,3,4,9}: lower-median 3,
+    # deviations {1,0,1,6} → MAD 1; only the burst flags (6 > 3·1) at
+    # robust_z 6.0, and the median baseline barely moved (the
+    # trailing-mean screen would now be blind for a week).
+    def mad_line(e, ts):
+        return json.dumps({"event_id": e, "ts": ts})
+
+    m1 = [mad_line(i, f"2026-08-{d:02d} 10:00:0{i % 10}")
+          for i, d in enumerate([1, 1, 2, 2, 2, 3, 3, 3, 3])]
+    produce(topics["madd"], "m1.jsonl", m1 + ["corrupt {"])
+    mad_base = f"{work}/out/daily_mad"
+    jobs.daily_mad_job(
+        file_stream(spark, topics["madd"]),
+        mad_base, ck("madd"), available_now=True,
+    ).awaitTermination(120)
+    produce(topics["madd"], "m2.jsonl", [
+        mad_line(100 + i, "2026-08-04 11:00:00") for i in range(9)
+    ])
+    jobs.daily_mad_job(
+        file_stream(spark, topics["madd"]),
+        mad_base, ck("madd"), available_now=True,
+    ).awaitTermination(120)
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(mad_base)
+        if d.startswith("ingest_batch=")
+    )
+    out["daily_mad"] = f"{mad_base}/ingest_batch={last}"
 
     for name, path in out.items():
         df = spark.read.parquet(path)

@@ -474,6 +474,64 @@ def bench_latency_quantiles(spark, work, n_rows, n_files):
     )
 
 
+def bench_daily_mad(spark, work, n_rows, n_files):
+    """Throughput + trigger-latency profile for daily_mad_job (live
+    robust volume tripwire). State is CALENDAR-bounded — one count per
+    day (365 here, any volume) — and the per-trigger re-screen runs
+    over that tiny relation, so trigger cost must be flat from the
+    first trigger."""
+    name = "daily_mad"
+    src = os.path.join(work, name, "src")
+    per = n_rows // n_files
+
+    def line(i: int) -> str:
+        d = (i * 7919) % 365
+        return json.dumps({
+            "event_id": i,
+            "ts": f"2026-{d // 31 + 1:02d}-{d % 28 + 1:02d} 12:00:00",
+        })
+
+    for f in range(n_files):
+        _produce(src, f"m{f:04d}.log", [line(f * per + i) for i in range(per)])
+    out = os.path.join(work, name, "out")
+    ckpt = os.path.join(work, name, "ck")
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates",
+        str(max(n_files + 16, 100)),
+    )
+    q = jobs.daily_mad_job(
+        file_stream(spark, src, max_files_per_trigger=1),
+        out,
+        ckpt,
+        available_now=True,
+    )
+    t0 = time.monotonic()
+    q.awaitTermination(600)
+    secs = time.monotonic() - t0
+    order = [
+        p.batchDuration / 1000.0
+        for p in sorted(q.recentProgress, key=lambda p: p.batchId)
+        if p.numInputRows > 0
+    ]
+    if not order:
+        print(json.dumps({"job": name, "error": "no data-bearing batches"}))
+        return
+    print(
+        json.dumps(
+            {
+                "job": name,
+                "rows": per * n_files,
+                "secs": round(secs, 2),
+                "rows_per_sec": int(per * n_files / secs),
+                "batches": len(order),
+                "trigger_s_first": round(order[0], 2),
+                "trigger_s_median": round(sorted(order)[len(order) // 2], 2),
+                "trigger_s_last": round(order[-1], 2),
+            }
+        )
+    )
+
+
 def bench_activity_gini(spark, work, n_rows, n_files):
     """Throughput + trigger-latency profile for activity_gini_job
     (live traffic concentration). State is POPULATION-bounded — one
@@ -676,7 +734,7 @@ KNOWN_JOBS = {
     "register_totals", "quiz_mastery", "minhash_dedup", "winnow_index",
     "curation_ingest", "burst_flags", "weighted_sample", "stickiness",
     "latency_quantiles", "balance_deciles", "balance_deciles_sat",
-    "revenue_gini", "activity_gini",
+    "revenue_gini", "activity_gini", "daily_mad",
 }
 
 
@@ -753,6 +811,8 @@ def main() -> None:
             bench_revenue_gini(spark, work, n_rows, n_files)
         if want("activity_gini"):
             bench_activity_gini(spark, work, n_rows, n_files)
+        if want("daily_mad"):
+            bench_daily_mad(spark, work, n_rows, n_files)
         if want("winnow_index"):
             bench_winnow_index(spark, work, n_rows // 10, n_files)
         if want("minhash_dedup"):
