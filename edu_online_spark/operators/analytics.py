@@ -3376,3 +3376,248 @@ ORACLE_R16.update({
         FROM counts
     """,
 })
+
+
+def cusum_level_shift(events: DataFrame, slack_den: int = 20) -> DataFrame:
+    """Two-sided CUSUM departure screen over the daily event-count
+    series — the LEVEL-SHIFT complement to `daily_mad_anomalies`: the
+    MAD screen catches point spikes but is blind to a feed that
+    quietly settles at a new volume (a dropped producer, a doubled
+    region), which is exactly what the cumulative sum accumulates.
+    Page's classic recursion S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (xᵢ − μ − s)) is
+    evaluated in CLOSED FORM — Sᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ) for the
+    prefix sums P of the slack-adjusted deviations — so the whole
+    statistic is two running-sum windows plus two running-min windows,
+    no recursion and no iteration.
+
+    Exactness: everything is scaled by n_days so it stays in BIGINT —
+    the deviation of day i is (cntᵢ·n − total), the slack is
+    total div slack_den (= mean/slack_den per day in scaled units;
+    the default 5% sits below normal daily noise so the statistic
+    accumulates on real wander but the threshold only fires on a
+    sustained run), and the alarm threshold is total (= one full
+    mean-day of accumulated excess). The verdict is a pure integer
+    comparison; there is NO float anywhere in the operator. Overflow
+    envelope: n_days²·max_daily_cnt must stay under 2⁶³ — at 10⁴ days
+    of 10¹⁰ events/day the running sums peak near 10¹⁸, inside bigint.
+
+    Reading the output: against the GLOBAL mean, a mid-series level
+    shift shows as a sustained low-side run before the change and a
+    high-side run after it — the flagged runs bracket the change
+    point (offline CUSUM/binary-segmentation semantics, not the
+    online baseline-anchored variant; the streaming twin re-screens
+    per trigger the same way).
+
+    Scale shape: one map-side-combined shuffle to daily counts; all
+    four windows run on the DAY-grain relation (calendar-bounded,
+    decades < 10⁴ rows — the `mad_report` envelope).
+    Queued for round 17 (`events_cusum_level_shift`, ORACLE_R17)."""
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return cusum_report(daily, slack_den)
+
+
+def cusum_report(daily: DataFrame, slack_den: int = 20) -> DataFrame:
+    """The CUSUM stage of `cusum_level_shift`, split out so the
+    streaming twin folds its (day, cnt) state and applies the
+    IDENTICAL screen — stream/batch parity by construction. Input
+    contract: one row per day with its long count `cnt`."""
+    whole = Window.partitionBy()
+    run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    g = daily.withColumn(
+        "n_days", F.count(F.lit(1)).over(whole).cast("long")
+    ).withColumn("total", F.sum("cnt").over(whole).cast("long"))
+    slack = F.expr(f"total div {int(slack_den)}")
+    dev = F.col("cnt") * F.col("n_days") - F.col("total")
+    s = g.withColumn("p", F.sum(dev - slack).over(run)).withColumn(
+        "q", F.sum(-dev - slack).over(run)
+    )
+    zero = F.lit(0).cast("long")
+    pos = F.col("p") - F.least(zero, F.min("p").over(run))
+    neg = F.col("q") - F.least(zero, F.min("q").over(run))
+    return s.select(
+        "day",
+        "cnt",
+        pos.alias("cusum_pos"),
+        neg.alias("cusum_neg"),
+        ((pos > F.col("total")) | (neg > F.col("total"))).alias(
+            "shift_flag"
+        ),
+    )
+
+
+Z_95 = 1.96  # two-sided 95%; a fixed literal on BOTH engines
+
+
+def ab_conversion_ztest(events: DataFrame) -> DataFrame:
+    """Two-proportion pooled z-test on 24-hour ACTIVATION (a purchase
+    within 24h of the user's first observed event) between the two
+    halves of a deterministic user split (user_id mod 2 — the same
+    stable-id bucketing an experiment assignment service does; swap
+    in `functions.core.hash_bucket` for salted assignments). This is
+    the experiment readout every growth pipeline runs: the unit of
+    analysis is the USER (so one click-happy user can't carry a
+    variant), the metric is time-bounded the way real conversion
+    metrics are (an ever-expanding "did they EVER purchase" window
+    saturates to p̂ = 1 on any long-lived corpus — including this
+    one — and tests nothing), the z statistic is the classic
+    pooled-variance form, and the verdict is |z| > 1.96.
+
+    Exactness: timestamp comparisons are exact microsecond integers;
+    the four counts are exact bigints; p̂s and the z are fixed double
+    expressions written with IDENTICAL operand order in the oracle
+    (every +,*,/ and the sqrt are exactly-rounded IEEE ops, so same
+    sequence = same doubles); z is NULL and `significant` FALSE when
+    the pooled variance is 0 (all or none converted — no scale to
+    test against).
+
+    Scale shape: the per-user first-event timestamp is a window over
+    user_id and the per-user flag a groupBy on the SAME key — one
+    exchange serves both; then a 1-row conditional aggregate. Output
+    is a single row.
+    Queued for round 17 (`events_ab_conversion_ztest`, ORACLE_R17)."""
+    w_user = Window.partitionBy("user_id")
+    tagged = events.withColumn("first_ts", F.min("ts").over(w_user))
+    per_user = tagged.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (
+                    F.col("ts")
+                    < F.col("first_ts") + F.expr("INTERVAL 24 HOURS")
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    is_a = F.col("user_id") % 2 == 0
+    agg = per_user.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(is_a, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(~is_a, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    p_a = F.col("conv_a").cast("double") / n_a
+    p_b = F.col("conv_b").cast("double") / n_b
+    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    var = (p_pool * (F.lit(1.0) - p_pool)) * (
+        F.lit(1.0) / n_a + F.lit(1.0) / n_b
+    )
+    z = (p_a - p_b) / F.sqrt(var)
+    return agg.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        F.when(var > 0, z).alias("z"),
+        F.when(var > 0, F.abs(z) > F.lit(Z_95))
+        .otherwise(F.lit(False))
+        .alias("significant"),
+    )
+
+
+# Round-17 promotion queue. The CUSUM mirror spells the same closed
+# form (prefix sums + running mins of integer-scaled deviations) with
+# the same `div` truncation on non-negative operands; the verdict is
+# integer-only. The z-test mirror repeats the pooled-z expression with
+# the IDENTICAL operand order, every numeric literal CAST to DOUBLE
+# first (the bare-decimal-literal rule — DuckDB parses `1.96` as
+# DECIMAL, one ulp off the double product).
+ORACLE_R17 = {
+    "events_cusum_level_shift": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1
+        ),
+        g AS (
+            SELECT day, cnt,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n_days,
+                   CAST(SUM(cnt) OVER () AS BIGINT) AS total
+            FROM daily
+        ),
+        s AS (
+            SELECT day, cnt, total,
+                   SUM(cnt * n_days - total - total // 20)
+                       OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS p,
+                   SUM(-(cnt * n_days - total) - total // 20)
+                       OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS q
+            FROM g
+        ),
+        m AS (
+            SELECT day, cnt, total,
+                   p - LEAST(0, MIN(p) OVER (ORDER BY day
+                                             ROWS UNBOUNDED PRECEDING))
+                       AS cusum_pos,
+                   q - LEAST(0, MIN(q) OVER (ORDER BY day
+                                             ROWS UNBOUNDED PRECEDING))
+                       AS cusum_neg
+            FROM s
+        )
+        SELECT day, cnt,
+               CAST(cusum_pos AS BIGINT) AS cusum_pos,
+               CAST(cusum_neg AS BIGINT) AS cusum_neg,
+               cusum_pos > total OR cusum_neg > total AS shift_flag
+        FROM m
+    """,
+    "events_ab_conversion_ztest": """
+        WITH tagged AS (
+            SELECT user_id, event_type, ts,
+                   MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+            FROM events
+        ),
+        per_user AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'purchase'
+                             AND ts < first_ts + INTERVAL 24 HOUR
+                            THEN 1 ELSE 0 END) AS converted
+            FROM tagged GROUP BY 1
+        ),
+        agg AS (
+            SELECT
+                CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_a,
+                CAST(SUM(CASE WHEN user_id % 2 = 0 THEN converted ELSE 0 END)
+                     AS BIGINT) AS conv_a,
+                CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+                     AS BIGINT) AS n_b,
+                CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE converted END)
+                     AS BIGINT) AS conv_b
+            FROM per_user
+        ),
+        x AS (
+            SELECT n_a, conv_a, n_b, conv_b,
+                   CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+                   CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+                   CAST(conv_a + conv_b AS DOUBLE)
+                       / CAST(n_a + n_b AS DOUBLE) AS p_pool
+            FROM agg
+        ),
+        v AS (
+            SELECT *,
+                   (p_pool * (CAST(1.0 AS DOUBLE) - p_pool))
+                       * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                          + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))
+                       AS var
+            FROM x
+        )
+        SELECT n_a, conv_a, n_b, conv_b, p_a, p_b,
+               CASE WHEN var > 0 THEN (p_a - p_b) / sqrt(var) END AS z,
+               CASE WHEN var > 0
+                    THEN abs((p_a - p_b) / sqrt(var))
+                         > CAST(1.96 AS DOUBLE)
+                    ELSE FALSE
+               END AS significant
+        FROM v
+    """,
+}

@@ -821,3 +821,98 @@ def test_mad_anomalies_match_statistics_reference(spark, counts):
             assert r["robust_z"] is None
         else:
             assert r["robust_z"] == abs(c - med) / mad
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=25),
+    st.integers(min_value=2, max_value=40),
+)
+def test_cusum_closed_form_matches_page_recursion(spark, counts, slack_den):
+    """For ANY daily-count series and slack: the windowed closed form
+    Sᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ) equals Page's recursion
+    Sᵢ = max(0, Sᵢ₋₁ + aᵢ) run in exact Python ints, on both sides,
+    and the alarm is exactly the >total integer comparison."""
+    import datetime
+
+    from edu_online_spark.operators.analytics import cusum_level_shift
+
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1)
+                 + datetime.timedelta(days=d, hours=12))
+            )
+            eid += 1
+    if not rows:
+        return
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz")
+    got = sorted(
+        cusum_level_shift(ev, slack_den=slack_den).collect(),
+        key=lambda r: r["day"],
+    )
+    # empty days vanish from the groupBy: recompute on surviving days
+    live = [c for c in counts if c > 0]
+    n = len(live)
+    total = sum(live)
+    slack = total // slack_den
+    s_pos = s_neg = 0
+    for r, c in zip(got, live):
+        dev = c * n - total
+        s_pos = max(0, s_pos + dev - slack)
+        s_neg = max(0, s_neg + (-dev) - slack)
+        assert (r["cnt"], r["cusum_pos"], r["cusum_neg"]) == (c, s_pos, s_neg)
+        assert r["shift_flag"] == (s_pos > total or s_neg > total)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.data(),
+)
+def test_ab_ztest_matches_python_formula(spark, n_a, n_b, data):
+    """For ANY cohort sizes and conversion patterns: the z statistic
+    equals the pooled-variance formula evaluated in the identical
+    operand order in Python doubles, and the degenerate pooled
+    variance yields (NULL z, FALSE significant)."""
+    import datetime
+    import math
+
+    from edu_online_spark.operators.analytics import ab_conversion_ztest
+
+    conv_a = data.draw(st.integers(min_value=0, max_value=n_a))
+    conv_b = data.draw(st.integers(min_value=0, max_value=n_b))
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # users 2i are variant A, 2i+1 variant B; one event per user whose
+    # own first_ts window trivially contains it
+    for i in range(n_a):
+        rows.append((eid, 2 * i, "purchase" if i < conv_a else "click", t0))
+        eid += 1
+    for i in range(n_b):
+        rows.append(
+            (eid, 2 * i + 1, "purchase" if i < conv_b else "click", t0)
+        )
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp_ntz"
+    )
+    r = ab_conversion_ztest(ev).first()
+    assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (
+        n_a, conv_a, n_b, conv_b,
+    )
+    p_a = conv_a / n_a
+    p_b = conv_b / n_b
+    p_pool = (conv_a + conv_b) / (n_a + n_b)
+    var = (p_pool * (1.0 - p_pool)) * (1.0 / n_a + 1.0 / n_b)
+    if var > 0:
+        z = (p_a - p_b) / math.sqrt(var)
+        assert r["z"] == z
+        assert r["significant"] == (abs(z) > 1.96)
+    else:
+        assert r["z"] is None
+        assert r["significant"] is False

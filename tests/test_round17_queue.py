@@ -1,0 +1,158 @@
+"""Round-17 promotion queue: library ops + audited oracles, landed
+four rounds ahead of their window slot. Oracle parity at sf0.001 plus
+fixtures pinning the semantics the oracle alone can't distinguish."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+from pyspark.sql import functions as F
+
+from edu_online_spark.sources import load_table
+from tools.parity import compare, run_oracle
+
+
+# -- events_cusum_level_shift -------------------------------------------------
+
+
+def test_cusum_level_shift_matches_r17_oracle(spark, sf_dir):
+    from edu_online_spark.operators.analytics import (
+        ORACLE_R17,
+        cusum_level_shift,
+    )
+
+    problems = compare(
+        "events_cusum_level_shift",
+        cusum_level_shift(load_table(spark, sf_dir, "events")),
+        run_oracle(ORACLE_R17["events_cusum_level_shift"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_cusum_level_shift_fixture(spark):
+    """Hand-built level shift: counts [10,10,10,10,40,40,40,40] at
+    slack_den=4 → total 200, n 8, slack 50. Scaled deviations are
+    −120/+120; slack-adjusted ±70 runs accumulate hand-computed
+    CUSUMs, and the >total alarm brackets the change point: the
+    low-side run flags days 3-4 (before the shift), the high-side
+    run days 7-8 (after it)."""
+    from edu_online_spark.operators.analytics import cusum_level_shift
+
+    counts = [10, 10, 10, 10, 40, 40, 40, 40]
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(
+                (eid, datetime.datetime(2024, 5, 1 + d, 12, 0, 0))
+            )
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz")
+    got = sorted(
+        cusum_level_shift(ev, slack_den=4).collect(),
+        key=lambda r: r["day"],
+    )
+    assert [r["cusum_pos"] for r in got] == [0, 0, 0, 0, 70, 140, 210, 280]
+    assert [r["cusum_neg"] for r in got] == [70, 140, 210, 280, 110, 0, 0, 0]
+    assert [r["shift_flag"] for r in got] == [
+        False, False, True, True, False, False, True, True,
+    ]
+
+
+def test_cusum_flat_series_never_alarms(spark):
+    """A constant series has zero deviations: the slack drives both
+    prefix sums strictly down, the running min tracks them, and every
+    CUSUM is exactly 0 — the no-noise sanity floor."""
+    from edu_online_spark.operators.analytics import cusum_level_shift
+
+    rows = []
+    eid = 0
+    for d in range(6):
+        for _ in range(30):
+            rows.append(
+                (eid, datetime.datetime(2024, 5, 1 + d, 12, 0, 0))
+            )
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz")
+    got = cusum_level_shift(ev).collect()
+    assert all(
+        r["cusum_pos"] == 0 and r["cusum_neg"] == 0 and not r["shift_flag"]
+        for r in got
+    )
+
+
+# -- events_ab_conversion_ztest -----------------------------------------------
+
+
+def test_ab_conversion_ztest_matches_r17_oracle(spark, sf_dir):
+    from edu_online_spark.operators.analytics import (
+        ORACLE_R17,
+        ab_conversion_ztest,
+    )
+
+    problems = compare(
+        "events_ab_conversion_ztest",
+        ab_conversion_ztest(load_table(spark, sf_dir, "events")),
+        run_oracle(ORACLE_R17["events_ab_conversion_ztest"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def _z(n_a, conv_a, n_b, conv_b):
+    """The pooled z in the operator's exact operand order."""
+    p_a = conv_a / n_a
+    p_b = conv_b / n_b
+    p_pool = (conv_a + conv_b) / (n_a + n_b)
+    var = (p_pool * (1.0 - p_pool)) * (1.0 / n_a + 1.0 / n_b)
+    return (p_a - p_b) / math.sqrt(var)
+
+
+def test_ab_conversion_ztest_fixture(spark):
+    """Five users, hand-assigned: the 24h window converts a purchase
+    12h after first-seen, rejects one 3 days later, and accepts a
+    purchase AT the first event. A=(0,2,4): 2/3 converted;
+    B=(1,3): 1/2 — z matches the same-order Python formula exactly
+    and the null result is not significant."""
+    from edu_online_spark.operators.analytics import ab_conversion_ztest
+
+    t0 = datetime.datetime(2024, 5, 1, 0, 0, 0)
+    h = datetime.timedelta(hours=1)
+    rows = [
+        # user 0 (A): converts 12h after first event
+        (0, 0, "view", t0),
+        (1, 0, "purchase", t0 + 12 * h),
+        # user 2 (A): purchase 3 days later — OUTSIDE the window
+        (2, 2, "view", t0),
+        (3, 2, "purchase", t0 + 72 * h),
+        # user 4 (A): converts at the first event itself
+        (4, 4, "purchase", t0),
+        # user 1 (B): converts
+        (5, 1, "view", t0),
+        (6, 1, "purchase", t0 + 2 * h),
+        # user 3 (B): never purchases
+        (7, 3, "click", t0),
+        (8, 3, "click", t0 + 5 * h),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp_ntz"
+    )
+    r = ab_conversion_ztest(ev).first()
+    assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (3, 2, 2, 1)
+    assert r["z"] == _z(3, 2, 2, 1)
+    assert r["significant"] is False
+
+
+def test_ab_conversion_ztest_degenerate_is_null(spark):
+    """All users converted → pooled variance 0 → z NULL, significant
+    FALSE (not NULL — the verdict column is total on both engines)."""
+    from edu_online_spark.operators.analytics import ab_conversion_ztest
+
+    t0 = datetime.datetime(2024, 5, 1)
+    ev = spark.createDataFrame(
+        [(i, i, "purchase", t0) for i in range(4)],
+        "event_id long, user_id long, event_type string, ts timestamp_ntz",
+    )
+    r = ab_conversion_ztest(ev).first()
+    assert r["z"] is None
+    assert r["significant"] is False
