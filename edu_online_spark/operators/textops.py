@@ -4094,3 +4094,100 @@ ORACLE_R16 = {
         WHERE rank <= {BIGRAM_LIFT_TOP_K}
     """,
 }
+
+
+HH_CAPACITY = 1000  # heavy-hitter threshold: share > 1/HH_CAPACITY
+
+
+def token_heavy_hitters(
+    documents: DataFrame, capacity: int = HH_CAPACITY
+) -> DataFrame:
+    """EXACT heavy hitters over the token stream — every token whose
+    corpus share exceeds 1/capacity, with its exact count — via the
+    classic two-pass Misra-Gries scheme: pass 1 keeps a bounded
+    summary of ≤`capacity` counters PER PARTITION (mapInPandas,
+    Arrow-batched, decrement-by-rank trims), pass 2 recounts ONLY the
+    surviving candidates exactly and applies the integer threshold
+    cnt·capacity > n_tokens.
+
+    Why not `vocabulary_topk`'s wordcount? That shuffle carries one
+    partial per (partition, distinct token) — at 100 TB the long tail
+    of a web-scale vocabulary (billions of shingles/typos) IS the
+    shuffle. Here pass 1 emits ≤capacity rows per partition no matter
+    the vocabulary, and pass 2's map-side combine only sees candidate
+    tokens, so the whole query shuffles O(capacity · partitions) rows.
+
+    Exactness: if a token's true share exceeds 1/capacity then in at
+    least one partition its local share exceeds 1/capacity
+    (pigeonhole over sum n_p = n), and the Misra-Gries summary of
+    that partition retains it — every trim subtracts the rank-chosen
+    m from ≥ capacity+1 counters that are all ≥ m, so unit-for-unit
+    each decrement destroys ≥ capacity+1 units of mass and a local
+    count can be undercounted by at most n_p/(capacity+1) <
+    n_p/capacity. The candidate SET varies with partitioning; the
+    OUTPUT never does, because the exact recount + threshold filter
+    make pass 1 a pure superset generator (false candidates cost one
+    broadcast-hash probe each, never a wrong row).
+
+    Queued for round 17 (`corpus_token_heavy_hitters`, ORACLE_R17)."""
+    toks = _token_rows(documents).select("token")
+
+    def mg_candidates(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, w in pdf["token"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(w)
+            if len(counters) > capacity:
+                vals = sorted(counters.values())
+                m = vals[len(vals) - capacity - 1]
+                counters = {
+                    t: c - m for t, c in counters.items() if c > m
+                }
+        yield pd.DataFrame(
+            {"token": pd.Series(list(counters), dtype="object")}
+        )
+
+    cand = toks.mapInPandas(mg_candidates, "token string").distinct()
+    counts = (
+        toks.join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    total = toks.agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * F.lit(capacity) > F.col("n_tokens"))
+        .select(
+            "token",
+            "cnt",
+            "n_tokens",
+            (
+                F.col("cnt").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("share"),
+        )
+    )
+
+
+# Round-17 promotion queue. The mirror is the brute-force wordcount
+# with the SAME integer threshold — the hash certifies that the
+# bounded-summary candidate pass is lossless (the whole claim), the
+# same way the prefix-filter dedup oracle certifies ITS filter.
+ORACLE_R17 = {
+    "corpus_token_heavy_hitters": f"""
+        WITH tok AS (
+            SELECT unnest({_TOKENS}) AS token FROM documents
+        ),
+        t AS (SELECT token FROM tok WHERE token <> ''),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM t),
+        c AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM t GROUP BY 1
+        )
+        SELECT c.token, c.cnt, tot.n_tokens,
+               CAST(c.cnt AS DOUBLE) / CAST(tot.n_tokens AS DOUBLE)
+                   AS share
+        FROM c CROSS JOIN tot
+        WHERE c.cnt * {HH_CAPACITY} > tot.n_tokens
+    """,
+}

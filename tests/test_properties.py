@@ -916,3 +916,42 @@ def test_ab_ztest_matches_python_formula(spark, n_a, n_b, data):
     else:
         assert r["z"] is None
         assert r["significant"] is False
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from("a bb ccc dd e ff g hh iii jj".split()),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=1, max_value=6),
+)
+def test_token_heavy_hitters_match_counter_reference(
+    spark, words, capacity, parts
+):
+    """For ANY token stream, capacity, and partitioning: the two-pass
+    Misra-Gries operator returns EXACTLY the tokens whose share
+    exceeds 1/capacity, each with its exact count — the candidate
+    pass is a lossless superset generator."""
+    from collections import Counter
+
+    from edu_online_spark.operators.textops import token_heavy_hitters
+
+    docs = [
+        (i, " ".join(words[i * 7:(i + 1) * 7]))
+        for i in range((len(words) + 6) // 7)
+    ]
+    docs = [(i, t) for i, t in docs if t]
+    exact = Counter(w for _, t in docs for w in t.split())
+    n = sum(exact.values())
+    want = {t: c for t, c in exact.items() if c * capacity > n}
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string"
+    ).repartition(parts)
+    got = {
+        r["token"]: r["cnt"]
+        for r in token_heavy_hitters(df, capacity=capacity).collect()
+    }
+    assert got == want

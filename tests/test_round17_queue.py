@@ -156,3 +156,52 @@ def test_ab_conversion_ztest_degenerate_is_null(spark):
     r = ab_conversion_ztest(ev).first()
     assert r["z"] is None
     assert r["significant"] is False
+
+
+# -- corpus_token_heavy_hitters -----------------------------------------------
+
+
+def test_token_heavy_hitters_matches_r17_oracle(spark, sf_dir):
+    from edu_online_spark.operators.textops import (
+        ORACLE_R17,
+        token_heavy_hitters,
+    )
+
+    problems = compare(
+        "corpus_token_heavy_hitters",
+        token_heavy_hitters(load_table(spark, sf_dir, "documents")),
+        run_oracle(ORACLE_R17["corpus_token_heavy_hitters"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_token_heavy_hitters_tiny_capacity_exact(spark):
+    """capacity=3 on a Zipfish corpus whose vocabulary is much larger
+    than the summary: the bounded Misra-Gries pass must still surface
+    every token above the 1/3 share threshold with its EXACT count —
+    and the answer must be identical however the input is partitioned
+    (the candidate set may differ; the output may not)."""
+    from collections import Counter
+
+    from edu_online_spark.operators.textops import token_heavy_hitters
+
+    words = (
+        ["alpha"] * 40 + ["beta"] * 25
+        + [f"tail{i}" for i in range(35)]
+    )
+    # 100 tokens: alpha 40%, beta 25%, 35 singletons; threshold n/3 = 33⅓
+    docs = [(i, " ".join(words[i * 10:(i + 1) * 10])) for i in range(10)]
+    exact = Counter(words)
+    n = sum(exact.values())
+    want = {
+        t: c for t, c in exact.items() if c * 3 > n
+    }
+    for parts in (1, 3, 8):
+        df = spark.createDataFrame(
+            docs, "doc_id long, text string"
+        ).repartition(parts)
+        got = {
+            r["token"]: r["cnt"]
+            for r in token_heavy_hitters(df, capacity=3).collect()
+        }
+        assert got == want == {"alpha": 40}
