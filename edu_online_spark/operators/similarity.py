@@ -1667,3 +1667,201 @@ ORACLE_R15 = {
         FROM ranked GROUP BY label
     """,
 }
+
+
+NDCG_K = 10
+# 1/log2(i+1) for ranks 1..k, and the ideal-DCG prefix sums, computed
+# ONCE in Python at import and embedded as the SAME double literals on
+# both engines — no transcendental runs at query time on either side
+# (the BENFORD_SHARES discipline).
+import math as _math
+
+NDCG_DISCOUNTS = {
+    i: 1.0 / _math.log2(i + 1.0) for i in range(1, NDCG_K + 1)
+}
+NDCG_IDCG = {0: 0.0}
+for _m in range(1, NDCG_K + 1):
+    NDCG_IDCG[_m] = NDCG_IDCG[_m - 1] + NDCG_DISCOUNTS[_m]
+
+
+def label_ndcg(
+    embeddings: DataFrame, k: int = NDCG_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """NDCG@k of exact cosine retrieval scored against label
+    relevance — the retrieval-quality eval a RAG/embedding pipeline
+    runs on every model or index candidate: recall@k (already
+    certified by `ann_recall_report`) says whether the right items
+    are PRESENT; NDCG says whether they're ranked FIRST, which is
+    what the consumer of a top-k actually experiences. Relevance is
+    binary (neighbor shares the query's label), DCG discounts are the
+    standard 1/log₂(rank+1), and IDCG uses min(n_relevant, k) ideal
+    positions, so a query whose label is rare isn't penalized for
+    having fewer than k possible hits.
+
+    Exactness: the ranking is the certified brute-force shape
+    (sequential-fold cosines, bit-exact vs the oracle; ties broken by
+    nid). Discounts and IDCG prefix sums are FIXED double literals on
+    both engines; the per-query DCG is a sorted sequential fold
+    (array_sort + F.aggregate ≡ list_sort + list_sum — the
+    label-centroids discipline), n_relevant is an exact bigint, and
+    ndcg is one division, NULL when the query's label has no other
+    members (nothing to rank).
+
+    Scale shape: the eval-subset broadcast shape of knn_bruteforce —
+    one corpus pass against the broadcast query set, a per-query
+    top-k window, then label counts (map-side combined, broadcast
+    back). No corpus self-join anywhere.
+    Queued for round 17 (`ann_label_ndcg`, ORACLE_R17)."""
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("nv"),
+        F.col("label").alias("n_label"),
+    )
+    scored = c.join(F.broadcast(q), F.col("qid") != F.col("nid")).select(
+        "qid",
+        "q_label",
+        "nid",
+        "n_label",
+        cosine_similarity(F.col("qv"), F.col("nv")).alias("cosine"),
+    )
+    top = _topk(scored, k)
+    disc = F.create_map(
+        *[
+            x
+            for i, d in sorted(NDCG_DISCOUNTS.items())
+            for x in (F.lit(i), F.lit(d))
+        ]
+    )
+    hits = (
+        top.filter(F.col("n_label") == F.col("q_label"))
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.element_at(disc, F.col("rank")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dcg"),
+        )
+    )
+    label_counts = embeddings.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_label_total")
+    )
+    idcg_map = F.create_map(
+        *[
+            x
+            for m, v in sorted(NDCG_IDCG.items())
+            for x in (F.lit(m), F.lit(v))
+        ]
+    )
+    base = q.select("qid", F.col("q_label").alias("label")).join(
+        F.broadcast(label_counts), "label"
+    )
+    idcg = F.element_at(
+        idcg_map,
+        F.least(F.col("n_relevant"), F.lit(k).cast("long")).cast("int"),
+    )
+    return (
+        base.join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.col("label").alias("q_label"),
+            (F.col("n_label_total") - F.lit(1).cast("long")).alias(
+                "n_relevant"
+            ),
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias(
+                "n_hits"
+            ),
+            F.coalesce(F.col("dcg"), F.lit(0.0)).alias("dcg"),
+        )
+        .withColumn("idcg", idcg)
+        .withColumn(
+            "ndcg",
+            F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")),
+        )
+    )
+
+
+# STRING-form double literals: CAST(0.38685280723454163 AS DOUBLE)
+# parses as DECIMAL first and the decimal→double conversion misrounds
+# 17-significant-digit values by one ulp; CAST('…' AS DOUBLE) is the
+# correctly-rounded string→double parse (= the Python literal).
+_DISC_CASE = " ".join(
+    f"WHEN {i} THEN CAST('{d!r}' AS DOUBLE)"
+    for i, d in sorted(NDCG_DISCOUNTS.items())
+)
+_IDCG_CASE = " ".join(
+    f"WHEN {m} THEN CAST('{v!r}' AS DOUBLE)"
+    for m, v in sorted(NDCG_IDCG.items())
+)
+
+# Round-17 promotion queue. The mirror repeats the certified
+# brute-force ranking (index-ordered sequential-fold cosine, nid
+# tie-break), the SAME discount/IDCG double literals, and the sorted
+# sequential fold for DCG.
+ORACLE_R17 = {
+    "ann_label_ndcg": f"""
+        WITH q AS (
+            SELECT vec_id AS qid, embedding AS qv, label AS q_label
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        ),
+        pairs AS (
+            SELECT q.qid, q.q_label, c.vec_id AS nid, c.label AS n_label,
+                   list_sum([q.qv[i]::DOUBLE * c.embedding[i]::DOUBLE
+                             for i in range(1, len(q.qv) + 1)])
+                   / (sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE
+                                     for i in range(1, len(q.qv) + 1)]))
+                      * sqrt(list_sum([c.embedding[i]::DOUBLE
+                                       * c.embedding[i]::DOUBLE
+                                       for i in range(1, len(c.embedding) + 1)])))
+                       AS cosine
+            FROM embeddings c JOIN q ON q.qid <> c.vec_id
+        ),
+        top AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY qid
+                           ORDER BY cosine DESC, nid ASC
+                       ) AS rank
+                FROM pairs
+            ) WHERE rank <= {NDCG_K}
+        ),
+        hits AS (
+            SELECT qid,
+                   CAST(count(*) AS BIGINT) AS n_hits,
+                   list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                           list_sort(list(CASE rank {_DISC_CASE} END))),
+                       (acc, v) -> acc + v) AS dcg
+            FROM top WHERE n_label = q_label GROUP BY qid
+        ),
+        lc AS (
+            SELECT label, CAST(count(*) AS BIGINT) AS n_label_total
+            FROM embeddings GROUP BY 1
+        ),
+        base AS (
+            SELECT q.qid, q.q_label,
+                   CAST(lc.n_label_total - 1 AS BIGINT) AS n_relevant
+            FROM q JOIN lc ON lc.label = q.q_label
+        )
+        SELECT b.qid, b.q_label, b.n_relevant,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               COALESCE(h.dcg, CAST(0.0 AS DOUBLE)) AS dcg,
+               (CASE LEAST(b.n_relevant, {NDCG_K}) {_IDCG_CASE} END)
+                   AS idcg,
+               CASE WHEN (CASE LEAST(b.n_relevant, {NDCG_K})
+                          {_IDCG_CASE} END) > 0
+                    THEN COALESCE(h.dcg, CAST(0.0 AS DOUBLE))
+                         / (CASE LEAST(b.n_relevant, {NDCG_K})
+                            {_IDCG_CASE} END)
+               END AS ndcg
+        FROM base b LEFT JOIN hits h ON h.qid = b.qid
+    """,
+}

@@ -955,3 +955,81 @@ def test_token_heavy_hitters_match_counter_reference(
         for r in token_heavy_hitters(df, capacity=capacity).collect()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(
+                st.integers(min_value=-3, max_value=3),
+                min_size=3,
+                max_size=3,
+            ).filter(lambda v: any(v)),
+            st.integers(min_value=0, max_value=2),
+        ),
+        min_size=3,
+        max_size=12,
+    )
+)
+def test_label_ndcg_matches_python_reference(spark, items):
+    """For ANY small labeled vector set: ranking, hit structure, DCG
+    (sorted sequential fold), IDCG prefix lookup, and the final ndcg
+    all equal a pure-Python reference that replicates the operator's
+    exact fold order — bit-for-bit, including tie-breaks by nid."""
+    import math
+
+    from edu_online_spark.operators.similarity import (
+        NDCG_DISCOUNTS,
+        NDCG_IDCG,
+        NDCG_K,
+        label_ndcg,
+    )
+
+    vecs = [[float(x) for x in v] for v, _ in items]
+    labels = [lab for _, lab in items]
+    n_queries = min(2, len(items))
+
+    def fold(vals):
+        acc = 0.0
+        for v in vals:
+            acc = acc + v
+        return acc
+
+    def cos(a, b):
+        return fold(x * y for x, y in zip(a, b)) / (
+            math.sqrt(fold(x * x for x in a))
+            * math.sqrt(fold(y * y for y in b))
+        )
+
+    emb = spark.createDataFrame(
+        [(i, vecs[i], labels[i]) for i in range(len(items))],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r["qid"]: r for r in label_ndcg(emb, n_queries=n_queries).collect()}
+    assert set(got) == set(range(n_queries))
+    for qid in range(n_queries):
+        scored = sorted(
+            (
+                (-cos(vecs[qid], vecs[nid]), nid)
+                for nid in range(len(items))
+                if nid != qid
+            ),
+        )
+        top = scored[:NDCG_K]
+        hit_ranks = [
+            i + 1
+            for i, (_, nid) in enumerate(top)
+            if labels[nid] == labels[qid]
+        ]
+        dcg = fold(sorted(NDCG_DISCOUNTS[r] for r in hit_ranks))
+        n_rel = sum(1 for x in labels if x == labels[qid]) - 1
+        idcg = NDCG_IDCG[min(n_rel, NDCG_K)]
+        r = got[qid]
+        assert (r["n_relevant"], r["n_hits"]) == (n_rel, len(hit_ranks))
+        assert r["dcg"] == dcg
+        assert r["idcg"] == idcg
+        if idcg > 0:
+            assert r["ndcg"] == dcg / idcg
+        else:
+            assert r["ndcg"] is None

@@ -205,3 +205,72 @@ def test_token_heavy_hitters_tiny_capacity_exact(spark):
             for r in token_heavy_hitters(df, capacity=3).collect()
         }
         assert got == want == {"alpha": 40}
+
+
+# -- ann_label_ndcg -----------------------------------------------------------
+
+
+def test_label_ndcg_matches_r17_oracle(spark, sf_dir):
+    from edu_online_spark.operators.similarity import (
+        ORACLE_R17,
+        label_ndcg,
+    )
+
+    problems = compare(
+        "ann_label_ndcg",
+        label_ndcg(load_table(spark, sf_dir, "embeddings")),
+        run_oracle(ORACLE_R17["ann_label_ndcg"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_label_ndcg_fixture(spark):
+    """One query [1,0] (label 0) against four vectors with hand-known
+    cosine order 1.0 > 1/√2 > 0.6 > 0: hits at ranks 1 and 3 give
+    DCG = 1.0 + 0.5 (sorted fold), n_relevant=2 → IDCG is the 2-term
+    prefix, and ndcg matches the same-order Python arithmetic."""
+    from edu_online_spark.operators.similarity import (
+        NDCG_DISCOUNTS,
+        NDCG_IDCG,
+        label_ndcg,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),   # query
+        (1, [1.0, 0.0], 0),   # cos 1.0, rank 1, HIT
+        (2, [3.0, 4.0], 1),   # cos 0.6, rank 3
+        (3, [1.0, 1.0], 0),   # cos 1/sqrt(2) ~= 0.707, rank 2, HIT
+        (4, [0.0, 1.0], 1),   # cos 0.0, rank 4
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    r = label_ndcg(emb, n_queries=1).first()
+    assert (r["qid"], r["q_label"], r["n_relevant"], r["n_hits"]) == (
+        0, 0, 2, 2,
+    )
+    # hits at ranks 1 (cos 1.0) and 2 (cos 0.707): sorted ascending fold
+    dcg = (0.0 + NDCG_DISCOUNTS[2]) + NDCG_DISCOUNTS[1]
+    assert r["dcg"] == dcg
+    assert r["idcg"] == NDCG_IDCG[2]
+    assert r["ndcg"] == dcg / NDCG_IDCG[2]
+
+
+def test_label_ndcg_no_relevant_is_null(spark):
+    """A query whose label is unique in the corpus has n_relevant=0:
+    IDCG 0.0, ndcg NULL — not a zero score for an impossible task."""
+    from edu_online_spark.operators.similarity import label_ndcg
+
+    rows = [
+        (0, [1.0, 0.0], 7),
+        (1, [1.0, 0.5], 1),
+        (2, [0.0, 1.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    r = label_ndcg(emb, n_queries=1).first()
+    assert (r["n_relevant"], r["n_hits"], r["dcg"], r["idcg"]) == (
+        0, 0, 0.0, 0.0,
+    )
+    assert r["ndcg"] is None
