@@ -1769,7 +1769,7 @@ def label_ndcg(
         F.least(F.col("n_relevant"), F.lit(k).cast("long")).cast("int"),
     )
     return (
-        base.join(hits, "qid", "left")
+        base.join(F.broadcast(hits), "qid", "left")
         .select(
             "qid",
             F.col("label").alias("q_label"),

@@ -837,3 +837,46 @@ def test_r16_queue_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in lift, lift
     assert "BroadcastNestedLoopJoin" not in lift, lift
     assert "BatchEvalPython" not in lift and "ArrowEvalPython" not in lift
+
+
+def test_r17_queue_plan_shapes(spark, sf_dir):
+    """The round-17 queue's plan discipline. CUSUM and the z-test each
+    touch the corpus with exactly one map-side-combined aggregation
+    and run join-free (the z-test's first-seen window and user groupBy
+    share ONE user_id exchange). The heavy-hitters pass is the one
+    deliberate MapInPandas (the bounded Misra-Gries summary), its
+    candidate probe a BroadcastHashJoin and its total the 1-row
+    broadcast normalizer — never a cartesian, never a sort-merge of
+    the token stream. NDCG is broadcast joins only."""
+    from edu_online_spark.operators.analytics import (
+        ab_conversion_ztest,
+        cusum_level_shift,
+    )
+    from edu_online_spark.operators.similarity import label_ndcg
+    from edu_online_spark.operators.textops import token_heavy_hitters
+
+    for op, table in (
+        (cusum_level_shift, "events"),
+        (ab_conversion_ztest, "events"),
+    ):
+        plan = explain_str(op(load_table(spark, sf_dir, table)), "simple")
+        assert plan.count("Exchange") == 2, plan
+        assert "Join" not in plan, plan
+        assert "partial" in plan.lower(), plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    hh = explain_str(
+        token_heavy_hitters(load_table(spark, sf_dir, "documents")),
+        "simple",
+    )
+    assert hh.count("MapInPandas") == 1, hh
+    assert hh.count("BroadcastHashJoin") == 1, hh
+    assert hh.count("BroadcastNestedLoopJoin") == 1, hh  # 1-row total
+    assert "CartesianProduct" not in hh and "SortMergeJoin" not in hh, hh
+
+    ndcg = explain_str(
+        label_ndcg(load_table(spark, sf_dir, "embeddings")), "simple"
+    )
+    assert "CartesianProduct" not in ndcg, ndcg
+    assert "SortMergeJoin" not in ndcg, ndcg
+    assert "BatchEvalPython" not in ndcg and "ArrowEvalPython" not in ndcg
