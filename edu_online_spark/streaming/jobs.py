@@ -4067,36 +4067,24 @@ def activity_gini_job(
     )
 
 
-def daily_mad_job(
+def _daily_count_snapshot_job(
     raw: DataFrame,
     out: str,
     checkpoint: str,
-    k: int = 3,
+    report,
     available_now: bool = False,
     retain_snapshots: int = 8,
 ) -> StreamingQuery:
-    """Live robust volume tripwire: the streaming twin of
-    `operators/analytics.daily_mad_anomalies` — maintain per-day event
-    counts as events arrive and re-screen the WHOLE calendar against
-    median/MAD every trigger, via the IDENTICAL `mad_report` stage the
-    batch op runs (parity by shared code; wave-replay pinned anyway).
-    This is the screen an ingest pipeline actually wants live: the
-    trailing-mean variant goes blind for a week after each incident,
-    while the median baseline barely moves — so a backfill burst
-    today is flagged today AND yesterday's verdicts stay correct.
-
-    Shape: per-trigger corpus work is one map-side-combined daily
-    count over the micro-batch; state is CALENDAR-bounded (one long
-    per day ever seen — decades < 10⁴ rows) and folds ADDITIVELY
-    under the last_batch_id replay fence. The re-screen recomputes
-    every day's verdict per trigger because the median/MAD BASELINE
+    """Shared machinery of the calendar-count tripwire twins
+    (`daily_mad_job`, `daily_cusum_job`): fold per-day event counts
+    additively under the last_batch_id replay fence, then publish
+    `report(day-grain state)` as the trigger's snapshot. The re-screen
+    recomputes every day's verdict per trigger because the BASELINE
+    (median/MAD, or the global mean the CUSUM accumulates against)
     shifts as data arrives — the whole output is |days| rows, so the
     full-snapshot publish is the cheap and correct choice (the same
-    argument as the quantile twins).
-
-    Output per trigger: one row per day (cnt, median_cnt, mad,
-    is_anomaly, robust_z), snapshot-written to ingest_batch=N with
-    the newest `retain_snapshots` kept."""
+    argument as the quantile twins). State is CALENDAR-bounded: one
+    long per day ever seen — decades < 10⁴ rows."""
     import os
 
     from pyspark.sql.types import (
@@ -4105,8 +4093,6 @@ def daily_mad_job(
         StructField,
         StructType,
     )
-
-    from ..operators.analytics import mad_report
 
     state_path = out + ".state"
 
@@ -4151,7 +4137,7 @@ def daily_mad_job(
             .agg(F.sum("cnt").cast("long").alias("cnt"))
             .localCheckpoint(eager=True)  # snapshot + state share it
         )
-        snap = mad_report(state, k)
+        snap = report(state)
         snap.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out, f"ingest_batch={batch_id}")
         )
@@ -4181,4 +4167,70 @@ def daily_mad_job(
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()
+    )
+
+
+def daily_mad_job(
+    raw: DataFrame,
+    out: str,
+    checkpoint: str,
+    k: int = 3,
+    available_now: bool = False,
+    retain_snapshots: int = 8,
+) -> StreamingQuery:
+    """Live robust volume tripwire: the streaming twin of
+    `operators/analytics.daily_mad_anomalies` — the IDENTICAL
+    `mad_report` stage over the shared calendar-count fold (parity by
+    shared code; wave-replay pinned anyway). This is the screen an
+    ingest pipeline actually wants live: the trailing-mean variant
+    goes blind for a week after each incident, while the median
+    baseline barely moves — so a backfill burst today is flagged
+    today AND yesterday's verdicts stay correct.
+
+    Output per trigger: one row per day (cnt, median_cnt, mad,
+    is_anomaly, robust_z), snapshot-written to ingest_batch=N with
+    the newest `retain_snapshots` kept."""
+    from ..operators.analytics import mad_report
+
+    return _daily_count_snapshot_job(
+        raw,
+        out,
+        checkpoint,
+        lambda daily: mad_report(daily, k),
+        available_now,
+        retain_snapshots,
+    )
+
+
+def daily_cusum_job(
+    raw: DataFrame,
+    out: str,
+    checkpoint: str,
+    slack_den: int = 20,
+    available_now: bool = False,
+    retain_snapshots: int = 8,
+) -> StreamingQuery:
+    """Live level-shift tripwire: the streaming twin of the R17-queued
+    `operators/analytics.cusum_level_shift` — the IDENTICAL
+    `cusum_report` stage over the same calendar-count fold the MAD
+    twin uses (one shared `_daily_count_snapshot_job`; parity by
+    shared code on BOTH axes). The pair is the complete live screen:
+    MAD flags the point spike the day it lands, CUSUM accumulates the
+    quiet 20% volume sag a dropped producer causes — the failure mode
+    a per-day outlier test never reaches — and both stay integer-exact
+    under replay because the fold is additive day counts beneath a
+    last_batch_id fence.
+
+    Output per trigger: one row per day (cnt, cusum_pos, cusum_neg,
+    shift_flag), snapshot-written to ingest_batch=N with the newest
+    `retain_snapshots` kept."""
+    from ..operators.analytics import cusum_report
+
+    return _daily_count_snapshot_job(
+        raw,
+        out,
+        checkpoint,
+        lambda daily: cusum_report(daily, slack_den),
+        available_now,
+        retain_snapshots,
     )

@@ -926,3 +926,75 @@ def test_daily_mad_replay_fence_prevents_double_count(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     total2 = spark.read.parquet(out + ".state").agg(F.sum("cnt")).first()[0]
     assert total2 == len(rows), (total2, len(rows))
+
+
+def test_daily_cusum_streaming_equals_batch(spark, sf_dir, tmp_path):
+    """Live level-shift screen: replay the events table in two waves;
+    the final snapshot equals the batch cusum_level_shift row for row
+    (shared cusum_report + the same additive calendar fold the MAD
+    twin uses). A corrupt line is dropped, not crashed on."""
+    import json
+
+    from edu_online_spark.operators.analytics import cusum_level_shift
+
+    events = load_table(spark, sf_dir, "events")
+    lines = [
+        json.dumps({"event_id": r["event_id"], "ts": str(r["ts"])})
+        for r in events.select("event_id", "ts").collect()
+    ] + ["corrupt {"]
+    assert len(lines) > 100
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    half = len(lines) // 2
+    _replay(
+        jobs.daily_cusum_job, spark, src, out, ckpt,
+        [lines[:half], lines[half:]],
+    )
+    batches = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out)
+        if d.startswith("ingest_batch=")
+    )
+    final = os.path.join(out, f"ingest_batch={batches[-1]}")
+    cols = ["cnt", "cusum_pos", "cusum_neg", "shift_flag"]
+    streamed = {
+        r["day"]: tuple(r[c] for c in cols)
+        for r in spark.read.parquet(final).collect()
+    }
+    batch = {
+        r["day"]: tuple(r[c] for c in cols)
+        for r in cusum_level_shift(events).collect()
+    }
+    assert streamed == batch
+    n_state = spark.read.parquet(out + ".state").agg(F.sum("cnt")).first()[0]
+    assert n_state == events.count()
+
+
+def test_daily_cusum_replay_fence_prevents_double_count(
+    spark, sf_dir, tmp_path
+):
+    """Additive day counts under the shared fence: an availableNow
+    restart over the same checkpoint with no new files leaves the
+    calendar histogram (and therefore every CUSUM) unchanged."""
+    import json
+
+    events = load_table(spark, sf_dir, "events")
+    rows = events.select("event_id", "ts").limit(300).collect()
+    lines = [
+        json.dumps({"event_id": r["event_id"], "ts": str(r["ts"])})
+        for r in rows
+    ]
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    _replay(jobs.daily_cusum_job, spark, src, out, ckpt, [lines])
+    total = spark.read.parquet(out + ".state").agg(F.sum("cnt")).first()[0]
+    assert total == len(rows)
+    q = jobs.daily_cusum_job(
+        file_stream(spark, src, max_files_per_trigger=1),
+        out,
+        ckpt,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    total2 = spark.read.parquet(out + ".state").agg(F.sum("cnt")).first()[0]
+    assert total2 == len(rows), (total2, len(rows))

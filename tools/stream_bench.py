@@ -480,7 +480,19 @@ def bench_daily_mad(spark, work, n_rows, n_files):
     day (365 here, any volume) — and the per-trigger re-screen runs
     over that tiny relation, so trigger cost must be flat from the
     first trigger."""
-    name = "daily_mad"
+    _bench_daily_count(spark, work, n_rows, n_files,
+                       "daily_mad", jobs.daily_mad_job)
+
+
+def bench_daily_cusum(spark, work, n_rows, n_files):
+    """Same harness for daily_cusum_job (live level-shift tripwire) —
+    identical calendar-bounded state via the shared snapshot job; the
+    report stage swaps median/MAD for the closed-form CUSUM windows."""
+    _bench_daily_count(spark, work, n_rows, n_files,
+                       "daily_cusum", jobs.daily_cusum_job)
+
+
+def _bench_daily_count(spark, work, n_rows, n_files, name, job_fn):
     src = os.path.join(work, name, "src")
     per = n_rows // n_files
 
@@ -499,7 +511,7 @@ def bench_daily_mad(spark, work, n_rows, n_files):
         "spark.sql.streaming.numRecentProgressUpdates",
         str(max(n_files + 16, 100)),
     )
-    q = jobs.daily_mad_job(
+    q = job_fn(
         file_stream(spark, src, max_files_per_trigger=1),
         out,
         ckpt,
@@ -734,7 +746,7 @@ KNOWN_JOBS = {
     "register_totals", "quiz_mastery", "minhash_dedup", "winnow_index",
     "curation_ingest", "burst_flags", "weighted_sample", "stickiness",
     "latency_quantiles", "balance_deciles", "balance_deciles_sat",
-    "revenue_gini", "activity_gini", "daily_mad",
+    "revenue_gini", "activity_gini", "daily_mad", "daily_cusum",
 }
 
 
@@ -813,6 +825,8 @@ def main() -> None:
             bench_activity_gini(spark, work, n_rows, n_files)
         if want("daily_mad"):
             bench_daily_mad(spark, work, n_rows, n_files)
+        if want("daily_cusum"):
+            bench_daily_cusum(spark, work, n_rows, n_files)
         if want("winnow_index"):
             bench_winnow_index(spark, work, n_rows // 10, n_files)
         if want("minhash_dedup"):
