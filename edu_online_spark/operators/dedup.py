@@ -2734,3 +2734,112 @@ ORACLE_R15 = {
         FROM spec
     """,
 }
+
+
+def pair_transitivity(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup graph triangle census — edges, wedges (2-paths),
+    triangles, and the global transitivity 3·T/W. The one-number
+    answer to the question the degree spectrum only gestures at: are
+    near-dup families CLIQUES (template/boilerplate families — every
+    pair of a member's partners are also partners, transitivity → 1)
+    or CHAINS/STARS (drifting revisions around a hub, transitivity →
+    0)? Cliques are safe to collapse to one representative; chains
+    are not (the endpoints may be genuinely different documents), so
+    this statistic picks the dedup remediation for the whole corpus.
+
+    Exactness: triangle counting uses the oriented a<b<c join (each
+    triangle counted exactly once — no /6 correction, no double
+    count); wedges are Σᵥ C(deg v, 2) with integer `div` (d·(d−1) is
+    always even); transitivity is one double division, NULL on a
+    wedge-free graph. All counts exact bigints.
+
+    Scale shape: the pairs relation (shared LSH pass — accepts a
+    precomputed `pairs` like the other composed diagnostics) is
+    checkpointed once and reused; the wedge join keys on the CENTRAL
+    vertex and the closing probe on (a, c) — both equi-joins; the
+    compute size is the true wedge count Σ C(deg, 2), the standard
+    graph-mining bound, bounded here because upstream near-dup
+    generation is itself banded/verified (a near-dup hub's degree is
+    a cluster size, not the corpus).
+
+    Queued for round 17 (`dedup_pair_transitivity`, ORACLE_R17)."""
+    if pairs is None:
+        pairs = minhash_lsh_pairs(documents, threshold=threshold)
+    e = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).localCheckpoint(eager=True)
+    wedge = e.join(
+        e.select(F.col("a").alias("b2"), F.col("b").alias("c")),
+        F.col("b") == F.col("b2"),
+    ).select("a", "b", "c")
+    tri = wedge.join(
+        e.select(F.col("a").alias("ta"), F.col("b").alias("tc")),
+        (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    wedges = deg.agg(
+        F.coalesce(
+            F.sum(F.expr("d * (d - 1) div 2")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_wedges")
+    )
+    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        n_edges.crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                (F.lit(3.0) * F.col("n_triangles").cast("double"))
+                / F.col("n_wedges").cast("double"),
+            ).alias("transitivity"),
+        )
+    )
+
+
+# Round-17 queue. The mirror runs the SAME census over the brute-force
+# exact pairs — as with the degree spectrum, the hash certifies the
+# LSH pair pass is recall-lossless AND the oriented triangle join is
+# correct; integer counts, one double division.
+ORACLE_R17 = {
+    "dedup_pair_transitivity": f"""
+        WITH pairs AS ({_JACCARD_PAIRS_SQL}),
+        e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+        tri AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        deg AS (
+            SELECT v, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+            GROUP BY v
+        ),
+        w AS (
+            SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT)
+                       AS n_wedges
+            FROM deg
+        ),
+        ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+        SELECT ne.n_edges, w.n_wedges, tri.n_triangles,
+               CASE WHEN w.n_wedges > 0
+                    THEN (3.0 * CAST(tri.n_triangles AS DOUBLE))
+                         / CAST(w.n_wedges AS DOUBLE)
+               END AS transitivity
+        FROM ne CROSS JOIN w CROSS JOIN tri
+    """,
+}

@@ -4191,3 +4191,132 @@ ORACLE_R17 = {
         WHERE c.cnt * {HH_CAPACITY} > tot.n_tokens
     """,
 }
+
+
+def lang_kappa(documents: DataFrame) -> DataFrame:
+    """Cohen's kappa of the marker-lexicon language-ID against the
+    gold `lang` column — the chance-corrected agreement score that
+    `lang_confusion` leaves to the reader: raw accuracy flatters any
+    classifier on a skewed language mix (predicting the majority
+    language scores its prevalence), while κ = (p₀ − pₑ)/(1 − pₑ)
+    discounts exactly the agreement two independent raters with these
+    marginals would produce by luck. The standard audit number for
+    ANY pair of labelers — model vs gold here, but the same operator
+    shape scores annotator pairs or weak-supervision rules.
+
+    Exactness: the confusion matrix and both marginals are exact
+    bigints off ONE corpus exchange (the matrix is checkpointed and
+    reused — languages², not corpus, rows); p₀ is one division; pₑ is
+    a SORTED sequential fold over the ≤|languages| per-class products
+    (row_share · col_share, each one division — kept in doubles so no
+    bigint n² overflow at corpus scale), mirrored with list_reduce;
+    κ is NULL when pₑ = 1 (both raters constant — chance explains
+    everything, there is nothing to correct).
+
+    Scale shape: one map-side-combined groupBy(lang, pred_lang) over
+    the scan (pred_lang is a pure column expression); everything
+    after runs on the tiny matrix relation.
+    Queued for round 17 (`text_lang_kappa`, ORACLE_R17)."""
+    cm = (
+        documents.select(
+            "lang", T.predict_lang("text").alias("pred_lang")
+        )
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    tot = cm.agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("lang") == F.col("pred_lang"), F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    rowm = cm.groupBy("lang").agg(F.sum("cnt").cast("long").alias("n_row"))
+    colm = cm.groupBy("pred_lang").agg(
+        F.sum("cnt").cast("long").alias("n_col")
+    )
+    pk = (
+        rowm.join(colm, rowm.lang == colm.pred_lang)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (F.col("n_row").cast("double") / F.col("n_docs").cast("double"))
+                * (F.col("n_col").cast("double") / F.col("n_docs").cast("double"))
+            ).alias("pkk")
+        )
+    )
+    pe = pk.agg(
+        F.coalesce(
+            F.aggregate(
+                F.array_sort(F.collect_list("pkk")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(0.0),
+        ).alias("pe")
+    )
+    po = F.col("n_agree").cast("double") / F.col("n_docs").cast("double")
+    return tot.crossJoin(F.broadcast(pe)).select(
+        "n_docs",
+        "n_agree",
+        po.alias("po"),
+        "pe",
+        F.when(
+            F.col("pe") < 1.0, (po - F.col("pe")) / (F.lit(1.0) - F.col("pe"))
+        ).alias("kappa"),
+    )
+
+
+# Round-17 queue, third textops-adjacent member (kappa). The mirror
+# repeats the matrix/marginals in bigints, the per-class products and
+# p0 with identical operand order, and the pe fold with list_reduce
+# over list_sort (the NDCG rule — list_sum is not a sequential fold).
+ORACLE_R17.update({
+    "text_lang_kappa": f"""
+        WITH pred AS (
+            SELECT lang, {_pred_lang_sql()} AS pred_lang FROM documents
+        ),
+        cm AS (
+            SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS cnt
+            FROM pred GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN lang = pred_lang THEN cnt
+                                 ELSE 0 END) AS BIGINT) AS n_agree
+            FROM cm
+        ),
+        rowm AS (
+            SELECT lang AS k, CAST(SUM(cnt) AS BIGINT) AS n_row
+            FROM cm GROUP BY 1
+        ),
+        colm AS (
+            SELECT pred_lang AS k, CAST(SUM(cnt) AS BIGINT) AS n_col
+            FROM cm GROUP BY 1
+        ),
+        pk AS (
+            SELECT (CAST(n_row AS DOUBLE) / CAST(t.n_docs AS DOUBLE))
+                   * (CAST(n_col AS DOUBLE) / CAST(t.n_docs AS DOUBLE))
+                       AS pkk
+            FROM rowm r JOIN colm c ON c.k = r.k CROSS JOIN tot t
+        ),
+        pe AS (
+            SELECT COALESCE(
+                       list_reduce(
+                           list_prepend(CAST(0.0 AS DOUBLE),
+                                        list_sort(list(pkk))),
+                           (a, b) -> a + b),
+                       CAST(0.0 AS DOUBLE)) AS pe
+            FROM pk
+        )
+        SELECT t.n_docs, t.n_agree,
+               CAST(t.n_agree AS DOUBLE) / CAST(t.n_docs AS DOUBLE) AS po,
+               pe.pe AS pe,
+               CASE WHEN pe.pe < 1.0
+                    THEN (CAST(t.n_agree AS DOUBLE)
+                          / CAST(t.n_docs AS DOUBLE) - pe.pe)
+                         / (1.0 - pe.pe)
+               END AS kappa
+        FROM tot t CROSS JOIN pe
+    """,
+})

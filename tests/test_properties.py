@@ -11,6 +11,7 @@ the pure-Python hash property runs at full hypothesis default volume.
 from __future__ import annotations
 
 from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
 
 # Arbitrary printable junk, tabs included — the space of lines a raw
 # Kafka topic could deliver.
@@ -1033,3 +1034,102 @@ def test_label_ndcg_matches_python_reference(spark, items):
             assert r["ndcg"] == dcg / idcg
         else:
             assert r["ndcg"] is None
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ).filter(lambda p: p[0] < p[1]),
+        max_size=16,
+    )
+)
+def test_pair_transitivity_matches_bruteforce(spark, edges):
+    """For ANY simple graph on <=8 vertices: edges/wedges/triangles
+    equal the brute-force Python census and transitivity is exactly
+    3T/W (NULL on a wedge-free graph)."""
+    from itertools import combinations
+
+    from edu_online_spark.operators.dedup import pair_transitivity
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        sorted(edges) or [(0, 0)], "doc_a long, doc_b long"
+    )
+    if not edges:
+        pairs = pairs.filter(F.col("doc_a") != 0)
+    r = pair_transitivity(docs, pairs=pairs).first()
+    adj = {v: set() for v in range(8)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    wedges = sum(
+        len(adj[v]) * (len(adj[v]) - 1) // 2 for v in adj
+    )
+    tris = sum(
+        1
+        for a, b, c in combinations(range(8), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    assert (r["n_edges"], r["n_wedges"], r["n_triangles"]) == (
+        len(edges), wedges, tris,
+    )
+    if wedges:
+        assert r["transitivity"] == 3.0 * tris / wedges
+    else:
+        assert r["transitivity"] is None
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "es", "de", "fr", "zh"]),
+            st.sampled_from(["the", "el", "der", "le", "的", "zzz"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_lang_kappa_matches_python_reference(spark, items):
+    """For ANY (gold, single-marker text) assignment: the confusion
+    counts, p0, the sorted-fold pe, and kappa equal a pure-Python
+    same-order reference. Single-marker texts make the prediction
+    deterministic (one hit for that language, zero for the rest;
+    'zzz' -> 'und')."""
+    from collections import Counter
+
+    from edu_online_spark.operators.textops import lang_kappa
+
+    marker_to_lang = {
+        "the": "en", "el": "es", "der": "de", "le": "fr",
+        "的": "zh", "zzz": "und",
+    }
+    docs = spark.createDataFrame(
+        [(i, text, gold) for i, (gold, text) in enumerate(items)],
+        "doc_id long, text string, lang string",
+    )
+    r = lang_kappa(docs).first()
+    golds = [g for g, _ in items]
+    preds = [marker_to_lang[t] for _, t in items]
+    n = len(items)
+    agree = sum(1 for g, p in zip(golds, preds) if g == p)
+    rowm, colm = Counter(golds), Counter(preds)
+    products = sorted(
+        (rowm[k] / n) * (colm[k] / n) for k in rowm if k in colm
+    )
+    pe = 0.0
+    for p in products:
+        pe = pe + p
+    po = agree / n
+    assert (r["n_docs"], r["n_agree"]) == (n, agree)
+    assert r["po"] == po
+    assert r["pe"] == pe
+    if pe < 1.0:
+        assert r["kappa"] == (po - pe) / (1.0 - pe)
+    else:
+        assert r["kappa"] is None

@@ -274,3 +274,108 @@ def test_label_ndcg_no_relevant_is_null(spark):
         0, 0, 0.0, 0.0,
     )
     assert r["ndcg"] is None
+
+
+# -- dedup_pair_transitivity --------------------------------------------------
+
+
+def test_pair_transitivity_matches_r17_oracle(spark, sf_dir):
+    from edu_online_spark.operators.dedup import (
+        ORACLE_R17,
+        pair_transitivity,
+    )
+
+    problems = compare(
+        "dedup_pair_transitivity",
+        pair_transitivity(load_table(spark, sf_dir, "documents")),
+        run_oracle(ORACLE_R17["dedup_pair_transitivity"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_pair_transitivity_census_fixtures(spark):
+    """Census arithmetic pinned on injected pair graphs: a chain has
+    a wedge but no triangle (transitivity 0), a triangle closes it
+    (1.0), a star is all wedges (0), a clique-plus-pendant lands in
+    between, and an empty graph yields NULL (not 0 — there is no
+    wedge to be closed or open)."""
+    from edu_online_spark.operators.dedup import pair_transitivity
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(6)], "doc_id long, text string"
+    )
+
+    def census(edges):
+        pairs = spark.createDataFrame(
+            edges or [(0, 0)], "doc_a long, doc_b long"
+        )
+        if not edges:
+            pairs = pairs.filter(F.col("doc_a") != 0)
+        r = pair_transitivity(docs, pairs=pairs).first()
+        return (
+            r["n_edges"], r["n_wedges"], r["n_triangles"], r["transitivity"]
+        )
+
+    assert census([(1, 2), (2, 3)]) == (2, 1, 0, 0.0)
+    assert census([(1, 2), (1, 3), (2, 3)]) == (3, 3, 1, 1.0)
+    assert census([(1, 2), (1, 3), (1, 4)]) == (3, 3, 0, 0.0)
+    # triangle {1,2,3} + pendant 4 off vertex 1: wedges 3 + C(3,2)=3
+    # at v1... degrees: 1->3, 2->2, 3->2, 4->1 => wedges 3+1+1 = 5
+    assert census([(1, 2), (1, 3), (2, 3), (1, 4)]) == (
+        4, 5, 1, 3.0 * 1 / 5,
+    )
+    assert census([]) == (0, 0, 0, None)
+
+
+# -- text_lang_kappa ----------------------------------------------------------
+
+
+def test_lang_kappa_matches_r17_oracle(spark, sf_dir):
+    from edu_online_spark.operators.textops import ORACLE_R17, lang_kappa
+
+    problems = compare(
+        "text_lang_kappa",
+        lang_kappa(load_table(spark, sf_dir, "documents")),
+        run_oracle(ORACLE_R17["text_lang_kappa"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_lang_kappa_fixture(spark):
+    """Hand-built confusion: 6 docs, 4 agreements (3 en, 1 es), one
+    fr-gold misread as en, one en-gold with no markers ('und').
+    Marginals share only {en, es}: pe = (4/6)(4/6) + (1/6)(1/6),
+    po = 4/6, kappa = 7/19 — matched against the same-order Python
+    doubles."""
+    from edu_online_spark.operators.textops import lang_kappa
+
+    rows = [
+        (0, "the cat and the dog is here", "en"),
+        (1, "to the park of note", "en"),
+        (2, "is of and the to", "en"),
+        (3, "el que la cosa de", "es"),
+        (4, "the of to violà", "fr"),   # en markers, fr gold
+        (5, "zzz qqq www", "en"),       # no markers -> 'und'
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    r = lang_kappa(docs).first()
+    assert (r["n_docs"], r["n_agree"]) == (6, 4)
+    po = 4 / 6
+    products = sorted([(4 / 6) * (4 / 6), (1 / 6) * (1 / 6)])
+    pe = (0.0 + products[0]) + products[1]
+    assert r["po"] == po
+    assert r["pe"] == pe
+    assert r["kappa"] == (po - pe) / (1.0 - pe)
+
+
+def test_lang_kappa_perfect_agreement_is_degenerate(spark):
+    """All docs one language, all predicted the same: po = 1 but
+    pe = 1 too — kappa is NULL (chance explains everything), not 1."""
+    from edu_online_spark.operators.textops import lang_kappa
+
+    docs = spark.createDataFrame(
+        [(i, "the and of is to", "en") for i in range(4)],
+        "doc_id long, text string, lang string",
+    )
+    r = lang_kappa(docs).first()
+    assert (r["po"], r["pe"], r["kappa"]) == (1.0, 1.0, None)
