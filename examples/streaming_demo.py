@@ -42,6 +42,7 @@ def main() -> None:
             "register", "qz", "page", "raw", "docs", "pii", "emb", "link",
             "scrub", "budget", "shard", "winnow", "ingest", "neardup", "burst",
             "seed", "stick", "sla", "deciles", "gini", "act", "madd",
+            "cusum",
         )
     }
 
@@ -630,6 +631,38 @@ def main() -> None:
         if d.startswith("ingest_batch=")
     )
     out["daily_mad"] = f"{mad_base}/ingest_batch={last}"
+
+    # round 13: live level-shift tripwire (daily_cusum_job, shared
+    # machinery with daily_mad). Wave 1: four days at 2 events. Wave
+    # 2: the feed settles at 8/day for four days — a sustained 4×
+    # level shift no single day of which is a MAD-style outlier once
+    # the new level dominates. Final counts [2,2,2,2,8,8,8,8] at
+    # slack_den=4: total 40, slack 10, scaled deviations ∓24/+24 →
+    # hand-computed CUSUMs S⁻ = 14,28,42,56,22,0,0,0 and
+    # S⁺ = 0,0,0,0,14,28,42,56; the >40 alarm flags days 3-4 (low
+    # side) and 7-8 (high side) — the runs BRACKET the change point
+    # between day 4 and 5.
+    c1 = [mad_line(i, f"2026-08-{d:02d} 09:00:00")
+          for i, d in enumerate([1, 1, 2, 2, 3, 3, 4, 4])]
+    produce(topics["cusum"], "c1.jsonl", c1 + ["corrupt {"])
+    cusum_base = f"{work}/out/daily_cusum"
+    jobs.daily_cusum_job(
+        file_stream(spark, topics["cusum"]),
+        cusum_base, ck("cusum"), slack_den=4, available_now=True,
+    ).awaitTermination(120)
+    c2 = [mad_line(200 + i, f"2026-08-{5 + i // 8:02d} 09:00:00")
+          for i in range(32)]
+    produce(topics["cusum"], "c2.jsonl", c2)
+    jobs.daily_cusum_job(
+        file_stream(spark, topics["cusum"]),
+        cusum_base, ck("cusum"), slack_den=4, available_now=True,
+    ).awaitTermination(120)
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(cusum_base)
+        if d.startswith("ingest_batch=")
+    )
+    out["daily_cusum"] = f"{cusum_base}/ingest_batch={last}"
 
     for name, path in out.items():
         df = spark.read.parquet(path)
