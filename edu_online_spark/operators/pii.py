@@ -361,3 +361,65 @@ ORACLE = {
         GROUP BY 1
     """,
 }
+
+
+def l_diversity_report(
+    df: DataFrame, qi_cols: list[str], sensitive: str, l: int = 3
+) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure complement to
+    `k_anonymity_report`: a QI class can be comfortably k-anonymous
+    and still leak, because if all 500 of its members share ONE
+    sensitive value, knowing someone is in the class reveals their
+    value without identifying their row. Per class we count DISTINCT
+    sensitive values, then publish the diversity spectrum (how many
+    classes sit at each diversity level) with the `< l` violation
+    flag — the same spectrum grain the k-report uses, so the two
+    audits read side by side.
+
+    Scale shape: one exact distinct-count shuffle on (QI, sensitive)
+    collapsed map-side, then a class-grain count and a
+    |distinct diversity levels|-row summary. Exact integers
+    throughout. Queued for round 17 (`events_l_diversity`,
+    ORACLE_R17)."""
+    classes = (
+        df.select(*qi_cols, sensitive)
+        .distinct()
+        .groupBy(*qi_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_distinct_sensitive"))
+    )
+    return (
+        classes.groupBy("n_distinct_sensitive")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_classes"))
+        .select(
+            "n_distinct_sensitive",
+            "n_classes",
+            (F.col("n_distinct_sensitive") < l).alias("violates_l"),
+        )
+    )
+
+
+def _q_events_ldiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    qi = events.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    return l_diversity_report(qi, ["event_type", "day"], "user_id")
+
+
+# Round-17 queue (the PII module's second release-gate audit).
+ORACLE_R17 = {
+    "events_l_diversity": """
+        WITH classes AS (
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(count(DISTINCT user_id) AS BIGINT)
+                       AS n_distinct_sensitive
+            FROM events GROUP BY 1, 2
+        )
+        SELECT n_distinct_sensitive,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               n_distinct_sensitive < 3 AS violates_l
+        FROM classes GROUP BY 1
+    """,
+}

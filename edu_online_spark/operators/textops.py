@@ -4320,3 +4320,110 @@ ORACLE_R17.update({
         FROM tot t CROSS JOIN pe
     """,
 })
+
+
+def quality_length_spearman(documents: DataFrame) -> DataFrame:
+    """Spearman rank correlation between the cheap quality score and
+    document length — the signal-audit every curation pipeline needs
+    before it trusts a proxy: if a "quality" heuristic is mostly a
+    length detector (|ρ| high), budget-capping by quality silently
+    becomes length-capping and the short-doc mass is gone. Uses the
+    PERMUTATION-RANK variant: ranks are row_numbers with a doc_id
+    tie-break, so they're deterministic on both engines and equal to
+    classic Spearman whenever the scores are tie-free; ρ =
+    1 − 6·Σd²/(n(n²−1)).
+
+    Exactness: ranks are exact integers; per-doc d² fits a long; the
+    CORPUS sum runs in DECIMAL(38,0) (exact and order-free where a
+    double sum would be order-dependent — Σd² ~ n³/6 overflows bigint
+    past n ≈ 3·10⁶); the final ρ is a fixed-order double expression.
+    Zero-token/zero-char docs are filtered on BOTH engines before
+    ranking (their score is undefined, and NULL ordering differs
+    across engines).
+
+    Scale shape: one scan computing both signals, then the two global
+    rank sorts Spearman is defined by (each a single total-order
+    window — the honest cost of exact global ranks), then one 1-row
+    aggregate. Queued for round 17 (`docs_quality_spearman`,
+    ORACLE_R17)."""
+    from pyspark.sql import Window
+
+    d = documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        T.token_count("text").alias("n_tokens"),
+        T.punct_count("text").alias("n_punct"),
+        T.marker_hits("text", T.STOPWORDS_EN).alias("n_stop"),
+    ).filter((F.col("n_tokens") > 0) & (F.col("n_chars") > 0))
+    d = d.select(
+        "doc_id",
+        "n_chars",
+        (
+            (F.col("n_stop").cast("double") / F.col("n_tokens"))
+            - (F.col("n_punct").cast("double") / F.col("n_chars"))
+        ).alias("quality_score"),
+    )
+    w_q = Window.orderBy("quality_score", "doc_id")
+    w_l = Window.orderBy("n_chars", "doc_id")
+    ranked = d.withColumn("r_q", F.row_number().over(w_q)).withColumn(
+        "r_l", F.row_number().over(w_l)
+    )
+    diff = (F.col("r_q") - F.col("r_l")).cast("long")
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((diff * diff).cast("decimal(38,0)")).alias("d2"),
+    )
+    n_d = F.col("n_docs").cast("double")
+    rho = F.lit(1.0) - (F.lit(6.0) * F.col("d2").cast("double")) / (
+        n_d * (n_d * n_d - F.lit(1.0))
+    )
+    return agg.select(
+        "n_docs",
+        F.col("d2").cast("double").alias("sum_d2"),
+        F.when(F.col("n_docs") > 1, rho).alias("rho"),
+    )
+
+
+# Round-17 queue, fourth textops member. The mirror repeats the score
+# expression, both tie-broken rank windows, the HUGEINT-exact d^2 sum,
+# and the fixed-order rho.
+ORACLE_R17.update({
+    "docs_quality_spearman": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len({_TOKENS}) AS n_tokens,
+                   len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+                   len(list_filter({_TOKENS}, w -> w IN ({_STOP_LIST})))
+                       AS n_stop
+            FROM documents
+        ),
+        f AS (
+            SELECT doc_id, n_chars,
+                   (n_stop::DOUBLE / n_tokens)
+                       - (n_punct::DOUBLE / n_chars) AS quality_score
+            FROM d WHERE n_tokens > 0 AND n_chars > 0
+        ),
+        r AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY quality_score, doc_id)
+                       AS r_q,
+                   ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS r_l
+            FROM f
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   SUM(CAST((r_q - r_l) * (r_q - r_l) AS HUGEINT)) AS d2
+            FROM r
+        )
+        SELECT n_docs,
+               CAST(d2 AS DOUBLE) AS sum_d2,
+               CASE WHEN n_docs > 1
+                    THEN 1.0 - (6.0 * CAST(d2 AS DOUBLE))
+                         / (CAST(n_docs AS DOUBLE)
+                            * (CAST(n_docs AS DOUBLE)
+                               * CAST(n_docs AS DOUBLE) - 1.0))
+               END AS rho
+        FROM agg
+    """,
+})

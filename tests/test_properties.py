@@ -1133,3 +1133,86 @@ def test_lang_kappa_matches_python_reference(spark, items):
         assert r["kappa"] == (po - pe) / (1.0 - pe)
     else:
         assert r["kappa"] is None
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["the", "and", "xx", "yy", "zz"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_quality_spearman_matches_python_reference(spark, word_lists):
+    """For ANY corpus of stopword/noise mixes: the tie-broken ranks,
+    the exact d-squared sum, and rho equal a pure-Python reference
+    that replicates the operator's score, rank, and operand order."""
+    from edu_online_spark.operators.textops import quality_length_spearman
+
+    texts = [" ".join(ws) for ws in word_lists]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    r = quality_length_spearman(docs).first()
+
+    stop = {"the", "a", "an", "and", "or", "of", "to", "in", "is", "it"}
+    feats = []
+    for i, t in enumerate(texts):
+        toks = t.strip().split()
+        n_chars = len(t)
+        q = (sum(1 for w in toks if w in stop) / len(toks)) - (0.0 / n_chars)
+        feats.append((i, n_chars, q))
+    by_q = sorted(feats, key=lambda f: (f[2], f[0]))
+    by_l = sorted(feats, key=lambda f: (f[1], f[0]))
+    r_q = {f[0]: i + 1 for i, f in enumerate(by_q)}
+    r_l = {f[0]: i + 1 for i, f in enumerate(by_l)}
+    n = len(texts)
+    d2 = sum((r_q[i] - r_l[i]) ** 2 for i in range(n))
+    assert (r["n_docs"], r["sum_d2"]) == (n, float(d2))
+    if n > 1:
+        assert r["rho"] == 1.0 - (6.0 * float(d2)) / (
+            float(n) * (float(n) * float(n) - 1.0)
+        )
+    else:
+        assert r["rho"] is None
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["click", "view"]),
+            st.sampled_from(["d1", "d2", "d3"]),
+            st.integers(min_value=0, max_value=5),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_l_diversity_matches_counter_reference(spark, rows, l):
+    """For ANY event layout and l: the diversity spectrum equals the
+    per-class distinct-count Counter reference exactly."""
+    from collections import Counter, defaultdict
+
+    from edu_online_spark.operators.pii import l_diversity_report
+
+    df = spark.createDataFrame(
+        rows, "event_type string, day string, user_id long"
+    )
+    got = {
+        r["n_distinct_sensitive"]: (r["n_classes"], r["violates_l"])
+        for r in l_diversity_report(
+            df, ["event_type", "day"], "user_id", l=l
+        ).collect()
+    }
+    per_class = defaultdict(set)
+    for t, d, u in rows:
+        per_class[(t, d)].add(u)
+    spectrum = Counter(len(v) for v in per_class.values())
+    want = {div: (cnt, div < l) for div, cnt in spectrum.items()}
+    assert got == want

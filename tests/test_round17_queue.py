@@ -379,3 +379,98 @@ def test_lang_kappa_perfect_agreement_is_degenerate(spark):
     )
     r = lang_kappa(docs).first()
     assert (r["po"], r["pe"], r["kappa"]) == (1.0, 1.0, None)
+
+
+# -- events_l_diversity -------------------------------------------------------
+
+
+def test_l_diversity_matches_r17_oracle(spark, sf_dir):
+    from edu_online_spark.operators.pii import ORACLE_R17, _q_events_ldiv
+
+    problems = compare(
+        "events_l_diversity",
+        _q_events_ldiv(spark, sf_dir),
+        run_oracle(ORACLE_R17["events_l_diversity"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_l_diversity_flags_homogeneous_class(spark):
+    """The attribute-disclosure case k-anonymity waves through: a
+    6-member class (comfortably k>=5-anonymous) whose members all
+    share ONE sensitive value is 1-diverse and violates l=3, while a
+    3-member class spanning 3 values passes."""
+    from edu_online_spark.operators.pii import l_diversity_report
+
+    rows = (
+        # class (click, d1): 6 rows, ONE user -> diversity 1
+        [("click", "d1", 7)] * 6
+        # class (view, d1): 3 rows, 3 users -> diversity 3
+        + [("view", "d1", 1), ("view", "d1", 2), ("view", "d1", 3)]
+        # class (error, d2): 2 rows, 2 users -> diversity 2, violates
+        + [("error", "d2", 4), ("error", "d2", 5)]
+    )
+    df = spark.createDataFrame(
+        rows, "event_type string, day string, user_id long"
+    )
+    got = {
+        r["n_distinct_sensitive"]: (r["n_classes"], r["violates_l"])
+        for r in l_diversity_report(
+            df, ["event_type", "day"], "user_id"
+        ).collect()
+    }
+    assert got == {1: (1, True), 2: (1, True), 3: (1, False)}
+
+
+# -- docs_quality_spearman ----------------------------------------------------
+
+
+def test_quality_spearman_matches_r17_oracle(spark, sf_dir):
+    from edu_online_spark.operators.textops import (
+        ORACLE_R17,
+        quality_length_spearman,
+    )
+
+    problems = compare(
+        "docs_quality_spearman",
+        quality_length_spearman(load_table(spark, sf_dir, "documents")),
+        run_oracle(ORACLE_R17["docs_quality_spearman"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_quality_spearman_perfect_anticorrelation(spark):
+    """Texts built so quality rank exactly reverses length rank:
+    stop-word share falls as padding grows. Reverse permutation has
+    sum d^2 = n(n^2-1)/3, so rho = -1.0 exactly (the 6x/denominator
+    division is exact here). And a monotone set gives +1.0 with
+    sum_d2 = 0."""
+    from edu_online_spark.operators.textops import quality_length_spearman
+
+    down = [
+        (1, "the"),
+        (2, "the xx yy"),
+        (3, "the xx yy zz ww"),
+        (4, "the xx yy zz ww vv uu"),
+    ]
+    r = quality_length_spearman(
+        spark.createDataFrame(down, "doc_id long, text string")
+    ).first()
+    assert (r["n_docs"], r["sum_d2"], r["rho"]) == (4, 20.0, -1.0)
+
+    up = [(i, " ".join(["the"] * i)) for i in range(1, 5)]
+    r = quality_length_spearman(
+        spark.createDataFrame(up, "doc_id long, text string")
+    ).first()
+    # equal quality scores (all 1.0): doc_id tie-break makes r_q the
+    # id order, which matches the length order -> rho exactly 1.0
+    assert (r["sum_d2"], r["rho"]) == (0.0, 1.0)
+
+
+def test_quality_spearman_single_doc_is_null(spark):
+    from edu_online_spark.operators.textops import quality_length_spearman
+
+    r = quality_length_spearman(
+        spark.createDataFrame([(1, "the xx")], "doc_id long, text string")
+    ).first()
+    assert (r["n_docs"], r["sum_d2"], r["rho"]) == (1, 0.0, None)
