@@ -226,3 +226,20 @@ def test_price_benford_fixture():
         ).collect()
     }
     assert real[1]["excess_ratio"] < 0.75 < 1.0 < real[9]["excess_ratio"]
+
+
+def test_benford_share_literals_survive_duckdb_decimal_path():
+    """The round-13 NDCG session found DuckDB's bare-numeric CAST(x AS
+    DOUBLE) goes through DECIMAL and misrounds some 17-significant-
+    digit doubles one ulp. The Benford mirror embeds its shares bare;
+    this pins that every one of the nine literals happens to survive
+    the decimal path exactly — if a future edit changes the constants,
+    this fails and the mirror must switch to the CAST('…' AS DOUBLE)
+    string form (the NDCG discipline)."""
+    import duckdb
+
+    from edu_online_spark.operators.analytics import BENFORD_SHARES
+
+    for d, s in BENFORD_SHARES.items():
+        got = duckdb.sql(f"SELECT CAST({s!r} AS DOUBLE)").fetchone()[0]
+        assert got == s, (d, repr(s), repr(got))
