@@ -4234,3 +4234,139 @@ def daily_cusum_job(
         available_now,
         retain_snapshots,
     )
+
+
+def heavy_hitters_job(
+    raw: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    capacity: int = 256,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Live token heavy-hitters tracker — the streaming face of
+    `operators/textops.token_heavy_hitters`: a single persistent
+    Misra-Gries summary of ≤`capacity` counters folded across
+    triggers, so "what's trending over the whole stream" is
+    answerable at any moment from O(capacity) state, independent of
+    vocabulary size. Batch mode gets exactness from its second pass;
+    a stream can't recount the past, so this job keeps the classic
+    mergeable-summary guarantee instead and REPORTS ITS OWN ERROR
+    BAR: every decrement unit removes ≥ capacity+1 units of mass, so
+    any key's undercount is ≤ D/(capacity+1) where D = n_tokens −
+    Σcounters (both maintained exactly). Published per trigger:
+    est (the lower bound), err_bound (ceil of the bound above),
+    `guaranteed` (est alone clears the 1/capacity share threshold —
+    sound, no false positives), and `is_candidate` (est + err_bound
+    clears it — complete, no false negatives). The TRUE heavy-hitter
+    set always sits between the two flags; tests pin both directions.
+
+    Merge per trigger: batch wordcount (map-side combined) unioned
+    into the stored counters, then ONE rank-chosen trim — m is the
+    (capacity+1)-th largest count, survivors keep cnt − m — all
+    window work on ≤ capacity + |batch vocab| rows. The fold is
+    ADDITIVE, so the last_batch_id fence drops redelivered triggers
+    (the countmin job's replay discipline; same scoping caveat: a
+    fresh checkpoint against an existing sink reads as redelivery)."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ..functions import text as T
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    parsed = F.from_json(
+        F.col("value"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    docs = (
+        raw.select(parsed.alias("j"))
+        .filter(F.col("j._corrupt").isNull() & F.col("j.text").isNotNull())
+        .select(F.col("j.text").alias("text"))
+    )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        delta = (
+            batch.select(F.explode(T.tokens("text")).alias("token"))
+            .filter(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        n_delta = delta.agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long")
+        ).first()[0]
+        sinks.recover_sink(out_path)
+        n_prior = 0
+        if os.path.exists(out_path):
+            old = spark.read.parquet(out_path)
+            last = old.agg(F.max("last_batch_id")).first()[0]
+            if last is not None and last >= batch_id:
+                return  # redelivered trigger: additive fold, drop it
+            n_prior = old.agg(F.max("n_tokens")).first()[0] or 0
+            delta = (
+                old.select("token", F.col("est").alias("cnt"))
+                .unionByName(delta)
+                .groupBy("token")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+            )
+        n_total = n_prior + n_delta
+        w_rank = Window.orderBy(F.desc("cnt"), F.asc("token"))
+        trimmed = (
+            delta.withColumn("rn", F.row_number().over(w_rank))
+            .withColumn(
+                "m",
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            F.col("rn") == capacity + 1, F.col("cnt")
+                        )
+                    ).over(Window.partitionBy()),
+                    F.lit(0).cast("long"),
+                ),
+            )
+            .filter(F.col("cnt") > F.col("m"))
+            .select("token", (F.col("cnt") - F.col("m")).alias("est"))
+        )
+        kept = trimmed.withColumn("n_tokens", F.lit(n_total).cast("long"))
+        # D = mass decremented so far; per-key undercount <= D/(cap+1)
+        err = (
+            F.col("n_tokens")
+            - F.sum("est").over(Window.partitionBy())
+            + F.lit(capacity)
+        ).cast("long") / F.lit(capacity + 1)
+        err_bound = F.floor(err).cast("long")
+        report = kept.select(
+            "token",
+            "est",
+            "n_tokens",
+            err_bound.alias("err_bound"),
+            (F.col("est") * capacity > F.col("n_tokens")).alias(
+                "guaranteed"
+            ),
+            (
+                (F.col("est") + err_bound) * capacity > F.col("n_tokens")
+            ).alias("is_candidate"),
+        )
+        merged = (
+            report.withColumn("last_batch_id", F.lit(batch_id))
+            .coalesce(1)  # <= capacity rows: single file, atomic swap
+            .localCheckpoint(eager=True)
+        )
+        sinks.parquet_overwrite_atomic(out_path)(merged, batch_id)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )

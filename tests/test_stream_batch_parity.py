@@ -998,3 +998,79 @@ def test_daily_cusum_replay_fence_prevents_double_count(
     q.awaitTermination(120)
     total2 = spark.read.parquet(out + ".state").agg(F.sum("cnt")).first()[0]
     assert total2 == len(rows), (total2, len(rows))
+
+
+def test_heavy_hitters_job_brackets_truth(spark, tmp_path):
+    """Two-wave Zipfish stream: the TRUE heavy-hitter set (Counter
+    reference at share > 1/capacity) must sit BETWEEN the job's two
+    flags — every `guaranteed` token is truly heavy (soundness) and
+    every truly heavy token is an `is_candidate` (completeness, the
+    mergeable-MG bound) — and est is always a lower bound on the true
+    count. capacity=4 on an 8-word vocabulary forces real decrements."""
+    import json
+    from collections import Counter
+
+    docs1 = (
+        ["alpha beta alpha alpha"] * 6
+        + ["gamma delta", "eps zeta", "eta theta"]
+    )
+    docs2 = ["alpha beta beta"] * 5 + ["gamma gamma eps", "zeta eta"]
+    lines1 = [json.dumps({"doc_id": str(i), "text": t})
+              for i, t in enumerate(docs1)] + ["corrupt {"]
+    lines2 = [json.dumps({"doc_id": str(100 + i), "text": t})
+              for i, t in enumerate(docs2)]
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "hh"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    _replay(
+        jobs.heavy_hitters_job, spark, src, out, ckpt,
+        [lines1, lines2], capacity=4,
+    )
+    exact = Counter(
+        w for t in docs1 + docs2 for w in t.split()
+    )
+    n = sum(exact.values())
+    truly_heavy = {t for t, c in exact.items() if c * 4 > n}
+    rows = {r["token"]: r for r in spark.read.parquet(out).collect()}
+    assert all(r["n_tokens"] == n for r in rows.values())
+    for t, r in rows.items():
+        assert r["est"] <= exact[t], (t, r["est"], exact[t])
+        if r["guaranteed"]:
+            assert t in truly_heavy, t
+        if r["guaranteed"]:
+            assert r["is_candidate"], t
+    for t in truly_heavy:
+        assert t in rows and rows[t]["is_candidate"], t
+
+
+def test_heavy_hitters_replay_fence_prevents_double_count(
+    spark, tmp_path
+):
+    """The MG fold is additive: an availableNow restart over the same
+    checkpoint with no new files leaves n_tokens and every counter
+    unchanged."""
+    import json
+
+    lines = [
+        json.dumps({"doc_id": str(i), "text": "alpha beta alpha"})
+        for i in range(10)
+    ]
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "hh"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    _replay(jobs.heavy_hitters_job, spark, src, out, ckpt, [lines])
+    before = {
+        r["token"]: (r["est"], r["n_tokens"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert before["alpha"] == (20, 30)
+    q = jobs.heavy_hitters_job(
+        file_stream(spark, src, max_files_per_trigger=1),
+        out,
+        ckpt,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    after = {
+        r["token"]: (r["est"], r["n_tokens"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert after == before

@@ -484,6 +484,67 @@ def bench_daily_mad(spark, work, n_rows, n_files):
                        "daily_mad", jobs.daily_mad_job)
 
 
+def bench_heavy_hitters(spark, work, n_rows, n_files):
+    """Throughput + trigger-latency profile for heavy_hitters_job
+    (live Misra-Gries tracker). State is CAPACITY-bounded (<=256
+    counters, any vocabulary), so trigger cost must be flat; the
+    deterministic generator mixes 7 hot tokens (~3.2% each) with a
+    50k-token uniform tail to force real decrements."""
+    name = "heavy_hitters"
+    src = os.path.join(work, name, "src")
+    per = n_rows // n_files
+
+    def line(i: int) -> str:
+        words = []
+        for j in range(8):
+            x = i * 8 + j
+            if x % 4 != 0:
+                words.append(f"hot{x % 7}")
+            else:
+                words.append(f"t{x % 50000}")
+        return json.dumps({"doc_id": str(i), "text": " ".join(words)})
+
+    for f in range(n_files):
+        _produce(src, f"h{f:04d}.log", [line(f * per + i) for i in range(per)])
+    out = os.path.join(work, name, "out")
+    ckpt = os.path.join(work, name, "ck")
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates",
+        str(max(n_files + 16, 100)),
+    )
+    q = jobs.heavy_hitters_job(
+        file_stream(spark, src, max_files_per_trigger=1),
+        out,
+        ckpt,
+        available_now=True,
+    )
+    t0 = time.monotonic()
+    q.awaitTermination(600)
+    secs = time.monotonic() - t0
+    order = [
+        p.batchDuration / 1000.0
+        for p in sorted(q.recentProgress, key=lambda p: p.batchId)
+        if p.numInputRows > 0
+    ]
+    if not order:
+        print(json.dumps({"job": name, "error": "no data-bearing batches"}))
+        return
+    print(
+        json.dumps(
+            {
+                "job": name,
+                "rows": per * n_files,
+                "secs": round(secs, 2),
+                "rows_per_sec": int(per * n_files / secs),
+                "batches": len(order),
+                "trigger_s_first": round(order[0], 2),
+                "trigger_s_median": round(sorted(order)[len(order) // 2], 2),
+                "trigger_s_last": round(order[-1], 2),
+            }
+        )
+    )
+
+
 def bench_daily_cusum(spark, work, n_rows, n_files):
     """Same harness for daily_cusum_job (live level-shift tripwire) —
     identical calendar-bounded state via the shared snapshot job; the
@@ -747,6 +808,7 @@ KNOWN_JOBS = {
     "curation_ingest", "burst_flags", "weighted_sample", "stickiness",
     "latency_quantiles", "balance_deciles", "balance_deciles_sat",
     "revenue_gini", "activity_gini", "daily_mad", "daily_cusum",
+    "heavy_hitters",
 }
 
 
@@ -827,6 +889,8 @@ def main() -> None:
             bench_daily_mad(spark, work, n_rows, n_files)
         if want("daily_cusum"):
             bench_daily_cusum(spark, work, n_rows, n_files)
+        if want("heavy_hitters"):
+            bench_heavy_hitters(spark, work, n_rows, n_files)
         if want("winnow_index"):
             bench_winnow_index(spark, work, n_rows // 10, n_files)
         if want("minhash_dedup"):
