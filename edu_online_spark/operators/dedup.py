@@ -2795,6 +2795,7 @@ def pair_transitivity(
     )
     n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return (
+        # 1-row × 1-row × 1-row normalizers — never a data cartesian
         n_edges.crossJoin(F.broadcast(wedges))
         .crossJoin(F.broadcast(tri))
         .select(

@@ -4155,6 +4155,7 @@ def token_heavy_hitters(
     )
     total = toks.agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
     return (
+        # 1-row total normalizer — never a data cartesian
         counts.crossJoin(F.broadcast(total))
         .filter(F.col("cnt") * F.lit(capacity) > F.col("n_tokens"))
         .select(
@@ -4237,7 +4238,7 @@ def lang_kappa(documents: DataFrame) -> DataFrame:
     )
     pk = (
         rowm.join(colm, rowm.lang == colm.pred_lang)
-        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tot))  # 1-row total normalizer
         .select(
             (
                 (F.col("n_row").cast("double") / F.col("n_docs").cast("double"))
@@ -4256,6 +4257,7 @@ def lang_kappa(documents: DataFrame) -> DataFrame:
         ).alias("pe")
     )
     po = F.col("n_agree").cast("double") / F.col("n_docs").cast("double")
+    # 1-row × 1-row normalizer join
     return tot.crossJoin(F.broadcast(pe)).select(
         "n_docs",
         "n_agree",
