@@ -281,6 +281,22 @@ def main() -> None:
             for r in spec
         )
     )
+    # round-13 tail (second session): the SEVENTH consumer — the
+    # triangle census answers clique-vs-chain for the whole graph
+    # (transitivity 1.0 here: every family is a clique, so
+    # representative-collapse is the safe remediation)
+    from edu_online_spark.operators.dedup import pair_transitivity
+
+    tr = pair_transitivity(raw_docs, pairs=shared_pairs).first()
+    print(
+        f"pair transitivity: edges={tr['n_edges']} "
+        f"wedges={tr['n_wedges']} triangles={tr['n_triangles']} "
+        + (
+            f"3T/W={tr['transitivity']:.3f}"
+            if tr["transitivity"] is not None
+            else "3T/W=n/a"
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -43,6 +43,7 @@ def main() -> None:
         minhash_lsh_pairs,
         near_dup_clusters,
         pair_degree_spectrum,
+        pair_transitivity,
         savings_by_source,
         threshold_yield_curve,
     )
@@ -96,13 +97,20 @@ def main() -> None:
         ).mode("overwrite").save()
         row["degree_spectrum_sec"] = round(time.perf_counter() - t0, 2)
 
+        t0 = time.perf_counter()
+        pair_transitivity(docs, pairs=pairs).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        row["transitivity_sec"] = round(time.perf_counter() - t0, 2)
+
         row["marginal_sec"] = round(
             row["yield_curve_sec"]
             + row["size_profile_sec"]
             + row["clusters_sec"]
             + row["savings_sec"]
             + row["lang_purity_sec"]
-            + row["degree_spectrum_sec"],
+            + row["degree_spectrum_sec"]
+            + row["transitivity_sec"],
             2,
         )
         row["composed_total_sec"] = round(
