@@ -3621,3 +3621,263 @@ ORACLE_R17 = {
         FROM v
     """,
 }
+
+
+def price_qty_ols(lineitem: DataFrame) -> DataFrame:
+    """Simple linear regression (OLS) of extended price on quantity —
+    the first regression any pricing/forecast pipeline fits, here as
+    a single-pass aggregate: slope, intercept, and r² from the five
+    raw moments Σx, Σy, Σxy, Σx², Σy². In real TPC-H the price IS
+    quantity × unit price (r² near 1); on THIS corpus's synthetic
+    generator the fit reads r² ≈ 10⁻⁵ — prices are drawn independent
+    of quantity — which is exactly the one-row broken-feed reading
+    the op exists to give before any model trains on the column pair.
+
+    Exactness: x is the quantity bigint, y the CENTS bigint; all five
+    moments accumulate in DECIMAL(38,0) — exact and order-free where
+    double sums would be run-order-dependent (Σy² ≈ 10²⁶ at 10¹²
+    rows, far past both int64 and 2⁵³). The closed-form estimates
+    convert each exact moment to a double once (correctly-rounded,
+    verified identical across engines by the parity hash) and apply
+    a fixed-order expression; slope/r² are NULL on a degenerate
+    design (constant x — nothing to regress on).
+
+    Scale shape: ONE map-side-combined aggregate over the scan;
+    output is a single row.
+    Queued for round 18 (`lineitem_price_qty_ols`, ORACLE_R18)."""
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dec = "decimal(38,0)"
+    agg = lineitem.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x.cast(dec)).alias("sx"),
+        F.sum(y.cast(dec)).alias("sy"),
+        F.sum((x * y).cast(dec)).alias("sxy"),
+        F.sum((x * x).cast(dec)).alias("sxx"),
+        F.sum((y * y).cast(dec)).alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    num = n_d * sxy - sx * sy
+    den = n_d * sxx - sx * sx
+    deny = n_d * syy - sy * sy
+    slope = num / den
+    return agg.select(
+        "n",
+        F.when(den > 0, slope).alias("slope_cents_per_unit"),
+        F.when(
+            den > 0, (sy - slope * sx) / n_d
+        ).alias("intercept_cents"),
+        F.when(
+            (den > 0) & (deny > 0), (num * num) / (den * deny)
+        ).alias("r2"),
+    )
+
+
+# Round-18 promotion queue. The mirror accumulates the same five
+# HUGEINT-exact moments and applies the identical fixed-order
+# closed form; every moment is cast to DOUBLE exactly once.
+ORACLE_R18 = {
+    "lineitem_price_qty_ols": """
+        WITH agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   SUM(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)) AS sx,
+                   SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            AS HUGEINT)) AS sy,
+                   SUM(CAST(CAST(l_quantity AS BIGINT)
+                            * CAST(round(l_extendedprice * 100) AS BIGINT)
+                            AS HUGEINT)) AS sxy,
+                   SUM(CAST(CAST(l_quantity AS BIGINT)
+                            * CAST(l_quantity AS BIGINT) AS HUGEINT)) AS sxx,
+                   SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round(l_extendedprice * 100) AS BIGINT)
+                            AS HUGEINT)) AS syy
+            FROM lineitem
+        )
+        SELECT n,
+               CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               END AS slope_cents_per_unit,
+               CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                    THEN (CAST(sy AS DOUBLE)
+                          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                            * CAST(sx AS DOUBLE))
+                         / CAST(n AS DOUBLE)
+               END AS intercept_cents,
+               CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                     AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                    THEN ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                         / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               END AS r2
+        FROM agg
+    """,
+}
+
+
+SURVIVAL_HORIZON_DAYS = 14
+
+
+def activation_survival(
+    events: DataFrame, horizon_days: int = SURVIVAL_HORIZON_DAYS
+) -> DataFrame:
+    """Kaplan-Meier time-to-activation curve: for each day t since a
+    user's first-seen event, the estimated probability they have NOT
+    yet made their first purchase — with users whose observation
+    window ends before day t right-CENSORED, which is the whole point
+    of KM over a naive conversion-by-day histogram: late cohorts
+    haven't had time to convert, and counting them as non-converters
+    biases every day's rate down. The z-test op answers "did variant
+    B activate more?"; this answers "WHEN does activation happen" —
+    the retention/LTV modeling input.
+
+    Exactness: event and censor times are exact integer day offsets
+    (microsecond arithmetic, integer div); the at-risk counts are a
+    suffix sum over the ≤horizon-row day table; each hazard factor
+    (n_t − d_t)/n_t is one division; and the survival prefix product
+    is a SEQUENTIAL TIME-ORDERED fold of those factors (collect_list
+    over the day-ordered running window + F.aggregate ≡ windowed
+    list + list_reduce) — deterministic on both engines, no
+    logarithm/exp detour.
+
+    Scale shape: one user-grain exchange builds (time, event) per
+    user (first-seen window + groupBy share the user_id shuffle; the
+    observation end is a 1-row broadcast normalizer); everything
+    after runs on the ≤horizon+1-row day table.
+    Queued for round 18 (`users_activation_survival`, ORACLE_R18)."""
+    day_us = 86_400_000_000
+    w_user = Window.partitionBy("user_id")
+    # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the session
+    # timezone is pinned UTC, so the cast is a stable bijection
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    tagged = events.withColumn("first_us", F.min(us).over(w_user))
+    per_user = tagged.groupBy("user_id").agg(
+        F.min("first_us").alias("first_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", us)
+        ).alias("purchase_us"),
+    )
+    obs_end = events.agg(F.max(us).alias("end_us"))
+    # 1-row observation-end normalizer
+    pu = per_user.crossJoin(F.broadcast(obs_end))
+    t_event = F.expr(f"(purchase_us - first_us) div {day_us}").cast("long")
+    t_cens = F.expr(f"(end_us - first_us) div {day_us}").cast("long")
+    h = F.lit(int(horizon_days)).cast("long")
+    converted = F.col("purchase_us").isNotNull() & (t_event <= F.least(t_cens, h))
+    pu = pu.select(
+        F.when(converted, t_event)
+        .otherwise(F.least(t_cens, h))
+        .alias("t_days"),
+        converted.cast("int").alias("event"),
+    )
+    table = pu.groupBy("t_days").agg(
+        F.sum("event").cast("long").alias("d_events"),
+        F.sum(F.lit(1) - F.col("event")).cast("long").alias("c_censored"),
+    )
+    w_suffix = Window.orderBy("t_days").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    table = table.withColumn(
+        "n_at_risk",
+        F.sum(F.col("d_events") + F.col("c_censored")).over(w_suffix)
+        .cast("long"),
+    )
+    factor = (
+        F.col("n_at_risk") - F.col("d_events")
+    ).cast("double") / F.col("n_at_risk").cast("double")
+    w_run = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        table.withColumn("factors", F.collect_list(factor).over(w_run))
+        .select(
+            "t_days",
+            "n_at_risk",
+            "d_events",
+            "c_censored",
+            F.aggregate(
+                F.col("factors"), F.lit(1.0), lambda acc, x: acc * x
+            ).alias("survival"),
+        )
+    )
+
+
+ORACLE_R18.update({
+    "users_activation_survival": f"""
+        WITH tagged AS (
+            SELECT user_id, event_type,
+                   epoch_us(ts) AS us,
+                   MIN(epoch_us(ts)) OVER (PARTITION BY user_id)
+                       AS first_us
+            FROM events
+        ),
+        per_user AS (
+            SELECT user_id, MIN(first_us) AS first_us,
+                   MIN(CASE WHEN event_type = 'purchase' THEN us END)
+                       AS purchase_us
+            FROM tagged GROUP BY 1
+        ),
+        obs AS (SELECT MAX(epoch_us(ts)) AS end_us FROM events),
+        pu AS (
+            SELECT CASE WHEN purchase_us IS NOT NULL
+                         AND (purchase_us - first_us) // 86400000000
+                             <= LEAST((end_us - first_us) // 86400000000,
+                                      {SURVIVAL_HORIZON_DAYS})
+                        THEN (purchase_us - first_us) // 86400000000
+                        ELSE LEAST((end_us - first_us) // 86400000000,
+                                   {SURVIVAL_HORIZON_DAYS})
+                   END AS t_days,
+                   CASE WHEN purchase_us IS NOT NULL
+                         AND (purchase_us - first_us) // 86400000000
+                             <= LEAST((end_us - first_us) // 86400000000,
+                                      {SURVIVAL_HORIZON_DAYS})
+                        THEN 1 ELSE 0
+                   END AS event
+            FROM per_user CROSS JOIN obs
+        ),
+        t AS (
+            SELECT t_days,
+                   CAST(SUM(event) AS BIGINT) AS d_events,
+                   CAST(SUM(1 - event) AS BIGINT) AS c_censored
+            FROM pu GROUP BY 1
+        ),
+        r AS (
+            SELECT *,
+                   CAST(SUM(d_events + c_censored)
+                            OVER (ORDER BY t_days
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND UNBOUNDED FOLLOWING) AS BIGINT)
+                       AS n_at_risk
+            FROM t
+        )
+        SELECT CAST(t_days AS BIGINT) AS t_days, n_at_risk, d_events,
+               c_censored,
+               list_reduce(
+                   list_prepend(CAST(1.0 AS DOUBLE),
+                       list(CAST(n_at_risk - d_events AS DOUBLE)
+                            / CAST(n_at_risk AS DOUBLE))
+                           OVER (ORDER BY t_days
+                                 ROWS UNBOUNDED PRECEDING)),
+                   (a, b) -> a * b) AS survival
+        FROM r
+    """,
+})

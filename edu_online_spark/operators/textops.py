@@ -4429,3 +4429,116 @@ ORACLE_R17.update({
         FROM agg
     """,
 })
+
+
+def source_token_tvd(documents: DataFrame) -> DataFrame:
+    """Per-source distribution drift as TOTAL VARIATION DISTANCE
+    between the source's token distribution and the rest of the
+    corpus — the log-free alternative to KL/PSI drift scores (no
+    transcendental, so it hash-certifies exactly): TVD = ½ Σ_t
+    |p_t − q_t| ∈ [0, 1], the largest probability gap any token-set
+    event can have between the two distributions. The per-source
+    score ranks which sources are stylistic outliers — the mixture
+    designers' first question.
+
+    Exactness: with c_t (source counts, Σ = n) and d_t (rest counts,
+    Σ = m), TVD = Σ_t |c_t·m − d_t·n| / (2nm). The numerator is an
+    exact DECIMAL(38,0) sum of integer cross-products (order-free; a
+    double sum here would be run-order-dependent), and the one
+    division runs in doubles with fixed operand order. Tokens the
+    source never emits are folded in CLOSED FORM — Σ_{t∉s} d_t·n =
+    n·(m − Σ_{t∈s} d_t) — so the engine only touches (source, token)
+    pairs that EXIST; the oracle computes the naive source×vocab grid
+    instead, so the parity hash certifies the complement identity.
+
+    Scale shape: one (source, token) wordcount shuffle, one
+    token-partitioned window for the global counts, a broadcast of
+    the |sources|-row totals back onto the pair relation, one
+    map-side-combined per-source aggregate. Nothing materializes
+    source × vocabulary.
+    Queued for round 18 (`source_token_tvd`, ORACLE_R18)."""
+    from pyspark.sql import Window
+
+    st = (
+        documents.select("source", F.explode(T.tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    g = F.sum("c").over(Window.partitionBy("token")).cast("long")
+    st = st.withColumn("g", g)
+    src_tot = st.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    total = src_tot.agg(F.sum("n").cast("long").alias("n_all"))
+    # 1-row corpus-total normalizer
+    src_tot = src_tot.crossJoin(F.broadcast(total)).select(
+        "source", "n", (F.col("n_all") - F.col("n")).cast("long").alias("m")
+    )
+    dec = "decimal(38,0)"
+    joined = st.join(F.broadcast(src_tot), "source")
+    d = F.col("g") - F.col("c")
+    term = F.abs(
+        F.col("c").cast(dec) * F.col("m").cast(dec)
+        - d.cast(dec) * F.col("n").cast(dec)
+    )
+    per_src = joined.groupBy("source", "n", "m").agg(
+        F.sum(term).alias("a"),
+        F.sum(d.cast(dec)).alias("b"),
+    )
+    sd = F.col("a") + F.col("n").cast(dec) * (
+        F.col("m").cast(dec) - F.col("b")
+    )
+    n_d = F.col("n").cast("double")
+    m_d = F.col("m").cast("double")
+    return per_src.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("m").alias("n_rest_tokens"),
+        F.when(
+            (F.col("n") > 0) & (F.col("m") > 0),
+            sd.cast("double") / (F.lit(2.0) * n_d * m_d),
+        ).alias("tvd"),
+    )
+
+
+# Round-18 queue (second member). The mirror computes the NAIVE
+# source × vocabulary grid (every token against every source, absent
+# ones at c = 0) in HUGEINT — certifying the engine's closed-form
+# complement fold — and the identical fixed-order final division.
+ORACLE_R18 = {
+    "source_token_tvd": f"""
+        WITH tok AS (
+            SELECT source, unnest({_TOKENS}) AS token FROM documents
+        ),
+        st AS (
+            SELECT source, token, CAST(count(*) AS BIGINT) AS c
+            FROM tok WHERE token <> '' GROUP BY 1, 2
+        ),
+        g AS (SELECT token, CAST(SUM(c) AS BIGINT) AS g FROM st GROUP BY 1),
+        srcs AS (
+            SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM st GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM st),
+        grid AS (
+            SELECT s.source, s.n, (t.n_all - s.n) AS m, gg.token, gg.g,
+                   COALESCE(stc.c, 0) AS c
+            FROM srcs s
+            CROSS JOIN tot t
+            CROSS JOIN g gg
+            LEFT JOIN st stc
+              ON stc.source = s.source AND stc.token = gg.token
+        ),
+        agg AS (
+            SELECT source, n, m,
+                   SUM(ABS(CAST(c AS HUGEINT) * CAST(m AS HUGEINT)
+                           - CAST(g - c AS HUGEINT) * CAST(n AS HUGEINT)))
+                       AS sd
+            FROM grid GROUP BY 1, 2, 3
+        )
+        SELECT source, n AS n_tokens, m AS n_rest_tokens,
+               CASE WHEN n > 0 AND m > 0
+                    THEN CAST(sd AS DOUBLE)
+                         / (2.0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE))
+               END AS tvd
+        FROM agg
+    """,
+}

@@ -880,3 +880,40 @@ def test_r17_queue_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in ndcg, ndcg
     assert "SortMergeJoin" not in ndcg, ndcg
     assert "BatchEvalPython" not in ndcg and "ArrowEvalPython" not in ndcg
+
+
+def test_r18_queue_plan_shapes(spark, sf_dir):
+    """The round-18 queue's plan discipline: OLS is ONE map-side-
+    combined aggregate, join-free; TVD's only broadcasts are the
+    |sources|-row totals (plus the 1-row corpus total) onto the pair
+    relation — no source × vocabulary materialization, no cartesian
+    of data; the survival curve's single data exchange is user_id
+    (window + groupBy shared) with a 1-row observation-end
+    normalizer. All JVM-side."""
+    from edu_online_spark.operators.analytics import (
+        activation_survival,
+        price_qty_ols,
+    )
+    from edu_online_spark.operators.textops import source_token_tvd
+
+    ols = explain_str(
+        price_qty_ols(load_table(spark, sf_dir, "lineitem")), "simple"
+    )
+    assert ols.count("Exchange") == 1, ols
+    assert "Join" not in ols, ols
+    assert "partial" in ols.lower(), ols
+
+    tvd = explain_str(
+        source_token_tvd(load_table(spark, sf_dir, "documents")), "simple"
+    )
+    assert "CartesianProduct" not in tvd, tvd
+    assert tvd.count("BroadcastNestedLoopJoin") <= 1, tvd  # 1-row total
+    assert tvd.count("BroadcastHashJoin") == 1, tvd  # src totals probe
+    assert "BatchEvalPython" not in tvd and "ArrowEvalPython" not in tvd
+
+    surv = explain_str(
+        activation_survival(load_table(spark, sf_dir, "events")), "simple"
+    )
+    assert "CartesianProduct" not in surv, surv
+    assert surv.count("BroadcastNestedLoopJoin") <= 1, surv  # obs end
+    assert "BatchEvalPython" not in surv and "ArrowEvalPython" not in surv

@@ -1216,3 +1216,130 @@ def test_l_diversity_matches_counter_reference(spark, rows, l):
     spectrum = Counter(len(v) for v in per_class.values())
     want = {div: (cnt, div < l) for div, cnt in spectrum.items()}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B", "C"]),
+            st.lists(
+                st.sampled_from(["x", "y", "z", "w", "v"]),
+                min_size=1,
+                max_size=8,
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_source_token_tvd_matches_counter_reference(spark, docs):
+    """For ANY multi-source corpus: each source's TVD against the rest
+    equals the exact-integer Counter reference with the identical
+    final operand order (float(sd) / ((2·n)·m))."""
+    from collections import Counter
+
+    from edu_online_spark.operators.textops import source_token_tvd
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws), s) for i, (s, ws) in enumerate(docs)],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in source_token_tvd(df).collect()}
+    per_src = {}
+    for s, ws in docs:
+        per_src.setdefault(s, Counter()).update(ws)
+    total = Counter()
+    for c in per_src.values():
+        total.update(c)
+    n_all = sum(total.values())
+    assert set(got) == set(per_src)
+    for s, cnt in per_src.items():
+        n = sum(cnt.values())
+        m = n_all - n
+        sd = sum(
+            abs(cnt.get(t, 0) * m - (total[t] - cnt.get(t, 0)) * n)
+            for t in total
+        )
+        r = got[s]
+        assert (r["n_tokens"], r["n_rest_tokens"]) == (n, m)
+        if n > 0 and m > 0:
+            assert r["tvd"] == float(sd) / ((2.0 * float(n)) * float(m))
+        else:
+            assert r["tvd"] is None
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),   # first-seen day
+            st.one_of(
+                st.none(),
+                st.integers(min_value=0, max_value=20),  # purchase offset
+            ),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_activation_survival_matches_python_km(spark, users):
+    """For ANY set of user timelines: the KM table (at-risk counts,
+    events, censored, and the sequential-fold survival) equals a
+    pure-Python Kaplan-Meier with the same integer day arithmetic,
+    horizon truncation, and fold order."""
+    import datetime
+    from collections import Counter
+
+    from edu_online_spark.operators.analytics import (
+        SURVIVAL_HORIZON_DAYS,
+        activation_survival,
+    )
+
+    d0 = datetime.datetime(2024, 5, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for uid, (first_day, off) in enumerate(users):
+        rows.append(
+            (eid, uid, "view", d0 + datetime.timedelta(days=first_day))
+        )
+        eid += 1
+        if off is not None:
+            rows.append(
+                (eid, uid, "purchase",
+                 d0 + datetime.timedelta(days=first_day + off))
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp_ntz"
+    )
+    got = sorted(
+        activation_survival(ev).collect(), key=lambda r: r["t_days"]
+    )
+    # python reference
+    h = SURVIVAL_HORIZON_DAYS
+    end_day = max(
+        fd + (off or 0) for fd, off in users
+    )
+    times = []
+    for fd, off in users:
+        cens = min(end_day - fd, h)
+        if off is not None and off <= cens:
+            times.append((off, 1))
+        else:
+            times.append((cens, 0))
+    d = Counter(t for t, e in times if e)
+    c = Counter(t for t, e in times if not e)
+    days = sorted(set(d) | set(c))
+    surv = 1.0
+    want = []
+    for t in days:
+        n_risk = sum(1 for tt, _ in times if tt >= t)
+        f = float(n_risk - d.get(t, 0)) / float(n_risk)
+        surv = surv * f
+        want.append((t, n_risk, d.get(t, 0), c.get(t, 0), surv))
+    assert [
+        (r["t_days"], r["n_at_risk"], r["d_events"], r["c_censored"],
+         r["survival"])
+        for r in got
+    ] == want

@@ -474,3 +474,4 @@ def test_quality_spearman_single_doc_is_null(spark):
         spark.createDataFrame([(1, "the xx")], "doc_id long, text string")
     ).first()
     assert (r["n_docs"], r["sum_d2"], r["rho"]) == (1, 0.0, None)
+

@@ -1,0 +1,184 @@
+"""Round-18 promotion queue: library ops + audited oracles, landed
+five rounds ahead of their window slot. Oracle parity at sf0.001 plus
+fixtures pinning the semantics the oracle alone can't distinguish."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from edu_online_spark.sources import load_table
+from tools.parity import compare, run_oracle
+
+
+# -- lineitem_price_qty_ols (ORACLE_R18) --------------------------------------
+
+
+def test_price_qty_ols_matches_r18_oracle(spark, sf_dir):
+    from edu_online_spark.operators.analytics import (
+        ORACLE_R18,
+        price_qty_ols,
+    )
+
+    problems = compare(
+        "lineitem_price_qty_ols",
+        price_qty_ols(load_table(spark, sf_dir, "lineitem")),
+        run_oracle(ORACLE_R18["lineitem_price_qty_ols"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_price_qty_ols_perfect_fit(spark):
+    """y = 3x + 5 exactly (in cents): slope 3.0, intercept 5.0,
+    r-squared exactly 1.0 — small exact integers convert to doubles
+    exactly, so the closed form is exact too."""
+    from edu_online_spark.operators.analytics import price_qty_ols
+
+    rows = [(i, float(q), (3 * q + 5) / 100.0) for i, q in enumerate([1, 2, 3, 4, 10])]
+    li = spark.createDataFrame(
+        rows, "rid long, l_quantity double, l_extendedprice double"
+    )
+    r = price_qty_ols(li).first()
+    assert (r["n"], r["slope_cents_per_unit"], r["intercept_cents"], r["r2"]) == (
+        5, 3.0, 5.0, 1.0,
+    )
+
+
+def test_price_qty_ols_degenerate_design_is_null(spark):
+    """Constant x: den = 0 -> slope/intercept/r2 all NULL."""
+    from edu_online_spark.operators.analytics import price_qty_ols
+
+    li = spark.createDataFrame(
+        [(i, 7.0, float(i)) for i in range(4)],
+        "rid long, l_quantity double, l_extendedprice double",
+    )
+    r = price_qty_ols(li).first()
+    assert r["slope_cents_per_unit"] is None
+    assert r["intercept_cents"] is None
+    assert r["r2"] is None
+
+
+# -- source_token_tvd ---------------------------------------------------------
+
+
+def test_source_token_tvd_matches_r18_oracle(spark, sf_dir):
+    from edu_online_spark.operators.textops import (
+        ORACLE_R18,
+        source_token_tvd,
+    )
+
+    problems = compare(
+        "source_token_tvd",
+        source_token_tvd(load_table(spark, sf_dir, "documents")),
+        run_oracle(ORACLE_R18["source_token_tvd"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_source_token_tvd_fixture(spark):
+    """Hand-computable: src A = {x,x,y}, src B = {y,z}. For A vs rest:
+    n=3, m=2; |c·m − d·n| over x (4), y (1), z (3) → sd = 8,
+    tvd = 8/12. Disjoint vocabularies give tvd = 1.0; identical
+    distributions give 0.0."""
+    from edu_online_spark.operators.textops import source_token_tvd
+
+    docs = spark.createDataFrame(
+        [(0, "x x y", "A"), (1, "y z", "B")],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in source_token_tvd(docs).collect()}
+    assert got["A"]["tvd"] == 8.0 / 12.0
+    assert got["B"]["tvd"] == 8.0 / 12.0  # symmetric for two sources
+
+    disjoint = spark.createDataFrame(
+        [(0, "aa aa", "A"), (1, "bb bb", "B")],
+        "doc_id long, text string, source string",
+    )
+    assert all(
+        r["tvd"] == 1.0 for r in source_token_tvd(disjoint).collect()
+    )
+    same = spark.createDataFrame(
+        [(0, "x y", "A"), (1, "x y", "B")],
+        "doc_id long, text string, source string",
+    )
+    assert all(
+        r["tvd"] == 0.0 for r in source_token_tvd(same).collect()
+    )
+
+
+# -- users_activation_survival ------------------------------------------------
+
+
+def test_activation_survival_matches_r18_oracle(spark, sf_dir):
+    from edu_online_spark.operators.analytics import (
+        ORACLE_R18,
+        activation_survival,
+    )
+
+    problems = compare(
+        "users_activation_survival",
+        activation_survival(load_table(spark, sf_dir, "events")),
+        run_oracle(ORACLE_R18["users_activation_survival"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_activation_survival_censoring_fixture(spark):
+    """The case the naive conversion histogram gets wrong: u4 joins on
+    day 2 and is only observable for 1 day — KM censors them at t=1
+    instead of counting a non-conversion. Hand-computed table:
+    t=0 (d1/n4), t=1 (c1/n3), t=2 (d1/n2), t=3 (c1/n1) → survival
+    0.75, 0.75, 0.375, 0.375 (exact doubles)."""
+    import datetime
+
+    from edu_online_spark.operators.analytics import activation_survival
+
+    d0 = datetime.datetime(2024, 5, 1, 12, 0, 0)
+
+    def day(n):
+        return d0 + datetime.timedelta(days=n)
+
+    rows = [
+        (0, 1, "view", day(0)), (1, 1, "purchase", day(0)),
+        (2, 2, "view", day(0)), (3, 2, "purchase", day(2)),
+        (4, 3, "view", day(0)), (5, 3, "click", day(3)),
+        (6, 4, "view", day(2)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp_ntz"
+    )
+    got = sorted(
+        activation_survival(ev).collect(), key=lambda r: r["t_days"]
+    )
+    table = [
+        (r["t_days"], r["n_at_risk"], r["d_events"], r["c_censored"],
+         r["survival"])
+        for r in got
+    ]
+    assert table == [
+        (0, 4, 1, 0, 0.75),
+        (1, 3, 0, 1, 0.75),
+        (2, 2, 1, 0, 0.375),
+        (3, 1, 0, 1, 0.375),
+    ]
+
+
+def test_activation_survival_horizon_truncates(spark):
+    """A purchase past the horizon does NOT count as an event: the
+    user is censored at the horizon day instead."""
+    import datetime
+
+    from edu_online_spark.operators.analytics import activation_survival
+
+    d0 = datetime.datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        (0, 1, "view", d0),
+        (1, 1, "purchase", d0 + datetime.timedelta(days=20)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp_ntz"
+    )
+    got = activation_survival(ev, horizon_days=14).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["t_days"], r["d_events"], r["c_censored"]) == (14, 0, 1)
+    assert r["survival"] == 1.0
