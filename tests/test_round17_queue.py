@@ -475,3 +475,36 @@ def test_quality_spearman_single_doc_is_null(spark):
     ).first()
     assert (r["n_docs"], r["sum_d2"], r["rho"]) == (1, 0.0, None)
 
+
+
+def test_token_heavy_hitters_hot_key_stress(spark):
+    """One pathological document repeating a single token 100k times
+    (the bot/boilerplate hot-key case): the Arrow-batched value_counts
+    pre-aggregation absorbs it, the summary stays bounded, and the
+    output is still the exact heavy-hitter set."""
+    from edu_online_spark.operators.textops import token_heavy_hitters
+
+    docs = [(0, " ".join(["hot"] * 100_000))] + [
+        (i, f"tail{i} filler{i}") for i in range(1, 200)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(6)
+    got = {r["token"]: r["cnt"] for r in token_heavy_hitters(df, capacity=10).collect()}
+    assert got == {"hot": 100_000}
+
+
+def test_pair_transitivity_star_hub_stress(spark):
+    """A 200-spoke star (the drifting-revision hub): C(200,2)=19,900
+    wedges, zero triangles, transitivity exactly 0 — the wedge join
+    keyed on the hub stays a keyed equi-join, never a cartesian."""
+    from edu_online_spark.operators.dedup import pair_transitivity
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(201)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 201)], "doc_a long, doc_b long"
+    )
+    r = pair_transitivity(docs, pairs=pairs).first()
+    assert (r["n_edges"], r["n_wedges"], r["n_triangles"], r["transitivity"]) == (
+        200, 19_900, 0, 0.0,
+    )
