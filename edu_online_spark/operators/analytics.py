@@ -3777,6 +3777,18 @@ def activation_survival(
         ).alias("purchase_us"),
     )
     obs_end = events.agg(F.max(us).alias("end_us"))
+    return survival_report(per_user, obs_end, horizon_days)
+
+
+def survival_report(
+    per_user: DataFrame, obs_end: DataFrame, horizon_days: int
+) -> DataFrame:
+    """The KM stage of `activation_survival`, split out so the
+    streaming twin folds its (user, first_us, purchase_us) state and
+    applies the IDENTICAL estimator — stream/batch parity by
+    construction. Input contract: one row per user (first_us,
+    purchase_us nullable), plus a 1-row obs_end(end_us)."""
+    day_us = 86_400_000_000
     # 1-row observation-end normalizer
     pu = per_user.crossJoin(F.broadcast(obs_end))
     t_event = F.expr(f"(purchase_us - first_us) div {day_us}").cast("long")

@@ -4370,3 +4370,127 @@ def heavy_hitters_job(
         .trigger(**_trigger({}, available_now))
         .start()
     )
+
+
+def activation_survival_job(
+    raw: DataFrame,
+    out: str,
+    checkpoint: str,
+    horizon_days: int = 14,
+    available_now: bool = False,
+    retain_snapshots: int = 8,
+) -> StreamingQuery:
+    """Live Kaplan-Meier activation curve: the streaming twin of the
+    R18-queued `operators/analytics.activation_survival` — maintain
+    per-user (first_seen, first_purchase) timestamps as events arrive
+    and re-estimate the survival curve every trigger via the
+    IDENTICAL `survival_report` stage (parity by shared code). The
+    distinguishing property in this job family: the state fold is
+    min/min/max — IDEMPOTENT, not additive — so a redelivered trigger
+    re-folds to the same state and the job needs NO replay fence (the
+    last_batch_id column is kept as telemetry only). The re-estimate
+    runs every trigger because censoring times legitimately move as
+    the observation window extends: yesterday's censored user is
+    today's day-3 activation.
+
+    Shape: per-trigger corpus work is one map-side-combined per-user
+    min pass over the micro-batch; state is POPULATION-bounded (one
+    row per user ever seen — the stickiness job's envelope); the KM
+    table is ≤horizon+1 rows. Output per trigger: the survival table,
+    snapshot-written to ingest_batch=N."""
+    import os
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ..operators.analytics import survival_report
+
+    state_path = out + ".state"
+
+    schema = StructType(
+        [
+            StructField("event_id", StringType()),
+            StructField("user_id", StringType()),
+            StructField("event_type", StringType()),
+            StructField("ts", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    parsed = F.from_json(
+        F.col("value"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    ev = (
+        raw.select(parsed.alias("j"))
+        .filter(
+            F.col("j._corrupt").isNull()
+            & F.col("j.user_id").isNotNull()
+            & F.to_timestamp(F.col("j.ts")).isNotNull()
+        )
+        .select(
+            F.col("j.user_id").cast("long").alias("user_id"),
+            F.col("j.event_type").alias("event_type"),
+            F.unix_micros(F.to_timestamp(F.col("j.ts"))).alias("us"),
+        )
+    )
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        sinks.recover_sink(state_path)
+        delta = batch.groupBy("user_id").agg(
+            F.min("us").alias("first_us"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("us"))
+            ).alias("purchase_us"),
+            F.max("us").alias("last_us"),
+        )
+        if os.path.exists(state_path):
+            prior = spark.read.parquet(state_path).select(
+                "user_id", "first_us", "purchase_us", "last_us"
+            )
+            delta = (
+                prior.unionByName(delta)
+                .groupBy("user_id")
+                .agg(
+                    F.min("first_us").alias("first_us"),
+                    F.min("purchase_us").alias("purchase_us"),
+                    F.max("last_us").alias("last_us"),
+                )
+            )
+        state = delta.localCheckpoint(eager=True)
+        obs_end = state.agg(F.max("last_us").alias("end_us"))
+        snap = survival_report(
+            state.select("user_id", "first_us", "purchase_us"),
+            obs_end,
+            horizon_days,
+        )
+        snap.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, f"ingest_batch={batch_id}")
+        )
+        new_state = (
+            state.withColumn("last_batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+        sinks.parquet_overwrite_atomic(state_path)(new_state, batch_id)
+        if retain_snapshots > 0:
+            import shutil
+
+            stale = sorted(
+                int(d.split("=")[1])
+                for d in os.listdir(out)
+                if d.startswith("ingest_batch=")
+            )[:-retain_snapshots]
+            for b in stale:
+                shutil.rmtree(
+                    os.path.join(out, f"ingest_batch={b}"),
+                    ignore_errors=True,
+                )
+
+    return (
+        ev.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )

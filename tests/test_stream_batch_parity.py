@@ -1074,3 +1074,93 @@ def test_heavy_hitters_replay_fence_prevents_double_count(
         for r in spark.read.parquet(out).collect()
     }
     assert after == before
+
+
+def test_activation_survival_streaming_equals_batch(spark, sf_dir, tmp_path):
+    """Live KM curve: replay the events table in two waves; the final
+    snapshot equals the batch activation_survival row for row (shared
+    survival_report + idempotent min/max state fold). A corrupt line
+    is dropped, not crashed on."""
+    import json
+
+    from edu_online_spark.operators.analytics import activation_survival
+
+    events = load_table(spark, sf_dir, "events")
+    lines = [
+        json.dumps(
+            {
+                "event_id": str(r["event_id"]),
+                "user_id": str(r["user_id"]),
+                "event_type": r["event_type"],
+                "ts": str(r["ts"]),
+            }
+        )
+        for r in events.select(
+            "event_id", "user_id", "event_type", "ts"
+        ).collect()
+    ] + ["corrupt {"]
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    half = len(lines) // 2
+    _replay(
+        jobs.activation_survival_job, spark, src, out, ckpt,
+        [lines[:half], lines[half:]],
+    )
+    batches = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out)
+        if d.startswith("ingest_batch=")
+    )
+    final = os.path.join(out, f"ingest_batch={batches[-1]}")
+    cols = ["n_at_risk", "d_events", "c_censored", "survival"]
+    streamed = {
+        r["t_days"]: tuple(r[c] for c in cols)
+        for r in spark.read.parquet(final).collect()
+    }
+    batch = {
+        r["t_days"]: tuple(r[c] for c in cols)
+        for r in activation_survival(events).collect()
+    }
+    assert streamed == batch
+    n_state = spark.read.parquet(out + ".state").count()
+    assert n_state == events.select("user_id").distinct().count()
+
+
+def test_activation_survival_duplicate_wave_is_idempotent(spark, tmp_path):
+    """The state fold is min/min/max — IDEMPOTENT: re-delivering the
+    exact same content as a new file re-folds to the same state and
+    the same curve (the property that lets this job run fence-free)."""
+    import json
+
+    d = "2024-05-01 12:00:00"
+    lines = [
+        json.dumps({"event_id": "0", "user_id": "1", "event_type": "view", "ts": d}),
+        json.dumps({"event_id": "1", "user_id": "1", "event_type": "purchase",
+                    "ts": "2024-05-02 12:00:00"}),
+        json.dumps({"event_id": "2", "user_id": "2", "event_type": "view",
+                    "ts": "2024-05-03 12:00:00"}),
+    ]
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    _replay(
+        jobs.activation_survival_job, spark, src, out, ckpt,
+        [lines, lines],  # second wave is the SAME content
+    )
+    state = {
+        r["user_id"]: (r["first_us"], r["purchase_us"])
+        for r in spark.read.parquet(out + ".state").collect()
+    }
+    assert len(state) == 2
+    assert state[1][1] is not None and state[2][1] is None
+    batches = sorted(
+        int(x.split("=")[1])
+        for x in os.listdir(out)
+        if x.startswith("ingest_batch=")
+    )
+    first = spark.read.parquet(
+        os.path.join(out, f"ingest_batch={batches[0]}")
+    ).collect()
+    last = spark.read.parquet(
+        os.path.join(out, f"ingest_batch={batches[-1]}")
+    ).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, last))

@@ -484,6 +484,67 @@ def bench_daily_mad(spark, work, n_rows, n_files):
                        "daily_mad", jobs.daily_mad_job)
 
 
+def bench_activation_survival(spark, work, n_rows, n_files):
+    """Throughput + trigger-latency profile for activation_survival_job
+    (live KM curve). State is POPULATION-bounded — one (first, first
+    purchase, last) row per user (20k here) — and the per-trigger
+    re-estimate is one pass over that state plus a <=horizon+1-row KM
+    table, so trigger cost must flatten once the population is seen."""
+    name = "activation_survival"
+    src = os.path.join(work, name, "src")
+    per = n_rows // n_files
+
+    def line(i: int) -> str:
+        uid = (i * 7919) % 20_000
+        day = (i // 50_000) % 28 + 1
+        return json.dumps({
+            "event_id": str(i),
+            "user_id": str(uid),
+            "event_type": "purchase" if i % 5 == 0 else "view",
+            "ts": f"2026-07-{day:02d} 12:00:{i % 60:02d}",
+        })
+
+    for f in range(n_files):
+        _produce(src, f"s{f:04d}.log", [line(f * per + i) for i in range(per)])
+    out = os.path.join(work, name, "out")
+    ckpt = os.path.join(work, name, "ck")
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates",
+        str(max(n_files + 16, 100)),
+    )
+    q = jobs.activation_survival_job(
+        file_stream(spark, src, max_files_per_trigger=1),
+        out,
+        ckpt,
+        available_now=True,
+    )
+    t0 = time.monotonic()
+    q.awaitTermination(600)
+    secs = time.monotonic() - t0
+    order = [
+        p.batchDuration / 1000.0
+        for p in sorted(q.recentProgress, key=lambda p: p.batchId)
+        if p.numInputRows > 0
+    ]
+    if not order:
+        print(json.dumps({"job": name, "error": "no data-bearing batches"}))
+        return
+    print(
+        json.dumps(
+            {
+                "job": name,
+                "rows": per * n_files,
+                "secs": round(secs, 2),
+                "rows_per_sec": int(per * n_files / secs),
+                "batches": len(order),
+                "trigger_s_first": round(order[0], 2),
+                "trigger_s_median": round(sorted(order)[len(order) // 2], 2),
+                "trigger_s_last": round(order[-1], 2),
+            }
+        )
+    )
+
+
 def bench_heavy_hitters(spark, work, n_rows, n_files):
     """Throughput + trigger-latency profile for heavy_hitters_job
     (live Misra-Gries tracker). State is CAPACITY-bounded (<=256
@@ -808,7 +869,7 @@ KNOWN_JOBS = {
     "curation_ingest", "burst_flags", "weighted_sample", "stickiness",
     "latency_quantiles", "balance_deciles", "balance_deciles_sat",
     "revenue_gini", "activity_gini", "daily_mad", "daily_cusum",
-    "heavy_hitters",
+    "heavy_hitters", "activation_survival",
 }
 
 
@@ -891,6 +952,8 @@ def main() -> None:
             bench_daily_cusum(spark, work, n_rows, n_files)
         if want("heavy_hitters"):
             bench_heavy_hitters(spark, work, n_rows, n_files)
+        if want("activation_survival"):
+            bench_activation_survival(spark, work, n_rows, n_files)
         if want("winnow_index"):
             bench_winnow_index(spark, work, n_rows // 10, n_files)
         if want("minhash_dedup"):
