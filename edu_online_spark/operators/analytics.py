@@ -3893,3 +3893,202 @@ ORACLE_R18.update({
         FROM r
     """,
 })
+
+
+def ab_value_mannwhitney(events: DataFrame) -> DataFrame:
+    """Mann-Whitney U test on event values between the two halves of
+    the user_id mod 2 split — the nonparametric companion to the
+    activation z-test: proportions answer "did more convert", this
+    answers "did the VALUE distribution shift" without assuming
+    normality (one whale in variant B wrecks a t-test; ranks don't
+    care). Permutation-rank variant: global ranks are row_numbers
+    with an event_id tie-break (deterministic on both engines; equal
+    to classic midrank MW whenever values are tie-free, which
+    continuous values are a.s.), U = R_a − n_a(n_a+1)/2, and z is the
+    standard normal approximation — valid at the n this op is for.
+
+    Exactness: ranks are exact integers; the rank sum accumulates in
+    DECIMAL(38,0) (Σranks ~ n² overflows bigint past n ≈ 3·10⁹); U,
+    the mean n_a·n_b/2 and variance n_a·n_b(n+1)/12 convert to
+    doubles in fixed operand order; z is NULL when either variant is
+    empty (nothing to compare).
+
+    Scale shape: one global rank sort (the exact-global-ranks cost,
+    as in the Spearman op), then a 1-row conditional aggregate.
+    Queued for round 18 (`events_ab_mannwhitney`, ORACLE_R18)."""
+    d = events.filter(F.col("value").isNotNull()).select(
+        "event_id", "user_id", "value"
+    )
+    w = Window.orderBy("value", "event_id")
+    ranked = d.withColumn("r", F.row_number().over(w).cast("long"))
+    is_a = F.col("user_id") % 2 == 0
+    dec = "decimal(38,0)"
+    agg = ranked.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(is_a, F.col("r")).otherwise(0).cast(dec)).alias("ra"),
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    u_a = F.col("ra").cast("double") - (n_a * (n_a + F.lit(1.0))) / F.lit(
+        2.0
+    )
+    mu = (n_a * n_b) / F.lit(2.0)
+    var = (n_a * n_b * (n_a + n_b + F.lit(1.0))) / F.lit(12.0)
+    z = (u_a - mu) / F.sqrt(var)
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(ok, u_a).alias("u_a"),
+        F.when(ok, z).alias("z"),
+        F.when(ok, F.abs(z) > F.lit(Z_95))
+        .otherwise(F.lit(False))
+        .alias("significant"),
+    )
+
+
+CHI2_95_DOF1 = 3.841458820694124  # qchisq(.95, 1), fixed literal
+
+
+def ab_srm_check(events: DataFrame) -> DataFrame:
+    """Sample-ratio-mismatch guard — the FIRST check any experiment
+    readout must pass: under a healthy 50/50 assignment the user
+    counts in the two variants differ only by chance, and a χ²(1)
+    statistic above the 3.84 critical value means the randomization
+    or logging is broken — in which case every downstream metric
+    (the z-test, the Mann-Whitney, the survival curves) is reporting
+    on a biased population and must not be read. Output: the two
+    user counts, χ², and the verdict.
+
+    Exactness: counts are exact bigints off one user-grain exchange;
+    e = n/2 and χ² = (n_a−e)²/e + (n_b−e)²/e are fixed-order double
+    expressions; the critical value is a fixed literal on both
+    engines (no CDF evaluation anywhere). χ² is NULL on an empty
+    table. Queued for round 18 (`events_ab_srm_check`, ORACLE_R18)."""
+    per_user = events.select("user_id").distinct()
+    is_a = F.col("user_id") % 2 == 0
+    agg = per_user.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    e = (n_a + n_b) / F.lit(2.0)
+    chi2 = ((n_a - e) * (n_a - e)) / e + ((n_b - e) * (n_b - e)) / e
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(e > 0, chi2).alias("chi2"),
+        F.when(e > 0, chi2 > F.lit(CHI2_95_DOF1))
+        .otherwise(F.lit(False))
+        .alias("srm_suspect"),
+    )
+
+
+ORACLE_R18.update({
+    "events_ab_mannwhitney": """
+        WITH d AS (
+            SELECT event_id, user_id, value FROM events
+            WHERE value IS NOT NULL
+        ),
+        r AS (
+            SELECT user_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY value, event_id)
+                        AS BIGINT) AS r
+            FROM d
+        ),
+        agg AS (
+            SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_b,
+                   SUM(CAST(CASE WHEN user_id % 2 = 0 THEN r ELSE 0 END
+                            AS HUGEINT)) AS ra
+            FROM r
+        )
+        SELECT n_a, n_b,
+               CASE WHEN n_a > 0 AND n_b > 0
+                    THEN CAST(ra AS DOUBLE)
+                         - (CAST(n_a AS DOUBLE)
+                            * (CAST(n_a AS DOUBLE) + 1.0)) / 2.0
+               END AS u_a,
+               CASE WHEN n_a > 0 AND n_b > 0
+                    THEN ((CAST(ra AS DOUBLE)
+                           - (CAST(n_a AS DOUBLE)
+                              * (CAST(n_a AS DOUBLE) + 1.0)) / 2.0)
+                          - (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                            / 2.0)
+                         / sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                                 * (CAST(n_a AS DOUBLE)
+                                    + CAST(n_b AS DOUBLE) + 1.0)) / 12.0)
+               END AS z,
+               CASE WHEN n_a > 0 AND n_b > 0
+                    THEN abs(((CAST(ra AS DOUBLE)
+                               - (CAST(n_a AS DOUBLE)
+                                  * (CAST(n_a AS DOUBLE) + 1.0)) / 2.0)
+                              - (CAST(n_a AS DOUBLE)
+                                 * CAST(n_b AS DOUBLE)) / 2.0)
+                             / sqrt((CAST(n_a AS DOUBLE)
+                                     * CAST(n_b AS DOUBLE)
+                                     * (CAST(n_a AS DOUBLE)
+                                        + CAST(n_b AS DOUBLE) + 1.0))
+                                    / 12.0))
+                         > CAST(1.96 AS DOUBLE)
+                    ELSE FALSE
+               END AS significant
+        FROM agg
+    """,
+    "events_ab_srm_check": """
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        agg AS (
+            SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_b
+            FROM u
+        )
+        SELECT n_a, n_b,
+               CASE WHEN (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0
+                         > 0
+                    THEN ((CAST(n_a AS DOUBLE)
+                           - (CAST(n_a AS DOUBLE)
+                              + CAST(n_b AS DOUBLE)) / 2.0)
+                          * (CAST(n_a AS DOUBLE)
+                             - (CAST(n_a AS DOUBLE)
+                                + CAST(n_b AS DOUBLE)) / 2.0))
+                         / ((CAST(n_a AS DOUBLE)
+                             + CAST(n_b AS DOUBLE)) / 2.0)
+                         + ((CAST(n_b AS DOUBLE)
+                             - (CAST(n_a AS DOUBLE)
+                                + CAST(n_b AS DOUBLE)) / 2.0)
+                            * (CAST(n_b AS DOUBLE)
+                               - (CAST(n_a AS DOUBLE)
+                                  + CAST(n_b AS DOUBLE)) / 2.0))
+                           / ((CAST(n_a AS DOUBLE)
+                               + CAST(n_b AS DOUBLE)) / 2.0)
+               END AS chi2,
+               CASE WHEN (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0
+                         > 0
+                    THEN (((CAST(n_a AS DOUBLE)
+                            - (CAST(n_a AS DOUBLE)
+                               + CAST(n_b AS DOUBLE)) / 2.0)
+                           * (CAST(n_a AS DOUBLE)
+                              - (CAST(n_a AS DOUBLE)
+                                 + CAST(n_b AS DOUBLE)) / 2.0))
+                          / ((CAST(n_a AS DOUBLE)
+                              + CAST(n_b AS DOUBLE)) / 2.0)
+                          + ((CAST(n_b AS DOUBLE)
+                              - (CAST(n_a AS DOUBLE)
+                                 + CAST(n_b AS DOUBLE)) / 2.0)
+                             * (CAST(n_b AS DOUBLE)
+                                - (CAST(n_a AS DOUBLE)
+                                   + CAST(n_b AS DOUBLE)) / 2.0))
+                            / ((CAST(n_a AS DOUBLE)
+                                + CAST(n_b AS DOUBLE)) / 2.0))
+                         > CAST('3.841458820694124' AS DOUBLE)
+                    ELSE FALSE
+               END AS srm_suspect
+        FROM agg
+    """,
+})

@@ -917,3 +917,13 @@ def test_r18_queue_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in surv, surv
     assert surv.count("BroadcastNestedLoopJoin") <= 1, surv  # obs end
     assert "BatchEvalPython" not in surv and "ArrowEvalPython" not in surv
+
+    from edu_online_spark.operators.analytics import (
+        ab_srm_check,
+        ab_value_mannwhitney,
+    )
+
+    for op in (ab_value_mannwhitney, ab_srm_check):
+        plan = explain_str(op(load_table(spark, sf_dir, "events")), "simple")
+        assert "Join" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

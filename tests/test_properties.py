@@ -1343,3 +1343,53 @@ def test_activation_survival_matches_python_km(spark, users):
          r["survival"])
         for r in got
     ] == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),      # user id
+            st.integers(min_value=-50, max_value=50),   # integer value
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_ab_mannwhitney_matches_python_reference(spark, items):
+    """For ANY event/value layout (ties included — broken by
+    event_id, the documented permutation-rank variant): counts, rank
+    sum, U, and z equal the same-order Python reference."""
+    import datetime
+    import math
+
+    from edu_online_spark.operators.analytics import ab_value_mannwhitney
+
+    t0 = datetime.datetime(2024, 5, 1)
+    rows = [
+        (i, u, "view", float(v), t0) for i, (u, v) in enumerate(items)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, value double,"
+        " ts timestamp_ntz",
+    )
+    r = ab_value_mannwhitney(ev).first()
+    order = sorted(range(len(items)), key=lambda i: (items[i][1], i))
+    rank = {i: pos + 1 for pos, i in enumerate(order)}
+    a_idx = [i for i, (u, _) in enumerate(items) if u % 2 == 0]
+    b_idx = [i for i, (u, _) in enumerate(items) if u % 2 == 1]
+    n_a, n_b = len(a_idx), len(b_idx)
+    ra = sum(rank[i] for i in a_idx)
+    assert (r["n_a"], r["n_b"]) == (n_a, n_b)
+    if n_a and n_b:
+        u_a = float(ra) - (float(n_a) * (float(n_a) + 1.0)) / 2.0
+        mu = (float(n_a) * float(n_b)) / 2.0
+        var = (float(n_a) * float(n_b) * (float(n_a) + float(n_b) + 1.0)) / 12.0
+        z = (u_a - mu) / math.sqrt(var)
+        assert r["u_a"] == u_a
+        assert r["z"] == z
+        assert r["significant"] == (abs(z) > 1.96)
+    else:
+        assert r["u_a"] is None and r["z"] is None
+        assert r["significant"] is False

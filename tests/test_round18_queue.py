@@ -182,3 +182,107 @@ def test_activation_survival_horizon_truncates(spark):
     r = got[0]
     assert (r["t_days"], r["d_events"], r["c_censored"]) == (14, 0, 1)
     assert r["survival"] == 1.0
+
+
+# -- events_ab_mannwhitney / events_ab_srm_check ------------------------------
+
+
+def test_ab_mannwhitney_matches_r18_oracle(spark, sf_dir):
+    from edu_online_spark.operators.analytics import (
+        ORACLE_R18,
+        ab_value_mannwhitney,
+    )
+
+    problems = compare(
+        "events_ab_mannwhitney",
+        ab_value_mannwhitney(load_table(spark, sf_dir, "events")),
+        run_oracle(ORACLE_R18["events_ab_mannwhitney"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_ab_mannwhitney_fixture(spark):
+    """Interleaved values 1<2<3<4 across variants: R_a = 1+3 = 4,
+    U_a = 1, mu = 2, var = 5/3 — z matches the same-order Python
+    arithmetic exactly and the tiny sample is not significant."""
+    import datetime
+    import math
+
+    from edu_online_spark.operators.analytics import ab_value_mannwhitney
+
+    t0 = datetime.datetime(2024, 5, 1)
+    rows = [
+        (0, 0, "view", 1.0, t0),
+        (1, 1, "view", 2.0, t0),
+        (2, 0, "view", 3.0, t0),
+        (3, 1, "view", 4.0, t0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, value double,"
+        " ts timestamp_ntz",
+    )
+    r = ab_value_mannwhitney(ev).first()
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    u_a = 4.0 - (2.0 * (2.0 + 1.0)) / 2.0
+    mu = (2.0 * 2.0) / 2.0
+    var = (2.0 * 2.0 * (2.0 + 2.0 + 1.0)) / 12.0
+    assert r["u_a"] == u_a
+    assert r["z"] == (u_a - mu) / math.sqrt(var)
+    assert r["significant"] is False
+
+
+def test_ab_mannwhitney_empty_variant_is_null(spark):
+    import datetime
+
+    from edu_online_spark.operators.analytics import ab_value_mannwhitney
+
+    t0 = datetime.datetime(2024, 5, 1)
+    ev = spark.createDataFrame(
+        [(i, 2 * i, "view", float(i), t0) for i in range(3)],
+        "event_id long, user_id long, event_type string, value double,"
+        " ts timestamp_ntz",
+    )
+    r = ab_value_mannwhitney(ev).first()
+    assert (r["n_a"], r["n_b"]) == (3, 0)
+    assert r["u_a"] is None and r["z"] is None
+    assert r["significant"] is False
+
+
+def test_ab_srm_matches_r18_oracle(spark, sf_dir):
+    from edu_online_spark.operators.analytics import (
+        ORACLE_R18,
+        ab_srm_check,
+    )
+
+    problems = compare(
+        "events_ab_srm_check",
+        ab_srm_check(load_table(spark, sf_dir, "events")),
+        run_oracle(ORACLE_R18["events_ab_srm_check"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_ab_srm_fixture(spark):
+    """40 vs 60 users: chi2 = (10² + 10²)/50 = 4.0 > 3.8415 → SRM
+    suspect. A clean 50/50 reads exactly 0.0 and passes."""
+    import datetime
+
+    from edu_online_spark.operators.analytics import ab_srm_check
+
+    t0 = datetime.datetime(2024, 5, 1)
+
+    def ev_for(uids):
+        return spark.createDataFrame(
+            [(i, u, "view", t0) for i, u in enumerate(uids)],
+            "event_id long, user_id long, event_type string, ts timestamp_ntz",
+        )
+
+    skewed = ev_for([2 * i for i in range(40)] + [2 * i + 1 for i in range(60)])
+    r = ab_srm_check(skewed).first()
+    assert (r["n_a"], r["n_b"], r["chi2"], r["srm_suspect"]) == (
+        40, 60, 4.0, True,
+    )
+    even = ev_for(list(range(100)))
+    r = ab_srm_check(even).first()
+    assert (r["chi2"], r["srm_suspect"]) == (0.0, False)
