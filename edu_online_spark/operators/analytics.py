@@ -3764,7 +3764,6 @@ def activation_survival(
     observation end is a 1-row broadcast normalizer); everything
     after runs on the ≤horizon+1-row day table.
     Queued for round 18 (`users_activation_survival`, ORACLE_R18)."""
-    day_us = 86_400_000_000
     w_user = Window.partitionBy("user_id")
     # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the session
     # timezone is pinned UTC, so the cast is a stable bijection

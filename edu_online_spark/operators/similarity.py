@@ -23,6 +23,8 @@ to cut the scanned fraction when the query side is itself huge.
 
 from __future__ import annotations
 
+import math as _math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1674,8 +1676,6 @@ NDCG_K = 10
 # ONCE in Python at import and embedded as the SAME double literals on
 # both engines — no transcendental runs at query time on either side
 # (the BENFORD_SHARES discipline).
-import math as _math
-
 NDCG_DISCOUNTS = {
     i: 1.0 / _math.log2(i + 1.0) for i in range(1, NDCG_K + 1)
 }
