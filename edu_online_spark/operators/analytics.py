@@ -3656,6 +3656,15 @@ def price_qty_ols(lineitem: DataFrame) -> DataFrame:
         F.sum((x * x).cast(dec)).alias("sxx"),
         F.sum((y * y).cast(dec)).alias("syy"),
     )
+    return ols_estimates(agg)
+
+
+def ols_estimates(moments: DataFrame) -> DataFrame:
+    """The closed-form stage of `price_qty_ols`, split out so the
+    streaming twin folds its six-number moment state and applies the
+    IDENTICAL estimator — stream/batch parity by construction. Input
+    contract: one row with (n, sx, sy, sxy, sxx, syy), the sums in
+    DECIMAL(38,0)."""
     n_d = F.col("n").cast("double")
     sx = F.col("sx").cast("double")
     sy = F.col("sy").cast("double")
@@ -3666,7 +3675,7 @@ def price_qty_ols(lineitem: DataFrame) -> DataFrame:
     den = n_d * sxx - sx * sx
     deny = n_d * syy - sy * sy
     slope = num / den
-    return agg.select(
+    return moments.select(
         "n",
         F.when(den > 0, slope).alias("slope_cents_per_unit"),
         F.when(

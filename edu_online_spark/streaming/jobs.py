@@ -4494,3 +4494,103 @@ def activation_survival_job(
         .trigger(**_trigger({}, available_now))
         .start()
     )
+
+
+def ols_monitor_job(
+    raw: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Live OLS feed monitor: the streaming twin of the R18-queued
+    `operators/analytics.price_qty_ols` — maintain the five raw
+    moments (plus n) as (quantity, price) pairs arrive and re-solve
+    the closed form every trigger via the IDENTICAL `ols_estimates`
+    stage. The family's minimal-state member: the ENTIRE state is SIX
+    NUMBERS regardless of volume — the textbook constant-memory
+    streaming statistic — so per-trigger cost is exactly the
+    micro-batch's map-side moment pass plus an O(1) solve, flat by
+    construction. This is the live form of the broken-feed check: a
+    pricing regression whose slope or r² jumps between triggers means
+    the upstream feed changed shape mid-stream.
+
+    Moments are ADDITIVE (decimal sums), so the sink carries
+    last_batch_id and redelivered triggers are dropped (the countmin
+    replay discipline, same fresh-checkpoint scoping caveat)."""
+    import os
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ..operators.analytics import ols_estimates
+
+    schema = StructType(
+        [
+            StructField("rid", StringType()),
+            StructField("quantity", StringType()),
+            StructField("price", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    parsed = F.from_json(
+        F.col("value"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    rows = (
+        raw.select(parsed.alias("j"))
+        .filter(
+            F.col("j._corrupt").isNull()
+            & F.col("j.quantity").cast("double").isNotNull()
+            & F.col("j.price").cast("double").isNotNull()
+        )
+        .select(
+            F.col("j.quantity").cast("double").alias("l_quantity"),
+            F.col("j.price").cast("double").alias("l_extendedprice"),
+        )
+    )
+    dec = "decimal(38,0)"
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        x = F.col("l_quantity").cast("long")
+        y = F.round(F.col("l_extendedprice") * 100).cast("long")
+        delta = batch.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(x.cast(dec)).alias("sx"),
+            F.sum(y.cast(dec)).alias("sy"),
+            F.sum((x * y).cast(dec)).alias("sxy"),
+            F.sum((x * x).cast(dec)).alias("sxx"),
+            F.sum((y * y).cast(dec)).alias("syy"),
+        )
+        sinks.recover_sink(out_path)
+        if os.path.exists(out_path):
+            old = spark.read.parquet(out_path)
+            last = old.agg(F.max("last_batch_id")).first()[0]
+            if last is not None and last >= batch_id:
+                return  # redelivered trigger: additive moments, drop
+            cols = ["n", "sx", "sy", "sxy", "sxx", "syy"]
+            delta = (
+                old.select(*cols)
+                .unionByName(delta)
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    *[F.sum(c).cast(dec).alias(c) for c in cols[1:]],
+                )
+            )
+        snap = (
+            ols_estimates(delta)
+            # 1-row x 1-row normalizer: estimates + refoldable moments
+            .crossJoin(delta.select("sx", "sy", "sxy", "sxx", "syy"))
+            .withColumn("last_batch_id", F.lit(batch_id))
+            .coalesce(1)  # one row: atomic swap, cheap read-back
+            .localCheckpoint(eager=True)
+        )
+        sinks.parquet_overwrite_atomic(out_path)(snap, batch_id)
+
+    return (
+        rows.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )

@@ -1164,3 +1164,68 @@ def test_activation_survival_duplicate_wave_is_idempotent(spark, tmp_path):
         os.path.join(out, f"ingest_batch={batches[-1]}")
     ).collect()
     assert sorted(map(tuple, first)) == sorted(map(tuple, last))
+
+
+def test_ols_monitor_streaming_equals_batch(spark, sf_dir, tmp_path):
+    """Live OLS: replay the lineitem table in two waves; the final
+    snapshot's estimates equal the batch price_qty_ols row exactly
+    (shared ols_estimates + exact decimal moment fold). A corrupt
+    line is dropped, not crashed on."""
+    import json
+
+    from edu_online_spark.operators.analytics import price_qty_ols
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = [
+        json.dumps(
+            {
+                "rid": str(i),
+                "quantity": str(r["l_quantity"]),
+                "price": str(r["l_extendedprice"]),
+            }
+        )
+        for i, r in enumerate(
+            li.select("l_quantity", "l_extendedprice").collect()
+        )
+    ] + ["corrupt {"]
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "ols"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    half = len(lines) // 2
+    _replay(
+        jobs.ols_monitor_job, spark, src, out, ckpt,
+        [lines[:half], lines[half:]],
+    )
+    got = spark.read.parquet(out).first()
+    want = price_qty_ols(li).first()
+    assert got["n"] == want["n"]
+    assert got["slope_cents_per_unit"] == want["slope_cents_per_unit"]
+    assert got["intercept_cents"] == want["intercept_cents"]
+    assert got["r2"] == want["r2"]
+
+
+def test_ols_monitor_replay_fence_prevents_double_count(spark, tmp_path):
+    """Moments are additive: an availableNow restart over the same
+    checkpoint with no new files leaves n (and every estimate)
+    unchanged."""
+    import json
+
+    lines = [
+        json.dumps({"rid": str(i), "quantity": str(1 + i % 5),
+                    "price": str((1 + i % 5) * 3.0 + 0.05)})
+        for i in range(50)
+    ]
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "ols"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    _replay(jobs.ols_monitor_job, spark, src, out, ckpt, [lines])
+    before = spark.read.parquet(out).first()
+    assert before["n"] == 50
+    q = jobs.ols_monitor_job(
+        file_stream(spark, src, max_files_per_trigger=1),
+        out,
+        ckpt,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    after = spark.read.parquet(out).first()
+    assert after["n"] == 50
+    assert after["slope_cents_per_unit"] == before["slope_cents_per_unit"]

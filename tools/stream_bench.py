@@ -545,6 +545,64 @@ def bench_activation_survival(spark, work, n_rows, n_files):
     )
 
 
+def bench_ols_monitor(spark, work, n_rows, n_files):
+    """Throughput + trigger-latency profile for ols_monitor_job (live
+    feed regression). State is SIX NUMBERS regardless of volume — the
+    textbook constant-memory streaming statistic — so trigger cost is
+    the micro-batch moment pass alone and must be flat from trigger 1."""
+    name = "ols_monitor"
+    src = os.path.join(work, name, "src")
+    per = n_rows // n_files
+
+    def line(i: int) -> str:
+        q = 1 + i % 50
+        return json.dumps({
+            "rid": str(i),
+            "quantity": str(q),
+            "price": str(q * 3.17 + (i % 13) * 0.01),
+        })
+
+    for f in range(n_files):
+        _produce(src, f"o{f:04d}.log", [line(f * per + i) for i in range(per)])
+    out = os.path.join(work, name, "out")
+    ckpt = os.path.join(work, name, "ck")
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates",
+        str(max(n_files + 16, 100)),
+    )
+    q = jobs.ols_monitor_job(
+        file_stream(spark, src, max_files_per_trigger=1),
+        out,
+        ckpt,
+        available_now=True,
+    )
+    t0 = time.monotonic()
+    q.awaitTermination(600)
+    secs = time.monotonic() - t0
+    order = [
+        p.batchDuration / 1000.0
+        for p in sorted(q.recentProgress, key=lambda p: p.batchId)
+        if p.numInputRows > 0
+    ]
+    if not order:
+        print(json.dumps({"job": name, "error": "no data-bearing batches"}))
+        return
+    print(
+        json.dumps(
+            {
+                "job": name,
+                "rows": per * n_files,
+                "secs": round(secs, 2),
+                "rows_per_sec": int(per * n_files / secs),
+                "batches": len(order),
+                "trigger_s_first": round(order[0], 2),
+                "trigger_s_median": round(sorted(order)[len(order) // 2], 2),
+                "trigger_s_last": round(order[-1], 2),
+            }
+        )
+    )
+
+
 def bench_heavy_hitters(spark, work, n_rows, n_files):
     """Throughput + trigger-latency profile for heavy_hitters_job
     (live Misra-Gries tracker). State is CAPACITY-bounded (<=256
@@ -869,7 +927,7 @@ KNOWN_JOBS = {
     "curation_ingest", "burst_flags", "weighted_sample", "stickiness",
     "latency_quantiles", "balance_deciles", "balance_deciles_sat",
     "revenue_gini", "activity_gini", "daily_mad", "daily_cusum",
-    "heavy_hitters", "activation_survival",
+    "heavy_hitters", "activation_survival", "ols_monitor",
 }
 
 
@@ -954,6 +1012,8 @@ def main() -> None:
             bench_heavy_hitters(spark, work, n_rows, n_files)
         if want("activation_survival"):
             bench_activation_survival(spark, work, n_rows, n_files)
+        if want("ols_monitor"):
+            bench_ols_monitor(spark, work, n_rows, n_files)
         if want("winnow_index"):
             bench_winnow_index(spark, work, n_rows // 10, n_files)
         if want("minhash_dedup"):
