@@ -4100,3 +4100,251 @@ ORACLE_R18.update({
         FROM agg
     """,
 })
+
+
+KS_C_95 = 1.3581015157406195  # sqrt(-ln(.025)/2), fixed literal
+
+
+def ab_value_ks_test(events: DataFrame) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test on event values between the
+    user_id mod 2 variants — the SHAPE-sensitive member of the
+    toolkit: the z-test sees proportions, Mann-Whitney sees location,
+    KS sees ANY distribution difference (variance inflation, a new
+    mode, a truncated tail) because the statistic is the largest gap
+    between the two empirical CDFs. D = max_v |F_a(v) − F_b(v)|,
+    evaluated at VALUE grain so cross-variant ties are handled
+    exactly (both ECDFs step together at a shared value — no
+    tie-break perturbation at all).
+
+    Exactness: per-value counts and their running sums are exact
+    integers; the gap numerator |cum_a·n_b − cum_b·n_a| accumulates
+    in DECIMAL(38,0) (cum·n ~ n² overflows bigint past ~3·10⁹ rows);
+    D is ONE division of the exact max; the α=.05 critical value
+    c·√((n_a+n_b)/(n_a·n_b)) uses the fixed literal c = √(−ln(.025)/2)
+    precomputed in Python (no transcendental at query time — the
+    Benford discipline). NULL when either variant is empty.
+
+    Scale shape: one map-side-combined value-grain aggregate, one
+    value-ordered running window, one 1-row max. The global window
+    is the honest exact-ECDF cost, as in the Spearman/MW sorts.
+    Queued for round 19 (`events_ab_ks_test`, ORACLE_R19)."""
+    d = events.filter(F.col("value").isNotNull()).select(
+        "user_id", "value"
+    )
+    is_a = F.col("user_id") % 2 == 0
+    per_value = d.groupBy("value").agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("a_cnt"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("b_cnt"),
+    )
+    run = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dec = "decimal(38,0)"
+    cum = per_value.select(
+        F.sum("a_cnt").over(run).cast(dec).alias("cum_a"),
+        F.sum("b_cnt").over(run).cast(dec).alias("cum_b"),
+    )
+    totals = per_value.agg(
+        F.sum("a_cnt").cast("long").alias("n_a"),
+        F.sum("b_cnt").cast("long").alias("n_b"),
+    )
+    # 1-row totals normalizer
+    gaps = cum.crossJoin(F.broadcast(totals)).select(
+        F.abs(
+            F.col("cum_a") * F.col("n_b").cast(dec)
+            - F.col("cum_b") * F.col("n_a").cast(dec)
+        ).alias("gap"),
+        "n_a",
+        "n_b",
+    )
+    agg = gaps.groupBy("n_a", "n_b").agg(F.max("gap").alias("d_num"))
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    d_stat = F.col("d_num").cast("double") / (n_a * n_b)
+    crit = F.lit(KS_C_95) * F.sqrt((n_a + n_b) / (n_a * n_b))
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(ok, d_stat).alias("d_stat"),
+        F.when(ok, crit).alias("ks_crit"),
+        F.when(ok, d_stat > crit)
+        .otherwise(F.lit(False))
+        .alias("significant"),
+    )
+
+
+# Round-19 promotion queue (the toolkit's shape-sensitive member).
+ORACLE_R19 = {
+    "events_ab_ks_test": """
+        WITH d AS (
+            SELECT user_id, value FROM events WHERE value IS NOT NULL
+        ),
+        pv AS (
+            SELECT value,
+                   CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS a_cnt,
+                   CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+                        AS BIGINT) AS b_cnt
+            FROM d GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(a_cnt) AS BIGINT) AS n_a,
+                   CAST(SUM(b_cnt) AS BIGINT) AS n_b
+            FROM pv
+        ),
+        cum AS (
+            SELECT CAST(SUM(a_cnt) OVER w AS HUGEINT) AS cum_a,
+                   CAST(SUM(b_cnt) OVER w AS HUGEINT) AS cum_b
+            FROM pv
+            WINDOW w AS (ORDER BY value ROWS UNBOUNDED PRECEDING)
+        ),
+        agg AS (
+            SELECT t.n_a, t.n_b,
+                   MAX(ABS(c.cum_a * CAST(t.n_b AS HUGEINT)
+                           - c.cum_b * CAST(t.n_a AS HUGEINT))) AS d_num
+            FROM cum c CROSS JOIN tot t
+            GROUP BY t.n_a, t.n_b
+        )
+        SELECT n_a, n_b,
+               CASE WHEN n_a > 0 AND n_b > 0
+                    THEN CAST(d_num AS DOUBLE)
+                         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+               END AS d_stat,
+               CASE WHEN n_a > 0 AND n_b > 0
+                    THEN CAST('1.3581015157406195' AS DOUBLE)
+                         * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                                / (CAST(n_a AS DOUBLE)
+                                   * CAST(n_b AS DOUBLE)))
+               END AS ks_crit,
+               CASE WHEN n_a > 0 AND n_b > 0
+                    THEN CAST(d_num AS DOUBLE)
+                         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                         > CAST('1.3581015157406195' AS DOUBLE)
+                           * sqrt((CAST(n_a AS DOUBLE)
+                                   + CAST(n_b AS DOUBLE))
+                                  / (CAST(n_a AS DOUBLE)
+                                     * CAST(n_b AS DOUBLE)))
+                    ELSE FALSE
+               END AS significant
+        FROM agg
+    """,
+}
+
+
+def ab_value_effect_size(events: DataFrame) -> DataFrame:
+    """Cohen's d between the variants' value distributions — the
+    EFFECT-SIZE companion to the significance tests: at a million
+    users everything is "significant"; d says whether the shift is
+    worth shipping (0.2 small / 0.5 medium / 0.8 large, the standard
+    benchmarks). d = (mean_b − mean_a) / pooled_sd with the
+    (n−1)-weighted pooled variance.
+
+    Exactness: values are quantized to MICROS bigints first (the
+    cents trick one unit down), so Σv and Σv² accumulate in
+    DECIMAL(38,0) — exact and order-free where double sums are
+    run-order-dependent — and the means/variances are fixed-order
+    double expressions over those exact moments (divided back by 10⁶
+    and 10¹² respectively). NULL when either variant has < 2 values
+    or the pooled variance is 0.
+
+    Scale shape: one 1-row conditional aggregate over the scan —
+    six moments per variant, no shuffle beyond the map-side combine.
+    Queued for round 19 (`events_ab_effect_size`, ORACLE_R19)."""
+    d = events.filter(F.col("value").isNotNull())
+    v = F.round(F.col("value") * 1_000_000).cast("long")
+    is_a = F.col("user_id") % 2 == 0
+    dec = "decimal(38,0)"
+    agg = d.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(is_a, v).otherwise(0).cast(dec)).alias("s_a"),
+        F.sum(F.when(~is_a, v).otherwise(0).cast(dec)).alias("s_b"),
+        F.sum(F.when(is_a, v * v).otherwise(0).cast(dec)).alias("ss_a"),
+        F.sum(F.when(~is_a, v * v).otherwise(0).cast(dec)).alias("ss_b"),
+    )
+    micro = F.lit(1_000_000.0)
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    mean_a = (F.col("s_a").cast("double") / n_a) / micro
+    mean_b = (F.col("s_b").cast("double") / n_b) / micro
+    var_a = (
+        (F.col("ss_a").cast("double") - (F.col("s_a").cast("double") * F.col("s_a").cast("double")) / n_a)
+        / (n_a - F.lit(1.0))
+    ) / (micro * micro)
+    var_b = (
+        (F.col("ss_b").cast("double") - (F.col("s_b").cast("double") * F.col("s_b").cast("double")) / n_b)
+        / (n_b - F.lit(1.0))
+    ) / (micro * micro)
+    pooled = (
+        (n_a - F.lit(1.0)) * var_a + (n_b - F.lit(1.0)) * var_b
+    ) / (n_a + n_b - F.lit(2.0))
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1)
+    dd = (mean_b - mean_a) / F.sqrt(pooled)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(F.col("n_a") > 0, mean_a).alias("mean_a"),
+        F.when(F.col("n_b") > 0, mean_b).alias("mean_b"),
+        F.when(ok & (pooled > 0), dd).alias("cohens_d"),
+    )
+
+
+ORACLE_R19.update({
+    "events_ab_effect_size": """
+        WITH d AS (
+            SELECT user_id,
+                   CAST(round(value * 1000000) AS BIGINT) AS v
+            FROM events WHERE value IS NOT NULL
+        ),
+        agg AS (
+            SELECT
+                CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_a,
+                CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+                     AS BIGINT) AS n_b,
+                SUM(CAST(CASE WHEN user_id % 2 = 0 THEN v ELSE 0 END
+                         AS HUGEINT)) AS s_a,
+                SUM(CAST(CASE WHEN user_id % 2 = 0 THEN 0 ELSE v END
+                         AS HUGEINT)) AS s_b,
+                SUM(CAST(CASE WHEN user_id % 2 = 0 THEN v * v ELSE 0 END
+                         AS HUGEINT)) AS ss_a,
+                SUM(CAST(CASE WHEN user_id % 2 = 0 THEN 0 ELSE v * v END
+                         AS HUGEINT)) AS ss_b
+            FROM d
+        ),
+        x AS (
+            SELECT n_a, n_b,
+                   (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / 1000000.0
+                       AS mean_a,
+                   (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / 1000000.0
+                       AS mean_b,
+                   ((CAST(ss_a AS DOUBLE)
+                     - (CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))
+                       / CAST(n_a AS DOUBLE))
+                    / (CAST(n_a AS DOUBLE) - 1.0))
+                       / (1000000.0 * 1000000.0) AS var_a,
+                   ((CAST(ss_b AS DOUBLE)
+                     - (CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))
+                       / CAST(n_b AS DOUBLE))
+                    / (CAST(n_b AS DOUBLE) - 1.0))
+                       / (1000000.0 * 1000000.0) AS var_b
+            FROM agg
+        ),
+        p AS (
+            SELECT *,
+                   ((CAST(n_a AS DOUBLE) - 1.0) * var_a
+                    + (CAST(n_b AS DOUBLE) - 1.0) * var_b)
+                   / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0)
+                       AS pooled
+            FROM x
+        )
+        SELECT n_a, n_b,
+               CASE WHEN n_a > 0 THEN mean_a END AS mean_a,
+               CASE WHEN n_b > 0 THEN mean_b END AS mean_b,
+               CASE WHEN n_a > 1 AND n_b > 1 AND pooled > 0
+                    THEN (mean_b - mean_a) / sqrt(pooled)
+               END AS cohens_d
+        FROM p
+    """,
+})

@@ -927,3 +927,28 @@ def test_r18_queue_plan_shapes(spark, sf_dir):
         plan = explain_str(op(load_table(spark, sf_dir, "events")), "simple")
         assert "Join" not in plan, plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_r19_queue_plan_shapes(spark, sf_dir):
+    """Round-19 queue plan discipline: the effect size is ONE
+    map-side-combined aggregate, join-free; KS is a value-grain
+    aggregate + the exact-ECDF running window + a 1-row totals
+    normalizer — no cartesian of data, all JVM-side."""
+    from edu_online_spark.operators.analytics import (
+        ab_value_effect_size,
+        ab_value_ks_test,
+    )
+
+    eff = explain_str(
+        ab_value_effect_size(load_table(spark, sf_dir, "events")), "simple"
+    )
+    assert eff.count("Exchange") == 1, eff
+    assert "Join" not in eff, eff
+    assert "partial" in eff.lower(), eff
+
+    ks = explain_str(
+        ab_value_ks_test(load_table(spark, sf_dir, "events")), "simple"
+    )
+    assert "CartesianProduct" not in ks, ks
+    assert ks.count("BroadcastNestedLoopJoin") <= 1, ks  # 1-row totals
+    assert "BatchEvalPython" not in ks and "ArrowEvalPython" not in ks

@@ -1393,3 +1393,57 @@ def test_ab_mannwhitney_matches_python_reference(spark, items):
     else:
         assert r["u_a"] is None and r["z"] is None
         assert r["significant"] is False
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=-20, max_value=20),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_ab_ks_matches_python_reference(spark, items):
+    """For ANY layout (cross-variant ties included): the KS statistic
+    equals the value-grain ECDF reference computed in exact integers,
+    and the verdict matches the fixed-literal critical comparison."""
+    import datetime
+    import math
+    from collections import Counter
+
+    from edu_online_spark.operators.analytics import (
+        KS_C_95,
+        ab_value_ks_test,
+    )
+
+    t0 = datetime.datetime(2024, 5, 1)
+    ev = spark.createDataFrame(
+        [(i, u, "v", float(v), t0) for i, (u, v) in enumerate(items)],
+        "event_id long, user_id long, event_type string, value double,"
+        " ts timestamp_ntz",
+    )
+    r = ab_value_ks_test(ev).first()
+    a = Counter(v for u, v in items if u % 2 == 0)
+    b = Counter(v for u, v in items if u % 2 == 1)
+    n_a, n_b = sum(a.values()), sum(b.values())
+    assert (r["n_a"], r["n_b"]) == (n_a, n_b)
+    if n_a and n_b:
+        cum_a = cum_b = 0
+        d_num = 0
+        for v in sorted(set(a) | set(b)):
+            cum_a += a.get(v, 0)
+            cum_b += b.get(v, 0)
+            d_num = max(d_num, abs(cum_a * n_b - cum_b * n_a))
+        d_stat = float(d_num) / (float(n_a) * float(n_b))
+        crit = KS_C_95 * math.sqrt(
+            (float(n_a) + float(n_b)) / (float(n_a) * float(n_b))
+        )
+        assert r["d_stat"] == d_stat
+        assert r["ks_crit"] == crit
+        assert r["significant"] == (d_stat > crit)
+    else:
+        assert r["d_stat"] is None
+        assert r["significant"] is False
