@@ -1447,3 +1447,95 @@ def test_ab_ks_matches_python_reference(spark, items):
     else:
         assert r["d_stat"] is None
         assert r["significant"] is False
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=40),
+    st.integers(min_value=0, max_value=40),
+)
+def test_ab_srm_matches_python_formula(spark, k_a, k_b):
+    """For ANY variant user counts: chi2 equals the same-order Python
+    formula and the verdict the fixed-literal comparison."""
+    import datetime
+
+    from edu_online_spark.operators.analytics import (
+        CHI2_95_DOF1,
+        ab_srm_check,
+    )
+
+    if k_a + k_b == 0:
+        return
+    t0 = datetime.datetime(2024, 5, 1)
+    uids = [2 * i for i in range(k_a)] + [2 * i + 1 for i in range(k_b)]
+    ev = spark.createDataFrame(
+        [(i, u, "view", t0) for i, u in enumerate(uids)],
+        "event_id long, user_id long, event_type string, ts timestamp_ntz",
+    )
+    r = ab_srm_check(ev).first()
+    e = (float(k_a) + float(k_b)) / 2.0
+    chi2 = ((float(k_a) - e) * (float(k_a) - e)) / e + (
+        (float(k_b) - e) * (float(k_b) - e)
+    ) / e
+    assert (r["n_a"], r["n_b"]) == (k_a, k_b)
+    assert r["chi2"] == chi2
+    assert r["srm_suspect"] == (chi2 > CHI2_95_DOF1)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=-30, max_value=30),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_ab_effect_size_matches_python_reference(spark, items):
+    """For ANY integral-value layout: means, micros-exact moments,
+    and Cohen's d equal the same-order Python reference."""
+    import datetime
+    import math
+
+    from edu_online_spark.operators.analytics import ab_value_effect_size
+
+    t0 = datetime.datetime(2024, 5, 1)
+    ev = spark.createDataFrame(
+        [(i, u, "v", float(v), t0) for i, (u, v) in enumerate(items)],
+        "event_id long, user_id long, event_type string, value double,"
+        " ts timestamp_ntz",
+    )
+    r = ab_value_effect_size(ev).first()
+    a = [v * 1_000_000 for u, v in items if u % 2 == 0]
+    b = [v * 1_000_000 for u, v in items if u % 2 == 1]
+    micro = 1_000_000.0
+    n_a, n_b = len(a), len(b)
+    assert (r["n_a"], r["n_b"]) == (n_a, n_b)
+    if n_a:
+        assert r["mean_a"] == (float(sum(a)) / float(n_a)) / micro
+    if n_b:
+        assert r["mean_b"] == (float(sum(b)) / float(n_b)) / micro
+    if n_a > 1 and n_b > 1:
+        var_a = (
+            (float(sum(x * x for x in a))
+             - (float(sum(a)) * float(sum(a))) / float(n_a))
+            / (float(n_a) - 1.0)
+        ) / (micro * micro)
+        var_b = (
+            (float(sum(x * x for x in b))
+             - (float(sum(b)) * float(sum(b))) / float(n_b))
+            / (float(n_b) - 1.0)
+        ) / (micro * micro)
+        pooled = (
+            (float(n_a) - 1.0) * var_a + (float(n_b) - 1.0) * var_b
+        ) / (float(n_a) + float(n_b) - 2.0)
+        if pooled > 0:
+            mean_a = (float(sum(a)) / float(n_a)) / micro
+            mean_b = (float(sum(b)) / float(n_b)) / micro
+            assert r["cohens_d"] == (mean_b - mean_a) / math.sqrt(pooled)
+        else:
+            assert r["cohens_d"] is None
+    else:
+        assert r["cohens_d"] is None
