@@ -63,7 +63,9 @@ def audit(sf_dir: str) -> dict[str, list[tuple[str, str]]]:
     # round they are WRITTEN, not the round they enter the registry —
     # the round-7 rule
     queued: dict[str, str] = {}
-    for mod_name in ("dedup", "analytics", "similarity", "textops"):
+    for mod_name in (
+        "dedup", "analytics", "similarity", "textops", "pii", "multimodal",
+    ):
         try:
             mod = __import__(
                 f"edu_online_spark.operators.{mod_name}", fromlist=["_"]
