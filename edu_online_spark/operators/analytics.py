@@ -4348,3 +4348,87 @@ ORACLE_R19.update({
         FROM p
     """,
 })
+
+
+UPLIFT_DECILES = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def ab_quantile_uplift(events: DataFrame) -> DataFrame:
+    """Per-segment, per-decile treatment effect on event values — the
+    readout that tells you WHERE in the distribution the treatment
+    acts: a mean shift (Cohen's d) can't distinguish "everyone +5%"
+    from "the top decile +50%, the median untouched", and those ship
+    very different features. For each event type and decile 0.1..0.9,
+    the exact control and treatment quantiles (user_id mod 2 split)
+    and their difference.
+
+    Exactness: percentile_disc — DISCRETE selection, so every
+    quantile is an ACTUAL data value and bit-matches any engine (the
+    interpolated variant mixes doubles in engine-specific order; the
+    `value_percentiles_by_type` rule); uplift is one subtraction of
+    exact values. NULL quantiles (an empty variant within a segment)
+    propagate to NULL uplift.
+
+    Scale shape: ONE partial-agg shuffle on event_type; all 18
+    selections ride the same grouped sorted multiset (the grouped-
+    summary envelope — for unbounded groups switch to the KLL
+    variant); the decile unpivot is an inline array explode on the
+    |types|-row result.
+    Queued for round 19 (`events_ab_quantile_uplift`, ORACLE_R19)."""
+    d = events.filter(F.col("value").isNotNull())
+
+    def q(p: float, variant: int) -> Column:
+        return F.expr(
+            f"percentile_disc({p}) WITHIN GROUP (ORDER BY value) "
+            f"FILTER (WHERE user_id % 2 = {variant})"
+        )
+
+    agg = d.groupBy("event_type").agg(
+        *[q(p, 0).alias(f"a{i}") for i, p in enumerate(UPLIFT_DECILES)],
+        *[q(p, 1).alias(f"b{i}") for i, p in enumerate(UPLIFT_DECILES)],
+    )
+    rows = agg.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("decile"),
+                        F.col(f"a{i}").alias("q_a"),
+                        F.col(f"b{i}").alias("q_b"),
+                    )
+                    for i, p in enumerate(UPLIFT_DECILES)
+                ]
+            )
+        ).alias("s"),
+    )
+    return rows.select(
+        "event_type",
+        F.col("s.decile").alias("decile"),
+        F.col("s.q_a").alias("q_a"),
+        F.col("s.q_b").alias("q_b"),
+        (F.col("s.q_b") - F.col("s.q_a")).alias("uplift"),
+    )
+
+
+_UPLIFT_BRANCH = " UNION ALL ".join(
+    f"""SELECT event_type, CAST({p!r} AS DOUBLE) AS decile,
+        percentile_disc({p!r}) WITHIN GROUP (ORDER BY value)
+            FILTER (WHERE user_id % 2 = 0) AS q_a,
+        percentile_disc({p!r}) WITHIN GROUP (ORDER BY value)
+            FILTER (WHERE user_id % 2 = 1) AS q_b
+        FROM d GROUP BY event_type"""
+    for p in UPLIFT_DECILES
+)
+
+ORACLE_R19.update({
+    "events_ab_quantile_uplift": f"""
+        WITH d AS (
+            SELECT event_type, user_id, value FROM events
+            WHERE value IS NOT NULL
+        ),
+        u AS ({_UPLIFT_BRANCH})
+        SELECT event_type, decile, q_a, q_b, q_b - q_a AS uplift
+        FROM u
+    """,
+})

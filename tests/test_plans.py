@@ -952,3 +952,11 @@ def test_r19_queue_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in ks, ks
     assert ks.count("BroadcastNestedLoopJoin") <= 1, ks  # 1-row totals
     assert "BatchEvalPython" not in ks and "ArrowEvalPython" not in ks
+
+    from edu_online_spark.operators.analytics import ab_quantile_uplift
+
+    up = explain_str(
+        ab_quantile_uplift(load_table(spark, sf_dir, "events")), "simple"
+    )
+    assert up.count("Exchange") == 1, up  # one event_type partial agg
+    assert "Join" not in up, up

@@ -129,3 +129,48 @@ def test_ab_effect_size_degenerate_is_null(spark):
     r = ab_value_effect_size(ev).first()
     assert r["cohens_d"] is None
     assert (r["mean_a"], r["mean_b"]) == (5.0, 5.0)
+
+
+# -- events_ab_quantile_uplift ------------------------------------------------
+
+
+def test_ab_quantile_uplift_matches_r19_oracle(spark, sf_dir):
+    from edu_online_spark.operators.analytics import (
+        ORACLE_R19,
+        ab_quantile_uplift,
+    )
+
+    problems = compare(
+        "events_ab_quantile_uplift",
+        ab_quantile_uplift(load_table(spark, sf_dir, "events")),
+        run_oracle(ORACLE_R19["events_ab_quantile_uplift"], sf_dir),
+    )
+    assert not problems, problems
+
+
+def test_ab_quantile_uplift_fixture(spark):
+    """B's values are exactly A's + 5 within one segment: every decile
+    uplift reads exactly 5.0 (discrete selection subtracts actual data
+    values — no interpolation noise anywhere)."""
+    from edu_online_spark.operators.analytics import ab_quantile_uplift
+
+    rows = []
+    eid = 0
+    for v in (10.0, 20.0, 30.0, 40.0):
+        rows.append((eid, 0, "view", v, _T0)); eid += 1
+        rows.append((eid, 1, "view", v + 5.0, _T0)); eid += 1
+    ev = _ev(spark, rows)
+    got = ab_quantile_uplift(ev).collect()
+    assert len(got) == 9
+    assert all(r["uplift"] == 5.0 for r in got)
+    d50 = next(r for r in got if r["decile"] == 0.5)
+    assert (d50["q_a"], d50["q_b"]) == (20.0, 25.0)
+
+
+def test_ab_quantile_uplift_empty_variant_is_null(spark):
+    from edu_online_spark.operators.analytics import ab_quantile_uplift
+
+    ev = _ev(spark, [(i, 2 * i, "view", float(i), _T0) for i in range(4)])
+    got = ab_quantile_uplift(ev).collect()
+    assert all(r["q_b"] is None and r["uplift"] is None for r in got)
+    assert all(r["q_a"] is not None for r in got)
