@@ -30,7 +30,10 @@ sys.path.insert(0, ".")
 
 from edu_online_spark.config import EngineConfig  # noqa: E402
 from edu_online_spark.operators.analytics import (  # noqa: E402
+    ab_quantile_uplift,
     ab_srm_check,
+    ab_value_effect_size,
+    ab_value_ks_test,
     ab_value_mannwhitney,
     ab_conversion_ztest,
     activation_survival,
@@ -105,6 +108,25 @@ def main():
     print(
         f"    n_a={r['n_a']} n_b={r['n_b']} z={r['z']:.2f} "
         f"significant={r['significant']}  (expected: strongly negative z, True)"
+    )
+
+    print("=== 3b. KS + effect size + quantile uplift (same shift) ===")
+    r = ab_value_ks_test(ev).first()
+    print(
+        f"    KS D={r['d_stat']:.3f} crit={r['ks_crit']:.3f} "
+        f"significant={r['significant']}  (expected: D >> crit, True)"
+    )
+    r = ab_value_effect_size(ev).first()
+    print(
+        f"    Cohen's d={r['cohens_d']:.2f}  (expected: ~11 — the +20 shift"
+        " is ~10x the within-arm uid%7 spread)"
+    )
+    ups = ab_quantile_uplift(ev.filter(ev.event_type == "view")).collect()
+    mid = sorted(r["uplift"] for r in ups)[len(ups) // 2]
+    print(
+        f"    view-segment median decile uplift={mid:.1f}"
+        "  (expected: ~ +20 at every decile — a uniform shift,"
+        " not a tail effect)"
     )
 
     print("=== 4. Activation survival, per variant (KM) ===")
