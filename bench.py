@@ -153,6 +153,24 @@ HEADLINE = [
     "orders_fulfillment_latency",
     "events_dau_wau_stickiness",
     "dedup_savings_by_source",
+    # round 14 promotions — the ORACLE_R14 six plus the R15 queue
+    # pulled one round early (VERDICT r13 #3). The three pair-shaped
+    # dedup/multimodal entries (lang_purity, degree_spectrum,
+    # calibration) standalone pay their own LSH/pairs pass here, same
+    # caveat as savings_by_source above; growth rows live in
+    # SCALE.md §4-r11/r12/r13c.
+    "supplier_revenue_gini",
+    "customer_balance_deciles",
+    "dedup_cluster_lang_purity",
+    "multimodal_image_whash",
+    "multimodal_whash_neardup",
+    "multimodal_consensus_neardup",
+    "supplier_revenue_hhi",
+    "events_user_activity_gini",
+    "dedup_pair_degree_spectrum",
+    "dedup_minhash_calibration",
+    "embeddings_norm_deciles",
+    "corpus_shingle_df_spectrum",
 ]
 
 # Ambient-drift calibration (VERDICT r10 #6): pinned, plan-stable

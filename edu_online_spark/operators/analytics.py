@@ -2824,6 +2824,18 @@ ORACLE_R14.update({
     """,
 })
 
+# Round 14: promoted on schedule (library + fixture tests + audited
+# oracles held through rounds 12-13, rehearsed 6/6 at sf0.01 both
+# rounds; the window slot is this round's registry edit, per the
+# COVERAGE.md deferral arithmetic).
+ORACLE.update(ORACLE_R14)
+QUERIES.update({
+    "supplier_revenue_gini": _q(
+        supplier_revenue_gini, "lineitem", "supplier", "nation"
+    ),
+    "customer_balance_deciles": _q(customer_balance_deciles, "customer"),
+})
+
 
 def supplier_revenue_hhi(
     lineitem: DataFrame, supplier: DataFrame, nation: DataFrame
@@ -3084,6 +3096,20 @@ ORACLE_R15.update({
                END AS top_decile_share
         FROM agg
     """,
+})
+
+# Round 14: the R15 pair promoted ONE ROUND EARLY (VERDICT r13 #3 —
+# drain the queue, don't deepen it): library + audited oracles held
+# since round 13, parity-rehearsed at sf0.01 in rounds 13 and 14, the
+# activity-gini streaming twin measured flat at the 10× step
+# (SCALE.md §4-r13d). They take window slots this round (staleness at
+# birth), displacing tail fillers per the re-run greedy audit.
+ORACLE.update(ORACLE_R15)
+QUERIES.update({
+    "supplier_revenue_hhi": _q(
+        supplier_revenue_hhi, "lineitem", "supplier", "nation"
+    ),
+    "events_user_activity_gini": _q(user_activity_gini, "events"),
 })
 
 

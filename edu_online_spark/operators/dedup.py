@@ -2538,6 +2538,14 @@ ORACLE_R14 = {
     """,
 }
 
+# Round 14: promoted on schedule (library + composed-diagnostics tests
+# held through rounds 12-13, rehearsed at sf0.01 both rounds; the
+# window slot is this round's registry edit).
+ORACLE.update(ORACLE_R14)
+QUERIES.update({
+    "dedup_cluster_lang_purity": _q(cluster_lang_purity, "documents"),
+})
+
 
 def minhash_calibration(
     documents: DataFrame,
@@ -2734,6 +2742,18 @@ ORACLE_R15 = {
         FROM spec
     """,
 }
+
+# Round 14: the R15 pair promoted ONE ROUND EARLY (VERDICT r13 #3 —
+# drain the queue): library + oracle/pytest pins held since round 13,
+# rehearsed at sf0.01 in rounds 13 and 14. The calibration op is the
+# declared rows-only registration (engine-defined estimator — its
+# correctness pins are the pytest bias/spread envelopes); it still
+# takes a window slot the round it registers.
+ORACLE.update(ORACLE_R15)
+QUERIES.update({
+    "dedup_pair_degree_spectrum": _q(pair_degree_spectrum, "documents"),
+    "dedup_minhash_calibration": _q(minhash_calibration, "documents"),
+})
 
 
 def pair_transitivity(

@@ -1581,3 +1581,13 @@ ORACLE_R14["multimodal_consensus_neardup"] = f"""
            sq.hamming AS hamming_spectral
     FROM sp JOIN sq USING (asset_a, asset_b)
 """
+
+# Round 14: promoted on schedule (library + integer-exact mirrors held
+# through rounds 12-13, rehearsed at sf0.01 both rounds; the window
+# slot is this round's registry edit).
+ORACLE.update(ORACLE_R14)
+QUERIES.update({
+    "multimodal_image_whash": q_image_whash,
+    "multimodal_whash_neardup": q_whash_neardup,
+    "multimodal_consensus_neardup": q_consensus_neardup,
+})

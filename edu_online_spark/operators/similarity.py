@@ -1670,6 +1670,14 @@ ORACLE_R15 = {
     """,
 }
 
+# Round 14: promoted ONE ROUND EARLY (VERDICT r13 #3 — drain the
+# queue): library + audited oracle held since round 13, rehearsed at
+# sf0.01 in rounds 13 and 14; takes its window slot this round.
+ORACLE.update(ORACLE_R15)
+QUERIES.update({
+    "embeddings_norm_deciles": _q(norm_deciles),
+})
+
 
 NDCG_K = 10
 # 1/log2(i+1) for ranks 1..k, and the ideal-DCG prefix sums, computed

@@ -3918,6 +3918,14 @@ ORACLE_R15 = {
     """,
 }
 
+# Round 14: promoted ONE ROUND EARLY (VERDICT r13 #3 — drain the
+# queue): library + audited oracle held since round 13, rehearsed at
+# sf0.01 in rounds 13 and 14; takes its window slot this round.
+ORACLE.update(ORACLE_R15)
+QUERIES.update({
+    "corpus_shingle_df_spectrum": _q(shingle_df_spectrum),
+})
+
 
 BIGRAM_LIFT_TOP_K = 5
 BIGRAM_LIFT_MIN_COUNT = 2

@@ -69,91 +69,92 @@ def _extended_modules():
 # round 2).
 _PREFIX_TAIL_BOUNDARY = "tpch"
 
-# Round-13 window rotation (plan precomputed by tools/rotation_plan.py
-# at the end of round 12 — `python tools/rotation_plan.py 13` — and
-# applied VERBATIM from COVERAGE.md "Round-13 window, fully
-# precomputed", VERDICT r12 items #1-#2):
-#   1. hard cohort (deadline = 13): exactly the two fillers the
-#      round-12 promotions displaced — `basket_part_pairs`,
-#      `customer_rfm` (last certified r8; certifying AT the deadline
-#      is legal under the exact-deadline model, proven by
+# Round-14 window rotation (plan re-emitted at the start of round 14 —
+# `python tools/rotation_plan.py 14` after CORRECTNESS_r13 landed —
+# matching COVERAGE.md "Round-14 rotation plan" exactly; applied per
+# VERDICT r13 items #1-#3):
+#   1. hard cohort (deadline = 14): exactly the six round-13
+#      deferrals — the four cohort-9 fillers the R13 promotions
+#      displaced plus the two planner-deferred purchase rows, all
+#      last certified r9, certifying AT the deadline (legal under the
+#      exact-deadline model, proven by
 #      tests/test_registry.py::test_deferral_at_deadline_never_trips_staleness).
 #      They HEAD the window;
-#   2. fillers: the round-9 cohort by registry order, deferring
-#      `purchase_attribution` and `purchase_status_asof` to their
-#      round-14 deadline. Seven filler slots are rows-only by design
-#      (LSH/iterative/libm-dependent) — declared in
+#   2. fillers: the planner's 44-name ascending-deadline list,
+#      truncated to 32 — the LAST TWELVE planner fillers
+#      (`tpch_q13_order_distribution` … `nation_participation`, all
+#      deadline-15) are displaced by the promotions below and defer
+#      to their round-15 deadline (they MUST head the r15 window).
+#      Six filler slots are rows-only by design (LSH/iterative/
+#      engine-defined estimator) — declared in
 #      tests/test_registry.py::ROWS_ONLY_WINDOW_SLOTS;
-#   3. the four ORACLE_R13 promotions (`corpus_bigram_simpson`,
-#      `orders_fulfillment_latency`, `events_dau_wau_stickiness`,
-#      `dedup_savings_by_source`; library + tests + audited oracles
-#      held since round 11/12, re-rehearsed 4/4 at sf0.01 in round
-#      12) take slots the round they land (staleness-at-birth rule),
-#      displacing the last four cohort-9 fillers by registry order
-#      (`customer_record_linkage`, `events_sessionize`,
-#      `events_session_stats`, `events_region_enrich`), which defer
-#      to their round-14 deadline; r14 debt = those 4 + the 2
-#      planner-deferred purchase rows = 6, as the greedy audit
-#      simulated.
+#   3. TWELVE promotions take slots the round they land
+#      (staleness-at-birth rule): the six ORACLE_R14 names on
+#      schedule, plus the six R15-queue names promoted ONE ROUND
+#      EARLY per VERDICT r13 #3 (drain the queue) — all rehearsed at
+#      sf0.01 in rounds 13 AND 14; the post-edit greedy audit
+#      (`tools/rotation_plan.py 15`) confirms no deadline is missed
+#      by the doubled displacement.
 # Names are validated against the assembled registry — a typo or a
 # renamed query fails loudly rather than silently ceding its slot.
 _WINDOW_PRIORITY = [
-    # 1: hard cohort at its r13 deadline — must head the window
-    "basket_part_pairs",
-    "customer_rfm",
-    # 2: round-9 cohort fillers by registry order (each buying its
-    #    slot back one round before its r14 deadline)
-    "register_platform_counts",
-    "register_windowed_counts",
-    "register_sliding_counts",
-    "register_cumulative_daily",
-    "quiz_mastery",
-    "quiz_mastery_approx",
-    "page_props_decode",
-    "page_flow",
-    "archival_daily_counts",
-    "source_dup_matrix",
-    "embeddings_label_centroids",
-    "hybrid_search_rrf_lsh",
-    "docs_quality_calibrated",
-    "docs_decontamination_stats",
-    "corpus_shards_incremental",
-    "source_winnow_overlap_matrix",
-    "source_token_fertility",
-    "multimodal_image_ahash",
-    "multimodal_audio_fingerprint",
-    "multimodal_video_scenecuts",
-    "text_knn_minhash",  # rows-only
-    "ann_all_pairs_topk",  # rows-only
-    "text_fingerprints_fast",  # rows-only
-    "docs_lm_perplexity",  # rows-only
-    "docs_compression_ratio",  # rows-only
-    "corpus_bpe_merges",  # rows-only
-    "tpch_q1_pricing_summary",
-    "tpch_q3_top_orders",
-    "tpch_q5_region_revenue",
-    "tpch_q6_forecast_revenue",
-    "part_topk_per_brand",
-    "users_purchase_no_error",
-    "users_view_and_purchase",
-    "orders_rollup",
-    "customers_without_orders",
-    "daily_event_pivot",
-    "events_distinct_users",
-    "lineitem_price_quantiles",
-    "events_deterministic_sample",
-    "events_user_value_ewma",  # rows-only
-    "basket_association_rules",
-    "events_value_winsorized",
-    "events_daily_trend",
-    "events_type_transitions",
-    # 3: ORACLE_R13 promotions — each takes a slot the round it lands
-    #    (staleness-at-birth rule); these displace the last four
-    #    cohort-9 fillers per the deferral arithmetic
-    "corpus_bigram_simpson",
-    "orders_fulfillment_latency",
-    "events_dau_wau_stickiness",
-    "dedup_savings_by_source",
+    # 1: hard cohort at its r14 deadline — must head the window
+    "customer_record_linkage",
+    "events_sessionize",
+    "events_session_stats",
+    "events_region_enrich",
+    "purchase_attribution",
+    "purchase_status_asof",
+    # 2: fillers by ascending deadline then registry order (planner
+    #    order, first 32 of 44)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "corpus_repeated_spans",
+    "docs_substring_dedup",
+    "dedup_substring_cross_corpus",
+    "docs_leakage_safe_split",
+    "docs_memorization_risk",
+    "split_leakage_compare",
+    "dedup_cross_corpus_probe",
+    "docs_dup_inflation",
+    "dedup_cluster_size_profile",
+    "embeddings_quantized_int8",
+    "embeddings_label_noise",
+    "docs_feature_hashed",
+    "docs_hashed_knn",
+    "docs_mixture_temperature",
+    "docs_curriculum_stages",
+    "multimodal_ahash_neardup",
+    "multimodal_video_fp_neardup",
+    "multimodal_ahash_clusters",
+    "customers_bloom_prefilter",
+    "lineitem_price_kll_rollup",
+    "corpus_end_to_end_curation",
+    "dedup_simhash",  # rows-only
+    "sim_knn_lsh",  # rows-only
+    "sim_knn_ivf",  # rows-only
+    "hybrid_search_rrf_lsh_prod",  # rows-only
+    "docs_bpe_encoded",  # rows-only
+    "tpch_q4_priority_waiting",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q21_waiting_suppliers",
+    "orders_priciest_per_priority",
+    # 3a: ORACLE_R14 promotions, on schedule — each takes a slot the
+    #     round it lands (staleness-at-birth rule)
+    "supplier_revenue_gini",
+    "customer_balance_deciles",
+    "dedup_cluster_lang_purity",
+    "multimodal_image_whash",
+    "multimodal_whash_neardup",
+    "multimodal_consensus_neardup",
+    # 3b: R15-queue promotions pulled one round forward (VERDICT r13
+    #     #3); the calibration op is the declared rows-only slot
+    "supplier_revenue_hhi",
+    "events_user_activity_gini",
+    "dedup_pair_degree_spectrum",
+    "dedup_minhash_calibration",  # rows-only
+    "embeddings_norm_deciles",
+    "corpus_shingle_df_spectrum",
 ]
 
 

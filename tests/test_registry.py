@@ -22,6 +22,9 @@ def test_rows_only_set_is_intentional():
     assert rows_only == {
         "ann_all_pairs_topk",
         "corpus_bpe_merges",
+        # round 14: engine-defined MinHash estimator calibration —
+        # its correctness pins are the pytest bias/spread envelopes
+        "dedup_minhash_calibration",
         "dedup_simhash",
         "docs_bpe_encoded",
         "docs_compression_ratio",
@@ -56,19 +59,20 @@ def test_broken_extension_does_not_kill_core(monkeypatch):
     assert "dedup" in names and "textops" in names  # the rest survived
 
 
-# Round 13 rotates to the 2-row hard cohort (basket_part_pairs /
-# customer_rfm AT their deadline) + 44 round-9 fillers + the four
-# ORACLE_R13 promotions. Seven cohort-9 filler slots are rows-only by
-# design (LSH neighbor sets / iterative / libm-dependent), exactly as
-# the round-12 rotation plan precomputed.
+# Round 14 rotates to the 6-row hard cohort (the round-13 deferrals
+# AT their deadline) + 32 planner fillers + the six ORACLE_R14
+# promotions + the six R15-queue promotions pulled one round early
+# (VERDICT r13 #3). Five filler slots are rows-only by design
+# (LSH neighbor sets / iterative / engine-defined), exactly as the
+# round-13 rotation plan precomputed, plus the rows-only R15
+# registration (`dedup_minhash_calibration`).
 ROWS_ONLY_WINDOW_SLOTS: set[str] = {
-    "text_knn_minhash",
-    "ann_all_pairs_topk",
-    "text_fingerprints_fast",
-    "docs_lm_perplexity",
-    "docs_compression_ratio",
-    "corpus_bpe_merges",
-    "events_user_value_ewma",
+    "dedup_simhash",
+    "sim_knn_lsh",
+    "sim_knn_ivf",
+    "hybrid_search_rrf_lsh_prod",
+    "docs_bpe_encoded",
+    "dedup_minhash_calibration",
 }
 
 
@@ -135,52 +139,51 @@ def test_rotation_staleness_bound():
     )
 
 
-def test_rotation_planner_reproduces_round14_plan():
-    """tools/rotation_plan.py must reproduce the committed round-14
-    arithmetic (COVERAGE.md 'Round-14 rotation plan', pre-staged per
-    VERDICT r12 #8 with the r13 registry edit in-tree): the hard
-    cohort is EXACTLY the six round-13 deferrals (the four cohort-9
-    fillers the R13 promotions displaced + the two planner-deferred
-    purchase rows, all certified r9, deadline r14), the 44 filler
-    slots carry five rows-only names, exactly six names defer to
-    their round-15 deadline, the six R14-queue promotions are flagged
-    as slotless, and the greedy forward-schedule audit holds through
-    the queued batch."""
+def test_rotation_planner_reproduces_round15_plan():
+    """tools/rotation_plan.py must reproduce the committed round-15
+    arithmetic (COVERAGE.md 'Round-15 rotation plan', pre-staged with
+    the r14 registry edit in-tree): the hard cohort is EXACTLY the
+    eighteen round-14 deferrals — the twelve tail fillers the twelve
+    r14 promotions (ORACLE_R14 six + the R15 queue pulled one round
+    early, VERDICT r13 #3) displaced, plus the six planner-deferred
+    names, all certified r10, deadline r15. No rows-only name needs a
+    window slot next round, exactly eighteen names defer to their
+    round-16 deadline, no promotion is slotless (the R15 queue landed
+    this round; R16's joins the simulation at its own round), and the
+    greedy forward-schedule audit holds through the queued batch."""
     from tools.rotation_plan import plan
 
-    p = plan(14)
+    p = plan(15)
     assert p["hard_cohort"] == [
-        "customer_record_linkage",
-        "events_sessionize",
-        "events_session_stats",
-        "events_region_enrich",
-        "purchase_attribution",
-        "purchase_status_asof",
+        "tpch_q13_order_distribution",
+        "tpch_q16_dormant_customers",
+        "tpch_q18_large_orders",
+        "tpch_q20_heavy_suppliers",
+        "part_price_rank_family",
+        "tpch_q12_priority_by_flag",
+        "tpch_q14_promo_share",
+        "tpch_q19_disjunctive_revenue",
+        "tpch_q22_rich_punctual_orders",
+        "orders_cube",
+        "orders_grouping_sets",
+        "nation_participation",
+        "events_hourly_heatmap",
+        "orders_date_features",
+        "lineitem_supplier_pareto",
+        "orders_open_backlog",
+        "purchase_view_window_counts",
+        "purchases_minutely_gapfill",
     ]
-    assert p["rows_only_slots"] == [
-        "dedup_simhash", "sim_knn_lsh", "sim_knn_ivf",
-        "hybrid_search_rrf_lsh_prod", "docs_bpe_encoded",
-    ]
-    assert p["deferred_to_bound"] == [
-        "events_hourly_heatmap", "orders_date_features",
-        "lineitem_supplier_pareto", "orders_open_backlog",
-        "purchase_view_window_counts", "purchases_minutely_gapfill",
-    ]
-    assert set(p["queued_promotions"]) == {
-        "dedup_cluster_lang_purity",
-        "multimodal_image_whash",
-        "multimodal_whash_neardup",
-        "multimodal_consensus_neardup",
-        "supplier_revenue_gini",
-        "customer_balance_deciles",
-    }
+    assert p["rows_only_slots"] == []
+    assert len(p["deferred_to_bound"]) == 18
+    assert p["queued_promotions"] == []
     assert p["audit_ok"], p["audit_notes"]
     assert len(p["window"]) == 50 and len(set(p["window"])) == 50
-    # the entire hard cohort is round-9-certified rows AT their bound
+    # the entire hard cohort is round-10-certified rows AT their bound
     from tools.rotation_plan import last_seen_history
     import os
     seen, _ = last_seen_history(os.path.join(os.path.dirname(__file__), ".."))
-    assert all(seen.get(n) == 9 for n in p["hard_cohort"])
+    assert all(seen.get(n) == 10 for n in p["hard_cohort"])
 
 
 def test_rotation_planner_refuses_to_plan_past_its_model():
