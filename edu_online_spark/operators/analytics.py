@@ -491,16 +491,112 @@ def basket_part_pairs(lineitem: DataFrame, k: int = 25) -> DataFrame:
     )
 
 
+def _selection_thresholds(
+    rel: DataFrame, col: str, picks: dict[str, str], bucket_width
+) -> DataFrame:
+    """Exact global order statistics — the value at ascending sorted
+    position pos(n) for each pick — with NO global row sort and NO
+    partition-less window (VERDICT r13 #4). Two-level histogram
+    selection:
+
+      1. value histogram (map-side-combined count per distinct value);
+      2. coarse ordered buckets of width `bucket_width` over the value
+         axis — the bucket relation is range/width rows, bounded by
+         the caller's domain argument, so the prior-mass range join
+         below is a bounded broadcast nested loop (tiny × tiny), not
+         a corpus product;
+      3. each requested position lands in exactly one boundary bucket
+         (before < pos <= before + bcnt); only THOSE buckets' histogram
+         rows get a cumulative window, partitioned per pick — every
+         window partition is one coarse bucket's histogram, never the
+         relation.
+
+    `picks` maps output column name -> integer position expression in
+    terms of `n` (total row count), e.g. "(n + 3) div 4". Returns a
+    1-row DataFrame with one column per pick."""
+    hist = rel.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    h = hist.withColumn(
+        "b", F.floor(F.col(col) / F.lit(bucket_width)).cast("long")
+    )
+    btot = h.groupBy("b").agg(F.sum("cnt").alias("bcnt"))
+    prior = btot.select(F.col("b").alias("pb"), F.col("bcnt").alias("pcnt"))
+    # bounded broadcast nested loop: buckets × buckets, both sides the
+    # coarse-bucket relation (domain-bounded by construction)
+    boff = (
+        btot.join(F.broadcast(prior), F.col("pb") < F.col("b"), "left")
+        .groupBy("b", "bcnt")
+        .agg(F.coalesce(F.sum("pcnt"), F.lit(0)).cast("long").alias("before"))
+    )
+    total = btot.agg(F.sum("bcnt").cast("long").alias("n"))
+    # 1-row broadcast normalizer: every bucket row needs n for pos(n)
+    pick_rows = (
+        boff.crossJoin(F.broadcast(total))
+        .select(
+            "b",
+            "before",
+            "bcnt",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("pick"),
+                            F.expr(pos).cast("long").alias("pos"),
+                        )
+                        for name, pos in picks.items()
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("b", "before", "p.pick", "p.pos")
+        .filter(
+            (F.col("before") < F.col("pos"))
+            & (F.col("pos") <= F.col("before") + F.col("bcnt"))
+        )
+    )
+    w = Window.partitionBy("pick").orderBy(col)
+    return (
+        h.join(F.broadcast(pick_rows), "b")
+        .withColumn("cum", F.sum("cnt").over(w))
+        .groupBy()
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        (F.col("pick") == name)
+                        & (F.col("before") + F.col("cum") >= F.col("pos")),
+                        F.col(col),
+                    )
+                ).alias(name)
+                for name in picks
+            ]
+        )
+    )
+
+
 def customer_rfm(orders: DataFrame, anchor: str = "2002-01-01") -> DataFrame:
     """RFM segmentation: recency / frequency / monetary quartiles per
     customer, the classic CRM feature triple.
 
-    One shuffle to customer grain, then three ntile(4) windows over the
-    SAME relation (tiny: one row per customer). Each window orders with
-    an o_custkey tiebreak so the quartile assignment is a total order —
-    identical across engines and runs. ntile needs a global sort; at
-    100 TB the scale path swaps it for approx-quantile threshold
-    bucketing (documented, not needed at customer cardinality)."""
+    Quartiles are THRESHOLD-BUCKETED, not ntile'd (VERDICT r13 #4
+    replaced the three partition-less ntile(4) windows, which moved
+    every customer row through one task): the three exact quartile
+    boundary values per metric come from `_selection_thresholds` —
+    the element at sorted position ceil(k·n/4) (ascending for recency;
+    the mirrored position n − ceil(k·n/4) + 1 for the descending
+    frequency/monetary rankings) — and each customer's quartile is
+    1 + (how many thresholds it is past). Ties therefore share a
+    quartile (the old o_custkey tiebreak split tied values across
+    boundaries; the threshold semantics are the ones a CRM actually
+    wants, and the oracle mirrors them exactly).
+
+    Scale shape: one map-side-combined shuffle to customer grain, then
+    per metric a histogram + two-level bucketed selection — recency is
+    calendar-bounded (~10³ distinct days), frequency basket-bounded
+    (~10² distinct counts), monetary cents-granular (price-domain
+    bounded); the coarse bucket relations are at most a few thousand
+    rows each, so no sort or window ever sees a customer-grain
+    relation. Thresholds come back as one broadcast row; assignment is
+    a scan-stage comparison."""
     base = orders.groupBy("o_custkey").agg(
         F.datediff(
             F.lit(anchor).cast("timestamp_ntz"), F.max("o_orderdate")
@@ -510,17 +606,43 @@ def customer_rfm(orders: DataFrame, anchor: str = "2002-01-01") -> DataFrame:
         .cast("double")
         .alias("monetary"),
     )
-    w_r = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
-    w_f = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    w_m = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
-    return base.select(
+
+    def _asc(k: int) -> str:
+        return f"({k} * n + 3) div 4"
+
+    def _desc(k: int) -> str:
+        return f"n - ({k} * n + 3) div 4 + 1"
+
+    rt = _selection_thresholds(
+        base, "recency_days", {f"r_t{k}": _asc(k) for k in (1, 2, 3)}, 32
+    )
+    ft = _selection_thresholds(
+        base, "frequency", {f"f_t{k}": _desc(k) for k in (1, 2, 3)}, 4
+    )
+    mt = _selection_thresholds(
+        base, "monetary", {f"m_t{k}": _desc(k) for k in (1, 2, 3)}, 65536.0
+    )
+    # three 1-row frames -> one broadcast threshold row
+    thr = rt.crossJoin(ft).crossJoin(mt)
+
+    def _past(v: str, ts: list[str], op) -> F.Column:
+        out = F.lit(1)
+        for t in ts:
+            out = out + op(F.col(v), F.col(t)).cast("int")
+        return out.cast("int")
+
+    gt = lambda a, b: a > b  # noqa: E731 — asc: past = above threshold
+    lt = lambda a, b: a < b  # noqa: E731 — desc: past = below threshold
+    return base.crossJoin(F.broadcast(thr)).select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(4).over(w_r).alias("r_quartile"),
-        F.ntile(4).over(w_f).alias("f_quartile"),
-        F.ntile(4).over(w_m).alias("m_quartile"),
+        _past("recency_days", ["r_t1", "r_t2", "r_t3"], gt).alias(
+            "r_quartile"
+        ),
+        _past("frequency", ["f_t1", "f_t2", "f_t3"], lt).alias("f_quartile"),
+        _past("monetary", ["m_t1", "m_t2", "m_t3"], lt).alias("m_quartile"),
     )
 
 
@@ -2223,6 +2345,12 @@ ORACLE = {
         SELECT 'lineitem_discount_out_of_range', CAST(count(*) AS BIGINT)
         FROM lineitem WHERE l_discount < 0 OR l_discount > 1
     """,
+    # Threshold-bucketed quartiles (VERDICT r13 #4): the mirror repeats
+    # the selection rule — value at ascending position ceil(k·n/4)
+    # (mirrored to n − ceil(k·n/4) + 1 for the descending metrics) read
+    # off a value histogram — then assigns 1 + (#thresholds passed).
+    # The histogram cum windows here are DuckDB-local; the Spark side
+    # computes the same selections via the bucketed two-level form.
     "customer_rfm": """
         WITH base AS (
             SELECT o_custkey,
@@ -2232,15 +2360,63 @@ ORACLE = {
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
                        AS monetary
             FROM orders GROUP BY o_custkey
+        ),
+        rc AS (
+            SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum,
+                   SUM(cnt) OVER () AS n
+            FROM (SELECT recency_days AS v, count(*) AS cnt
+                  FROM base GROUP BY 1)
+        ),
+        rt AS (
+            SELECT MIN(CASE WHEN cum >= (1*n + 3) // 4 THEN v END) AS t1,
+                   MIN(CASE WHEN cum >= (2*n + 3) // 4 THEN v END) AS t2,
+                   MIN(CASE WHEN cum >= (3*n + 3) // 4 THEN v END) AS t3
+            FROM rc
+        ),
+        fc AS (
+            SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum,
+                   SUM(cnt) OVER () AS n
+            FROM (SELECT frequency AS v, count(*) AS cnt
+                  FROM base GROUP BY 1)
+        ),
+        ft AS (
+            SELECT MIN(CASE WHEN cum >= n - (1*n + 3) // 4 + 1 THEN v END)
+                       AS t1,
+                   MIN(CASE WHEN cum >= n - (2*n + 3) // 4 + 1 THEN v END)
+                       AS t2,
+                   MIN(CASE WHEN cum >= n - (3*n + 3) // 4 + 1 THEN v END)
+                       AS t3
+            FROM fc
+        ),
+        mc AS (
+            SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum,
+                   SUM(cnt) OVER () AS n
+            FROM (SELECT monetary AS v, count(*) AS cnt
+                  FROM base GROUP BY 1)
+        ),
+        mt AS (
+            SELECT MIN(CASE WHEN cum >= n - (1*n + 3) // 4 + 1 THEN v END)
+                       AS t1,
+                   MIN(CASE WHEN cum >= n - (2*n + 3) // 4 + 1 THEN v END)
+                       AS t2,
+                   MIN(CASE WHEN cum >= n - (3*n + 3) // 4 + 1 THEN v END)
+                       AS t3
+            FROM mc
         )
         SELECT o_custkey, recency_days, frequency, monetary,
-               CAST(ntile(4) OVER (ORDER BY recency_days ASC, o_custkey ASC)
+               CAST(1 + CAST(recency_days > rt.t1 AS INTEGER)
+                      + CAST(recency_days > rt.t2 AS INTEGER)
+                      + CAST(recency_days > rt.t3 AS INTEGER)
                     AS INTEGER) AS r_quartile,
-               CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC)
+               CAST(1 + CAST(frequency < ft.t1 AS INTEGER)
+                      + CAST(frequency < ft.t2 AS INTEGER)
+                      + CAST(frequency < ft.t3 AS INTEGER)
                     AS INTEGER) AS f_quartile,
-               CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC)
+               CAST(1 + CAST(monetary < mt.t1 AS INTEGER)
+                      + CAST(monetary < mt.t2 AS INTEGER)
+                      + CAST(monetary < mt.t3 AS INTEGER)
                     AS INTEGER) AS m_quartile
-        FROM base
+        FROM base, rt, ft, mt
     """,
     "events_cohort_retention": """
         WITH cohorts AS (

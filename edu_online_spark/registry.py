@@ -138,7 +138,13 @@ _WINDOW_PRIORITY = [
     "tpch_q4_priority_waiting",
     "tpch_q17_small_qty_revenue",
     "tpch_q21_waiting_suppliers",
-    "orders_priciest_per_priority",
+    # 2b: changed THIS round — the threshold-bucketed customer_rfm
+    #     rewrite (VERDICT r13 #4) re-derives query AND oracle, so it
+    #     takes a slot the round it changes (the changed-query rule in
+    #     test_driver_window_contract), displacing the tail filler
+    #     `orders_priciest_per_priority` (deadline 15 — joins the r15
+    #     hard cohort; audit re-run OK)
+    "customer_rfm",
     # 3a: ORACLE_R14 promotions, on schedule — each takes a slot the
     #     round it lands (staleness-at-birth rule)
     "supplier_revenue_gini",

@@ -694,6 +694,59 @@ def test_fulfillment_latency_histogram_plan(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_customer_rfm_no_global_sort_plan(spark, sf_dir):
+    """VERDICT r13 #4: the quartile assignment must be threshold
+    bucketing, never a customer-grain total-order window. Pin: no
+    ntile anywhere, and EVERY window spec in the plan is partitioned
+    (by the selection helper's `pick` key — each partition is one
+    coarse bucket's value histogram, bounded by the domain arguments
+    in the docstring). The only nested-loop joins are the bounded
+    bucket-prior range join and the 1-row threshold normalizers."""
+    from edu_online_spark.operators.analytics import customer_rfm
+
+    df = customer_rfm(load_table(spark, sf_dir, "orders"))
+    plan = explain_str(df, "simple")
+    assert "ntile" not in plan, plan
+    specs = [
+        seg for seg in plan.split("windowspecdefinition(")[1:]
+    ]
+    assert specs, "expected the selection windows in the plan"
+    for seg in specs:
+        assert seg.lstrip().startswith("pick#"), (
+            "partition-less window spec found: " + seg[:120]
+        )
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_customer_rfm_ties_share_quartiles(spark, sf_dir):
+    """Threshold semantics: equal metric values can never straddle a
+    quartile boundary (the property the old o_custkey-tiebroken ntile
+    violated), and every quartile is populated at this SF."""
+    from pyspark.sql import functions as F
+
+    from edu_online_spark.operators.analytics import customer_rfm
+
+    df = customer_rfm(load_table(spark, sf_dir, "orders")).cache()
+    try:
+        for metric, quart in [
+            ("recency_days", "r_quartile"),
+            ("frequency", "f_quartile"),
+            ("monetary", "m_quartile"),
+        ]:
+            split = (
+                df.groupBy(metric)
+                .agg(F.countDistinct(quart).alias("nq"))
+                .filter(F.col("nq") > 1)
+                .count()
+            )
+            assert split == 0, f"{metric}: tied values straddle quartiles"
+            got = {r[0] for r in df.select(quart).distinct().collect()}
+            assert got == {1, 2, 3, 4}, (quart, got)
+    finally:
+        df.unpersist()
+
+
 def test_dau_wau_stickiness_single_spine_plan(spark, sf_dir):
     """One corpus scan, no join: the distinct (day,user) spine feeds
     the ≤7-day explode and ONE aggregate computes both counts."""

@@ -143,18 +143,21 @@ def test_rotation_planner_reproduces_round15_plan():
     """tools/rotation_plan.py must reproduce the committed round-15
     arithmetic (COVERAGE.md 'Round-15 rotation plan', pre-staged with
     the r14 registry edit in-tree): the hard cohort is EXACTLY the
-    eighteen round-14 deferrals — the twelve tail fillers the twelve
+    nineteen round-14 deferrals — the twelve tail fillers the twelve
     r14 promotions (ORACLE_R14 six + the R15 queue pulled one round
-    early, VERDICT r13 #3) displaced, plus the six planner-deferred
-    names, all certified r10, deadline r15. No rows-only name needs a
-    window slot next round, exactly eighteen names defer to their
-    round-16 deadline, no promotion is slotless (the R15 queue landed
-    this round; R16's joins the simulation at its own round), and the
-    greedy forward-schedule audit holds through the queued batch."""
+    early, VERDICT r13 #3) displaced, the one filler the changed
+    customer_rfm displaced (the changed-query rule), plus the six
+    planner-deferred names, all certified r10, deadline r15. No
+    rows-only name needs a window slot next round, exactly nineteen
+    names defer to their round-16 deadline, no promotion is slotless
+    (the R15 queue landed this round; R16's joins the simulation at
+    its own round), and the greedy forward-schedule audit holds
+    through the queued batch."""
     from tools.rotation_plan import plan
 
     p = plan(15)
     assert p["hard_cohort"] == [
+        "orders_priciest_per_priority",
         "tpch_q13_order_distribution",
         "tpch_q16_dormant_customers",
         "tpch_q18_large_orders",
@@ -175,7 +178,7 @@ def test_rotation_planner_reproduces_round15_plan():
         "purchases_minutely_gapfill",
     ]
     assert p["rows_only_slots"] == []
-    assert len(p["deferred_to_bound"]) == 18
+    assert len(p["deferred_to_bound"]) == 19
     assert p["queued_promotions"] == []
     assert p["audit_ok"], p["audit_notes"]
     assert len(p["window"]) == 50 and len(set(p["window"])) == 50
