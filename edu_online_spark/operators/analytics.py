@@ -3580,7 +3580,16 @@ ORACLE_R16.update({
 })
 
 
-def cusum_level_shift(events: DataFrame, slack_den: int = 20) -> DataFrame:
+# Shared CUSUM slack divisor (mean/20 = 5% per day in scaled units),
+# interpolated into BOTH the operator default and the oracle mirror so
+# a change to one can't silently desynchronize the other (ADVICE r13;
+# the SURVIVAL_HORIZON_DAYS discipline).
+CUSUM_SLACK_DEN = 20
+
+
+def cusum_level_shift(
+    events: DataFrame, slack_den: int = CUSUM_SLACK_DEN
+) -> DataFrame:
     """Two-sided CUSUM departure screen over the daily event-count
     series — the LEVEL-SHIFT complement to `daily_mad_anomalies`: the
     MAD screen catches point spikes but is blind to a feed that
@@ -3620,7 +3629,9 @@ def cusum_level_shift(events: DataFrame, slack_den: int = 20) -> DataFrame:
     return cusum_report(daily, slack_den)
 
 
-def cusum_report(daily: DataFrame, slack_den: int = 20) -> DataFrame:
+def cusum_report(
+    daily: DataFrame, slack_den: int = CUSUM_SLACK_DEN
+) -> DataFrame:
     """The CUSUM stage of `cusum_level_shift`, split out so the
     streaming twin folds its (day, cnt) state and applies the
     IDENTICAL screen — stream/batch parity by construction. Input
@@ -3737,7 +3748,7 @@ def ab_conversion_ztest(events: DataFrame) -> DataFrame:
 # first (the bare-decimal-literal rule — DuckDB parses `1.96` as
 # DECIMAL, one ulp off the double product).
 ORACLE_R17 = {
-    "events_cusum_level_shift": """
+    "events_cusum_level_shift": f"""
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
             FROM events GROUP BY 1
@@ -3750,9 +3761,9 @@ ORACLE_R17 = {
         ),
         s AS (
             SELECT day, cnt, total,
-                   SUM(cnt * n_days - total - total // 20)
+                   SUM(cnt * n_days - total - total // {CUSUM_SLACK_DEN})
                        OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS p,
-                   SUM(-(cnt * n_days - total) - total // 20)
+                   SUM(-(cnt * n_days - total) - total // {CUSUM_SLACK_DEN})
                        OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS q
             FROM g
         ),

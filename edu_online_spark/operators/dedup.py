@@ -2788,10 +2788,26 @@ def pair_transitivity(
 
     Queued for round 17 (`dedup_pair_transitivity`, ORACLE_R17)."""
     if pairs is None:
+        # the internal LSH path already emits canonical (doc_a <
+        # doc_b) deduplicated pairs — no normalization pass needed
         pairs = minhash_lsh_pairs(documents, threshold=threshold)
-    e = pairs.select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-    ).localCheckpoint(eager=True)
+        e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    else:
+        # ADVICE r13: a caller-provided edge list may be unoriented or
+        # carry duplicate edges, which would silently inflate every
+        # census number — canonicalize (least/greatest, self-loops
+        # dropped) and dedup before counting. Costs one distinct
+        # shuffle on the pair relation only when a custom input is
+        # passed.
+        e = (
+            pairs.select(
+                F.least("doc_a", "doc_b").alias("a"),
+                F.greatest("doc_a", "doc_b").alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+    e = e.localCheckpoint(eager=True)
     wedge = e.join(
         e.select(F.col("a").alias("b2"), F.col("b").alias("c")),
         F.col("b") == F.col("b2"),

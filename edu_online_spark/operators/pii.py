@@ -363,8 +363,15 @@ ORACLE = {
 }
 
 
+# Shared l-diversity threshold, interpolated into BOTH the operator
+# default and the oracle mirror so a change to one can't silently
+# desynchronize the other (ADVICE r13; the SURVIVAL_HORIZON_DAYS
+# discipline).
+L_DIVERSITY_L = 3
+
+
 def l_diversity_report(
-    df: DataFrame, qi_cols: list[str], sensitive: str, l: int = 3
+    df: DataFrame, qi_cols: list[str], sensitive: str, l: int = L_DIVERSITY_L
 ) -> DataFrame:
     """l-diversity audit — the attribute-disclosure complement to
     `k_anonymity_report`: a QI class can be comfortably k-anonymous
@@ -410,7 +417,7 @@ def _q_events_ldiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Round-17 queue (the PII module's second release-gate audit).
 ORACLE_R17 = {
-    "events_l_diversity": """
+    "events_l_diversity": f"""
         WITH classes AS (
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                    CAST(count(DISTINCT user_id) AS BIGINT)
@@ -419,7 +426,7 @@ ORACLE_R17 = {
         )
         SELECT n_distinct_sensitive,
                CAST(count(*) AS BIGINT) AS n_classes,
-               n_distinct_sensitive < 3 AS violates_l
+               n_distinct_sensitive < {L_DIVERSITY_L} AS violates_l
         FROM classes GROUP BY 1
     """,
 }

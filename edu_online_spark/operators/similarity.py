@@ -1738,10 +1738,19 @@ def label_ndcg(
         cosine_similarity(F.col("qv"), F.col("nv")).alias("cosine"),
     )
     top = _topk(scored, k)
+    # ADVICE r13: derive the lookup tables from THIS call's k — the
+    # module-level NDCG_K=10 constants only cover the certified
+    # default, and a k > 10 call would silently element_at-miss into
+    # NULL discounts. Same formula, so k=NDCG_K reproduces the module
+    # constants (and the oracle's literals) bit-for-bit.
+    discounts = {i: 1.0 / _math.log2(i + 1.0) for i in range(1, k + 1)}
+    idcg_tab = {0: 0.0}
+    for _m2 in range(1, k + 1):
+        idcg_tab[_m2] = idcg_tab[_m2 - 1] + discounts[_m2]
     disc = F.create_map(
         *[
             x
-            for i, d in sorted(NDCG_DISCOUNTS.items())
+            for i, d in sorted(discounts.items())
             for x in (F.lit(i), F.lit(d))
         ]
     )
@@ -1765,7 +1774,7 @@ def label_ndcg(
     idcg_map = F.create_map(
         *[
             x
-            for m, v in sorted(NDCG_IDCG.items())
+            for m, v in sorted(idcg_tab.items())
             for x in (F.lit(m), F.lit(v))
         ]
     )

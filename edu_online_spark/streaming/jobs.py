@@ -4266,7 +4266,16 @@ def heavy_hitters_job(
     window work on ≤ capacity + |batch vocab| rows. The fold is
     ADDITIVE, so the last_batch_id fence drops redelivered triggers
     (the countmin job's replay discipline; same scoping caveat: a
-    fresh checkpoint against an existing sink reads as redelivery)."""
+    fresh checkpoint against an existing sink reads as redelivery).
+
+    The snapshot ALWAYS carries one NULL-token sentinel row holding
+    (n_tokens, last_batch_id) — ADVICE r13: a trigger whose rank-trim
+    keeps zero counters (top capacity+1 all tied) used to write an
+    empty snapshot, silently disabling the fence and resetting the
+    running token total on the next trigger. Keeping the totals in
+    the same atomically-swapped file (rather than a sidecar) means a
+    crash can never separate the fold from its fence. Readers of the
+    counter set filter `token IS NOT NULL`."""
     import os
 
     from pyspark.sql import Window
@@ -4313,7 +4322,8 @@ def heavy_hitters_job(
                 return  # redelivered trigger: additive fold, drop it
             n_prior = old.agg(F.max("n_tokens")).first()[0] or 0
             delta = (
-                old.select("token", F.col("est").alias("cnt"))
+                old.filter(F.col("token").isNotNull())
+                .select("token", F.col("est").alias("cnt"))
                 .unionByName(delta)
                 .groupBy("token")
                 .agg(F.sum("cnt").cast("long").alias("cnt"))
@@ -4356,9 +4366,19 @@ def heavy_hitters_job(
                 (F.col("est") + err_bound) * capacity > F.col("n_tokens")
             ).alias("is_candidate"),
         )
+        # sentinel: totals + fence survive even a counter-free trim
+        sentinel = spark.range(1).select(
+            F.lit(None).cast("string").alias("token"),
+            F.lit(None).cast("long").alias("est"),
+            F.lit(n_total).cast("long").alias("n_tokens"),
+            F.lit(None).cast("long").alias("err_bound"),
+            F.lit(None).cast("boolean").alias("guaranteed"),
+            F.lit(None).cast("boolean").alias("is_candidate"),
+        )
         merged = (
-            report.withColumn("last_batch_id", F.lit(batch_id))
-            .coalesce(1)  # <= capacity rows: single file, atomic swap
+            report.unionByName(sentinel)
+            .withColumn("last_batch_id", F.lit(batch_id))
+            .coalesce(1)  # <= capacity + 1 rows: single file, atomic swap
             .localCheckpoint(eager=True)
         )
         sinks.parquet_overwrite_atomic(out_path)(merged, batch_id)

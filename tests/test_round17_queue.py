@@ -276,6 +276,33 @@ def test_label_ndcg_no_relevant_is_null(spark):
     assert r["ndcg"] is None
 
 
+def test_label_ndcg_k_beyond_module_default(spark):
+    """ADVICE r13: the discount/IDCG tables must follow the CALL's k,
+    not the module-level NDCG_K=10 — a hit at rank 12 under k=16 used
+    to element_at-miss into a NULL dcg. Query label 0 has one relevant
+    neighbor deliberately ranked 12th of 15 candidates."""
+    import math
+
+    from edu_online_spark.operators.similarity import label_ndcg
+
+    rows = [(0, [1.0, 0.0], 0)]
+    # 11 non-relevant neighbors ranked 1..11 (descending cosine),
+    # then the single relevant one at rank 12, then 3 more below it
+    for i in range(1, 15):
+        cos_x = 1.0 - i * 0.05
+        rows.append((i, [cos_x, math.sqrt(1 - cos_x * cos_x)],
+                     0 if i == 12 else 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    r = label_ndcg(emb, k=16, n_queries=1).first()
+    assert r["n_hits"] == 1
+    expected = 1.0 / math.log2(13.0)
+    assert r["dcg"] == expected, (r["dcg"], expected)
+    # n_relevant=1 -> idcg is the 1-term prefix = 1.0
+    assert r["ndcg"] == expected
+
+
 # -- dedup_pair_transitivity --------------------------------------------------
 
 
@@ -319,6 +346,11 @@ def test_pair_transitivity_census_fixtures(spark):
     assert census([(1, 2), (2, 3)]) == (2, 1, 0, 0.0)
     assert census([(1, 2), (1, 3), (2, 3)]) == (3, 3, 1, 1.0)
     assert census([(1, 2), (1, 3), (1, 4)]) == (3, 3, 0, 0.0)
+    # ADVICE r13: an unoriented, duplicated, self-looped edge list
+    # must canonicalize to the same triangle census, not inflate it
+    assert census(
+        [(2, 1), (1, 2), (3, 1), (2, 3), (3, 2), (1, 1)]
+    ) == (3, 3, 1, 1.0)
     # triangle {1,2,3} + pendant 4 off vertex 1: wedges 3 + C(3,2)=3
     # at v1... degrees: 1->3, 2->2, 3->2, 4->1 => wedges 3+1+1 = 5
     assert census([(1, 2), (1, 3), (2, 3), (1, 4)]) == (

@@ -1030,8 +1030,10 @@ def test_heavy_hitters_job_brackets_truth(spark, tmp_path):
     )
     n = sum(exact.values())
     truly_heavy = {t for t, c in exact.items() if c * 4 > n}
-    rows = {r["token"]: r for r in spark.read.parquet(out).collect()}
-    assert all(r["n_tokens"] == n for r in rows.values())
+    all_rows = spark.read.parquet(out).collect()
+    # the NULL-token sentinel (ADVICE r13) carries the totals too
+    assert all(r["n_tokens"] == n for r in all_rows)
+    rows = {r["token"]: r for r in all_rows if r["token"] is not None}
     for t, r in rows.items():
         assert r["est"] <= exact[t], (t, r["est"], exact[t])
         if r["guaranteed"]:
@@ -1062,6 +1064,7 @@ def test_heavy_hitters_replay_fence_prevents_double_count(
         for r in spark.read.parquet(out).collect()
     }
     assert before["alpha"] == (20, 30)
+    assert before[None] == (None, 30)  # sentinel totals row
     q = jobs.heavy_hitters_job(
         file_stream(spark, src, max_files_per_trigger=1),
         out,
@@ -1074,6 +1077,57 @@ def test_heavy_hitters_replay_fence_prevents_double_count(
         for r in spark.read.parquet(out).collect()
     }
     assert after == before
+
+
+def test_heavy_hitters_empty_trim_keeps_totals_and_fence(spark, tmp_path):
+    """ADVICE r13 (medium): a trigger whose rank-trim keeps ZERO
+    counters — capacity+1 all-tied singleton tokens — must still
+    persist (n_tokens, last_batch_id). Wave 1 (capacity=2, three tied
+    tokens) empties the summary; wave 2 must see n_tokens accumulate
+    from 3, not reset to 0, and a replay restart must stay fenced."""
+    import json
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "hh"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    wave1 = [json.dumps({"doc_id": "1", "text": "aa bb cc"})]
+    wave2 = [json.dumps({"doc_id": "2", "text": "aa aa aa aa bb"})]
+    _replay(
+        jobs.heavy_hitters_job, spark, src, out, ckpt,
+        [wave1], capacity=2,
+    )
+    snap1 = spark.read.parquet(out).collect()
+    # trim emptied the counter set; only the sentinel row remains
+    assert [r["token"] for r in snap1] == [None]
+    assert snap1[0]["n_tokens"] == 3
+    with open(os.path.join(src, "wave-second.log"), "w") as f:
+        f.write("\n".join(wave2) + "\n")
+    q = jobs.heavy_hitters_job(
+        file_stream(spark, src),
+        out,
+        ckpt,
+        capacity=2,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["token"]: r for r in spark.read.parquet(out).collect()
+    }
+    assert all(r["n_tokens"] == 8 for r in rows.values()), rows
+    assert rows["aa"]["est"] == 4
+    # fence: an availableNow restart with no new files changes nothing
+    q = jobs.heavy_hitters_job(
+        file_stream(spark, src, max_files_per_trigger=1),
+        out,
+        ckpt,
+        capacity=2,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    after = {
+        r["token"]: r["n_tokens"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert after == {t: 8 for t in rows}, after
 
 
 def test_activation_survival_streaming_equals_batch(spark, sf_dir, tmp_path):
