@@ -605,7 +605,11 @@ def customer_rfm(orders: DataFrame, anchor: str = "2002-01-01") -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
         .cast("double")
         .alias("monetary"),
-    )
+    # the customer-grain relation feeds THREE threshold pipelines plus
+    # the final assignment — checkpoint it once instead of re-running
+    # the orders aggregation four times (the pair_transitivity reuse
+    # discipline)
+    ).localCheckpoint(eager=True)
 
     def _asc(k: int) -> str:
         return f"({k} * n + 3) div 4"

@@ -1539,3 +1539,36 @@ def test_ab_effect_size_matches_python_reference(spark, items):
             assert r["cohens_d"] is None
     else:
         assert r["cohens_d"] is None
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-500, max_value=500),
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from([1, 7, 32, 1000]),
+)
+def test_selection_thresholds_match_sorted_reference(spark, vals, width):
+    """customer_rfm's bucketed order-statistic helper must equal the
+    plain sorted()-index reference for ANY multiset and ANY bucket
+    width (including widths that put everything in one bucket or one
+    value per bucket), at quartile positions both ascending and
+    descending-mirrored."""
+    from edu_online_spark.operators.analytics import _selection_thresholds
+
+    rel = spark.createDataFrame([(v,) for v in vals], "v long")
+    n = len(vals)
+    picks = {
+        f"a{k}": f"({k} * n + 3) div 4" for k in (1, 2, 3)
+    } | {
+        f"d{k}": f"n - ({k} * n + 3) div 4 + 1" for k in (1, 2, 3)
+    }
+    row = _selection_thresholds(rel, "v", picks, width).first()
+    s = sorted(vals)
+    for k in (1, 2, 3):
+        pos = (k * n + 3) // 4
+        assert row[f"a{k}"] == s[pos - 1], (vals, width, k)
+        mpos = n - pos + 1
+        assert row[f"d{k}"] == s[mpos - 1], (vals, width, k)
