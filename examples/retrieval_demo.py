@@ -90,6 +90,16 @@ def main() -> None:
             map(tuple, probed.select("qid", "nid").collect())
         ) == sorted(map(tuple, inline.select("qid", "nid").collect()))
 
+    # round-14 tail: embedding hygiene pre-flight (norm_deciles, the
+    # R15-queue op promoted this round) — a retrieval corpus whose
+    # vectors are unit-normalized shows every decile pinned at ~1.0;
+    # dead vectors or un-normalized imports would spread the band
+    norm_rows = similarity.norm_deciles(embs).collect()
+    norm_band = (
+        round(min(r["d1"] for r in norm_rows), 3),
+        round(max(r["d9"] for r in norm_rows), 3),
+    )
+
     print(f"training queries:     {n_queries}")
     print(f"positive pairs:       {n_pos}")
     print(f"hard negatives:       {n_neg} "
@@ -101,6 +111,8 @@ def main() -> None:
     print(f"ann recall@{recall['k']}:        {recall['recall']:.2f} "
           f"over {n_q} queries (LSH vs exact)")
     print(f"persisted IVF probe == inline: {probe_matches}")
+    print(f"norm hygiene d1..d9 band:   {norm_band[0]}..{norm_band[1]} "
+          f"over {len(norm_rows)} labels (unit-normalized corpus -> ~1.0)")
 
 
 if __name__ == "__main__":
