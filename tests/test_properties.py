@@ -1572,3 +1572,110 @@ def test_selection_thresholds_match_sorted_reference(spark, vals, width):
         assert row[f"a{k}"] == s[pos - 1], (vals, width, k)
         mpos = n - pos + 1
         assert row[f"d{k}"] == s[mpos - 1], (vals, width, k)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),     # supplier
+            st.integers(min_value=100, max_value=99999),  # price cents
+            st.integers(min_value=0, max_value=10),    # discount %
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_supplier_revenue_gini_matches_decimal_reference(spark, items):
+    """The promoted histogram-free Gini must equal the sorted-rank
+    identity computed in exact Decimal with the same single double
+    casts, for arbitrary line items (ties included — SUM(i·r) is
+    permutation-invariant over tied revenues)."""
+    from decimal import Decimal
+
+    from edu_online_spark.operators.analytics import supplier_revenue_gini
+
+    lineitem = spark.createDataFrame(
+        [
+            (s, float(Decimal(c) / 100), float(Decimal(d) / 100))
+            for s, c, d in items
+        ],
+        "l_suppkey long, l_extendedprice double, l_discount double",
+    )
+    sups = sorted({s for s, _, _ in items})
+    supplier = spark.createDataFrame(
+        [(s, s % 2) for s in sups], "s_suppkey long, s_nationkey long"
+    )
+    nation = spark.createDataFrame(
+        [(0, "NAT-EVEN"), (1, "NAT-ODD")], "n_nationkey long, n_name string"
+    )
+    got = {
+        r["nation"]: r
+        for r in supplier_revenue_gini(lineitem, supplier, nation).collect()
+    }
+
+    rev: dict[int, Decimal] = {}
+    for s, c, d in items:
+        price = (Decimal(c) / 100).quantize(Decimal("0.01"))
+        disc = (Decimal(d) / 100).quantize(Decimal("0.01"))
+        rev[s] = rev.get(s, Decimal(0)) + price * (1 - disc)
+    by_nation: dict[str, list[tuple[Decimal, int]]] = {}
+    for s, r in rev.items():
+        by_nation.setdefault(
+            "NAT-EVEN" if s % 2 == 0 else "NAT-ODD", []
+        ).append((r, s))
+    for nat, rows in by_nation.items():
+        rows.sort()
+        n = len(rows)
+        total = sum(r for r, _ in rows)
+        sum_i_rev = sum(
+            Decimal(i + 1) * r for i, (r, _) in enumerate(rows)
+        )
+        g = got[nat]
+        assert g["n_suppliers"] == n
+        assert g["total_revenue"] == float(total)
+        if total > 0:
+            expected = float(
+                2 * sum_i_rev - (n + 1) * total
+            ) / float(n * total)
+            assert g["gini"] == expected, (nat, rows)
+        else:
+            assert g["gini"] is None
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["SEG-A", "SEG-B"]),
+            st.integers(min_value=-99999, max_value=99999),  # cents
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_customer_balance_deciles_match_sorted_reference(spark, rows):
+    """The promoted histogram-selection deciles must equal the
+    sorted-position reference s[ceil(k·n/10) − 1] per segment for
+    arbitrary (tied, negative, tiny-n) balance multisets."""
+    from edu_online_spark.operators.analytics import customer_balance_deciles
+
+    customer = spark.createDataFrame(
+        [(seg, c / 100.0) for seg, c in rows],
+        "c_mktsegment string, c_acctbal double",
+    )
+    got = {
+        r["segment"]: r for r in customer_balance_deciles(customer).collect()
+    }
+    segs: dict[str, list[float]] = {}
+    for seg, c in rows:
+        segs.setdefault(seg, []).append(c / 100.0)
+    for seg, vals in segs.items():
+        s = sorted(vals)
+        n = len(s)
+        g = got[seg]
+        assert g["n_customers"] == n
+        assert g["min_bal"] == s[0] and g["max_bal"] == s[-1]
+        for k in range(1, 10):
+            pos = (k * n + 9) // 10
+            assert g[f"d{k}"] == s[pos - 1], (seg, k, s)

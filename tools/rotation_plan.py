@@ -42,12 +42,17 @@ Policy:
      is structurally unsatisfiable, not merely tight.
 
 Usage:
-    python tools/rotation_plan.py            # plan the next round
-    python tools/rotation_plan.py 13         # plan a specific round
+    python tools/rotation_plan.py                    # plan the next round
+    python tools/rotation_plan.py 13                 # plan a specific round
+    python tools/rotation_plan.py 15 --emit-registry # paste-ready block
 
 Prints the slot list (rows-only names flagged — they must match
 tests/test_registry.py's ROWS_ONLY_WINDOW_SLOTS when applied), the
 deferred names with their deadlines, plus the simulation audit.
+--emit-registry instead prints the window as a paste-ready
+`_WINDOW_PRIORITY = [...]` Python block (hard cohort / fillers
+sectioned, rows-only slots flagged) — the round-14 rotation was the
+third hand-transcribed one; transcription is now mechanical.
 """
 
 from __future__ import annotations
@@ -215,9 +220,40 @@ def plan(next_round: int | None = None, root: str | None = None) -> dict:
     }
 
 
+def emit_registry_block(p: dict) -> None:
+    """Print the planned window as a paste-ready _WINDOW_PRIORITY
+    block for edu_online_spark/registry.py. Promotions still have to
+    be placed by hand (they displace tail fillers deliberately), but
+    the hard-cohort/filler transcription — the error-prone part —
+    becomes copy-paste."""
+    r = p["next_round"]
+    rows_only = set(p["rows_only_slots"])
+    print(f"# Round-{r} window (emitted by tools/rotation_plan.py "
+          f"{r} --emit-registry)")
+    print("_WINDOW_PRIORITY = [")
+    print(f"    # 1: hard cohort at its r{r} deadline — must head "
+          "the window")
+    for n in p["hard_cohort"]:
+        flag = "  # rows-only" if n in rows_only else ""
+        print(f'    "{n}",{flag}')
+    print("    # 2: fillers by ascending deadline then registry order")
+    for n in p["fillers"]:
+        flag = "  # rows-only" if n in rows_only else ""
+        print(f'    "{n}",{flag}')
+    print("]")
+    if p["queued_promotions"]:
+        print(f"# PLACE BY HAND — queued ORACLE_R{r} promotions "
+              "(each displaces a tail filler): "
+              + ", ".join(p["queued_promotions"]))
+
+
 def main() -> None:
-    next_round = int(sys.argv[1]) if len(sys.argv) > 1 else None
+    args = [a for a in sys.argv[1:] if a != "--emit-registry"]
+    next_round = int(args[0]) if args else None
     p = plan(next_round)
+    if "--emit-registry" in sys.argv[1:]:
+        emit_registry_block(p)
+        return
     print(
         f"# round-{p['next_round']} window: {len(p['hard_cohort'])} "
         f"hard-cohort (deadline == round) + {len(p['fillers'])} fillers "
