@@ -111,6 +111,11 @@ QUERIES = [
     "supplier_return_rate_wilson",
     "corpus_bigram_lift_topk",
     "lineitem_price_benford",
+    # round-14 plan rewrites (VERDICT r13 #4/#5) — keep their growth
+    # curves measured mechanically (first rows hand-measured in
+    # SCALE.md §4-r14a/b)
+    "customer_rfm",
+    "docs_quality_spearman_banded",
 ]
 
 
@@ -132,6 +137,7 @@ def _library():
     from edu_online_spark.operators.similarity import norm_deciles
     from edu_online_spark.operators.textops import (
         bigram_lift_topk,
+        quality_length_spearman_banded,
         shingle_df_spectrum,
     )
     from edu_online_spark.sources import load_table
@@ -168,6 +174,11 @@ def _library():
         ),
         "lineitem_price_benford": lambda s, d: price_benford_screen(
             load_table(s, d, "lineitem")
+        ),
+        # the banded Spearman is the unregistered scale path the exact
+        # op's guard names — its growth curve is the claim to back
+        "docs_quality_spearman_banded": lambda s, d: (
+            quality_length_spearman_banded(load_table(s, d, "documents"))
         ),
     }
 
