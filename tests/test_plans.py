@@ -694,6 +694,51 @@ def test_fulfillment_latency_histogram_plan(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+# Partition-less windows allowed in the CURRENT driver window, with
+# the boundedness argument for each input relation. A window spec with
+# no partition key moves its whole input through ONE task, so the only
+# acceptable ones are those whose input is bounded BY CONSTRUCTION —
+# never corpus/row-grain. customer_rfm shipped exactly that defect and
+# sat certified-green for five rounds (VERDICT r13 #4); this pin makes
+# the class mechanically impossible to reintroduce through the window
+# (every new/changed query takes a window slot the round it lands, so
+# it is audited at birth). Full-registry sweep: tools/window_audit.py.
+PARTITIONLESS_WINDOW_ALLOWLIST: dict[str, int] = {
+    # ≤32-row bucket-offset relations of the distributed prefix sum
+    # (token_budget_cap machinery — the heavy cum is partitioned by
+    # bucket; only the tiny offset table is globally ordered)
+    "corpus_end_to_end_curation": 1,
+    # |distinct df values| rows (dozens) — the spectrum share window
+    "corpus_shingle_df_spectrum": 1,
+    # |distinct degree| rows — the spectrum share window
+    "dedup_pair_degree_spectrum": 1,
+    # the shards-incremental manifest cum runs over the ≤32-row bucket
+    # offsets, same machinery as the curation pipeline
+    "corpus_shards_incremental": 1,
+}
+
+
+def test_driver_window_has_no_unjustified_global_sorts(spark, sf_dir):
+    """Every partition-less window spec in any of the 50 driver-window
+    queries' plans must be on the justified allowlist above, with the
+    exact spec count pinned — a new query smuggling a row-grain global
+    sort fails here in its landing round."""
+    from edu_online_spark import registry
+    from tools.window_audit import partitionless_specs
+
+    qs = registry.queries()
+    window = list(qs)[:50]
+    found: dict[str, int] = {}
+    for name in window:
+        plan = explain_str(qs[name](spark, sf_dir), "simple")
+        specs = partitionless_specs(plan)
+        if specs:
+            found[name] = len(specs)
+    assert found == {
+        k: v for k, v in PARTITIONLESS_WINDOW_ALLOWLIST.items() if k in set(window)
+    }, found
+
+
 def test_customer_rfm_no_global_sort_plan(spark, sf_dir):
     """VERDICT r13 #4: the quartile assignment must be threshold
     bucketing, never a customer-grain total-order window. Pin: no
