@@ -708,13 +708,29 @@ PARTITIONLESS_WINDOW_ALLOWLIST: dict[str, int] = {
     # (token_budget_cap machinery — the heavy cum is partitioned by
     # bucket; only the tiny offset table is globally ordered)
     "corpus_end_to_end_curation": 1,
-    # |distinct df values| rows (dozens) — the spectrum share window
-    "corpus_shingle_df_spectrum": 1,
-    # |distinct degree| rows — the spectrum share window
-    "dedup_pair_degree_spectrum": 1,
-    # the shards-incremental manifest cum runs over the ≤32-row bucket
-    # offsets, same machinery as the curation pipeline
+    "corpus_shard_manifest": 1,
     "corpus_shards_incremental": 1,
+    "docs_quality_budget_fill": 1,
+    # same bucketed-prefix shape: the pareto's global windows run on
+    # the bucket-offset `pid` relation, not the supplier rows
+    "lineitem_supplier_pareto": 2,
+    # |distinct df values| / |distinct degree| rows (dozens) — the
+    # spectrum share windows
+    "corpus_shingle_df_spectrum": 1,
+    "dedup_pair_degree_spectrum": 1,
+    # VOCABULARY-grain rank windows (cnt DESC, token): bounded by the
+    # realized token vocabulary. Honest envelope: a web-scale corpus
+    # with unbounded tokenization could stretch this to 10⁸⁺ distinct
+    # tokens; if that corpus arrives, these get the customer_rfm
+    # bucketed-selection treatment. At the engine's documented corpus
+    # shapes the vocabulary is ≤10⁶-10⁷ — single-task-sortable.
+    "corpus_vocab_coverage": 1,
+    "docs_vocab_encoded": 1,
+    # CALENDAR-grain cums (day/minute relations — decades < 10⁴ rows)
+    "daily_revenue_ma7": 2,
+    "events_daily_anomalies": 6,
+    "orders_open_backlog": 1,
+    "purchases_minutely_gapfill": 1,
 }
 
 
