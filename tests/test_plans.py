@@ -718,12 +718,10 @@ PARTITIONLESS_WINDOW_ALLOWLIST: dict[str, int] = {
     # spectrum share windows
     "corpus_shingle_df_spectrum": 1,
     "dedup_pair_degree_spectrum": 1,
-    # VOCABULARY-grain rank windows (cnt DESC, token): bounded by the
-    # realized token vocabulary. Honest envelope: a web-scale corpus
-    # with unbounded tokenization could stretch this to 10⁸⁺ distinct
-    # tokens; if that corpus arrives, these get the customer_rfm
-    # bucketed-selection treatment. At the engine's documented corpus
-    # shapes the vocabulary is ≤10⁶-10⁷ — single-task-sortable.
+    # rank windows over a LIMIT-bounded head: both ops take the top-N
+    # vocabulary via TakeOrderedAndProject (bounded per-partition
+    # heaps) FIRST and only window the ≤N-row result — constant-size
+    # by construction, never the full vocabulary
     "corpus_vocab_coverage": 1,
     "docs_vocab_encoded": 1,
     # CALENDAR-grain cums (day/minute relations — decades < 10⁴ rows)
