@@ -4120,7 +4120,16 @@ ORACLE_R18.update({
 })
 
 
-def ab_value_mannwhitney(events: DataFrame) -> DataFrame:
+# The permutation-rank Mann-Whitney refuses corpora past this size:
+# its global rank window puts every observation through ONE task (the
+# quality_length_spearman guard playbook — VERDICT r13 #5's class,
+# caught here by the queued-op window audit before promotion).
+MANNWHITNEY_EXACT_MAX_ROWS = 5_000_000
+
+
+def ab_value_mannwhitney(
+    events: DataFrame, max_rows: int = MANNWHITNEY_EXACT_MAX_ROWS
+) -> DataFrame:
     """Mann-Whitney U test on event values between the two halves of
     the user_id mod 2 split — the nonparametric companion to the
     activation z-test: proportions answer "did more convert", this
@@ -4138,9 +4147,22 @@ def ab_value_mannwhitney(events: DataFrame) -> DataFrame:
     doubles in fixed operand order; z is NULL when either variant is
     empty (nothing to compare).
 
-    Scale shape: one global rank sort (the exact-global-ranks cost,
-    as in the Spearman op), then a 1-row conditional aggregate.
-    Queued for round 18 (`events_ab_mannwhitney`, ORACLE_R18)."""
+    Scale shape: one global rank sort — ONE task holding every
+    observation, which is why this op is GUARDED at `max_rows` (one
+    column-pruned count): past the cap it refuses and names
+    `ab_value_mannwhitney_histogram`, the exact classic-midrank form
+    whose only windows run over the VALUE histogram. Queued for
+    round 18 (`events_ab_mannwhitney`, ORACLE_R18)."""
+    n_in = events.count()
+    if n_in > max_rows:
+        raise ValueError(
+            f"ab_value_mannwhitney computes exact permutation ranks "
+            f"via a total-order window and is capped at {max_rows} "
+            f"rows (got {n_in}). Use ab_value_mannwhitney_histogram — "
+            "classic midrank MW with tie-corrected variance, computed "
+            "from the value histogram with no row-grain window — or "
+            "pre-sample below the cap."
+        )
     d = events.filter(F.col("value").isNotNull()).select(
         "event_id", "user_id", "value"
     )
@@ -4162,6 +4184,77 @@ def ab_value_mannwhitney(events: DataFrame) -> DataFrame:
     var = (n_a * n_b * (n_a + n_b + F.lit(1.0))) / F.lit(12.0)
     z = (u_a - mu) / F.sqrt(var)
     ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(ok, u_a).alias("u_a"),
+        F.when(ok, z).alias("z"),
+        F.when(ok, F.abs(z) > F.lit(Z_95))
+        .otherwise(F.lit(False))
+        .alias("significant"),
+    )
+
+
+def ab_value_mannwhitney_histogram(events: DataFrame) -> DataFrame:
+    """Classic midrank Mann-Whitney from the (value, variant)
+    HISTOGRAM — the 100 TB path the permutation op's guard names.
+    Every quantity MW actually needs is a histogram functional:
+    the midrank of a tied run is before + (t+1)/2, so
+    ΣR_a = Σ_v a(v)·(2·before(v) + t(v) + 1) / 2 — accumulated as
+    the INTEGER 2·ΣR_a in DECIMAL(38,0), exact for any corpus — and
+    the tie-corrected variance term Σ(t³−t) is another exact decimal
+    sum over the same relation. With tie-free values this equals the
+    permutation-rank op exactly (midrank = the unique rank); with
+    ties it is the TEXTBOOK statistic (the permutation form's
+    event_id tie-break is the approximation, not this).
+
+    Scale shape: one map-side-combined shuffle to the value histogram
+    (micros-granular money domain — the customer_balance_deciles
+    boundedness argument), ONE cumulative window over that histogram,
+    a 1-row aggregate. No row-grain window, no total-order sort of
+    observations. z is NULL when a variant is empty or every value is
+    tied (zero variance — nothing to rank)."""
+    is_a = F.col("user_id") % 2 == 0
+    d = events.filter(F.col("value").isNotNull()).select(
+        "value", is_a.alias("in_a")
+    )
+    hist = d.groupBy("value").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("a_cnt"),
+        F.count(F.lit(1)).cast("long").alias("t"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    h = hist.withColumn(
+        "before", F.coalesce(F.sum("t").over(w), F.lit(0)).cast("long")
+    )
+    dec = "decimal(38,0)"
+    agg = h.agg(
+        F.sum("a_cnt").cast("long").alias("n_a"),
+        F.sum(F.col("t") - F.col("a_cnt")).cast("long").alias("n_b"),
+        F.sum(
+            (
+                F.col("a_cnt")
+                * (F.lit(2) * F.col("before") + F.col("t") + F.lit(1))
+            ).cast(dec)
+        ).alias("ra2"),
+        F.sum(
+            (F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast(dec)
+        ).alias("tie3"),
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    n = n_a + n_b
+    u_a = F.col("ra2").cast("double") / F.lit(2.0) - (
+        n_a * (n_a + F.lit(1.0))
+    ) / F.lit(2.0)
+    mu = (n_a * n_b) / F.lit(2.0)
+    var = (n_a * n_b) / F.lit(12.0) * (
+        (n + F.lit(1.0))
+        - F.col("tie3").cast("double") / (n * (n - F.lit(1.0)))
+    )
+    z = (u_a - mu) / F.sqrt(var)
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0)
     return agg.select(
         "n_a",
         "n_b",

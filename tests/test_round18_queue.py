@@ -232,6 +232,96 @@ def test_ab_mannwhitney_fixture(spark):
     assert r["significant"] is False
 
 
+def test_ab_mannwhitney_guard_refuses_corpus_sized_input(spark):
+    """The permutation form's global rank window is one task holding
+    every observation — it must refuse past the cap and name the
+    histogram scale path (the spearman guard playbook)."""
+    import datetime
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from edu_online_spark.operators.analytics import ab_value_mannwhitney
+
+    t0 = datetime.datetime(2024, 5, 1)
+    big = spark.range(11).select(
+        F.col("id").alias("event_id"),
+        F.col("id").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.col("id").cast("double").alias("value"),
+        F.lit(t0).cast("timestamp_ntz").alias("ts"),
+    )
+    with pytest.raises(ValueError, match="ab_value_mannwhitney_histogram"):
+        ab_value_mannwhitney(big, max_rows=10)
+
+
+def test_ab_mannwhitney_histogram_equals_permutation_when_tie_free(spark):
+    """Tie-free values: the midrank and permutation forms are the SAME
+    statistic — every column must match exactly, including on the
+    interleaved fixture above."""
+    import datetime
+
+    from edu_online_spark.operators.analytics import (
+        ab_value_mannwhitney,
+        ab_value_mannwhitney_histogram,
+    )
+
+    t0 = datetime.datetime(2024, 5, 1)
+    rows = [
+        (i, i * 7 % 10, "view", float((i * 13) % 97), t0) for i in range(40)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, value double,"
+        " ts timestamp_ntz",
+    )
+    perm = ab_value_mannwhitney(ev).first()
+    hist = ab_value_mannwhitney_histogram(ev).first()
+    assert perm.asDict() == hist.asDict()
+
+
+def test_ab_mannwhitney_histogram_textbook_ties(spark):
+    """Tied values use MIDRANKS and the tie-corrected variance —
+    hand-computed: values A={1,2,2}, B={2,3}: midranks 1, 3, 3 (run of
+    three 2s at ranks 2-4), 3, 5 → R_a = 7, U_a = 1, mu = 3,
+    var = (6/12)·(6 − (3³−3)/(5·4)) = 2.4; and an all-tied corpus has
+    zero rank variance → NULL, not a fake z."""
+    import datetime
+    import math
+
+    from edu_online_spark.operators.analytics import (
+        ab_value_mannwhitney_histogram,
+    )
+
+    t0 = datetime.datetime(2024, 5, 1)
+    rows = [
+        (0, 0, "view", 1.0, t0),
+        (1, 2, "view", 2.0, t0),
+        (2, 4, "view", 2.0, t0),
+        (3, 1, "view", 2.0, t0),
+        (4, 3, "view", 3.0, t0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, value double,"
+        " ts timestamp_ntz",
+    )
+    r = ab_value_mannwhitney_histogram(ev).first()
+    assert (r["n_a"], r["n_b"]) == (3, 2)
+    assert r["u_a"] == 7.0 - (3.0 * 4.0) / 2.0  # = 1.0
+    var = (3.0 * 2.0) / 12.0 * ((5.0 + 1.0) - (27.0 - 3.0) / (5.0 * 4.0))
+    assert r["z"] == (1.0 - 3.0) / math.sqrt(var)
+
+    tied = spark.createDataFrame(
+        [(i, i, "view", 5.0, t0) for i in range(6)],
+        "event_id long, user_id long, event_type string, value double,"
+        " ts timestamp_ntz",
+    )
+    rt = ab_value_mannwhitney_histogram(tied).first()
+    assert (rt["n_a"], rt["n_b"]) == (3, 3)
+    assert rt["z"] is None and rt["significant"] is False
+
+
 def test_ab_mannwhitney_empty_variant_is_null(spark):
     import datetime
 

@@ -116,6 +116,9 @@ QUERIES = [
     # SCALE.md §4-r14a/b)
     "customer_rfm",
     "docs_quality_spearman_banded",
+    # the R18 queue's histogram-midrank MW scale path (round-14
+    # queued-op window audit finding)
+    "events_ab_mannwhitney_histogram",
 ]
 
 
@@ -124,6 +127,7 @@ def _library():
     with the registry (spark, sf_dir) signature, so growth rows exist
     BEFORE the promotion round."""
     from edu_online_spark.operators.analytics import (
+        ab_value_mannwhitney_histogram,
         daily_mad_anomalies,
         price_benford_screen,
         supplier_return_rate_wilson,
@@ -179,6 +183,9 @@ def _library():
         # op's guard names — its growth curve is the claim to back
         "docs_quality_spearman_banded": lambda s, d: (
             quality_length_spearman_banded(load_table(s, d, "documents"))
+        ),
+        "events_ab_mannwhitney_histogram": lambda s, d: (
+            ab_value_mannwhitney_histogram(load_table(s, d, "events"))
         ),
     }
 

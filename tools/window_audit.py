@@ -76,14 +76,71 @@ def partitionless_specs(plan: str) -> list[str]:
     return found
 
 
+def _queued_r17_plus() -> dict:
+    """Runners for the R17-R19 queued ops (scale_rehearsal._library
+    carries only the R16-and-earlier queue), with the registry
+    (spark, sf_dir) signature."""
+    from edu_online_spark.operators import pii
+    from edu_online_spark.operators.analytics import (
+        ab_conversion_ztest,
+        ab_quantile_uplift,
+        ab_srm_check,
+        ab_value_effect_size,
+        ab_value_ks_test,
+        ab_value_mannwhitney,
+        activation_survival,
+        cusum_level_shift,
+        price_qty_ols,
+    )
+    from edu_online_spark.operators.dedup import pair_transitivity
+    from edu_online_spark.operators.similarity import label_ndcg
+    from edu_online_spark.operators.textops import (
+        lang_kappa,
+        quality_length_spearman,
+        source_token_tvd,
+        token_heavy_hitters,
+    )
+    from edu_online_spark.sources import load_table
+
+    def one(fn, table):
+        return lambda s, d: fn(load_table(s, d, table))
+
+    return {
+        "events_cusum_level_shift": one(cusum_level_shift, "events"),
+        "events_ab_conversion_ztest": one(ab_conversion_ztest, "events"),
+        "corpus_token_heavy_hitters": one(token_heavy_hitters, "documents"),
+        "text_lang_kappa": one(lang_kappa, "documents"),
+        "docs_quality_spearman": one(quality_length_spearman, "documents"),
+        "dedup_pair_transitivity": one(pair_transitivity, "documents"),
+        "ann_label_ndcg": one(label_ndcg, "embeddings"),
+        "events_l_diversity": pii._q_events_ldiv,
+        "lineitem_price_qty_ols": one(price_qty_ols, "lineitem"),
+        "users_activation_survival": one(activation_survival, "events"),
+        "events_ab_mannwhitney": one(ab_value_mannwhitney, "events"),
+        "events_ab_srm_check": one(ab_srm_check, "events"),
+        "source_token_tvd": one(source_token_tvd, "documents"),
+        "events_ab_ks_test": one(ab_value_ks_test, "events"),
+        "events_ab_effect_size": one(ab_value_effect_size, "events"),
+        "events_ab_quantile_uplift": one(ab_quantile_uplift, "events"),
+    }
+
+
 def audit(names: list[str] | None = None) -> dict[str, list[str]]:
+    """Audit registered queries AND the queued-promotion library (the
+    spearman global-sort finding lived in a QUEUED op — auditing only
+    the registry would miss the next one)."""
     from edu_online_spark import registry
     from edu_online_spark.plans import explain_str
     from edu_online_spark.session import get_spark
+    from tools.scale_rehearsal import _library
 
     spark = get_spark()
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    qs = registry.queries()
+    qs = dict(registry.queries())
+    for name, fn in _library().items():
+        qs.setdefault(f"queued:{name}", fn)
+    for name, fn in _queued_r17_plus().items():
+        qs.setdefault(f"queued:{name}", fn)
     sf_dir = "/root/testdata/sf0.01"
     targets = names or list(qs)
     out: dict[str, list[str]] = {}
