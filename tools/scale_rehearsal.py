@@ -111,6 +111,14 @@ QUERIES = [
     "supplier_return_rate_wilson",
     "corpus_bigram_lift_topk",
     "lineitem_price_benford",
+    # round-14 promotions not already tracked above (the R15-queue six
+    # were; these are the ORACLE_R14 six)
+    "supplier_revenue_gini",
+    "customer_balance_deciles",
+    "dedup_cluster_lang_purity",
+    "multimodal_image_whash",
+    "multimodal_whash_neardup",
+    "multimodal_consensus_neardup",
     # round-14 plan rewrites (VERDICT r13 #4/#5) — keep their growth
     # curves measured mechanically (first rows hand-measured in
     # SCALE.md §4-r14a/b)
