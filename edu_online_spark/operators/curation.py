@@ -45,6 +45,7 @@ from ..functions.core import hash_bucket
 from ..sources import load_table
 from .dedup import (
     JACCARD_THRESHOLD,
+    broadcast_if_bounded,
     minhash_lsh_pairs,
     near_dup_clusters,
 )
@@ -155,7 +156,11 @@ def corpus_end_to_end_curation(
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select(
         "doc_id"
     )
-    deduped = gated.join(F.broadcast(losers), "doc_id", "left_anti")
+    # losers grow with duplicate mass (20-50% of a web corpus) — hint
+    # the broadcast only while the relation is actually small
+    deduped = gated.join(
+        broadcast_if_bounded(losers), "doc_id", "left_anti"
+    )
     # --- stage 5: deterministic stratified sample -------------------
     w = Window.partitionBy("source").orderBy(
         hash_bucket("doc_id", STRATIFIED_HASH_MOD), F.asc("doc_id")

@@ -65,6 +65,21 @@ def _guard_all_pairs(df: DataFrame, op: str, scale_alt: str) -> None:
         )
 
 
+# A forced F.broadcast() bypasses Spark's size check, so hinting a
+# relation that GROWS WITH DUPLICATE MASS (cluster labels, dedup
+# losers — 20-50% of a web corpus) is a driver OOM at 100 TB, not a
+# hint. Probe the row count (cheap: callers pass localCheckpointed
+# relations) and only hint below the cap; above it, the plain join
+# lets AQE pick the strategy.
+BROADCAST_DUP_MASS_MAX_ROWS = 5_000_000
+
+
+def broadcast_if_bounded(
+    df: DataFrame, cap: int = BROADCAST_DUP_MASS_MAX_ROWS
+) -> DataFrame:
+    return F.broadcast(df) if df.count() <= cap else df
+
+
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Exact content dedup: keep the min doc_id per identical text.
 
@@ -906,15 +921,17 @@ def leakage_safe_split(
     Singletons hash on their own id, so for them the assignment is
     bit-identical to the plain split — adopting the safe split moves
     ONLY documents living in duplicate clusters. The cluster relation
-    is the certified LSH→connected-components output; its member list
-    is tiny (duplicate docs only) and broadcasts into the left join.
+    is the certified LSH→connected-components output (duplicate docs
+    only); it broadcasts into the left join only while it is actually
+    small — duplicate mass is 20-50% of a web corpus, so the hint is
+    size-probed (broadcast_if_bounded), not forced.
     Output: (doc_id, split_key, split) — per-document, hash-exact.
     """
     from ..functions.core import hash_bucket
 
     clusters = near_dup_clusters(minhash_lsh_pairs(documents))
     with_rep = documents.select("doc_id").join(
-        F.broadcast(clusters), "doc_id", "left"
+        broadcast_if_bounded(clusters), "doc_id", "left"
     )
     key = F.coalesce(F.col("cluster_rep"), F.col("doc_id"))
     b = hash_bucket(key, 100)
@@ -949,8 +966,11 @@ def split_leakage_compare(
     """
     from ..functions.core import hash_bucket
 
-    clusters = near_dup_clusters(minhash_lsh_pairs(documents)).select(
-        "doc_id", "cluster_rep"
+    # probe the dup-mass-sized relation ONCE for both method joins
+    clusters = broadcast_if_bounded(
+        near_dup_clusters(minhash_lsh_pairs(documents)).select(
+            "doc_id", "cluster_rep"
+        )
     )
 
     def split_of(key):
@@ -967,7 +987,7 @@ def split_leakage_compare(
         ("leakage_safe", F.coalesce(F.col("cluster_rep"), F.col("doc_id"))),
     ]:
         labeled = documents.select("doc_id").join(
-            F.broadcast(clusters), "doc_id", "left"
+            clusters, "doc_id", "left"
         ).select(
             "doc_id", "cluster_rep", split_of(key).alias("split")
         )

@@ -677,3 +677,20 @@ def test_minhash_index_cache_key_covers_tuning_params(monkeypatch, tmp_path):
     monkeypatch.setattr(dedup, "MINHASH_INDEX_BUCKETS", 3)
     paths = {base, after_hashes, dedup._minhash_index(None, sf_dir)}
     assert len(paths) == 3
+
+
+def test_broadcast_if_bounded_branches(spark):
+    """The dup-mass broadcast probe: small relations keep the hint
+    (BroadcastHashJoin in the join plan), relations past the cap fall
+    back to the plain relation so AQE picks the strategy (no forced
+    broadcast of an unbounded side)."""
+    from edu_online_spark.operators.dedup import broadcast_if_bounded
+
+    left = spark.range(100).withColumnRenamed("id", "doc_id")
+    small = spark.range(10).withColumnRenamed("id", "doc_id")
+    hinted = left.join(broadcast_if_bounded(small, cap=10), "doc_id")
+    assert "BroadcastHashJoin" in hinted._jdf.queryExecution().executedPlan().toString()
+    # past the cap the hint is dropped (plan may still broadcast via
+    # AQE size estimation — assert the HINT is gone, not the strategy)
+    unhinted = broadcast_if_bounded(small, cap=5)
+    assert "ResolvedHint" not in unhinted._jdf.queryExecution().logical().toString()
