@@ -4153,19 +4153,22 @@ def ab_value_mannwhitney(
     `ab_value_mannwhitney_histogram`, the exact classic-midrank form
     whose only windows run over the VALUE histogram. Queued for
     round 18 (`events_ab_mannwhitney`, ORACLE_R18)."""
-    n_in = events.count()
+    d = events.filter(F.col("value").isNotNull()).select(
+        "event_id", "user_id", "value"
+    )
+    # Guard on the FILTERED relation the rank window actually consumes
+    # (ADVICE r14 #2: counting raw events refuses a mostly-null corpus
+    # whose windowed payload is well under the cap).
+    n_in = d.count()
     if n_in > max_rows:
         raise ValueError(
             f"ab_value_mannwhitney computes exact permutation ranks "
             f"via a total-order window and is capped at {max_rows} "
-            f"rows (got {n_in}). Use ab_value_mannwhitney_histogram — "
-            "classic midrank MW with tie-corrected variance, computed "
-            "from the value histogram with no row-grain window — or "
-            "pre-sample below the cap."
+            f"non-null-value rows (got {n_in}). Use "
+            "ab_value_mannwhitney_histogram — classic midrank MW with "
+            "tie-corrected variance, computed from the value histogram "
+            "with no row-grain window — or pre-sample below the cap."
         )
-    d = events.filter(F.col("value").isNotNull()).select(
-        "event_id", "user_id", "value"
-    )
     w = Window.orderBy("value", "event_id")
     ranked = d.withColumn("r", F.row_number().over(w).cast("long"))
     is_a = F.col("user_id") % 2 == 0

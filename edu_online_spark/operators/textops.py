@@ -4372,15 +4372,6 @@ def quality_length_spearman(
     (`docs_quality_spearman`, ORACLE_R17)."""
     from pyspark.sql import Window
 
-    n_in = documents.count()
-    if n_in > max_rows:
-        raise ValueError(
-            f"quality_length_spearman computes exact global ranks via "
-            f"two total-order windows and is capped at {max_rows} rows "
-            f"(got {n_in}). Use quality_length_spearman_banded — "
-            "band-midrank Spearman, no row-grain window, error bounded "
-            "by the largest band's mass — or pre-sample below the cap."
-        )
     d = documents.select(
         "doc_id",
         F.length("text").alias("n_chars"),
@@ -4388,6 +4379,19 @@ def quality_length_spearman(
         T.punct_count("text").alias("n_punct"),
         T.marker_hits("text", T.STOPWORDS_EN).alias("n_stop"),
     ).filter((F.col("n_tokens") > 0) & (F.col("n_chars") > 0))
+    # Guard on the FILTERED relation the rank windows actually consume
+    # (ADVICE r14 #2: a corpus heavy in empty docs must not be refused
+    # when its rankable payload is under the cap).
+    n_in = d.count()
+    if n_in > max_rows:
+        raise ValueError(
+            f"quality_length_spearman computes exact global ranks via "
+            f"two total-order windows and is capped at {max_rows} "
+            f"rankable rows (got {n_in}). Use "
+            "quality_length_spearman_banded — band-midrank Spearman, "
+            "no row-grain window, error bounded by the largest band's "
+            "mass — or pre-sample below the cap."
+        )
     d = d.select(
         "doc_id",
         "n_chars",
@@ -4439,9 +4443,11 @@ def quality_length_spearman_banded(
     half its band's mass, so |ρ_banded − ρ_exact| ≤ 3·max_band_share
     up to the tie-midrank/permutation-rank gap; with 4096 bands on a
     spread-out score this is well under 0.05, and the report carries
-    max_band_share so a pathological concentration (every doc the
-    same score → one band holds everything) is VISIBLE in the output
-    instead of silently degrading. Rows-only by design (libm log2 +
+    max_band_share — the max over BOTH histograms (quality bands AND
+    length bands, ADVICE r14 #3) — so a pathological concentration in
+    either signal (every doc the same score, or near-identical
+    lengths) is VISIBLE in the output instead of silently degrading.
+    Rows-only by design (libm log2 +
     order-dependent double sums); the exact op is the certified one."""
     d = documents.select(
         "doc_id",
@@ -4497,11 +4503,21 @@ def quality_length_spearman_banded(
         F.sum(F.col("mr_qb") * F.col("mr_qb")).alias("sxx"),
         F.sum(F.col("mr_lb") * F.col("mr_lb")).alias("syy"),
     )
-    max_share = qm.select(
-        (
-            F.max("cnt").cast("double")
-            / F.sum("cnt").cast("double")
-        ).alias("max_band_share")
+    # max over BOTH band histograms (ADVICE r14 #3): a pathological
+    # concentration in the LENGTH bands degrades the estimate exactly
+    # like one in the quality bands, so it must be equally visible.
+    def _max_share(hist, col):
+        return hist.select(
+            (F.max("cnt").cast("double") / F.sum("cnt").cast("double"))
+            .alias(col)
+        )
+
+    max_share = (
+        _max_share(qm, "qb_share")
+        .crossJoin(F.broadcast(_max_share(lm, "lb_share")))
+        .select(
+            F.greatest("qb_share", "lb_share").alias("max_band_share")
+        )
     )
     n_d = F.col("n_docs").cast("double")
     cov = n_d * F.col("sxy") - F.col("sx") * F.col("sy")

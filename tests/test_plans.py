@@ -778,6 +778,28 @@ def test_customer_rfm_no_global_sort_plan(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_window_audit_reports_unplannable_distinctly(spark):
+    """ADVICE r14 #1: a query whose runner raises (guard refusal,
+    missing data, import error) must surface in the audit's
+    unplannable dict with its diagnostic — never fold into the
+    findings as a zero-spec row that prints as a clean pass."""
+    from tools.window_audit import _audit_queries
+
+    def fine(s, d):
+        return s.range(3)
+
+    def broken(s, d):
+        raise ValueError("guard refusal: use the_scale_path")
+
+    findings, unplannable = _audit_queries(
+        {"fine": fine, "broken": broken}, spark, "unused", ["fine", "broken"]
+    )
+    assert findings == {}
+    assert unplannable == {
+        "broken": "ValueError: guard refusal: use the_scale_path"
+    }
+
+
 def test_customer_rfm_ties_share_quartiles(spark, sf_dir):
     """Threshold semantics: equal metric values can never straddle a
     quartile boundary (the property the old o_custkey-tiebroken ntile

@@ -523,6 +523,48 @@ def test_quality_spearman_guard_refuses_corpus_sized_input(spark):
         quality_length_spearman(big, max_rows=10)
 
 
+def test_quality_spearman_guard_counts_rankable_rows_only(spark):
+    """ADVICE r14 #2: the guard must measure the filtered relation the
+    rank windows actually consume — empty/zero-token docs never reach
+    the windows, so they must not count against the cap."""
+    from edu_online_spark.operators.textops import quality_length_spearman
+
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        # only 6 docs carry rankable text; the rest are empty
+        F.when(F.col("id") < 6, F.concat(F.lit("the word "), F.col("id")))
+        .otherwise(F.lit(""))
+        .alias("text"),
+    )
+    r = quality_length_spearman(docs, max_rows=10).first()
+    assert r["n_docs"] == 6
+
+
+def test_quality_spearman_banded_surfaces_length_concentration(spark):
+    """ADVICE r14 #3: max_band_share must cover BOTH histograms. A
+    corpus whose lengths are near-identical (one length band holds
+    everything) but whose quality scores spread across bands must
+    still report max_band_share ≈ 1."""
+    from edu_online_spark.operators.textops import (
+        quality_length_spearman_banded,
+    )
+
+    # identical length (pad to a fixed width), varying stopword ratio
+    # → quality bands spread, length bands collapse to one
+    docs = spark.createDataFrame(
+        [
+            (1, "the and for are but xx"),
+            (2, "the and for xx yy zz w"),
+            (3, "the and xx yy zz ww vv"),
+            (4, "the xx yy zz ww vv uu "),
+            (5, "xx yy zz ww vv uu tt s"),
+        ],
+        "doc_id long, text string",
+    )
+    r = quality_length_spearman_banded(docs).first()
+    assert r["max_band_share"] == 1.0, r
+
+
 def test_quality_spearman_banded_tracks_exact(spark, sf_dir):
     """The banded estimate's documented envelope: within 0.05 of the
     exact permutation-rank rho on a spread-out corpus, with

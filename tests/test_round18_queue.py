@@ -255,6 +255,30 @@ def test_ab_mannwhitney_guard_refuses_corpus_sized_input(spark):
         ab_value_mannwhitney(big, max_rows=10)
 
 
+def test_ab_mannwhitney_guard_counts_rankable_rows_only(spark):
+    """ADVICE r14 #2: the guard must measure the relation the rank
+    window actually consumes — a corpus heavy in NULL-valued events
+    (impression rows with no order value) is fine as long as the
+    non-null payload fits the cap."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from edu_online_spark.operators.analytics import ab_value_mannwhitney
+
+    t0 = datetime.datetime(2024, 5, 1)
+    mostly_null = spark.range(30).select(
+        F.col("id").alias("event_id"),
+        F.col("id").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.when(F.col("id") < 6, F.col("id").cast("double")).alias("value"),
+        F.lit(t0).cast("timestamp_ntz").alias("ts"),
+    )
+    # 30 raw rows but only 6 rankable ones: must NOT refuse at cap 10
+    r = ab_value_mannwhitney(mostly_null, max_rows=10).first()
+    assert r["n_a"] + r["n_b"] == 6
+
+
 def test_ab_mannwhitney_histogram_equals_permutation_when_tie_free(spark):
     """Tie-free values: the midrank and permutation forms are the SAME
     statistic — every column must match exactly, including on the

@@ -125,12 +125,20 @@ def _queued_r17_plus() -> dict:
     }
 
 
-def audit(names: list[str] | None = None) -> dict[str, list[str]]:
+def audit(
+    names: list[str] | None = None,
+) -> tuple[dict[str, list[str]], dict[str, str]]:
     """Audit registered queries AND the queued-promotion library (the
     spearman global-sort finding lived in a QUEUED op — auditing only
-    the registry would miss the next one)."""
+    the registry would miss the next one).
+
+    Returns (findings, unplannable): a query whose runner raises
+    (guard refusal, missing data, import error) lands in the second
+    dict with its diagnostic — NEVER in the findings dict as an empty
+    spec list, which would print as '0 partition-less window spec(s)'
+    and mask the very failure the audit exists to surface (ADVICE
+    r14 #1)."""
     from edu_online_spark import registry
-    from edu_online_spark.plans import explain_str
     from edu_online_spark.session import get_spark
     from tools.scale_rehearsal import _library
 
@@ -142,27 +150,43 @@ def audit(names: list[str] | None = None) -> dict[str, list[str]]:
     for name, fn in _queued_r17_plus().items():
         qs.setdefault(f"queued:{name}", fn)
     sf_dir = "/root/testdata/sf0.01"
-    targets = names or list(qs)
+    return _audit_queries(qs, spark, sf_dir, names or list(qs))
+
+
+def _audit_queries(
+    qs: dict, spark, sf_dir: str, targets: list[str]
+) -> tuple[dict[str, list[str]], dict[str, str]]:
+    from edu_online_spark.plans import explain_str
+
     out: dict[str, list[str]] = {}
+    unplannable: dict[str, str] = {}
     for name in targets:
         try:
             plan = explain_str(qs[name](spark, sf_dir), "simple")
         except Exception as exc:  # guarded baselines refuse big inputs etc.
-            out[name] = [f"<unplannable: {type(exc).__name__}: {exc}>"][:0]
+            unplannable[name] = f"{type(exc).__name__}: {exc}"
             continue
         specs = partitionless_specs(plan)
         if specs:
             out[name] = specs
-    return out
+    return out, unplannable
 
 
 def main() -> None:
-    findings = audit(sys.argv[1:] or None)
+    findings, unplannable = audit(sys.argv[1:] or None)
     for name, specs in sorted(findings.items()):
         print(f"{name}: {len(specs)} partition-less window spec(s)")
         for s in specs:
             print(f"    {s[:160]}")
+    for name, diag in sorted(unplannable.items()):
+        print(f"UNPLANNABLE {name}: {diag[:200]}", file=sys.stderr)
     print(f"# {len(findings)} queries carry partition-less windows")
+    if unplannable:
+        print(
+            f"# {len(unplannable)} queries could NOT be planned — "
+            "audit coverage is incomplete for them",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":
