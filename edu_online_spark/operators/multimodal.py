@@ -922,18 +922,39 @@ def audio_fp_neardup(
     )
 
 
+# Hard cap on the PAIR MASS the perceptual near-dup family may
+# materialize. The plan cost of these ops is linear (hash-grain
+# banding, bytes never shuffle) but the OUTPUT is quadratic in
+# duplicate-cluster size — the sf10 planted-dup rehearsal measured
+# 103M qualifying pairs (SCALE.md §4-r14d), and a template-heavy real
+# corpus (thumbnails, logos, re-posts) would materialize petabytes of
+# pair rows from exabytes of media. Past the cap the pair FORM is the
+# wrong deliverable, so the guard refuses and names the cluster-grain
+# alternative (linear in assets). The probe is exact and cheap: the
+# identical-group mass comes from the hash histogram, the near mass
+# from the (already hash-grain, collision-bounded) candidate-pair
+# relation — both computed BEFORE any member-expansion join runs.
+NEARDUP_PAIR_MASS_MAX = 10_000_000
+
+
 def bitstring_neardup_pairs(
-    sig: DataFrame, bits_col: str, max_hamming: int = AHASH_HAMMING_MAX
+    sig: DataFrame,
+    bits_col: str,
+    max_hamming: int = AHASH_HAMMING_MAX,
+    max_pairs: int = NEARDUP_PAIR_MASS_MAX,
 ) -> DataFrame:
     """Near-dup pairs over any 64-char perceptual bit-string column
     (aHash, audio fingerprint, …): dedup-before-banding + 4×16-bit
     pigeonhole + xor/bit_count hamming, exactly the scale shape the
     image docstring above derives. Input: (asset_id, <bits_col>);
-    output: (asset_a, asset_b, hamming ≤ max_hamming)."""
-    chunks = max_hamming + 1
-    if 64 % chunks:
-        raise ValueError("max_hamming+1 must divide 64")
-    width = 64 // chunks
+    output: (asset_a, asset_b, hamming ≤ max_hamming).
+
+    GUARDED at `max_pairs` output rows (the _guard_all_pairs
+    contract, VERDICT r14 #3): the exact pair mass is probed from the
+    hash histogram + hash-grain candidate pairs before any expansion
+    join; past the cap it refuses and names bitstring_neardup_clusters
+    (the multimodal_ahash_clusters shape — per-asset group labels,
+    linear output)."""
     # membership relation — read by the identical-pair join and both
     # expansion joins; materialize the signature pass once
     sig = sig.select("asset_id", F.col(bits_col).alias("hv")).localCheckpoint(
@@ -953,6 +974,80 @@ def bitstring_neardup_pairs(
             F.lit(0).alias("hamming"),
         )
     )
+    hash_pairs = _hash_candidate_pairs(sig, max_hamming)
+    # --- pair-mass guard: probe the EXACT output size before any
+    # member-expansion join. Identical-hash groups of n emit C(n,2)
+    # rows; each (ha, hb) candidate expands to cnt_a · cnt_b rows.
+    # Everything here is hash-grain (histogram + candidate pairs) —
+    # decimal accumulation so a billion-copy group can't overflow the
+    # probe itself.
+    counts = sig.groupBy("hv").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt")
+    ).localCheckpoint(eager=True)
+    dec2 = F.lit(2).cast("decimal(38,0)")
+    within_mass = counts.agg(
+        F.coalesce(
+            F.sum(F.col("cnt") * (F.col("cnt") - F.lit(1)) / dec2),
+            F.lit(0).cast("decimal(38,6)"),
+        ).alias("m")
+    ).first()["m"]
+    near_mass = (
+        hash_pairs.join(
+            counts.select(F.col("hv").alias("ha"), F.col("cnt").alias("ca")),
+            "ha",
+        )
+        .join(
+            counts.select(F.col("hv").alias("hb"), F.col("cnt").alias("cb")),
+            "hb",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.col("ca") * F.col("cb")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("m")
+        )
+        .first()["m"]
+    )
+    pair_mass = int(within_mass) + int(near_mass)
+    if pair_mass > max_pairs:
+        raise ValueError(
+            f"bitstring_neardup_pairs over {bits_col!r} would "
+            f"materialize {pair_mass} pair rows (cap {max_pairs}): "
+            "pair output is quadratic in duplicate-cluster size, so "
+            "past the cap the pair list is the wrong deliverable. Use "
+            "bitstring_neardup_clusters (the multimodal_ahash_clusters "
+            "shape) — per-asset group labels, output linear in assets "
+            "— or pre-filter/sample the corpus below the cap."
+        )
+    near = (
+        hash_pairs.join(
+            sig.select(F.col("hv").alias("ha"), F.col("asset_id").alias("id_a")),
+            "ha",
+        )
+        .join(
+            sig.select(F.col("hv").alias("hb"), F.col("asset_id").alias("id_b")),
+            "hb",
+        )
+        .select(
+            F.least("id_a", "id_b").alias("asset_a"),
+            F.greatest("id_a", "id_b").alias("asset_b"),
+            "hamming",
+        )
+    )
+    return within.unionByName(near)
+
+
+def _hash_candidate_pairs(sig: DataFrame, max_hamming: int) -> DataFrame:
+    """(ha, hb, hamming) over the DISTINCT-hash relation of `sig`
+    (asset_id, hv): 4×16-bit pigeonhole banding + xor/bit_count
+    hamming, 0 < hamming ≤ max_hamming, ha < hb canonical. Hash-grain
+    and collision-bounded — the shared engine of the pair form, the
+    cluster form, and the pair-mass probe. Checkpointed eagerly (it
+    is consumed 2-3 times by every caller)."""
+    chunks = max_hamming + 1
+    if 64 % chunks:
+        raise ValueError("max_hamming+1 must divide 64")
+    width = 64 // chunks
     # distinct-hash relation with packed 32-bit halves for cheap xor
     reps = sig.select("hv").distinct().select(
         "hv",
@@ -976,7 +1071,7 @@ def bitstring_neardup_pairs(
         F.bit_count(F.col("a.w1").bitwiseXOR(F.col("b.w1")))
         + F.bit_count(F.col("a.w2").bitwiseXOR(F.col("b.w2")))
     )
-    hash_pairs = (
+    return (
         chunked.alias("a")
         .join(
             chunked.alias("b"),
@@ -991,23 +1086,51 @@ def bitstring_neardup_pairs(
         )
         .distinct()
         .filter((F.col("hamming") > 0) & (F.col("hamming") <= max_hamming))
+        .localCheckpoint(eager=True)  # hash-grain, collision-bounded
     )
-    near = (
-        hash_pairs.join(
-            sig.select(F.col("hv").alias("ha"), F.col("asset_id").alias("id_a")),
-            "ha",
-        )
-        .join(
-            sig.select(F.col("hv").alias("hb"), F.col("asset_id").alias("id_b")),
-            "hb",
-        )
-        .select(
-            F.least("id_a", "id_b").alias("asset_a"),
-            F.greatest("id_a", "id_b").alias("asset_b"),
-            "hamming",
-        )
+
+
+def bitstring_neardup_clusters(
+    sig: DataFrame, bits_col: str, max_hamming: int = AHASH_HAMMING_MAX
+) -> DataFrame:
+    """Cluster-grain perceptual near-dup — the scale path the pair
+    form's mass guard names. Output (asset_id, cluster_rep): every
+    asset in a visual-duplicate group labeled with the group's minimum
+    asset_id, LINEAR in assets no matter how large the duplicate
+    clusters are, because the quadratic pair relation is never built:
+    connected components run at HASH grain (distinct hashes connected
+    by hamming ≤ max_hamming edges — dedup.near_dup_clusters' pointer
+    jumping over a collision-bounded graph), identical-hash groups
+    collapse through their shared hash value, and the one asset-grain
+    step is a group-min + an equi-join.
+
+    Membership matches the pair form exactly: an asset appears iff it
+    would appear in some pair — its hash sits in a near-edge component
+    OR at least two assets share its hash."""
+    sig = sig.select("asset_id", F.col(bits_col).alias("hv")).localCheckpoint(
+        eager=True
     )
-    return within.unionByName(near)
+    hash_pairs = _hash_candidate_pairs(sig, max_hamming)
+    from .dedup import near_dup_clusters
+
+    comp = near_dup_clusters(
+        hash_pairs.select(
+            F.col("ha").alias("doc_a"), F.col("hb").alias("doc_b")
+        )
+    ).select(F.col("doc_id").alias("hv"), F.col("cluster_rep").alias("rep_hv"))
+    counts = sig.groupBy("hv").agg(F.count(F.lit(1)).alias("cnt"))
+    # qualifying hashes: in a near-edge component, or carrying an
+    # identical-copy group — labeled by component rep (fallback: self)
+    labeled = (
+        counts.join(comp, "hv", "left")
+        .filter(F.col("rep_hv").isNotNull() | (F.col("cnt") >= 2))
+        .select("hv", F.coalesce("rep_hv", "hv").alias("label"))
+    )
+    members = sig.join(labeled, "hv").select("asset_id", "label")
+    reps = members.groupBy("label").agg(
+        F.min("asset_id").alias("cluster_rep")
+    )
+    return members.join(reps, "label").select("asset_id", "cluster_rep")
 
 
 def video_cut_fingerprint(assets: DataFrame) -> DataFrame:
@@ -1348,19 +1471,18 @@ ORACLE["multimodal_ahash_neardup"] = f"""
 
 
 def q_ahash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual duplicate clusters: connected components over the
-    aHash near-dup pairs (dedup.near_dup_clusters is candidate-source-
-    agnostic — the same min-label propagation that collapses MinHash
-    text pairs collapses perceptual image pairs). Every image in a
-    visual-duplicate group maps to the group's minimum asset_id — the
-    keep-one-per-image deliverable an image-corpus curation run ships."""
-    from .dedup import near_dup_clusters
-
-    pairs = image_ahash_neardup(_media(spark, sf_dir)).select(
-        F.col("asset_a").alias("doc_a"), F.col("asset_b").alias("doc_b")
-    )
-    return near_dup_clusters(pairs).select(
-        F.col("doc_id").alias("asset_id"), "cluster_rep"
+    """Perceptual duplicate clusters: every image in a visual-duplicate
+    group mapped to the group's minimum asset_id — the
+    keep-one-per-image deliverable an image-corpus curation run ships.
+    Round 15: rewired from components-over-materialized-pairs to the
+    HASH-GRAIN engine (bitstring_neardup_clusters) — identical output
+    (same components, same min reps; the oracle is unchanged), but the
+    quadratic pair relation is never built, which is what makes this
+    op the named scale alternative the pair form's mass guard points
+    at (VERDICT r14 #3)."""
+    return bitstring_neardup_clusters(
+        image_ahash(_media(spark, sf_dir)).select("asset_id", "ahash"),
+        "ahash",
     )
 
 

@@ -362,6 +362,88 @@ def test_ahash_clusters_collapse_copy_groups(spark):
     assert 3 not in labels  # singleton never enters the edge set
 
 
+def _planted_sig(spark):
+    """40 copies of one hash + 3 copies of a hamming-1 neighbor: pair
+    mass = C(40,2) + C(3,2) + 40·3 = 780 + 3 + 120 = 903."""
+    h0 = "0" * 64
+    h1 = "0" * 63 + "1"
+    rows = [(i, h0) for i in range(40)] + [(100 + i, h1) for i in range(3)]
+    return spark.createDataFrame(rows, "asset_id long, sig string")
+
+
+def test_neardup_pair_mass_guard_refuses_planted_dup_mass(spark):
+    """VERDICT r14 #3: the pair form's output is quadratic in
+    duplicate-cluster size (103M qualifying pairs at sf10 on
+    planted-dup media), so it must probe the exact pair mass BEFORE
+    any expansion join, refuse past the cap, and name the
+    cluster-grain scale path."""
+    import pytest
+
+    from edu_online_spark.operators.multimodal import (
+        bitstring_neardup_pairs,
+    )
+
+    sig = _planted_sig(spark)
+    with pytest.raises(ValueError, match="bitstring_neardup_clusters"):
+        bitstring_neardup_pairs(sig, "sig", max_pairs=100)
+    # the probe is exact: a cap of 903 admits the corpus...
+    assert bitstring_neardup_pairs(sig, "sig", max_pairs=903).count() == 903
+    # ...and 902 refuses it
+    with pytest.raises(ValueError, match="903 pair rows"):
+        bitstring_neardup_pairs(sig, "sig", max_pairs=902)
+
+
+def test_bitstring_clusters_bounded_past_pair_guard(spark):
+    """The named alternative must WORK where the pair form refuses:
+    same planted corpus, per-asset group labels, output linear in
+    assets (43 rows, one component under the min asset_id)."""
+    from edu_online_spark.operators.multimodal import (
+        bitstring_neardup_clusters,
+    )
+
+    labels = {
+        r["asset_id"]: r["cluster_rep"]
+        for r in bitstring_neardup_clusters(_planted_sig(spark), "sig").collect()
+    }
+    assert len(labels) == 43
+    assert set(labels.values()) == {0}
+
+
+def test_bitstring_clusters_match_pair_components(spark):
+    """The hash-grain cluster engine must reproduce EXACTLY what
+    components-over-materialized-pairs produced (the certified
+    multimodal_ahash_clusters semantics before the round-15 rewiring):
+    same membership, same min-asset reps, singletons excluded."""
+    from edu_online_spark.operators.dedup import near_dup_clusters
+    from edu_online_spark.operators.multimodal import (
+        bitstring_neardup_clusters,
+        bitstring_neardup_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    h0, h1 = "0" * 64, "0" * 63 + "1"
+    h2 = "1" * 32 + "0" * 32  # far from h0/h1
+    h3 = "1" * 64  # far from everything: its lone asset is a singleton
+    rows = (
+        [(9, h0), (4, h0), (7, h1)]  # copies + a near neighbor
+        + [(2, h2), (6, h2)]  # an identical-copy pair, no near edge
+        + [(3, h3)]  # singleton: unique hash, no edge
+    )
+    sig = spark.createDataFrame(rows, "asset_id long, sig string")
+    old = near_dup_clusters(
+        bitstring_neardup_pairs(sig, "sig").select(
+            F.col("asset_a").alias("doc_a"), F.col("asset_b").alias("doc_b")
+        )
+    )
+    old_labels = {r["doc_id"]: r["cluster_rep"] for r in old.collect()}
+    new_labels = {
+        r["asset_id"]: r["cluster_rep"]
+        for r in bitstring_neardup_clusters(sig, "sig").collect()
+    }
+    assert new_labels == old_labels
+    assert new_labels == {9: 4, 4: 4, 7: 4, 2: 2, 6: 2}
+
+
 def test_audio_neardup_finds_identical_tracks(spark):
     """Byte-identical tracks pair at hamming 0; a re-leveled copy
     (same envelope shape, half the gain) stays within the budget; a
