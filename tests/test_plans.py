@@ -757,10 +757,11 @@ def test_customer_rfm_no_global_sort_plan(spark, sf_dir):
     """VERDICT r13 #4: the quartile assignment must be threshold
     bucketing, never a customer-grain total-order window. Pin: no
     ntile anywhere, and EVERY window spec in the plan is partitioned
-    (by the selection helper's `pick` key — each partition is one
-    coarse bucket's value histogram, bounded by the domain arguments
-    in the docstring). The only nested-loop joins are the bounded
-    bucket-prior range join and the 1-row threshold normalizers."""
+    (by the melted selection helper's `metric` key, then `pick` — each
+    partition is one coarse bucket's value histogram for one metric,
+    bounded by the domain arguments in the docstring). The only
+    nested-loop joins are the bounded bucket-prior range join and the
+    1-row threshold normalizers."""
     from edu_online_spark.operators.analytics import customer_rfm
 
     df = customer_rfm(load_table(spark, sf_dir, "orders"))
@@ -771,7 +772,7 @@ def test_customer_rfm_no_global_sort_plan(spark, sf_dir):
     ]
     assert specs, "expected the selection windows in the plan"
     for seg in specs:
-        assert seg.lstrip().startswith("pick#"), (
+        assert seg.lstrip().startswith("metric#"), (
             "partition-less window spec found: " + seg[:120]
         )
     assert "CartesianProduct" not in plan, plan
