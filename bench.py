@@ -171,6 +171,16 @@ HEADLINE = [
     "dedup_minhash_calibration",
     "embeddings_norm_deciles",
     "corpus_shingle_df_spectrum",
+    # round 15: the composed dedup-diagnostics entry (VERDICT r14 #5)
+    # — five reports over ONE shared LSH pass, the deployment shape;
+    # the five standalone entries above stay as certification
+    # vehicles, each pricing its own pairs pass
+    "dedup_diagnostics_composed",
+    # round-15 promotions (the ORACLE_R16 cohort, one round early)
+    "events_daily_mad_anomalies",
+    "supplier_return_rate_wilson",
+    "lineitem_price_benford",
+    "corpus_bigram_lift_topk",
 ]
 
 # Ambient-drift calibration (VERDICT r10 #6): pinned, plan-stable

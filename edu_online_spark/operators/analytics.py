@@ -3645,6 +3645,20 @@ ORACLE_R16.update({
     """,
 })
 
+# Round 15: the R16 trio promoted ONE ROUND EARLY (VERDICT r14 #2 —
+# keep draining the queue): library + fixture tests + audited oracles
+# held since round 13, parity-rehearsed at sf0.01 in rounds 13, 14 and
+# 15; the daily_mad streaming twin has been live since r13 and the
+# growth rows live in SCALE.md §4-r13e. They take window slots this
+# round (staleness at birth), displacing tail fillers per the re-run
+# greedy audit.
+ORACLE.update(ORACLE_R16)
+QUERIES.update({
+    "events_daily_mad_anomalies": _q(daily_mad_anomalies, "events"),
+    "supplier_return_rate_wilson": _q(supplier_return_rate_wilson, "lineitem"),
+    "lineitem_price_benford": _q(price_benford_screen, "lineitem"),
+})
+
 
 # Shared CUSUM slack divisor (mean/20 = 5% per day in scaled units),
 # interpolated into BOTH the operator default and the oracle mirror so

@@ -1588,6 +1588,7 @@ def cluster_size_profile(
     documents: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
     pairs: DataFrame | None = None,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate cluster size histogram — the corpus-health
     summary on top of the cluster closure: for each cluster size, how
@@ -1603,11 +1604,13 @@ def cluster_size_profile(
     the cluster relation; the corpus total and the clustered total are
     single-row aggregates combined via the broadcast 1-row normalizer
     idiom — no second corpus pass beyond the doc_id projection."""
-    if pairs is None:
-        # pass a precomputed pairs relation to share one LSH pass
-        # across diagnostics (curation_demo does)
-        pairs = minhash_lsh_pairs(documents, threshold=threshold)
-    clusters = near_dup_clusters(pairs)
+    if clusters is None:
+        if pairs is None:
+            # pass a precomputed pairs (or clusters) relation to share
+            # one LSH pass across diagnostics (curation_demo and
+            # dedup_diagnostics_composed do)
+            pairs = minhash_lsh_pairs(documents, threshold=threshold)
+        clusters = near_dup_clusters(pairs)
     per = clusters.groupBy("cluster_rep").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -2900,3 +2903,145 @@ ORACLE_R17 = {
         FROM ne CROSS JOIN w CROSS JOIN tri
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Composed dedup diagnostics — one shared LSH pass, five consumers
+# ---------------------------------------------------------------------------
+
+def dedup_diagnostics_composed(documents: DataFrame) -> DataFrame:
+    """The DEPLOYMENT shape of the dedup diagnostics (VERDICT r14 #5):
+    savings-by-source, threshold yield curve, cluster size profile,
+    cluster lang purity, and pair degree spectrum computed over ONE
+    shared MinHash-LSH pairs pass and ONE connected-components
+    closure — the composition SCALE.md §4-r12/r13 keeps measuring at
+    ~1 s marginal per consumer, now certified as its own registry
+    entry instead of only existing implicitly in curation_demo. The
+    standalone entries remain (each pays its own LSH pass by design,
+    pricing the diagnostic in isolation); this entry certifies the
+    sharing contract: identical rows to the five standalones, one
+    corpus pass.
+
+    Output is the melted long form so five different report grains
+    hash-certify in one relation: (diagnostic, k, t, n1..n4, ratio) —
+      savings   k=source            n1..n4 = n_docs, chars_total,
+                                    n_redundant, chars_removed;
+                                    ratio = savings_ratio
+      yield     k=threshold×10      n1 = n_pairs, n2 = n_docs
+      size      k=cluster_size      n1 = n_clusters, n2 = n_docs,
+                                    n3 = n_dup_docs
+      purity    k=cluster_rep       t = top_lang; n1..n4 =
+                                    cluster_size, n_langs,
+                                    top_lang_cnt, cross_lang(0/1);
+                                    ratio = top_lang_share
+      degree    k=degree            n1 = n_docs; ratio = share
+    (threshold melts as the integer 10× key — '5'..'9' — because
+    float-to-string formatting is not engine-portable; every other
+    key is an integer or a dictionary string on both engines.)
+
+    Scale shape: the pairs pass is generated ONCE at the loosest
+    yield threshold (every tighter set is a subset), eagerly
+    checkpointed, filtered once to the dedup threshold for the
+    cluster closure; every consumer downstream touches only
+    pair-/cluster-/dimension-grain relations. The union of five
+    small reports adds no exchange of its own."""
+    loose = min(min(YIELD_THRESHOLDS), JACCARD_THRESHOLD)
+    pairs = minhash_lsh_pairs(documents, threshold=loose).localCheckpoint(
+        eager=True
+    )
+    qualified = pairs.filter(F.col("jaccard") >= F.lit(JACCARD_THRESHOLD))
+    clusters = near_dup_clusters(qualified).localCheckpoint(eager=True)
+
+    nl = F.lit(None).cast("long")
+    ns = F.lit(None).cast("string")
+    nd = F.lit(None).cast("double")
+
+    sav = savings_by_source(documents, clusters=clusters).select(
+        F.lit("savings").alias("diagnostic"),
+        F.col("source").alias("k"),
+        ns.alias("t"),
+        F.col("n_docs").alias("n1"),
+        F.col("chars_total").alias("n2"),
+        F.col("n_redundant").alias("n3"),
+        F.col("chars_removed").alias("n4"),
+        F.col("savings_ratio").alias("ratio"),
+    )
+    yc = threshold_yield_curve(documents, pairs=pairs).select(
+        F.lit("yield").alias("diagnostic"),
+        F.round(F.col("threshold") * 10).cast("int").cast("string").alias("k"),
+        ns.alias("t"),
+        F.col("n_pairs").alias("n1"),
+        F.col("n_docs").alias("n2"),
+        nl.alias("n3"),
+        nl.alias("n4"),
+        nd.alias("ratio"),
+    )
+    sp = cluster_size_profile(documents, clusters=clusters).select(
+        F.lit("size").alias("diagnostic"),
+        F.col("cluster_size").cast("string").alias("k"),
+        ns.alias("t"),
+        F.col("n_clusters").alias("n1"),
+        F.col("n_docs").cast("long").alias("n2"),
+        F.col("n_dup_docs").cast("long").alias("n3"),
+        nl.alias("n4"),
+        nd.alias("ratio"),
+    )
+    lp = cluster_lang_purity(documents, clusters=clusters).select(
+        F.lit("purity").alias("diagnostic"),
+        F.col("cluster_rep").cast("string").alias("k"),
+        F.col("top_lang").alias("t"),
+        F.col("cluster_size").alias("n1"),
+        F.col("n_langs").alias("n2"),
+        F.col("top_lang_cnt").alias("n3"),
+        F.col("cross_lang").cast("long").alias("n4"),
+        F.col("top_lang_share").alias("ratio"),
+    )
+    ds = pair_degree_spectrum(documents, pairs=qualified).select(
+        F.lit("degree").alias("diagnostic"),
+        F.col("degree").cast("string").alias("k"),
+        ns.alias("t"),
+        F.col("n_docs").alias("n1"),
+        nl.alias("n2"),
+        nl.alias("n3"),
+        nl.alias("n4"),
+        F.col("share").alias("ratio"),
+    )
+    return sav.unionByName(yc).unionByName(sp).unionByName(lp).unionByName(ds)
+
+
+# Stage-mirror oracle (the corpus_end_to_end_curation pattern): each
+# diagnostic's ALREADY-CERTIFIED standalone mirror is embedded as a
+# CTE and melted with the identical projections. DuckDB recomputes the
+# exact-Jaccard pairs per CTE — the oracle prices correctness, not
+# sharing; the sharing claim is Spark-side (one checkpointed pass) and
+# measured in SCALE.md.
+ORACLE.update({
+    "dedup_diagnostics_composed": f"""
+        SELECT 'savings' AS diagnostic, source AS k,
+               CAST(NULL AS VARCHAR) AS t,
+               n_docs AS n1, chars_total AS n2, n_redundant AS n3,
+               chars_removed AS n4, savings_ratio AS ratio
+        FROM ({ORACLE["dedup_savings_by_source"]})
+        UNION ALL
+        SELECT 'yield', CAST(CAST(round(threshold * 10) AS INT)
+                             AS VARCHAR),
+               NULL, n_pairs, n_docs, NULL, NULL, CAST(NULL AS DOUBLE)
+        FROM ({ORACLE["dedup_threshold_yield_curve"]})
+        UNION ALL
+        SELECT 'size', CAST(cluster_size AS VARCHAR), NULL,
+               n_clusters, n_docs, n_dup_docs, NULL, CAST(NULL AS DOUBLE)
+        FROM ({ORACLE["dedup_cluster_size_profile"]})
+        UNION ALL
+        SELECT 'purity', CAST(cluster_rep AS VARCHAR), top_lang,
+               cluster_size, n_langs, top_lang_cnt,
+               CAST(cross_lang AS BIGINT), top_lang_share
+        FROM ({ORACLE["dedup_cluster_lang_purity"]})
+        UNION ALL
+        SELECT 'degree', CAST(degree AS VARCHAR), NULL,
+               n_docs, NULL, NULL, NULL, share
+        FROM ({ORACLE["dedup_pair_degree_spectrum"]})
+    """,
+})
+QUERIES.update({
+    "dedup_diagnostics_composed": _q(dedup_diagnostics_composed, "documents"),
+})

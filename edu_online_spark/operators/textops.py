@@ -4103,6 +4103,16 @@ ORACLE_R16 = {
     """,
 }
 
+# Round 15: promoted ONE ROUND EARLY with the analytics R16 trio
+# (VERDICT r14 #2 — keep draining the queue): library + fixture tests
+# + audited oracle held since round 13, parity-rehearsed at sf0.01 in
+# rounds 13, 14 and 15. Takes a window slot this round (staleness at
+# birth), displacing a tail filler per the re-run greedy audit.
+ORACLE.update(ORACLE_R16)
+QUERIES.update({
+    "corpus_bigram_lift_topk": _q(bigram_lift_topk),
+})
+
 
 HH_CAPACITY = 1000  # heavy-hitter threshold: share > 1/HH_CAPACITY
 

@@ -69,98 +69,102 @@ def _extended_modules():
 # round 2).
 _PREFIX_TAIL_BOUNDARY = "tpch"
 
-# Round-14 window rotation (plan re-emitted at the start of round 14 —
-# `python tools/rotation_plan.py 14` after CORRECTNESS_r13 landed —
-# matching COVERAGE.md "Round-14 rotation plan" exactly; applied per
-# VERDICT r13 items #1-#3):
-#   1. hard cohort (deadline = 14): exactly the six round-13
-#      deferrals — the four cohort-9 fillers the R13 promotions
-#      displaced plus the two planner-deferred purchase rows, all
-#      last certified r9, certifying AT the deadline (legal under the
-#      exact-deadline model, proven by
+# Round-15 window rotation (plan re-emitted at the start of round 15 —
+# `python tools/rotation_plan.py 15` after CORRECTNESS_r14 landed —
+# matching COVERAGE.md "Round-15 rotation plan" exactly; applied per
+# VERDICT r14 items #1-#2):
+#   1. hard cohort (deadline = 15): exactly the nineteen round-14
+#      deferrals — the twelve tail fillers the twelve r14 promotions
+#      displaced, the one filler the changed customer_rfm displaced,
+#      plus the six planner-deferred names, all last certified r10,
+#      certifying AT the deadline (legal under the exact-deadline
+#      model, proven by
 #      tests/test_registry.py::test_deferral_at_deadline_never_trips_staleness).
 #      They HEAD the window;
-#   2. fillers: the planner's 44-name ascending-deadline list,
-#      truncated to 32 — the LAST TWELVE planner fillers
-#      (`tpch_q13_order_distribution` … `nation_participation`, all
-#      deadline-15) are displaced by the promotions below and defer
-#      to their round-15 deadline (they MUST head the r15 window).
-#      Six filler slots are rows-only by design (LSH/iterative/
-#      engine-defined estimator) — declared in
-#      tests/test_registry.py::ROWS_ONLY_WINDOW_SLOTS;
-#   3. TWELVE promotions take slots the round they land
-#      (staleness-at-birth rule): the six ORACLE_R14 names on
-#      schedule, plus the six R15-queue names promoted ONE ROUND
-#      EARLY per VERDICT r13 #3 (drain the queue) — all rehearsed at
-#      sf0.01 in rounds 13 AND 14; the post-edit greedy audit
-#      (`tools/rotation_plan.py 15`) confirms no deadline is missed
-#      by the doubled displacement.
+#   2. fillers: the planner's 31-name ascending-deadline list,
+#      truncated to 24 — the LAST SEVEN planner fillers
+#      (`corpus_token_df` … `docs_quality_tiered_sample`, all
+#      deadline-16) are displaced by the changed/new/promoted names
+#      below and defer to their round-16 deadline (they MUST head the
+#      r16 window). NO filler slot is rows-only this round —
+#      tests/test_registry.py::ROWS_ONLY_WINDOW_SLOTS is the empty
+#      set, exactly as the round-14 plan pre-staged;
+#   3. changed/new/promoted names take slots the round they land
+#      (staleness-at-birth rule): customer_rfm (melted threshold
+#      pipeline, VERDICT r14 #4) and multimodal_ahash_clusters
+#      (rewired to the hash-grain cluster engine, VERDICT r14 #3)
+#      re-derive their plans this round; dedup_diagnostics_composed
+#      is the round's new registration (VERDICT r14 #5); the four
+#      ORACLE_R16 names are promoted ONE ROUND EARLY per VERDICT r14
+#      #2 (keep draining — queue entering r16 is 16, strictly below
+#      20), all parity-rehearsed at sf0.01 in rounds 13, 14 and 15.
+#      The post-edit greedy audit (`tools/rotation_plan.py 16`)
+#      confirms no deadline is missed by the displacement.
 # Names are validated against the assembled registry — a typo or a
 # renamed query fails loudly rather than silently ceding its slot.
 _WINDOW_PRIORITY = [
-    # 1: hard cohort at its r14 deadline — must head the window
-    "customer_record_linkage",
-    "events_sessionize",
-    "events_session_stats",
-    "events_region_enrich",
-    "purchase_attribution",
-    "purchase_status_asof",
+    # 1: hard cohort at its r15 deadline — must head the window
+    "orders_priciest_per_priority",
+    "tpch_q13_order_distribution",
+    "tpch_q16_dormant_customers",
+    "tpch_q18_large_orders",
+    "tpch_q20_heavy_suppliers",
+    "part_price_rank_family",
+    "tpch_q12_priority_by_flag",
+    "tpch_q14_promo_share",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_rich_punctual_orders",
+    "orders_cube",
+    "orders_grouping_sets",
+    "nation_participation",
+    "events_hourly_heatmap",
+    "orders_date_features",
+    "lineitem_supplier_pareto",
+    "orders_open_backlog",
+    "purchase_view_window_counts",
+    "purchases_minutely_gapfill",
     # 2: fillers by ascending deadline then registry order (planner
-    #    order, first 32 of 44)
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "corpus_repeated_spans",
-    "docs_substring_dedup",
-    "dedup_substring_cross_corpus",
-    "docs_leakage_safe_split",
-    "docs_memorization_risk",
-    "split_leakage_compare",
-    "dedup_cross_corpus_probe",
-    "docs_dup_inflation",
-    "dedup_cluster_size_profile",
-    "embeddings_quantized_int8",
-    "embeddings_label_noise",
-    "docs_feature_hashed",
-    "docs_hashed_knn",
-    "docs_mixture_temperature",
-    "docs_curriculum_stages",
-    "multimodal_ahash_neardup",
-    "multimodal_video_fp_neardup",
-    "multimodal_ahash_clusters",
-    "customers_bloom_prefilter",
-    "lineitem_price_kll_rollup",
-    "corpus_end_to_end_curation",
-    "dedup_simhash",  # rows-only
-    "sim_knn_lsh",  # rows-only
-    "sim_knn_ivf",  # rows-only
-    "hybrid_search_rrf_lsh_prod",  # rows-only
-    "docs_bpe_encoded",  # rows-only
-    "tpch_q4_priority_waiting",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q21_waiting_suppliers",
-    # 2b: changed THIS round — the threshold-bucketed customer_rfm
-    #     rewrite (VERDICT r13 #4) re-derives query AND oracle, so it
-    #     takes a slot the round it changes (the changed-query rule in
-    #     test_driver_window_contract), displacing the tail filler
-    #     `orders_priciest_per_priority` (deadline 15 — joins the r15
-    #     hard cohort; audit re-run OK)
+    #    order, first 24 of 31)
+    "ip_region_counts",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_near_dup_clusters",
+    "dedup_neardup_curated",
+    "dedup_containment",
+    "dedup_threshold_yield_curve",
+    "sim_knn_bruteforce",
+    "sim_embedding_norms",
+    "xmodal_label_lang_crosstab",
+    "xmodal_norm_extremes",
+    "embeddings_split_centroid_shift",
+    "embeddings_rademacher_sketch",
+    "text_quality",
+    "text_lang_confusion",
+    "text_fingerprints",
+    "text_token_stats",
+    "text_top_bigrams",
+    "documents_curated",
+    "benchmark_contamination",
+    "documents_chunked",
+    "text_char_diversity",
+    "corpus_vocabulary_topk",
+    "text_repetition_scores",
+    # 3a: changed THIS round — the melted customer_rfm threshold
+    #     pipeline (VERDICT r14 #4) and the hash-grain
+    #     multimodal_ahash_clusters rewiring (VERDICT r14 #3) take
+    #     slots the round they change (the changed-query rule in
+    #     test_driver_window_contract)
     "customer_rfm",
-    # 3a: ORACLE_R14 promotions, on schedule — each takes a slot the
-    #     round it lands (staleness-at-birth rule)
-    "supplier_revenue_gini",
-    "customer_balance_deciles",
-    "dedup_cluster_lang_purity",
-    "multimodal_image_whash",
-    "multimodal_whash_neardup",
-    "multimodal_consensus_neardup",
-    # 3b: R15-queue promotions pulled one round forward (VERDICT r13
-    #     #3); the calibration op is the declared rows-only slot
-    "supplier_revenue_hhi",
-    "events_user_activity_gini",
-    "dedup_pair_degree_spectrum",
-    "dedup_minhash_calibration",  # rows-only
-    "embeddings_norm_deciles",
-    "corpus_shingle_df_spectrum",
+    "multimodal_ahash_clusters",
+    # 3b: NEW this round — the composed dedup-diagnostics entry
+    #     (VERDICT r14 #5), certified at birth
+    "dedup_diagnostics_composed",
+    # 3c: ORACLE_R16 promotions pulled one round forward (VERDICT r14
+    #     #2 — keep draining the queue)
+    "events_daily_mad_anomalies",
+    "supplier_return_rate_wilson",
+    "lineitem_price_benford",
+    "corpus_bigram_lift_topk",
 ]
 
 

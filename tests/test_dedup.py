@@ -694,3 +694,76 @@ def test_broadcast_if_bounded_branches(spark):
     # AQE size estimation — assert the HINT is gone, not the strategy)
     unhinted = broadcast_if_bounded(small, cap=5)
     assert "ResolvedHint" not in unhinted._jdf.queryExecution().logical().toString()
+
+
+def test_composed_diagnostics_equal_standalones(spark, sf_dir):
+    """VERDICT r14 #5: the composed entry (one shared LSH pass) must
+    melt EXACTLY the rows the five standalone diagnostics produce —
+    the sharing changes the plan, never the report."""
+    from pyspark.sql import functions as F
+
+    from edu_online_spark.operators.dedup import (
+        cluster_lang_purity,
+        cluster_size_profile,
+        dedup_diagnostics_composed,
+        pair_degree_spectrum,
+        savings_by_source,
+        threshold_yield_curve,
+    )
+    from edu_online_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = dedup_diagnostics_composed(docs)
+    by_diag = {
+        d: sorted(
+            map(
+                tuple,
+                got.filter(F.col("diagnostic") == d)
+                .drop("diagnostic")
+                .collect(),
+            )
+        )
+        for d in ("savings", "yield", "size", "purity", "degree")
+    }
+
+    def rows(df, cols):
+        return sorted(map(tuple, df.select(*cols).collect()))
+
+    assert by_diag["savings"] == rows(
+        savings_by_source(docs).select(
+            F.col("source").alias("k"),
+            F.lit(None).cast("string").alias("t"),
+            "n_docs",
+            "chars_total",
+            "n_redundant",
+            "chars_removed",
+            "savings_ratio",
+        ),
+        ["k", "t", "n_docs", "chars_total", "n_redundant",
+         "chars_removed", "savings_ratio"],
+    )
+    yc = threshold_yield_curve(docs).collect()
+    assert by_diag["yield"] == sorted(
+        (str(int(round(r["threshold"] * 10))), None, r["n_pairs"],
+         r["n_docs"], None, None, None)
+        for r in yc
+    )
+    sp = cluster_size_profile(docs).collect()
+    assert by_diag["size"] == sorted(
+        (str(r["cluster_size"]), None, r["n_clusters"], r["n_docs"],
+         r["n_dup_docs"], None, None)
+        for r in sp
+    )
+    lp = cluster_lang_purity(docs).collect()
+    assert by_diag["purity"] == sorted(
+        (str(r["cluster_rep"]), r["top_lang"], r["cluster_size"],
+         r["n_langs"], r["top_lang_cnt"], int(r["cross_lang"]),
+         r["top_lang_share"])
+        for r in lp
+    )
+    ds = pair_degree_spectrum(docs).collect()
+    assert by_diag["degree"] == sorted(
+        (str(r["degree"]), None, r["n_docs"], None, None, None,
+         r["share"])
+        for r in ds
+    )

@@ -718,6 +718,15 @@ PARTITIONLESS_WINDOW_ALLOWLIST: dict[str, int] = {
     # spectrum share windows
     "corpus_shingle_df_spectrum": 1,
     "dedup_pair_degree_spectrum": 1,
+    # the composed diagnostics inherit exactly the degree-spectrum
+    # share window above (the other four consumers are window-free or
+    # cluster-partitioned)
+    "dedup_diagnostics_composed": 1,
+    # DAY-grain median/MAD selection windows (calendar-bounded, same
+    # envelope as events_daily_anomalies)
+    "events_daily_mad_anomalies": 6,
+    # two SUM(n) OVER () shares over the 9-row leading-digit relation
+    "lineitem_price_benford": 2,
     # rank windows over a LIMIT-bounded head: both ops take the top-N
     # vocabulary via TakeOrderedAndProject (bounded per-partition
     # heaps) FIRST and only window the ≤N-row result — constant-size

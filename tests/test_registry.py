@@ -59,21 +59,13 @@ def test_broken_extension_does_not_kill_core(monkeypatch):
     assert "dedup" in names and "textops" in names  # the rest survived
 
 
-# Round 14 rotates to the 6-row hard cohort (the round-13 deferrals
-# AT their deadline) + 32 planner fillers + the six ORACLE_R14
-# promotions + the six R15-queue promotions pulled one round early
-# (VERDICT r13 #3). Five filler slots are rows-only by design
-# (LSH neighbor sets / iterative / engine-defined), exactly as the
-# round-13 rotation plan precomputed, plus the rows-only R15
-# registration (`dedup_minhash_calibration`).
-ROWS_ONLY_WINDOW_SLOTS: set[str] = {
-    "dedup_simhash",
-    "sim_knn_lsh",
-    "sim_knn_ivf",
-    "hybrid_search_rrf_lsh_prod",
-    "docs_bpe_encoded",
-    "dedup_minhash_calibration",
-}
+# Round 15 rotates to the 19-row hard cohort (the round-14 deferrals
+# AT their deadline) + 24 planner fillers + the two changed queries
+# (customer_rfm melt, ahash_clusters rewiring) + the new composed
+# diagnostics entry + the four ORACLE_R16 promotions pulled one round
+# early (VERDICT r14 #2). NO window slot is rows-only this round —
+# exactly as the round-14 rotation plan pre-staged.
+ROWS_ONLY_WINDOW_SLOTS: set[str] = set()
 
 
 def test_driver_window_contract():
@@ -139,54 +131,61 @@ def test_rotation_staleness_bound():
     )
 
 
-def test_rotation_planner_reproduces_round15_plan():
-    """tools/rotation_plan.py must reproduce the committed round-15
-    arithmetic (COVERAGE.md 'Round-15 rotation plan', pre-staged with
-    the r14 registry edit in-tree): the hard cohort is EXACTLY the
-    nineteen round-14 deferrals — the twelve tail fillers the twelve
-    r14 promotions (ORACLE_R14 six + the R15 queue pulled one round
-    early, VERDICT r13 #3) displaced, the one filler the changed
-    customer_rfm displaced (the changed-query rule), plus the six
-    planner-deferred names, all certified r10, deadline r15. No
-    rows-only name needs a window slot next round, exactly nineteen
-    names defer to their round-16 deadline, no promotion is slotless
-    (the R15 queue landed this round; R16's joins the simulation at
-    its own round), and the greedy forward-schedule audit holds
-    through the queued batch."""
+def test_rotation_planner_reproduces_round16_plan():
+    """tools/rotation_plan.py must reproduce the committed round-16
+    arithmetic (pre-staged with the r15 registry edit in-tree): the
+    hard cohort is EXACTLY the twenty-six round-15 deferrals — the
+    seven tail fillers the r15 changed/new/promoted names displaced
+    (customer_rfm melt + ahash_clusters rewiring + the composed
+    diagnostics registration + the four ORACLE_R16 promotions pulled
+    one round early, VERDICT r14 #2/#3/#4/#5) plus the nineteen
+    planner-deferred names, all certified r11, deadline r16. Exactly
+    one rows-only name (the winnowing fast variant) needs a window
+    slot next round, twenty-six names defer to their round-17
+    deadline, no promotion is slotless (the R16 queue landed this
+    round; R17's joins the simulation at its own round), and the
+    greedy forward-schedule audit holds through the queued batch."""
     from tools.rotation_plan import plan
 
-    p = plan(15)
+    p = plan(16)
     assert p["hard_cohort"] == [
-        "orders_priciest_per_priority",
-        "tpch_q13_order_distribution",
-        "tpch_q16_dormant_customers",
-        "tpch_q18_large_orders",
-        "tpch_q20_heavy_suppliers",
-        "part_price_rank_family",
-        "tpch_q12_priority_by_flag",
-        "tpch_q14_promo_share",
-        "tpch_q19_disjunctive_revenue",
-        "tpch_q22_rich_punctual_orders",
-        "orders_cube",
-        "orders_grouping_sets",
-        "nation_participation",
-        "events_hourly_heatmap",
-        "orders_date_features",
-        "lineitem_supplier_pareto",
-        "orders_open_backlog",
-        "purchase_view_window_counts",
-        "purchases_minutely_gapfill",
+        "corpus_token_df",
+        "text_tfidf_top_terms",
+        "corpus_boilerplate_ngrams",
+        "text_boilerplate_fraction",
+        "text_normalized",
+        "chunks_packed",
+        "docs_quality_tiered_sample",
+        "docs_train_val_test",
+        "docs_token_budget_cap",
+        "corpus_shard_manifest",
+        "docs_ngram_novelty",
+        "source_vocab_overlap",
+        "docs_winnowing_fingerprints",
+        "docs_winnowing_overlap",
+        "docs_length_quantiles_exact",
+        "corpus_vocab_coverage",
+        "docs_weighted_sample",
+        "events_k_anonymity",
+        "docs_winnowing_fingerprints_fast",
+        "events_stratified_sample",
+        "events_profile",
+        "events_props_k_stats",
+        "daily_revenue_ma7",
+        "events_seasonal_residuals",
+        "events_burst_flags",
+        "events_weekly_active_users",
     ]
-    assert p["rows_only_slots"] == []
-    assert len(p["deferred_to_bound"]) == 19
+    assert p["rows_only_slots"] == ["docs_winnowing_fingerprints_fast"]
+    assert len(p["deferred_to_bound"]) == 26
     assert p["queued_promotions"] == []
     assert p["audit_ok"], p["audit_notes"]
     assert len(p["window"]) == 50 and len(set(p["window"])) == 50
-    # the entire hard cohort is round-10-certified rows AT their bound
+    # the entire hard cohort is round-11-certified rows AT their bound
     from tools.rotation_plan import last_seen_history
     import os
     seen, _ = last_seen_history(os.path.join(os.path.dirname(__file__), ".."))
-    assert all(seen.get(n) == 10 for n in p["hard_cohort"])
+    assert all(seen.get(n) == 11 for n in p["hard_cohort"])
 
 
 def test_rotation_planner_refuses_to_plan_past_its_model():
