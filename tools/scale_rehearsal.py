@@ -127,6 +127,10 @@ QUERIES = [
     # the R18 queue's histogram-midrank MW scale path (round-14
     # queued-op window audit finding)
     "events_ab_mannwhitney_histogram",
+    # round-15 additions: the composed diagnostics entry (one shared
+    # LSH pass, five consumers) and the hash-grain cluster rewiring
+    "dedup_diagnostics_composed",
+    "multimodal_ahash_clusters",
 ]
 
 
