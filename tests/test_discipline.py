@@ -101,7 +101,9 @@ def test_collect_sites_are_the_known_bounded_ones():
 # broadcast join on a range predicate, spelled join(); the sites below
 # that ARE crossJoin are all 1-row builds).
 CROSSJOIN_SITES = {
-    ("edu_online_spark/operators/analytics.py", "_selection_thresholds"),
+    # round 15: _selection_thresholds lost its 1-row total crossJoin —
+    # the melted form attaches per-metric totals via a metric-keyed
+    # broadcast join instead
     ("edu_online_spark/operators/analytics.py", "ab_value_ks_test"),
     ("edu_online_spark/operators/analytics.py", "basket_association_rules"),
     ("edu_online_spark/operators/analytics.py", "customer_rfm"),
