@@ -985,12 +985,11 @@ def bitstring_neardup_pairs(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt")
     ).localCheckpoint(eager=True)
     dec2 = F.lit(2).cast("decimal(38,0)")
-    within_mass = counts.agg(
-        F.coalesce(
-            F.sum(F.col("cnt") * (F.col("cnt") - F.lit(1)) / dec2),
-            F.lit(0).cast("decimal(38,6)"),
-        ).alias("m")
-    ).first()["m"]
+    within_mass = counts.select(
+        (F.col("cnt") * (F.col("cnt") - F.lit(1)) / dec2)
+        .cast("decimal(38,6)")
+        .alias("m")
+    )
     near_mass = (
         hash_pairs.join(
             counts.select(F.col("hv").alias("ha"), F.col("cnt").alias("ca")),
@@ -1000,15 +999,20 @@ def bitstring_neardup_pairs(
             counts.select(F.col("hv").alias("hb"), F.col("cnt").alias("cb")),
             "hb",
         )
+        .select((F.col("ca") * F.col("cb")).cast("decimal(38,6)").alias("m"))
+    )
+    # both masses in ONE action (one job, not two — the probe is a
+    # fixed cost on every guarded call, so it stays as small as the
+    # plan allows)
+    pair_mass = int(
+        within_mass.unionByName(near_mass)
         .agg(
             F.coalesce(
-                F.sum(F.col("ca") * F.col("cb")),
-                F.lit(0).cast("decimal(38,0)"),
+                F.sum("m"), F.lit(0).cast("decimal(38,6)")
             ).alias("m")
         )
         .first()["m"]
     )
-    pair_mass = int(within_mass) + int(near_mass)
     if pair_mass > max_pairs:
         raise ValueError(
             f"bitstring_neardup_pairs over {bits_col!r} would "

@@ -1577,6 +1577,53 @@ def test_selection_thresholds_match_sorted_reference(spark, vals, width):
 @settings(max_examples=8, deadline=None)
 @given(
     st.lists(
+        st.integers(min_value=-500, max_value=500), min_size=1, max_size=40
+    ),
+    st.lists(
+        st.integers(min_value=-9, max_value=9), min_size=1, max_size=25
+    ),
+    st.sampled_from([1, 7, 32]),
+    st.sampled_from([1, 4, 1000]),
+)
+def test_selection_thresholds_melted_isolates_metrics(
+    spark, xs, ys, wx, wy
+):
+    """The round-15 melt (customer_rfm, VERDICT r14 #4): several
+    metrics with DIFFERENT multisets, bucket widths, and pick
+    positions through ONE (metric, value) pipeline must each equal
+    their own sorted()-index reference — no cross-metric bleed in the
+    histogram, the bucket-prior join, the per-metric totals, or the
+    (metric, pick) windows."""
+    from pyspark.sql import functions as F
+
+    from edu_online_spark.operators.analytics import (
+        _selection_thresholds_melted,
+    )
+
+    rel = spark.createDataFrame(
+        [("x", float(v)) for v in xs] + [("y", float(v)) for v in ys],
+        "metric string, value double",
+    )
+    nx, ny = len(xs), len(ys)
+    row = _selection_thresholds_melted(
+        rel,
+        {
+            # ascending median-ish picks for x, descending for y —
+            # exercising per-metric pick expressions over per-metric n
+            "x": ({f"x{k}": f"({k} * n + 3) div 4" for k in (1, 3)}, wx),
+            "y": ({"y2": "n - (2 * n + 3) div 4 + 1"}, wy),
+        },
+    ).first()
+    sx, sy = sorted(xs), sorted(ys)
+    for k in (1, 3):
+        assert row[f"x{k}"] == sx[(k * nx + 3) // 4 - 1], (xs, wx, k)
+    mpos = ny - (2 * ny + 3) // 4 + 1
+    assert row["y2"] == sy[mpos - 1], (ys, wy)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
         st.tuples(
             st.integers(min_value=1, max_value=6),     # supplier
             st.integers(min_value=100, max_value=99999),  # price cents
