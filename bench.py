@@ -181,6 +181,19 @@ HEADLINE = [
     "supplier_return_rate_wilson",
     "lineitem_price_benford",
     "corpus_bigram_lift_topk",
+    # round-16 promotions (the ORACLE_R17 batch at its scheduled
+    # bound — VERDICT r15 #2). dedup_pair_transitivity standalone pays
+    # its own LSH-pairs pass, same caveat as the sibling diagnostics;
+    # ann_label_ndcg is the brute-force-scored retrieval eval (the
+    # certified exact baseline, query side broadcast-bounded).
+    "events_cusum_level_shift",
+    "events_ab_conversion_ztest",
+    "corpus_token_heavy_hitters",
+    "text_lang_kappa",
+    "docs_quality_spearman",
+    "dedup_pair_transitivity",
+    "ann_label_ndcg",
+    "events_l_diversity",
 ]
 
 # Ambient-drift calibration (VERDICT r10 #6): pinned, plan-stable

@@ -609,7 +609,18 @@ def _selection_thresholds(
     rel: DataFrame, col: str, picks: dict[str, str], bucket_width
 ) -> DataFrame:
     """Single-metric form of `_selection_thresholds_melted` (kept as
-    the property-test surface and for one-metric callers)."""
+    the property-test surface and for one-metric callers).
+
+    Domain contract (ADVICE r15 #1): the melted pipeline carries
+    values as DOUBLE, so order statistics are exact only for inputs
+    whose magnitude stays below 2^53 (every integer in that range is
+    representable; beyond it distinct int64 values can collapse to
+    the same double and the returned threshold changes dtype from the
+    source column type to double). Every in-tree caller is
+    domain-bounded far inside that envelope — recency is calendar
+    days, frequency basket counts, monetary CENTS bigints < 2^40 —
+    but a new caller feeding full-range int64 keys should pre-bucket
+    or scale rather than rely on exactness past 2^53."""
     melted = rel.select(
         F.lit(col).alias("metric"), F.col(col).cast("double").alias("value")
     )
@@ -3914,6 +3925,18 @@ ORACLE_R17 = {
         FROM v
     """,
 }
+
+# Round 16: the R17 pair lands at its scheduled bound (VERDICT r15 #2,
+# COVERAGE round-16 checklist #2): library + fixture tests + audited
+# oracles held since round 13, parity-rehearsed at sf0.01 every round
+# since; the CUSUM streaming twin has been live since r13. They take
+# window slots this round (staleness at birth), displacing tail
+# fillers per the re-run greedy audit.
+ORACLE.update(ORACLE_R17)
+QUERIES.update({
+    "events_cusum_level_shift": _q(cusum_level_shift, "events"),
+    "events_ab_conversion_ztest": _q(ab_conversion_ztest, "events"),
+})
 
 
 def price_qty_ols(lineitem: DataFrame) -> DataFrame:

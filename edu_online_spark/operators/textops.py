@@ -4391,7 +4391,17 @@ def quality_length_spearman(
     ).filter((F.col("n_tokens") > 0) & (F.col("n_chars") > 0))
     # Guard on the FILTERED relation the rank windows actually consume
     # (ADVICE r14 #2: a corpus heavy in empty docs must not be refused
-    # when its rankable payload is under the cap).
+    # when its rankable payload is under the cap). The projection is
+    # eagerly checkpointed FIRST (ADVICE r15 #3) so the guard's pass
+    # over the tokenization/punct/stopword expressions is the same
+    # pass the rank windows read — previously the preflight count
+    # evaluated the whole scoring scan once and the windows then
+    # recomputed it, roughly doubling the scan cost. The materialized
+    # relation is the NARROW 5-column numeric projection, so even a
+    # refused over-cap corpus pays only a small write on top of the
+    # scoring scan the filtered count itself requires; the proceed
+    # path is bounded at max_rows rows by the guard.
+    d = d.localCheckpoint(eager=True)
     n_in = d.count()
     if n_in > max_rows:
         raise ValueError(
@@ -4584,6 +4594,18 @@ ORACLE_R17.update({
                END AS rho
         FROM agg
     """,
+})
+
+# Round 16: the R17 textops trio lands at its scheduled bound (VERDICT
+# r15 #2, COVERAGE round-16 checklist #2): library + fixture tests +
+# audited oracles held since round 13, parity-rehearsed at sf0.01
+# every round since. They take window slots this round (staleness at
+# birth), displacing tail fillers per the re-run greedy audit.
+ORACLE.update(ORACLE_R17)
+QUERIES.update({
+    "corpus_token_heavy_hitters": _q(token_heavy_hitters),
+    "text_lang_kappa": _q(lang_kappa),
+    "docs_quality_spearman": _q(quality_length_spearman),
 })
 
 

@@ -69,102 +69,99 @@ def _extended_modules():
 # round 2).
 _PREFIX_TAIL_BOUNDARY = "tpch"
 
-# Round-15 window rotation (plan re-emitted at the start of round 15 —
-# `python tools/rotation_plan.py 15` after CORRECTNESS_r14 landed —
-# matching COVERAGE.md "Round-15 rotation plan" exactly; applied per
-# VERDICT r14 items #1-#2):
-#   1. hard cohort (deadline = 15): exactly the nineteen round-14
-#      deferrals — the twelve tail fillers the twelve r14 promotions
-#      displaced, the one filler the changed customer_rfm displaced,
-#      plus the six planner-deferred names, all last certified r10,
-#      certifying AT the deadline (legal under the exact-deadline
-#      model, proven by
+# Round-16 window rotation (plan re-emitted at the start of round 16 —
+# `python tools/rotation_plan.py 16` after CORRECTNESS_r15 landed —
+# matching the pre-staged COVERAGE.md "Round-16 rotation plan" and the
+# plan pinned by test_rotation_planner_reproduces_round16_plan at the
+# r15 close; applied per VERDICT r15 items #1-#2):
+#   1. hard cohort (deadline = 16): exactly the twenty-six round-15
+#      deferrals — the seven tail fillers the r15 changed/new/promoted
+#      names displaced plus the nineteen planner-deferred names, all
+#      last certified r11, certifying AT the deadline (legal under the
+#      exact-deadline model, proven by
 #      tests/test_registry.py::test_deferral_at_deadline_never_trips_staleness).
-#      They HEAD the window;
-#   2. fillers: the planner's 31-name ascending-deadline list,
-#      truncated to 24 — the LAST SEVEN planner fillers
-#      (`corpus_token_df` … `docs_quality_tiered_sample`, all
-#      deadline-16) are displaced by the changed/new/promoted names
-#      below and defer to their round-16 deadline (they MUST head the
-#      r16 window). NO filler slot is rows-only this round —
-#      tests/test_registry.py::ROWS_ONLY_WINDOW_SLOTS is the empty
-#      set, exactly as the round-14 plan pre-staged;
+#      They HEAD the window. This is the largest hard cohort to date
+#      and includes the round's ONE rows-only slot
+#      (`docs_winnowing_fingerprints_fast` — rows-only ops hit the
+#      same staleness bound; ROWS_ONLY_WINDOW_SLOTS names it);
+#   2. fillers: the planner's 24-name ascending-deadline list,
+#      truncated to 14 — the LAST TEN planner fillers
+#      (`corpus_drift_report` … `multimodal_frame_sample`, all
+#      deadline-17) are displaced by the changed/new/promoted names
+#      below and defer to their round-17 deadline (they MUST be in the
+#      r17 window; the post-edit greedy audit
+#      `tools/rotation_plan.py 17` confirms no deadline is missed);
 #   3. changed/new/promoted names take slots the round they land
-#      (staleness-at-birth rule): customer_rfm (melted threshold
-#      pipeline, VERDICT r14 #4) and multimodal_ahash_clusters
-#      (rewired to the hash-grain cluster engine, VERDICT r14 #3)
-#      re-derive their plans this round; dedup_diagnostics_composed
-#      is the round's new registration (VERDICT r14 #5); the four
-#      ORACLE_R16 names are promoted ONE ROUND EARLY per VERDICT r14
-#      #2 (keep draining — queue entering r16 is 16, strictly below
-#      20), all parity-rehearsed at sf0.01 in rounds 13, 14 and 15.
-#      The post-edit greedy audit (`tools/rotation_plan.py 16`)
-#      confirms no deadline is missed by the displacement.
+#      (staleness-at-birth / changed-query rule):
+#      multimodal_consensus_neardup re-derives its plan this round
+#      (hash-grain probe fusion, VERDICT r15 #3) and
+#      dedup_diagnostics_composed drops its redundant re-checkpoint
+#      (ADVICE r15 #2); the EIGHT ORACLE_R17 names land at their
+#      scheduled bound (VERDICT r15 #2 — the largest batch yet),
+#      all parity-rehearsed at sf0.01 every round since r13. Queue
+#      entering r17 is 8 (R18=5, R19=3).
 # Names are validated against the assembled registry — a typo or a
 # renamed query fails loudly rather than silently ceding its slot.
 _WINDOW_PRIORITY = [
-    # 1: hard cohort at its r15 deadline — must head the window
-    "orders_priciest_per_priority",
-    "tpch_q13_order_distribution",
-    "tpch_q16_dormant_customers",
-    "tpch_q18_large_orders",
-    "tpch_q20_heavy_suppliers",
-    "part_price_rank_family",
-    "tpch_q12_priority_by_flag",
-    "tpch_q14_promo_share",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_rich_punctual_orders",
-    "orders_cube",
-    "orders_grouping_sets",
-    "nation_participation",
-    "events_hourly_heatmap",
-    "orders_date_features",
-    "lineitem_supplier_pareto",
-    "orders_open_backlog",
-    "purchase_view_window_counts",
-    "purchases_minutely_gapfill",
+    # 1: hard cohort at its r16 deadline — must head the window
+    "corpus_token_df",
+    "text_tfidf_top_terms",
+    "corpus_boilerplate_ngrams",
+    "text_boilerplate_fraction",
+    "text_normalized",
+    "chunks_packed",
+    "docs_quality_tiered_sample",
+    "docs_train_val_test",
+    "docs_token_budget_cap",
+    "corpus_shard_manifest",
+    "docs_ngram_novelty",
+    "source_vocab_overlap",
+    "docs_winnowing_fingerprints",
+    "docs_winnowing_overlap",
+    "docs_length_quantiles_exact",
+    "corpus_vocab_coverage",
+    "docs_weighted_sample",
+    "events_k_anonymity",
+    "docs_winnowing_fingerprints_fast",  # rows-only (declared)
+    "events_stratified_sample",
+    "events_profile",
+    "events_props_k_stats",
+    "daily_revenue_ma7",
+    "events_seasonal_residuals",
+    "events_burst_flags",
+    "events_weekly_active_users",
     # 2: fillers by ascending deadline then registry order (planner
-    #    order, first 24 of 31)
-    "ip_region_counts",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_near_dup_clusters",
-    "dedup_neardup_curated",
-    "dedup_containment",
-    "dedup_threshold_yield_curve",
-    "sim_knn_bruteforce",
-    "sim_embedding_norms",
-    "xmodal_label_lang_crosstab",
-    "xmodal_norm_extremes",
-    "embeddings_split_centroid_shift",
-    "embeddings_rademacher_sketch",
-    "text_quality",
-    "text_lang_confusion",
-    "text_fingerprints",
-    "text_token_stats",
-    "text_top_bigrams",
-    "documents_curated",
-    "benchmark_contamination",
-    "documents_chunked",
-    "text_char_diversity",
-    "corpus_vocabulary_topk",
-    "text_repetition_scores",
-    # 3a: changed THIS round — the melted customer_rfm threshold
-    #     pipeline (VERDICT r14 #4) and the hash-grain
-    #     multimodal_ahash_clusters rewiring (VERDICT r14 #3) take
-    #     slots the round they change (the changed-query rule in
-    #     test_driver_window_contract)
-    "customer_rfm",
-    "multimodal_ahash_clusters",
-    # 3b: NEW this round — the composed dedup-diagnostics entry
-    #     (VERDICT r14 #5), certified at birth
+    #    order, first 14 of 24)
+    "dedup_cross_corpus",
+    "dedup_semantic_keep",
+    "retrieval_negative_samples",
+    "dedup_ngram_jaccard_prefix",
+    "ann_recall_report",
+    "ann_all_pairs_recall",
+    "sim_knn_ivf_probe_recall",
+    "hybrid_search_rrf",
+    "docs_vocab_encoded",
+    "corpus_mixture_plan",
+    "docs_gopher_quality",
+    "corpus_dataset_card",
+    "docs_stratified_sample",
+    "corpus_snapshot_diff",
+    # 3a: changed THIS round — the hash-grain consensus probe fusion
+    #     (VERDICT r15 #3) and the composed diagnostics checkpoint fix
+    #     (ADVICE r15 #2) take slots the round they change (the
+    #     changed-query rule in test_driver_window_contract)
+    "multimodal_consensus_neardup",
     "dedup_diagnostics_composed",
-    # 3c: ORACLE_R16 promotions pulled one round forward (VERDICT r14
-    #     #2 — keep draining the queue)
-    "events_daily_mad_anomalies",
-    "supplier_return_rate_wilson",
-    "lineitem_price_benford",
-    "corpus_bigram_lift_topk",
+    # 3b: ORACLE_R17 promotions landing at their scheduled bound
+    #     (VERDICT r15 #2 — the eight-op batch, largest landing yet)
+    "events_cusum_level_shift",
+    "events_ab_conversion_ztest",
+    "corpus_token_heavy_hitters",
+    "text_lang_kappa",
+    "docs_quality_spearman",
+    "dedup_pair_transitivity",
+    "ann_label_ndcg",
+    "events_l_diversity",
 ]
 
 

@@ -59,13 +59,16 @@ def test_broken_extension_does_not_kill_core(monkeypatch):
     assert "dedup" in names and "textops" in names  # the rest survived
 
 
-# Round 15 rotates to the 19-row hard cohort (the round-14 deferrals
-# AT their deadline) + 24 planner fillers + the two changed queries
-# (customer_rfm melt, ahash_clusters rewiring) + the new composed
-# diagnostics entry + the four ORACLE_R16 promotions pulled one round
-# early (VERDICT r14 #2). NO window slot is rows-only this round —
-# exactly as the round-14 rotation plan pre-staged.
-ROWS_ONLY_WINDOW_SLOTS: set[str] = set()
+# Round 16 rotates to the 26-row hard cohort (the round-15 deferrals
+# AT their deadline — the largest cohort to date, including the one
+# rows-only name below) + 14 planner fillers + the two changed queries
+# (consensus probe fusion, composed-diagnostics checkpoint fix) + the
+# eight ORACLE_R17 promotions landing at their scheduled bound
+# (VERDICT r15 #2/#3, ADVICE r15 #2). Exactly ONE window slot is
+# rows-only this round — the winnowing fast variant hit its own
+# staleness deadline — exactly as the round-15 rotation plan
+# pre-staged.
+ROWS_ONLY_WINDOW_SLOTS: set[str] = {"docs_winnowing_fingerprints_fast"}
 
 
 def test_driver_window_contract():
@@ -131,61 +134,70 @@ def test_rotation_staleness_bound():
     )
 
 
-def test_rotation_planner_reproduces_round16_plan():
-    """tools/rotation_plan.py must reproduce the committed round-16
-    arithmetic (pre-staged with the r15 registry edit in-tree): the
-    hard cohort is EXACTLY the twenty-six round-15 deferrals — the
-    seven tail fillers the r15 changed/new/promoted names displaced
-    (customer_rfm melt + ahash_clusters rewiring + the composed
-    diagnostics registration + the four ORACLE_R16 promotions pulled
-    one round early, VERDICT r14 #2/#3/#4/#5) plus the nineteen
-    planner-deferred names, all certified r11, deadline r16. Exactly
-    one rows-only name (the winnowing fast variant) needs a window
-    slot next round, twenty-six names defer to their round-17
-    deadline, no promotion is slotless (the R16 queue landed this
-    round; R17's joins the simulation at its own round), and the
-    greedy forward-schedule audit holds through the queued batch."""
+def test_rotation_planner_reproduces_round17_plan():
+    """tools/rotation_plan.py must reproduce the committed round-17
+    arithmetic (pre-staged with the r16 registry edit in-tree): the
+    hard cohort is EXACTLY the thirty-six round-16 deferrals — the
+    ten tail fillers the r16 changed/promoted names displaced
+    (consensus probe fusion + composed-diagnostics checkpoint fix +
+    the eight ORACLE_R17 promotions, VERDICT r15 #2/#3, ADVICE r15
+    #2) plus the twenty-six planner-deferred names, all certified
+    r12, deadline r17. NO rows-only name needs a window slot next
+    round, thirty-five names defer to their round-18 deadline, no
+    promotion is slotless (the R17 batch landed this round; R18's
+    joins the simulation at its own round), and the greedy
+    forward-schedule audit holds through the queued batches."""
     from tools.rotation_plan import plan
 
-    p = plan(16)
+    p = plan(17)
     assert p["hard_cohort"] == [
-        "corpus_token_df",
-        "text_tfidf_top_terms",
-        "corpus_boilerplate_ngrams",
-        "text_boilerplate_fraction",
-        "text_normalized",
-        "chunks_packed",
-        "docs_quality_tiered_sample",
-        "docs_train_val_test",
-        "docs_token_budget_cap",
-        "corpus_shard_manifest",
-        "docs_ngram_novelty",
-        "source_vocab_overlap",
-        "docs_winnowing_fingerprints",
-        "docs_winnowing_overlap",
-        "docs_length_quantiles_exact",
-        "corpus_vocab_coverage",
-        "docs_weighted_sample",
-        "events_k_anonymity",
-        "docs_winnowing_fingerprints_fast",
-        "events_stratified_sample",
-        "events_profile",
-        "events_props_k_stats",
-        "daily_revenue_ma7",
-        "events_seasonal_residuals",
-        "events_burst_flags",
-        "events_weekly_active_users",
+        "corpus_drift_report",
+        "docs_quality_budget_fill",
+        "docs_winnowing_clusters",
+        "docs_winnowing_cross_corpus",
+        "text_pii_source_stats",
+        "text_pii_redacted",
+        "text_url_domains",
+        "multimodal_decoded_meta",
+        "multimodal_media_summary",
+        "multimodal_frame_sample",
+        "multimodal_resized",
+        "multimodal_audio_features",
+        "multimodal_payload_dedup",
+        "events_hll_rollup",
+        "events_theta_overlap",
+        "corpus_token_countmin",
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q10_returned_items",
+        "tpch_q15_top_supplier",
+        "tpch_q2_min_cost_supplier",
+        "tpch_q9_profit_by_nation",
+        "tpch_q11_important_parts",
+        "events_distinct_users_approx",
+        "events_funnel",
+        "events_daily_anomalies",
+        "events_cohort_retention",
+        "lineitem_price_quantiles_approx",
+        "data_quality_checks",
+        "docs_length_histogram",
+        "events_time_grain_rollup",
+        "events_value_percentiles",
+        "customer_record_linkage_multipass",
+        "events_inter_arrival_profile",
+        "events_scd2_status",
+        "purchase_training_examples",
     ]
-    assert p["rows_only_slots"] == ["docs_winnowing_fingerprints_fast"]
-    assert len(p["deferred_to_bound"]) == 26
+    assert p["rows_only_slots"] == []
+    assert len(p["deferred_to_bound"]) == 35
     assert p["queued_promotions"] == []
     assert p["audit_ok"], p["audit_notes"]
     assert len(p["window"]) == 50 and len(set(p["window"])) == 50
-    # the entire hard cohort is round-11-certified rows AT their bound
+    # the entire hard cohort is round-12-certified rows AT their bound
     from tools.rotation_plan import last_seen_history
     import os
     seen, _ = last_seen_history(os.path.join(os.path.dirname(__file__), ".."))
-    assert all(seen.get(n) == 11 for n in p["hard_cohort"])
+    assert all(seen.get(n) == 12 for n in p["hard_cohort"])
 
 
 def test_rotation_planner_refuses_to_plan_past_its_model():
