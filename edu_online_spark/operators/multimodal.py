@@ -941,7 +941,7 @@ def bitstring_neardup_pairs(
     sig: DataFrame,
     bits_col: str,
     max_hamming: int = AHASH_HAMMING_MAX,
-    max_pairs: int = NEARDUP_PAIR_MASS_MAX,
+    max_pairs: int | None = NEARDUP_PAIR_MASS_MAX,
 ) -> DataFrame:
     """Near-dup pairs over any 64-char perceptual bit-string column
     (aHash, audio fingerprint, …): dedup-before-banding + 4×16-bit
@@ -954,7 +954,11 @@ def bitstring_neardup_pairs(
     hash histogram + hash-grain candidate pairs before any expansion
     join; past the cap it refuses and names bitstring_neardup_clusters
     (the multimodal_ahash_clusters shape — per-asset group labels,
-    linear output)."""
+    linear output). max_pairs=None skips the probe entirely (ADVICE
+    r15 #4) for callers that have already bounded their input — the
+    probe is a ~0.5 s fixed blocking job per guarded call, worth
+    skipping only when the caller owns the bound; the default stays
+    guarded."""
     # membership relation — read by the identical-pair join and both
     # expansion joins; materialize the signature pass once
     sig = sig.select("asset_id", F.col(bits_col).alias("hv")).localCheckpoint(
@@ -980,49 +984,58 @@ def bitstring_neardup_pairs(
     # rows; each (ha, hb) candidate expands to cnt_a · cnt_b rows.
     # Everything here is hash-grain (histogram + candidate pairs) —
     # decimal accumulation so a billion-copy group can't overflow the
-    # probe itself.
-    counts = sig.groupBy("hv").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt")
-    ).localCheckpoint(eager=True)
-    dec2 = F.lit(2).cast("decimal(38,0)")
-    within_mass = counts.select(
-        (F.col("cnt") * (F.col("cnt") - F.lit(1)) / dec2)
-        .cast("decimal(38,6)")
-        .alias("m")
-    )
-    near_mass = (
-        hash_pairs.join(
-            counts.select(F.col("hv").alias("ha"), F.col("cnt").alias("ca")),
-            "ha",
+    # probe itself. max_pairs=None: the caller owns the bound and the
+    # probe (a fixed blocking job) is skipped (ADVICE r15 #4).
+    if max_pairs is not None:
+        counts = sig.groupBy("hv").agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt")
+        ).localCheckpoint(eager=True)
+        dec2 = F.lit(2).cast("decimal(38,0)")
+        within_mass = counts.select(
+            (F.col("cnt") * (F.col("cnt") - F.lit(1)) / dec2)
+            .cast("decimal(38,6)")
+            .alias("m")
         )
-        .join(
-            counts.select(F.col("hv").alias("hb"), F.col("cnt").alias("cb")),
-            "hb",
+        near_mass = (
+            hash_pairs.join(
+                counts.select(
+                    F.col("hv").alias("ha"), F.col("cnt").alias("ca")
+                ),
+                "ha",
+            )
+            .join(
+                counts.select(
+                    F.col("hv").alias("hb"), F.col("cnt").alias("cb")
+                ),
+                "hb",
+            )
+            .select(
+                (F.col("ca") * F.col("cb")).cast("decimal(38,6)").alias("m")
+            )
         )
-        .select((F.col("ca") * F.col("cb")).cast("decimal(38,6)").alias("m"))
-    )
-    # both masses in ONE action (one job, not two — the probe is a
-    # fixed cost on every guarded call, so it stays as small as the
-    # plan allows)
-    pair_mass = int(
-        within_mass.unionByName(near_mass)
-        .agg(
-            F.coalesce(
-                F.sum("m"), F.lit(0).cast("decimal(38,6)")
-            ).alias("m")
+        # both masses in ONE action (one job, not two — the probe is a
+        # fixed cost on every guarded call, so it stays as small as
+        # the plan allows)
+        pair_mass = int(
+            within_mass.unionByName(near_mass)
+            .agg(
+                F.coalesce(
+                    F.sum("m"), F.lit(0).cast("decimal(38,6)")
+                ).alias("m")
+            )
+            .first()["m"]
         )
-        .first()["m"]
-    )
-    if pair_mass > max_pairs:
-        raise ValueError(
-            f"bitstring_neardup_pairs over {bits_col!r} would "
-            f"materialize {pair_mass} pair rows (cap {max_pairs}): "
-            "pair output is quadratic in duplicate-cluster size, so "
-            "past the cap the pair list is the wrong deliverable. Use "
-            "bitstring_neardup_clusters (the multimodal_ahash_clusters "
-            "shape) — per-asset group labels, output linear in assets "
-            "— or pre-filter/sample the corpus below the cap."
-        )
+        if pair_mass > max_pairs:
+            raise ValueError(
+                f"bitstring_neardup_pairs over {bits_col!r} would "
+                f"materialize {pair_mass} pair rows (cap {max_pairs}): "
+                "pair output is quadratic in duplicate-cluster size, "
+                "so past the cap the pair list is the wrong "
+                "deliverable. Use bitstring_neardup_clusters (the "
+                "multimodal_ahash_clusters shape) — per-asset group "
+                "labels, output linear in assets — or "
+                "pre-filter/sample the corpus below the cap."
+            )
     near = (
         hash_pairs.join(
             sig.select(F.col("hv").alias("ha"), F.col("asset_id").alias("id_a")),
@@ -1634,8 +1647,307 @@ def image_whash_neardup(
     )
 
 
+DUAL_HASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("hva", StringType()),
+        StructField("hvw", StringType()),
+    ]
+)
+
+
+def dual_hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas DUAL perceptual hash: aHash (spatial mean
+    threshold) and wHash (Walsh–Hadamard sign spectrum) from ONE
+    decode + ONE 8×8 gray downsample per image — bit-for-bit the same
+    values ahash_batch and whash_batch emit separately (pinned by
+    test_dual_hash_matches_single_passes), at half the decode cost.
+    The consensus path is the only consumer that needs both keys, so
+    it is the one place the fused pass pays off."""
+    ks = np.arange(AHASH_GRID)
+    ij = ks[:, None] & ks[None, :]
+    H = 1 - 2 * (np.unpackbits(ij.astype(np.uint8)[..., None], axis=-1)
+                 .sum(axis=-1) & 1).astype(np.int64)
+    for pdf in batches:
+        ids, has, hws = [], [], []
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            img = _decode_bmp_pixels(bytes(payload))
+            if img is None:
+                continue
+            h, w = img.shape[:2]
+            sample = img[(ks * h) // AHASH_GRID][:, (ks * w) // AHASH_GRID]
+            gray = sample.astype(np.int64).sum(axis=2) // 3
+            mean = int(gray.sum()) // (AHASH_GRID * AHASH_GRID)
+            abits = (gray > mean).astype(np.uint8).reshape(-1)
+            coef = H @ gray @ H
+            wbits = (coef.reshape(-1) > 0).astype(np.uint8)
+            ids.append(asset_id)
+            has.append("".join("1" if b else "0" for b in abits))
+            hws.append("".join("1" if b else "0" for b in wbits))
+        yield pd.DataFrame(
+            {
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "hva": has,
+                "hvw": hws,
+            }
+        )
+
+
+def image_dual_hash(assets: DataFrame) -> DataFrame:
+    """(asset_id, hva, hvw) — both 64-bit perceptual keys from one
+    Arrow-batched decode pass over the image assets."""
+    images = assets.filter(F.col("media_type") == "image")
+    return images.mapInPandas(dual_hash_batch, DUAL_HASH_SCHEMA)
+
+
+def _consensus_hash_relations(
+    sig2: DataFrame, max_hamming: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared hash-grain machinery of the consensus pair and cluster
+    forms (VERDICT r15 #3 — the probe fusion): from a two-signature
+    relation (asset_id, hva, hvw) build
+
+      sig2 — the input, eagerly checkpointed (read by the same-key
+             self-join and both expansion joins);
+      ck   — (hva, hvw, cnt): the DISTINCT combined-key histogram,
+             decimal counts so the mass probe can't overflow;
+      cand — combined-key candidate pairs qualifying on BOTH axes
+             BEFORE any asset expansion: (hva_x, hvw_x, cnt_x, hva_y,
+             hvw_y, cnt_y, hamming_spatial, hamming_spectral),
+             canonical on the concatenated key, checkpointed.
+
+    cand is built by walking each combined key to its per-axis
+    hash-grain neighbors — the near-edges from _hash_candidate_pairs
+    plus the identity edge — and existence-checking the (hva, hvw)
+    target against ck, so the intermediate is bounded by
+    Σ (deg_a + 1)·(deg_w + 1) over combined keys: a product of
+    collision-bounded pigeonhole degrees, never an asset cross
+    product, and never the UNION of the per-family pair masses the
+    pre-fusion path materialized. Same-combined-key groups (hamming
+    (0, 0)) are deliberately NOT in cand — their C(cnt, 2) mass reads
+    straight off ck and their expansion is the one self-join on
+    sig2."""
+    sig2 = sig2.select("asset_id", "hva", "hvw").localCheckpoint(eager=True)
+    ck = (
+        sig2.groupBy("hva", "hvw")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    ea = _hash_candidate_pairs(
+        sig2.select("asset_id", F.col("hva").alias("hv")), max_hamming
+    )
+    ew = _hash_candidate_pairs(
+        sig2.select("asset_id", F.col("hvw").alias("hv")), max_hamming
+    )
+
+    def _sym(edges: DataFrame, keys: DataFrame, a: str, b: str, h: str):
+        # near-edges in both orientations + the identity edge over the
+        # axis's distinct hashes — the "within threshold OR identical"
+        # neighborhood one combined key walks along this axis
+        ident = (
+            keys.distinct()
+            .select(F.col(keys.columns[0]).alias(a))
+            .select(a, F.col(a).alias(b), F.lit(0).alias(h))
+        )
+        return (
+            edges.select(
+                F.col("ha").alias(a),
+                F.col("hb").alias(b),
+                F.col("hamming").alias(h),
+            )
+            .unionByName(
+                edges.select(
+                    F.col("hb").alias(a),
+                    F.col("ha").alias(b),
+                    F.col("hamming").alias(h),
+                )
+            )
+            .unionByName(ident)
+        )
+
+    a_sym = _sym(ea, ck.select("hva"), "ax", "ay", "hs")
+    w_sym = _sym(ew, ck.select("hvw"), "wx", "wy", "hp")
+    x = ck.select(
+        F.col("hva").alias("hva_x"),
+        F.col("hvw").alias("hvw_x"),
+        F.col("cnt").alias("cnt_x"),
+    )
+    y = ck.select(
+        F.col("hva").alias("hva_y"),
+        F.col("hvw").alias("hvw_y"),
+        F.col("cnt").alias("cnt_y"),
+    )
+    # join ORDER is the scale contract: x fans out to its per-axis
+    # neighborhoods first (degree-product-bounded), THEN the target
+    # combined key is existence-checked against ck — writing x ⋈ a_sym
+    # ⋈ y ⋈ w_sym instead would materialize every ahash-qualified
+    # combined pair before the spectral filter, quadratic on a
+    # same-ahash corpus
+    cand = (
+        x.join(a_sym, F.col("hva_x") == F.col("ax"))
+        .join(w_sym, F.col("hvw_x") == F.col("wx"))
+        .join(
+            y,
+            (F.col("ay") == F.col("hva_y")) & (F.col("wy") == F.col("hvw_y")),
+        )
+        .filter(F.concat("hva_x", "hvw_x") < F.concat("hva_y", "hvw_y"))
+        .select(
+            "hva_x",
+            "hvw_x",
+            "cnt_x",
+            "hva_y",
+            "hvw_y",
+            "cnt_y",
+            F.col("hs").alias("hamming_spatial"),
+            F.col("hp").alias("hamming_spectral"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return sig2, ck, cand
+
+
+def bitstring_consensus_pairs(
+    sig2: DataFrame,
+    max_hamming: int = AHASH_HAMMING_MAX,
+    max_pairs: int | None = NEARDUP_PAIR_MASS_MAX,
+) -> DataFrame:
+    """Consensus near-dup pairs over any TWO 64-char bit-string keys
+    (asset_id, hva, hvw): pairs within max_hamming on BOTH axes, with
+    both distances carried for audit. This is the fused engine
+    (VERDICT r15 #3): the pre-fusion path ran two fully-guarded
+    bitstring_neardup_pairs calls and joined their expanded outputs,
+    paying two pair-mass probes and materializing two per-family pair
+    relations when only their intersection is emitted. Here the
+    intersection happens at HASH grain (_consensus_hash_relations),
+    ONE probe prices the exact consensus mass, and ONE expansion join
+    runs — so a template-heavy corpus whose per-family mass exceeds
+    the cap but whose consensus mass doesn't is now ADMITTED, a
+    correctness-of-refusal improvement on top of halving the fixed
+    probe cost.
+
+    GUARDED at `max_pairs` output rows (the _guard_all_pairs
+    contract); max_pairs=None skips the probe for callers that have
+    already bounded their input (ADVICE r15 #4)."""
+    sig2, ck, cand = _consensus_hash_relations(sig2, max_hamming)
+    if max_pairs is not None:
+        dec2 = F.lit(2).cast("decimal(38,0)")
+        same_mass = ck.select(
+            (F.col("cnt") * (F.col("cnt") - F.lit(1)) / dec2)
+            .cast("decimal(38,6)")
+            .alias("m")
+        )
+        cand_mass = cand.select(
+            (F.col("cnt_x") * F.col("cnt_y"))
+            .cast("decimal(38,6)")
+            .alias("m")
+        )
+        pair_mass = int(
+            same_mass.unionByName(cand_mass)
+            .agg(
+                F.coalesce(
+                    F.sum("m"), F.lit(0).cast("decimal(38,6)")
+                ).alias("m")
+            )
+            .first()["m"]
+        )
+        if pair_mass > max_pairs:
+            raise ValueError(
+                f"bitstring_consensus_pairs would materialize "
+                f"{pair_mass} pair rows (cap {max_pairs}): pair output "
+                "is quadratic in duplicate-cluster size, so past the "
+                "cap the pair list is the wrong deliverable. Use "
+                "bitstring_consensus_clusters (consensus-grain group "
+                "labels, output linear in assets; the registered "
+                "multimodal_ahash_clusters entry is the certified "
+                "single-family form of the same engine) — or "
+                "pre-filter/sample the corpus below the cap."
+            )
+    same = (
+        sig2.alias("a")
+        .join(
+            sig2.alias("b"),
+            (F.col("a.hva") == F.col("b.hva"))
+            & (F.col("a.hvw") == F.col("b.hvw"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+            F.lit(0).alias("hamming_spatial"),
+            F.lit(0).alias("hamming_spectral"),
+        )
+    )
+    near = (
+        cand.join(
+            sig2.select(
+                F.col("hva").alias("hva_x"),
+                F.col("hvw").alias("hvw_x"),
+                F.col("asset_id").alias("id_x"),
+            ),
+            ["hva_x", "hvw_x"],
+        )
+        .join(
+            sig2.select(
+                F.col("hva").alias("hva_y"),
+                F.col("hvw").alias("hvw_y"),
+                F.col("asset_id").alias("id_y"),
+            ),
+            ["hva_y", "hvw_y"],
+        )
+        .select(
+            F.least("id_x", "id_y").alias("asset_a"),
+            F.greatest("id_x", "id_y").alias("asset_b"),
+            "hamming_spatial",
+            "hamming_spectral",
+        )
+    )
+    return same.unionByName(near)
+
+
+def bitstring_consensus_clusters(
+    sig2: DataFrame, max_hamming: int = AHASH_HAMMING_MAX
+) -> DataFrame:
+    """Cluster-grain CONSENSUS near-dup — the linear-output scale path
+    the fused pair form's mass guard names: connected components over
+    the combined-key consensus candidate graph (hash grain — the cand
+    relation _consensus_hash_relations already intersected), identical
+    combined-key groups collapsing through their shared key, then one
+    asset-grain group-min + equi-join. Output (asset_id, cluster_rep),
+    linear in assets no matter how large the duplicate clusters are.
+
+    Membership matches the pair form exactly: an asset appears iff it
+    would appear in some consensus pair — its combined key sits in a
+    consensus near-edge component OR at least two assets share its
+    combined key (pinned equal to components-over-pairs in
+    tests/test_multimodal.py)."""
+    from .dedup import near_dup_clusters
+
+    sig2, ck, cand = _consensus_hash_relations(sig2, max_hamming)
+    comp = near_dup_clusters(
+        cand.select(
+            F.concat("hva_x", "hvw_x").alias("doc_a"),
+            F.concat("hva_y", "hvw_y").alias("doc_b"),
+        )
+    ).select(
+        F.col("doc_id").alias("key"), F.col("cluster_rep").alias("rep_key")
+    )
+    labeled = (
+        ck.select("hva", "hvw", "cnt", F.concat("hva", "hvw").alias("key"))
+        .join(comp, "key", "left")
+        .filter(F.col("rep_key").isNotNull() | (F.col("cnt") >= 2))
+        .select("hva", "hvw", F.coalesce("rep_key", "key").alias("label"))
+    )
+    members = sig2.join(labeled, ["hva", "hvw"]).select("asset_id", "label")
+    reps = members.groupBy("label").agg(
+        F.min("asset_id").alias("cluster_rep")
+    )
+    return members.join(reps, "label").select("asset_id", "cluster_rep")
+
+
 def image_consensus_neardup(
-    assets: DataFrame, max_hamming: int = AHASH_HAMMING_MAX
+    assets: DataFrame,
+    max_hamming: int = AHASH_HAMMING_MAX,
+    max_pairs: int | None = NEARDUP_PAIR_MASS_MAX,
 ) -> DataFrame:
     """CONSENSUS perceptual near-dup: pairs flagged by BOTH the
     spatial (aHash) and spectral (wHash) keys — the precision move two
@@ -1645,21 +1957,31 @@ def image_consensus_neardup(
     logic as requiring MinHash candidates to verify on exact
     Jaccard). Output carries both hamming distances for audit.
 
-    Scale shape: two banded pair relations (each collision-bounded,
-    bytes never shuffle) meeting in an equi-join on the pair key —
-    output-sized work end to end. Pairs are canonical (asset_a <
-    asset_b) on both sides, so the join needs no normalization.
+    Scale shape (VERDICT r15 #3 rewiring — same rows, same oracle):
+    ONE fused decode pass emitting both keys (image_dual_hash), the
+    ahash ∩ whash intersection taken at the hash-pair level inside
+    bitstring_consensus_pairs, ONE exact pair-mass probe on the
+    intersected mass, ONE member-expansion join. The pre-fusion shape
+    (two guarded per-family pair relations meeting in an equi-join)
+    paid two decodes, two probes and two expansions for the same
+    output, and refused template-heavy corpora whose per-family mass
+    exceeds the cap even when the consensus mass — the only thing
+    emitted — is tiny.
 
-    Queued for round 14 (`multimodal_consensus_neardup`, ORACLE_R14)."""
-    ah = image_ahash_neardup(assets, max_hamming).withColumnRenamed(
-        "hamming", "hamming_spatial"
+    Queued for round 14 (`multimodal_consensus_neardup`, ORACLE_R14);
+    fused round 16."""
+    return bitstring_consensus_pairs(
+        image_dual_hash(assets), max_hamming, max_pairs
     )
-    wh = image_whash_neardup(assets, max_hamming).withColumnRenamed(
-        "hamming", "hamming_spectral"
-    )
-    return ah.join(wh, ["asset_a", "asset_b"]).select(
-        "asset_a", "asset_b", "hamming_spatial", "hamming_spectral"
-    )
+
+
+def image_consensus_clusters(
+    assets: DataFrame, max_hamming: int = AHASH_HAMMING_MAX
+) -> DataFrame:
+    """Asset-level wrapper of bitstring_consensus_clusters — the
+    linear-output alternative image_consensus_neardup's mass guard
+    names, at image grain."""
+    return bitstring_consensus_clusters(image_dual_hash(assets), max_hamming)
 
 
 def q_whash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

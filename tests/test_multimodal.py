@@ -521,3 +521,195 @@ def test_video_fp_neardup_copy_and_structure(spark):
             assert (a, b) not in pairs
     # cut-free videos carry no evidence: excluded even from each other
     assert not any(5 in p or 6 in p for p in pairs)
+
+
+def _far64(i):
+    """64-bit string whose four 16-bit chunks are the distinct values
+    1000+4i..1000+4i+3 — no chunk ever collides with another _far64
+    value, with the all-zero hash, or with its hamming-1 neighbor, so
+    pigeonhole banding yields NO candidate edge touching it."""
+    return "".join(format(1000 + 4 * i + j, "016b") for j in range(4))
+
+
+def _consensus_fixture(spark):
+    """Two-signature corpus exercising every consensus case:
+    identical-both (1,2), near-spatial/same-spectral (3), same-
+    spatial/near-spectral (4), near-both (3 vs 4), spatial-only
+    qualifier (5, far spectral), spectral-only qualifier (6, far
+    spatial), and a both-far singleton (7)."""
+    a0, a1 = "0" * 64, "0" * 63 + "1"
+    w0, w1 = "0" * 64, "0" * 63 + "1"
+    rows = [
+        (1, a0, w0),
+        (2, a0, w0),
+        (3, a1, w0),
+        (4, a0, w1),
+        (5, a0, _far64(0)),
+        (6, _far64(1), w0),
+        (7, _far64(2), _far64(3)),
+    ]
+    return spark.createDataFrame(rows, "asset_id long, hva string, hvw string")
+
+
+def test_consensus_pairs_match_prefusion_join(spark):
+    """VERDICT r15 #3: the fused engine (hash-grain intersection, one
+    probe, one expansion) must emit EXACTLY what the pre-fusion shape
+    emitted — the equi-join of the two independently-expanded
+    per-family pair relations — including both hamming distances."""
+    from pyspark.sql import functions as F
+
+    from edu_online_spark.operators.multimodal import (
+        bitstring_consensus_pairs,
+        bitstring_neardup_pairs,
+    )
+
+    sig2 = _consensus_fixture(spark)
+    fused = {
+        (r["asset_a"], r["asset_b"]): (
+            r["hamming_spatial"],
+            r["hamming_spectral"],
+        )
+        for r in bitstring_consensus_pairs(sig2).collect()
+    }
+    ah = bitstring_neardup_pairs(
+        sig2.select("asset_id", "hva"), "hva", max_pairs=None
+    ).withColumnRenamed("hamming", "hs")
+    wh = bitstring_neardup_pairs(
+        sig2.select("asset_id", "hvw"), "hvw", max_pairs=None
+    ).withColumnRenamed("hamming", "hp")
+    prefusion = {
+        (r["asset_a"], r["asset_b"]): (r["hs"], r["hp"])
+        for r in ah.join(wh, ["asset_a", "asset_b"]).collect()
+    }
+    assert fused == prefusion
+    assert fused == {
+        (1, 2): (0, 0),
+        (1, 3): (1, 0),
+        (2, 3): (1, 0),
+        (1, 4): (0, 1),
+        (2, 4): (0, 1),
+        (3, 4): (1, 1),
+    }
+
+
+def test_consensus_admits_what_per_family_refuses(spark):
+    """The correctness-of-refusal half of the fusion: a template-heavy
+    corpus whose PER-FAMILY pair mass exceeds the cap but whose
+    consensus mass doesn't must be REFUSED by each single-key guard
+    yet ADMITTED at consensus grain — the intersected mass is what the
+    consensus op actually emits, so that is what its probe prices."""
+    import pytest
+
+    from edu_online_spark.operators.multimodal import (
+        bitstring_consensus_pairs,
+        bitstring_neardup_pairs,
+    )
+
+    a0, w0, wz = "0" * 64, "1" * 64, "0" * 32 + "1" * 32
+    rows = (
+        # 30 spatial template copies; 3 of them also spectral copies
+        [(i, a0, w0 if i < 3 else _far64(10 + i)) for i in range(30)]
+        # 30 spectral template copies, spatially all-distinct
+        + [(100 + i, _far64(50 + i), wz) for i in range(30)]
+    )
+    sig2 = spark.createDataFrame(rows, "asset_id long, hva string, hvw string")
+    # per-family masses: spatial C(30,2)=435, spectral C(30,2)+C(3,2)=438
+    with pytest.raises(ValueError, match="435 pair rows"):
+        bitstring_neardup_pairs(
+            sig2.select("asset_id", "hva"), "hva", max_pairs=100
+        )
+    with pytest.raises(ValueError, match="438 pair rows"):
+        bitstring_neardup_pairs(
+            sig2.select("asset_id", "hvw"), "hvw", max_pairs=100
+        )
+    # consensus mass is the 3-copy intersection: C(3,2)=3 — admitted
+    # at the same cap that refused both families, and the probe is
+    # exact at the boundary
+    got = bitstring_consensus_pairs(sig2, max_pairs=100).collect()
+    assert {(r["asset_a"], r["asset_b"]) for r in got} == {
+        (0, 1), (0, 2), (1, 2),
+    }
+    assert all(
+        (r["hamming_spatial"], r["hamming_spectral"]) == (0, 0) for r in got
+    )
+    assert bitstring_consensus_pairs(sig2, max_pairs=3).count() == 3
+    with pytest.raises(ValueError, match="3 pair rows"):
+        bitstring_consensus_pairs(sig2, max_pairs=2)
+
+
+def test_consensus_clusters_match_pair_components(spark):
+    """The linear-output alternative the consensus guard names must
+    reproduce components-over-consensus-pairs exactly: same
+    membership, min-asset reps, one-axis qualifiers and singletons
+    excluded."""
+    from pyspark.sql import functions as F
+
+    from edu_online_spark.operators.dedup import near_dup_clusters
+    from edu_online_spark.operators.multimodal import (
+        bitstring_consensus_clusters,
+        bitstring_consensus_pairs,
+    )
+
+    sig2 = _consensus_fixture(spark)
+    over_pairs = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in near_dup_clusters(
+            bitstring_consensus_pairs(sig2).select(
+                F.col("asset_a").alias("doc_a"),
+                F.col("asset_b").alias("doc_b"),
+            )
+        ).collect()
+    }
+    clustered = {
+        r["asset_id"]: r["cluster_rep"]
+        for r in bitstring_consensus_clusters(sig2).collect()
+    }
+    assert clustered == over_pairs
+    assert clustered == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_neardup_pair_guard_opt_out_skips_probe(spark):
+    """ADVICE r15 #4: max_pairs=None runs the pair form unguarded for
+    callers that already own the bound — same rows as the guarded
+    call, no refusal even where the default cap would not apply."""
+    from edu_online_spark.operators.multimodal import (
+        bitstring_neardup_pairs,
+    )
+
+    sig = _planted_sig(spark)
+    assert bitstring_neardup_pairs(sig, "sig", max_pairs=None).count() == 903
+
+
+def test_dual_hash_matches_single_passes(spark):
+    """The fused one-decode dual-hash stage must emit bit-for-bit the
+    same keys the two single-hash passes compute separately."""
+    from pyspark.sql import functions as F
+
+    from edu_online_spark.operators.multimodal import (
+        _bmp_bytes,
+        image_ahash,
+        image_dual_hash,
+        image_whash,
+    )
+
+    rows = [
+        (i, "image", bytearray(_bmp_bytes(seed)))
+        for i, seed in enumerate([5, 5, 77, 123, 7, 2048])
+    ] + [(99, "audio", bytearray(b"\x00" * 16))]  # non-image: pruned
+    assets = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary"
+    )
+    dual = {
+        r["asset_id"]: (r["hva"], r["hvw"])
+        for r in image_dual_hash(assets).collect()
+    }
+    single = {
+        r["asset_id"]: (r["ahash"], r["whash"])
+        for r in image_ahash(assets)
+        .select("asset_id", "ahash")
+        .join(
+            image_whash(assets).select("asset_id", "whash"), "asset_id"
+        )
+        .collect()
+    }
+    assert dual == single and len(dual) == 6
