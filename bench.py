@@ -194,6 +194,11 @@ HEADLINE = [
     "dedup_pair_transitivity",
     "ann_label_ndcg",
     "events_l_diversity",
+    # round 16: the composed winnowing-diagnostics entry (VERDICT r15
+    # #4) — four reports over ONE checkpointed selection pass, the
+    # deployment shape; the four standalone entries above stay as
+    # certification vehicles, each pricing its own selection
+    "winnowing_diagnostics_composed",
 ]
 
 # Ambient-drift calibration (VERDICT r10 #6): pinned, plan-stable

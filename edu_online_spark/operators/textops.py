@@ -2173,6 +2173,7 @@ def winnowing_overlap_pairs(
     min_shared: int = WINNOW_MIN_SHARED,
     max_fp_df: int = WINNOW_MAX_FP_DF,
     variant: str = "fast",
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Document-overlap detection over the winnowing fingerprints —
     the MOSS use of the inventory: pairs of documents sharing at least
@@ -2188,15 +2189,22 @@ def winnowing_overlap_pairs(
     → rare-fp semi-join → fp-keyed self-join (posting lists bounded by
     max_fp_df, so pair output per fp is ≤ df²/2 with df capped) → pair
     count. Everything is keyed; no pairwise stage over the corpus.
+
+    Pass a precomputed distinct (doc_id, fp) relation via `fps` to
+    share ONE winnowing selection across diagnostics (the composed
+    entry's contract) — a caller-provided relation is already
+    materialized by the sharing caller and is not re-checkpointed
+    (the threshold_yield_curve / ADVICE r15 #2 discipline).
     """
-    fps = (
-        winnowing_fingerprints(documents, variant=variant)
-        .select("doc_id", "fp")
-        .dropDuplicates(["doc_id", "fp"])
-        # both sides of the self-join plus the df count read this —
-        # materialize the (expensive) selection once
-        .localCheckpoint(eager=True)
-    )
+    if fps is None:
+        fps = (
+            winnowing_fingerprints(documents, variant=variant)
+            .select("doc_id", "fp")
+            .dropDuplicates(["doc_id", "fp"])
+            # both sides of the self-join plus the df count read this
+            # — materialize the (expensive) selection once
+            .localCheckpoint(eager=True)
+        )
     rare = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -2225,6 +2233,7 @@ def winnowing_overlap_clusters(
     min_shared: int = WINNOW_MIN_SHARED,
     max_fp_df: int = WINNOW_MAX_FP_DF,
     variant: str = "fast",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Passage-sharing document CLUSTERS: connected components over
     the winnowing overlap pairs, through the same candidate-source-
@@ -2235,15 +2244,18 @@ def winnowing_overlap_clusters(
     template families) — the grouping a curation pass reviews before
     deciding whether a passage pool is boilerplate to scrub
     (substring_dedup's job) or duplication to collapse. Output:
-    (doc_id, cluster_rep) for every doc in a sharing component."""
+    (doc_id, cluster_rep) for every doc in a sharing component.
+
+    Pass a precomputed (doc_a, doc_b, …) overlap relation via `pairs`
+    to share one pairing pass (the composed entry's contract)."""
     from .dedup import near_dup_clusters
 
-    return near_dup_clusters(
-        winnowing_overlap_pairs(
+    if pairs is None:
+        pairs = winnowing_overlap_pairs(
             documents, min_shared=min_shared, max_fp_df=max_fp_df,
             variant=variant,
-        ).select("doc_a", "doc_b")
-    )
+        )
+    return near_dup_clusters(pairs.select("doc_a", "doc_b"))
 
 
 def winnowing_overlap_cross_corpus(
@@ -2252,6 +2264,8 @@ def winnowing_overlap_cross_corpus(
     min_shared: int = WINNOW_MIN_SHARED,
     max_fp_df: int = WINNOW_MAX_FP_DF,
     variant: str = "fast",
+    new_fps: DataFrame | None = None,
+    corpus_fps: DataFrame | None = None,
 ) -> DataFrame:
     """Delta-vs-corpus winnowing overlap — the production ingest shape
     (cross_corpus_minhash_pairs' pattern applied to MOSS): a daily
@@ -2269,18 +2283,28 @@ def winnowing_overlap_cross_corpus(
     property of the corpus, and judging it from the delta would let a
     small delta smuggle a ubiquitous print past the guard.
     Output: (new_id, corpus_id, n_shared) with n_shared ≥ min_shared.
+
+    `new_fps`/`corpus_fps` accept precomputed distinct (doc_id, fp)
+    relations for each side (a doc's fingerprints are independent of
+    which side it lands on, so the composed entry splits ONE shared
+    selection) — caller-provided relations are already materialized
+    and are not re-checkpointed.
     """
-    nf = (
-        winnowing_fingerprints(new_docs, variant=variant)
-        .select(F.col("doc_id").alias("new_id"), "fp")
-        .dropDuplicates(["new_id", "fp"])
-    )
-    cf = (
-        winnowing_fingerprints(corpus_docs, variant=variant)
-        .select(F.col("doc_id").alias("corpus_id"), "fp")
-        .dropDuplicates(["corpus_id", "fp"])
-        .localCheckpoint(eager=True)  # df count + probe join
-    )
+    if new_fps is None:
+        new_fps = (
+            winnowing_fingerprints(new_docs, variant=variant)
+            .select("doc_id", "fp")
+            .dropDuplicates(["doc_id", "fp"])
+        )
+    if corpus_fps is None:
+        corpus_fps = (
+            winnowing_fingerprints(corpus_docs, variant=variant)
+            .select("doc_id", "fp")
+            .dropDuplicates(["doc_id", "fp"])
+            .localCheckpoint(eager=True)  # df count + probe join
+        )
+    nf = new_fps.select(F.col("doc_id").alias("new_id"), "fp")
+    cf = corpus_fps.select(F.col("doc_id").alias("corpus_id"), "fp")
     rare = (
         cf.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -2299,6 +2323,7 @@ def source_winnow_overlap_matrix(
     documents: DataFrame,
     max_fp_df: int = WINNOW_MAX_FP_DF,
     variant: str = "fast",
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Source-pair PASSAGE-overlap matrix: the winnowing analogue of
     `dedup.source_dup_matrix`. Exact-text overlap between two crawl
@@ -2324,17 +2349,21 @@ def source_winnow_overlap_matrix(
 
     variant='poly' is the DuckDB-certified form (registered round 9
     as `source_winnow_overlap_matrix`); 'fast' (xxhash64) is the
-    corpus-scale default, same selection algorithm.
+    corpus-scale default, same selection algorithm. `fps` accepts a
+    precomputed distinct (doc_id, fp) relation to share one selection
+    across diagnostics (already materialized by the sharing caller,
+    so not re-checkpointed here).
     """
-    fps = (
-        winnowing_fingerprints(documents, variant=variant)
-        .select("doc_id", "fp")
-        .dropDuplicates(["doc_id", "fp"])
-        # the df count and the semi-join back both read this —
-        # materialize the (expensive) selection once, the
-        # winnowing_overlap_pairs pattern
-        .localCheckpoint(eager=True)
-    )
+    if fps is None:
+        fps = (
+            winnowing_fingerprints(documents, variant=variant)
+            .select("doc_id", "fp")
+            .dropDuplicates(["doc_id", "fp"])
+            # the df count and the semi-join back both read this —
+            # materialize the (expensive) selection once, the
+            # winnowing_overlap_pairs pattern
+            .localCheckpoint(eager=True)
+        )
     rare = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -4720,3 +4749,138 @@ ORACLE_R18 = {
         FROM agg
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Composed winnowing diagnostics — one shared fingerprint pass, four
+# consumers (VERDICT r15 #4, the dedup_diagnostics_composed pattern)
+# ---------------------------------------------------------------------------
+
+def winnowing_diagnostics_composed(documents: DataFrame) -> DataFrame:
+    """The DEPLOYMENT shape of the winnowing (MOSS) diagnostics:
+    overlap pairs, passage-sharing clusters, delta-vs-corpus overlap,
+    and the source-pair overlap matrix computed over ONE winnowing
+    selection pass — the four standalone registry entries each re-pay
+    the fingerprint pass in isolation (~15 s of the headline bench at
+    sf0.1), exactly the shape VERDICT r14 #5 fixed for the MinHash
+    family. The standalones remain (each pricing its diagnostic
+    standalone by design); this entry certifies the sharing contract:
+    identical rows to the four standalones, one selection pass.
+
+    Output is the melted long form so four report grains hash-certify
+    in one relation: (diagnostic, k, t, n1..n4, ratio) —
+      overlap  k=doc_a     t=doc_b      n1 = n_shared
+      cluster  k=doc_id                 n1 = cluster_rep
+      cross    k=new_id    t=corpus_id  n1 = n_shared
+      matrix   k=source_a  t=source_b   n1..n3 = fps_a, fps_b,
+                                        shared_fps; ratio = fp_jaccard
+    (ids melt as strings — the dictionary-key rule of the dedup
+    composed entry; every count stays an exact bigint.)
+
+    Scale shape: the selection pass (the only corpus-sized stage) is
+    computed ONCE and eagerly checkpointed; the overlap pairs are
+    checkpointed once and feed both the pair report and the cluster
+    closure; the cross-corpus split happens AFTER selection (a doc's
+    fingerprints are independent of which side it lands on — the
+    certified standalone's own contract) so neither side re-selects;
+    the matrix consumer reads the same checkpointed selection. Every
+    relation downstream of the selection is fingerprint-/pair-/
+    source-grain. The poly (char-fold) variant is used throughout —
+    it is the variant all four standalone oracles certify."""
+    fps = (
+        winnowing_fingerprints(documents, variant="poly")
+        .select("doc_id", "fp")
+        .dropDuplicates(["doc_id", "fp"])
+        # one selection pass, four consumers — the composed contract
+        .localCheckpoint(eager=True)
+    )
+    pairs = winnowing_overlap_pairs(documents, fps=fps).localCheckpoint(
+        eager=True
+    )
+
+    nl = F.lit(None).cast("long")
+    ns = F.lit(None).cast("string")
+    nd = F.lit(None).cast("double")
+
+    ov = pairs.select(
+        F.lit("overlap").alias("diagnostic"),
+        F.col("doc_a").cast("string").alias("k"),
+        F.col("doc_b").cast("string").alias("t"),
+        F.col("n_shared").cast("long").alias("n1"),
+        nl.alias("n2"),
+        nl.alias("n3"),
+        nl.alias("n4"),
+        nd.alias("ratio"),
+    )
+    cl = winnowing_overlap_clusters(documents, pairs=pairs).select(
+        F.lit("cluster").alias("diagnostic"),
+        F.col("doc_id").cast("string").alias("k"),
+        ns.alias("t"),
+        F.col("cluster_rep").cast("long").alias("n1"),
+        nl.alias("n2"),
+        nl.alias("n3"),
+        nl.alias("n4"),
+        nd.alias("ratio"),
+    )
+    cross = winnowing_overlap_cross_corpus(
+        documents.filter(F.col("doc_id") % 10 == 0),
+        documents.filter(F.col("doc_id") % 10 != 0),
+        new_fps=fps.filter(F.col("doc_id") % 10 == 0),
+        corpus_fps=fps.filter(F.col("doc_id") % 10 != 0),
+    ).select(
+        F.lit("cross").alias("diagnostic"),
+        F.col("new_id").cast("string").alias("k"),
+        F.col("corpus_id").cast("string").alias("t"),
+        F.col("n_shared").cast("long").alias("n1"),
+        nl.alias("n2"),
+        nl.alias("n3"),
+        nl.alias("n4"),
+        nd.alias("ratio"),
+    )
+    mat = source_winnow_overlap_matrix(documents, fps=fps).select(
+        F.lit("matrix").alias("diagnostic"),
+        F.col("source_a").alias("k"),
+        F.col("source_b").alias("t"),
+        F.col("fps_a").alias("n1"),
+        F.col("fps_b").alias("n2"),
+        F.col("shared_fps").alias("n3"),
+        nl.alias("n4"),
+        F.col("fp_jaccard").alias("ratio"),
+    )
+    return ov.unionByName(cl).unionByName(cross).unionByName(mat)
+
+
+# Stage-mirror oracle (the dedup_diagnostics_composed pattern): each
+# diagnostic's ALREADY-CERTIFIED standalone mirror is embedded as a
+# derived table and melted with the identical projections. DuckDB
+# recomputes the winnowing selection per arm — the oracle prices
+# correctness, not sharing; the sharing claim is Spark-side (one
+# checkpointed selection) and measured in SCALE.md.
+ORACLE.update({
+    "winnowing_diagnostics_composed": f"""
+        SELECT 'overlap' AS diagnostic, CAST(doc_a AS VARCHAR) AS k,
+               CAST(doc_b AS VARCHAR) AS t,
+               CAST(n_shared AS BIGINT) AS n1,
+               CAST(NULL AS BIGINT) AS n2, CAST(NULL AS BIGINT) AS n3,
+               CAST(NULL AS BIGINT) AS n4, CAST(NULL AS DOUBLE) AS ratio
+        FROM ({ORACLE["docs_winnowing_overlap"]})
+        UNION ALL
+        SELECT 'cluster', CAST(doc_id AS VARCHAR), NULL,
+               CAST(cluster_rep AS BIGINT), NULL, NULL, NULL,
+               CAST(NULL AS DOUBLE)
+        FROM ({ORACLE["docs_winnowing_clusters"]})
+        UNION ALL
+        SELECT 'cross', CAST(new_id AS VARCHAR),
+               CAST(corpus_id AS VARCHAR), CAST(n_shared AS BIGINT),
+               NULL, NULL, NULL, CAST(NULL AS DOUBLE)
+        FROM ({ORACLE["docs_winnowing_cross_corpus"]})
+        UNION ALL
+        SELECT 'matrix', source_a, source_b, CAST(fps_a AS BIGINT),
+               CAST(fps_b AS BIGINT), CAST(shared_fps AS BIGINT), NULL,
+               fp_jaccard
+        FROM ({ORACLE["source_winnow_overlap_matrix"]})
+    """,
+})
+QUERIES.update({
+    "winnowing_diagnostics_composed": _q(winnowing_diagnostics_composed),
+})

@@ -131,7 +131,9 @@ _WINDOW_PRIORITY = [
     "events_burst_flags",
     "events_weekly_active_users",
     # 2: fillers by ascending deadline then registry order (planner
-    #    order, first 14 of 24)
+    #    order, first 13 of 24 — the 14th, corpus_snapshot_diff, is
+    #    displaced by the new composed winnowing entry below and
+    #    defers to its round-17 deadline with the other ten)
     "dedup_cross_corpus",
     "dedup_semantic_keep",
     "retrieval_negative_samples",
@@ -145,14 +147,16 @@ _WINDOW_PRIORITY = [
     "docs_gopher_quality",
     "corpus_dataset_card",
     "docs_stratified_sample",
-    "corpus_snapshot_diff",
     # 3a: changed THIS round — the hash-grain consensus probe fusion
     #     (VERDICT r15 #3) and the composed diagnostics checkpoint fix
     #     (ADVICE r15 #2) take slots the round they change (the
     #     changed-query rule in test_driver_window_contract)
     "multimodal_consensus_neardup",
     "dedup_diagnostics_composed",
-    # 3b: ORACLE_R17 promotions landing at their scheduled bound
+    # 3b: NEW this round — the composed winnowing-diagnostics entry
+    #     (VERDICT r15 #4), certified at birth
+    "winnowing_diagnostics_composed",
+    # 3c: ORACLE_R17 promotions landing at their scheduled bound
     #     (VERDICT r15 #2 — the eight-op batch, largest landing yet)
     "events_cusum_level_shift",
     "events_ab_conversion_ztest",

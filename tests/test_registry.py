@@ -61,13 +61,13 @@ def test_broken_extension_does_not_kill_core(monkeypatch):
 
 # Round 16 rotates to the 26-row hard cohort (the round-15 deferrals
 # AT their deadline — the largest cohort to date, including the one
-# rows-only name below) + 14 planner fillers + the two changed queries
+# rows-only name below) + 13 planner fillers + the two changed queries
 # (consensus probe fusion, composed-diagnostics checkpoint fix) + the
-# eight ORACLE_R17 promotions landing at their scheduled bound
-# (VERDICT r15 #2/#3, ADVICE r15 #2). Exactly ONE window slot is
-# rows-only this round — the winnowing fast variant hit its own
-# staleness deadline — exactly as the round-15 rotation plan
-# pre-staged.
+# new composed winnowing-diagnostics entry + the eight ORACLE_R17
+# promotions landing at their scheduled bound (VERDICT r15 #2/#3/#4,
+# ADVICE r15 #2). Exactly ONE window slot is rows-only this round —
+# the winnowing fast variant hit its own staleness deadline — exactly
+# as the round-15 rotation plan pre-staged.
 ROWS_ONLY_WINDOW_SLOTS: set[str] = {"docs_winnowing_fingerprints_fast"}
 
 
@@ -137,20 +137,22 @@ def test_rotation_staleness_bound():
 def test_rotation_planner_reproduces_round17_plan():
     """tools/rotation_plan.py must reproduce the committed round-17
     arithmetic (pre-staged with the r16 registry edit in-tree): the
-    hard cohort is EXACTLY the thirty-six round-16 deferrals — the
-    ten tail fillers the r16 changed/promoted names displaced
+    hard cohort is EXACTLY the thirty-seven round-16 deferrals — the
+    eleven tail fillers the r16 changed/new/promoted names displaced
     (consensus probe fusion + composed-diagnostics checkpoint fix +
-    the eight ORACLE_R17 promotions, VERDICT r15 #2/#3, ADVICE r15
-    #2) plus the twenty-six planner-deferred names, all certified
-    r12, deadline r17. NO rows-only name needs a window slot next
-    round, thirty-five names defer to their round-18 deadline, no
-    promotion is slotless (the R17 batch landed this round; R18's
-    joins the simulation at its own round), and the greedy
-    forward-schedule audit holds through the queued batches."""
+    the new composed winnowing entry + the eight ORACLE_R17
+    promotions, VERDICT r15 #2/#3/#4, ADVICE r15 #2) plus the
+    twenty-six planner-deferred names, all certified r12, deadline
+    r17. NO rows-only name needs a window slot next round, thirty-six
+    names defer to their round-18 deadline, no promotion is slotless
+    (the R17 batch landed this round; R18's joins the simulation at
+    its own round), and the greedy forward-schedule audit holds
+    through the queued batches."""
     from tools.rotation_plan import plan
 
     p = plan(17)
     assert p["hard_cohort"] == [
+        "corpus_snapshot_diff",
         "corpus_drift_report",
         "docs_quality_budget_fill",
         "docs_winnowing_clusters",
@@ -189,7 +191,7 @@ def test_rotation_planner_reproduces_round17_plan():
         "purchase_training_examples",
     ]
     assert p["rows_only_slots"] == []
-    assert len(p["deferred_to_bound"]) == 35
+    assert len(p["deferred_to_bound"]) == 36
     assert p["queued_promotions"] == []
     assert p["audit_ok"], p["audit_notes"]
     assert len(p["window"]) == 50 and len(set(p["window"])) == 50

@@ -1475,3 +1475,65 @@ def test_weighted_sample_favors_heavy_docs(spark):
     got = weighted_sample(docs, k=10).collect()
     heavy = sum(1 for r in got if r["n_chars"] == 5000)
     assert heavy >= 8  # 100x weight ratio ⇒ near-total dominance
+
+
+def test_composed_winnowing_equal_standalones(spark, sf_dir):
+    """VERDICT r15 #4: the composed entry (one shared winnowing
+    selection) must melt EXACTLY the rows the four standalone
+    diagnostics produce — the sharing changes the plan, never the
+    report."""
+    from pyspark.sql import functions as F
+
+    from edu_online_spark.operators.textops import (
+        source_winnow_overlap_matrix,
+        winnowing_diagnostics_composed,
+        winnowing_overlap_clusters,
+        winnowing_overlap_cross_corpus,
+        winnowing_overlap_pairs,
+    )
+    from edu_online_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = winnowing_diagnostics_composed(docs)
+    by_diag = {
+        d: sorted(
+            map(
+                tuple,
+                got.filter(F.col("diagnostic") == d)
+                .drop("diagnostic")
+                .collect(),
+            )
+        )
+        for d in ("overlap", "cluster", "cross", "matrix")
+    }
+
+    ov = winnowing_overlap_pairs(docs, variant="poly").collect()
+    assert by_diag["overlap"] == sorted(
+        (str(r["doc_a"]), str(r["doc_b"]), r["n_shared"], None, None,
+         None, None)
+        for r in ov
+    )
+    cl = winnowing_overlap_clusters(docs, variant="poly").collect()
+    assert by_diag["cluster"] == sorted(
+        (str(r["doc_id"]), None, r["cluster_rep"], None, None, None,
+         None)
+        for r in cl
+    )
+    cx = winnowing_overlap_cross_corpus(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+        variant="poly",
+    ).collect()
+    assert by_diag["cross"] == sorted(
+        (str(r["new_id"]), str(r["corpus_id"]), r["n_shared"], None,
+         None, None, None)
+        for r in cx
+    )
+    mat = source_winnow_overlap_matrix(docs, variant="poly").collect()
+    assert by_diag["matrix"] == sorted(
+        (r["source_a"], r["source_b"], r["fps_a"], r["fps_b"],
+         r["shared_fps"], None, r["fp_jaccard"])
+        for r in mat
+    )
+    # non-vacuity: the fixture corpus must exercise every grain
+    assert all(by_diag[d] for d in by_diag)

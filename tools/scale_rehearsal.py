@@ -131,6 +131,18 @@ QUERIES = [
     # LSH pass, five consumers) and the hash-grain cluster rewiring
     "dedup_diagnostics_composed",
     "multimodal_ahash_clusters",
+    # round-16: the R17 batch (first rows hand-measured at the library
+    # landing, SCALE.md §4-r13g/h/i — tracked mechanically now that
+    # they are registry queries) and the composed winnowing entry
+    "events_cusum_level_shift",
+    "events_ab_conversion_ztest",
+    "corpus_token_heavy_hitters",
+    "text_lang_kappa",
+    "docs_quality_spearman",
+    "dedup_pair_transitivity",
+    "ann_label_ndcg",
+    "events_l_diversity",
+    "winnowing_diagnostics_composed",
 ]
 
 
@@ -238,6 +250,15 @@ NOOP_MATERIALIZE = {
     "supplier_return_rate_wilson",
     "corpus_bigram_lift_topk",
     "lineitem_price_benford",
+    "events_cusum_level_shift",
+    "events_ab_conversion_ztest",
+    "corpus_token_heavy_hitters",
+    "text_lang_kappa",
+    "docs_quality_spearman",
+    "dedup_pair_transitivity",
+    "ann_label_ndcg",
+    "events_l_diversity",
+    "winnowing_diagnostics_composed",
 }
 
 
