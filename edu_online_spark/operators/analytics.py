@@ -4844,3 +4844,263 @@ ORACLE_R19.update({
         FROM u
     """,
 })
+
+
+# Benjamini–Hochberg step-up machinery: two-sided z critical values
+# for every (m, k) the procedure can need, computed ONCE in Python at
+# import (stdlib statistics.NormalDist — no scipy) and embedded as the
+# SAME string-form double literals on both engines (the NDCG_DISCOUNTS
+# discipline: no transcendental runs at query time on either side, so
+# the decision column hash-certifies exactly). BH on two-sided z-tests
+# needs no p-values at all: p_i = 2(1 − Φ(|z_i|)) is monotone
+# decreasing in |z_i|, so "sort p ascending" is "sort |z| descending"
+# and the step-up test p_(k) ≤ k·q/m is |z|_(k) ≥ Φ⁻¹(1 − k·q/(2m)).
+FDR_Q_NUM = 1
+FDR_Q_DEN = 20  # q = 0.05
+BH_MAX_M = 16  # event-type dictionaries are far smaller
+import statistics as _stats  # noqa: E402  (stdlib; import-time only)
+
+BH_CRIT = {
+    m * 100 + k: _stats.NormalDist().inv_cdf(
+        1.0 - (k * FDR_Q_NUM) / (2.0 * m * FDR_Q_DEN)
+    )
+    for m in range(1, BH_MAX_M + 1)
+    for k in range(1, m + 1)
+}
+
+
+def ab_fdr_bh(events: DataFrame) -> DataFrame:
+    """Per-event-type A/B incidence z-tests with Benjamini–Hochberg
+    FDR control — the multiple-testing step every experiment readout
+    needs once it reports more than one metric: five event types give
+    five hypotheses, and at α=0.05 a naive per-test verdict
+    manufactures a significant finding from pure noise roughly one
+    experiment in four. BH (step-up at q = FDR_Q) bounds the expected
+    FALSE-DISCOVERY share among the rejected set, the standard
+    middle ground between nothing and Bonferroni.
+
+    Per event type t: the unit of analysis is the USER (the
+    ab_conversion_ztest rule), the metric is 24-HOUR ACTIVATION on
+    that type — did the user emit ≥1 event of type t within 24h of
+    their first observed event (the ztest's time-bounded metric
+    generalized per type; unbounded ever-did-it incidence saturates
+    to p̂ = 1 for every type on any long-lived corpus and tests
+    nothing) — and the statistic is the classic pooled two-proportion
+    z between the deterministic arms user_id % 2. Types with zero
+    pooled variance (all or no users activate on the type) are
+    untestable: z is NULL, they are EXCLUDED from m, and they can
+    never be rejected. The BH step-up then runs rank-wise on
+    |z| descending (event_type tie-break): k* = max{k : |z|_(k) ≥
+    crit(k, m)} and every rank ≤ k* rejects.
+
+    Exactness: the four counts are exact bigints; z is the identical
+    fixed-order double expression on both engines (the ztest
+    discipline); crit(k, m) is a shared string-form double literal;
+    so rank, flag, k* and the rejected verdict are all engine-exact.
+
+    Scale shape: the per-user first-event timestamp is a window over
+    user_id and the distinct (user, type) activation set a groupBy on
+    the SAME key — one exchange serves both (the ztest shape); then a
+    type-grain conditional aggregate joined to the 1-row
+    arm-population normalizer, ONE partition-less rank window over
+    the |event types|-row relation (dictionary-bounded by
+    construction — the allowlist class) and a 1-row k* normalizer.
+    Nothing after the first aggregate scales with row count.
+    Queued for round 19 (`events_ab_fdr_bh`, ORACLE_R19)."""
+    users = events.select("user_id").distinct()
+    is_a = F.col("user_id") % 2 == 0
+    pop = users.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    w_user = Window.partitionBy("user_id")
+    tagged = events.withColumn("first_ts", F.min("ts").over(w_user))
+    ut = (
+        tagged.filter(
+            F.col("ts") < F.col("first_ts") + F.expr("INTERVAL 24 HOURS")
+        )
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    conv = ut.groupBy("event_type").agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("conv_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("conv_b"),
+    )
+    # 1-row normalizer — the bounded crossJoin idiom
+    base = conv.crossJoin(F.broadcast(pop))
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    p_a = F.col("conv_a").cast("double") / n_a
+    p_b = F.col("conv_b").cast("double") / n_b
+    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    var = (p_pool * (F.lit(1.0) - p_pool)) * (
+        F.lit(1.0) / n_a + F.lit(1.0) / n_b
+    )
+    z = (p_a - p_b) / F.sqrt(var)
+    scored = base.select(
+        "event_type",
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.when(var > 0, z).alias("z"),
+    ).localCheckpoint(eager=True)
+    # ^ |event types| rows; four downstream branches (m, rank, k*,
+    #   untestable) read it — without the checkpoint each branch
+    #   re-runs the corpus-sized distinct aggregates above
+    testable = scored.filter(F.col("z").isNotNull())
+    m_rel = testable.agg(
+        F.count(F.lit(1)).cast("long").alias("m_tests")
+    )
+    crit_map = F.create_map(
+        *[
+            x
+            for key, v in sorted(BH_CRIT.items())
+            for x in (F.lit(key), F.lit(v))
+        ]
+    )
+    # dictionary-bounded relation (|event types| rows) — the justified
+    # partition-less-window class (tests/test_plans.py allowlist)
+    w = Window.orderBy(F.desc(F.abs(F.col("z"))), F.asc("event_type"))
+    ranked = (
+        testable.crossJoin(F.broadcast(m_rel))
+        .withColumn("bh_rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "crit",
+            F.element_at(
+                crit_map,
+                (F.col("m_tests") * 100 + F.col("bh_rank")).cast("int"),
+            ),
+        )
+    )
+    kstar = ranked.agg(
+        F.max(
+            F.when(F.abs(F.col("z")) >= F.col("crit"), F.col("bh_rank"))
+        ).alias("k_star")
+    )
+    rejected = ranked.crossJoin(F.broadcast(kstar)).select(
+        "event_type",
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        "z",
+        "m_tests",
+        "bh_rank",
+        "crit",
+        F.coalesce(
+            F.col("bh_rank") <= F.col("k_star"), F.lit(False)
+        ).alias("rejected"),
+    )
+    nl = F.lit(None)
+    untestable = scored.filter(F.col("z").isNull()).crossJoin(
+        F.broadcast(m_rel)
+    ).select(
+        "event_type",
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        "z",
+        "m_tests",
+        nl.cast("long").alias("bh_rank"),
+        nl.cast("double").alias("crit"),
+        F.lit(False).alias("rejected"),
+    )
+    return rejected.unionByName(untestable)
+
+
+# STRING-form double literals (the _DISC_CASE rule: bare 17-digit
+# decimals parse as DECIMAL in DuckDB, one ulp off).
+_BH_CRIT_CASE = " ".join(
+    f"WHEN {key} THEN CAST('{v!r}' AS DOUBLE)"
+    for key, v in sorted(BH_CRIT.items())
+)
+
+ORACLE_R19.update({
+    "events_ab_fdr_bh": f"""
+        WITH users AS (SELECT DISTINCT user_id FROM events),
+        pop AS (
+            SELECT
+                CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_a,
+                CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+                     AS BIGINT) AS n_b
+            FROM users
+        ),
+        tagged AS (
+            SELECT user_id, event_type, ts,
+                   MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+            FROM events
+        ),
+        ut AS (
+            SELECT DISTINCT user_id, event_type FROM tagged
+            WHERE ts < first_ts + INTERVAL 24 HOUR
+        ),
+        conv AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS conv_a,
+                   CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+                        AS BIGINT) AS conv_b
+            FROM ut GROUP BY 1
+        ),
+        x AS (
+            SELECT c.event_type, p.n_a, c.conv_a, p.n_b, c.conv_b,
+                   CAST(c.conv_a AS DOUBLE) / CAST(p.n_a AS DOUBLE) AS p_a,
+                   CAST(c.conv_b AS DOUBLE) / CAST(p.n_b AS DOUBLE) AS p_b,
+                   CAST(c.conv_a + c.conv_b AS DOUBLE)
+                       / CAST(p.n_a + p.n_b AS DOUBLE) AS p_pool
+            FROM conv c CROSS JOIN pop p
+        ),
+        v AS (
+            SELECT *,
+                   (p_pool * (CAST(1.0 AS DOUBLE) - p_pool))
+                       * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                          + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))
+                       AS var
+            FROM x
+        ),
+        scored AS (
+            SELECT event_type, n_a, conv_a, n_b, conv_b,
+                   CASE WHEN var > 0
+                        THEN (p_a - p_b) / sqrt(var) END AS z
+            FROM v
+        ),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS m_tests
+            FROM scored WHERE z IS NOT NULL
+        ),
+        ranked AS (
+            SELECT s.*, m.m_tests,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY abs(s.z) DESC, s.event_type ASC
+                   ) AS BIGINT) AS bh_rank
+            FROM scored s CROSS JOIN m
+            WHERE s.z IS NOT NULL
+        ),
+        critd AS (
+            SELECT *,
+                   (CASE m_tests * 100 + bh_rank {_BH_CRIT_CASE} END)
+                       AS crit
+            FROM ranked
+        ),
+        ks AS (
+            SELECT MAX(CASE WHEN abs(z) >= crit THEN bh_rank END)
+                       AS k_star
+            FROM critd
+        )
+        SELECT c.event_type, c.n_a, c.conv_a, c.n_b, c.conv_b, c.z,
+               c.m_tests, c.bh_rank, c.crit,
+               COALESCE(c.bh_rank <= k.k_star, FALSE) AS rejected
+        FROM critd c CROSS JOIN ks k
+        UNION ALL
+        SELECT s.event_type, s.n_a, s.conv_a, s.n_b, s.conv_b, s.z,
+               m.m_tests, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+               FALSE
+        FROM scored s CROSS JOIN m
+        WHERE s.z IS NULL
+    """,
+})

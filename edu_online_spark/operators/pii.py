@@ -439,3 +439,171 @@ ORACLE.update(ORACLE_R17)
 QUERIES.update({
     "events_l_diversity": _q_events_ldiv,
 })
+
+
+# Shared t-closeness threshold as an exact rational (num/den), so the
+# violation flag is an INTEGER comparison on both engines — no double
+# threshold anywhere (the L_DIVERSITY_L interpolation discipline).
+T_CLOSENESS_NUM = 1
+T_CLOSENESS_DEN = 2  # t = 0.5
+
+
+def t_closeness_report(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive: str,
+    t_num: int = T_CLOSENESS_NUM,
+    t_den: int = T_CLOSENESS_DEN,
+) -> DataFrame:
+    """t-closeness audit — the third leg of the classic privacy trio
+    (k-anonymity: re-identification; l-diversity: attribute
+    disclosure; t-closeness: DISTRIBUTION disclosure, Li et al., ICDE
+    2007): a class can be k-anonymous AND l-diverse while its
+    sensitive-value distribution still differs sharply from the
+    corpus-wide one, which is itself the leak ("people in this class
+    skew to value X"). Per QI class: the total-variation distance
+    between the class's sensitive distribution and the global one,
+    with the `> t` violation flag.
+
+    TVD is the log-free distance (the source_token_tvd discipline —
+    no KL/EMD transcendentals, so it hash-certifies exactly): with
+    n_cu = rows of value u in class c, n_c = class rows, g_u = global
+    rows of u, N = total rows,
+
+        TVD(c) = Σ_u |n_cu·N − g_u·n_c| / (2·n_c·N).
+
+    Values the class never contains fold in CLOSED FORM —
+    Σ_{u∉c} g_u·n_c = n_c·(N − Σ_{u∈c} g_u) — so the engine touches
+    only (class, value) pairs that EXIST; the numerator accumulates
+    in DECIMAL(38,0) (exact, order-free — a double sum would be
+    run-order-dependent), the reported tvd is one fixed-order double
+    division, and the violation flag is the exact integer comparison
+    num·t_den > t_num·2·n_c·N — no double ever decides a verdict.
+
+    Scale shape: one map-side-combined shuffle to (QI, value) grain
+    with a QI-PARTITIONED window for class sizes, one value-grain
+    shuffle for the global histogram joined back on the value key,
+    one class-grain aggregate; N is a 1-row broadcast normalizer. No
+    partition-less window anywhere. Queued for round 19
+    (`events_t_closeness`, ORACLE_R19)."""
+    from pyspark.sql import Window
+
+    rows = df.select(*qi_cols, F.col(sensitive).alias("sv"))
+    cls_val = rows.groupBy(*qi_cols, "sv").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cu")
+    )
+    glob = rows.groupBy("sv").agg(
+        F.count(F.lit(1)).cast("long").alias("g_u")
+    )
+    total = rows.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+
+    def dec(c) -> Column:
+        return (c if isinstance(c, Column) else F.col(c)).cast(
+            "decimal(38,0)"
+        )
+
+    w_cls = Window.partitionBy(*qi_cols)
+    enriched = (
+        cls_val.withColumn(
+            "n_c", F.sum("n_cu").over(w_cls).cast("long")
+        )
+        .join(glob, "sv")
+        # 1-row normalizer — the bounded crossJoin idiom
+        .crossJoin(F.broadcast(total))
+    )
+    per_class = enriched.groupBy(*qi_cols).agg(
+        F.max("n_c").cast("long").alias("n_rows"),
+        F.max("n_total").cast("long").alias("n_total"),
+        F.sum(
+            F.abs(dec("n_cu") * dec("n_total") - dec("g_u") * dec("n_c"))
+        ).alias("num_present"),
+        F.sum("g_u").cast("long").alias("g_present"),
+    )
+    num = F.col("num_present") + dec("n_rows") * (
+        dec("n_total") - dec("g_present")
+    )
+    tvd = num.cast("double") / (
+        F.lit(2).cast("double")
+        * F.col("n_rows").cast("double")
+        * F.col("n_total").cast("double")
+    )
+    violates = (num * F.lit(int(t_den)).cast("decimal(38,0)")) > (
+        F.lit(int(t_num)).cast("decimal(38,0)")
+        * F.lit(2).cast("decimal(38,0)")
+        * dec("n_rows")
+        * dec("n_total")
+    )
+    return per_class.select(
+        *qi_cols,
+        "n_rows",
+        num.cast("double").alias("sum_abs_dev"),
+        tvd.alias("tvd"),
+        violates.alias("violates_t"),
+    )
+
+
+def _q_events_tclose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    qi = events.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    return t_closeness_report(qi, ["event_type", "day"], "user_id")
+
+
+# Round-19 queue (the PII module's third release-gate audit — the trio
+# k-anonymity / l-diversity / t-closeness is complete with this op).
+ORACLE_R19 = {
+    "events_t_closeness": f"""
+        WITH rows_ AS (
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   user_id AS sv
+            FROM events
+        ),
+        cv AS (
+            SELECT event_type, day, sv,
+                   CAST(count(*) AS BIGINT) AS n_cu
+            FROM rows_ GROUP BY 1, 2, 3
+        ),
+        g AS (
+            SELECT sv, CAST(count(*) AS BIGINT) AS g_u
+            FROM rows_ GROUP BY 1
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM rows_),
+        e AS (
+            SELECT cv.event_type, cv.day, cv.n_cu, g.g_u, t.n_total,
+                   SUM(cv.n_cu) OVER (
+                       PARTITION BY cv.event_type, cv.day
+                   ) AS n_c
+            FROM cv JOIN g USING (sv) CROSS JOIN tot t
+        ),
+        pc AS (
+            SELECT event_type, day,
+                   CAST(MAX(n_c) AS BIGINT) AS n_rows,
+                   MAX(n_total) AS n_total,
+                   SUM(ABS(CAST(n_cu AS HUGEINT) * n_total
+                           - CAST(g_u AS HUGEINT) * n_c))
+                       AS num_present,
+                   CAST(SUM(g_u) AS BIGINT) AS g_present
+            FROM e GROUP BY 1, 2
+        ),
+        f AS (
+            SELECT event_type, day, n_rows, n_total,
+                   num_present
+                       + CAST(n_rows AS HUGEINT) * (n_total - g_present)
+                       AS num
+            FROM pc
+        )
+        SELECT event_type, day, n_rows,
+               CAST(num AS DOUBLE) AS sum_abs_dev,
+               CAST(num AS DOUBLE)
+                   / (CAST(2 AS DOUBLE) * CAST(n_rows AS DOUBLE)
+                      * CAST(n_total AS DOUBLE)) AS tvd,
+               num * {T_CLOSENESS_DEN}
+                   > CAST({T_CLOSENESS_NUM} AS HUGEINT) * 2
+                     * CAST(n_rows AS HUGEINT) * n_total
+                   AS violates_t
+        FROM f
+    """,
+}

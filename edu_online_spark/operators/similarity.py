@@ -1891,3 +1891,105 @@ ORACLE.update(ORACLE_R17)
 QUERIES.update({
     "ann_label_ndcg": _q(label_ndcg),
 })
+
+
+def label_mrr(
+    embeddings: DataFrame, k: int = NDCG_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """MRR@k of exact cosine retrieval against label relevance — the
+    reciprocal-rank companion to `label_ndcg`: NDCG grades the whole
+    ranked list, MRR grades only WHERE THE FIRST HIT LANDS, which is
+    the number a retrieve-then-read pipeline lives on (the reader
+    usually consumes one passage). Emitted at QUERY grain — (qid,
+    q_label, first_hit_rank, rr) — so the per-query spectrum
+    hash-certifies and any mean/percentile rolls up downstream.
+
+    Exactness: the ranking is the same certified brute-force shape as
+    label_ndcg (sequential-fold cosines, nid tie-break); rr is the
+    single correctly-rounded division 1.0 / rank (identical operand
+    order in the mirror), 0.0 when no hit lands inside k, and
+    first_hit_rank is an exact bigint (NULL on a miss).
+
+    Scale shape: identical to label_ndcg — one corpus pass against
+    the broadcast query set, a per-query top-k window, one MIN per
+    query. No corpus self-join. Queued for round 19 (`ann_label_mrr`,
+    ORACLE_R19)."""
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("nv"),
+        F.col("label").alias("n_label"),
+    )
+    scored = c.join(F.broadcast(q), F.col("qid") != F.col("nid")).select(
+        "qid",
+        "q_label",
+        "nid",
+        "n_label",
+        cosine_similarity(F.col("qv"), F.col("nv")).alias("cosine"),
+    )
+    top = _topk(scored, k)
+    hits = (
+        top.filter(F.col("n_label") == F.col("q_label"))
+        .groupBy("qid")
+        .agg(F.min("rank").cast("long").alias("first_hit_rank"))
+    )
+    return (
+        q.select("qid", "q_label")
+        .join(F.broadcast(hits), "qid", "left")
+        .select(
+            "qid",
+            "q_label",
+            "first_hit_rank",
+            F.coalesce(
+                F.lit(1.0) / F.col("first_hit_rank").cast("double"),
+                F.lit(0.0),
+            ).alias("rr"),
+        )
+    )
+
+
+# Round-19 queue: the mirror repeats the certified brute-force ranking
+# (index-ordered sequential-fold cosine, nid tie-break — the ndcg
+# oracle's exact CTE chain) and the single reciprocal division.
+ORACLE_R19 = {
+    "ann_label_mrr": f"""
+        WITH q AS (
+            SELECT vec_id AS qid, embedding AS qv, label AS q_label
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        ),
+        pairs AS (
+            SELECT q.qid, q.q_label, c.vec_id AS nid, c.label AS n_label,
+                   list_sum([q.qv[i]::DOUBLE * c.embedding[i]::DOUBLE
+                             for i in range(1, len(q.qv) + 1)])
+                   / (sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE
+                                     for i in range(1, len(q.qv) + 1)]))
+                      * sqrt(list_sum([c.embedding[i]::DOUBLE
+                                       * c.embedding[i]::DOUBLE
+                                       for i in range(1, len(c.embedding) + 1)])))
+                       AS cosine
+            FROM embeddings c JOIN q ON q.qid <> c.vec_id
+        ),
+        top AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY qid
+                           ORDER BY cosine DESC, nid ASC
+                       ) AS rank
+                FROM pairs
+            ) WHERE rank <= {NDCG_K}
+        ),
+        hits AS (
+            SELECT qid, CAST(MIN(rank) AS BIGINT) AS first_hit_rank
+            FROM top WHERE n_label = q_label GROUP BY qid
+        )
+        SELECT q.qid, q.q_label, h.first_hit_rank,
+               COALESCE(CAST(1.0 AS DOUBLE)
+                            / CAST(h.first_hit_rank AS DOUBLE),
+                        CAST(0.0 AS DOUBLE)) AS rr
+        FROM q LEFT JOIN hits h ON h.qid = q.qid
+    """,
+}

@@ -738,6 +738,13 @@ PARTITIONLESS_WINDOW_ALLOWLIST: dict[str, int] = {
     "events_daily_anomalies": 6,
     "orders_open_backlog": 1,
     "purchases_minutely_gapfill": 1,
+    # BH rank window over the |event types|-row testable relation
+    # (dictionary-bounded by construction; the spec appears twice —
+    # the rejected and k* branches each derive ranks from the
+    # CHECKPOINTED type-grain relation, so neither re-runs the corpus
+    # aggregates. Queued R19 — inert in this pin until the op takes
+    # its window slot, justified here at birth)
+    "events_ab_fdr_bh": 2,
 }
 
 

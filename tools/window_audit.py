@@ -83,6 +83,7 @@ def _queued_r17_plus() -> dict:
     from edu_online_spark.operators import pii
     from edu_online_spark.operators.analytics import (
         ab_conversion_ztest,
+        ab_fdr_bh,
         ab_quantile_uplift,
         ab_srm_check,
         ab_value_effect_size,
@@ -93,7 +94,7 @@ def _queued_r17_plus() -> dict:
         price_qty_ols,
     )
     from edu_online_spark.operators.dedup import pair_transitivity
-    from edu_online_spark.operators.similarity import label_ndcg
+    from edu_online_spark.operators.similarity import label_mrr, label_ndcg
     from edu_online_spark.operators.textops import (
         lang_kappa,
         quality_length_spearman,
@@ -122,6 +123,10 @@ def _queued_r17_plus() -> dict:
         "events_ab_ks_test": one(ab_value_ks_test, "events"),
         "events_ab_effect_size": one(ab_value_effect_size, "events"),
         "events_ab_quantile_uplift": one(ab_quantile_uplift, "events"),
+        # round-16 session additions to the R19 queue
+        "events_t_closeness": pii._q_events_tclose,
+        "ann_label_mrr": one(label_mrr, "embeddings"),
+        "events_ab_fdr_bh": one(ab_fdr_bh, "events"),
     }
 
 
