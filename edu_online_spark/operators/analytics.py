@@ -4922,9 +4922,20 @@ def ab_fdr_bh(events: DataFrame) -> DataFrame:
         .select("user_id", "event_type")
         .distinct()
     )
-    conv = ut.groupBy("event_type").agg(
-        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("conv_a"),
-        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("conv_b"),
+    # LEFT join from the full type dictionary: a type nobody activates
+    # on must surface as an untestable 0/0 row, not vanish (the
+    # threshold_yield_curve zero-preservation rule)
+    conv = events.select("event_type").distinct().join(
+        ut.groupBy("event_type").agg(
+            F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("conv_a"),
+            F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("conv_b"),
+        ),
+        "event_type",
+        "left",
+    ).select(
+        "event_type",
+        F.coalesce("conv_a", F.lit(0)).cast("long").alias("conv_a"),
+        F.coalesce("conv_b", F.lit(0)).cast("long").alias("conv_b"),
     )
     # 1-row normalizer — the bounded crossJoin idiom
     base = conv.crossJoin(F.broadcast(pop))
@@ -5040,12 +5051,18 @@ ORACLE_R19.update({
             WHERE ts < first_ts + INTERVAL 24 HOUR
         ),
         conv AS (
-            SELECT event_type,
-                   CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
-                        AS BIGINT) AS conv_a,
-                   CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
-                        AS BIGINT) AS conv_b
-            FROM ut GROUP BY 1
+            SELECT t.event_type,
+                   CAST(COALESCE(c.conv_a, 0) AS BIGINT) AS conv_a,
+                   CAST(COALESCE(c.conv_b, 0) AS BIGINT) AS conv_b
+            FROM (SELECT DISTINCT event_type FROM events) t
+            LEFT JOIN (
+                SELECT event_type,
+                       SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                           AS conv_a,
+                       SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+                           AS conv_b
+                FROM ut GROUP BY 1
+            ) c USING (event_type)
         ),
         x AS (
             SELECT c.event_type, p.n_a, c.conv_a, p.n_b, c.conv_b,

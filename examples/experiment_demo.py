@@ -30,6 +30,7 @@ sys.path.insert(0, ".")
 
 from edu_online_spark.config import EngineConfig  # noqa: E402
 from edu_online_spark.operators.analytics import (  # noqa: E402
+    ab_fdr_bh,
     ab_quantile_uplift,
     ab_srm_check,
     ab_value_effect_size,
@@ -152,6 +153,23 @@ def main():
     print(
         "    (expected: a low-side run before day 11 and/or a high-side"
         " run after it — the runs bracket the regime change)"
+    )
+
+    print("=== 6. BH-FDR over per-type activation (multi-metric control) ===")
+    for r in sorted(
+        ab_fdr_bh(ev).collect(),
+        key=lambda r: (r["bh_rank"] is None, r["bh_rank"] or 0, r["event_type"]),
+    ):
+        z = f"{r['z']:.2f}" if r["z"] is not None else "NULL"
+        crit = f"{r['crit']:.3f}" if r["crit"] is not None else "-"
+        print(
+            f"    {r['event_type']:<8} z={z:>6} m={r['m_tests']} "
+            f"rank={r['bh_rank']} crit={crit} rejected={r['rejected']}"
+        )
+    print(
+        "    (expected: 'purchase' is the ONLY testable type — view/click"
+        " activate everyone, ping nobody, all three z=NULL and excluded"
+        " from m — so m=1, crit=1.960, and the planted lift rejects)"
     )
 
 
