@@ -4898,34 +4898,51 @@ def ab_fdr_bh(events: DataFrame) -> DataFrame:
     discipline); crit(k, m) is a shared string-form double literal;
     so rank, flag, k* and the rejected verdict are all engine-exact.
 
-    Scale shape: the per-user first-event timestamp is a window over
-    user_id and the distinct (user, type) activation set a groupBy on
-    the SAME key — one exchange serves both (the ztest shape); then a
-    type-grain conditional aggregate joined to the 1-row
+    Scale shape: ONE map-side-combined shuffle to (user, type) grain
+    — the pair min-timestamp relation, from which the per-user first
+    timestamp, the arm populations, the type dictionary, AND the
+    activation set all derive (the fold the streaming twin persists:
+    min is idempotent and commutative, so the same report stage runs
+    live over the folded state — stream/batch parity by shared code);
+    then a type-grain conditional aggregate joined to the 1-row
     arm-population normalizer, ONE partition-less rank window over
     the |event types|-row relation (dictionary-bounded by
     construction — the allowlist class) and a 1-row k* normalizer.
     Nothing after the first aggregate scales with row count.
     Queued for round 19 (`events_ab_fdr_bh`, ORACLE_R19)."""
-    users = events.select("user_id").distinct()
+    pair_mins = events.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("min_ts")
+    )
+    return fdr_bh_report(pair_mins)
+
+
+def fdr_bh_report(pair_mins: DataFrame) -> DataFrame:
+    """The BH stage of `ab_fdr_bh`, split out so the streaming twin
+    folds its (user_id, event_type, min_ts) state and applies the
+    IDENTICAL screen — stream/batch parity by construction (the
+    cusum_report pattern). Input contract: one row per (user, type)
+    pair ever observed, carrying the pair's MINIMUM event timestamp;
+    a user's first-seen timestamp and 24h activation set both derive
+    from it exactly."""
     is_a = F.col("user_id") % 2 == 0
-    pop = users.agg(
+    user_min = pair_mins.groupBy("user_id").agg(
+        F.min("min_ts").alias("first_ts")
+    )
+    pop = user_min.agg(
         F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
         F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("n_b"),
     )
-    w_user = Window.partitionBy("user_id")
-    tagged = events.withColumn("first_ts", F.min("ts").over(w_user))
     ut = (
-        tagged.filter(
-            F.col("ts") < F.col("first_ts") + F.expr("INTERVAL 24 HOURS")
+        pair_mins.join(user_min, "user_id")
+        .filter(
+            F.col("min_ts") < F.col("first_ts") + F.expr("INTERVAL 24 HOURS")
         )
         .select("user_id", "event_type")
-        .distinct()
     )
     # LEFT join from the full type dictionary: a type nobody activates
     # on must surface as an untestable 0/0 row, not vanish (the
     # threshold_yield_curve zero-preservation rule)
-    conv = events.select("event_type").distinct().join(
+    conv = pair_mins.select("event_type").distinct().join(
         ut.groupBy("event_type").agg(
             F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("conv_a"),
             F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("conv_b"),

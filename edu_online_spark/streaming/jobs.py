@@ -4236,6 +4236,136 @@ def daily_cusum_job(
     )
 
 
+def ab_fdr_job(
+    raw: DataFrame,
+    out: str,
+    checkpoint: str,
+    available_now: bool = False,
+    retain_snapshots: int = 8,
+) -> StreamingQuery:
+    """Live multi-metric experiment readout: the streaming twin of the
+    R19-queued `operators/analytics.ab_fdr_bh` — the IDENTICAL
+    `fdr_bh_report` stage re-screened per trigger over folded state
+    (stream/batch parity by shared code, the cusum_report pattern).
+    This is the monitor an experimentation platform actually runs:
+    per-event-type 24h-activation z-tests with Benjamini–Hochberg
+    step-up control, recomputed as users and types arrive, so the
+    dashboard's "significant" column already prices the number of
+    metrics being watched.
+
+    State is the (user_id, event_type, min_ts) pair-minimum relation:
+    MIN is idempotent AND commutative, so the fold is replay-safe by
+    algebra — a redelivered trigger folds to the same state — and the
+    last_batch_id fence still guards it (uniform with the additive
+    twins, and it spares the re-fold work). A user's first-seen
+    timestamp, the arm populations, the full type dictionary, and the
+    activation set all derive exactly from the folded pair minimums,
+    which is what makes the whole BH verdict recomputable live —
+    including the case where a LATE-arriving earlier event lowers a
+    user's first_ts and correctly revokes activations the batch op
+    would also revoke. State size is (users × types observed) rows;
+    the report output is |types| rows per trigger.
+
+    Output per trigger: one row per event type (n_a, conv_a, n_b,
+    conv_b, z, m_tests, bh_rank, crit, rejected), snapshot-written to
+    ingest_batch=N with the newest `retain_snapshots` kept."""
+    import os
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.analytics import fdr_bh_report
+
+    state_path = out + ".state"
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    parsed = F.from_json(
+        F.col("value"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    ev = (
+        raw.select(parsed.alias("j"))
+        .filter(
+            F.col("j._corrupt").isNull()
+            & F.col("j.user_id").isNotNull()
+            & F.col("j.event_type").isNotNull()
+            & F.to_timestamp_ntz(F.col("j.ts")).isNotNull()
+        )
+        .select(
+            F.col("j.user_id").alias("user_id"),
+            F.col("j.event_type").alias("event_type"),
+            F.to_timestamp_ntz(F.col("j.ts")).alias("ts"),
+        )
+    )
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        sinks.recover_sink(state_path)
+        if os.path.exists(state_path):
+            old = spark.read.parquet(state_path)
+            last = old.agg(F.max("last_batch_id")).first()[0]
+            if last is not None and last >= batch_id:
+                return  # redelivered trigger (min would no-op; skip anyway)
+            prior = old.select("user_id", "event_type", "min_ts")
+        else:
+            prior = spark.createDataFrame(
+                [], "user_id long, event_type string, min_ts timestamp_ntz"
+            )
+        delta = batch.groupBy("user_id", "event_type").agg(
+            F.min("ts").alias("min_ts")
+        )
+        state = (
+            prior.unionByName(delta)
+            .groupBy("user_id", "event_type")
+            .agg(F.min("min_ts").alias("min_ts"))
+            .localCheckpoint(eager=True)  # snapshot + state share it
+        )
+        snap = fdr_bh_report(state)
+        snap.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, f"ingest_batch={batch_id}")
+        )
+        new_state = (
+            state.withColumn("last_batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .localCheckpoint(eager=True)  # materialize before the swap
+        )
+        sinks.parquet_overwrite_atomic(state_path)(new_state, batch_id)
+        if retain_snapshots > 0:
+            import shutil
+
+            stale = sorted(
+                int(d.split("=")[1])
+                for d in os.listdir(out)
+                if d.startswith("ingest_batch=")
+            )[:-retain_snapshots]
+            for b in stale:
+                shutil.rmtree(
+                    os.path.join(out, f"ingest_batch={b}"),
+                    ignore_errors=True,
+                )
+
+    return (
+        ev.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )
+
+
 def heavy_hitters_job(
     raw: DataFrame,
     out_path: str,

@@ -42,7 +42,7 @@ def main() -> None:
             "register", "qz", "page", "raw", "docs", "pii", "emb", "link",
             "scrub", "budget", "shard", "winnow", "ingest", "neardup", "burst",
             "seed", "stick", "sla", "deciles", "gini", "act", "madd",
-            "cusum",
+            "cusum", "fdr",
         )
     }
 
@@ -663,6 +663,49 @@ def main() -> None:
         if d.startswith("ingest_batch=")
     )
     out["daily_cusum"] = f"{cusum_base}/ingest_batch={last}"
+
+    # round 16: live BH-FDR experiment monitor (ab_fdr_job — streaming
+    # twin of the R19-queued ab_fdr_bh via shared fdr_bh_report over a
+    # folded (user, type, min_ts) pair-minimum state). Wave 1: 20
+    # users (10 per arm) all emit 'landing' at T0, then 'convert'
+    # within 24h for 8 even vs 2 odd users — z = 0.6/√0.05 ≈ 2.683.
+    # Wave 2: a balanced 'noise' type (5 vs 5 → z = 0), a LATE
+    # 'convert' for odd user 5 at T0+40h (outside the 24h window —
+    # the pair folds into state but must NOT activate), and a
+    # replayed duplicate of user 0's convert (min is idempotent).
+    # Final: m=2; convert rank 1, crit(1,2)=2.241, REJECTED; noise
+    # rank 2, crit(2,2)=1.960, not rejected; landing saturates →
+    # z NULL, excluded from m.
+    def fdr_line(e, uid, et, ts):
+        return json.dumps(
+            {"event_id": e, "user_id": uid, "event_type": et, "ts": ts}
+        )
+
+    f1 = [fdr_line(i, u, "landing", "2026-08-01 00:00:00")
+          for i, u in enumerate(range(20))]
+    f1 += [fdr_line(100 + i, u, "convert", "2026-08-01 01:00:00")
+           for i, u in enumerate([0, 2, 4, 6, 8, 10, 12, 14, 1, 3])]
+    produce(topics["fdr"], "f1.jsonl", f1 + ["corrupt {"])
+    fdr_base = f"{work}/out/ab_fdr"
+    jobs.ab_fdr_job(
+        file_stream(spark, topics["fdr"]),
+        fdr_base, ck("fdr"), available_now=True,
+    ).awaitTermination(120)
+    f2 = [fdr_line(200 + i, u, "noise", "2026-08-01 02:00:00")
+          for i, u in enumerate([0, 2, 4, 6, 8, 1, 3, 5, 7, 9])]
+    f2.append(fdr_line(300, 5, "convert", "2026-08-02 16:00:00"))  # +40h: late
+    f2.append(fdr_line(100, 0, "convert", "2026-08-01 01:00:00"))  # replay dup
+    produce(topics["fdr"], "f2.jsonl", f2)
+    jobs.ab_fdr_job(
+        file_stream(spark, topics["fdr"]),
+        fdr_base, ck("fdr"), available_now=True,
+    ).awaitTermination(120)
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(fdr_base)
+        if d.startswith("ingest_batch=")
+    )
+    out["ab_fdr"] = f"{fdr_base}/ingest_batch={last}"
 
     for name, path in out.items():
         df = spark.read.parquet(path)

@@ -105,6 +105,13 @@ CROSSJOIN_SITES = {
     # the melted form attaches per-metric totals via a metric-keyed
     # broadcast join instead
     ("edu_online_spark/operators/analytics.py", "ab_value_ks_test"),
+    # round 16: three bounded normalizers in the BH readout — the
+    # 1-row arm-population join, the 1-row m join, and the 1-row k*
+    # join, all over the checkpointed |event types|-grain relation
+    ("edu_online_spark/operators/analytics.py", "fdr_bh_report"),
+    # round 16: the 1-row corpus-total normalizer of the t-closeness
+    # TVD denominator
+    ("edu_online_spark/operators/pii.py", "t_closeness_report"),
     ("edu_online_spark/operators/analytics.py", "basket_association_rules"),
     ("edu_online_spark/operators/analytics.py", "customer_rfm"),
     ("edu_online_spark/operators/analytics.py", "mad_report"),

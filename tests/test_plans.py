@@ -738,6 +738,17 @@ PARTITIONLESS_WINDOW_ALLOWLIST: dict[str, int] = {
     "events_daily_anomalies": 6,
     "orders_open_backlog": 1,
     "purchases_minutely_gapfill": 1,
+    # CUSUM closed form: two whole-relation aggs (n_days, total) + two
+    # running sums + two running mins + the two alarm reads, all over
+    # the DAY-grain relation (calendar-bounded — the daily_anomalies
+    # envelope)
+    "events_cusum_level_shift": 8,
+    # the two exact global rank windows permutation Spearman is
+    # DEFINED by — the op is GUARDED at SPEARMAN_EXACT_MAX_ROWS
+    # rankable rows (checkpoint-then-count preflight) and its refusal
+    # names quality_length_spearman_banded, the window-free scale path
+    # (the _guard_all_pairs contract; §4-r14b)
+    "docs_quality_spearman": 2,
     # BH rank window over the |event types|-row testable relation
     # (dictionary-bounded by construction; the spec appears twice —
     # the rejected and k* branches each derive ranks from the

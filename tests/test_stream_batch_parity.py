@@ -1283,3 +1283,141 @@ def test_ols_monitor_replay_fence_prevents_double_count(spark, tmp_path):
     after = spark.read.parquet(out).first()
     assert after["n"] == 50
     assert after["slope_cents_per_unit"] == before["slope_cents_per_unit"]
+
+
+def test_ab_fdr_streaming_equals_batch(spark, sf_dir, tmp_path):
+    """Live BH experiment monitor: replay the events table in two
+    waves; the final snapshot equals the batch ab_fdr_bh row for row
+    (shared fdr_bh_report over the folded (user, type) pair-minimum
+    state). A corrupt line is dropped, not crashed on."""
+    import json
+
+    from edu_online_spark.operators.analytics import ab_fdr_bh
+
+    events = load_table(spark, sf_dir, "events")
+    lines = [
+        json.dumps(
+            {
+                "event_id": r["event_id"],
+                "user_id": r["user_id"],
+                "event_type": r["event_type"],
+                "ts": str(r["ts"]),
+            }
+        )
+        for r in events.select(
+            "event_id", "user_id", "event_type", "ts"
+        ).collect()
+    ] + ["corrupt {"]
+    assert len(lines) > 100
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    half = len(lines) // 2
+    _replay(jobs.ab_fdr_job, spark, src, out, ckpt,
+            [lines[:half], lines[half:]])
+    batches = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out)
+        if d.startswith("ingest_batch=")
+    )
+    final = os.path.join(out, f"ingest_batch={batches[-1]}")
+    cols = ["n_a", "conv_a", "n_b", "conv_b", "z", "m_tests",
+            "bh_rank", "crit", "rejected"]
+    streamed = {
+        r["event_type"]: tuple(r[c] for c in cols)
+        for r in spark.read.parquet(final).collect()
+    }
+    batch = {
+        r["event_type"]: tuple(r[c] for c in cols)
+        for r in ab_fdr_bh(events).collect()
+    }
+    assert streamed == batch
+    # state is the exact distinct (user, type) pair inventory
+    n_state = spark.read.parquet(out + ".state").count()
+    assert n_state == events.select("user_id", "event_type").distinct().count()
+
+
+def test_ab_fdr_late_event_revokes_activation(spark, tmp_path):
+    """The live-correctness property the pair-minimum fold buys: a
+    LATE-arriving EARLIER event lowers a user's first_ts and must
+    revoke activations that no longer fall inside the 24h window —
+    exactly what the batch op computes on the full table. Wave 1:
+    user 2's only event is type 'x' at T+30h → 'x' activates (it IS
+    the first event). Wave 2 delivers the user's true first event
+    (type 'base', at T) → first_ts drops by 30h and 'x' is no longer
+    within 24h of it: conv for 'x' must drop from 1 to 0."""
+    import json
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+
+    def line(eid, uid, et, ts):
+        return json.dumps(
+            {"event_id": eid, "user_id": uid, "event_type": et, "ts": ts}
+        )
+
+    w1 = [
+        line(0, 1, "base", "2024-05-01 00:00:00"),
+        line(1, 2, "x", "2024-05-02 06:00:00"),  # T+30h — user 2's only event so far
+    ]
+    w2 = [line(2, 2, "base", "2024-05-01 00:00:00")]  # the late true first
+    _replay(jobs.ab_fdr_job, spark, src, out, ckpt, [w1, w2])
+    batches = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out)
+        if d.startswith("ingest_batch=")
+    )
+    assert len(batches) == 2  # both retained snapshots readable
+
+    def snap(b):
+        return {
+            r["event_type"]: (r["conv_a"], r["conv_b"])
+            for r in spark.read.parquet(
+                os.path.join(out, f"ingest_batch={b}")
+            ).collect()
+        }
+
+    snap1 = snap(batches[0])
+    assert snap1["x"] == (1, 0)  # user 2 is arm A (even) and activated
+    snap2 = snap(batches[-1])
+    assert snap2["x"] == (0, 0)  # revoked: 30h > 24h from the true first
+    assert snap2["base"] == (1, 1)  # user 2 (arm A) + user 1 (arm B)
+
+
+def test_ab_fdr_replay_fence_prevents_refold(spark, sf_dir, tmp_path):
+    """Restarting availableNow over the same checkpoint with no new
+    files leaves the pair-minimum state untouched (min would no-op by
+    algebra; the fence spares the work and keeps the twins uniform)."""
+    import json
+
+    events = load_table(spark, sf_dir, "events")
+    rows = events.select(
+        "event_id", "user_id", "event_type", "ts"
+    ).limit(300).collect()
+    lines = [
+        json.dumps(
+            {
+                "event_id": r["event_id"],
+                "user_id": r["user_id"],
+                "event_type": r["event_type"],
+                "ts": str(r["ts"]),
+            }
+        )
+        for r in rows
+    ]
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    _replay(jobs.ab_fdr_job, spark, src, out, ckpt, [lines])
+    before = sorted(
+        map(tuple, spark.read.parquet(out + ".state").collect())
+    )
+    q = jobs.ab_fdr_job(
+        file_stream(spark, src, max_files_per_trigger=1),
+        out,
+        ckpt,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    after = sorted(
+        map(tuple, spark.read.parquet(out + ".state").collect())
+    )
+    assert after == before
