@@ -4967,13 +4967,21 @@ def fdr_bh_report(pair_mins: DataFrame) -> DataFrame:
         F.lit(1.0) / n_a + F.lit(1.0) / n_b
     )
     z = (p_a - p_b) / F.sqrt(var)
+    # the outer guard must be a SEPARATE when: an empty arm makes the
+    # 1/n division inside `var` itself raise under ANSI, so var may
+    # only be evaluated once both arms are known non-empty (If
+    # branches short-circuit in codegen; surfaced by the hypothesis
+    # sweep on a one-arm corpus)
     scored = base.select(
         "event_type",
         "n_a",
         "conv_a",
         "n_b",
         "conv_b",
-        F.when(var > 0, z).alias("z"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.when(var > 0, z),
+        ).alias("z"),
     ).localCheckpoint(eager=True)
     # ^ |event types| rows; four downstream branches (m, rank, k*,
     #   untestable) read it — without the checkpoint each branch
@@ -5098,8 +5106,13 @@ ORACLE_R19.update({
             FROM x
         ),
         scored AS (
+            -- the arm guard mirrors the operator's nested when: with
+            -- an empty arm, DuckDB's 0/0 makes var NaN (NaN > 0 is
+            -- false) so the bare CASE already yields NULL, but the
+            -- explicit predicate keeps the two engines' semantics
+            -- aligned by construction rather than by IEEE accident
             SELECT event_type, n_a, conv_a, n_b, conv_b,
-                   CASE WHEN var > 0
+                   CASE WHEN n_a > 0 AND n_b > 0 AND var > 0
                         THEN (p_a - p_b) / sqrt(var) END AS z
             FROM v
         ),

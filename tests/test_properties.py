@@ -1726,3 +1726,146 @@ def test_customer_balance_deciles_match_sorted_reference(spark, rows):
         for k in range(1, 10):
             pos = (k * n + 9) // 10
             assert g[f"d{k}"] == s[pos - 1], (seg, k, s)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # class
+            st.integers(min_value=0, max_value=6),   # sensitive value
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_t_closeness_matches_exact_fraction_reference(spark, pairs):
+    """For ANY multiset of (class, value) rows: every per-class TVD
+    equals the exact Fraction arithmetic computed independently in
+    Python (the decimal numerator is order-free and exact), sits in
+    [0, 1], and the integer violation verdict equals the EXACT
+    comparison tvd > t — never the double's."""
+    from collections import Counter
+    from fractions import Fraction
+
+    from edu_online_spark.operators.pii import (
+        T_CLOSENESS_DEN,
+        T_CLOSENESS_NUM,
+        t_closeness_report,
+    )
+
+    df = spark.createDataFrame(
+        [(f"c{c}", v) for c, v in pairs], "grp string, v long"
+    )
+    got = {
+        r["grp"]: (r["n_rows"], r["sum_abs_dev"], r["tvd"], r["violates_t"])
+        for r in t_closeness_report(df, ["grp"], "v").collect()
+    }
+
+    n_total = len(pairs)
+    glob = Counter(v for _, v in pairs)
+    by_class: dict[str, Counter] = {}
+    for c, v in pairs:
+        by_class.setdefault(f"c{c}", Counter())[v] += 1
+    assert set(got) == set(by_class)
+    t = Fraction(T_CLOSENESS_NUM, T_CLOSENESS_DEN)
+    for grp, cnt in by_class.items():
+        n_c = sum(cnt.values())
+        num = sum(
+            abs(cnt.get(v, 0) * n_total - g * n_c) for v, g in glob.items()
+        )
+        tvd = Fraction(num, 2 * n_c * n_total)
+        n_rows, sum_abs_dev, tvd_d, violates = got[grp]
+        assert n_rows == n_c
+        assert sum_abs_dev == float(num)
+        assert 0 <= tvd <= 1
+        assert abs(tvd_d - float(tvd)) < 1e-12
+        assert violates == (tvd > t)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=39),  # user
+            st.integers(min_value=0, max_value=4),   # event type id
+            st.integers(min_value=0, max_value=80),  # hours offset
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_ab_fdr_bh_matches_python_reference(spark, events):
+    """For ANY event multiset: the whole BH verdict — per-type counts,
+    z, m, ranks, and the rejected set — equals an independent Python
+    reference implementing the step-up from scratch; and the rejected
+    set is ALWAYS a prefix of the |z|-descending rank order (the
+    step-up contract)."""
+    import datetime
+    import math
+    import statistics
+
+    from edu_online_spark.operators.analytics import (
+        BH_CRIT,
+        ab_fdr_bh,
+    )
+
+    t0 = datetime.datetime(2024, 5, 1)
+    rows = [
+        (i, u, f"t{e}", t0 + datetime.timedelta(hours=h))
+        for i, (u, e, h) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp_ntz"
+    )
+    got = {r["event_type"]: r for r in ab_fdr_bh(df).collect()}
+
+    # --- reference, from scratch -----------------------------------
+    first = {}
+    for _, u, e, h in [(None, u, e, h) for (u, e, h) in events]:
+        first[u] = min(first.get(u, h), h)
+    users = sorted(first)
+    n_a = sum(1 for u in users if u % 2 == 0)
+    n_b = len(users) - n_a
+    types = sorted({f"t{e}" for _, e, _ in events})
+    act = {
+        t: {
+            u
+            for (u, e, h) in events
+            if f"t{e}" == t and h < first[u] + 24
+        }
+        for t in types
+    }
+    z_ref = {}
+    for t in types:
+        ca = sum(1 for u in act[t] if u % 2 == 0)
+        cb = len(act[t]) - ca
+        assert (got[t]["n_a"], got[t]["conv_a"]) == (n_a, ca)
+        assert (got[t]["n_b"], got[t]["conv_b"]) == (n_b, cb)
+        if n_a == 0 or n_b == 0:
+            continue  # whole-arm-empty: var is NULL/0 either way
+        p_pool = (ca + cb) / (n_a + n_b)
+        var = (p_pool * (1.0 - p_pool)) * (1.0 / n_a + 1.0 / n_b)
+        if var > 0:
+            z_ref[t] = (ca / n_a - cb / n_b) / math.sqrt(var)
+    m = len(z_ref)
+    order = sorted(z_ref, key=lambda t: (-abs(z_ref[t]), t))
+    k_star = 0
+    for k, t in enumerate(order, start=1):
+        if abs(z_ref[t]) >= BH_CRIT[m * 100 + k]:
+            k_star = max(k_star, k)
+    rejected_ref = set(order[:k_star])
+
+    assert {t for t, r in got.items() if r["rejected"]} == rejected_ref
+    for t in types:
+        if t in z_ref:
+            assert got[t]["m_tests"] == m
+            assert abs(got[t]["z"] - z_ref[t]) < 1e-9
+            assert got[t]["bh_rank"] == order.index(t) + 1
+        else:
+            assert got[t]["z"] is None and not got[t]["rejected"]
+    # step-up contract: rejections are a rank prefix
+    ranks = sorted(
+        r["bh_rank"] for r in got.values() if r["rejected"]
+    )
+    assert ranks == list(range(1, len(ranks) + 1))
