@@ -114,6 +114,22 @@ def main() -> None:
     print(f"norm hygiene d1..d9 band:   {norm_band[0]}..{norm_band[1]} "
           f"over {len(norm_rows)} labels (unit-normalized corpus -> ~1.0)")
 
+    # round-16 tail: ranked-quality evals over the same certified
+    # brute-force ranking — NDCG@k grades the whole list, MRR@k
+    # grades where the first hit lands (the retrieve-then-read
+    # number). Random synthetic labels over 10 classes put ~10% of
+    # the corpus in-label, so mid-range scores are the honest
+    # expected reading, not a defect.
+    emb = load_table(spark, sf_dir, "embeddings")
+    ndcg_rows = similarity.label_ndcg(emb).collect()
+    mrr_rows = similarity.label_mrr(emb).collect()
+    mean_ndcg = sum(r["ndcg"] or 0.0 for r in ndcg_rows) / len(ndcg_rows)
+    mean_rr = sum(r["rr"] for r in mrr_rows) / len(mrr_rows)
+    hits = sum(1 for r in mrr_rows if r["first_hit_rank"] is not None)
+    print(f"label NDCG@10 / MRR@10:     {mean_ndcg:.3f} / {mean_rr:.3f} "
+          f"over {len(ndcg_rows)} queries ({hits} with an in-label hit "
+          f"in the top 10)")
+
 
 if __name__ == "__main__":
     main()
