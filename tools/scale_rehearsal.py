@@ -143,6 +143,11 @@ QUERIES = [
     "ann_label_ndcg",
     "events_l_diversity",
     "winnowing_diagnostics_composed",
+    # round-16 R19-queue additions — measured the round the LIBRARY
+    # op lands, resolved via LIBRARY below until their registry slots
+    "events_t_closeness",
+    "ann_label_mrr",
+    "events_ab_fdr_bh",
 ]
 
 
@@ -150,7 +155,9 @@ def _library():
     """Queued ops that are not registry queries yet: name → callable
     with the registry (spark, sf_dir) signature, so growth rows exist
     BEFORE the promotion round."""
+    from edu_online_spark.operators import pii
     from edu_online_spark.operators.analytics import (
+        ab_fdr_bh,
         ab_value_mannwhitney_histogram,
         daily_mad_anomalies,
         price_benford_screen,
@@ -162,7 +169,7 @@ def _library():
         minhash_calibration,
         pair_degree_spectrum,
     )
-    from edu_online_spark.operators.similarity import norm_deciles
+    from edu_online_spark.operators.similarity import label_mrr, norm_deciles
     from edu_online_spark.operators.textops import (
         bigram_lift_topk,
         quality_length_spearman_banded,
@@ -210,6 +217,13 @@ def _library():
         ),
         "events_ab_mannwhitney_histogram": lambda s, d: (
             ab_value_mannwhitney_histogram(load_table(s, d, "events"))
+        ),
+        "events_t_closeness": pii._q_events_tclose,
+        "ann_label_mrr": lambda s, d: label_mrr(
+            load_table(s, d, "embeddings")
+        ),
+        "events_ab_fdr_bh": lambda s, d: ab_fdr_bh(
+            load_table(s, d, "events")
         ),
     }
 
@@ -259,6 +273,9 @@ NOOP_MATERIALIZE = {
     "ann_label_ndcg",
     "events_l_diversity",
     "winnowing_diagnostics_composed",
+    "events_t_closeness",
+    "ann_label_mrr",
+    "events_ab_fdr_bh",
 }
 
 
