@@ -130,7 +130,10 @@ def url_domains(documents: DataFrame) -> DataFrame:
 
 
 def k_anonymity_report(
-    df: DataFrame, qi_cols: list[str], k: int = 5
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int = 5,
+    pair_counts: DataFrame | None = None,
 ) -> DataFrame:
     """k-anonymity audit over a quasi-identifier combination: the size
     distribution of QI equivalence classes, flagging classes smaller
@@ -139,9 +142,19 @@ def k_anonymity_report(
 
     Two aggregations: per-class sizes (one shuffle on the QI — map-side
     combined), then a |distinct sizes|-row summary. Nothing scales with
-    row count after the first aggregate.
+    row count after the first aggregate. `pair_counts` accepts a
+    precomputed (qi…, sv, n_cu) relation (the privacy_audit_job fold /
+    the trio-sharing hook) — class sizes are then its per-class count
+    sums and the default corpus path is untouched.
     """
-    classes = df.groupBy(*qi_cols).agg(F.count("*").alias("class_size"))
+    if pair_counts is not None:
+        classes = pair_counts.groupBy(*qi_cols).agg(
+            F.sum("n_cu").cast("long").alias("class_size")
+        )
+    else:
+        classes = df.groupBy(*qi_cols).agg(
+            F.count("*").alias("class_size")
+        )
     return (
         classes.groupBy("class_size")
         .agg(F.count("*").alias("n_classes"))
@@ -371,7 +384,11 @@ L_DIVERSITY_L = 3
 
 
 def l_diversity_report(
-    df: DataFrame, qi_cols: list[str], sensitive: str, l: int = L_DIVERSITY_L
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive: str,
+    l: int = L_DIVERSITY_L,
+    pair_counts: DataFrame | None = None,
 ) -> DataFrame:
     """l-diversity audit — the attribute-disclosure complement to
     `k_anonymity_report`: a QI class can be comfortably k-anonymous
@@ -386,14 +403,24 @@ def l_diversity_report(
     Scale shape: one exact distinct-count shuffle on (QI, sensitive)
     collapsed map-side, then a class-grain count and a
     |distinct diversity levels|-row summary. Exact integers
-    throughout. Queued for round 17 (`events_l_diversity`,
+    throughout. `pair_counts` accepts a precomputed (qi…, sv, n_cu)
+    relation (the privacy_audit_job fold / the trio-sharing hook) —
+    diversity is then its per-class row count and the default corpus
+    path is untouched. Queued for round 17 (`events_l_diversity`,
     ORACLE_R17)."""
-    classes = (
-        df.select(*qi_cols, sensitive)
-        .distinct()
-        .groupBy(*qi_cols)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_distinct_sensitive"))
-    )
+    if pair_counts is not None:
+        classes = pair_counts.groupBy(*qi_cols).agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_sensitive")
+        )
+    else:
+        classes = (
+            df.select(*qi_cols, sensitive)
+            .distinct()
+            .groupBy(*qi_cols)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_distinct_sensitive")
+            )
+        )
     return (
         classes.groupBy("n_distinct_sensitive")
         .agg(F.count(F.lit(1)).cast("long").alias("n_classes"))
@@ -454,6 +481,7 @@ def t_closeness_report(
     sensitive: str,
     t_num: int = T_CLOSENESS_NUM,
     t_den: int = T_CLOSENESS_DEN,
+    pair_counts: DataFrame | None = None,
 ) -> DataFrame:
     """t-closeness audit — the third leg of the classic privacy trio
     (k-anonymity: re-identification; l-diversity: attribute
@@ -480,22 +508,32 @@ def t_closeness_report(
     division, and the violation flag is the exact integer comparison
     num·t_den > t_num·2·n_c·N — no double ever decides a verdict.
 
-    Scale shape: one map-side-combined shuffle to (QI, value) grain
-    with a QI-PARTITIONED window for class sizes, one value-grain
-    shuffle for the global histogram joined back on the value key,
-    one class-grain aggregate; N is a 1-row broadcast normalizer. No
-    partition-less window anywhere. Queued for round 19
+    Scale shape: ONE map-side-combined shuffle to (QI, value) grain —
+    the global histogram, the corpus total, AND the class sizes all
+    derive from that pair relation (value-grain re-aggregate,
+    QI-partitioned window), so the corpus is scanned once; one
+    class-grain aggregate; N is a 1-row broadcast normalizer. No
+    partition-less window anywhere. `pair_counts` accepts a
+    precomputed (qi…, <sensitive>, n_cu) relation — the fold the
+    streaming privacy_audit_job persists, and the sharing hook for
+    running the whole trio off one aggregate. Queued for round 19
     (`events_t_closeness`, ORACLE_R19)."""
     from pyspark.sql import Window
 
-    rows = df.select(*qi_cols, F.col(sensitive).alias("sv"))
-    cls_val = rows.groupBy(*qi_cols, "sv").agg(
-        F.count(F.lit(1)).cast("long").alias("n_cu")
+    if pair_counts is None:
+        pair_counts = (
+            df.select(*qi_cols, F.col(sensitive).alias("sv"))
+            .groupBy(*qi_cols, "sv")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_cu"))
+        )
+    # pair_counts contract: columns (*qi_cols, "sv", "n_cu")
+    cls_val = pair_counts.select(
+        *qi_cols, "sv", F.col("n_cu").cast("long").alias("n_cu")
     )
-    glob = rows.groupBy("sv").agg(
-        F.count(F.lit(1)).cast("long").alias("g_u")
+    glob = cls_val.groupBy("sv").agg(
+        F.sum("n_cu").cast("long").alias("g_u")
     )
-    total = rows.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    total = cls_val.agg(F.sum("n_cu").cast("long").alias("n_total"))
 
     def dec(c) -> Column:
         return (c if isinstance(c, Column) else F.col(c)).cast(

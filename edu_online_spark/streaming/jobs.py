@@ -4366,6 +4366,177 @@ def ab_fdr_job(
     )
 
 
+def privacy_audit_job(
+    raw: DataFrame,
+    out: str,
+    checkpoint: str,
+    k: int = 5,
+    available_now: bool = False,
+    retain_snapshots: int = 8,
+) -> StreamingQuery:
+    """Live privacy-audit trio: k-anonymity, l-diversity, and
+    t-closeness re-screened per trigger over ONE folded
+    (event_type, day, user_id, n_cu) pair-count state — the release
+    gate a PII-governed ingest pipeline wants continuously, not at
+    publish time (a class that is k-anonymous at dawn can fall below
+    k by noon as the day's class fills in, and yesterday's verdicts
+    legitimately move as the GLOBAL distribution t-closeness compares
+    against shifts). The three audits run through the IDENTICAL batch
+    report functions via their pair_counts= pass-throughs
+    (stream/batch parity by shared code — the fdr_bh_report pattern):
+    class sizes are the fold's per-class count sums, diversity its
+    per-class row count, and the TVD arithmetic consumes the pair
+    grain directly.
+
+    State is additive counts under the last_batch_id replay fence
+    (the calendar-twin fold, keyed one level finer); size is the
+    distinct (class, user) inventory. Output per trigger: the melted
+    trio — (diagnostic, k, t, n1, aux, ratio, flag) —
+      kanon  k=class_size          n1=n_classes  flag=violates_k
+      ldiv   k=n_distinct_sensitive n1=n_classes  flag=violates_l
+      tclose k=event_type t=day     n1=n_rows, aux=sum_abs_dev,
+                                    ratio=tvd, flag=violates_t
+    snapshot-written to ingest_batch=N with the newest
+    `retain_snapshots` kept."""
+    import os
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.pii import (
+        k_anonymity_report,
+        l_diversity_report,
+        t_closeness_report,
+    )
+
+    state_path = out + ".state"
+    qi = ["event_type", "day"]
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts", StringType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    parsed = F.from_json(
+        F.col("value"), schema, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    ev = (
+        raw.select(parsed.alias("j"))
+        .filter(
+            F.col("j._corrupt").isNull()
+            & F.col("j.user_id").isNotNull()
+            & F.col("j.event_type").isNotNull()
+            & F.to_timestamp_ntz(F.col("j.ts")).isNotNull()
+        )
+        .select(
+            F.col("j.event_type").alias("event_type"),
+            F.date_format(
+                F.to_timestamp_ntz(F.col("j.ts")), "yyyy-MM-dd"
+            ).alias("day"),
+            F.col("j.user_id").alias("sv"),
+        )
+    )
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        sinks.recover_sink(state_path)
+        if os.path.exists(state_path):
+            old = spark.read.parquet(state_path)
+            last = old.agg(F.max("last_batch_id")).first()[0]
+            if last is not None and last >= batch_id:
+                return  # redelivered trigger: additive state must not re-fold
+            prior = old.select(*qi, "sv", "n_cu")
+        else:
+            prior = spark.createDataFrame(
+                [], "event_type string, day string, sv long, n_cu long"
+            )
+        delta = batch.groupBy(*qi, "sv").agg(
+            F.count(F.lit(1)).cast("long").alias("n_cu")
+        )
+        state = (
+            prior.unionByName(delta)
+            .groupBy(*qi, "sv")
+            .agg(F.sum("n_cu").cast("long").alias("n_cu"))
+            .localCheckpoint(eager=True)  # snapshot (3 reads) + state
+        )
+        ns = F.lit(None).cast("string")
+        nd = F.lit(None).cast("double")
+        kanon = k_anonymity_report(
+            state, qi, k=k, pair_counts=state
+        ).select(
+            F.lit("kanon").alias("diagnostic"),
+            F.col("class_size").cast("string").alias("k"),
+            ns.alias("t"),
+            F.col("n_classes").cast("long").alias("n1"),
+            nd.alias("aux"),
+            nd.alias("ratio"),
+            F.col("violates_k").alias("flag"),
+        )
+        ldiv = l_diversity_report(
+            state, qi, "sv", pair_counts=state
+        ).select(
+            F.lit("ldiv").alias("diagnostic"),
+            F.col("n_distinct_sensitive").cast("string").alias("k"),
+            ns.alias("t"),
+            F.col("n_classes").cast("long").alias("n1"),
+            nd.alias("aux"),
+            nd.alias("ratio"),
+            F.col("violates_l").alias("flag"),
+        )
+        tclose = t_closeness_report(
+            state, qi, "sv", pair_counts=state
+        ).select(
+            F.lit("tclose").alias("diagnostic"),
+            F.col("event_type").alias("k"),
+            F.col("day").alias("t"),
+            F.col("n_rows").cast("long").alias("n1"),
+            F.col("sum_abs_dev").alias("aux"),
+            F.col("tvd").alias("ratio"),
+            F.col("violates_t").alias("flag"),
+        )
+        snap = kanon.unionByName(ldiv).unionByName(tclose)
+        snap.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, f"ingest_batch={batch_id}")
+        )
+        new_state = (
+            state.withColumn("last_batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .localCheckpoint(eager=True)  # materialize before the swap
+        )
+        sinks.parquet_overwrite_atomic(state_path)(new_state, batch_id)
+        if retain_snapshots > 0:
+            import shutil
+
+            stale = sorted(
+                int(d.split("=")[1])
+                for d in os.listdir(out)
+                if d.startswith("ingest_batch=")
+            )[:-retain_snapshots]
+            for b in stale:
+                shutil.rmtree(
+                    os.path.join(out, f"ingest_batch={b}"),
+                    ignore_errors=True,
+                )
+
+    return (
+        ev.writeStream.outputMode("append")
+        .foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**_trigger({}, available_now))
+        .start()
+    )
+
+
 def heavy_hitters_job(
     raw: DataFrame,
     out_path: str,

@@ -42,7 +42,7 @@ def main() -> None:
             "register", "qz", "page", "raw", "docs", "pii", "emb", "link",
             "scrub", "budget", "shard", "winnow", "ingest", "neardup", "burst",
             "seed", "stick", "sla", "deciles", "gini", "act", "madd",
-            "cusum", "fdr",
+            "cusum", "fdr", "priv",
         )
     }
 
@@ -706,6 +706,45 @@ def main() -> None:
         if d.startswith("ingest_batch=")
     )
     out["ab_fdr"] = f"{fdr_base}/ingest_batch={last}"
+
+    # round 16: live privacy-audit trio (privacy_audit_job — the
+    # batch k-anonymity / l-diversity / t-closeness reports re-screened
+    # per trigger over one folded (class, user) count state). Wave 1:
+    # class (view, 08-01) holds users 1-6, class (buy, 08-01) is three
+    # events from ONE user (size 3 < k=5 AND diversity 1 < l=3 AND
+    # fully concentrated). Wave 2: two buy events from user 8 — the
+    # class LEAVES the k-violation set live (size 5), stays
+    # l-violating (diversity 2), and its TVD recomputes against the
+    # moved global distribution: buy reads 60/(2·5·11) ≈ 0.545 > 0.5
+    # (flagged), view 60/(2·6·11) ≈ 0.455 (clean).
+    def priv_line(e, uid, et, ts):
+        return json.dumps(
+            {"event_id": e, "user_id": uid, "event_type": et, "ts": ts}
+        )
+
+    p1 = [priv_line(i, u, "view", "2026-08-01 09:00:00")
+          for i, u in enumerate(range(1, 7))]
+    p1 += [priv_line(10 + i, 7, "buy", "2026-08-01 10:00:00")
+           for i in range(3)]
+    produce(topics["priv"], "p1.jsonl", p1 + ["corrupt {"])
+    priv_base = f"{work}/out/privacy_audit"
+    jobs.privacy_audit_job(
+        file_stream(spark, topics["priv"]),
+        priv_base, ck("priv"), available_now=True,
+    ).awaitTermination(120)
+    p2 = [priv_line(20 + i, 8, "buy", "2026-08-01 11:00:00")
+          for i in range(2)]
+    produce(topics["priv"], "p2.jsonl", p2)
+    jobs.privacy_audit_job(
+        file_stream(spark, topics["priv"]),
+        priv_base, ck("priv"), available_now=True,
+    ).awaitTermination(120)
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(priv_base)
+        if d.startswith("ingest_batch=")
+    )
+    out["privacy_audit"] = f"{priv_base}/ingest_batch={last}"
 
     for name, path in out.items():
         df = spark.read.parquet(path)

@@ -1421,3 +1421,119 @@ def test_ab_fdr_replay_fence_prevents_refold(spark, sf_dir, tmp_path):
         map(tuple, spark.read.parquet(out + ".state").collect())
     )
     assert after == before
+
+
+def test_privacy_audit_streaming_equals_batch(spark, sf_dir, tmp_path):
+    """Live privacy trio: replay the events table in two waves; the
+    final melted snapshot equals the three batch report functions row
+    for row (shared code via the pair_counts= pass-throughs over the
+    folded (class, user) count state). A corrupt line is dropped."""
+    import json
+
+    from edu_online_spark.operators.pii import (
+        k_anonymity_report,
+        l_diversity_report,
+        t_closeness_report,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    lines = [
+        json.dumps(
+            {
+                "event_id": r["event_id"],
+                "user_id": r["user_id"],
+                "event_type": r["event_type"],
+                "ts": str(r["ts"]),
+            }
+        )
+        for r in events.select(
+            "event_id", "user_id", "event_type", "ts"
+        ).collect()
+    ] + ["corrupt {"]
+    assert len(lines) > 100
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    half = len(lines) // 2
+    _replay(jobs.privacy_audit_job, spark, src, out, ckpt,
+            [lines[:half], lines[half:]])
+    batches = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out)
+        if d.startswith("ingest_batch=")
+    )
+    final = os.path.join(out, f"ingest_batch={batches[-1]}")
+    snap = spark.read.parquet(final).collect()
+    got = {
+        d: sorted(
+            (r["k"], r["t"], r["n1"], r["aux"], r["ratio"], r["flag"])
+            for r in snap
+            if r["diagnostic"] == d
+        )
+        for d in ("kanon", "ldiv", "tclose")
+    }
+
+    qi_proj = events.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    kanon = k_anonymity_report(qi_proj, ["event_type", "day"])
+    assert got["kanon"] == sorted(
+        (str(r["class_size"]), None, r["n_classes"], None, None,
+         r["violates_k"])
+        for r in kanon.collect()
+    )
+    ldiv = l_diversity_report(qi_proj, ["event_type", "day"], "user_id")
+    assert got["ldiv"] == sorted(
+        (str(r["n_distinct_sensitive"]), None, r["n_classes"], None,
+         None, r["violates_l"])
+        for r in ldiv.collect()
+    )
+    tclose = t_closeness_report(qi_proj, ["event_type", "day"], "user_id")
+    assert got["tclose"] == sorted(
+        (r["event_type"], r["day"], r["n_rows"], r["sum_abs_dev"],
+         r["tvd"], r["violates_t"])
+        for r in tclose.collect()
+    )
+    # state is the exact (class, user) pair-count inventory
+    n_state = spark.read.parquet(out + ".state").agg(F.sum("n_cu")).first()[0]
+    assert n_state == events.count()
+
+
+def test_privacy_audit_replay_fence_prevents_double_count(
+    spark, sf_dir, tmp_path
+):
+    """Additive pair counts under the fence: an availableNow restart
+    over the same checkpoint with no new files leaves the inventory
+    (and therefore all three verdicts) unchanged."""
+    import json
+
+    events = load_table(spark, sf_dir, "events")
+    rows = events.select(
+        "event_id", "user_id", "event_type", "ts"
+    ).limit(300).collect()
+    lines = [
+        json.dumps(
+            {
+                "event_id": r["event_id"],
+                "user_id": r["user_id"],
+                "event_type": r["event_type"],
+                "ts": str(r["ts"]),
+            }
+        )
+        for r in rows
+    ]
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    _replay(jobs.privacy_audit_job, spark, src, out, ckpt, [lines])
+    total = spark.read.parquet(out + ".state").agg(F.sum("n_cu")).first()[0]
+    assert total == len(rows)
+    q = jobs.privacy_audit_job(
+        file_stream(spark, src, max_files_per_trigger=1),
+        out,
+        ckpt,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    total2 = spark.read.parquet(out + ".state").agg(F.sum("n_cu")).first()[0]
+    assert total2 == len(rows), (total2, len(rows))
