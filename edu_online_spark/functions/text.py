@@ -40,26 +40,120 @@ def tokens(col: Column | str) -> Column:
     return F.split(F.trim(_c(col)), " +")
 
 
-def shingle_rows(df, id_col: str, text_col: str = "text", n: int = 3):
-    """(id, shingle)-row form of word n-gram shingling: posexplode +
-    lead() window — every expression whole-stage-codegen'd, no
-    higher-order functions. Prefer this over shingles() for anything
-    corpus-sized: HOFs don't codegen, and after a join Catalyst can
-    inline the tokenizing split() into the lambda, making it
-    O(tokens²) per doc. One shuffle on the id column."""
-    from pyspark.sql import Window
+# Spread threshold for spread_small_scan, overridable per session
+# (plain bytes). Default = one default input split (128 MB): below it
+# the scan is provably 1-2 partitions AND the repartition provably
+# moves < 128 MB, so the spread is near-free; above it, input splits
+# supply the parallelism and the spread would be a real shuffle.
+SPREAD_MAX_INPUT_BYTES_CONF = "spark.edu_online.spread.maxInputBytes"
+_SPREAD_DEFAULT_MAX_BYTES = 128 * 1024 * 1024
 
-    tok = df.select(id_col, F.posexplode(tokens(text_col)).alias("pos", "t"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    grams = [F.col("t")] + [F.lead("t", i).over(w) for i in range(1, n)]
-    return (
-        tok.select(
-            id_col,
-            F.concat_ws(" ", *grams).alias("shingle"),
-            grams[-1].alias("_last"),
+
+def spread_small_scan(df, *part_cols: str):
+    """Scale-adaptive scan spread (guide §2 — derive partitioning from
+    input size, not a constant). Per-row array work (shingle/winnow
+    gram building) runs in the SCAN stage; a tiny local input is one
+    parquet split (and one row group), so without help one task does
+    all of it serially. When the df's entire file input is provably
+    smaller than one default split (128 MB, conf-overridable), hash-
+    repartition the compact doc rows by id across all cores — the
+    downstream per-id aggregation reuses that exchange (verified: the
+    signature plan has ONE exchange either way, but it now carries doc
+    rows, not the exploded token stream). At any real scale the input
+    exceeds the threshold and this is a structural no-op: zero added
+    shuffle. Streaming inputs, non-local storage, and plans with no
+    file source (e.g. localCheckpointed relations) are left untouched.
+    """
+    if df.isStreaming:
+        return df
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files:
+        return df
+    import os
+
+    total = 0
+    for f in files:
+        path = f[5:] if f.startswith("file:") else f
+        if not path.startswith("/"):
+            return df  # remote storage: splits are the cluster's job
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return df
+    spark = df.sparkSession
+    try:
+        thr = int(
+            spark.conf.get(
+                SPREAD_MAX_INPUT_BYTES_CONF, str(_SPREAD_DEFAULT_MAX_BYTES)
+            )
         )
-        .filter(F.col("_last").isNotNull())
-        .drop("_last")
+    except Exception:
+        thr = _SPREAD_DEFAULT_MAX_BYTES
+    par = spark.sparkContext.defaultParallelism
+    if total < thr:
+        return df.repartition(par, *[F.col(c) for c in part_cols])
+    return df
+
+
+def shingle_array(text_col: Column | str, n: int = 3, distinct: bool = False) -> Column:
+    """Word n-gram shingle ARRAY, computed per row with no shuffle.
+
+    MUST be used over a column that is already a materialized token
+    array (see shingle_rows for the two-step-projection contract) —
+    NOT over a raw tokens(text) expression, or Catalyst inlines the
+    split() into the per-element lambda (O(tokens²) per doc, the
+    measured 9 s/477-doc failure mode shingle_rows' old window form
+    existed to avoid)."""
+    t = _c(text_col)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(t, i + j) for j in range(n)]
+    )
+    grams = F.transform(F.sequence(F.lit(1), F.size(t) - (n - 1)), gram)
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(F.size(t) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_rows(df, id_col: str, text_col: str = "text", n: int = 3,
+                 distinct: bool = False):
+    """(id, shingle)-row form of word n-gram shingling — ZERO-shuffle
+    (optimization r16, guide §2.4): tokenize once into a materialized
+    array column, build the gram array per row with a higher-order
+    transform, explode. Replaces the posexplode + lead()-window form,
+    which shuffled and sorted the ENTIRE token stream by id before any
+    aggregation — the largest exchange at the base of every
+    MinHash/shingle consumer. With the array form the first exchange a
+    consumer pays is its own (usually map-side-combined) aggregation.
+
+    The two-step select is load-bearing: `_ts` is a separate
+    projection, and the gram builder references it n+1 times, so
+    CollapseProject keeps the (non-cheap, multi-referenced) split()
+    OUT of the transform lambda — one tokenization per row, O(n·tokens)
+    gram work. (Inlined, the split would re-run per array element:
+    O(tokens²) per doc, the documented failure mode of the old
+    shingles() expression.) Verified in the physical plan: exactly one
+    split(), zero Exchange nodes.
+
+    distinct=True dedups shingles per id inside the array
+    (array_distinct) — replaces a downstream
+    dropDuplicates([id, shingle]) exchange for free. Row order differs
+    from the old window form (no sort); all consumers are
+    multiset/set-level.
+
+    spread_small_scan parallelizes the per-row gram work when the
+    input is a sub-split-sized local file (measured 0.26 s vs 0.40 s
+    serial vs 0.54 s for the old window form, bare at sf0.1); at real
+    scale it is a no-op and the relation stays zero-shuffle."""
+    step = spread_small_scan(df, id_col).select(
+        id_col, tokens(text_col).alias("_ts")
+    )
+    return step.select(
+        id_col, F.explode(shingle_array(F.col("_ts"), n, distinct)).alias("shingle")
     )
 
 

@@ -127,7 +127,12 @@ def corpus_end_to_end_curation(
     scrubbed = norm
     for _, pat, token in PII_PATTERNS:
         scrubbed = F.regexp_replace(scrubbed, pat, token)
-    d_scrubbed = documents.select(
+    # spread_small_scan (optimization r16, guide §2): a sub-split local
+    # input scans as ONE partition, and every localCheckpoint below
+    # inherits that — serializing the scrub regexes, the gate HOFs and
+    # the whole dedup stage onto one core. Spreading the compact doc
+    # rows here parallelizes the entire chain; at scale it is a no-op.
+    d_scrubbed = T.spread_small_scan(documents, "doc_id").select(
         "doc_id",
         "source",
         "lang",

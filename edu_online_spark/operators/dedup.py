@@ -98,14 +98,34 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 def _shingled(documents: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, sh: array<string> distinct shingles).
 
-    Built from exploded rows + collect_set rather than the higher-order
-    shingles() expression: HOFs don't codegen, and after a join Catalyst
-    can inline the tokenizing split() into the lambda — re-evaluated per
-    array element, O(tokens²) per doc (measured 9s for 477 docs). The
-    row form is one codegen'd pass + a small shuffle.
+    Optimization r16 (guide §2.4): per-row array_distinct over the
+    zero-shuffle shingle array — no explode, no groupBy/collect_set, so
+    the whole relation is scan-stage work with ZERO exchanges (the old
+    row form shuffled and sorted every token by doc_id, then shipped
+    every distinct shingle again through the collect_set aggregation).
+    The two-step tokenize-then-gram projection in
+    functions.text.shingle_array keeps split() out of the lambda (one
+    tokenization per row). The size>0 filter reproduces the old
+    groupBy semantics exactly: docs with fewer than n tokens emit no
+    row. Element ORDER inside `sh` differs from collect_set's
+    (arbitrary) order; every consumer is set-level
+    (array_intersect/array_union jaccard, explode, containment).
     """
-    return _shingle_rows(documents, n).groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("sh")
+    from ..functions.text import shingle_array, spread_small_scan, tokens
+
+    # The short-doc guard filters on the TOKEN array, not on the gram
+    # array: a filter on `sh` would be predicate-pushed through the
+    # projection, inlining the whole gram-transform (split() inside the
+    # lambda → O(tokens²) per row) into the scan condition — measured
+    # 2.9 s → 13 s on dedup_minhash_lsh before this form. size(_ts) >= n
+    # ⇔ size(sh) > 0, and the pushed-down predicate is one cheap split.
+    step = (
+        spread_small_scan(documents, "doc_id")
+        .select("doc_id", tokens("text").alias("_ts"))
+        .filter(F.size("_ts") >= n)
+    )
+    return step.select(
+        "doc_id", shingle_array(F.col("_ts"), n, distinct=True).alias("sh")
     )
 
 
@@ -128,7 +148,7 @@ def ngram_jaccard_pairs(
     remains the unconditional scale path.
     """
     _guard_all_pairs(documents, "ngram_jaccard_pairs", "minhash_lsh_pairs")
-    sh = _shingle_rows(documents, n).dropDuplicates(["doc_id", "shingle"])
+    sh = _shingle_rows(documents, n, distinct=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -202,7 +222,7 @@ def ngram_jaccard_pairs_prefix(
     _guard_all_pairs(
         documents, "ngram_jaccard_pairs_prefix", "minhash_lsh_pairs"
     )
-    sh = _shingle_rows(documents, n).dropDuplicates(["doc_id", "shingle"])
+    sh = _shingle_rows(documents, n, distinct=True)
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     # doc-grain window gives pos and |T| in ONE shuffle by doc_id; the
     # df join is shingle-keyed (AQE broadcasts it when it fits)
@@ -297,12 +317,15 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
-def _shingle_rows(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) rows — see functions.text.shingle_rows for why
-    the row form beats per-doc shingle arrays at corpus size."""
+def _shingle_rows(
+    documents: DataFrame, n: int = 3, distinct: bool = False
+) -> DataFrame:
+    """(doc_id, shingle) rows — zero-shuffle array form (see
+    functions.text.shingle_rows). distinct=True dedups per doc inside
+    the gram array, replacing a downstream dropDuplicates exchange."""
     from ..functions.text import shingle_rows
 
-    return shingle_rows(documents, "doc_id", "text", n)
+    return shingle_rows(documents, "doc_id", "text", n, distinct=distinct)
 
 
 def minhash_lsh_pairs(
@@ -607,7 +630,7 @@ def containment_pairs(
     remains the unconditional scale form for candidate generation.
     """
     _guard_all_pairs(documents, "containment_pairs", "minhash_lsh_pairs")
-    sh = _shingle_rows(documents, n).dropDuplicates(["doc_id", "shingle"])
+    sh = _shingle_rows(documents, n, distinct=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -680,8 +703,17 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = HAMMING_MAX) -> DataF
     """
     chunks = max_hamming + 1
     bits = 64 // chunks
+    from ..functions.text import spread_small_scan
+
+    # spread (optimization r16, guide §2): the 64-vote signature
+    # aggregation's explode+hash runs in the scan stage; a sub-split
+    # local input would run it on one core. No-op at scale.
     sig = hashing.simhash_df(
-        documents.select("doc_id", tokens("text").alias("tk")), "doc_id", F.col("tk")
+        spread_small_scan(documents, "doc_id").select(
+            "doc_id", tokens("text").alias("tk")
+        ),
+        "doc_id",
+        F.col("tk"),
     )
     chunked = sig.select(
         "doc_id",
@@ -758,19 +790,36 @@ def near_dup_clusters(pairs: DataFrame) -> DataFrame:
         .withColumn("cluster_rep", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    # Optimization r16 (guide §2.4 / fewer sequential jobs): each round
+    # is ONE neighbor join + ONE union-min aggregate + ONE jump join.
+    # The old form additionally paid a left join to merge the neighbor
+    # min back into labels, and a labels⋈updated JOIN per round just to
+    # count changes; here the self label rides through the union (so
+    # min() folds it with the neighbor reps), the pre-round label rides
+    # along as `prev`, and convergence is a join-free filter-count over
+    # the just-checkpointed round output (labels only ever decrease, so
+    # changed ⇔ cluster_rep < prev). Identical fixpoint, ~2 fewer
+    # exchanges and one fewer job per round.
+    id_type = labels.schema["cluster_rep"].dataType  # generic: long OR string ids
     for _ in range(max_rounds):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("cluster_rep").alias("nbr_rep"))
+        nbr = edges.join(labels, edges.dst == labels.doc_id).select(
+            F.col("src").alias("doc_id"),
+            F.col("cluster_rep"),
+            F.lit(None).cast(id_type).alias("prev"),
         )
-        stepped = labels.join(
-            neighbor_min, labels.doc_id == neighbor_min.src, "left"
-        ).select(
-            "doc_id",
-            F.least(
-                F.col("cluster_rep"), F.coalesce(F.col("nbr_rep"), F.col("cluster_rep"))
-            ).alias("cluster_rep"),
+        stepped = (
+            nbr.unionByName(
+                labels.select(
+                    "doc_id",
+                    "cluster_rep",
+                    F.col("cluster_rep").alias("prev"),
+                )
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.min("cluster_rep").alias("cluster_rep"),
+                F.max("prev").alias("prev"),  # exactly one non-null per doc
+            )
         )
         # pointer jump: rep ← label(rep). Every label is itself a
         # labeled doc_id (labels covers every node of the pair graph),
@@ -786,16 +835,12 @@ def near_dup_clusters(pairs: DataFrame) -> DataFrame:
                 F.least(F.col("cluster_rep"), F.col("rep_rep")).alias(
                     "cluster_rep"
                 ),
+                "prev",
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.cluster_rep") != F.col("l.cluster_rep"))
-            .count()
-        )
-        labels = updated
+        changed = updated.filter(F.col("cluster_rep") < F.col("prev")).count()
+        labels = updated.select("doc_id", "cluster_rep")
         if changed == 0:
             return labels
     raise RuntimeError(
@@ -1338,7 +1383,7 @@ def retrieval_negative_samples(
         .select("query_id", "negative_id")
         .localCheckpoint(eager=True)
     )
-    sh = _shingle_rows(documents).dropDuplicates(["doc_id", "shingle"])
+    sh = _shingle_rows(documents, distinct=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     qsh = sh.filter(F.col("doc_id") % NEG_QUERY_MOD == 0).select(
         F.col("doc_id").alias("query_id"), "shingle"
@@ -2606,15 +2651,21 @@ def minhash_calibration(
 
     Queued for round 15 (rows-only registration,
     `dedup_minhash_calibration`)."""
+    # Optimization r16 (guide §5 / measure-first): `sig` feeds THREE
+    # consumers — the banding below and BOTH sides of est_pairs — and
+    # was unmaterialized, so the full shingle+signature aggregation ran
+    # three times. One eager checkpoint of the (doc, 64-long) relation
+    # runs it once; banding becomes a cheap projection of it, so the
+    # banded persist/unpersist dance is no longer needed either.
     sig = hashing.minhash_signatures_df(
         _shingle_rows(documents, n), "doc_id", F.col("shingle"), num_hashes
-    )
+    ).localCheckpoint(eager=True)
     banded = sig.select(
         "doc_id",
         F.posexplode(
             hashing.band_hashes(F.col("sig"), bands, num_hashes)
         ).alias("band", "bh"),
-    ).persist()
+    )
     cand = (
         banded.alias("a")
         .join(
@@ -2629,7 +2680,6 @@ def minhash_calibration(
         .distinct()
         .localCheckpoint(eager=True)  # two consumers (est + exact joins)
     )
-    banded.unpersist()
     matches = F.aggregate(
         F.zip_with(
             F.col("sa.sig"),

@@ -1361,9 +1361,7 @@ def boilerplate_ngrams(
     one shuffle on the shingle. The distinct BEFORE the count makes the
     metric docs-containing, not occurrences — a single spammy doc can't
     promote its own refrain to 'boilerplate'."""
-    sh = T.shingle_rows(documents, "doc_id", "text", n).dropDuplicates(
-        ["doc_id", "shingle"]
-    )
+    sh = T.shingle_rows(documents, "doc_id", "text", n, distinct=True)
     return (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("n_docs"))
@@ -1383,8 +1381,7 @@ def doc_boilerplate_fraction(
     otherwise); the boilerplate set is vocabulary-small after the
     min_docs filter and broadcasts into the join-back."""
     sh = (
-        T.shingle_rows(documents, "doc_id", "text", n)
-        .dropDuplicates(["doc_id", "shingle"])
+        T.shingle_rows(documents, "doc_id", "text", n, distinct=True)
         .localCheckpoint(eager=True)
     )
     common = (
@@ -2000,9 +1997,7 @@ def ngram_novelty(documents: DataFrame, n: int = NOVELTY_SHINGLE_N) -> DataFrame
     """
     from ..functions.text import shingle_rows
 
-    sh = shingle_rows(documents, "doc_id", "text", n).dropDuplicates(
-        ["doc_id", "shingle"]
-    )
+    sh = shingle_rows(documents, "doc_id", "text", n, distinct=True)
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     return (
         sh.join(first, "shingle")
@@ -2113,55 +2108,78 @@ def winnowing_fingerprints(
     variant='fast' (default): xxhash64 gram hashes — codegen, the
     corpus-scale form. variant='poly': the character-fold rolling hash
     the DuckDB oracle reproduces bit-for-bit (certified separately,
-    the doc_fingerprints pattern). Shape: gram rows via posexplode +
-    lead (codegen), per-doc lead window over gram hashes, rightmost
-    arg-min via a reversed CASE chain — one shuffle on doc_id, output
-    ~2/(w+1) of gram rows. Docs with fewer than w grams emit nothing
-    (their whole text is shorter than one window; the substring-dedup
+    the doc_fingerprints pattern).
+
+    Shape (optimization r16, guide §2.4): the whole selection is
+    per-row ARRAY work — tokenize once, build the gram-hash array with
+    a higher-order transform, slide the window with array slices, dedup
+    selections with array_distinct — so the inventory is produced with
+    ZERO exchanges (the previous posexplode + lead-window form shuffled
+    and sorted the entire token stream by doc_id first). Values are
+    identical: same gram strings, same hashes, same rightmost-argmin
+    tie-break, same (doc_id, fp_pos) dedup. Docs with fewer than
+    w+k-1 words emit nothing (no full window; the substring-dedup
     family owns that regime).
     """
-    from pyspark.sql import Window
+    return _winnow_selections(documents, k, w, variant).select(
+        "doc_id",
+        F.explode(F.array_distinct("_sels")).alias("_s"),
+    ).select("doc_id", F.col("_s.fp_pos").alias("fp_pos"), F.col("_s.fp").alias("fp"))
 
-    tok = documents.select(
-        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "t")
+
+def _winnow_selections(
+    documents: DataFrame, k: int, w: int, variant: str
+) -> DataFrame:
+    """(doc_id, _sels: array<struct<fp_pos long, fp long>>) — one
+    winnowing selection struct per sliding window (duplicates across
+    windows NOT yet deduped; callers array_distinct before exploding).
+
+    Three chained projections, each materializing the array the next
+    one references multiple times (the CollapseProject barrier
+    functions.text.shingle_rows documents): tokens → gram hashes →
+    window selections. split() and the gram hashing run once per row.
+    spread_small_scan parallelizes the per-row work for sub-split
+    local inputs (no-op at scale — see functions.text).
+    """
+    from ..functions.text import spread_small_scan
+
+    step1 = spread_small_scan(documents, "doc_id").select(
+        "doc_id", T.tokens("text").alias("_ts")
     )
-    ww = Window.partitionBy("doc_id").orderBy("pos")
-    gram_parts = [F.col("t")] + [F.lead("t", i).over(ww) for i in range(1, k)]
+    t = F.col("_ts")
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(t, i + j) for j in range(k)]
+    )
     if variant == "poly":
-        gram_hash = lambda g: F.aggregate(  # noqa: E731
-            F.filter(F.split(g, ""), lambda ch: ch != ""),
+        gram_hash = lambda i: F.aggregate(  # noqa: E731
+            F.filter(F.split(gram(i), ""), lambda ch: ch != ""),
             F.lit(0).cast("long"),
             lambda acc, ch: (acc * T.FINGERPRINT_BASE + F.ascii(ch))
             % T.FINGERPRINT_MOD,
         )
     else:
-        gram_hash = F.xxhash64
-    grams = (
-        tok.select(
-            "doc_id",
-            "pos",
-            gram_hash(F.concat_ws(" ", *gram_parts)).alias("h"),
-            gram_parts[-1].alias("_last"),
-        )
-        .filter(F.col("_last").isNotNull())
-        .drop("_last")
+        gram_hash = lambda i: F.xxhash64(gram(i))  # noqa: E731
+    harr = F.when(
+        F.size(t) >= k,
+        F.transform(F.sequence(F.lit(1), F.size(t) - (k - 1)), gram_hash),
+    ).otherwise(F.array().cast("array<long>"))
+    step2 = step1.select("doc_id", harr.alias("_h"))
+    h = F.col("_h")
+    # window starting at gram s (1-based) covers h[s .. s+w-1]; the
+    # selected gram is the RIGHTMOST one attaining the window minimum
+    # (array_position over the reversed window), reported at its
+    # 0-based gram position to match the posexplode-era fp_pos.
+    sel = lambda s: F.struct(  # noqa: E731
+        (s + w - F.array_position(F.reverse(F.slice(h, s, w)),
+                                  F.array_min(F.slice(h, s, w))) - 1
+         ).cast("long").alias("fp_pos"),
+        F.array_min(F.slice(h, s, w)).alias("fp"),
     )
-    hs = [F.col("h")] + [F.lead("h", i).over(ww) for i in range(1, w)]
-    m = F.least(*hs)
-    sel = F.lit(None).cast("long")
-    for i in range(w):  # reversed scan → RIGHTMOST position attaining m
-        sel = F.coalesce(sel, F.when(hs[w - 1 - i] == m, F.col("pos") + (w - 1 - i)))
-    return (
-        grams.select(
-            "doc_id",
-            m.alias("fp"),
-            sel.alias("fp_pos"),
-            hs[w - 1].isNotNull().alias("_full"),  # window fits entirely
-        )
-        .filter(F.col("_full"))
-        .select("doc_id", "fp_pos", "fp")
-        .dropDuplicates(["doc_id", "fp_pos"])
-    )
+    sels = F.when(
+        F.size(h) >= w,
+        F.transform(F.sequence(F.lit(1), F.size(h) - (w - 1)), sel),
+    ).otherwise(F.array().cast("array<struct<fp_pos:bigint,fp:bigint>>"))
+    return step2.select("doc_id", sels.alias("_sels"))
 
 
 WINNOW_MIN_SHARED = 2   # pairs must share at least this many prints
@@ -3902,9 +3920,7 @@ def shingle_df_spectrum(
 
     from ..functions.text import shingle_rows
 
-    sh = shingle_rows(documents, "doc_id", "text", n).dropDuplicates(
-        ["doc_id", "shingle"]
-    )
+    sh = shingle_rows(documents, "doc_id", "text", n, distinct=True)
     dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).cast("long").alias("df"))
     spec = dfs.groupBy("df").agg(
         F.count(F.lit(1)).cast("long").alias("n_shingles")

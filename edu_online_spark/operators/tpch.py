@@ -250,8 +250,15 @@ def q21_waiting_suppliers(
     digits), so the window is skew-safe.
     """
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    # Optimization r16 (guide §2.3): o_orderstatus is ORDER-grain and
+    # the window aggregates within one order, so filtering finished
+    # orders BEFORE the fact join is exactly equivalent to filtering
+    # after the window — and the join + window now move only finished
+    # orders' lineitems.
     li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate").join(
-        orders.select("o_orderkey", "o_orderdate", "o_orderstatus"),
+        orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     w = Window.partitionBy("l_orderkey")
@@ -268,7 +275,6 @@ def q21_waiting_suppliers(
     return (
         flagged.filter(
             late
-            & (F.col("o_orderstatus") == "F")
             & (F.col("n_supp") > 1)
             & (F.col("n_late_supp") == 1)
         )
@@ -716,9 +722,6 @@ def q2_min_cost_supplier(
     min-cost join-back is an equi-join on (p_partkey, cost). Top-100 is
     TakeOrderedAndProject.
     """
-    supply = lineitem.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(_dec("l_extendedprice")).alias("supply_cost_dec")
-    )
     eur_nations = nation.join(
         F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
         F.col("n_regionkey") == F.col("r_regionkey"),
@@ -729,6 +732,26 @@ def q2_min_cost_supplier(
     parts = part.filter(
         (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
     ).select("p_partkey", "p_name")
+    # Optimization r16 (guide §3.2): `cand` inner-joins the aggregate
+    # to the filtered part and EUROPE-supplier dimensions, so lineitem
+    # rows outside either set can never reach the output — drop them
+    # with broadcast semi-joins BEFORE the (part,supplier) exchange.
+    # The shuffle now carries only qualifying-part × qualifying-supplier
+    # trade rows (the selectivity product) instead of the whole fact.
+    supply = (
+        lineitem.join(
+            F.broadcast(parts.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(eur_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(_dec("l_extendedprice")).alias("supply_cost_dec"))
+    )
     cand = (
         supply.join(eur_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(parts, F.col("l_partkey") == F.col("p_partkey"))
