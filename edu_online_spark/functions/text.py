@@ -182,11 +182,18 @@ def punct_count(col: Column | str) -> Column:
     return F.regexp_count(_c(col), F.lit("[.,!?;:]"))
 
 
-def marker_hits(col_name: str, markers: tuple[str, ...]) -> Column:
+def marker_hits(
+    col_name: str, markers: tuple[str, ...], pre_split: bool = False
+) -> Column:
     """How many tokens are in the marker lexicon. IN-list inside a
-    higher-order lambda stays entirely in codegen."""
+    higher-order lambda stays entirely in codegen. pre_split=True reads
+    `col_name` as an ALREADY-tokenized array column (optimization r16,
+    guide §1.2 step 2): a consumer scoring several lexicons over the
+    same text projects split(trim(text)) ONCE and every lexicon filter
+    reuses the array, instead of re-splitting per lexicon."""
+    arr = col_name if pre_split else f"split(trim({col_name}), ' +')"
     return F.expr(
-        f"size(filter(split(trim({col_name}), ' +'), w -> w IN ({_in_list(markers)})))"
+        f"size(filter({arr}, w -> w IN ({_in_list(markers)})))"
     )
 
 
@@ -194,15 +201,18 @@ def _in_list(words: tuple[str, ...]) -> str:
     return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
 
 
-def lang_scores(col_name: str) -> dict[str, Column]:
+def lang_scores(col_name: str, pre_split: bool = False) -> dict[str, Column]:
     """Marker-hit count per candidate language."""
-    return {lang: marker_hits(col_name, m) for lang, m in LANG_MARKERS.items()}
+    return {
+        lang: marker_hits(col_name, m, pre_split)
+        for lang, m in LANG_MARKERS.items()
+    }
 
 
-def predict_lang(col_name: str) -> Column:
+def predict_lang(col_name: str, pre_split: bool = False) -> Column:
     """Argmax language by marker hits; deterministic tie-break on language
     code order; 'und' when no markers hit at all."""
-    scores = lang_scores(col_name)
+    scores = lang_scores(col_name, pre_split)
     ordered = sorted(scores)  # fixed lexicographic tie-break
     best_lang = F.lit("und")
     best_score = F.lit(0)

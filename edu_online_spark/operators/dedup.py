@@ -828,6 +828,14 @@ def near_dup_clusters(pairs: DataFrame) -> DataFrame:
             F.col("doc_id").alias("rep_id"),
             F.col("cluster_rep").alias("rep_rep"),
         )
+        # NOTE (optimization r16, measured): a LAZY localCheckpoint here
+        # (materialized by the changed-count action, one job per round
+        # instead of two) was A/B-tested over the five CC-heavy
+        # queries and is a wash to slightly WORSE (docs_winnowing_
+        # clusters 4.48 -> 5.35 s min-of-3; the others within noise) —
+        # the count on the eager checkpoint reads tiny stored blocks,
+        # while the lazy form's materializing action re-plans the whole
+        # round under AQE. Kept eager.
         updated = (
             stepped.join(reps, stepped.cluster_rep == reps.rep_id)
             .select(

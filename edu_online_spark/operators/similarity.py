@@ -983,23 +983,40 @@ def hybrid_search_rrf(
         cosine_similarity(F.col("qv"), F.col("nv")).alias("cosine"),
         hashing.jaccard(F.col("qsh"), F.col("nsh")).alias("jaccard"),
     )
+    return _rrf_fuse_topk(pairs, k, rrf_k)
+
+
+def _rrf_fuse_topk(scored: DataFrame, k: int, rrf_k: int) -> DataFrame:
+    """RRF fusion + top-k over a (qid, nid, cosine, jaccard) relation —
+    ONE pass over ONE qid exchange (optimization r16, guide §2.4).
+
+    The former shape computed two rankings as separate branches of the
+    scored relation (re-running the whole candidate-scoring DAG twice)
+    and re-joined them on (qid, nid). Both ranks come from the same
+    partition: jaccard is never negative, so under ORDER BY jaccard
+    DESC every jaccard > 0 row precedes every jaccard = 0 row and its
+    row_number over the FULL partition equals its row_number over the
+    filtered (jaccard > 0) ranking — the lexical rank is therefore a
+    windowed column guarded by `jaccard > 0`, value-identical to the
+    filtered branch (same 1/(60+rank) terms, same coalesce-to-0 for
+    unranked docs). All three windows share the qid partitioning, so
+    the plan establishes it once: one Exchange, zero self-joins.
+    """
     w_vec = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
-    ranked = pairs.withColumn("vrank", F.row_number().over(w_vec))
     w_txt = Window.partitionBy("qid").orderBy(F.desc("jaccard"), F.asc("nid"))
-    text_ranks = (
-        pairs.filter(F.col("jaccard") > 0)
-        .withColumn("trank", F.row_number().over(w_txt))
-        .select("qid", "nid", "trank")
-    )
-    fused = (
-        ranked.join(text_ranks, ["qid", "nid"], "left")
-        .withColumn(
-            "rrf_score",
-            F.coalesce(
-                F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("trank")), F.lit(0.0)
-            )
-            + F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("vrank")),
+    fused = scored.select(
+        "qid",
+        "nid",
+        F.row_number().over(w_vec).alias("vrank"),
+        F.when(
+            F.col("jaccard") > 0, F.row_number().over(w_txt)
+        ).alias("trank"),
+    ).withColumn(
+        "rrf_score",
+        F.coalesce(
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("trank")), F.lit(0.0)
         )
+        + F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("vrank")),
     )
     w_top = Window.partitionBy("qid").orderBy(F.desc("rrf_score"), F.asc("nid"))
     return (
@@ -1150,27 +1167,10 @@ def hybrid_search_rrf_lsh_topk(
             ).alias("jaccard"),
         )
     )
-    w_vec = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
-    ranked = scored.withColumn("vrank", F.row_number().over(w_vec))
-    w_txt = Window.partitionBy("qid").orderBy(F.desc("jaccard"), F.asc("nid"))
-    text_ranks = (
-        scored.filter(F.col("jaccard") > 0)
-        .withColumn("trank", F.row_number().over(w_txt))
-        .select("qid", "nid", "trank")
-    )
-    fused = ranked.join(text_ranks, ["qid", "nid"], "left").withColumn(
-        "rrf_score",
-        F.coalesce(
-            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("trank")), F.lit(0.0)
-        )
-        + F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("vrank")),
-    )
-    w_top = Window.partitionBy("qid").orderBy(F.desc("rrf_score"), F.asc("nid"))
-    return (
-        fused.withColumn("rn", F.row_number().over(w_top))
-        .filter(F.col("rn") <= k)
-        .select("qid", "nid", "rrf_score")
-    )
+    # identical fusion arithmetic through the shared one-exchange
+    # window pass (see _rrf_fuse_topk — jaccard is coalesced to 0.0
+    # above, so the jaccard > 0 guard reproduces the filtered ranking)
+    return _rrf_fuse_topk(scored, k, rrf_k)
 
 
 def hybrid_search_rrf_lsh_certified(

@@ -44,8 +44,12 @@ def text_quality(documents: DataFrame) -> DataFrame:
 
 def lang_confusion(documents: DataFrame) -> DataFrame:
     """Marker-lexicon language-ID vs the labeled lang column."""
+    # tokenize ONCE, score five lexicons over the array (optimization
+    # r16 — the separate projection is the CollapseProject barrier that
+    # keeps the multi-referenced split() materialized per row)
     return (
-        documents.select("lang", T.predict_lang("text").alias("pred_lang"))
+        documents.select("lang", T.tokens("text").alias("_ts"))
+        .select("lang", T.predict_lang("_ts", pre_split=True).alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count("*").alias("cnt"))
     )
@@ -2147,17 +2151,53 @@ def _winnow_selections(
         "doc_id", T.tokens("text").alias("_ts")
     )
     t = F.col("_ts")
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(t, i + j) for j in range(k)]
-    )
     if variant == "poly":
-        gram_hash = lambda i: F.aggregate(  # noqa: E731
-            F.filter(F.split(gram(i), ""), lambda ch: ch != ""),
-            F.lit(0).cast("long"),
-            lambda acc, ch: (acc * T.FINGERPRINT_BASE + F.ascii(ch))
-            % T.FINGERPRINT_MOD,
+        # Per-TOKEN pre-fold (optimization r16, guide §1.2 step 2 —
+        # per-task work): the naive form char-folds every GRAM, so each
+        # character is folded k times and every gram allocates a
+        # concat_ws string plus a split() char array. Instead fold each
+        # token's characters ONCE into (h = poly hash, pw = 31^len mod p)
+        # and combine k token structs per gram with the rolling-hash
+        # identity  H(a ++ ' ' ++ b) = H(a)·31^(len(b)+1)
+        #                              + 32·31^len(b) + H(b)  (mod p),
+        # which is exact integer arithmetic (every factor < p ≈ 2^30,
+        # products < 2^60 — no overflow, no float). Values are
+        # bit-identical to the char fold (property-tested in
+        # tests/test_textops.py), so the DuckDB oracle is unchanged.
+        mod = T.FINGERPRINT_MOD
+        base = T.FINGERPRINT_BASE
+        tok_fold = lambda tok: F.aggregate(  # noqa: E731
+            F.filter(F.split(tok, ""), lambda ch: ch != ""),
+            F.struct(
+                F.lit(0).cast("long").alias("h"),
+                F.lit(1).cast("long").alias("pw"),
+            ),
+            lambda acc, ch: F.struct(
+                ((acc["h"] * base + F.ascii(ch)) % mod).alias("h"),
+                ((acc["pw"] * base) % mod).alias("pw"),
+            ),
         )
+        # separate projection: _tp is referenced k times per gram, so
+        # CollapseProject keeps the (expensive) per-token fold out of
+        # the gram lambda — one fold per token, the shingle_rows rule
+        step1 = step1.select(
+            "doc_id", "_ts", F.transform(t, tok_fold).alias("_tp")
+        )
+        tp = F.col("_tp")
+        def gram_hash(i):
+            acc = F.element_at(tp, i)["h"]
+            for j in range(1, k):
+                nxt = F.element_at(tp, i + j)
+                acc = (
+                    acc * ((nxt["pw"] * base) % mod)
+                    + (nxt["pw"] * 32) % mod
+                    + nxt["h"]
+                ) % mod
+            return acc
     else:
+        gram = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(t, i + j) for j in range(k)]
+        )
         gram_hash = lambda i: F.xxhash64(gram(i))  # noqa: E731
     harr = F.when(
         F.size(t) >= k,
@@ -4281,9 +4321,13 @@ def lang_kappa(documents: DataFrame) -> DataFrame:
     the scan (pred_lang is a pure column expression); everything
     after runs on the tiny matrix relation.
     Queued for round 17 (`text_lang_kappa`, ORACLE_R17)."""
+    # tokenize ONCE, score five lexicons over the array (optimization
+    # r16 — lang_confusion's rule; the separate projection keeps the
+    # multi-referenced split() out of each lexicon filter)
     cm = (
-        documents.select(
-            "lang", T.predict_lang("text").alias("pred_lang")
+        documents.select("lang", T.tokens("text").alias("_ts"))
+        .select(
+            "lang", T.predict_lang("_ts", pre_split=True).alias("pred_lang")
         )
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))

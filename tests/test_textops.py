@@ -1002,6 +1002,53 @@ def test_length_quantiles_exact_positions(spark):
     assert (r2["p25_tokens"], r2["p50_tokens"], r2["p95_tokens"]) == (2, 3, 5)
 
 
+def test_winnowing_poly_gram_hash_matches_char_fold(spark):
+    """The per-token rolling-hash combine (optimization r16) must be
+    bit-identical to the direct character fold over each gram string —
+    the value contract every poly-variant winnowing oracle certifies.
+    Covers multi-char tokens, single chars, digits/punct, non-ASCII,
+    and repeated tokens."""
+    from edu_online_spark.functions.text import (
+        FINGERPRINT_BASE,
+        FINGERPRINT_MOD,
+    )
+    from edu_online_spark.operators.textops import (
+        WINNOW_K,
+        _winnow_selections,
+    )
+
+    texts = [
+        "alpha bravo charlie delta echo foxtrot",
+        "a b c d e f g h",
+        "x x x x x x",
+        "über café 中文 mixed ascii tokens here",
+        "123 45.6 , ; token-with-dash plain",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    # read back every selected (fp_pos, fp); every fp must equal the
+    # char fold of the gram string at that position
+    sels = (
+        _winnow_selections(docs, WINNOW_K, 4, "poly")
+        .select("doc_id", F.explode("_sels").alias("s"))
+        .collect()
+    )
+    assert sels  # non-vacuous
+
+    def char_fold(s: str) -> int:
+        acc = 0
+        for ch in s:
+            acc = (acc * FINGERPRINT_BASE + ord(ch)) % FINGERPRINT_MOD
+        return acc
+
+    for r in sels:
+        toks = texts[r["doc_id"]].split()
+        pos = r["s"]["fp_pos"]
+        gram = " ".join(toks[pos : pos + WINNOW_K])
+        assert r["s"]["fp"] == char_fold(gram), (r["doc_id"], pos, gram)
+
+
 def test_winnowing_overlap_detects_shared_passage(spark):
     from edu_online_spark.operators.textops import winnowing_overlap_pairs
 
