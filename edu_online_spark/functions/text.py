@@ -148,12 +148,19 @@ def shingle_rows(df, id_col: str, text_col: str = "text", n: int = 3,
     spread_small_scan parallelizes the per-row gram work when the
     input is a sub-split-sized local file (measured 0.26 s vs 0.40 s
     serial vs 0.54 s for the old window form, bare at sf0.1); at real
-    scale it is a no-op and the relation stays zero-shuffle."""
-    step = spread_small_scan(df, id_col).select(
-        id_col, tokens(text_col).alias("_ts")
+    scale it is a no-op and the relation stays zero-shuffle.
+
+    id_col accepts a sequence of column names to carry several id/
+    dimension columns through the explode (grams are built per ROW
+    either way, so they never span rows regardless of the ids carried)
+    — consumers grouping by a non-doc grain avoid a corpus-sized
+    join-back for the extra column (optimization r16, guide §2.4)."""
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
+    step = spread_small_scan(df, *ids).select(
+        *ids, tokens(text_col).alias("_ts")
     )
     return step.select(
-        id_col, F.explode(shingle_array(F.col("_ts"), n, distinct)).alias("shingle")
+        *ids, F.explode(shingle_array(F.col("_ts"), n, distinct)).alias("shingle")
     )
 
 

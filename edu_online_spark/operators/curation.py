@@ -170,28 +170,39 @@ def corpus_end_to_end_curation(
     w = Window.partitionBy("source").orderBy(
         hash_bucket("doc_id", STRATIFIED_HASH_MOD), F.asc("doc_id")
     )
-    sampled = (
-        deduped.withColumn("strat_rank", F.row_number().over(w))
-        .filter(F.col("strat_rank") <= per_stratum)
-        # consumed by the pack branch and the card aggregate
-        .localCheckpoint(eager=True)
-    )
-    # --- stage 6: pack the sampled docs -----------------------------
-    packs = pack_training_sequences(sampled.select("doc_id", "source", "text"))
+    sampled_lazy = deduped.withColumn(
+        "strat_rank", F.row_number().over(w)
+    ).filter(F.col("strat_rank") <= per_stratum)
     # --- stage 5b: global quality budget fill over the deduped corpus
     # quality_budget_fill keys on doc_id only; the semi-join back to
     # `deduped` re-attaches (source, text) for the downstream stages.
     # Plain shuffle join on doc_id — the kept set is corpus-sized, not
     # broadcastable at scale.
-    bkept = (
+    bkept_lazy = (
         quality_budget_fill(deduped, budget=CURATION_FILL_BUDGET)
         .filter(F.col("kept"))
         .select("doc_id", "n_tokens")
         .join(deduped.select("doc_id", "source", "text"), "doc_id")
-        # consumed by three branches: mixture ranking, shard text
-        # re-join, card aggregate
-        .localCheckpoint(eager=True)
     )
+    # The ANALYSIS-branch sample (consumed by the pack branch and the
+    # card aggregate) and the RELEASE-branch budget fill (consumed by
+    # three branches: mixture ranking, shard text re-join, card
+    # aggregate) are INDEPENDENT given `deduped` — materialize their
+    # checkpoints as two concurrent jobs (guide §2.6: actions are only
+    # sequential because the driver calls them sequentially; the
+    # second job's tasks back-fill executors freed by the first's
+    # tail). Same blocking semantics as before once both return.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_sampled = pool.submit(
+            lambda: sampled_lazy.localCheckpoint(eager=True)
+        )
+        f_bkept = pool.submit(lambda: bkept_lazy.localCheckpoint(eager=True))
+        sampled = f_sampled.result()
+        bkept = f_bkept.result()
+    # --- stage 6: pack the sampled docs -----------------------------
+    packs = pack_training_sequences(sampled.select("doc_id", "source", "text"))
     # --- stage 6b: sqrt-temperature source rebalance ----------------
     # materialized: two consumers (shard text re-join, card aggregate)
     # would each re-run the ranking windows AND re-plan the normalizer

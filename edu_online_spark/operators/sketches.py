@@ -258,48 +258,97 @@ def price_quantile_sketch_rollup(lineitem: DataFrame) -> DataFrame:
     estimate is pinned to land between the exact values at rank
     q ± KLL_RANK_TOL — generous headroom over KLL k=200's ~1.65%
     one-sided rank error, loose enough to absorb the sketch's
-    randomized compaction, tight enough to catch a broken merge."""
-    Q = (0.25, 0.5, 0.75)
+    randomized compaction, tight enough to catch a broken merge.
 
-    def exact_aggs(col: str):
-        aggs = []
+    Optimization r16 (guide §1.2 step 1 / §5): the exact audit legs
+    were 9 independent `percentile_disc` aggregate instances per scope
+    plus 9 over the whole table — EACH buffering every value of its
+    group in executor memory (measured 22 s at sf0.1 under the noop
+    sink; the count-action bench never evaluated the columns, hiding
+    it). All 36 selections now come from ONE pass through the
+    two-level histogram-selection pipeline the engine already certifies
+    for its other exact order statistics (`_selection_thresholds_melted`
+    — no global sort, no full-column buffering, every window partition
+    one coarse bucket). Rank semantics are percentile_disc's own:
+    fuzz-verified rank = max(1, ceil(q·n)) with IEEE double multiply
+    matches `percentile_disc` on 2250 (n, q) combinations
+    (tests/test_sketches.py pins it); values therefore hash-identically.
+    l_returnflag's domain is fixed by the TPC-H spec ({A, N, R}), which
+    the melted spec enumerates; a flag absent at tiny SFs just leaves
+    its pick columns unread."""
+    from .analytics import _selection_thresholds_melted
+
+    Q = (0.25, 0.5, 0.75)
+    FLAGS = ("A", "N", "R")  # l_returnflag domain, fixed by the TPC-H spec
+
+    def tags():
         for q in Q:
             p = int(q * 100)
-            for tag, qq in (
-                (f"exact_p{p}", q),
-                (f"_lo{p}", max(0.0, q - KLL_RANK_TOL)),
-                (f"_hi{p}", min(1.0, q + KLL_RANK_TOL)),
-            ):
-                aggs.append(
-                    F.expr(
-                        f"percentile_disc({qq}) WITHIN GROUP (ORDER BY {col})"
-                    ).alias(tag)
-                )
-        return aggs
+            yield f"exact_p{p}", q
+            yield f"_lo{p}", max(0.0, q - KLL_RANK_TOL)
+            yield f"_hi{p}", min(1.0, q + KLL_RANK_TOL)
+
+    def picks(scope: str) -> dict[str, str]:
+        # percentile_disc selects the value at 1-based sorted position
+        # ceil(q·n) (q·n in IEEE doubles — fuzz-pinned); qq literals
+        # repr-round-trip so e.g. 0.25+0.05 stays 0.30000000000000004,
+        # the exact double the old percentile_disc literal carried
+        return {
+            f"{scope}__{tag}": (
+                f"greatest(1, CAST(ceil(CAST({qq!r} AS DOUBLE) "
+                f"* CAST(n AS DOUBLE)) AS BIGINT))"
+            )
+            for tag, qq in tags()
+        }
+
+    # melt each price row under its flag metric AND the ALL metric —
+    # one pipeline computes all 4 scopes' selections (prices are
+    # doubles already; width 4000 over the ~[900, 105000] domain keeps
+    # the bucket relation a few dozen rows per metric)
+    melted = lineitem.select(
+        F.explode(
+            F.array(F.col("l_returnflag"), F.lit("ALL"))
+        ).alias("metric"),
+        F.col("l_extendedprice").cast("double").alias("value"),
+    )
+    thresholds = F.broadcast(
+        _selection_thresholds_melted(
+            melted,
+            {m: (picks(m), 4000.0) for m in (*FLAGS, "ALL")},
+        )
+    )
 
     per = lineitem.groupBy(F.col("l_returnflag").alias("scope")).agg(
         F.count("*").alias("n_rows"),
         F.kll_sketch_agg_double("l_extendedprice").alias("sk"),
-        *exact_aggs("l_extendedprice"),
     )
     # the ALL row: estimates from the MERGED per-flag sketches (no
-    # rescan), exact columns from the base table (the audit leg)
+    # rescan), exact columns from the shared selection pass
     merged = per.agg(
         F.kll_merge_agg_double("sk").alias("sk"),
         F.sum("n_rows").alias("n_rows"),
     )
-    overall = (
-        merged.crossJoin(  # broadcast 1-row exact quartiles
-            F.broadcast(lineitem.agg(*exact_aggs("l_extendedprice")))
+    overall = merged.select(F.lit("ALL").alias("scope"), "n_rows", "sk")
+
+    def scoped(tag: str) -> F.Column:
+        col = F.col(f"ALL__{tag}")
+        for flag in FLAGS:
+            col = F.when(
+                F.col("scope") == flag, F.col(f"{flag}__{tag}")
+            ).otherwise(col)
+        return col.alias(tag)
+
+    both = (
+        per.select("scope", "n_rows", "sk")
+        .unionByName(overall)
+        .crossJoin(thresholds)  # broadcast 1-row, 36 columns
+        .select(
+            "scope",
+            "n_rows",
+            "sk",
+            *[scoped(tag) for tag, _ in tags()],
         )
-        .select(F.lit("ALL").alias("scope"), "n_rows", "sk", *[
-            F.col(c)
-            for q in Q
-            for p in [int(q * 100)]
-            for c in (f"exact_p{p}", f"_lo{p}", f"_hi{p}")
-        ])
     )
-    both = per.select(overall.columns).unionByName(overall)
     est_cols = []
     for q in Q:
         p = int(q * 100)

@@ -4049,17 +4049,25 @@ def bigram_lift_topk(
     uni = toks.groupBy("source", "t").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    n_uni = toks.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_uni")
+    # N_uni = Σ per-token counts — derived from the unigram relation
+    # (vocab-grain) instead of re-exploding the corpus a second time
+    # (optimization r16, guide §2.3: aggregate before you shuffle; one
+    # corpus token pass, not two). Identical bigints by construction.
+    n_uni = uni.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_uni")
     )
     from ..functions.text import shingle_rows
 
-    # 2-gram rows per doc keep duplicates (counts, not sets); bigrams
-    # must not span document boundaries, so shingle per doc_id then
-    # attribute to the doc's source
+    # 2-gram rows per doc keep duplicates (counts, not sets); grams are
+    # built per ROW so they never span documents — carrying `source`
+    # through the shingle explode (multi-id shingle_rows) replaces the
+    # former corpus-sized join-back to documents for the source column
+    # (optimization r16, guide §2.4)
     bi = (
-        shingle_rows(documents, "doc_id", "text", 2)
-        .join(documents.select("doc_id", "source"), "doc_id")
+        shingle_rows(
+            documents.select("doc_id", "source", "text"),
+            ("doc_id", "source"), "text", 2,
+        )
         .groupBy("source", F.col("shingle").alias("bigram"))
         .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
     )

