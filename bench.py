@@ -288,7 +288,19 @@ def main() -> None:
         )
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
-    print(json.dumps(payload))
+    # Keep the PRINTED line as small as the contract allows (VERDICT
+    # r16 #5: the driver stores a bounded stdout tail; r15's line
+    # outgrew it and the round-over-round comparison was lost). The
+    # queries dict is contractual and stays; the per-run calibration
+    # arrays are not — the artifact file above keeps them losslessly.
+    slim = dict(payload)
+    slim["calibration"] = {
+        k: v for k, v in calibration.items() if k != "all_sec"
+    }
+    slim["calibration"]["pins"] = [
+        {k: v for k, v in p.items() if k != "all_sec"} for p in pins
+    ]
+    print(json.dumps(slim))
 
 
 if __name__ == "__main__":

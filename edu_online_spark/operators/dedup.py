@@ -755,102 +755,112 @@ def near_dup_clusters(pairs: DataFrame) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_rep).
 
     The curation deliverable: every doc in a duplicate cluster mapped to
-    the cluster's minimum doc_id (the canonical survivor). Iterative
-    min-label propagation with POINTER JUMPING (round 9): each round is
-    one neighbor-min join + one label-of-label shortcut join, so a
-    round moves labels along propagation paths faster than one hop.
-    The shortcut is sound because the loop maintains the invariant
-    "label(v) is the id of some node in v's component with
-    label(v) ≤ v": label(v) being in the same component makes
-    label(label(v)) also a component member, and labels only ever
-    decrease (least over mins), so composing them preserves the
-    invariant while strictly accelerating descent toward the fixpoint
-    — which is the same per-component minimum either way. Measured at
-    the sf1 rehearsal (winnowing pair graph): 12 → 9 rounds and ~25%
-    wall (7.8-8.7 → 5.7-6.5 s), identical outputs; a second jump per
-    round compresses nothing further (chains are already short under
-    simultaneous updates) and only pays an extra join — one jump is
-    the measured sweet spot. The loop runs UNTIL convergence
-    (changed == 0), with a generous safety cap that raises rather than
-    silently returning an unconverged closure. Each round's labels are
-    eagerly local-checkpointed, which (a) truncates the otherwise
-    exponentially-growing lineage — the canonical iterative-algorithm
-    pattern — and (b) leaves no persisted blocks behind.
+    the cluster's minimum doc_id (the canonical survivor).
+
+    Optimization r17 (guide §2 — shrink the data an iterative algorithm
+    carries): min-label STAR CONTRACTION instead of fixpoint label
+    propagation over the original graph. Each round, over the CURRENT
+    contracted graph g (symmetric edge set, so one groupBy covers the
+    whole neighborhood):
+
+        l1(u)  = min(u, min over neighbors)     — one aggregation
+        l2(u)  = l1(l1(u))                      — one pointer-jump join
+        g      ← edges rewritten to (l2(src), l2(dst)),
+                 self-loops dropped, deduped    — CONTRACTION
+
+    Contraction is what the r16 propagation loop was missing: labels
+    there moved one edge-hop per round (a second pointer jump per round
+    was measured useless — the loop was graph-distance-bound), so the
+    long passage-sharing chains of the winnowing pair graph took 7
+    rounds. Rewriting the edges onto labels merges every local-min star
+    into one super-vertex, so both the edge count AND the effective
+    diameter shrink geometrically — measured on that same graph: 7
+    rounds → 3, and the round-2/3 graphs are a fraction of the
+    original edge set (8.4k-pair graph at sf0.1: 12.4k → 1.7k → 0
+    directed contracted edges).
+
+    Soundness: super-vertex ids are original doc_ids; l1(u) is a member
+    of u's component with l1(u) ≤ u, hence so is l2(u) (labels only
+    decrease — least over mins), and edges between distinct labels
+    preserve component connectivity in the contracted graph. The
+    component's global minimum m always labels itself (every contracted
+    neighbor id of m is a component member > m), so m survives every
+    round; the loop ends when no edges remain, i.e. every component has
+    contracted to exactly one surviving super-vertex — which is
+    therefore m. Each doc's final cluster_rep is the composition of its
+    per-round labels: mapping rows left-join each (checkpointed, tiny,
+    shrinking) round label table and coalesce — finished components
+    pass through untouched. Equivalence to per-component minimum is
+    pinned by tests/test_dedup.py::test_near_dup_clusters_matches_union_find
+    (randomized graphs vs a union-find reference) and every cluster
+    oracle (parity run).
+
+    Each round's label table and contracted edge set are eagerly
+    local-checkpointed: the labels are consumed three times (two edge
+    rewrites + the mapping composition) and Spark has no cross-branch
+    CSE; the edge checkpoint truncates the otherwise exponentially-
+    growing lineage, and its count (convergence test) reads the
+    just-stored blocks, not the plan. The loop runs UNTIL convergence
+    (no edges), with a generous safety cap that raises rather than
+    silently returning an unconverged closure.
     """
-    max_rounds = 64  # log₂-diameter cap; far beyond any real corpus
+    max_rounds = 64  # log-diameter cap; far beyond any real corpus
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = (
+    # mapping doc_id → current super-vertex, composed LAZILY from the
+    # per-round checkpointed label tables (a ≤max_rounds-deep chain of
+    # left joins over shrinking relations) — no per-round mapping job.
+    mapping = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_rep", F.col("doc_id"))
-        .localCheckpoint(eager=True)
     )
-    # Optimization r16 (guide §2.4 / fewer sequential jobs): each round
-    # is ONE neighbor join + ONE union-min aggregate + ONE jump join.
-    # The old form additionally paid a left join to merge the neighbor
-    # min back into labels, and a labels⋈updated JOIN per round just to
-    # count changes; here the self label rides through the union (so
-    # min() folds it with the neighbor reps), the pre-round label rides
-    # along as `prev`, and convergence is a join-free filter-count over
-    # the just-checkpointed round output (labels only ever decrease, so
-    # changed ⇔ cluster_rep < prev). Identical fixpoint, ~2 fewer
-    # exchanges and one fewer job per round.
-    id_type = labels.schema["cluster_rep"].dataType  # generic: long OR string ids
+    g = edges
     for _ in range(max_rounds):
-        nbr = edges.join(labels, edges.dst == labels.doc_id).select(
-            F.col("src").alias("doc_id"),
-            F.col("cluster_rep"),
-            F.lit(None).cast(id_type).alias("prev"),
+        nbr_min = g.groupBy("src").agg(F.min("dst").alias("_m"))
+        l1 = nbr_min.select(
+            F.col("src").alias("_u"),
+            F.least(F.col("src"), F.col("_m")).alias("_l1"),
         )
-        stepped = (
-            nbr.unionByName(
-                labels.select(
-                    "doc_id",
-                    "cluster_rep",
-                    F.col("cluster_rep").alias("prev"),
-                )
-            )
-            .groupBy("doc_id")
-            .agg(
-                F.min("cluster_rep").alias("cluster_rep"),
-                F.max("prev").alias("prev"),  # exactly one non-null per doc
-            )
-        )
-        # pointer jump: rep ← label(rep). Every label is itself a
-        # labeled doc_id (labels covers every node of the pair graph),
-        # so the lookup join always hits.
-        reps = stepped.select(
-            F.col("doc_id").alias("rep_id"),
-            F.col("cluster_rep").alias("rep_rep"),
-        )
-        # NOTE (optimization r16, measured): a LAZY localCheckpoint here
-        # (materialized by the changed-count action, one job per round
-        # instead of two) was A/B-tested over the five CC-heavy
-        # queries and is a wash to slightly WORSE (docs_winnowing_
-        # clusters 4.48 -> 5.35 s min-of-3; the others within noise) —
-        # the count on the eager checkpoint reads tiny stored blocks,
-        # while the lazy form's materializing action re-plans the whole
-        # round under AQE. Kept eager.
-        updated = (
-            stepped.join(reps, stepped.cluster_rep == reps.rep_id)
-            .select(
-                "doc_id",
-                F.least(F.col("cluster_rep"), F.col("rep_rep")).alias(
-                    "cluster_rep"
-                ),
-                "prev",
-            )
+        # pointer jump: l2(u) = l1(l1(u)). l1 covers every active
+        # vertex and every l1 value IS an active vertex (self or a
+        # neighbor of the symmetric edge set), so the join always hits.
+        jump = l1.select(F.col("_u").alias("_ju"), F.col("_l1").alias("_jl"))
+        lbl = (
+            l1.join(jump, l1["_l1"] == jump["_ju"])
+            .select(F.col("_u"), F.col("_jl").alias("_lbl"))
             .localCheckpoint(eager=True)
         )
-        changed = updated.filter(F.col("cluster_rep") < F.col("prev")).count()
-        labels = updated.select("doc_id", "cluster_rep")
-        if changed == 0:
-            return labels
+        g = (
+            g.join(
+                lbl.select(F.col("_u").alias("src"), F.col("_lbl").alias("_ls")),
+                "src",
+            )
+            .join(
+                lbl.select(F.col("_u").alias("dst"), F.col("_lbl").alias("_ld")),
+                "dst",
+            )
+            .select(F.col("_ls").alias("src"), F.col("_ld").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        mapping = mapping.join(
+            lbl.select(F.col("_u").alias("cluster_rep"), F.col("_lbl")),
+            "cluster_rep",
+            "left",
+        ).select(
+            "doc_id", F.coalesce("_lbl", "cluster_rep").alias("cluster_rep")
+        )
+        if g.count() == 0:
+            # materialize once — consumers (lang_purity, savings,
+            # curation, ...) branch over the result; matches the r16
+            # form, whose return was a select of a checkpointed round.
+            return mapping.localCheckpoint(eager=True)
     raise RuntimeError(
         f"near_dup_clusters did not converge in {max_rounds} rounds — "
         "component diameter exceeds the cap; raise max_rounds"

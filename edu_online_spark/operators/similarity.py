@@ -1026,6 +1026,83 @@ def _rrf_fuse_topk(scored: DataFrame, k: int, rrf_k: int) -> DataFrame:
     )
 
 
+def _hybrid_lsh_candidates(
+    items: DataFrame, texts: DataFrame, n_queries: int, dim: int
+) -> DataFrame:
+    """Banded candidate generation for the hybrid LSH paths — the
+    union of SRP band collisions (vector tower) and MinHash band
+    collisions (lexical tower), deduped once, eagerly checkpointed
+    (consumed by at least two downstream branches). Factored out in
+    optimization r17 so the certified entry and the production entry
+    share ONE definition of the candidate set (VERDICT r16 #3).
+
+    The query batch IS a corpus subset here (qid < n_queries), so the
+    corpus is signed and banded exactly ONCE and the query side is a
+    filter of that relation — the former cross_corpus_band_candidates
+    call signed both sides independently, and corpus signing was the
+    measured dominator of the whole query (3.3 s of 7.7 s at sf0.1).
+    Production with an external query batch reverts to
+    cross_corpus_band_candidates (and persists the corpus signature
+    table, as its docstring prescribes).
+    """
+    from ..functions import hashing
+    from ..operators.dedup import _shingle_rows
+
+    # vector-side candidates: SRP banded equi-join (knn_lsh's generator,
+    # wider banding — see HYBRID_LSH_BANDS)
+    bucketize = srp_band_buckets_udf(dim, HYBRID_LSH_BANDS, HYBRID_LSH_PLANES)
+    tagged = items.select(
+        "doc_id",
+        F.posexplode(bucketize(F.col("embedding"))).alias("band", "bucket"),
+    ).localCheckpoint(eager=True)
+    vq = tagged.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("qid"), "band", "bucket"
+    )
+    vc = tagged.select(F.col("doc_id").alias("nid"), "band", "bucket")
+    vec_cand = (
+        vc.join(
+            F.broadcast(vq),
+            (vq.band == vc.band)
+            & (vq.bucket == vc.bucket)
+            & (F.col("qid") != F.col("nid")),
+        )
+        # collision multiplicity survives to the union below — the
+        # single post-union dropDuplicates dedups both towers at once
+        .select("qid", "nid")
+    )
+    # lexical-side candidates: MinHash band collisions, candidates ONLY
+    # (exact scoring happens once, on the union, in the caller)
+    sig = hashing.minhash_signatures_df(
+        _shingle_rows(texts, 3), "doc_id", F.col("shingle")
+    ).localCheckpoint(eager=True)  # the signing cost, paid exactly once
+    lex_banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            hashing.band_hashes(
+                F.col("sig"), hashing.DEFAULT_BANDS, hashing.DEFAULT_NUM_HASHES
+            )
+        ).alias("band", "bh"),
+    )  # band explode is a cheap projection — recomputed per side
+    lq = lex_banded.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("qid"), "band", "bh"
+    )
+    lc = lex_banded.select(F.col("doc_id").alias("nid"), "band", "bh")
+    lex_cand = (
+        lc.join(
+            F.broadcast(lq),
+            (lq.band == lc.band)
+            & (lq.bh == lc.bh)
+            & (F.col("qid") != F.col("nid")),
+        )
+        .select("qid", "nid")  # deduped once, after the union
+    )
+    return (
+        vec_cand.unionByName(lex_cand)
+        .dropDuplicates(["qid", "nid"])
+        .localCheckpoint(eager=True)
+    )
+
+
 def hybrid_search_rrf_lsh_topk(
     documents: DataFrame,
     embeddings: DataFrame,
@@ -1060,74 +1137,13 @@ def hybrid_search_rrf_lsh_topk(
     ann_recall_report.
     """
     from ..functions import hashing
-    from ..operators.dedup import _shingle_rows, _shingled
+    from ..operators.dedup import _shingled
 
     items = documents.join(
         embeddings, documents.doc_id == embeddings.vec_id
     ).select("doc_id", "text", "embedding")
-    # vector-side candidates: SRP banded equi-join (knn_lsh's generator,
-    # wider banding — see HYBRID_LSH_BANDS)
-    bucketize = srp_band_buckets_udf(dim, HYBRID_LSH_BANDS, HYBRID_LSH_PLANES)
-    tagged = items.select(
-        "doc_id",
-        F.posexplode(bucketize(F.col("embedding"))).alias("band", "bucket"),
-    ).localCheckpoint(eager=True)
-    vq = tagged.filter(F.col("doc_id") < n_queries).select(
-        F.col("doc_id").alias("qid"), "band", "bucket"
-    )
-    vc = tagged.select(F.col("doc_id").alias("nid"), "band", "bucket")
-    vec_cand = (
-        vc.join(
-            F.broadcast(vq),
-            (vq.band == vc.band)
-            & (vq.bucket == vc.bucket)
-            & (F.col("qid") != F.col("nid")),
-        )
-        # collision multiplicity survives to the union below — the
-        # single post-union dropDuplicates dedups both towers at once
-        .select("qid", "nid")
-    )
-    # lexical-side candidates: MinHash band collisions, candidates ONLY
-    # (exact scoring happens once, below, on the union). The query
-    # batch IS a corpus subset here (qid < n_queries), so the corpus is
-    # signed and banded exactly ONCE and the query side is a filter of
-    # that relation — the former cross_corpus_band_candidates call
-    # signed both sides independently, and corpus signing was the
-    # measured dominator of this whole query (3.3 s of 7.7 s at sf0.1).
-    # Production with an external query batch reverts to
-    # cross_corpus_band_candidates (and persists the corpus signature
-    # table, as its docstring prescribes).
     texts = items.select("doc_id", "text")
-    sig = hashing.minhash_signatures_df(
-        _shingle_rows(texts, 3), "doc_id", F.col("shingle")
-    ).localCheckpoint(eager=True)  # the signing cost, paid exactly once
-    lex_banded = sig.select(
-        "doc_id",
-        F.posexplode(
-            hashing.band_hashes(
-                F.col("sig"), hashing.DEFAULT_BANDS, hashing.DEFAULT_NUM_HASHES
-            )
-        ).alias("band", "bh"),
-    )  # band explode is a cheap projection — recomputed per side
-    lq = lex_banded.filter(F.col("doc_id") < n_queries).select(
-        F.col("doc_id").alias("qid"), "band", "bh"
-    )
-    lc = lex_banded.select(F.col("doc_id").alias("nid"), "band", "bh")
-    lex_cand = (
-        lc.join(
-            F.broadcast(lq),
-            (lq.band == lc.band)
-            & (lq.bh == lc.bh)
-            & (F.col("qid") != F.col("nid")),
-        )
-        .select("qid", "nid")  # deduped once, after the union
-    )
-    cand = (
-        vec_cand.unionByName(lex_cand)
-        .dropDuplicates(["qid", "nid"])
-        # consumed by the vector join AND the shingle semi-join below
-        .localCheckpoint(eager=True)
-    )
+    cand = _hybrid_lsh_candidates(items, texts, n_queries, dim)
     qv = items.filter(F.col("doc_id") < n_queries).select(
         F.col("doc_id").alias("qid"),
         F.col("embedding").alias("qemb"),
@@ -1183,22 +1199,91 @@ def hybrid_search_rrf_lsh_certified(
     collapses to a pinned ≥0.9 boolean. The exact side is the already-
     certified hybrid_search_rrf — so this entry certifies that the
     production candidate-fed path reproduces the exact fusion's
-    answers, which is the property a deployment actually relies on."""
-    exact = hybrid_search_rrf(documents, embeddings, k=k).select("qid", "nid")
-    approx = hybrid_search_rrf_lsh_topk(documents, embeddings, k=k).select(
-        "qid", "nid"
+    answers, which is the property a deployment actually relies on.
+
+    Optimization r17 (guide §2.4 / VERDICT r16 #3): the exact and the
+    LSH-fed rankings now share ONE scoring pass. The old form called
+    hybrid_search_rrf and hybrid_search_rrf_lsh_topk independently —
+    the exact BroadcastNestedLoopJoin scoring subtree additionally
+    appeared TWICE in the final plan (consumed by both the hits
+    semi-join and the n_exact count; Spark has no cross-branch CSE and
+    the committed r16 plan shows three BNLJ instances, zero reuse).
+    Now every (query, candidate) pair is scored exactly once
+    (`scored_all`, eagerly checkpointed):
+
+      exact ranking  = _rrf_fuse_topk over scored_all rows where BOTH
+                       docs have shingles (jaccard IS NOT NULL ⇔ the
+                       inner shingle join hybrid_search_rrf performs —
+                       shingle arrays are non-empty by construction,
+                       so jaccard of two present arrays is never null);
+      approx ranking = _rrf_fuse_topk over scored_all LEFT SEMI the
+                       shared candidate set (every candidate pair IS a
+                       (qid<n_queries, nid≠qid) pair of the same
+                       corpus), jaccard coalesced to 0.0 — exactly
+                       hybrid_search_rrf_lsh_topk's scoring semantics;
+      recall gate    = one LEFT join + one aggregate over the tiny
+                       exact top-k (replaces the semi-join + two
+                       aggregates + crossJoin).
+
+    Rank-equivalence to the two standalone entries is pinned by
+    tests/test_similarity.py::test_hybrid_certified_shares_scoring_pass
+    and by the entry's unchanged oracle hash (parity).
+    """
+    from ..functions import hashing
+    from ..operators.dedup import _shingled
+
+    n_queries = N_QUERIES
+    items = documents.join(
+        embeddings, documents.doc_id == embeddings.vec_id
+    ).select("doc_id", "text", "embedding")
+    texts = items.select("doc_id", "text")
+    base = items.join(_shingled(texts), "doc_id", "left").select(
+        "doc_id", "embedding", "sh"
     )
-    hits = exact.join(approx, ["qid", "nid"], "left_semi")
-    return (
-        exact.agg(F.count("*").alias("n_exact"))
-        .crossJoin(hits.agg(F.count("*").alias("n_hit")))
+    q = base.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("sh").alias("qsh"),
+    )
+    c = base.select(
+        F.col("doc_id").alias("nid"),
+        F.col("embedding").alias("nv"),
+        F.col("sh").alias("nsh"),
+    )
+    scored_all = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
         .select(
-            F.lit(k).alias("k"),
-            "n_exact",
-            ((F.col("n_hit") / F.col("n_exact")) >= RECALL_GATE).alias(
-                "recall_ok"
-            ),
+            "qid",
+            "nid",
+            cosine_similarity(F.col("qv"), F.col("nv")).alias("cosine"),
+            hashing.jaccard(F.col("qsh"), F.col("nsh")).alias("jaccard"),
         )
+        # n_queries × corpus rows of ids + two doubles — consumed by
+        # both rankings below; Spark has no cross-branch CSE
+        .localCheckpoint(eager=True)
+    )
+    exact = _rrf_fuse_topk(
+        scored_all.filter(F.col("jaccard").isNotNull()), k, RRF_K
+    ).select("qid", "nid")
+    cand = _hybrid_lsh_candidates(items, texts, n_queries, dim=64)
+    approx = _rrf_fuse_topk(
+        scored_all.join(cand, ["qid", "nid"], "left_semi").withColumn(
+            "jaccard", F.coalesce(F.col("jaccard"), F.lit(0.0))
+        ),
+        k,
+        RRF_K,
+    ).select("qid", "nid")
+    marked = exact.join(
+        approx.withColumn("_hit", F.lit(1)), ["qid", "nid"], "left"
+    )
+    return marked.agg(
+        F.count("*").alias("n_exact"), F.count("_hit").alias("n_hit")
+    ).select(
+        F.lit(k).alias("k"),
+        "n_exact",
+        ((F.col("n_hit") / F.col("n_exact")) >= RECALL_GATE).alias(
+            "recall_ok"
+        ),
     )
 
 

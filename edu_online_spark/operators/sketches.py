@@ -271,11 +271,15 @@ def price_quantile_sketch_rollup(lineitem: DataFrame) -> DataFrame:
     — no global sort, no full-column buffering, every window partition
     one coarse bucket). Rank semantics are percentile_disc's own:
     fuzz-verified rank = max(1, ceil(q·n)) with IEEE double multiply
-    matches `percentile_disc` on 2250 (n, q) combinations
-    (tests/test_sketches.py pins it); values therefore hash-identically.
-    l_returnflag's domain is fixed by the TPC-H spec ({A, N, R}), which
-    the melted spec enumerates; a flag absent at tiny SFs just leaves
-    its pick columns unread."""
+    matches `percentile_disc` on 2250 (n, q) combinations — committed as
+    tests/test_sketches.py::test_kll_rank_formula_fuzz_2250_group_sizes
+    (250 group sizes × the 9 quantile literals the melted spec uses);
+    values therefore hash-identically. l_returnflag's domain is fixed by
+    the TPC-H spec ({A, N, R}), which the melted spec enumerates; a flag
+    absent at tiny SFs just leaves its pick columns unread, and a flag
+    OUTSIDE the domain raises (scoped()'s r17 guard +
+    test_kll_rollup_rejects_unknown_flag) instead of silently borrowing
+    the ALL thresholds."""
     from .analytics import _selection_thresholds_melted
 
     Q = (0.25, 0.5, 0.75)
@@ -331,12 +335,26 @@ def price_quantile_sketch_rollup(lineitem: DataFrame) -> DataFrame:
     overall = merged.select(F.lit("ALL").alias("scope"), "n_rows", "sk")
 
     def scoped(tag: str) -> F.Column:
-        col = F.col(f"ALL__{tag}")
+        # Defensive (optimization r17, VERDICT r16 #8): a scope outside
+        # the enumerated TPC-H domain would otherwise SILENTLY take the
+        # ALL thresholds for its exact columns (the pre-r16
+        # percentile_disc form was correct for any domain). Fail loudly
+        # instead — evaluated on the 4-row scope relation, so the guard
+        # costs nothing.
+        col = F.when(F.col("scope") == "ALL", F.col(f"ALL__{tag}"))
         for flag in FLAGS:
-            col = F.when(
-                F.col("scope") == flag, F.col(f"{flag}__{tag}")
-            ).otherwise(col)
-        return col.alias(tag)
+            col = col.when(F.col("scope") == flag, F.col(f"{flag}__{tag}"))
+        return col.otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "lineitem_price_kll_rollup: l_returnflag value "
+                        "outside the TPC-H domain {A,N,R}: "
+                    ),
+                    F.col("scope"),
+                )
+            )
+        ).alias(tag)
 
     both = (
         per.select("scope", "n_rows", "sk")

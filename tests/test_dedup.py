@@ -767,3 +767,74 @@ def test_composed_diagnostics_equal_standalones(spark, sf_dir):
          r["share"])
         for r in ds
     )
+
+
+def test_near_dup_clusters_matches_union_find(spark):
+    """Equivalence pin for the r17 star-contraction rewrite: on
+    randomized graphs (long chains — the winnowing shape that forced 7
+    propagation rounds — plus stars, cliques, and uniform random
+    edges), near_dup_clusters must label every vertex with its
+    component MINIMUM, per a union-find reference."""
+    import random
+
+    from edu_online_spark.operators.dedup import near_dup_clusters
+
+    def uf_reference(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {v: find(v) for v in parent}
+
+    rng = random.Random(17)
+    cases = []
+    # long chains with shuffled ids (worst case for propagation)
+    ids = list(range(100))
+    rng.shuffle(ids)
+    cases.append([(ids[i], ids[i + 1]) for i in range(len(ids) - 1)])
+    # stars + a clique + isolated pairs
+    cases.append(
+        [(50, i) for i in range(10)]
+        + [(i, j) for i in range(20, 25) for j in range(i + 1, 25)]
+        + [(100, 101), (102, 103)]
+    )
+    # uniform random graphs of varying density
+    for n, m in [(60, 30), (60, 90), (40, 200)]:
+        cases.append(
+            [
+                tuple(rng.sample(range(n), 2))
+                for _ in range(m)
+            ]
+        )
+    for pairs in cases:
+        df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in pairs], ["doc_a", "doc_b"]
+        )
+        got = {
+            r["doc_id"]: r["cluster_rep"]
+            for r in near_dup_clusters(df).collect()
+        }
+        assert got == uf_reference(pairs)
+
+
+def test_near_dup_clusters_string_ids(spark):
+    """The contraction loop must stay generic over id types (string
+    ordering = lexicographic min), as the r16 form was."""
+    from edu_online_spark.operators.dedup import near_dup_clusters
+
+    df = spark.createDataFrame(
+        [("b", "c"), ("c", "a"), ("x", "y")], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_rep"] for r in near_dup_clusters(df).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}

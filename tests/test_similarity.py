@@ -414,3 +414,47 @@ def test_rademacher_sketch_preserves_distances(spark, sf_dir):
     ratios.sort()
     med = ratios[len(ratios) // 2]
     assert 0.6 <= med <= 1.4, ratios
+
+
+def test_hybrid_certified_shares_scoring_pass(spark):
+    """Equivalence pin for the r17 shared-scoring restructure of
+    hybrid_search_rrf_lsh_certified: its (k, n_exact, recall_ok) row
+    must equal the same gate computed from the two STANDALONE entries
+    (hybrid_search_rrf, hybrid_search_rrf_lsh_topk). The corpus
+    deliberately contains sub-3-token docs — including one on the
+    query side — because the exact ranking drops shingle-less docs
+    (inner shingle join) while the LSH ranking keeps them at jaccard 0;
+    the shared pass must reproduce BOTH behaviors from one relation."""
+    import random
+
+    from edu_online_spark.operators.similarity import (
+        hybrid_search_rrf,
+        hybrid_search_rrf_lsh_certified,
+        hybrid_search_rrf_lsh_topk,
+    )
+
+    rng = random.Random(41)
+    words = ["spark", "join", "shuffle", "stage", "task", "row", "agg",
+             "scan", "broadcast", "skew", "plan", "codegen"]
+    rows = []
+    for i in range(30):
+        if i in (2, 7, 19):  # short docs: no shingles (id 2 is a query)
+            rows.append((i, "ok"))
+        else:
+            rows.append(
+                (i, " ".join(rng.choice(words) for _ in range(12)))
+            )
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    vecs = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(30)],
+        ["vec_id", "embedding"],
+    )
+    k = 10
+    exact = hybrid_search_rrf(docs, vecs, k=k).select("qid", "nid")
+    approx = hybrid_search_rrf_lsh_topk(docs, vecs, k=k).select("qid", "nid")
+    n_exact = exact.count()
+    n_hit = exact.join(approx, ["qid", "nid"], "left_semi").count()
+    got = hybrid_search_rrf_lsh_certified(docs, vecs, k=k).first()
+    assert got["k"] == k
+    assert got["n_exact"] == n_exact
+    assert got["recall_ok"] == (n_hit / n_exact >= 0.9)

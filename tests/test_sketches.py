@@ -248,3 +248,70 @@ def test_kll_exact_legs_match_percentile_disc_semantics(spark):
         for tag, _ in qs:
             assert got[scope][tag] == ref[scope][tag], (scope, tag)
     assert 0.0 < KLL_RANK_TOL < 0.25  # tol sanity for the lo/hi legs
+
+
+def test_kll_rank_formula_fuzz_2250_group_sizes(spark):
+    """The full fuzz the r16 rewrite was certified with, committed:
+    percentile_disc's value selection == sorted[max(1, ceil(q*n)) - 1]
+    with IEEE double multiply, for 250 group sizes x the 9 quantile
+    literals the rollup's melted spec actually uses (exact q and the
+    lo/hi band legs, same clamp arithmetic). 2250 (n, q) combinations,
+    one Spark job. This is the rank rule picks() embeds in SQL
+    (greatest(1, ceil(q*n))), so pinning the formula pins the
+    pipeline's selection semantics."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from edu_online_spark.operators.sketches import KLL_RANK_TOL
+
+    qs = []
+    for q in (0.25, 0.5, 0.75):
+        qs.append(q)
+        qs.append(max(0.0, q - KLL_RANK_TOL))
+        qs.append(min(1.0, q + KLL_RANK_TOL))
+    assert len(qs) == 9
+
+    rng = random.Random(23)
+    sizes = list(range(1, 201)) + rng.sample(range(201, 5000), 50)
+    assert len(sizes) == 250
+    rows = []
+    values = {}
+    for gid, n in enumerate(sizes):
+        vals = [round(rng.uniform(1.0, 999.0), 2) for _ in range(n)]
+        values[gid] = sorted(vals)
+        rows += [(gid, v) for v in vals]
+    df = spark.createDataFrame(rows, ["gid", "v"])
+    aggs = [
+        F.expr(f"percentile_disc({q!r}) WITHIN GROUP (ORDER BY v)").alias(
+            f"q{i}"
+        )
+        for i, q in enumerate(qs)
+    ]
+    got = {r["gid"]: r for r in df.groupBy("gid").agg(*aggs).collect()}
+    mismatches = []
+    for gid, n in enumerate(sizes):
+        srt = values[gid]
+        for i, q in enumerate(qs):
+            # the formula under test: 1-based rank, IEEE double multiply
+            rank = max(1, math.ceil(q * n))
+            if got[gid][f"q{i}"] != srt[rank - 1]:
+                mismatches.append((n, q))
+    assert mismatches == [], f"{len(mismatches)} of 2250: {mismatches[:5]}"
+
+
+def test_kll_rollup_rejects_unknown_flag(spark):
+    """VERDICT r16 #8: a l_returnflag outside the TPC-H domain must
+    fail loudly, not silently borrow the ALL thresholds for its exact
+    columns (the pre-r16 percentile_disc form was domain-generic)."""
+    import pytest
+
+    from edu_online_spark.operators.sketches import (
+        price_quantile_sketch_rollup,
+    )
+
+    rows = [(float(i), ["A", "N", "X"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, ["l_extendedprice", "l_returnflag"])
+    with pytest.raises(Exception, match="outside the TPC-H domain"):
+        price_quantile_sketch_rollup(df).collect()

@@ -77,3 +77,40 @@ def test_fingerprint_fast_deterministic_and_sensitive(spark):
     }
     assert got == again
     assert got[0] == got[1] != got[2]
+
+
+def test_spread_small_scan_passthrough_above_threshold(spark, tmp_path):
+    """VERDICT r16 #9: the spread must be a structural NO-OP whenever
+    the file input exceeds one split — at real scale input splits
+    supply the parallelism and an added Exchange would be a regression.
+    Simulated by dropping the threshold below the file's size."""
+    from edu_online_spark.functions.text import (
+        SPREAD_MAX_INPUT_BYTES_CONF,
+        _SPREAD_SIZE_CACHE,
+        spread_small_scan,
+    )
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "text " * 50) for i in range(500)], ["doc_id", "text"]
+    ).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    _SPREAD_SIZE_CACHE.clear()
+    spark.conf.set(SPREAD_MAX_INPUT_BYTES_CONF, "1")
+    try:
+        out = spread_small_scan(df, "doc_id")
+        # pass-through: no repartition node added to the plan
+        assert "RepartitionByExpression" not in out._jdf.queryExecution().logical().toString()
+        # and the probe result was memoized for the next operator in
+        # the same query path
+        assert len(_SPREAD_SIZE_CACHE) == 1
+        # small input (default threshold): the spread fires
+        spark.conf.unset(SPREAD_MAX_INPUT_BYTES_CONF)
+        out2 = spread_small_scan(df, "doc_id")
+        assert "RepartitionByExpression" in out2._jdf.queryExecution().logical().toString()
+        assert len(_SPREAD_SIZE_CACHE) == 1  # same file set, cache hit
+    finally:
+        try:
+            spark.conf.unset(SPREAD_MAX_INPUT_BYTES_CONF)
+        except Exception:
+            pass

@@ -1,8 +1,8 @@
-"""Round-16 optimization profiler.
+"""Optimization-round profiler (r16; plans dir now r17).
 
 Times registry queries in isolation with the noop sink (guide §1.4 —
 computes every column, discards the write) and captures
-``.explain("formatted")`` into plans/r16/. Jobs are labelled
+``.explain("formatted")`` into plans/r17/. Jobs are labelled
 (guide §1.5) so the history server / logs attribute stages correctly.
 
 Usage:
@@ -10,7 +10,7 @@ Usage:
         [--plans SUFFIX] query [query ...]
 
 With --plans before|after the formatted plan is written to
-plans/r16/<query>_<suffix>.txt (the judge-facing artifact).
+plans/r17/<query>_<suffix>.txt (the judge-facing artifact).
 
 Prints one line per run and a summary line per query:
     <query> min=<s> times=[...] jobs=<n-spark-jobs>
@@ -38,7 +38,7 @@ def main() -> None:
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--action", choices=["noop", "count"], default="noop")
-    ap.add_argument("--plans", default=None, help="write plans/r16/<q>_<suffix>.txt")
+    ap.add_argument("--plans", default=None, help="write plans/r17/<q>_<suffix>.txt")
     args = ap.parse_args()
 
     spark = get_spark()
@@ -48,7 +48,7 @@ def main() -> None:
     warm = spark.read.parquet(f"{args.sf}/region.parquet")
     warm.write.format("noop").mode("overwrite").save()
 
-    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16")
+    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r17")
     if args.plans:
         os.makedirs(plans_dir, exist_ok=True)
 
