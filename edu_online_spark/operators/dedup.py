@@ -290,21 +290,50 @@ def ngram_jaccard_pairs_prefix(
         )
         .select("doc_a", "doc_b", "sz_a", "sz_b")
         .dropDuplicates(["doc_a", "doc_b"])
+        # The candidate set feeds THREE branches below (the pair join
+        # and both sides of the id semi-join reducer); Spark has no
+        # cross-branch CSE, so without materialization each branch
+        # re-executes the whole df+window+prefix-join DAG (same
+        # rationale, same shape as minhash_lsh_pairs' candidate
+        # checkpoint). Compact pair rows — collision-bounded.
+        .localCheckpoint(eager=True)
     )
-    inter = (
-        cand.select("doc_a", "doc_b")
-        .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(
-            sh.select(
-                F.col("doc_id").alias("doc_b"), "shingle"
-            ),
-            ["doc_b", "shingle"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+    # Exact |A∩B| per candidate via the ARRAY form (optimization r17,
+    # guide §2.3 — shuffle candidate-bounded doc arrays, not the whole
+    # (doc, shingle) row table): the old verify joined cand back
+    # against the 260k-row shingle stream TWICE plus a pair-grain
+    # count aggregation (measured: ~3.1 s of the query's 3.9 s at
+    # sf0.1 sat in the verify, not the window). This is
+    # minhash_lsh_pairs' verification contract — re-shingle ONLY the
+    # semi-join-reduced candidate docs into per-doc distinct arrays
+    # (zero-shuffle, AQE broadcasts the doc-grain build side) and take
+    # size(array_intersect) per pair. size(sh) equals the window's sz
+    # (same distinct-gram set), so counts and the single double
+    # division are bit-identical to the co-occurrence form — pinned by
+    # the prefix-vs-co-occurrence equality test and the shared
+    # certified oracle.
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b")))
+        .distinct()
     )
+    sh_arr = _shingled(documents.join(cand_ids, "doc_id", "left_semi"), n)
     return (
-        cand.join(inter, ["doc_a", "doc_b"])
+        cand.join(
+            sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("_sa")),
+            "doc_a",
+        )
+        .join(
+            sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("_sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_sa", "_sb")).alias("n_inter"),
+            "sz_a",
+            "sz_b",
+        )
         .select(
             "doc_a",
             "doc_b",
