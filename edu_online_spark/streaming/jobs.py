@@ -517,7 +517,7 @@ def page_toppages_job(
 
     return (
         counts.writeStream.outputMode("complete")
-        .foreachBatch(overwrite)
+        .foreachBatch(sinks.pin_batch(overwrite))
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()
@@ -1004,7 +1004,7 @@ def distinct_users_sketch_job(
 
     return (
         reg.writeStream.outputMode("append")
-        .foreachBatch(merge)
+        .foreachBatch(sinks.pin_batch(merge))
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()
@@ -1155,7 +1155,7 @@ def token_countmin_job(
 
     return (
         docs.writeStream.outputMode("append")
-        .foreachBatch(merge)
+        .foreachBatch(sinks.pin_batch(merge))
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()
@@ -1248,7 +1248,7 @@ def length_drift_monitor_job(
 
     return (
         docs.writeStream.outputMode("append")
-        .foreachBatch(merge)
+        .foreachBatch(sinks.pin_batch(merge))
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()
@@ -1346,7 +1346,7 @@ def record_linkage_job(
 
     return (
         decoded.writeStream.outputMode("append")
-        .foreachBatch(link)
+        .foreachBatch(sinks.pin_batch(link))
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()
@@ -1458,7 +1458,7 @@ def substring_scrub_job(
 
     return (
         docs.writeStream.outputMode("append")
-        .foreachBatch(scrub)
+        .foreachBatch(sinks.pin_batch(scrub))
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()
@@ -1600,7 +1600,7 @@ def token_budget_gate_job(
 
     return (
         docs.writeStream.outputMode("append")
-        .foreachBatch(gate)
+        .foreachBatch(sinks.pin_batch(gate))
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()
@@ -1700,7 +1700,7 @@ def shard_assign_job(
 
     return (
         docs.writeStream.outputMode("append")
-        .foreachBatch(assign)
+        .foreachBatch(sinks.pin_batch(assign))
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()
@@ -1801,7 +1801,7 @@ def length_quantile_sketch_job(
 
     return (
         docs.writeStream.outputMode("append")
-        .foreachBatch(fold)
+        .foreachBatch(sinks.pin_batch(fold))
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()
@@ -1955,7 +1955,7 @@ def seen_filter_job(
 
     return (
         docs.writeStream.outputMode("append")
-        .foreachBatch(probe_and_insert)
+        .foreachBatch(sinks.pin_batch(probe_and_insert))
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()
@@ -2166,7 +2166,7 @@ def winnow_index_job(
 
     return (
         docs.writeStream.outputMode("append")
-        .foreachBatch(probe_and_index)
+        .foreachBatch(sinks.pin_batch(probe_and_index))
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()
@@ -2398,7 +2398,7 @@ def curation_ingest_job(
 
     return (
         docs.writeStream.outputMode("append")
-        .foreachBatch(ingest)
+        .foreachBatch(sinks.pin_batch(ingest))
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()
@@ -3027,7 +3027,7 @@ def minhash_dedup_job(
 
     return (
         docs.writeStream.outputMode("append")
-        .foreachBatch(probe_and_index)
+        .foreachBatch(sinks.pin_batch(probe_and_index))
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()
@@ -3164,7 +3164,7 @@ def weighted_sample_job(
 
     return (
         docs.writeStream.outputMode("append")
-        .foreachBatch(step)
+        .foreachBatch(sinks.pin_batch(step))
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()
@@ -3306,7 +3306,7 @@ def burst_flags_job(
 
     return (
         events.writeStream.outputMode("append")
-        .foreachBatch(flag)
+        .foreachBatch(sinks.pin_batch(flag))
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()
@@ -3466,7 +3466,7 @@ def stickiness_job(
 
     return (
         events.writeStream.outputMode("append")
-        .foreachBatch(step)
+        .foreachBatch(sinks.pin_batch(step))
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()
@@ -3620,7 +3620,7 @@ def latency_quantiles_job(
 
     return (
         ship.writeStream.outputMode("append")
-        .foreachBatch(step)
+        .foreachBatch(sinks.pin_batch(step))
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()
@@ -3764,7 +3764,7 @@ def balance_deciles_job(
 
     return (
         cust.writeStream.outputMode("append")
-        .foreachBatch(step)
+        .foreachBatch(sinks.pin_batch(step))
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()
@@ -3939,7 +3939,7 @@ def revenue_gini_job(
 
     return (
         lines.writeStream.outputMode("append")
-        .foreachBatch(step)
+        .foreachBatch(sinks.pin_batch(step))
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()
@@ -4060,7 +4060,7 @@ def activity_gini_job(
 
     return (
         ev.writeStream.outputMode("append")
-        .foreachBatch(step)
+        .foreachBatch(sinks.pin_batch(step))
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()
@@ -4163,7 +4163,7 @@ def _daily_count_snapshot_job(
 
     return (
         ev.writeStream.outputMode("append")
-        .foreachBatch(step)
+        .foreachBatch(sinks.pin_batch(step))
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()
@@ -4359,7 +4359,7 @@ def ab_fdr_job(
 
     return (
         ev.writeStream.outputMode("append")
-        .foreachBatch(step)
+        .foreachBatch(sinks.pin_batch(step))
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()
@@ -4530,7 +4530,7 @@ def privacy_audit_job(
 
     return (
         ev.writeStream.outputMode("append")
-        .foreachBatch(step)
+        .foreachBatch(sinks.pin_batch(step))
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()
@@ -4686,7 +4686,7 @@ def heavy_hitters_job(
 
     return (
         docs.writeStream.outputMode("append")
-        .foreachBatch(merge)
+        .foreachBatch(sinks.pin_batch(merge))
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()
@@ -4810,7 +4810,7 @@ def activation_survival_job(
 
     return (
         ev.writeStream.outputMode("append")
-        .foreachBatch(step)
+        .foreachBatch(sinks.pin_batch(step))
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()
@@ -4910,7 +4910,7 @@ def ols_monitor_job(
 
     return (
         rows.writeStream.outputMode("append")
-        .foreachBatch(step)
+        .foreachBatch(sinks.pin_batch(step))
         .option("checkpointLocation", checkpoint)
         .trigger(**_trigger({}, available_now))
         .start()

@@ -131,7 +131,9 @@ def test_dbapi_upsert_mysql_sql_shape():
         "qz_point", ["uid", "pointid"], ["qz_sum"], lambda: None, "mysql"
     )
     # reach the SQL through the closure rather than a live Spark write
-    sql = [c for c in sink.__closure__ if isinstance(c.cell_contents, str)]
+    # (the sink is wrapped by pin_batch — unwrap to the real body)
+    body = getattr(sink, "__wrapped__", sink)
+    sql = [c for c in body.__closure__ if isinstance(c.cell_contents, str)]
     stmts = [c.cell_contents for c in sql if "INSERT INTO" in str(c.cell_contents)]
     assert stmts, "upsert SQL not found in sink closure"
     stmt = stmts[0]
