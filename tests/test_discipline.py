@@ -123,10 +123,9 @@ CROSSJOIN_SITES = {
     ("edu_online_spark/operators/dedup.py", "split_leakage_compare"),
     ("edu_online_spark/operators/similarity.py", "ann_all_pairs_recall"),
     ("edu_online_spark/operators/similarity.py", "ann_recall_report"),
-    (
-        "edu_online_spark/operators/similarity.py",
-        "hybrid_search_rrf_lsh_certified",
-    ),
+    # round 17: hybrid_search_rrf_lsh_certified dropped its 1-row
+    # n_exact crossJoin — the one-pass scored relation carries the
+    # exact-side count through the shared checkpoint instead
     (
         "edu_online_spark/operators/similarity.py",
         "ivf_probe_recall_certified",
